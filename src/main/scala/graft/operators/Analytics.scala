@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Agg._
+import graft.sources.Tables
+
+/** Generic query-engine surface (SURVEY §2B): the relational capability
+  * set the reference exercises implicitly (scan/filter/agg/join/window/
+  * rollup/json/time windows), expressed as declarative DataFrame plans so
+  * Catalyst handles pushdown, pruning, join selection and AQE.
+  *
+  * Scale notes: dimension joins (region/nation/supplier) broadcast; fact
+  * joins shuffle only pruned columns; aggregates are map-side combinable;
+  * windows partition on high-cardinality keys; top-k per group uses
+  * row_number (partition-local sort), never a global sort.
+  */
+object Analytics {
+
+  /** B1: scan + filter + groupBy agg (TPC-H Q1 family). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** B2: 3-way join + agg + deterministic top-k (TPC-H Q3 family). */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val orders   = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val lineitem = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** B3: multi-way join with broadcast dims + agg (TPC-H Q5 family). */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
+    val nation = broadcast(Tables.nation(spark, dir))
+    val supplier = broadcast(Tables.supplier(spark, dir))
+    val customer = Tables.customer(spark, dir)
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val lineitem = Tables.lineitem(spark, dir)
+    region
+      .join(nation, col("n_regionkey") === col("r_regionkey"))
+      .join(customer, col("c_nationkey") === col("n_nationkey"))
+      .join(orders, col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+                      col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** B4: window functions — rank per group. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** B5: rollup aggregates with ALL-sentinel for subtotal rows. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  /** B6: JSON column parsing + agg. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** B7: event-time tumbling-window aggregation (batch twin of the
+    * Structured Streaming D1 operator). */
+  def timeWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** B8: gap-based sessionization (30-min inactivity) via lag + running
+    * sum; partitioned by user_id so state never concentrates. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** B9: top-k per group without a global sort (row_number, partition-
+    * local ordering; only k rows per key survive the window filter). */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 2)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("rn"))
+      .orderBy(col("l_partkey"), col("rn"))
+  }
+}

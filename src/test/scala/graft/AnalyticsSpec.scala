@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q1 pricing summary: one row per (returnflag, linestatus), sums positive") {
+    val rows = Analytics.q1PricingSummary(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 6)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 0))
+    assert(rows.forall(_.getAs[Long]("count_order") > 0))
+  }
+
+  test("q3 returns at most 10 rows ordered by revenue desc") {
+    val rows = Analytics.q3ShippingPriority(spark, sfDir).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q5 uses broadcast joins for the dimension sides") {
+    val plan = Analytics.q5LocalSupplier(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("window rank keeps at most 3 orders per customer") {
+    val df = Analytics.windowRank(spark, sfDir)
+    val maxPerCust = df.groupBy("o_custkey").count().agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(maxPerCust <= 3)
+  }
+
+  test("rollup has grand-total row equal to orders count") {
+    val df = Analytics.rollupAgg(spark, sfDir)
+    val total = df.filter("status = 'ALL' AND priority = 'ALL'").head.getAs[Long]("n_orders")
+    assert(total == graft.sources.Tables.orders(spark, sfDir).count())
+  }
+
+  test("json extract sums k per event type") {
+    val rows = Analytics.jsonExtract(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("sum_k") >= 0))
+  }
+
+  test("sessionize: session bounds ordered, event count conserved") {
+    val df = Analytics.sessionize(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.forall(r => !r.getAs[java.sql.Timestamp]("session_start").after(r.getAs[java.sql.Timestamp]("session_end"))))
+    val totalEvents = rows.map(_.getAs[Long]("n_events")).sum
+    assert(totalEvents == graft.sources.Tables.events(spark, sfDir).count())
+  }
+
+  test("topk per group keeps at most 2 per part") {
+    val df = Analytics.topkPerGroup(spark, sfDir)
+    val maxPerPart = df.groupBy("l_partkey").count().agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(maxPerPart <= 2)
+  }
+}
