@@ -22,6 +22,18 @@ object SparkEntry {
     "time_window_agg"      -> (Analytics.timeWindowAgg(_, _)),
     "sessionize"           -> (Analytics.sessionize(_, _)),
     "topk_per_group"       -> (Analytics.topkPerGroup(_, _)),
+    "clean_normalize"      -> (RefDemos.cleanNormalize(_, _)),
+    "parse_anchor"         -> (RefDemos.parseAnchor(_, _)),
+    "dedup_first_per_key"  -> (RefDemos.dedupFirstPerKey(_, _)),
+    "merge_max_groups"     -> (RefDemos.mergeMaxGroups(_, _)),
+    "diff_merge_carry"     -> (RefDemos.diffMergeCarry(_, _)),
+    "fallback_resolve"     -> (RefDemos.fallbackResolve(_, _)),
+    "phone_domain_norm"    -> (RefDemos.phoneDomainNorm(_, _)),
+    "addr_normalize"       -> (RefDemos.addrNormalize(_, _)),
+    "zh_numeral_arabic"    -> (RefDemos.zhNumeralArabic(_, _)),
+    "validate_constraints" -> (RefDemos.validateConstraints(_, _)),
+    "check_total"          -> (RefDemos.checkTotal(_, _)),
+    "dedup_exact_docs"     -> (RefDemos.dedupExactDocs(_, _)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB) side. The cast discipline
@@ -136,5 +148,172 @@ object SparkEntry {
         |  FROM lineitem)
         |WHERE rn <= 2
         |ORDER BY l_partkey, rn""".stripMargin,
+
+    "clean_normalize" ->
+      """SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
+        |       COALESCE(TRY_CAST(props->>'$.k' AS BIGINT), 0) AS k,
+        |       event_type = 'purchase' AS is_purchase,
+        |       CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type_clean,
+        |       value > 100.0 AS high_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "parse_anchor" ->
+      """WITH h AS (
+        |  SELECT o_orderkey,
+        |         '<a href=''https://example.org/o/' || CAST(o_orderkey AS VARCHAR) ||
+        |         '''>Order &amp; ' || o_orderpriority || '</a>' AS html
+        |  FROM orders
+        |), u AS (
+        |  SELECT o_orderkey, replace(html, '&amp;', '&') AS uh FROM h
+        |), x AS (
+        |  SELECT o_orderkey,
+        |         regexp_extract(uh, '<a[^>]*href=[''"]([^''"]+)[''"]', 1) AS href,
+        |         regexp_extract(uh, '<a[^>]*>(.*?)</a>', 1) AS inner_text, uh
+        |  FROM u)
+        |SELECT o_orderkey, href,
+        |       regexp_replace(CASE WHEN inner_text <> '' THEN inner_text ELSE uh END,
+        |                      '<[^>]*>', '', 'g') AS text
+        |FROM x ORDER BY o_orderkey""".stripMargin,
+
+    "dedup_first_per_key" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+        |FROM (
+        |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+        |  FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "merge_max_groups" ->
+      """SELECT o_custkey, MAX(o_totalprice) AS max_o_totalprice,
+        |       BOOL_OR(o_orderstatus = 'O') AS any_is_open,
+        |       COUNT(*) AS n_rows,
+        |       MAX(o_totalprice) > 250000.0 AS has_quota
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY has_quota DESC, o_custkey""".stripMargin,
+
+    "diff_merge_carry" ->
+      """WITH prev AS (
+        |  SELECT c_custkey AS p_cust, c_nationkey AS p_nation, c_custkey * 1.5 AS lat
+        |  FROM customer WHERE c_custkey % 3 <> 0
+        |), l0 AS (SELECT p_cust, MIN(lat) AS lat0 FROM prev GROUP BY p_cust),
+        |   l1 AS (SELECT p_nation, MIN(lat) AS lat1 FROM prev GROUP BY p_nation)
+        |SELECT c.c_custkey, c.c_nationkey,
+        |       COALESCE(l0.lat0, l1.lat1) AS lat,
+        |       CASE WHEN l0.lat0 IS NOT NULL THEN 'c_custkey'
+        |            WHEN l1.lat1 IS NOT NULL THEN 'c_nationkey' END AS matched_by,
+        |       COALESCE(l0.lat0, l1.lat1) IS NULL AS needs_recompute
+        |FROM customer c
+        |LEFT JOIN l0 ON c.c_custkey = l0.p_cust
+        |LEFT JOIN l1 ON c.c_nationkey = l1.p_nation
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "fallback_resolve" ->
+      s"""WITH known AS (
+         |  SELECT p_partkey AS k_partkey, p_brand, p_retailprice FROM part WHERE p_partkey % 5 = 0
+         |), grp AS (
+         |  SELECT p_brand, ${davg("p_retailprice")} AS grp_avg FROM known GROUP BY p_brand
+         |), allavg AS (
+         |  SELECT ${davg("p_retailprice")} AS glob_avg FROM known
+         |), facts AS (
+         |  SELECT l.l_partkey, p.p_brand FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |), r AS (
+         |  SELECT COALESCE(k.p_retailprice, g.grp_avg, gl.glob_avg) AS resolved,
+         |         CASE WHEN k.p_retailprice IS NOT NULL THEN 'exact'
+         |              WHEN g.grp_avg IS NOT NULL THEN 'group'
+         |              ELSE 'global' END AS resolution
+         |  FROM facts f
+         |  LEFT JOIN known k ON f.l_partkey = k.k_partkey
+         |  LEFT JOIN grp g ON f.p_brand = g.p_brand
+         |  CROSS JOIN allavg gl)
+         |SELECT resolution, COUNT(*) AS n, ${dsum("resolved")} AS sum_resolved
+         |FROM r GROUP BY resolution ORDER BY resolution""".stripMargin,
+
+    "phone_domain_norm" ->
+      """WITH s AS (
+        |  SELECT c_custkey,
+        |         '(0' || CAST(c_custkey % 10 AS VARCHAR) || ') 555-' || CAST(c_custkey AS VARCHAR) AS phone,
+        |         CASE WHEN c_nationkey % 3 = 0
+        |                THEN 'https://www.example' || CAST(c_nationkey AS VARCHAR) || '.org/page'
+        |              WHEN c_nationkey % 3 = 1
+        |                THEN 'http://sub.test' || CAST(c_nationkey AS VARCHAR) || '.net/a/b'
+        |              ELSE 'not a url' END AS url
+        |  FROM customer)
+        |SELECT c_custkey,
+        |       regexp_replace(phone, '[^0-9]', '', 'g') AS norm_phone,
+        |       regexp_extract(url, '^https?://(?:www\.)?([^/]+)', 1) AS domain
+        |FROM s ORDER BY c_custkey""".stripMargin,
+
+    "addr_normalize" ->
+      """WITH s AS (
+        |  SELECT c_custkey,
+        |         CAST(c_custkey % 900 + 100 AS VARCHAR) || ' 台北市中山區中山北路' ||
+        |         CAST(c_custkey % 50 + 1 AS VARCHAR) || '巷' ||
+        |         CAST(c_nationkey % 9 + 1 AS VARCHAR) || '弄' ||
+        |         CAST(c_custkey % 200 + 1 AS VARCHAR) || '號' ||
+        |         CAST(c_custkey % 10 + 1 AS VARCHAR) || '樓 (備註)' AS address_raw
+        |  FROM customer
+        |), n1 AS (
+        |  SELECT s.c_custkey, s.address_raw,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(address_raw,
+        |           '^\s*\d{3,5}[-\s]?', ''),
+        |           '（[^）]*）|\([^)]*\)', '', 'g'),
+        |           '\s+', '', 'g'),
+        |           '台', '臺', 'g') AS folded
+        |  FROM s
+        |), n2 AS (
+        |  SELECT c_custkey, address_raw, folded,
+        |         regexp_extract(folded, '^([^號]*號)', 1) AS cut
+        |  FROM n1)
+        |SELECT c_custkey, address_raw,
+        |       CASE WHEN cut <> '' THEN cut ELSE folded END AS address_norm
+        |FROM n2 ORDER BY c_custkey""".stripMargin,
+
+    "zh_numeral_arabic" -> {
+      val digitCase = (e: String) =>
+        s"(CASE $e WHEN 1 THEN '一' WHEN 2 THEN '二' WHEN 3 THEN '三' WHEN 4 THEN '四' WHEN 5 THEN '五' " +
+        s"WHEN 6 THEN '六' WHEN 7 THEN '七' WHEN 8 THEN '八' WHEN 9 THEN '九' ELSE '' END)"
+      s"""WITH base AS (
+         |  SELECT c_custkey, CAST(c_custkey % 99 + 1 AS INT) AS n FROM customer
+         |), z AS (
+         |  SELECT c_custkey, n,
+         |    (CASE WHEN n // 10 = 0 THEN '' WHEN n // 10 = 1 THEN '十'
+         |          ELSE ${digitCase("n // 10")} || '十' END) ||
+         |    (CASE WHEN n % 10 = 0 THEN '' ELSE ${digitCase("n % 10")} END) ||
+         |    '巷12號' AS street_zh
+         |  FROM base)
+         |SELECT c_custkey, street_zh, CAST(n AS VARCHAR) || '巷12號' AS street_arabic
+         |FROM z ORDER BY c_custkey""".stripMargin
+    },
+
+    "validate_constraints" ->
+      """SELECT * FROM (
+        |  SELECT 'discount_range' AS rule, CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'quantity_negative', CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'quantity_over_40', CAST(SUM(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'returnflag_enum', CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'shipdate_null', CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |) ORDER BY rule""".stripMargin,
+
+    "check_total" ->
+      """WITH d AS (
+        |  SELECT o_custkey,
+        |         COUNT(*) OVER (PARTITION BY o_custkey) +
+        |         CASE WHEN o_custkey % 7 = 0 THEN 1 ELSE 0 END AS declared_total
+        |  FROM orders)
+        |SELECT o_custkey, COUNT(*) AS actual_total,
+        |       CAST(MAX(declared_total) AS BIGINT) AS declared_total,
+        |       CAST(MAX(declared_total) - COUNT(*) AS BIGINT) AS diff
+        |FROM d GROUP BY o_custkey
+        |HAVING COUNT(*) <> MAX(declared_total)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "dedup_exact_docs" ->
+      """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
   )
 }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Html, Norm}
+import graft.functions.Agg._
+import graft.sources.Tables
+
+/** SURVEY §2A demos: each reference ETL operator exercised on the
+  * driver's testdata. Synthetic strings (HTML fragments, phones, URLs,
+  * addresses) are built *inside* the query from table columns so the
+  * DuckDB oracle sees identical inputs.
+  */
+object RefDemos {
+
+  /** A1 — cleanRows (index.js:38-62): typed projection, null-coalesce,
+    * safe int coercion, bool mapping, sentinel->null, derived flag. */
+  def cleanNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      col("ts").cast("date").as("event_date"),
+      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L)).as("k"),
+      (col("event_type") === "purchase").as("is_purchase"),
+      Html.sentinelToNull(col("event_type"), "error").as("event_type_clean"),
+      (col("value") > 100.0).as("high_value"))
+      .orderBy("event_id")
+
+  /** A2 — parseAnchor/unesc (index.js:20-30) over synthesized anchors. */
+  def parseAnchor(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<a href='https://example.org/o/"), col("o_orderkey").cast("string"),
+      lit("'>Order &amp; "), col("o_orderpriority"), lit("</a>"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), html.as("html"))
+      .select(col("o_orderkey"),
+        Html.anchorHref(col("html")).as("href"),
+        Html.anchorText(col("html")).as("text"))
+      .orderBy("o_orderkey")
+  }
+
+  /** A3 — uniqByKey (index.js:89-98): first-wins dedup per key. */
+  def dedupFirstPerKey(spark: SparkSession, dir: String): DataFrame =
+    // the synthetic lineitem has duplicate (orderkey, linenumber) rows, so
+    // the "first" ordering tie-breaks on every projected column
+    Dedup.firstPerKey(Tables.lineitem(spark, dir),
+        Seq("l_orderkey"),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"), col("l_quantity")))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey")
+
+  /** A4 — mergeYesNo (index.js:65-86): union + group + max/or + flag. */
+  def mergeMaxGroups(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .withColumn("is_open", col("o_orderstatus") === "O")
+    val yes = orders.filter(col("is_open"))
+    val no  = orders.filter(!col("is_open"))
+    MergeOps.mergeMax(yes, no, Seq("o_custkey"),
+        maxCols = Seq("o_totalprice"), orCols = Seq("is_open"))
+      .withColumn("has_quota", col("max_o_totalprice") > 250000.0)
+      .orderBy(col("has_quota").desc, col("o_custkey"))
+  }
+
+  /** A5 — geocode-diff-merge (geocode-diff-merge.js:65-160): carry
+    * coordinates forward by prioritized keys; flag the delta. */
+  def diffMergeCarry(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir)
+    val prev = customer.filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("p_cust"), col("c_nationkey").as("p_nation"),
+        (col("c_custkey") * 1.5).as("lat"))
+    val today = customer.select(col("c_custkey"), col("c_nationkey"))
+    MergeOps.diffMergeCarry(today, prev,
+        keyPriority = Seq(("c_custkey", "p_cust"), ("c_nationkey", "p_nation")),
+        carryCols = Seq("lat"))
+      .orderBy("c_custkey")
+  }
+
+  /** A6 — resolveOneRow ladder (geocode.js:472-514): exact -> group
+    * centroid -> global centroid; report by resolution level. */
+  def fallbackResolve(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val facts = Tables.lineitem(spark, dir)
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    val known = part.filter(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey").as("k_partkey"), col("p_brand"), col("p_retailprice"))
+    MergeOps.fallbackResolve(facts, known,
+        factKey = "l_partkey", knownKey = "k_partkey",
+        groupCol = "p_brand", valueCol = "p_retailprice")
+      .groupBy(col("resolution"))
+      .agg(count(lit(1)).as("n"), dsum(col("resolved")).as("sum_resolved"))
+      .orderBy("resolution")
+  }
+
+  /** A7 — normalizePhone/domainOf (geocode-diff-merge.js:16-21). */
+  def phoneDomainNorm(spark: SparkSession, dir: String): DataFrame = {
+    val phone = concat(lit("(0"), (col("c_custkey") % 10).cast("string"),
+      lit(") 555-"), col("c_custkey").cast("string"))
+    val url = when(col("c_nationkey") % 3 === 0,
+        concat(lit("https://www.example"), col("c_nationkey").cast("string"), lit(".org/page")))
+      .when(col("c_nationkey") % 3 === 1,
+        concat(lit("http://sub.test"), col("c_nationkey").cast("string"), lit(".net/a/b")))
+      .otherwise(lit("not a url"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), phone.as("phone"), url.as("url"))
+      .select(col("c_custkey"),
+        Norm.phoneDigits(col("phone")).as("norm_phone"),
+        Norm.urlDomain(col("url")).as("domain"))
+      .orderBy("c_custkey")
+  }
+
+  /** A8 — normalizeTWAddress/trimToHouseNo (geocode.js:128-168). */
+  def addrNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      (col("c_custkey") % 900 + 100).cast("string"), lit(" 台北市中山區中山北路"),
+      (col("c_custkey") % 50 + 1).cast("string"), lit("巷"),
+      (col("c_nationkey") % 9 + 1).cast("string"), lit("弄"),
+      (col("c_custkey") % 200 + 1).cast("string"), lit("號"),
+      (col("c_custkey") % 10 + 1).cast("string"), lit("樓 (備註)"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), raw.as("address_raw"))
+      .withColumn("address_norm", Norm.normalizeAddress(col("address_raw")))
+      .orderBy("c_custkey")
+  }
+
+  /** A9 — zh numerals -> Arabic in street tokens (geocode.js:102-125):
+    * build 一..九十九 from the key, convert back, round-trip check. */
+  def zhNumeralArabic(spark: SparkSession, dir: String): DataFrame = {
+    val n = (col("c_custkey") % 99 + 1).cast("int")
+    val digits = Seq("", "一", "二", "三", "四", "五", "六", "七", "八", "九")
+    def digitZh(d: org.apache.spark.sql.Column) =
+      (1 to 9).foldLeft(lit("")) { (acc, i) => when(d === i, digits(i)).otherwise(acc) }
+    val tens = (n / 10).cast("int")
+    val ones = n % 10
+    val zh = concat(
+      when(tens === 0, "").when(tens === 1, "十").otherwise(concat(digitZh(tens), lit("十"))),
+      when(ones === 0, "").otherwise(digitZh(ones)))
+    val street = concat(zh, lit("巷12號"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), street.as("street_zh"))
+      .withColumn("street_arabic", Norm.zhStreetNumeralToArabic(col("street_zh")))
+      .orderBy("c_custkey")
+  }
+
+  /** A10 — schema.clinic.json constraint gate as a violation report. */
+  def validateConstraints(spark: SparkSession, dir: String): DataFrame =
+    Validate.constraintReport(Tables.lineitem(spark, dir), Seq(
+      "quantity_negative" -> (col("l_quantity") < 0),
+      "discount_range"    -> (col("l_discount") < 0 || col("l_discount") > 1),
+      "returnflag_enum"   -> !col("l_returnflag").isin("A", "N", "R"),
+      "shipdate_null"     -> col("l_shipdate").isNull,
+      "quantity_over_40"  -> (col("l_quantity") > 40)))
+
+  /** A11 — check-total.js: declared vs actual counts per group. */
+  def checkTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+    val df = Tables.orders(spark, dir)
+      .withColumn("declared_total",
+        count(lit(1)).over(w) + when(col("o_custkey") % 7 === 0, 1L).otherwise(0L))
+    Validate.checkTotals(df, "o_custkey", "declared_total")
+  }
+
+  /** C1 — exact text dedup via hash groupBy on documents. */
+  def dedupExactDocs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactByHash(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("text_hash")
+}
