@@ -34,6 +34,16 @@ object SparkEntry {
     "validate_constraints" -> (RefDemos.validateConstraints(_, _)),
     "check_total"          -> (RefDemos.checkTotal(_, _)),
     "dedup_exact_docs"     -> (RefDemos.dedupExactDocs(_, _)),
+    "token_count"          -> (TextDemos.tokenCount(_, _)),
+    "quality_score"        -> (TextDemos.qualityScore(_, _)),
+    "lang_id"              -> (TextDemos.langId(_, _)),
+    "doc_fingerprint"      -> (TextDemos.docFingerprint(_, _)),
+    "ngram_jaccard"        -> (TextDemos.ngramJaccard(_, _)),
+    "embed_cosine_topk"    -> (TextDemos.embedCosineTopk(_, _)),
+    "ann_lsh_topk"         -> (TextDemos.annLshTopk(_, _)),
+    "dedup_minhash_lsh"    -> (TextDemos.dedupMinhashLsh(_, _)),
+    "dedup_simhash"        -> (TextDemos.dedupSimhash(_, _)),
+    "embed_near_dup"       -> (TextDemos.embedNearDup(_, _)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB) side. The cast discipline
@@ -315,5 +325,96 @@ object SparkEntry {
     "dedup_exact_docs" ->
       """SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text, CAST(len(toks) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS DOUBLE) AS stop_hits,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha_hits
+        |  FROM t)
+        |SELECT doc_id,
+        |  0.4 * least(n_tok / 100.0, 1.0)
+        |  + 0.3 * (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END)
+        |  + 0.3 * (CASE WHEN length(text) > 0 THEN alpha_hits / CAST(length(text) AS DOUBLE) ELSE 0.0 END) AS score
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "lang_id" -> {
+      val profiles = graft.functions.Text.LangProfiles
+      val hitCols = profiles.map { case (lang, stops) =>
+        val list = stops.map(s => s"'$s'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(toks, x -> list_contains($list, x))) AS BIGINT) AS h_$lang"
+      }.mkString(",\n    ")
+      val great = profiles.map(p => s"h_${p._1}").mkString("greatest(", ", ", ")")
+      val cases = profiles.map { case (lang, _) => s"WHEN h_$lang = mx THEN '$lang'" }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    $hitCols
+         |  FROM t
+         |), g AS (SELECT *, $great AS mx FROM h)
+         |SELECT doc_id,
+         |  CASE WHEN mx = 0 THEN 'und' $cases END AS pred_lang,
+         |  mx AS profile_hits
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT))),
+        |    (h, c) -> (h * 131 + c) % 1000000007) AS BIGINT) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+        |  FROM s a JOIN s b ON b.doc_id = a.doc_id + 1)
+        |SELECT id_a, id_b,
+        |  CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS BIGINT) AS n_common,
+        |  CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS BIGINT) AS n_union,
+        |  CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) > 0
+        |       THEN CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS DOUBLE)
+        |            / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS BIGINT)
+        |       ELSE 0.0 END AS jaccard
+        |FROM p ORDER BY id_a""".stripMargin,
+
+    "embed_cosine_topk" -> {
+      def lsum(e: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $e), (a, b) -> a + b)"
+      val dot = lsum("list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))")
+      val nq = lsum("list_transform(range(1, len(qv)+1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))")
+      val nc = lsum("list_transform(range(1, len(cv)+1), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+         |x AS (
+         |  SELECT query_id, cand_id,
+         |    $dot / (sqrt($nq) * sqrt($nc)) AS sim
+         |  FROM q, c),
+         |r AS (SELECT query_id, cand_id, sim,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+         |      FROM x)
+         |SELECT query_id, cand_id, round(sim, 6) AS sim, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
   )
 }

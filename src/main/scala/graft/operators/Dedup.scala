@@ -30,4 +30,91 @@ object Dedup {
     df.select(md5(col(textCol)).as("text_hash"), col(idCol))
       .groupBy("text_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  import graft.functions.{Text, Vec}
+
+  /** MinHash-LSH near-dup candidates: shingle -> k-perm minhash ->
+    * banded bucket join -> estimated similarity (signature agreement).
+    *
+    * Signatures are computed *relationally*: shingle hashes explode to
+    * rows and `groupBy(id).agg(min(perm_i) × k)` builds the signature —
+    * fully whole-stage-codegen'd with map-side partial aggregation, so
+    * the shuffle carries k longs per (doc, partition), and giant docs
+    * parallelize across partitions (a per-row array fold would be
+    * interpreted, ~40× slower, and skew-bound). The verify step is a
+    * bucket-local self-join, never a global cross product. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                 minEstSim: Double = 0.5): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(Text.shingles(col(textCol), shingleN)).as("t"))
+      .select(col(idCol), pmod(xxhash64(col("t")), lit(Vec.MinhashPrime)).as("h"))
+    val aggs = (0 until k).map { i =>
+      val a = 2L * i + 1
+      val b = (i * 2654435761L) % Vec.MinhashPrime
+      min(pmod(lit(a) * col("h") + lit(b), lit(Vec.MinhashPrime))).as(s"_m$i")
+    }
+    val sig = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+    // persist: the banded table is tiny (id, sig, band, key) but its
+    // lineage — shingle + signature computation — is the expensive part;
+    // without it the self-join recomputes signatures for both sides.
+    val banded = sig.select(col(idCol), col("sig"),
+        posexplode(Vec.lshBandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
+      .persist()
+    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / k).as("est_sim"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_sim")).as("est_sim"))
+      .filter(col("est_sim") >= minEstSim)
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash, 4x16-bit band candidate
+    * join, exact hamming filter. Like [[minhashLsh]], the bit votes are
+    * a relational aggregation (explode token hashes, 64 codegen'd
+    * conditional sums per doc), not a per-row array fold. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(Text.wsTokens(col(textCol))).as("t"))
+      .select(col(idCol), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_v$j")
+    }
+    val hashed = exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map { j =>
+          when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+    val banded = hashed.select(col(idCol), col("sh"),
+        posexplode(Vec.simhashBands(col("sh"))).as(Seq("band", "key")))
+      .persist() // see minhashLsh: avoid recomputing simhash on both join sides
+    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Vec.hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** exact word-n-gram Jaccard for a candidate pair set; `pairs` has
+    * (id_a, id_b); texts joined in by id. */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), Text.shingles(col(textCol), n).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("n_common"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("n_union"))
+      .withColumn("jaccard",
+        when(col("n_union") > 0, col("n_common").cast("double") / col("n_union")).otherwise(0.0))
+  }
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vec
+
+/** Similarity search over an embedding column (SURVEY §2C).
+  *
+  * [[bruteTopK]] is the exact baseline: broadcast the (small) query set
+  * against the candidate corpus, partition-local cosine + top-k via
+  * row_number — no global sort, the corpus streams once. At 100 TB the
+  * corpus side stays partitioned; only the query side broadcasts.
+  *
+  * [[lshTopK]] is the scale path: bucket both sides by random-hyperplane
+  * sign bits (deterministic planes), join on bucket, rank within. Probes
+  * a Hamming-ball of buckets (`probeBits`) to trade recall for cost.
+  */
+object Similarity {
+
+  /** exact cosine top-k: `queries`(id, vec) × `corpus`(id, vec). */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                queryId: String = "query_id", queryVec: String = "qv",
+                candId: String = "cand_id", candVec: String = "cv"): DataFrame = {
+    val sim = Vec.cosine(col(queryVec), col(candVec))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(candId))
+    broadcast(queries)
+      .crossJoin(corpus)
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(candId), col("sim"), col("rank"))
+  }
+
+  /** LSH-bucketed approximate top-k with multi-probe (flip up to
+    * `probeBits` of the query bucket bits). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nPlanes: Int, dim: Int, probeBits: Int = 1,
+              queryId: String = "query_id", queryVec: String = "qv",
+              candId: String = "cand_id", candVec: String = "cv"): DataFrame = {
+    val planes = Vec.hyperplanes(nPlanes, dim)
+    val cB = corpus.withColumn("bucket", Vec.lshBucket(col(candVec), planes))
+    // query probes: own bucket + every bucket at hamming distance <= probeBits
+    val flips: Seq[Long] = 0L +: (if (probeBits >= 1) (0 until nPlanes).map(1L << _) else Nil)
+    val probes = array(flips.map(lit): _*)
+    val qB = broadcast(
+      queries.withColumn("bucket0", Vec.lshBucket(col(queryVec), planes))
+        .withColumn("bucket", explode(transform(probes, f => col("bucket0").bitwiseXOR(f))))
+        .drop("bucket0"))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(candId))
+    qB.join(cB, "bucket")
+      .withColumn("sim", Vec.cosine(col(queryVec), col(candVec)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(candId), col("sim"), col("rank"))
+  }
+
+  /** near-duplicate pairs by embedding cosine above `threshold`,
+    * candidate-limited to shared LSH buckets (id_a < id_b). */
+  def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
+    val planes = Vec.hyperplanes(nPlanes, dim)
+    val b = vecs.select(col(idCol), col(vecCol))
+      .withColumn("bucket", Vec.lshBucket(col(vecCol), planes))
+      .persist() // self-joined below: avoid recomputing buckets per side
+    val a = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val c = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(c, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Vec.cosine(col("va"), col("vb")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .distinct()
+  }
+}

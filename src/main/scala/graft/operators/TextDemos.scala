@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.sources.Tables
+
+/** SURVEY §2C demos: LLM-training-data operators on the documents and
+  * embeddings tables. */
+object TextDemos {
+
+  /** C10 — whitespace + BPE-ish token counting. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).as("ws_tokens"),
+      Text.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** C9 — composite quality score (length/stopword/alpha ratios). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), Text.qualityScore(col("text")).as("score"))
+      .orderBy("doc_id")
+
+  /** C8 — stopword-profile language ID. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val (pred, hits) = Text.langId(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"), pred.as("pred_lang"), hits.as("profile_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** C11 — rolling-hash document fingerprint. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** C4 — exact n-gram Jaccard over adjacent-id candidate pairs. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+    Dedup.ngramJaccard(docs, pairs, "doc_id", "text", n = 3)
+      .orderBy("id_a")
+  }
+
+  /** C2 — MinHash-LSH near-dup candidates (32 perms, 8 bands). */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, minEstSim = 0.25)
+      .orderBy("id_a", "id_b")
+
+  /** C3 — SimHash near-dup pairs (hamming <= 16 on 64 bits). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 16)
+      .orderBy("id_a", "id_b")
+
+  /** C5 — brute-force cosine top-k (queries: vec_id < 5). */
+  def embedCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    Similarity.bruteTopK(queries, corpus, k = 5)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("query_id", "rank")
+  }
+
+  /** C6 — LSH-bucketed approximate top-k (scale path of C5). */
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    Similarity.lshTopK(queries, corpus, k = 5, nPlanes = 8, dim = 64, probeBits = 1)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("query_id", "rank")
+  }
+
+  /** C7 — embedding-cosine near-duplicate pairs via shared LSH buckets. */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDup(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", threshold = 0.2, nPlanes = 8, dim = 64)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("id_a", "id_b")
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vec}
+import graft.operators.{Dedup, Similarity, TextDemos}
+
+class TextVecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("C10 token counting: whitespace and BPE-ish") {
+    val r = Seq("hello world  foo", "a-b 12").toDF("text")
+      .select(Text.tokenCount(col("text")), Text.bpeTokenCount(col("text"))).collect()
+    assert(r(0).getLong(0) == 3 && r(0).getLong(1) == 3)
+    assert(r(1).getLong(0) == 2 && r(1).getLong(1) == 5) // a,-,b,1,2
+  }
+
+  test("C9 quality score is in [0,1]") {
+    val scores = TextDemos.qualityScore(spark, sfDir).collect().map(_.getDouble(1))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("C8 language id picks profile with most hits") {
+    val (pred, _) = Text.langId(col("text"))
+    val r = Seq("the cat and the dog is in", "el que de la y", "xyzzy qwerty")
+      .toDF("text").select(pred).collect().map(_.getString(0))
+    assert(r.sameElements(Array("en", "es", "und")))
+  }
+
+  test("C11 fingerprint: deterministic, order-sensitive") {
+    val r = Seq("abc", "abc", "acb").toDF("text")
+      .select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(r(0) == r(1) && r(0) != r(2))
+    // polynomial hash of "abc" base 131 mod 1e9+7
+    val expected = ((('a'.toLong * 131 + 'b') % 1000000007L) * 131 + 'c') % 1000000007L
+    assert(r(0) == expected)
+  }
+
+  test("shingles produce distinct n-grams, empty below n tokens") {
+    val r = Seq("a b c d", "a b").toDF("text")
+      .select(Text.shingles(col("text"), 3)).collect()
+    assert(r(0).getSeq[String](0).toSet == Set("a b c", "b c d"))
+    assert(r(1).getSeq[String](0).isEmpty)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(Vec.cosine(col("a"), col("b")), Vec.cosine(col("a"), col("c"))).head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12 && math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("C5 brute top-k returns k ranked neighbors per query") {
+    val out = TextDemos.embedCosineTopk(spark, sfDir)
+    val byQuery = out.groupBy("query_id").count().collect()
+    assert(byQuery.length == 5 && byQuery.forall(_.getLong(1) == 5))
+    // ranks are 1..5 and sims non-increasing within query
+    val q0 = out.filter(col("query_id") === 0).orderBy("rank").collect()
+    assert(q0.map(_.getAs[Long]("rank")).sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+    val sims = q0.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("C6 LSH top-k recall against brute force is reasonable") {
+    val brute = TextDemos.embedCosineTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextDemos.annLshTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall $recall too low") // approximate; bucketing is coarse at sf0.001
+  }
+
+  test("C2 minhash estimates high similarity for near-identical docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different words describing some other topic entirely here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", minEstSim = 0.25).collect()
+    val m = pairs.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m.contains((1L, 2L)), s"expected (1,2) candidate, got ${m.keySet}")
+    assert(!m.contains((1L, 3L)) && !m.contains((2L, 3L)))
+  }
+
+  test("C3 simhash: identical docs hamming 0, banded join finds them") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+
+  test("C7 embedding near-dup pairs are symmetric-free and above threshold") {
+    val out = TextDemos.embedNearDup(spark, sfDir).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(_.getDouble(2) > 0.2))
+  }
+}
