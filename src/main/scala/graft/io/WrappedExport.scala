@@ -1,0 +1,50 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** The reference's publish layer (SURVEY §2 A12), Spark-native.
+  *
+  * The reference writes, per county, a wrapped JSON `{county, total,
+  * rows}` plus a quoted CSV, then a national union, then dated snapshots
+  * and a "current" pointer (index.js:319-356, entrypoint.sh). Here:
+  *
+  * - [[wrappedJson]] builds the wrapped object per group with a single
+  *   shuffle (groupBy + collect_list) and writes one JSON line per
+  *   group. collect_list assumes bounded group size (counties, tenants
+  *   — NOT unbounded keys); for unbounded groups use [[partitionedCsv]]
+  *   which streams rows under a partition directory instead.
+  * - [[partitionedCsv]] writes `group=<g>/part-*.csv` with headers and
+  *   full quoting — the distributed analog of per-county CSV files.
+  * - [[snapshot]] writes an immutable dated copy plus re-points
+  *   "current" (overwrite) — the GCS snapshot/current layout.
+  */
+object WrappedExport {
+
+  /** one JSON object per group: {<groupCol>, total, rows:[...]} */
+  def wrappedJson(df: DataFrame, groupCol: String, outPath: String): Unit =
+    wrappedFrame(df, groupCol)
+      .write.mode(SaveMode.Overwrite).json(outPath)
+
+  /** the wrapped frame itself (exposed for tests / further transforms) */
+  def wrappedFrame(df: DataFrame, groupCol: String): DataFrame = {
+    val payload = struct(df.columns.filterNot(_ == groupCol).map(col): _*)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("total"), collect_list(payload).as("rows"))
+  }
+
+  /** header'd, quoted CSV partitioned by group (scales to any group count) */
+  def partitionedCsv(df: DataFrame, groupCol: String, outPath: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(groupCol)
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .csv(outPath)
+
+  /** dated immutable snapshot + overwritten "current" pointer. The
+    * timestamp is supplied by the caller (determinism / testability). */
+  def snapshot(df: DataFrame, baseDir: String, ts: String): Unit = {
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/snapshots/$ts")
+    df.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/current")
+  }
+}

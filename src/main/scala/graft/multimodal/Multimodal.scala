@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §2 C12).
+  *
+  * Media (image/audio/video) rides as an opaque `binary` column with a
+  * typed metadata struct; per-item kernels (decode, resize, frame
+  * sample, feature extract) run batched inside `mapPartitions` so heavy
+  * native libraries initialize once per partition, not once per row.
+  *
+  * The decode kernels themselves are STUBBED with deterministic fakes
+  * (`fakeDecode`, `fakeFrames`) — the real image/audio libs are not in
+  * this environment. The Spark-side contract — schema, batching shape,
+  * partition-level kernel lifecycle, column plumbing — is real and
+  * tested; swap the kernel body to go live.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, media: Array[Byte], format: String)
+  case class MediaMeta(media_id: Long, n_bytes: Long, content_hash: Long, format: String)
+  case class MediaFeatures(media_id: Long, features: Array[Float])
+  case class MediaFrame(media_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** typed metadata from the raw bytes (cheap, no decode needed) */
+  def attachMetadata(ds: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.map(r => MediaMeta(r.media_id, r.media.length.toLong,
+      java.util.Arrays.hashCode(r.media).toLong, r.format))
+  }
+
+  /** STUB decode+feature kernel: deterministic bytes->feature vector.
+    * Replace the body of `kernel` with a real decoder; the partition
+    * lifecycle (init once, stream rows, close) is the production shape. */
+  def extractFeatures(ds: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition init happens here (e.g. load codec / model once)
+      val kernel: Array[Byte] => Array[Float] = { bytes =>
+        // ??? real decode; deterministic fake: rolling-hash-seeded floats
+        val h = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+        Array.tabulate(dim)(i => (((h >>> (i * 7)) & 0xFFFF).toFloat / 65535.0f))
+      }
+      it.map(r => MediaFeatures(r.media_id, kernel(r.media)))
+    }
+  }
+
+  /** STUB frame sampling: every `stride`-th fixed-size slice stands in
+    * for decoded video frames. */
+  def sampleFrames(ds: Dataset[MediaRow], frameSize: Int = 16, stride: Int = 4): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { r =>
+      // ??? real frame decode; deterministic fake: strided byte windows
+      // (media shorter than one frame yields none; plain max() would let
+      // java's toward-zero division produce a bogus empty frame)
+      val n = if (r.media.length < frameSize) 0
+              else (r.media.length - frameSize) / (frameSize * stride) + 1
+      (0 until n).map { i =>
+        val off = i * frameSize * stride
+        MediaFrame(r.media_id, i, r.media.slice(off, off + frameSize))
+      }
+    }
+  }
+
+  /** project features next to metadata — the join shape downstream
+    * training-data pipelines consume. */
+  def featureTable(rows: Dataset[MediaRow]): DataFrame = {
+    val meta = attachMetadata(rows)
+    val feats = extractFeatures(rows)
+    meta.join(feats, "media_id")
+  }
+}

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Paged-API ingestion (SURVEY §2 A13).
+  *
+  * The reference pulls a JSON datagrid page by page (total-driven loop,
+  * 10 rows/page — http_crawl.js:46-79, 155-186) and unions the pages.
+  * The Spark-native equivalent: page payloads land as files (one JSON
+  * array or JSONL file per page, e.g. from a fetcher fleet) and a single
+  * schema'd scan reads them all — ordering, dedup and total checks are
+  * relational concerns downstream, not fetch-loop state.
+  */
+object PagedIngest {
+
+  /** read all page files matching `pagePattern` under `dir` with an
+    * explicit schema; `_page` is recovered from the filename so
+    * page-level provenance (and re-fetch of a bad page) stays possible. */
+  def readPages(spark: SparkSession, dir: String, schema: StructType,
+                pagePattern: String = "page_*.json"): DataFrame =
+    spark.read.schema(schema)
+      .option("multiLine", "true")
+      .option("pathGlobFilter", pagePattern)
+      .json(dir)
+      .withColumn("_page",
+        regexp_extract(input_file_name(), "page_(\\d+)", 1).cast("int"))
+
+  /** consistency gate: declared total (from the API's `total` field)
+    * vs rows actually ingested — the check-total analog at ingest time. */
+  def totalMatches(df: DataFrame, declaredTotal: Long): Boolean =
+    df.count() == declaredTotal
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.io.WrappedExport
+import graft.sources.PagedIngest
+import graft.util.RateLimited
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmp(): String = Files.createTempDirectory("graft_io").toString
+
+  test("A12 wrapped frame: {group, total, rows} with total == |rows|") {
+    val df = Seq(("tw", 1, "a"), ("tw", 2, "b"), ("jp", 3, "c")).toDF("county", "id", "v")
+    val rows = WrappedExport.wrappedFrame(df, "county").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total") == r.getSeq[Any](r.fieldIndex("rows")).size)
+    }
+  }
+
+  test("A12 wrapped JSON round-trips and partitioned CSV preserves rows") {
+    val df = Seq(("tw", 1, "a,b"), ("tw", 2, "c\"d"), ("jp", 3, "e")).toDF("county", "id", "v")
+    val j = tmp(); val c = tmp()
+    WrappedExport.wrappedJson(df, "county", j)
+    val back = spark.read.json(j)
+    assert(back.count() == 2)
+    assert(back.filter(col("county") === "tw").head.getAs[Long]("total") == 2)
+    WrappedExport.partitionedCsv(df, "county", c)
+    val csvBack = spark.read.option("header", "true").csv(c)
+    assert(csvBack.count() == 3)
+    assert(csvBack.filter(col("v") === "c\"d").count() == 1) // quoting survived
+  }
+
+  test("A12 snapshot keeps dated copies and re-points current") {
+    val base = tmp()
+    WrappedExport.snapshot(Seq((1, "x")).toDF("id", "v"), base, "20260101T000000Z")
+    WrappedExport.snapshot(Seq((2, "y")).toDF("id", "v"), base, "20260102T000000Z")
+    assert(spark.read.parquet(s"$base/current").head.getInt(0) == 2)
+    assert(spark.read.parquet(s"$base/snapshots/20260101T000000Z").head.getInt(0) == 1)
+  }
+
+  test("A13 paged ingest unions page files with provenance") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Path.of(dir, "page_0001.json"),
+      """[{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]""")
+    Files.writeString(java.nio.file.Path.of(dir, "page_0002.json"),
+      """[{"id": 3, "name": "c"}]""")
+    Files.writeString(java.nio.file.Path.of(dir, "other.txt"), "ignored")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val df = PagedIngest.readPages(spark, dir, schema)
+    assert(df.count() == 3)
+    assert(df.select("_page").distinct().collect().map(_.getInt(0)).sorted.sameElements(Array(1, 2)))
+    assert(PagedIngest.totalMatches(df, 3) && !PagedIngest.totalMatches(df, 4))
+  }
+
+  test("A14 retry: flaky call succeeds, non-retriable surfaces, retries exhaust") {
+    var calls = 0
+    val out = RateLimited.withRetry(maxRetries = 3, sleep = _ => ()) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("503") else "ok"
+    }
+    assert(out == "ok" && calls == 3)
+
+    intercept[IllegalArgumentException] {
+      RateLimited.withRetry(maxRetries = 3, sleep = _ => (),
+        isRetriable = !_.isInstanceOf[IllegalArgumentException]) { () =>
+        throw new IllegalArgumentException("400")
+      }
+    }
+
+    var n = 0
+    intercept[RuntimeException] {
+      RateLimited.withRetry(maxRetries = 2, sleep = _ => ()) { () =>
+        n += 1; throw new RuntimeException("always")
+      }
+    }
+    assert(n == 3) // initial + 2 retries
+  }
+
+  test("A14 rate-limited mapPartitions body paces calls") {
+    val t0 = System.nanoTime()
+    val out = RateLimited.mapRateLimited(Iterator(1, 2, 3), minIntervalMs = 30)(_ * 2).toList
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(out == List(2, 4, 6))
+    assert(elapsedMs >= 60, s"3 calls at 30ms spacing took ${elapsedMs}ms") // 2 waits
+  }
+}

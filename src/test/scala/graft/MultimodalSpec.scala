@@ -1,0 +1,40 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  def rows(): org.apache.spark.sql.Dataset[MediaRow] = Seq(
+    MediaRow(1L, Array.tabulate(200)(_.toByte), "png"),
+    MediaRow(2L, Array.tabulate(64)(i => (i * 3).toByte), "jpg"),
+    MediaRow(3L, Array.empty[Byte], "png")).toDS()
+
+  test("C12 metadata is cheap and typed") {
+    val meta = Multimodal.attachMetadata(rows()).collect().sortBy(_.media_id)
+    assert(meta.map(_.n_bytes).sameElements(Array(200L, 64L, 0L)))
+    assert(meta.map(_.format).sameElements(Array("png", "jpg", "png")))
+  }
+
+  test("C12 feature extraction: deterministic, fixed dim, bounded values") {
+    val f1 = Multimodal.extractFeatures(rows()).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(rows()).collect().sortBy(_.media_id)
+    assert(f1.length == 3 && f1.forall(_.features.length == 8))
+    assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
+    assert(f1.flatMap(_.features).forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("C12 frame sampling: strided windows, empty media -> no frames") {
+    val frames = Multimodal.sampleFrames(rows(), frameSize = 16, stride = 4).collect()
+    val byId = frames.groupBy(_.media_id)
+    assert(byId(1L).length == 3 && !byId.contains(3L)) // (200-16)/64+1 = 3
+    assert(frames.forall(_.frame.length == 16))
+  }
+
+  test("C12 feature table joins metadata with features") {
+    val t = Multimodal.featureTable(rows())
+    assert(t.count() == 3)
+    assert(t.columns.toSet == Set("media_id", "n_bytes", "content_hash", "format", "features"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStream
+
+case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("D1 streaming window agg matches batch semantics across batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = EventStream.windowAgg(ms.toDF(), watermark = "30 minutes", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("d1_agg").outputMode("complete").start()
+    try {
+      ms.addData(Ev(1, ts(5), "view", 1.0), Ev(2, ts(20), "view", 2.0), Ev(3, ts(70), "click", 5.0))
+      q.processAllAvailable()
+      ms.addData(Ev(4, ts(80), "click", 7.0))
+      q.processAllAvailable()
+      val out = spark.table("d1_agg").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+      assert(out == Set(
+        ("2024-01-01 00:00:00.0", "view", 2L, 3.0),
+        ("2024-01-01 01:00:00.0", "click", 2L, 12.0)))
+    } finally q.stop()
+  }
+
+  test("D2 streaming dedup drops duplicate ids within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = EventStream.dedupWithinWatermark(ms.toDF(), "event_id", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("d2_dedup").outputMode("append").start()
+    try {
+      ms.addData(Ev(1, ts(5), "view", 1.0), Ev(1, ts(6), "view", 1.0), Ev(2, ts(7), "click", 2.0))
+      q.processAllAvailable()
+      ms.addData(Ev(2, ts(8), "click", 2.0), Ev(3, ts(9), "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("d2_dedup").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+}
