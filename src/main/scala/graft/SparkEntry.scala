@@ -416,5 +416,10 @@ object SparkEntry {
          |SELECT query_id, cand_id, round(sim, 6) AS sim, rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    "dedup_minhash_lsh" -> graft.oracle.OracleGen.minhashLshSql(),
+    "dedup_simhash"     -> graft.oracle.OracleGen.simhashSql(),
+    "ann_lsh_topk"      -> graft.oracle.OracleGen.annLshSql(),
+    "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),
   )
 }

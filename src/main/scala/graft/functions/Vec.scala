@@ -29,6 +29,12 @@ object Vec {
 
   val MinhashPrime = 2038074743L // large prime < 2^31 so a*h+b stays in i64
 
+  /** 60-bit token hash reproducible across engines (md5 hex prefix as
+    * int). Slower than xxhash64 — use for cross-engine verification;
+    * production paths default to xxhash64. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** base hashes for minhashing: xxhash64 mod p per token. Materialize
     * this as its own projected column BEFORE calling
     * [[minhashSignature]] — otherwise every permutation re-hashes every
@@ -54,6 +60,14 @@ object Vec {
       b => xxhash64(concat_ws(",", transform(slice(signature, b * rows + 1, lit(rows)), x => x.cast("string"))), b))
   }
 
+  /** string band keys (no hashing) — more shuffle bytes but exactly
+    * reproducible in a SQL oracle; pair with posexplode band index. */
+  def lshBandKeyStrings(signature: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", transform(slice(signature, b * rows + 1, lit(rows)), x => x.cast("string"))))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit simhash over a token array: bit j is the sign of the vote
@@ -70,10 +84,13 @@ object Vec {
   /** hamming distance between two 64-bit hashes */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
 
-  /** 16-bit bands of a 64-bit simhash (for banded near-dup candidate
-    * generation: hamming<=3 pairs share at least one of 4 bands). */
-  def simhashBands(h: Column): Column =
-    array((0 until 4).map(b => shiftright(h, b * 16).bitwiseAND(0xFFFFL)): _*)
+  /** 4 equal bit-bands of a simhash (banded near-dup candidates: low-
+    * hamming pairs share at least one band). `bits` must divide by 4. */
+  def simhashBands(h: Column, bits: Int = 64): Column = {
+    val w = bits / 4
+    val mask = (1L << w) - 1
+    array((0 until 4).map(b => shiftright(h, b * w).bitwiseAND(mask)): _*)
+  }
 
   // ---- Random-hyperplane LSH for embeddings ----------------------------
 

@@ -45,10 +45,12 @@ object Dedup {
     * bucket-local self-join, never a global cross product. */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-                 minEstSim: Double = 0.5): DataFrame = {
+                 minEstSim: Double = 0.5,
+                 tokenHash: Column => Column = xxhash64(_),
+                 hashBandKeys: Boolean = true): DataFrame = {
     val exploded = df
       .select(col(idCol), explode(Text.shingles(col(textCol), shingleN)).as("t"))
-      .select(col(idCol), pmod(xxhash64(col("t")), lit(Vec.MinhashPrime)).as("h"))
+      .select(col(idCol), pmod(tokenHash(col("t")), lit(Vec.MinhashPrime)).as("h"))
     val aggs = (0 until k).map { i =>
       val a = 2L * i + 1
       val b = (i * 2654435761L) % Vec.MinhashPrime
@@ -59,8 +61,10 @@ object Dedup {
     // persist: the banded table is tiny (id, sig, band, key) but its
     // lineage — shingle + signature computation — is the expensive part;
     // without it the self-join recomputes signatures for both sides.
+    val keys = if (hashBandKeys) Vec.lshBandKeys(col("sig"), k, bands)
+               else Vec.lshBandKeyStrings(col("sig"), k, bands)
     val banded = sig.select(col(idCol), col("sig"),
-        posexplode(Vec.lshBandKeys(col("sig"), k, bands)).as(Seq("band", "key")))
+        posexplode(keys).as(Seq("band", "key")))
       .persist()
     val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"), col("sig").as("sig_b"))
@@ -79,20 +83,22 @@ object Dedup {
     * a relational aggregation (explode token hashes, 64 codegen'd
     * conditional sums per doc), not a per-row array fold. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 6): DataFrame = {
+                   maxHamming: Int = 6,
+                   tokenHash: Column => Column = xxhash64(_),
+                   bits: Int = 64): DataFrame = {
     val exploded = df
       .select(col(idCol), explode(Text.wsTokens(col(textCol))).as("t"))
-      .select(col(idCol), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map { j =>
+      .select(col(idCol), tokenHash(col("t")).as("h"))
+    val votes = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_v$j")
     }
     val hashed = exploded.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
       .select(col(idCol),
-        (0 until 64).map { j =>
+        (0 until bits).map { j =>
           when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
     val banded = hashed.select(col(idCol), col("sh"),
-        posexplode(Vec.simhashBands(col("sh"))).as(Seq("band", "key")))
+        posexplode(Vec.simhashBands(col("sh"), bits)).as(Seq("band", "key")))
       .persist() // see minhashLsh: avoid recomputing simhash on both join sides
     val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"), col("sh").as("sh_b"))

@@ -46,15 +46,20 @@ object TextDemos {
       .orderBy("id_a")
   }
 
-  /** C2 — MinHash-LSH near-dup candidates (32 perms, 8 bands). */
+  /** C2 — MinHash-LSH near-dup candidates (32 perms, 8 bands). The demo
+    * uses the engine-portable md5-60 token hash + string band keys so
+    * the DuckDB oracle reproduces it exactly; production default is
+    * xxhash64 + hashed keys. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
-        shingleN = 3, k = 32, bands = 8, minEstSim = 0.25)
+        shingleN = 3, k = 32, bands = 8, minEstSim = 0.25,
+        tokenHash = graft.functions.Vec.md5Hash60, hashBandKeys = false)
       .orderBy("id_a", "id_b")
 
-  /** C3 — SimHash near-dup pairs (hamming <= 16 on 64 bits). */
+  /** C3 — SimHash near-dup pairs (hamming <= 16 on 60 verifiable bits). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 16)
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 16, tokenHash = graft.functions.Vec.md5Hash60, bits = 60)
       .orderBy("id_a", "id_b")
 
   /** C5 — brute-force cosine top-k (queries: vec_id < 5). */
