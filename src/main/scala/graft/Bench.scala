@@ -1,9 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
+  *
+  * One untimed warmup pass runs first (JIT + codegen compilation are
+  * one-time JVM costs, not per-query plan costs — a 1000-executor run
+  * amortizes them to nothing), then the timed pass. Set
+  * SPARK_GRAFT_WARMUP=0 to skip the warmup for cold numbers.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -11,6 +20,12 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (warmup) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+      spark.sharedState.cacheManager.clearCache() // no data-cache carryover
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

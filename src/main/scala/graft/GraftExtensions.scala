@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.DotProduct
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so both the Column API
+  * (`call_function("graft_dot", a, b)`) and plain SQL
+  * (`SELECT graft_dot(a, b)`) reach the codegen'd implementations.
+  *
+  * Install with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

@@ -15,6 +15,7 @@ object GraftSession {
             shufflePartitions: Int = 32): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
@@ -33,7 +34,8 @@ object GraftSession {
 
   /** Apply graft's conf set to an externally-built session builder. */
   def tune(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.sql.adaptive.enabled", "true")
+    b.withExtensions(new GraftExtensions)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -23,7 +23,7 @@ object Similarity {
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 queryId: String = "query_id", queryVec: String = "qv",
                 candId: String = "cand_id", candVec: String = "cv"): DataFrame = {
-    val sim = Vec.cosine(col(queryVec), col(candVec))
+    val sim = Vec.cosineFast(col(queryVec), col(candVec))
     val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(candId))
     broadcast(queries)
       .crossJoin(corpus)
@@ -50,7 +50,7 @@ object Similarity {
         .drop("bucket0"))
     val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(candId))
     qB.join(cB, "bucket")
-      .withColumn("sim", Vec.cosine(col(queryVec), col(candVec)))
+      .withColumn("sim", Vec.cosineFast(col(queryVec), col(candVec)))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(queryId), col(candId), col("sim"), col("rank"))
@@ -68,7 +68,7 @@ object Similarity {
     val c = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(c, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", Vec.cosine(col("va"), col("vb")))
+      .withColumn("sim", Vec.cosineFast(col("va"), col("vb")))
       .filter(col("sim") > threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
       .distinct()
