@@ -22,6 +22,9 @@ object SparkEntry {
     "time_window_agg"      -> (Analytics.timeWindowAgg(_, _)),
     "sessionize"           -> (Analytics.sessionize(_, _)),
     "topk_per_group"       -> (Analytics.topkPerGroup(_, _)),
+    "semi_join_exists"     -> (Analytics.semiJoinExists(_, _)),
+    "anti_join_no_orders"  -> (Analytics.antiJoinNoOrders(_, _)),
+    "distinct_count"       -> (Analytics.distinctCount(_, _)),
     "clean_normalize"      -> (RefDemos.cleanNormalize(_, _)),
     "parse_anchor"         -> (RefDemos.parseAnchor(_, _)),
     "dedup_first_per_key"  -> (RefDemos.dedupFirstPerKey(_, _)),
@@ -158,6 +161,25 @@ object SparkEntry {
         |  FROM lineitem)
         |WHERE rn <= 2
         |ORDER BY l_partkey, rn""".stripMargin,
+
+    "semi_join_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "anti_join_no_orders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "distinct_count" ->
+      """SELECT l_returnflag,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "clean_normalize" ->
       """SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,

@@ -125,6 +125,40 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** B10: existence semi-join (TPC-H Q4 family) — orders with at least
+    * one late lineitem, counted by priority. leftsemi never widens rows. */
+  def semiJoinExists(spark: SparkSession, dir: String): DataFrame = {
+    val lateLines = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(lateLines, col("o_orderkey") === col("l_orderkey"), "leftsemi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** B11: anti-join — customers with no orders in the window. */
+  def antiJoinNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "leftanti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** B12: distinct counting per group (exact; the approx path is
+    * approx_count_distinct, same plan shape with an HLL sketch). */
+  def distinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** B9: top-k per group without a global sort (row_number, partition-
     * local ordering; only k rows per key survive the window filter). */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
