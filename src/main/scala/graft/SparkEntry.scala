@@ -37,6 +37,7 @@ object SparkEntry {
     "validate_constraints" -> (RefDemos.validateConstraints(_, _)),
     "check_total"          -> (RefDemos.checkTotal(_, _)),
     "dedup_exact_docs"     -> (RefDemos.dedupExactDocs(_, _)),
+    "geocode_candidates"   -> (RefDemos.geocodeCandidates(_, _)),
     "token_count"          -> (TextDemos.tokenCount(_, _)),
     "quality_score"        -> (TextDemos.qualityScore(_, _)),
     "lang_id"              -> (TextDemos.langId(_, _)),
@@ -439,6 +440,7 @@ object SparkEntry {
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
+    "geocode_candidates" -> graft.oracle.OracleGen.geocodeCandidatesSql(),
     "dedup_minhash_lsh" -> graft.oracle.OracleGen.minhashLshSql(),
     "dedup_simhash"     -> graft.oracle.OracleGen.simhashSql(),
     "ann_lsh_topk"      -> graft.oracle.OracleGen.annLshSql(),

@@ -43,6 +43,39 @@ object Norm {
   def normalizeAddress(c: Column): Column =
     trimToHouseNo(foldTai(stripSpaces(stripParens(stripPostal(c)))))
 
+  /** looksLikeAddress gate (geocode.js:186-188): must contain a road
+    * token and a house number. */
+  def looksLikeAddress(c: Column): Column =
+    c.rlike("(路|街|巷|弄|大道)") && c.rlike("號")
+
+  /** 35-1號 -> 35之1號 (hyphenNumberVariants, geocode.js:162-169) */
+  def hyphenToZhi(c: Column): Column =
+    regexp_replace(c, lit("(\\d+)-(\\d+)號"), lit("$1之$2號"))
+
+  /** 35-1號 -> 35號 */
+  def hyphenDropSub(c: Column): Column =
+    regexp_replace(c, lit("(\\d+)-(\\d+)號"), lit("$1號"))
+
+  /** drop the 弄 component (alleyDegradeVariants, geocode.js:172-183).
+    * TW addresses write the number BEFORE the unit (12巷3弄45號), so the
+    * component is `<n>弄`; the reference's suffix-form regex instead
+    * swallows the house number — intent (degrade alley detail, keep the
+    * house number) is preserved here, not the bug. */
+  def dropNong(c: Column): Column =
+    regexp_replace(c, lit("\\d+(?:-\\d+)?弄"), lit(""))
+
+  /** drop both 巷 and 弄 components */
+  def dropXiangNong(c: Column): Column =
+    regexp_replace(dropNong(c), lit("\\d+(?:-\\d+)?巷"), lit(""))
+
+  /** road + house number only (roadOnlyVariant, geocode.js:221-227):
+    * first road token plus the trailing house number. */
+  def roadOnly(c: Column): Column = {
+    val road = regexp_extract(c, "^(.*?(?:大道|路|街))", 1)
+    val house = regexp_extract(c, "(\\d+(?:之\\d+)?號)", 1)
+    when(road =!= "" && house =!= "", concat(road, house)).otherwise(lit(""))
+  }
+
   private val zhDigits = Seq("零" -> 0, "〇" -> 0, "一" -> 1, "二" -> 2, "兩" -> 2,
     "三" -> 3, "四" -> 4, "五" -> 5, "六" -> 6, "七" -> 7, "八" -> 8, "九" -> 9)
 

@@ -165,4 +165,22 @@ object RefDemos {
   def dedupExactDocs(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactByHash(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("text_hash")
+
+  /** A15 — buildQueryCandidates (geocode.js:239-295): the candidate
+    * expansion ladder over synthesized TW addresses (hyphen sub-numbers
+    * on even keys so both variant paths occur). */
+  def geocodeCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      (col("c_custkey") % 900 + 100).cast("string"), lit(" 台北市大安區和平東路"),
+      (col("c_custkey") % 30 + 1).cast("string"), lit("巷"),
+      (col("c_nationkey") % 9 + 1).cast("string"), lit("弄"),
+      (col("c_custkey") % 150 + 1).cast("string"),
+      when(col("c_custkey") % 2 === 0,
+        concat(lit("-"), (col("c_custkey") % 5 + 1).cast("string"))).otherwise(lit("")),
+      lit("號 (註)"))
+    Geocode.expand(
+        Tables.customer(spark, dir).select(col("c_custkey"), raw.as("addr")),
+        "c_custkey", "addr")
+      .orderBy("c_custkey", "rank")
+  }
 }

@@ -130,6 +130,57 @@ object OracleGen {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** mirror of RefDemos.geocodeCandidates (expansion ladder, 6 variants) */
+  def geocodeCandidatesSql(): String = {
+    val raw = "CAST(c_custkey % 900 + 100 AS VARCHAR) || ' 台北市大安區和平東路' || " +
+      "CAST(c_custkey % 30 + 1 AS VARCHAR) || '巷' || " +
+      "CAST(c_nationkey % 9 + 1 AS VARCHAR) || '弄' || " +
+      "CAST(c_custkey % 150 + 1 AS VARCHAR) || " +
+      "(CASE WHEN c_custkey % 2 = 0 THEN '-' || CAST(c_custkey % 5 + 1 AS VARCHAR) ELSE '' END) || " +
+      "'號 (註)'"
+    val looks = (v: String) =>
+      s"regexp_matches($v, '(路|街|巷|弄|大道)') AND regexp_matches($v, '號')"
+    val unions = (0 to 5).map { r =>
+      val notEarlier = (0 until r).map(i => s"v$r <> v$i").mkString(" AND ")
+      val cond = if (r == 0) looks(s"v$r") else s"${looks(s"v$r")} AND $notEarlier"
+      s"SELECT c_custkey, v$r AS candidate, $r AS rank FROM v WHERE $cond"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH s AS (
+       |  SELECT c_custkey, $raw AS addr FROM customer
+       |), n AS (
+       |  SELECT c_custkey,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(addr,
+       |      '^\\s*\\d{3,5}[-\\s]?', ''),
+       |      '（[^）]*）|\\([^)]*\\)', '', 'g'),
+       |      '\\s+', '', 'g'),
+       |      '台', '臺', 'g') AS folded
+       |  FROM s
+       |), b AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN regexp_extract(folded, '^([^號]*號)', 1) <> ''
+       |         THEN regexp_extract(folded, '^([^號]*號)', 1) ELSE folded END AS v0
+       |  FROM n
+       |), v AS (
+       |  SELECT c_custkey, v0,
+       |    regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1之\\2號', 'g') AS v1,
+       |    regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g') AS v2,
+       |    regexp_replace(regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g'),
+       |                   '\\d+(?:-\\d+)?弄', '', 'g') AS v3,
+       |    regexp_replace(regexp_replace(regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g'),
+       |                   '\\d+(?:-\\d+)?弄', '', 'g'),
+       |                   '\\d+(?:-\\d+)?巷', '', 'g') AS v4,
+       |    CASE WHEN regexp_extract(regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g'), '^(.*?(?:大道|路|街))', 1) <> ''
+       |          AND regexp_extract(regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g'), '(\\d+(?:之\\d+)?號)', 1) <> ''
+       |         THEN regexp_extract(regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g'), '^(.*?(?:大道|路|街))', 1)
+       |              || regexp_extract(regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g'), '(\\d+(?:之\\d+)?號)', 1)
+       |         ELSE '' END AS v5
+       |  FROM b
+       |), u AS (
+       |  $unions
+       |)
+       |SELECT c_custkey, candidate, rank FROM u ORDER BY c_custkey, rank""".stripMargin
+  }
+
   /** mirror of TextDemos.embedNearDup (8 planes, threshold 0.2) */
   def embedNearDupSql(nPlanes: Int = 8, dim: Int = 64, threshold: Double = 0.2): String = {
     val planes = Vec.hyperplanes(nPlanes, dim)
