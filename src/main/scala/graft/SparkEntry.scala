@@ -25,6 +25,8 @@ object SparkEntry {
     "semi_join_exists"     -> (Analytics.semiJoinExists(_, _)),
     "anti_join_no_orders"  -> (Analytics.antiJoinNoOrders(_, _)),
     "distinct_count"       -> (Analytics.distinctCount(_, _)),
+    "asof_join"            -> (Analytics.asofJoin(_, _)),
+    "range_join_binned"    -> (Analytics.rangeJoinBinned(_, _)),
     "clean_normalize"      -> (RefDemos.cleanNormalize(_, _)),
     "parse_anchor"         -> (RefDemos.parseAnchor(_, _)),
     "dedup_first_per_key"  -> (RefDemos.dedupFirstPerKey(_, _)),
@@ -181,6 +183,20 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "asof_join" ->
+      """SELECT e.user_id, e.event_id, e.ts, p.value AS p_value
+        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+
+    "range_join_binned" ->
+      """SELECT p_partkey, COUNT(*) AS n_matches
+        |FROM part
+        |JOIN (SELECT l_extendedprice / l_quantity AS unit_price FROM lineitem) l
+        |  ON l.unit_price >= p_retailprice - 5 AND l.unit_price <= p_retailprice + 5
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
 
     "clean_normalize" ->
       """SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,

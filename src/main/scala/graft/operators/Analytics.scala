@@ -159,6 +159,33 @@ object Analytics {
            count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** B14: as-of join — each error event picks up the value of the same
+    * user's latest prior purchase (null if none). */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+    TemporalJoin.asofLastBefore(errors, purchases,
+        Seq("user_id"), "ts", "p_ts", Seq("p_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** B15: range join via binning — lineitem unit prices matched into
+    * part price bands, counted per part. */
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    val points = Tables.lineitem(spark, dir)
+      .select((col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+    val intervals = Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        (col("p_retailprice") - 5).as("lo"), (col("p_retailprice") + 5).as("hi"))
+    TemporalJoin.rangeBinned(points, intervals, "unit_price", "lo", "hi", binWidth = 10.0)
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** B9: top-k per group without a global sort (row_number, partition-
     * local ordering; only k rows per key survive the window filter). */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
