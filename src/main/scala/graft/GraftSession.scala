@@ -13,9 +13,11 @@ object GraftSession {
   def local(appName: String = "graft",
             cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
             shufflePartitions: Int = 32): SparkSession = {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_warehouse").toString
     val spark = SparkSession.builder()
       .appName(appName)
       .withExtensions(new GraftExtensions)
+      .config("spark.sql.warehouse.dir", warehouse)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")

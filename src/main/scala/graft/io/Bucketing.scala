@@ -1,0 +1,25 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Bucketed tables for co-located joins (SURVEY §5 / §2 B16).
+  *
+  * Writing both sides of a recurring fact-fact join bucketed (and
+  * sorted) on the join key pre-pays the shuffle once at write time:
+  * every subsequent join on that key sort-merge-joins bucket-to-bucket
+  * with NO exchange. At 100 TB this is the difference between a nightly
+  * pipeline re-shuffling the same fact table per query and reading it
+  * join-ready. Bucket counts should divide evenly into executor
+  * parallelism; pick them per expected table size, not per cluster.
+  */
+object Bucketing {
+
+  def writeBucketed(df: DataFrame, table: String,
+                    bucketCols: Seq[String], numBuckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+}
