@@ -27,6 +27,8 @@ object SparkEntry {
     "distinct_count"       -> (Analytics.distinctCount(_, _)),
     "asof_join"            -> (Analytics.asofJoin(_, _)),
     "range_join_binned"    -> (Analytics.rangeJoinBinned(_, _)),
+    "percentiles"          -> (Analytics.percentiles(_, _)),
+    "approx_sketches"      -> (Analytics.approxSketches(_, _)),
     "clean_normalize"      -> (RefDemos.cleanNormalize(_, _)),
     "parse_anchor"         -> (RefDemos.parseAnchor(_, _)),
     "dedup_first_per_key"  -> (RefDemos.dedupFirstPerKey(_, _)),
@@ -181,6 +183,13 @@ object SparkEntry {
       """SELECT l_returnflag,
         |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+        |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

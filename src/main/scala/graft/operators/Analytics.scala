@@ -159,6 +159,29 @@ object Analytics {
            count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** B17: exact percentiles per group (rounded to absorb the engines'
+    * different interpolation expression forms). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** B18: sketch aggregates — HLL distinct + approximate quantiles.
+    * Not oracle-expressible (sketch internals differ per engine); the
+    * spec bounds relative error against the exact answers. */
+  def approxSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   /** B14: as-of join — each error event picks up the value of the same
     * user's latest prior purchase (null if none). */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming twins of the batch operators (SURVEY §2 D).
   *
@@ -35,4 +37,53 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
+
+  case class SessionInput(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** D3: custom per-key state via flatMapGroupsWithState — streaming
+    * sessionization (the stateful twin of Analytics.sessionize). A
+    * session closes when the 30-min event-time gap elapses (state
+    * timeout keyed to the watermark), emitting one row per session.
+    * State per key is one fixed-size struct — bounded regardless of
+    * stream length, the only state shape that survives 100 TB/day. */
+  def sessionizeStateful(events: Dataset[SessionInput],
+                         gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

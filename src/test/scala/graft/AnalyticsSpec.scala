@@ -48,6 +48,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(totalEvents == graft.sources.Tables.events(spark, sfDir).count())
   }
 
+  test("B18 sketch aggregates stay within 5% of exact answers") {
+    val approx = Analytics.approxSketches(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("approx_parts"), r.getAs[Double]("approx_p50")))).toMap
+    val exact = Analytics.distinctCount(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_parts")).toMap
+    val exactP50 = Analytics.percentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p50_price")).toMap
+    exact.foreach { case (flag, n) =>
+      val (an, ap50) = approx(flag)
+      assert(math.abs(an - n).toDouble / n < 0.05, s"$flag distinct: $an vs $n")
+      assert(math.abs(ap50 - exactP50(flag)) / exactP50(flag) < 0.05, s"$flag p50: $ap50 vs ${exactP50(flag)}")
+    }
+  }
+
   test("topk per group keeps at most 2 per part") {
     val df = Analytics.topkPerGroup(spark, sfDir)
     val maxPerPart = df.groupBy("l_partkey").count().agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)

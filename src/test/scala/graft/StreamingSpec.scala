@@ -30,6 +30,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D3 stateful sessionization closes sessions on gap and emits once") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStream.SessionInput
+    val ms = MemoryStream[SessionInput]
+    val q = EventStream.sessionizeStateful(ms.toDS(), gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("d3_sess").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 30-min gap
+      ms.addData(SessionInput(1, ts(0), 1.0), SessionInput(1, ts(5), 2.0))
+      q.processAllAvailable()
+      ms.addData(SessionInput(1, ts(35), 4.0)) // gap > 10min: closes session 1
+      q.processAllAvailable()
+      // push watermark far ahead so the open session times out too
+      ms.addData(SessionInput(2, ts(600), 0.5))
+      q.processAllAvailable()
+      ms.addData(SessionInput(2, ts(1200), 0.5))
+      q.processAllAvailable()
+      val out = spark.table("d3_sess")
+        .filter($"user_id" === 1).orderBy("session_start").collect()
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      assert(out.length == 2, s"expected 2 closed sessions, got ${out.mkString(",")}")
+      assert(out(0) == ((2L, 3.0)) && out(1) == ((1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("D2 streaming dedup drops duplicate ids within the watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
