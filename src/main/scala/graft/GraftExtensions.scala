@@ -20,5 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[graft.expressions.CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => graft.expressions.CosineSim(children(0), children(1))))
+    ext.injectOptimizerRule(_ => graft.optimizer.FuseCosine)
   }
 }
