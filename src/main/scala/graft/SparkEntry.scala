@@ -50,6 +50,7 @@ object SparkEntry {
     "embed_cosine_topk"    -> (TextDemos.embedCosineTopk(_, _)),
     "ann_lsh_topk"         -> (TextDemos.annLshTopk(_, _)),
     "dedup_minhash_lsh"    -> (TextDemos.dedupMinhashLsh(_, _)),
+    "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "dedup_simhash"        -> (TextDemos.dedupSimhash(_, _)),
     "embed_near_dup"       -> (TextDemos.embedNearDup(_, _)),
   )
@@ -467,6 +468,7 @@ object SparkEntry {
 
     "geocode_candidates" -> graft.oracle.OracleGen.geocodeCandidatesSql(),
     "dedup_minhash_lsh" -> graft.oracle.OracleGen.minhashLshSql(),
+    "dedup_clusters"    -> graft.oracle.OracleGen.dedupClustersSql(),
     "dedup_simhash"     -> graft.oracle.OracleGen.simhashSql(),
     "ann_lsh_topk"      -> graft.oracle.OracleGen.annLshSql(),
     "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),

@@ -109,6 +109,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-dup pairs: every node gets the min
+    * id of its component (the canonical representative to keep).
+    *
+    * Iterative min-label propagation to the exact fixpoint — each round
+    * is one join + groupBy (all codegen'd), `localCheckpoint` cuts the
+    * growing lineage (an iterative loop without it re-executes every
+    * prior round). Rounds needed = component diameter, which for dedup
+    * clusters is tiny; `maxIter` is a safety bound. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          idCol: String, aCol: String = "id_a", bCol: String = "id_b",
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val msgs = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "_old"), "id")
+        .filter(col("label") =!= col("_old")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster"))
+  }
+
   /** exact word-n-gram Jaccard for a candidate pair set; `pairs` has
     * (id_a, id_b); texts joined in by id. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,

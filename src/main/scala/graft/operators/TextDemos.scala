@@ -62,6 +62,17 @@ object TextDemos {
         maxHamming = 16, tokenHash = graft.functions.Vec.md5Hash60, bits = 60)
       .orderBy("id_a", "id_b")
 
+  /** C13 — near-dup clustering: connected components over the MinHash
+    * candidate pairs; every doc labeled with its component's min id. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, minEstSim = 0.25,
+      tokenHash = graft.functions.Vec.md5Hash60, hashBandKeys = false)
+    Dedup.connectedComponents(docs, pairs, "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** C5 — brute-force cosine top-k (queries: vec_id < 5). */
   def embedCosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)

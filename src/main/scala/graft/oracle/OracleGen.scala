@@ -35,6 +35,27 @@ object OracleGen {
     s"$dot / (sqrt($na) * sqrt($nb))"
   }
 
+  /** mirror of TextDemos.dedupClusters: connected components over the
+    * minhash pairs, as a recursive CTE computing per-node min reachable
+    * label (exact fixpoint, like the iterative Spark propagation). */
+  def dedupClustersSql(k: Int = 32, bands: Int = 8, minEst: Double = 0.25): String = {
+    val pairsCore = minhashLshSql(k, bands, minEst)
+      .replaceAll("(?s)\\s*ORDER BY c.id_a, c.id_b\\s*$", "")
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsCore
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), walk(src, lbl) AS (
+       |  SELECT doc_id AS src, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+       |)
+       |SELECT src AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+       |FROM walk GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
   /** mirror of TextDemos.dedupMinhashLsh (md5-60 hash, string band keys) */
   def minhashLshSql(k: Int = 32, bands: Int = 8, minEst: Double = 0.25): String = {
     val rows = k / bands

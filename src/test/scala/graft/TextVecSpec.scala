@@ -96,4 +96,13 @@ class TextVecSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
     assert(out.forall(_.getDouble(2) > 0.2))
   }
+
+  test("C13 connected components: chains collapse to min id, singletons self-label") {
+    val nodes = (1L to 7L).map(Tuple1(_)).toDF("id")
+    // components: {1,2,3,4} via chain, {5,6}, {7} singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(nodes, pairs, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L->1L, 2L->1L, 3L->1L, 4L->1L, 5L->5L, 6L->5L, 7L->7L))
+  }
 }
