@@ -42,6 +42,7 @@ object SparkEntry {
     "check_total"          -> (RefDemos.checkTotal(_, _)),
     "dedup_exact_docs"     -> (RefDemos.dedupExactDocs(_, _)),
     "geocode_candidates"   -> (RefDemos.geocodeCandidates(_, _)),
+    "ref_pipeline_e2e"     -> (RefDemos.refPipelineE2e(_, _)),
     "token_count"          -> (TextDemos.tokenCount(_, _)),
     "quality_score"        -> (TextDemos.qualityScore(_, _)),
     "lang_id"              -> (TextDemos.langId(_, _)),
@@ -467,6 +468,51 @@ object SparkEntry {
     },
 
     "geocode_candidates" -> graft.oracle.OracleGen.geocodeCandidatesSql(),
+
+    "ref_pipeline_e2e" ->
+      """WITH h AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, o_orderstatus,
+        |    '<a href=''https://org.example/c/' || CAST(o_custkey AS VARCHAR) ||
+        |    '''>Org &amp; ' || o_orderstatus || '</a>' AS html
+        |  FROM orders
+        |), u AS (
+        |  SELECT *, replace(html, '&amp;', '&') AS uh FROM h
+        |), cleaned AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |    regexp_replace(CASE WHEN regexp_extract(uh, '<a[^>]*>(.*?)</a>', 1) <> ''
+        |      THEN regexp_extract(uh, '<a[^>]*>(.*?)</a>', 1) ELSE uh END,
+        |      '<[^>]*>', '', 'g') AS org_name,
+        |    regexp_extract(uh, '<a[^>]*href=[''"]([^''"]+)[''"]', 1) AS org_url,
+        |    o_orderstatus = 'O' AS is_open
+        |  FROM u
+        |), deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                                 ORDER BY o_orderkey) AS rn
+        |    FROM cleaned) WHERE rn = 1
+        |), merged AS (
+        |  SELECT o_custkey, MAX(o_totalprice) AS max_price, BOOL_OR(is_open) AS any_open,
+        |         MAX(o_totalprice) > 250000.0 AS has_quota
+        |  FROM deduped GROUP BY o_custkey
+        |), prev AS (
+        |  SELECT c_custkey AS p_cust, c_nationkey AS p_nation, c_custkey * 1.5 AS lat
+        |  FROM customer WHERE c_custkey % 3 <> 0
+        |), l0 AS (SELECT p_cust, MIN(lat) AS lat0 FROM prev GROUP BY p_cust),
+        |   l1 AS (SELECT p_nation, MIN(lat) AS lat1 FROM prev GROUP BY p_nation),
+        |today AS (
+        |  SELECT m.o_custkey, c.c_nationkey, m.max_price, m.has_quota
+        |  FROM merged m JOIN customer c ON m.o_custkey = c.c_custkey
+        |), carried AS (
+        |  SELECT t.*, CASE WHEN l0.lat0 IS NOT NULL THEN 'o_custkey'
+        |                   WHEN l1.lat1 IS NOT NULL THEN 'c_nationkey' END AS matched_by
+        |  FROM today t
+        |  LEFT JOIN l0 ON t.o_custkey = l0.p_cust
+        |  LEFT JOIN l1 ON t.c_nationkey = l1.p_nation
+        |)
+        |SELECT has_quota, matched_by, COUNT(*) AS n_orgs,
+        |       CAST(SUM(CAST(max_price AS DECIMAL(18,4))) AS DOUBLE) AS sum_max_price
+        |FROM carried GROUP BY has_quota, matched_by
+        |ORDER BY has_quota DESC, matched_by""".stripMargin,
     "dedup_minhash_lsh" -> graft.oracle.OracleGen.minhashLshSql(),
     "dedup_clusters"    -> graft.oracle.OracleGen.dedupClustersSql(),
     "dedup_simhash"     -> graft.oracle.OracleGen.simhashSql(),

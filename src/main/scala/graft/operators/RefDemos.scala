@@ -166,6 +166,43 @@ object RefDemos {
     Dedup.exactByHash(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy("text_hash")
 
+  /** A16 — the reference's daily flow end-to-end as ONE composed plan:
+    * anchor-parse + clean (cleanRows) -> first-wins dedup (uniqByKey) ->
+    * yes/no merge (mergeYesNo) -> carry coordinates from the previous
+    * snapshot by key priority (geocode-diff-merge) -> publish summary
+    * by quota cohort (wrapped totals). Each stage is the operator
+    * verified individually above; this proves the composition. */
+  def refPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(lit("<a href='https://org.example/c/"),
+      col("o_custkey").cast("string"), lit("'>Org &amp; "),
+      col("o_orderstatus"), lit("</a>"))
+    val cleaned = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"),
+      Html.anchorText(html).as("org_name"),
+      Html.anchorHref(html).as("org_url"),
+      (col("o_orderstatus") === "O").as("is_open"))
+    val deduped = Dedup.firstPerKey(cleaned,
+      Seq("o_custkey", "o_orderdate"), Seq(col("o_orderkey")))
+    val merged = MergeOps.mergeMax(
+        deduped.filter(col("is_open")), deduped.filter(!col("is_open")),
+        Seq("o_custkey"), Seq("o_totalprice"), Seq("is_open"))
+      .withColumn("has_quota", col("max_o_totalprice") > 250000.0)
+    val prev = Tables.customer(spark, dir).filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("p_cust"), col("c_nationkey").as("p_nation"),
+        (col("c_custkey") * 1.5).as("lat"))
+    val today = merged.join(
+      Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+      col("o_custkey") === col("c_custkey"))
+    val carried = MergeOps.diffMergeCarry(
+      today.select(col("o_custkey"), col("c_nationkey"), col("max_o_totalprice"),
+        col("any_is_open"), col("has_quota")),
+      prev, Seq(("o_custkey", "p_cust"), ("c_nationkey", "p_nation")), Seq("lat"))
+    carried
+      .groupBy(col("has_quota"), col("matched_by"))
+      .agg(count(lit(1)).as("n_orgs"), dsum(col("max_o_totalprice")).as("sum_max_price"))
+      .orderBy(col("has_quota").desc, col("matched_by"))
+  }
+
   /** A15 — buildQueryCandidates (geocode.js:239-295): the candidate
     * expansion ladder over synthesized TW addresses (hyphen sub-numbers
     * on even keys so both variant paths occur). */
