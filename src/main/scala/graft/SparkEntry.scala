@@ -54,6 +54,8 @@ object SparkEntry {
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "dedup_simhash"        -> (TextDemos.dedupSimhash(_, _)),
     "embed_near_dup"       -> (TextDemos.embedNearDup(_, _)),
+    "ivf_centroids"        -> (TextDemos.ivfCentroids(_, _)),
+    "ivf_assign"           -> (TextDemos.ivfAssign(_, _)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB) side. The cast discipline
@@ -518,5 +520,7 @@ object SparkEntry {
     "dedup_simhash"     -> graft.oracle.OracleGen.simhashSql(),
     "ann_lsh_topk"      -> graft.oracle.OracleGen.annLshSql(),
     "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),
+    "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
+    "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),
   )
 }

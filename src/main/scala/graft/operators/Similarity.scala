@@ -56,6 +56,34 @@ object Similarity {
       .select(col(queryId), col(candId), col("sim"), col("rank"))
   }
 
+  /** IVF centroids, relationally: explode vector components, decimal-
+    * deterministic mean per (cluster label, dimension). One shuffle,
+    * map-side combinable — giant clusters parallelize (a per-group
+    * array-fold could not). Output long form (label, pos, centroid). */
+  def ivfCentroids(vecs: DataFrame, vecCol: String, labelCol: String): DataFrame =
+    vecs.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg((sum(col("v").cast("decimal(27,20)")).cast("double") / count(col("v"))).as("centroid"))
+
+  /** IVF assignment: each query vector goes to its nearest centroid by
+    * cosine (the coarse-quantization step of IVF search: probe only
+    * that cluster's posting list instead of the whole corpus). */
+  def ivfAssign(queries: DataFrame, centroidsLong: DataFrame,
+                queryId: String = "query_id", queryVec: String = "qv",
+                labelCol: String = "label"): DataFrame = {
+    val centroids = centroidsLong
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid")))).as("cs"))
+      .select(col(labelCol), transform(col("cs"), x => x.getField("centroid")).as("cv"))
+    val qd = queries.select(col(queryId), transform(col(queryVec), x => x.cast("double")).as("qvd"))
+    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(labelCol))
+    qd.crossJoin(broadcast(centroids))
+      .withColumn("sim", Vec.cosine(col("qvd"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(queryId), col(labelCol), round(col("sim"), 6).as("sim"))
+  }
+
   /** near-duplicate pairs by embedding cosine above `threshold`,
     * candidate-limited to shared LSH buckets (id_a < id_b). */
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,

@@ -97,6 +97,24 @@ object TextDemos {
       .orderBy("query_id", "rank")
   }
 
+  /** C14 — IVF coarse quantizer: per-cluster centroids (long form).
+    * Rounded to 12 digits for the oracle: decimal->double conversion
+    * may differ by 1 ulp between engines. */
+  def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfCentroids(Tables.embeddings(spark, dir), "embedding", "label")
+      .select(col("label"), col("pos"), round(col("centroid"), 12).as("centroid"))
+      .orderBy("label", "pos")
+
+  /** C15 — IVF assignment: each query probes its nearest centroid. */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    Similarity.ivfAssign(queries,
+        Similarity.ivfCentroids(emb, "embedding", "label"))
+      .orderBy("query_id")
+  }
+
   /** C7 — embedding-cosine near-duplicate pairs via shared LSH buckets. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(spark, dir),

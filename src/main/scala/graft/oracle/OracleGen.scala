@@ -151,6 +151,43 @@ object OracleGen {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  private val centroidsCore =
+    """WITH e AS (
+      |  SELECT label, CAST(u.i - 1 AS INT) AS pos, embedding[u.i] AS v
+      |  FROM embeddings CROSS JOIN UNNEST(range(1, 65)) AS u(i)
+      |), cent AS (
+      |  -- Spark casts float->decimal by widening to double and then
+      |  -- taking the shortest-roundtrip string (BigDecimal.valueOf);
+      |  -- the double+varchar hops reproduce that bit-for-bit
+      |  SELECT label, pos,
+      |         CAST(SUM(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(27,20))) AS DOUBLE) / COUNT(v) AS centroid
+      |  FROM e GROUP BY label, pos
+      |)""".stripMargin
+
+  /** mirror of TextDemos.ivfCentroids */
+  def ivfCentroidsSql(): String =
+    s"""$centroidsCore
+       |SELECT label, pos, round(centroid, 12) AS centroid
+       |FROM cent ORDER BY label, pos""".stripMargin
+
+  /** mirror of TextDemos.ivfAssign */
+  def ivfAssignSql(): String =
+    s"""$centroidsCore, c2 AS (
+       |  SELECT label, list(centroid ORDER BY pos) AS cv FROM cent GROUP BY label
+       |), q AS (
+       |  SELECT vec_id AS query_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvd
+       |  FROM embeddings WHERE vec_id < 5
+       |), x AS (
+       |  SELECT query_id, label, ${cosineExpr("qvd", "cv")} AS sim
+       |  FROM q CROSS JOIN c2
+       |), r AS (
+       |  SELECT query_id, label, sim,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, label) AS rn
+       |  FROM x)
+       |SELECT query_id, label, round(sim, 6) AS sim
+       |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin
+
   /** mirror of RefDemos.geocodeCandidates (expansion ladder, 6 variants) */
   def geocodeCandidatesSql(): String = {
     val raw = "CAST(c_custkey % 900 + 100 AS VARCHAR) || ' 台北市大安區和平東路' || " +
