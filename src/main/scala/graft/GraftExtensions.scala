@@ -25,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expressions.CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => graft.expressions.CosineSim(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.optimizer.FuseCosine)
+    ext.injectPlannerStrategy(_ => graft.plans.BroadcastAsofStrategy)
   }
 }

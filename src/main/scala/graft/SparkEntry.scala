@@ -26,6 +26,7 @@ object SparkEntry {
     "anti_join_no_orders"  -> (Analytics.antiJoinNoOrders(_, _)),
     "distinct_count"       -> (Analytics.distinctCount(_, _)),
     "asof_join"            -> (Analytics.asofJoin(_, _)),
+    "asof_join_broadcast"  -> (Analytics.asofJoinBroadcast(_, _)),
     "range_join_binned"    -> (Analytics.rangeJoinBinned(_, _)),
     "percentiles"          -> (Analytics.percentiles(_, _)),
     "approx_sketches"      -> (Analytics.approxSketches(_, _)),
@@ -64,6 +65,13 @@ object SparkEntry {
   private def drev =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
   private def davg(c: String) = s"${dsum(c)} / COUNT($c)"
+
+  private val oracleSqlAsof =
+    """SELECT e.user_id, e.event_id, e.ts, p.value AS p_value
+      |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.user_id, e.event_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -197,12 +205,9 @@ object SparkEntry {
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
-    "asof_join" ->
-      """SELECT e.user_id, e.event_id, e.ts, p.value AS p_value
-        |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') e
-        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
-        |  ON e.user_id = p.user_id AND e.ts >= p.ts
-        |ORDER BY e.user_id, e.event_id""".stripMargin,
+    "asof_join_broadcast" -> oracleSqlAsof,
+
+    "asof_join" -> oracleSqlAsof,
 
     "range_join_binned" ->
       """SELECT p_partkey, COUNT(*) AS n_matches

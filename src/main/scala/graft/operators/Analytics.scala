@@ -195,6 +195,20 @@ object Analytics {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** B14b: the same as-of join through the custom broadcast physical
+    * operator (graft.plans.BroadcastAsofJoin) — zero shuffle of the
+    * fact side; results must be identical to [[asofJoin]]. */
+  def asofJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+    TemporalJoin.asofBroadcast(errors, purchases,
+        Seq("user_id"), "ts", "p_ts", Seq("p_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** B15: range join via binning — lineitem unit prices matched into
     * part price bands, counted per part. */
   def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {

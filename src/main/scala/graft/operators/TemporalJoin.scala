@@ -52,6 +52,19 @@ object TemporalJoin {
       .drop("_side")
   }
 
+  /** As-of join for a dimension-sized right side: zero shuffle of the
+    * left (fact) side — the custom physical operator broadcasts the
+    * per-key time-sorted right table and binary-searches per row
+    * (graft.plans.BroadcastAsofJoin; strategy registered by
+    * GraftExtensions). Same semantics as [[asofLastBefore]]. */
+  def asofBroadcast(left: DataFrame, right: DataFrame,
+                    keyCols: Seq[String], leftTime: String, rightTime: String,
+                    payload: Seq[String]): DataFrame =
+    org.apache.spark.sql.GraftDataset.ofPlan(left.sparkSession,
+      graft.plans.BroadcastAsofJoin(
+        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        keyCols, leftTime, rightTime, payload))
+
   /** Binned range join: rows of `points` matched to rows of `intervals`
     * where pointCol in [loCol, hiCol]. */
   def rangeBinned(points: DataFrame, intervals: DataFrame,
