@@ -217,7 +217,7 @@ object SparkEntry {
         |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
 
     "clean_normalize" ->
-      """SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS event_date,
         |       COALESCE(TRY_CAST(props->>'$.k' AS BIGINT), 0) AS k,
         |       event_type = 'purchase' AS is_purchase,
         |       CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type_clean,

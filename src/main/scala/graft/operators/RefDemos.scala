@@ -19,7 +19,7 @@ object RefDemos {
   def cleanNormalize(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).select(
       col("event_id"), col("user_id"),
-      col("ts").cast("date").as("event_date"),
+      date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
       coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L)).as("k"),
       (col("event_type") === "purchase").as("is_purchase"),
       Html.sentinelToNull(col("event_type"), "error").as("event_type_clean"),
