@@ -57,6 +57,8 @@ object SparkEntry {
     "embed_near_dup"       -> (TextDemos.embedNearDup(_, _)),
     "ivf_centroids"        -> (TextDemos.ivfCentroids(_, _)),
     "ivf_assign"           -> (TextDemos.ivfAssign(_, _)),
+    "doc_freq_filter"      -> (TextDemos.docFreqFilter(_, _)),
+    "tfidf_top_terms"      -> (TextDemos.tfidfTopTerms(_, _)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB) side. The cast discipline
@@ -527,5 +529,49 @@ object SparkEntry {
     "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),
+
+    "doc_freq_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.i - 1 AS pos, t.toks[u.i] AS tok
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM documents) t
+        |  CROSS JOIN UNNEST(range(1, len(t.toks) + 1)) AS u(i)
+        |), df AS (
+        |  SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+        |), nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |kept AS (
+        |  SELECT t.doc_id,
+        |         string_agg(t.tok, ' ' ORDER BY t.pos) AS filtered_text,
+        |         COUNT(*) AS n_kept
+        |  FROM toks t JOIN df ON t.tok = df.tok CROSS JOIN nd
+        |  WHERE df.df <= nd.n_docs * 0.6
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(k.filtered_text, '') AS filtered_text,
+        |       COALESCE(k.n_kept, 0) AS n_kept
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+        |), df AS (
+        |  SELECT tok, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+        |), nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |         round(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / df.df), 6) AS score
+        |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN nd
+        |), ranked AS (
+        |  SELECT doc_id, tok, score,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |              ORDER BY score DESC, tok) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, tok, score, rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
   )
 }

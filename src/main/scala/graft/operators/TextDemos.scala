@@ -97,6 +97,57 @@ object TextDemos {
       .orderBy("query_id", "rank")
   }
 
+  /** C16 — document-frequency vocabulary filter (the min_df/max_df
+    * pruning of TF-IDF pipelines): drop tokens present in more than
+    * 60% of documents, rebuild each document preserving token order.
+    * Fully relational: posexplode + distinct DF count + join + ordered
+    * re-aggregation — one pattern that scales to any corpus size. */
+  def docFreqFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      posexplode(graft.functions.Text.wsTokens(col("text"))).as(Seq("pos", "tok")))
+    val df = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val kept = toks.join(broadcast(df), "tok")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs") * 0.6)
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("filtered_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("filtered_text"), lit("")).as("filtered_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("doc_id")
+  }
+
+  /** C17 — TF-IDF top terms per document (tf * ln(N/df), top 3;
+    * rounded score ranking with term tie-break for determinism). */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(graft.functions.Text.wsTokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("tok"), col("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** C14 — IVF coarse quantizer: per-cluster centroids (long form).
     * Rounded to 12 digits for the oracle: decimal->double conversion
     * may differ by 1 ulp between engines. */
