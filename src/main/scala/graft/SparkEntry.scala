@@ -59,6 +59,8 @@ object SparkEntry {
     "ivf_assign"           -> (TextDemos.ivfAssign(_, _)),
     "doc_freq_filter"      -> (TextDemos.docFreqFilter(_, _)),
     "tfidf_top_terms"      -> (TextDemos.tfidfTopTerms(_, _)),
+    "repetition_score"     -> (TextDemos.repetitionScore(_, _)),
+    "pii_scrub"            -> (TextDemos.piiScrub(_, _)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB) side. The cast discipline
@@ -573,5 +575,43 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, tok, score, rank
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "repetition_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END AS sh
+        |  FROM t
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(sh) AS BIGINT) AS n_shingles,
+        |    CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+        |    CASE WHEN len(sh) > 0
+        |         THEN CAST(len(sh) - len(list_distinct(sh)) AS DOUBLE) / len(sh)
+        |         ELSE 0.0 END AS dup_ratio
+        |  FROM s)
+        |SELECT doc_id, n_shingles, n_distinct, dup_ratio, dup_ratio > 0.5 AS flagged
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example or call 09123456' || CAST(doc_id AS VARCHAR) ||
+        |    ' or visit https://site' || CAST(doc_id AS VARCHAR) || '.example/page now' AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(dirty, 'https?://[^\s]+')) AS BIGINT) AS n_urls
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

@@ -69,6 +69,15 @@ object Text {
     aggregate(codes, lit(0L), (h, code) => (h * 131L + code) % 1000000007L)
   }
 
+  /** word n-gram shingles INCLUDING duplicates (for repetition stats) */
+  def shinglesWithDuplicates(c: Column, n: Int): Column = {
+    val toks = wsTokens(c)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** word n-gram shingles (distinct), space-joined */
   def shingles(c: Column, n: Int): Column = {
     val toks = wsTokens(c)

@@ -97,6 +97,45 @@ object TextDemos {
       .orderBy("query_id", "rank")
   }
 
+  /** C18 — intra-document repetition score (the "repetition filter" of
+    * web-scale corpus cleaning): fraction of duplicated 3-gram
+    * shingles; docs above threshold get flagged. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.functions.Text.shinglesWithDuplicates(col("text"), 3)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio",
+        when(col("n_shingles") > 0,
+          (col("n_shingles") - col("n_distinct")).cast("double") / col("n_shingles"))
+          .otherwise(0.0))
+      .withColumn("flagged", col("dup_ratio") > 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** C19 — PII/URL scrubbing: redact emails, URLs and long digit runs
+    * with typed placeholder tokens; report replacement counts. Inputs
+    * are synthesized onto the docs so the oracle sees identical text. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@mail.example or call 09123456"),
+      col("doc_id").cast("string"), lit(" or visit https://site"),
+      col("doc_id").cast("string"), lit(".example/page now"))
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val urlPat = "https?://[^\\s]+"
+    val digitPat = "[0-9]{6,}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("dirty"),
+          emailPat, "<EMAIL>"), urlPat, "<URL>"), digitPat, "<NUM>").as("scrubbed"),
+        size(regexp_extract_all(col("dirty"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("dirty"), lit(urlPat), lit(0))).cast("long").as("n_urls"))
+      .orderBy("doc_id")
+  }
+
   /** C16 — document-frequency vocabulary filter (the min_df/max_df
     * pruning of TF-IDF pipelines): drop tokens present in more than
     * 60% of documents, rebuild each document preserving token order.
