@@ -29,6 +29,7 @@ object SparkEntry {
     "asof_join_broadcast"  -> (Analytics.asofJoinBroadcast(_, _)),
     "range_join_binned"    -> (Analytics.rangeJoinBinned(_, _)),
     "percentiles"          -> (Analytics.percentiles(_, _)),
+    "pivot_status"         -> (Analytics.pivotStatus(_, _)),
     "approx_sketches"      -> (Analytics.approxSketches(_, _)),
     "clean_normalize"      -> (RefDemos.cleanNormalize(_, _)),
     "parse_anchor"         -> (RefDemos.parseAnchor(_, _)),
@@ -201,6 +202,13 @@ object SparkEntry {
         |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "percentiles" ->
       """SELECT l_returnflag,

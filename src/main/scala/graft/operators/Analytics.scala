@@ -159,6 +159,18 @@ object Analytics {
            count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** B19: pivot — order counts and decimal-exact revenue per priority,
+    * pivoted wide on order status. */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"),
+        col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
   /** B17: exact percentiles per group (rounded to absorb the engines'
     * different interpolation expression forms). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
