@@ -20,6 +20,7 @@ object Multimodal {
 
   case class MediaRow(media_id: Long, media: Array[Byte], format: String)
   case class MediaMeta(media_id: Long, n_bytes: Long, content_hash: Long, format: String)
+  case class ImageDims(media_id: Long, detected: String, width: Int, height: Int)
   case class MediaFeatures(media_id: Long, features: Array[Float])
   case class MediaFrame(media_id: Long, frame_no: Int, frame: Array[Byte])
 
@@ -28,6 +29,42 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.map(r => MediaMeta(r.media_id, r.media.length.toLong,
       java.util.Arrays.hashCode(r.media).toLong, r.format))
+  }
+
+  /** REAL (no-libs) image dimension extraction from raw headers —
+    * PNG IHDR and JPEG SOF markers are plain byte layouts, so this
+    * much of "decode" needs no codec. Unknown/corrupt headers yield
+    * ("unknown", -1, -1) rather than failing the partition. */
+  def imageDimensions(ds: Dataset[MediaRow]): Dataset[ImageDims] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val b = r.media
+      def u8(i: Int) = b(i) & 0xff
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      val png = b.length >= 24 &&
+        u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G'
+      val jpeg = b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8
+      if (png) ImageDims(r.media_id, "png", be32(16), be32(20))
+      else if (jpeg) {
+        // walk JPEG segments to the first SOF0..SOF15 (minus DHT/DAC/RST)
+        var i = 2
+        var out: ImageDims = null
+        while (out == null && i + 9 < b.length) {
+          if (u8(i) != 0xFF) { out = ImageDims(r.media_id, "unknown", -1, -1) }
+          else {
+            val marker = u8(i + 1)
+            val len = be16(i + 2)
+            if (marker >= 0xC0 && marker <= 0xCF &&
+                marker != 0xC4 && marker != 0xC8 && marker != 0xCC)
+              out = ImageDims(r.media_id, "jpeg", be16(i + 7), be16(i + 5))
+            else i += 2 + len
+          }
+        }
+        if (out != null) out else ImageDims(r.media_id, "unknown", -1, -1)
+      }
+      else ImageDims(r.media_id, "unknown", -1, -1)
+    }
   }
 
   /** STUB decode+feature kernel: deterministic bytes->feature vector.
