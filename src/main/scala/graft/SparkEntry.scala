@@ -61,6 +61,7 @@ object SparkEntry {
     "doc_freq_filter"      -> (TextDemos.docFreqFilter(_, _)),
     "tfidf_top_terms"      -> (TextDemos.tfidfTopTerms(_, _)),
     "repetition_score"     -> (TextDemos.repetitionScore(_, _)),
+    "hash_split"           -> (TextDemos.hashSplit(_, _)),
     "pii_scrub"            -> (TextDemos.piiScrub(_, _)),
   )
 
@@ -583,6 +584,20 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, tok, score, rank
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents
+        |), a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, COUNT(*) AS n_docs, CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
 
     "repetition_score" ->
       """WITH t AS (

@@ -97,6 +97,15 @@ object TextDemos {
       .orderBy("query_id", "rank")
   }
 
+  /** C20 — deterministic hash-based train/val/test split: per-split
+    * document counts (membership is a pure function of doc_id). */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(Tables.documents(spark, dir), "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .orderBy("split")
+
   /** C18 — intra-document repetition score (the "repetition filter" of
     * web-scale corpus cleaning): fraction of duplicated 3-gram
     * shingles; docs above threshold get flagged. */

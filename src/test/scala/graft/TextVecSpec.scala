@@ -105,4 +105,25 @@ class TextVecSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L->1L, 2L->1L, 3L->1L, 4L->1L, 5L->5L, 6L->5L, 7L->7L))
   }
+
+  test("C20 hash split: deterministic, partition-count invariant") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val s1 = graft.operators.Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = graft.operators.Sampling.hashSplit(docs.repartition(7), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2)                       // membership survives repartitioning
+    val frac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(frac > 0.7 && frac < 0.9)       // roughly 80%
+  }
+
+  test("C20 stratified sampling respects seed determinism") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val f = Map("en" -> 0.5, "es" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "zh" -> 0.5)
+    val a = graft.operators.Sampling.stratified(docs, "lang", f, seed = 7).count()
+    val b = graft.operators.Sampling.stratified(docs, "lang", f, seed = 7).count()
+    assert(a == b && a > 0 && a < docs.count())
+  }
 }
