@@ -23,18 +23,27 @@ object Bench {
     if (warmup) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        graft.util.CacheRegistry.releaseAll()
       }
       spark.sharedState.cacheManager.clearCache() // no data-cache carryover
     }
+    // Right(seconds) on success, Left(exception class) on failure — a broken
+    // query must surface as "error", never bench as a fast success.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+              catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+      graft.util.CacheRegistry.releaseAll()
+      name -> r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(sec)) => "\"" + k + "\":" + sec
+      case (k, Left(err))  => "\"" + k + "\":\"error:" + err + "\""
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.collect { case Right(s) => s }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,6 +21,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release operator-persisted intermediates (LSH banded tables etc.)
+      // so a 50-query session doesn't accumulate cached partitions
+      graft.util.CacheRegistry.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

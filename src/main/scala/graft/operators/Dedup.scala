@@ -63,9 +63,10 @@ object Dedup {
     // without it the self-join recomputes signatures for both sides.
     val keys = if (hashBandKeys) Vec.lshBandKeys(col("sig"), k, bands)
                else Vec.lshBandKeyStrings(col("sig"), k, bands)
-    val banded = sig.select(col(idCol), col("sig"),
-        posexplode(keys).as(Seq("band", "key")))
-      .persist()
+    val banded = graft.util.CacheRegistry.register(
+      sig.select(col(idCol), col("sig"),
+          posexplode(keys).as(Seq("band", "key")))
+        .persist())
     val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "key"))
@@ -97,9 +98,10 @@ object Dedup {
         (0 until bits).map { j =>
           when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
-    val banded = hashed.select(col(idCol), col("sh"),
-        posexplode(Vec.simhashBands(col("sh"), bits)).as(Seq("band", "key")))
-      .persist() // see minhashLsh: avoid recomputing simhash on both join sides
+    val banded = graft.util.CacheRegistry.register(
+      hashed.select(col(idCol), col("sh"),
+          posexplode(Vec.simhashBands(col("sh"), bits)).as(Seq("band", "key")))
+        .persist()) // see minhashLsh: avoid recomputing simhash on both join sides
     val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band", "key"))

@@ -33,16 +33,22 @@ object Similarity {
       .select(col(queryId), col(candId), col("sim"), col("rank"))
   }
 
-  /** LSH-bucketed approximate top-k with multi-probe (flip up to
-    * `probeBits` of the query bucket bits). */
+  /** LSH-bucketed approximate top-k with multi-probe (probe every
+    * bucket within Hamming distance `probeBits` of the query bucket —
+    * all bit-combinations, not just single flips). */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nPlanes: Int, dim: Int, probeBits: Int = 1,
               queryId: String = "query_id", queryVec: String = "qv",
               candId: String = "cand_id", candVec: String = "cv"): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 24,
+      s"nPlanes must be in [1, 24] (probe enumeration is 2^nPlanes-bounded), got $nPlanes")
+    require(probeBits >= 0 && probeBits <= nPlanes,
+      s"probeBits must be in [0, $nPlanes], got $probeBits")
     val planes = Vec.hyperplanes(nPlanes, dim)
     val cB = corpus.withColumn("bucket", Vec.lshBucket(col(candVec), planes))
-    // query probes: own bucket + every bucket at hamming distance <= probeBits
-    val flips: Seq[Long] = 0L +: (if (probeBits >= 1) (0 until nPlanes).map(1L << _) else Nil)
+    // query probes: every bucket at hamming distance <= probeBits
+    val flips: Seq[Long] =
+      (0L until (1L << nPlanes)).filter(f => java.lang.Long.bitCount(f) <= probeBits)
     val probes = array(flips.map(lit): _*)
     val qB = broadcast(
       queries.withColumn("bucket0", Vec.lshBucket(col(queryVec), planes))
@@ -89,9 +95,10 @@ object Similarity {
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
     val planes = Vec.hyperplanes(nPlanes, dim)
-    val b = vecs.select(col(idCol), col(vecCol))
-      .withColumn("bucket", Vec.lshBucket(col(vecCol), planes))
-      .persist() // self-joined below: avoid recomputing buckets per side
+    val b = graft.util.CacheRegistry.register(
+      vecs.select(col(idCol), col(vecCol))
+        .withColumn("bucket", Vec.lshBucket(col(vecCol), planes))
+        .persist()) // self-joined below: avoid recomputing buckets per side
     val a = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val c = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(c, Seq("bucket"))

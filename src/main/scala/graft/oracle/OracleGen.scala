@@ -133,9 +133,12 @@ object OracleGen {
   }
 
   /** mirror of TextDemos.annLshTopk (8 planes, 1 probe bit, top-5) */
-  def annLshSql(nPlanes: Int = 8, dim: Int = 64, k: Int = 5): String = {
+  def annLshSql(nPlanes: Int = 8, dim: Int = 64, k: Int = 5, probeBits: Int = 1): String = {
     val planes = Vec.hyperplanes(nPlanes, dim)
-    val flips = (0L +: (0 until nPlanes).map(1L << _)).mkString("[", ", ", "]")
+    // same Hamming-ball probe enumeration as Similarity.lshTopK
+    val flips = (0L until (1L << nPlanes))
+      .filter(f => java.lang.Long.bitCount(f) <= probeBits)
+      .mkString("[", ", ", "]")
     s"""WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
        |c0 AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
        |cb AS (SELECT cand_id, cv, ${bucketExpr("cv", planes)} AS bucket FROM c0),
