@@ -39,6 +39,12 @@ object Norm {
     when(m =!= "", m).otherwise(c)
   }
 
+  /** drop the country name 臺灣/台灣 + RepublicofChina
+    * (normalizeTWAddress, geocode.js:128-133). Safe post-[[foldTai]]:
+    * only the exact 臺灣 pair is removed, 臺北/臺中 survive. */
+  def stripCountry(c: Column): Column =
+    regexp_replace(c, lit("臺灣|(?i)RepublicofChina"), lit(""))
+
   /** full canonicalization chain used before geocode candidate building */
   def normalizeAddress(c: Column): Column =
     trimToHouseNo(foldTai(stripSpaces(stripParens(stripPostal(c)))))
@@ -46,7 +52,57 @@ object Norm {
   /** looksLikeAddress gate (geocode.js:186-188): must contain a road
     * token and a house number. */
   def looksLikeAddress(c: Column): Column =
-    c.rlike("(路|街|巷|弄|大道)") && c.rlike("號")
+    c.rlike("(路|街|巷|弄|道|大道)") && c.rlike("號")
+
+  /** removeNeighborhoodLi (geocode.js:191-195): strip a neighborhood
+    * 里 token when a road token follows before the house number.
+    *
+    * The reference uses a lookahead (`X里(?=[^號]*?路)`); RE2 (the
+    * oracle engine) has no lookahead, so this consumes the road span
+    * and writes it back via a capture. One application diverges only
+    * when two 里 tokens stack before one road token — callers apply
+    * it twice (fixpoint for the depth seen in real rosters). */
+  def removeLi(c: Column): Column =
+    regexp_replace(c,
+      lit("[一-龥]{1,4}里([^號]*?(?:路|街|巷|弄|道|大道))"), lit("$1"))
+
+  private val zhSections =
+    Seq("一" -> 1, "二" -> 2, "三" -> 3, "四" -> 4, "五" -> 5,
+        "六" -> 6, "七" -> 7, "八" -> 8, "九" -> 9, "十" -> 10)
+
+  /** sectionArabicVariant (geocode.js:156-159): 一段..十段 -> 1段..10段.
+    * Chained single-token replaces == the reference's single-char
+    * class regex (the last numeral before 段 converts: 二十一段 ->
+    * 二十1段, same as the reference). */
+  def sectionArabic(c: Column): Column =
+    zhSections.foldLeft(c) { case (acc, (zh, n)) =>
+      regexp_replace(acc, lit(s"${zh}段"), lit(s"${n}段"))
+    }
+
+  /** parseRegionParts (geocode.js:206-210): leading 縣/市 county.
+    * Deviation (documented): parsed from the *normalized* address —
+    * the reference anchors on the raw string, so a postal-code prefix
+    * silently yields no county. */
+  def parseCounty(c: Column): Column =
+    regexp_extract(c, "^([一-龥]{2,3}[縣市])([一-龥]{1,3}[區鄉鎮市])?", 1)
+
+  /** parseRegionParts district component (區/鄉/鎮/市 after county) */
+  def parseDistrict(c: Column): Column =
+    regexp_extract(c, "^([一-龥]{2,3}[縣市])([一-龥]{1,3}[區鄉鎮市])?", 2)
+
+  /** hasRegionInfo (geocode.js:211-213) */
+  def hasRegionInfo(c: Column): Column =
+    c.rlike("[縣市].*[區鄉鎮市]") || c.rlike("[一-龥]{2,3}[縣市]")
+
+  /** clampQuery (geocode.js:216-219): if the URI-encoded form exceeds
+    * `maxBytes`, truncate to `fallbackChars` characters. Encoded
+    * length is computed exactly: unreserved ASCII stays 1 byte,
+    * every other char percent-encodes each UTF-8 byte to 3. */
+  def clampQuery(c: Column, maxBytes: Int = 512, fallbackChars: Int = 120): Column = {
+    val unreserved = length(regexp_replace(c, lit("[^A-Za-z0-9_.!~*'()-]"), lit("")))
+    val encoded = unreserved + (octet_length(c) - unreserved) * 3
+    when(encoded <= maxBytes, c).otherwise(substring(c, 1, fallbackChars))
+  }
 
   /** 35-1號 -> 35之1號 (hyphenNumberVariants, geocode.js:162-169) */
   def hyphenToZhi(c: Column): Column =
@@ -64,17 +120,32 @@ object Norm {
   def dropNong(c: Column): Column =
     regexp_replace(c, lit("\\d+(?:-\\d+)?弄"), lit(""))
 
+  /** drop the 巷 component only (alleyDegradeVariants middle rung) */
+  def dropXiang(c: Column): Column =
+    regexp_replace(c, lit("\\d+(?:-\\d+)?巷"), lit(""))
+
   /** drop both 巷 and 弄 components */
   def dropXiangNong(c: Column): Column =
-    regexp_replace(dropNong(c), lit("\\d+(?:-\\d+)?巷"), lit(""))
+    dropXiang(dropNong(c))
 
-  /** road + house number only (roadOnlyVariant, geocode.js:221-227):
-    * first road token plus the trailing house number. */
-  def roadOnly(c: Column): Column = {
-    val road = regexp_extract(c, "^(.*?(?:大道|路|街))", 1)
-    val house = regexp_extract(c, "(\\d+(?:之\\d+)?號)", 1)
-    when(road =!= "" && house =!= "", concat(road, house)).otherwise(lit(""))
-  }
+  private val roadOnlyPat =
+    "^(.+?(?:大道|道|路|街))(\\d+段)?(?:\\d+(?:-\\d+)?巷)?(?:\\d+(?:-\\d+)?弄)?(\\d+(?:-\\d+)?)號$"
+
+  /** roadOnlyVariant (geocode.js:221-227): road(+Arabic 段)+number,
+    * dropping 巷/弄 detail. Applies [[sectionArabic]] first, exactly
+    * like the reference; empty string when the anchored shape does
+    * not match. */
+  def roadOnly(c: Column): Column = roadOnlyOfSection(sectionArabic(c))
+
+  /** [[roadOnly]] for input already in Arabic-段 form — lets callers
+    * stage the sectionArabic chain once per row instead of four times
+    * per road-only evaluation (codegen size). */
+  def roadOnlyOfSection(t: Column): Column =
+    when(t.rlike(roadOnlyPat),
+      concat(regexp_extract(t, roadOnlyPat, 1),
+             regexp_extract(t, roadOnlyPat, 2),
+             regexp_extract(t, roadOnlyPat, 3), lit("號")))
+      .otherwise(lit(""))
 
   private val zhDigits = Seq("零" -> 0, "〇" -> 0, "一" -> 1, "二" -> 2, "兩" -> 2,
     "三" -> 3, "四" -> 4, "五" -> 5, "六" -> 6, "七" -> 7, "八" -> 8, "九" -> 9)

@@ -203,21 +203,44 @@ object RefDemos {
       .orderBy(col("has_quota").desc, col("matched_by"))
   }
 
-  /** A15 — buildQueryCandidates (geocode.js:239-295): the candidate
-    * expansion ladder over synthesized TW addresses (hyphen sub-numbers
-    * on even keys so both variant paths occur). */
+  /** A15 — buildQueryCandidates (geocode.js:197-295): the full
+    * candidate expansion ladder over synthesized TW addresses that
+    * exercise every branch: postal prefixes, 台/臺 county forms,
+    * missing county/district, neighborhood 里 tokens, 中文/Arabic 段,
+    * lane/alley components, hyphen sub-numbers, >512-encoded-byte
+    * roads (clampQuery drop), composite segments (；-truncated, 及/，
+    * continuations), and org-name prefixing. */
   def geocodeCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey"); val n = col("c_nationkey")
     val raw = concat(
-      (col("c_custkey") % 900 + 100).cast("string"), lit(" 台北市大安區和平東路"),
-      (col("c_custkey") % 30 + 1).cast("string"), lit("巷"),
-      (col("c_nationkey") % 9 + 1).cast("string"), lit("弄"),
-      (col("c_custkey") % 150 + 1).cast("string"),
-      when(col("c_custkey") % 2 === 0,
-        concat(lit("-"), (col("c_custkey") % 5 + 1).cast("string"))).otherwise(lit("")),
-      lit("號 (註)"))
+      when(k % 3 === 0, lit("106 ")).otherwise(lit("")),
+      when(k % 4 === 0, lit("台北市")).when(k % 4 === 1, lit("臺中市"))
+        .when(k % 4 === 2, lit("高雄市")).otherwise(lit("")),
+      when(n % 3 === 0, lit("大安區")).when(n % 3 === 1, lit("信義區"))
+        .otherwise(lit("")),
+      when(k % 5 === 0, lit("關東里")).otherwise(lit("")),
+      when(k % 7 === 0, concat(repeat(lit("龍"), 125), lit("路")))
+        .when(n % 2 === 0, lit("和平東路")).otherwise(lit("中山北路")),
+      when(k % 6 === 1, lit("二段")).when(k % 6 === 2, lit("3段"))
+        .otherwise(lit("")),
+      when(k % 2 === 0, concat((k % 30 + 1).cast("string"), lit("巷")))
+        .otherwise(lit("")),
+      when(k % 4 === 0, concat((n % 9 + 1).cast("string"), lit("弄")))
+        .otherwise(lit("")),
+      (k % 150 + 1).cast("string"),
+      when(k % 5 === 1, concat(lit("-"), (n % 4 + 1).cast("string")))
+        .otherwise(lit("")),
+      lit("號"),
+      when(k % 9 === 0, lit(" (3樓備註)")).otherwise(lit("")),
+      when(k % 8 === 1, concat(lit("及信義路"), (k % 99 + 1).cast("string"), lit("號")))
+        .when(k % 8 === 2, lit("；轉介單位另記"))
+        .when(k % 8 === 5, concat(lit("，中山北路"), (k % 88 + 1).cast("string"), lit("號")))
+        .otherwise(lit("")))
+    val orgName = when(k % 3 === 1, lit("仁心診所")).otherwise(lit(""))
     Geocode.expand(
-        Tables.customer(spark, dir).select(col("c_custkey"), raw.as("addr")),
-        "c_custkey", "addr")
+        Tables.customer(spark, dir)
+          .select(col("c_custkey"), raw.as("addr"), orgName.as("org")),
+        "c_custkey", "addr", orgCol = Some("org"))
       .orderBy("c_custkey", "rank")
   }
 }

@@ -192,54 +192,148 @@ object OracleGen {
        |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin
 
   /** mirror of RefDemos.geocodeCandidates (expansion ladder, 6 variants) */
+  /** Mirror of the full Geocode.expand ladder over the synthesized
+    * addresses in RefDemos.geocodeCandidates. Every stage mirrors one
+    * Norm helper; the 90-arm emission UNION is generated by the same
+    * (base × hyphen × slot) loop the Spark side uses, so ranks align
+    * by construction. */
   def geocodeCandidatesSql(): String = {
-    val raw = "CAST(c_custkey % 900 + 100 AS VARCHAR) || ' 台北市大安區和平東路' || " +
-      "CAST(c_custkey % 30 + 1 AS VARCHAR) || '巷' || " +
-      "CAST(c_nationkey % 9 + 1 AS VARCHAR) || '弄' || " +
+    // --- synthesized input (must match RefDemos.geocodeCandidates) ---
+    val raw =
+      "(CASE WHEN c_custkey % 3 = 0 THEN '106 ' ELSE '' END) || " +
+      "(CASE WHEN c_custkey % 4 = 0 THEN '台北市' WHEN c_custkey % 4 = 1 THEN '臺中市' " +
+      "WHEN c_custkey % 4 = 2 THEN '高雄市' ELSE '' END) || " +
+      "(CASE WHEN c_nationkey % 3 = 0 THEN '大安區' WHEN c_nationkey % 3 = 1 THEN '信義區' ELSE '' END) || " +
+      "(CASE WHEN c_custkey % 5 = 0 THEN '關東里' ELSE '' END) || " +
+      "(CASE WHEN c_custkey % 7 = 0 THEN repeat('龍', 125) || '路' " +
+      "WHEN c_nationkey % 2 = 0 THEN '和平東路' ELSE '中山北路' END) || " +
+      "(CASE WHEN c_custkey % 6 = 1 THEN '二段' WHEN c_custkey % 6 = 2 THEN '3段' ELSE '' END) || " +
+      "(CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey % 30 + 1 AS VARCHAR) || '巷' ELSE '' END) || " +
+      "(CASE WHEN c_custkey % 4 = 0 THEN CAST(c_nationkey % 9 + 1 AS VARCHAR) || '弄' ELSE '' END) || " +
       "CAST(c_custkey % 150 + 1 AS VARCHAR) || " +
-      "(CASE WHEN c_custkey % 2 = 0 THEN '-' || CAST(c_custkey % 5 + 1 AS VARCHAR) ELSE '' END) || " +
-      "'號 (註)'"
-    val looks = (v: String) =>
-      s"regexp_matches($v, '(路|街|巷|弄|大道)') AND regexp_matches($v, '號')"
-    val unions = (0 to 5).map { r =>
-      val notEarlier = (0 until r).map(i => s"v$r <> v$i").mkString(" AND ")
-      val cond = if (r == 0) looks(s"v$r") else s"${looks(s"v$r")} AND $notEarlier"
-      s"SELECT c_custkey, v$r AS candidate, $r AS rank FROM v WHERE $cond"
-    }.mkString("\n  UNION ALL\n  ")
+      "(CASE WHEN c_custkey % 5 = 1 THEN '-' || CAST(c_nationkey % 4 + 1 AS VARCHAR) ELSE '' END) || " +
+      "'號' || " +
+      "(CASE WHEN c_custkey % 9 = 0 THEN ' (3樓備註)' ELSE '' END) || " +
+      "(CASE WHEN c_custkey % 8 = 1 THEN '及信義路' || CAST(c_custkey % 99 + 1 AS VARCHAR) || '號' " +
+      "WHEN c_custkey % 8 = 2 THEN '；轉介單位另記' " +
+      "WHEN c_custkey % 8 = 5 THEN '，中山北路' || CAST(c_custkey % 88 + 1 AS VARCHAR) || '號' ELSE '' END)"
+    val orgSql = "CASE WHEN c_custkey % 3 = 1 THEN '仁心診所' ELSE '' END"
+
+    // --- Norm.* mirrors ---
+    def stripParens(e: String) = s"regexp_replace($e, '（[^）]*）|\\([^)]*\\)', '', 'g')"
+    def stripPostal(e: String) = s"regexp_replace($e, '^\\s*\\d{3,5}[-\\s]?', '')"
+    def stripSpaces(e: String) = s"regexp_replace($e, '\\s+', '', 'g')"
+    def foldTai(e: String)     = s"regexp_replace($e, '台', '臺', 'g')"
+    def stripCountry(e: String) = s"regexp_replace($e, '臺灣|(?i)RepublicofChina', '', 'g')"
+    def removeLi(e: String) =
+      s"regexp_replace($e, '[一-龥]{1,4}里([^號]*?(?:路|街|巷|弄|道|大道))', '\\1', 'g')"
+    def trimToHouseNo(e: String) =
+      s"CASE WHEN regexp_extract($e, '^([^號]*號)', 1) <> '' " +
+      s"THEN regexp_extract($e, '^([^號]*號)', 1) ELSE $e END"
+    def sectionArabic(e: String) =
+      (1 to 10).foldLeft(e) { (acc, n) =>
+        val zh = Seq("一","二","三","四","五","六","七","八","九","十")(n - 1)
+        s"regexp_replace($acc, '${zh}段', '${n}段', 'g')"
+      }
+    val regionPat = "^([一-龥]{2,3}[縣市])([一-龥]{1,3}[區鄉鎮市])?"
+    def hyphenZhi(e: String)  = s"regexp_replace($e, '(\\d+)-(\\d+)號', '\\1之\\2號', 'g')"
+    def hyphenDrop(e: String) = s"regexp_replace($e, '(\\d+)-(\\d+)號', '\\1號', 'g')"
+    def dropNong(e: String)   = s"regexp_replace($e, '\\d+(?:-\\d+)?弄', '', 'g')"
+    def dropXiang(e: String)  = s"regexp_replace($e, '\\d+(?:-\\d+)?巷', '', 'g')"
+    val roPat = "^(.+?(?:大道|道|路|街))(\\d+段)?(?:\\d+(?:-\\d+)?巷)?(?:\\d+(?:-\\d+)?弄)?(\\d+(?:-\\d+)?)號$"
+    def roadOnly(secCol: String) =
+      s"CASE WHEN regexp_matches($secCol, '$roPat') THEN " +
+      s"regexp_extract($secCol, '$roPat', 1) || regexp_extract($secCol, '$roPat', 2) || " +
+      s"regexp_extract($secCol, '$roPat', 3) || '號' ELSE '' END"
+    def clamp(e: String) = {
+      val u = s"length(regexp_replace($e, '[^A-Za-z0-9_.!~*''()-]', '', 'g'))"
+      s"CASE WHEN $u + 3 * (strlen($e) - $u) <= 512 THEN $e ELSE substr($e, 1, 120) END"
+    }
+    def looksLike(e: String) =
+      s"regexp_matches($e, '(路|街|巷|弄|道|大道)') AND regexp_matches($e, '號')"
+
+    val pre = stripCountry(foldTai(stripSpaces(stripPostal(stripParens("addr")))))
+    // conjunction split requires a preceding 號 (see Geocode.expand's
+    // documented deviation — bare 及/和/與 would dismember 和平東路)
+    val canon = s"regexp_replace(regexp_replace(" +
+      s"${removeLi(removeLi("regexp_extract(pre, '^[^;；]*', 0)"))}, " +
+      "'[，,。.]', '、', 'g'), '號[及和與]', '號、', 'g')"
+
+    // --- per-h derived columns + 90-arm emission (same loops as Geocode.expand) ---
+    val hDefs = (for (bi <- 0 to 1; hi <- 0 to 2) yield {
+      val b = s"b$bi"
+      val h = hi match { case 0 => b; case 1 => hyphenZhi(b); case 2 => hyphenDrop(b) }
+      s"$h AS h$bi$hi"
+    }).mkString(",\n    ")
+    val secDefs = (for (bi <- 0 to 1; hi <- 0 to 2) yield
+      s"${sectionArabic(s"h$bi$hi")} AS s$bi$hi").mkString(",\n    ")
+    val dDefs = (for (bi <- 0 to 1; hi <- 0 to 2) yield {
+      val ij = s"$bi$hi"
+      s"${dropNong(s"h$ij")} AS n$ij, ${dropXiang(s"h$ij")} AS x$ij, " +
+      s"${dropXiang(dropNong(s"h$ij"))} AS z$ij, ${roadOnly(s"s$ij")} AS ro$ij"
+    }).mkString(",\n    ")
+    val slotsPerH = 15
+    val perSeg = 6 * slotsPerH
+    val arms = (for (bi <- 0 to 1; hi <- 0 to 2) yield {
+      val ij = s"$bi$hi"; val hIdx = bi * 3 + hi
+      val slots: Seq[(String, String)] = Seq(
+        (s"h$ij", "TRUE"),
+        (s"org || h$ij", "org <> ''"),
+        (s"ro$ij", s"ro$ij <> ''"),
+        (s"org || ro$ij", s"org <> '' AND ro$ij <> ''"),
+        (s"cty || ro$ij", s"ro$ij <> '' AND cty <> ''"),
+        (s"org || cty || ro$ij", s"org <> '' AND ro$ij <> '' AND cty <> ''"),
+        (s"dst || ro$ij", s"ro$ij <> '' AND dst <> ''"),
+        (s"org || dst || ro$ij", s"org <> '' AND ro$ij <> '' AND dst <> ''"),
+        (s"cty || dst || ro$ij", s"ro$ij <> '' AND (cty <> '' OR dst <> '')"),
+        (s"n$ij", "TRUE"), (s"org || n$ij", "org <> ''"),
+        (s"x$ij", "TRUE"), (s"org || x$ij", "org <> ''"),
+        (s"z$ij", "TRUE"), (s"org || z$ij", "org <> ''"))
+      slots.zipWithIndex.map { case ((e, cond), si) =>
+        s"SELECT c_custkey, segi * $perSeg + ${hIdx * slotsPerH + si} AS rnk, $e AS q FROM d WHERE $cond"
+      }.mkString("\n  UNION ALL\n  ")
+    }).mkString("\n  UNION ALL\n  ")
+
     s"""WITH s AS (
-       |  SELECT c_custkey, $raw AS addr FROM customer
-       |), n AS (
-       |  SELECT c_custkey,
-       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(addr,
-       |      '^\\s*\\d{3,5}[-\\s]?', ''),
-       |      '（[^）]*）|\\([^)]*\\)', '', 'g'),
-       |      '\\s+', '', 'g'),
-       |      '台', '臺', 'g') AS folded
-       |  FROM s
+       |  SELECT c_custkey, $raw AS addr, $orgSql AS org FROM customer
+       |), p1 AS (
+       |  SELECT c_custkey, org, $pre AS pre FROM s
+       |), p2 AS (
+       |  SELECT c_custkey, org,
+       |    regexp_extract(pre, '$regionPat', 1) AS cty,
+       |    regexp_extract(pre, '$regionPat', 2) AS dst,
+       |    list_filter(string_split($canon, '、'), seg -> seg <> '') AS sl
+       |  FROM p1
+       |), seg AS (
+       |  SELECT c_custkey, org, cty, dst, i - 1 AS segi, sl[i] AS seg
+       |  FROM p2, (VALUES (1), (2), (3), (4)) t(i) WHERE len(sl) >= i
        |), b AS (
-       |  SELECT c_custkey,
-       |    CASE WHEN regexp_extract(folded, '^([^號]*號)', 1) <> ''
-       |         THEN regexp_extract(folded, '^([^號]*號)', 1) ELSE folded END AS v0
-       |  FROM n
-       |), v AS (
-       |  SELECT c_custkey, v0,
-       |    regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1之\\2號', 'g') AS v1,
-       |    regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g') AS v2,
-       |    regexp_replace(regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g'),
-       |                   '\\d+(?:-\\d+)?弄', '', 'g') AS v3,
-       |    regexp_replace(regexp_replace(regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g'),
-       |                   '\\d+(?:-\\d+)?弄', '', 'g'),
-       |                   '\\d+(?:-\\d+)?巷', '', 'g') AS v4,
-       |    CASE WHEN regexp_extract(regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g'), '^(.*?(?:大道|路|街))', 1) <> ''
-       |          AND regexp_extract(regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g'), '(\\d+(?:之\\d+)?號)', 1) <> ''
-       |         THEN regexp_extract(regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g'), '^(.*?(?:大道|路|街))', 1)
-       |              || regexp_extract(regexp_replace(v0, '(\\d+)-(\\d+)號', '\\1號', 'g'), '(\\d+(?:之\\d+)?號)', 1)
-       |         ELSE '' END AS v5
-       |  FROM b
+       |  SELECT c_custkey, org, cty, dst, segi,
+       |    ${trimToHouseNo("(CASE WHEN regexp_matches(seg, '[縣市].*[區鄉鎮市]') " +
+             "OR regexp_matches(seg, '[一-龥]{2,3}[縣市]') THEN seg ELSE cty || dst || seg END)")} AS b0
+       |  FROM seg
+       |), b2 AS (
+       |  SELECT *, ${sectionArabic("b0")} AS b1 FROM b
+       |), h AS (
+       |  SELECT *,
+       |    $hDefs
+       |  FROM b2
+       |), sec AS (
+       |  SELECT *,
+       |    $secDefs
+       |  FROM h
+       |), d AS (
+       |  SELECT *,
+       |    $dDefs
+       |  FROM sec
        |), u AS (
-       |  $unions
+       |  $arms
+       |), c AS (
+       |  SELECT c_custkey, ${clamp("q")} AS candidate, rnk FROM u
        |)
-       |SELECT c_custkey, candidate, rank FROM u ORDER BY c_custkey, rank""".stripMargin
+       |SELECT c_custkey, candidate, CAST(MIN(rnk) AS INT) AS rank
+       |FROM c WHERE ${looksLike("candidate")}
+       |GROUP BY c_custkey, candidate ORDER BY c_custkey, rank""".stripMargin
   }
 
   /** mirror of TextDemos.embedNearDup (8 planes, threshold 0.2) */

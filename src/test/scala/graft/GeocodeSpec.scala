@@ -20,6 +20,47 @@ class GeocodeSpec extends SparkSpec {
     assert(cands.map(_._1).sameElements(cands.map(_._1).sorted))  // rank order
   }
 
+  test("A15 composite split: ；-tail dropped, 號+conjunction splits, region prefixed") {
+    val df = Seq((1L, "台北市大安區和平東路9號及信義路32號；轉介另記")).toDF("id", "addr")
+    val qs = Geocode.expand(df, "id", "addr").orderBy("rank").collect()
+      .map(_.getString(1))
+    assert(qs.contains("臺北市大安區和平東路9號"))       // seg 1 intact (和 NOT split)
+    assert(qs.contains("臺北市大安區信義路32號"))        // seg 2 region-prefixed
+    assert(!qs.exists(_.contains("轉介")))               // ；-tail gone
+  }
+
+  test("A15 里 removal and 段 variants with road-only") {
+    val df = Seq((1L, "關東里光復路二段101號"),
+                 (2L, "台北市中正區和平西路3段5巷7號"),
+                 (3L, "新竹市關東里光復路99號")).toDF("id", "addr")
+    val by = Geocode.expand(df, "id", "addr").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert(by(1L).contains("光復路二段101號"))            // 里 stripped, 中文段 base
+    assert(by(1L).contains("光復路2段101號"))             // Arabic-段 base
+    assert(by(2L).contains("臺北市中正區和平西路3段7號")) // road-only keeps 段, drops 巷
+    // reference-faithful quirk: greedy {1,4}里 eats back into the city
+    // name when adjacent (竹市關東里 matches) — geocode.js:193 does the
+    // same via its lookahead form
+    assert(by(3L).contains("新竹市新光復路99號"))
+  }
+
+  test("A15 clampQuery drops >512-encoded-byte candidates (no 號 after truncation)") {
+    val long = "台北市" + "龍" * 125 + "路45號"
+    val df = Seq((1L, long), (2L, "台北市中山北路45號")).toDF("id", "addr")
+    val ids = Geocode.expand(df, "id", "addr").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L)) // row 1's every candidate clamps past its 號
+  }
+
+  test("A15 org-name prefixing interleaves with the ladder") {
+    val df = Seq((1L, "台北市大安區和平東路9號", "仁心診所")).toDF("id", "addr", "org")
+    val cands = Geocode.expand(df, "id", "addr", orgCol = Some("org"))
+      .orderBy("rank").collect().map(r => (r.getInt(2), r.getString(1)))
+    assert(cands(0)._2 == "臺北市大安區和平東路9號")
+    assert(cands(1)._2 == "仁心診所臺北市大安區和平東路9號") // org twin is rank+1
+    assert(cands.exists(_._2 == "臺北市仁心診所臺北市大安區和平東路9號")
+      || cands.exists(_._2.startsWith("仁心診所臺北市臺北市")))
+  }
+
   test("A15 resolver picks the best-ranked cache hit; misses stay null") {
     val rows = Seq(
       (1L, "台北市和平東路5巷9號"),   // only degraded road-only form is cached
