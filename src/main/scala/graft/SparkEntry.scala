@@ -44,6 +44,7 @@ object SparkEntry {
     "check_total"          -> (RefDemos.checkTotal(_, _)),
     "dedup_exact_docs"     -> (RefDemos.dedupExactDocs(_, _)),
     "geocode_candidates"   -> (RefDemos.geocodeCandidates(_, _)),
+    "geocode_validate"     -> (RefDemos.geocodeValidate(_, _)),
     "ref_pipeline_e2e"     -> (RefDemos.refPipelineE2e(_, _)),
     "token_count"          -> (TextDemos.tokenCount(_, _)),
     "quality_score"        -> (TextDemos.qualityScore(_, _)),
@@ -488,6 +489,7 @@ object SparkEntry {
     },
 
     "geocode_candidates" -> graft.oracle.OracleGen.geocodeCandidatesSql(),
+    "geocode_validate"   -> graft.oracle.OracleGen.geocodeValidateSql(),
 
     "ref_pipeline_e2e" ->
       """WITH h AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Norm
@@ -158,5 +159,141 @@ object Geocode {
       .agg(min(struct(col("rank"), col("candidate"))).as("best"))
       .select(col(idCol), col("best.candidate").as("matched_query"))
     df.join(hits, Seq(idCol), "left")
+  }
+
+  /** County centroid table (geocode.js:43-68) — proximity-bias
+    * anchors, both 臺/台 spellings where the reference lists both. */
+  val countyCentroids: Seq[(String, Double, Double)] = Seq(
+    ("臺北市", 25.0375, 121.5637), ("台北市", 25.0375, 121.5637),
+    ("新北市", 25.012, 121.463), ("桃園市", 24.993, 121.301),
+    ("新竹市", 24.8047, 120.9714), ("新竹縣", 24.838, 121.007),
+    ("苗栗縣", 24.56, 120.82),
+    ("臺中市", 24.1477, 120.6736), ("台中市", 24.1477, 120.6736),
+    ("彰化縣", 24.08, 120.54), ("南投縣", 23.96, 120.97),
+    ("雲林縣", 23.708, 120.543), ("嘉義市", 23.48, 120.44),
+    ("嘉義縣", 23.46, 120.32),
+    ("臺南市", 22.9997, 120.227), ("台南市", 22.9997, 120.227),
+    ("高雄市", 22.627, 120.301), ("屏東縣", 22.676, 120.494),
+    ("宜蘭縣", 24.757, 121.754), ("花蓮縣", 23.976, 121.604),
+    ("臺東縣", 22.758, 121.144), ("台東縣", 22.758, 121.144),
+    ("澎湖縣", 23.565, 119.586), ("金門縣", 24.449, 118.37),
+    ("連江縣", 26.157, 119.95), ("基隆市", 25.128, 121.741))
+
+  /** the centroid table as a broadcastable dimension */
+  def centroidTable(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    countyCentroids.toDF("cc_county", "cc_lat", "cc_lng")
+  }
+
+  /** Post-resolve validation + proximity ranking — the relational form
+    * of countyMatches / getExpectedCounty / getProximity + the
+    * best-hit selection in resolveOneRow (geocode.js:297-314, 471-515).
+    *
+    * Expected county = the explicit `countyCol` field when non-blank,
+    * else the county parsed from the normalized address (the field
+    * takes priority, geocode.js:298-301). A hit is valid when any
+    * component column or the formatted string contains the expected
+    * county in either 臺/台 spelling — or trivially when no county is
+    * known. Hits are then ranked (valid first, then squared
+    * lat/lng-degree distance to the county centroid, then `seqCol`)
+    * and the best hit per row wins.
+    *
+    * Deviation (documented): the reference sends `proximity` to the
+    * geocode API, whose server-side bias is opaque; the relational
+    * form ranks by squared degree-space distance to the centroid —
+    * monotonic at county scale and exactly reproducible (no
+    * transcendental libm calls, so any two engines agree bitwise).
+    * Rows with no centroid rank all hits at distance 999999.
+    *
+    * Plan shape: centroid table broadcast, hits shuffled once on the
+    * row id for the arg-min aggregation — no window over a skewed
+    * key, map-side combinable. */
+  def validateAndRank(rows: DataFrame, idCol: String, addrCol: String,
+                      countyCol: Option[String],
+                      hits: DataFrame, hitIdCol: String, seqCol: String,
+                      componentCols: Seq[String], formattedCol: String,
+                      latCol: String, lngCol: String): DataFrame = {
+    val fieldCounty = countyCol.map(c => trim(col(c))).getOrElse(lit(""))
+    val parsed = Norm.parseCounty(Norm.foldTai(Norm.stripSpaces(
+      Norm.stripPostal(Norm.stripParens(col(addrCol))))))
+    val expected = rows.select(col(idCol),
+      when(fieldCounty =!= "", fieldCounty).otherwise(parsed).as("expected_county"))
+    val withCentroid = expected
+      .join(broadcast(centroidTable(rows.sparkSession)),
+        col("expected_county") === col("cc_county"), "left")
+      .select(col(idCol), col("expected_county"), col("cc_lat"), col("cc_lng"))
+
+    val text = concat_ws("|",
+      (componentCols :+ formattedCol).map(hits(_)): _*)
+    val exp = col("expected_county")
+    val ok = exp === "" || text.contains(exp) ||
+      text.contains(regexp_replace(exp, lit("臺"), lit("台"))) ||
+      text.contains(regexp_replace(exp, lit("台"), lit("臺")))
+    val d2 = when(col("cc_lat").isNotNull,
+        (hits(latCol) - col("cc_lat")) * (hits(latCol) - col("cc_lat")) +
+        (hits(lngCol) - col("cc_lng")) * (hits(lngCol) - col("cc_lng")))
+      .otherwise(lit(999999.0))
+
+    hits.join(withCentroid, hits(hitIdCol) === withCentroid(idCol))
+      .select(withCentroid(idCol), col("expected_county"),
+        (!ok).as("_bad"), d2.as("_d2"), hits(seqCol).as("_seq"),
+        hits(latCol).as("_lat"), hits(lngCol).as("_lng"))
+      .groupBy(col(idCol), col("expected_county"))
+      .agg(min(struct(col("_bad"), col("_d2"), col("_seq"),
+        col("_lat"), col("_lng"))).as("best"))
+      .select(col(idCol), col("expected_county"),
+        (!col("best._bad")).as("county_ok"), col("best._d2").as("dist2"),
+        col("best._seq").as("best_seq"),
+        col("best._lat").as("lat"), col("best._lng").as("lng"))
+  }
+
+  /** Street-centroid fallback candidates
+    * (buildStreetCentroidCandidates, geocode.js:410-425): last road
+    * token of the house-number-free address, combined with
+    * county/district/org prefixes, clamped, ordered longest-first
+    * (the reference's length-desc sort at geocode.js:424).
+    * Canonical 臺 form only, like [[expand]]. */
+  def streetCentroidCandidates(df: DataFrame, idCol: String, addrCol: String,
+                               orgCol: Option[String] = None): DataFrame = {
+    val pre = Norm.stripCountry(Norm.foldTai(Norm.stripSpaces(
+      Norm.stripPostal(Norm.stripParens(col(addrCol))))))
+    val s1 = df.select(col(idCol),
+      orgCol.map(col).getOrElse(lit("")).as("_org"), pre.as("_pre"))
+    val noHouse = regexp_replace(Norm.trimToHouseNo(col("_pre")),
+      lit("\\d+(?:-\\d+)?號.*$"), lit(""))
+    val s2 = s1.select(col(idCol), col("_org"),
+      Norm.parseCounty(col("_pre")).as("_cty"),
+      Norm.parseDistrict(col("_pre")).as("_dst"),
+      when(noHouse =!= "", noHouse).otherwise(col("_pre")).as("_base"))
+    // last ...大道|道|路|街 token (extractLastRoadToken, geocode.js:230-238)
+    val tokenPat = "[^\\d、，；;（）()\\s]+?(?:大道|道|路|街)"
+    val road = element_at(
+      regexp_extract_all(col("_base"), lit(s"($tokenPat)"), lit(1)), -1)
+    val s3 = s2.select(col(idCol), col("_org"), col("_cty"), col("_dst"),
+        road.as("_road"))
+      .filter(col("_road").isNotNull && col("_road") =!= "")
+    val cty = col("_cty"); val dst = col("_dst"); val orgc = col("_org")
+    val r = col("_road")
+    val entries: Seq[(Column, Column)] = Seq(
+      concat(cty, dst, r) -> (cty =!= "" || dst =!= ""),
+      concat(cty, r)      -> (cty =!= ""),
+      concat(dst, r)      -> (dst =!= ""),
+      r                   -> lit(true),
+      concat(orgc, cty, dst, r) -> (orgc =!= "" && (cty =!= "" || dst =!= "")),
+      concat(orgc, cty, r) -> (orgc =!= "" && cty =!= ""),
+      concat(orgc, dst, r) -> (orgc =!= "" && dst =!= ""),
+      concat(orgc, r)      -> (orgc =!= ""))
+    val structs = entries.zipWithIndex.map { case ((q, cond), i) =>
+      when(cond, struct(Norm.clampQuery(q).as("q"), lit(i).as("i")))
+    }
+    s3.select(col(idCol),
+        explode(filter(array(structs: _*), e => e.isNotNull)).as("_c"))
+      .groupBy(col(idCol), col("_c.q").as("candidate"))
+      .agg(min(col("_c.i")).cast("int").as("tie"))
+      // reference orders candidates longest-first (geocode.js:424);
+      // insertion index breaks length ties deterministically
+      .select(col(idCol), col("candidate"),
+        row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(length(col("candidate")).desc, col("tie"))).as("try_order"))
   }
 }

@@ -243,4 +243,41 @@ object RefDemos {
         "c_custkey", "addr", orgCol = Some("org"))
       .orderBy("c_custkey", "rank")
   }
+
+  /** A15b — post-resolve county validation + proximity ranking
+    * (countyMatches / getExpectedCounty / resolveOneRow best-hit,
+    * geocode.js:297-314, 471-515): three synthetic hits per row — the
+    * address's own county, a wrong county, and the expected county in
+    * the opposite 臺/台 spelling — ranked by validity then squared
+    * centroid distance. */
+  def geocodeValidate(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val ctyAddr = when(k % 5 === 0, lit("台北市")).when(k % 5 === 1, lit("臺中市"))
+      .when(k % 5 === 2, lit("高雄市")).when(k % 5 === 3, lit("新竹市"))
+      .otherwise(lit(""))
+    val rows = Tables.customer(spark, dir).select(k,
+      concat(ctyAddr, lit("大安區中山北路"), (k % 150 + 1).cast("string"), lit("號")).as("addr"),
+      when(k % 6 === 0, lit("臺南市")).otherwise(lit("")).as("county_field"))
+    val alt = when(k % 6 === 0, lit("台南市安平區"))
+      .when(k % 5 === 0, lit("台北市信義區")).when(k % 5 === 1, lit("台中市北區"))
+      .when(k % 5 === 2, lit("高雄市左營區")).when(k % 5 === 3, lit("新竹市東區"))
+      .otherwise(lit(""))
+    val base = Tables.customer(spark, dir).select(k.as("hit_id"),
+      (lit(22.0) + (k % 70).cast("double") * lit(0.1)).as("lat0"),
+      (lit(118.0) + ((k * 7) % 50).cast("double") * lit(0.1)).as("lng0"),
+      ctyAddr.as("cty0"), alt.as("alt"))
+    val h0 = base.select(col("hit_id"), lit(0).as("seq"),
+      concat(col("cty0"), lit("大安區中山北路")).as("formatted"),
+      col("cty0").as("comp_city"), col("lat0").as("lat"), col("lng0").as("lng"))
+    val h1 = base.select(col("hit_id"), lit(1).as("seq"),
+      lit("基隆市中正區").as("formatted"), lit("基隆市").as("comp_city"),
+      (col("lat0") + lit(0.3)).as("lat"), (col("lng0") - lit(0.2)).as("lng"))
+    val h2 = base.select(col("hit_id"), lit(2).as("seq"),
+      col("alt").as("formatted"), lit("").as("comp_city"),
+      (col("lat0") - lit(0.4)).as("lat"), (col("lng0") + lit(0.25)).as("lng"))
+    Geocode.validateAndRank(rows, "c_custkey", "addr", Some("county_field"),
+        h0.unionByName(h1).unionByName(h2), "hit_id", "seq",
+        Seq("comp_city"), "formatted", "lat", "lng")
+      .orderBy("c_custkey")
+  }
 }

@@ -336,6 +336,71 @@ object OracleGen {
        |GROUP BY c_custkey, candidate ORDER BY c_custkey, rank""".stripMargin
   }
 
+  /** Mirror of RefDemos.geocodeValidate: county containment with 臺/台
+    * tolerance + squared-degree centroid distance, best hit via
+    * row_number over (bad, d2, seq) — identical ordering to the Spark
+    * side's min(struct). Distance arithmetic uses the same expression
+    * shape so doubles agree bitwise. */
+  def geocodeValidateSql(): String = {
+    val centroids = graft.operators.Geocode.countyCentroids
+      .map { case (c, la, ln) => s"('$c', $la, $ln)" }.mkString(",\n    ")
+    val cty = "CASE WHEN c_custkey % 5 = 0 THEN '台北市' WHEN c_custkey % 5 = 1 THEN '臺中市' " +
+      "WHEN c_custkey % 5 = 2 THEN '高雄市' WHEN c_custkey % 5 = 3 THEN '新竹市' ELSE '' END"
+    val alt = "CASE WHEN c_custkey % 6 = 0 THEN '台南市安平區' " +
+      "WHEN c_custkey % 5 = 0 THEN '台北市信義區' WHEN c_custkey % 5 = 1 THEN '台中市北區' " +
+      "WHEN c_custkey % 5 = 2 THEN '高雄市左營區' WHEN c_custkey % 5 = 3 THEN '新竹市東區' ELSE '' END"
+    // full normalize chain mirror (no-ops on this synth data, kept for fidelity)
+    val norm = "regexp_replace(regexp_replace(regexp_replace(regexp_replace(addr, " +
+      "'（[^）]*）|\\([^)]*\\)', '', 'g'), '^\\s*\\d{3,5}[-\\s]?', ''), " +
+      "'\\s+', '', 'g'), '台', '臺', 'g')"
+    val contains = (n: String) => s"contains(comp_city || '|' || formatted, $n)"
+    s"""WITH cent(cc_county, cc_lat, cc_lng) AS (VALUES
+       |    $centroids
+       |), r AS (
+       |  SELECT c_custkey,
+       |    $cty || '大安區中山北路' || CAST(c_custkey % 150 + 1 AS VARCHAR) || '號' AS addr,
+       |    CASE WHEN c_custkey % 6 = 0 THEN '臺南市' ELSE '' END AS county_field
+       |  FROM customer
+       |), e AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN trim(county_field) <> '' THEN trim(county_field)
+       |         ELSE regexp_extract($norm, '^([一-龥]{2,3}[縣市])([一-龥]{1,3}[區鄉鎮市])?', 1)
+       |    END AS expected_county
+       |  FROM r
+       |), ec AS (
+       |  SELECT e.c_custkey, e.expected_county, cent.cc_lat, cent.cc_lng
+       |  FROM e LEFT JOIN cent ON e.expected_county = cent.cc_county
+       |), base AS (
+       |  SELECT c_custkey AS hit_id,
+       |    22.0 + CAST(c_custkey % 70 AS DOUBLE) * 0.1 AS lat0,
+       |    118.0 + CAST((c_custkey * 7) % 50 AS DOUBLE) * 0.1 AS lng0,
+       |    $cty AS cty0, $alt AS alt
+       |  FROM customer
+       |), h AS (
+       |  SELECT hit_id, 0 AS seq, cty0 || '大安區中山北路' AS formatted, cty0 AS comp_city,
+       |         lat0 AS lat, lng0 AS lng FROM base
+       |  UNION ALL
+       |  SELECT hit_id, 1, '基隆市中正區', '基隆市', lat0 + 0.3, lng0 - 0.2 FROM base
+       |  UNION ALL
+       |  SELECT hit_id, 2, alt, '', lat0 - 0.4, lng0 + 0.25 FROM base
+       |), j AS (
+       |  SELECT ec.c_custkey, ec.expected_county,
+       |    NOT (expected_county = '' OR ${contains("expected_county")}
+       |         OR ${contains("replace(expected_county, '臺', '台')")}
+       |         OR ${contains("replace(expected_county, '台', '臺')")}) AS bad,
+       |    CASE WHEN cc_lat IS NOT NULL
+       |         THEN (lat - cc_lat) * (lat - cc_lat) + (lng - cc_lng) * (lng - cc_lng)
+       |         ELSE 999999.0 END AS d2,
+       |    seq, lat, lng
+       |  FROM h JOIN ec ON h.hit_id = ec.c_custkey
+       |), w AS (
+       |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY bad, d2, seq) AS rn FROM j
+       |)
+       |SELECT c_custkey, expected_county, NOT bad AS county_ok, d2 AS dist2,
+       |       CAST(seq AS INT) AS best_seq, lat, lng
+       |FROM w WHERE rn = 1 ORDER BY c_custkey""".stripMargin
+  }
+
   /** mirror of TextDemos.embedNearDup (8 planes, threshold 0.2) */
   def embedNearDupSql(nPlanes: Int = 8, dim: Int = 64, threshold: Double = 0.2): String = {
     val planes = Vec.hyperplanes(nPlanes, dim)

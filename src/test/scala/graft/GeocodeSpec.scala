@@ -61,6 +61,50 @@ class GeocodeSpec extends SparkSpec {
       || cands.exists(_._2.startsWith("仁心診所臺北市臺北市")))
   }
 
+  test("A15b validateAndRank: county containment 臺/台-tolerant, centroid-distance rank") {
+    val rows = Seq(
+      (1L, "台北市大安區和平東路1號", ""),      // expected from address: 臺北市
+      (2L, "高雄市左營區博愛路2號", "臺南市"),  // field overrides address
+      (3L, "中山北路3號", "")                    // no county anywhere -> all hits valid
+    ).toDF("id", "addr", "county")
+    val hits = Seq(
+      // id 1: wrong county near centroid vs right county far away -> validity wins
+      (1L, 0, "基隆市中正區", "基隆市", 25.04, 121.56),
+      (1L, 1, "台北市大安區", "台北市", 24.00, 121.00),
+      // id 1: right county, nearer -> beats hit 1 on distance
+      (1L, 2, "臺北市中山區", "臺北市", 25.10, 121.50),
+      // id 2: 台-spelling of the expected 臺南市 still matches
+      (2L, 0, "台南市安平區", "", 23.00, 120.20),
+      (2L, 1, "高雄市左營區", "高雄市", 22.63, 120.30),
+      // id 3: no expected county -> both valid, distance 999999 tie -> seq wins
+      (3L, 0, "嘉義市東區", "", 23.48, 120.45),
+      (3L, 1, "花蓮縣吉安鄉", "", 23.97, 121.60)
+    ).toDF("hit_id", "seq", "formatted", "comp_city", "lat", "lng")
+    val out = Geocode.validateAndRank(rows, "id", "addr", Some("county"),
+        hits, "hit_id", "seq", Seq("comp_city"), "formatted", "lat", "lng")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getBoolean(2), r.getInt(4))).toMap
+    assert(out(1L) == (("臺北市", true, 2)))  // valid + nearest valid
+    assert(out(2L) == (("臺南市", true, 0)))  // tai-tolerant containment
+    assert(out(3L) == (("", true, 0)))        // no county: trivially valid, seq tie-break
+  }
+
+  test("A15b street-centroid candidates: last road token, longest-first order") {
+    val df = Seq((1L, "台北市大安區和平東路12巷45號"),
+                 (2L, "和平東路12巷45號")).toDF("id", "addr")
+    val out = Geocode.streetCentroidCandidates(df, "id", "addr").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(2)).map(_.getString(1)).toSeq).toMap
+    // reference-faithful quirk: the lazy road-token regex swallows the
+    // region prefix (no delimiter separates 區 from the road), so the
+    // county+district+road candidate doubles the region — exactly what
+    // buildStreetCentroidCandidates produces (geocode.js:230-238, 415)
+    assert(out(1L).head == "臺北市大安區臺北市大安區和平東路")
+    assert(out(1L).contains("臺北市大安區和平東路")) // the bare "road" slot
+    assert(out(2L) == Seq("和平東路"))               // no region: single candidate
+    assert(out(1L).sortBy(-_.length) == out(1L))     // length-desc order
+  }
+
   test("A15 resolver picks the best-ranked cache hit; misses stay null") {
     val rows = Seq(
       (1L, "台北市和平東路5巷9號"),   // only degraded road-only form is cached
