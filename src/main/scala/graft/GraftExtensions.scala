@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[graft.expressions.CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => graft.expressions.CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[graft.expressions.BoundedTopK].getName, "graft_topk"),
+      (children: Seq[Expression]) => graft.expressions.BoundedTopK(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.optimizer.FuseCosine)
     ext.injectPlannerStrategy(_ => graft.plans.BroadcastAsofStrategy)
   }

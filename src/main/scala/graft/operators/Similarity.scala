@@ -19,18 +19,30 @@ import graft.functions.Vec
   */
 object Similarity {
 
+  /** Bounded top-k of a scored stream, per query — the scale-safe
+    * (sim desc, id asc) ranking: per-partition bounded heaps reduce
+    * map-side (graft.expressions.BoundedTopK), the shuffle carries at
+    * most k entries per (partition, query), and the final merge is
+    * k·partitions rows — no task ever absorbs a query's full scored
+    * stream the way Window.partitionBy(query) ranking does. */
+  private def topK(scored: DataFrame, k: Int, queryId: String,
+                   candId: String): DataFrame =
+    scored
+      .groupBy(col(queryId))
+      .agg(call_function("graft_topk",
+        struct(col("sim"), col(candId).cast("long")), lit(k)).as("top"))
+      .select(col(queryId), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(queryId), col("t.id").as(candId), col("t.sim").as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
+
   /** exact cosine top-k: `queries`(id, vec) × `corpus`(id, vec). */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 queryId: String = "query_id", queryVec: String = "qv",
                 candId: String = "cand_id", candVec: String = "cv"): DataFrame = {
-    val sim = Vec.cosineFast(col(queryVec), col(candVec))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(candId))
-    broadcast(queries)
+    val scored = broadcast(queries)
       .crossJoin(corpus)
-      .withColumn("sim", sim)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(candId), col("sim"), col("rank"))
+      .withColumn("sim", Vec.cosineFast(col(queryVec), col(candVec)))
+    topK(scored, k, queryId, candId)
   }
 
   /** LSH-bucketed approximate top-k with multi-probe (probe every
@@ -54,12 +66,9 @@ object Similarity {
       queries.withColumn("bucket0", Vec.lshBucket(col(queryVec), planes))
         .withColumn("bucket", explode(transform(probes, f => col("bucket0").bitwiseXOR(f))))
         .drop("bucket0"))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(candId))
-    qB.join(cB, "bucket")
+    val scored = qB.join(cB, "bucket")
       .withColumn("sim", Vec.cosineFast(col(queryVec), col(candVec)))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(candId), col("sim"), col("rank"))
+    topK(scored, k, queryId, candId)
   }
 
   /** IVF centroids, relationally: explode vector components, decimal-

@@ -60,6 +60,39 @@ class TextVecSpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("C5 bounded top-k aggregate matches the window formulation bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = vecs.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val agg = Similarity.bruteTopK(queries, corpus, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
+    val win = broadcast(queries).crossJoin(corpus)
+      .withColumn("sim", Vec.cosineFast(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(agg == win)
+  }
+
+  test("C5 top-k plan reduces map-side: partial graft_topk before the shuffle, no Window") {
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = vecs.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val plan = Similarity.bruteTopK(queries, corpus, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"),
+      s"expected map-side partial graft_topk in plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"scored stream must not flow through a per-query Window:\n$plan")
+  }
+
   test("C6 LSH top-k recall against brute force is reasonable") {
     val brute = TextDemos.embedCosineTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
