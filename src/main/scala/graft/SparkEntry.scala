@@ -219,6 +219,18 @@ object SparkEntry {
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // sketch outputs are engine-specific; the comparable surface is the
+    // exact values + in-bound booleans (TRUE here — a drifting sketch
+    // makes the Spark side emit false and hash-mismatch)
+    "approx_sketches" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_partkey) AS exact_parts,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+        |       COUNT(*) AS n_rows,
+        |       TRUE AS parts_within_bound,
+        |       TRUE AS p50_within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "asof_join_broadcast" -> oracleSqlAsof,
 
     "asof_join" -> oracleSqlAsof,

@@ -183,15 +183,28 @@ object Analytics {
       .orderBy(col("l_returnflag"))
 
   /** B18: sketch aggregates — HLL distinct + approximate quantiles.
-    * Not oracle-expressible (sketch internals differ per engine); the
-    * spec bounds relative error against the exact answers. */
+    * Sketch internals differ per engine, so the oracle-comparable
+    * surface is: the exact answers plus booleans asserting the sketch
+    * stays within its error bound (HLL default rsd 5% → 15% = 3σ;
+    * approx_percentile accuracy 1000 → 5% on value for these
+    * distributions). DuckDB emits the same exact values with literal
+    * TRUE bounds — a sketch drifting out of bounds hash-mismatches
+    * the row and fails the gate. */
   def approxSketches(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"),
+        approx_count_distinct(col("l_partkey")).as("_approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("_approx_p50"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_p50"),
+        col("n_rows"),
+        (abs(col("_approx_parts") - col("exact_parts")) /
+          col("exact_parts") <= 0.15).as("parts_within_bound"),
+        (abs(col("_approx_p50") - col("exact_p50")) /
+          col("exact_p50") <= 0.05).as("p50_within_bound"))
       .orderBy(col("l_returnflag"))
 
   /** B14: as-of join — each error event picks up the value of the same
