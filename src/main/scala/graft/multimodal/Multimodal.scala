@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * sample, feature extract) run batched inside `mapPartitions` so heavy
   * native libraries initialize once per partition, not once per row.
   *
-  * The decode kernels themselves are STUBBED with deterministic fakes
-  * (`fakeDecode`, `fakeFrames`) — the real image/audio libs are not in
-  * this environment. The Spark-side contract — schema, batching shape,
-  * partition-level kernel lifecycle, column plumbing — is real and
-  * tested; swap the kernel body to go live.
+  * The IMAGE path decodes for real: `javax.imageio.ImageIO` (JDK
+  * built-in, no external libs) decodes PNG/JPEG pixels and
+  * [[extractFeatures]] computes genuine pixel statistics. Audio/video
+  * kernels remain deterministic stubs ([[sampleFrames]]) — no codec
+  * ships with the JDK for those; the partition lifecycle and schema
+  * are the production shape either way.
   */
 object Multimodal {
 
@@ -50,15 +51,22 @@ object Multimodal {
         // walk JPEG segments to the first SOF0..SOF15 (minus DHT/DAC/RST)
         var i = 2
         var out: ImageDims = null
-        while (out == null && i + 9 < b.length) {
+        while (out == null && i + 1 < b.length) {
           if (u8(i) != 0xFF) { out = ImageDims(r.media_id, "unknown", -1, -1) }
           else {
-            val marker = u8(i + 1)
-            val len = be16(i + 2)
-            if (marker >= 0xC0 && marker <= 0xCF &&
-                marker != 0xC4 && marker != 0xC8 && marker != 0xCC)
+            // consume 0xFF fill bytes: the marker is the first non-FF
+            while (i + 1 < b.length && u8(i + 1) == 0xFF) i += 1
+            val marker = if (i + 1 < b.length) u8(i + 1) else -1
+            if (marker < 0) {
+              out = ImageDims(r.media_id, "unknown", -1, -1)
+            } else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD9)) {
+              i += 2 // TEM / RSTn / SOI / EOI carry no length field
+            } else if (i + 9 >= b.length) {
+              out = ImageDims(r.media_id, "unknown", -1, -1)
+            } else if (marker >= 0xC0 && marker <= 0xCF &&
+                marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
               out = ImageDims(r.media_id, "jpeg", be16(i + 7), be16(i + 5))
-            else i += 2 + len
+            } else i += 2 + be16(i + 2)
           }
         }
         if (out != null) out else ImageDims(r.media_id, "unknown", -1, -1)
@@ -67,17 +75,55 @@ object Multimodal {
     }
   }
 
-  /** STUB decode+feature kernel: deterministic bytes->feature vector.
-    * Replace the body of `kernel` with a real decoder; the partition
-    * lifecycle (init once, stream rows, close) is the production shape. */
+  /** Decode+feature kernel. Images (PNG/JPEG — anything the JDK's
+    * ImageIO reads) decode for REAL and yield pixel statistics:
+    * [w/4096, h/4096, meanR, meanG, meanB, meanGray, varGray, aspect]
+    * cycled to `dim` entries (channel means in [0,1]). Non-image bytes
+    * (audio/video stubs, corrupt data) fall back to the deterministic
+    * rolling-hash fake so the pipeline shape stays total. */
   def extractFeatures(ds: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // per-partition init happens here (e.g. load codec / model once)
+      // per-partition init: ImageIO scans its plugin registry once here,
+      // the same slot a native codec or model load would occupy
+      javax.imageio.ImageIO.setUseCache(false)
       val kernel: Array[Byte] => Array[Float] = { bytes =>
-        // ??? real decode; deterministic fake: rolling-hash-seeded floats
-        val h = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-        Array.tabulate(dim)(i => (((h >>> (i * 7)) & 0xFFFF).toFloat / 65535.0f))
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var sy = 0.0; var sy2 = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+              sr += r; sg += g; sb += b
+              val gray = (r + g + b) / 765.0
+              sy += gray; sy2 += gray * gray
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          val meanGray = sy / n
+          val base = Array(
+            w / 4096.0f, h / 4096.0f,
+            (sr.toDouble / (255.0 * n)).toFloat,
+            (sg.toDouble / (255.0 * n)).toFloat,
+            (sb.toDouble / (255.0 * n)).toFloat,
+            meanGray.toFloat,
+            (sy2 / n - meanGray * meanGray).toFloat,
+            (w.toDouble / h).toFloat)
+          Array.tabulate(dim)(i => base(i % base.length))
+        } else {
+          // deterministic fake for non-image media (see scaladoc)
+          val hsh = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+          Array.tabulate(dim)(i => (((hsh >>> (i * 7)) & 0xFFFF).toFloat / 65535.0f))
+        }
       }
       it.map(r => MediaFeatures(r.media_id, kernel(r.media)))
     }

@@ -52,6 +52,41 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).detected == "unknown" && out(3).detected == "unknown")
   }
 
+  test("C12 real ImageIO decode: pixel statistics of a known PNG are exact") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ds = Seq(MediaRow(1L, bos.toByteArray, "png")).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head.features
+    // PNG is lossless: each channel is lit in exactly 2 of 4 pixels
+    assert(math.abs(f(2) - 0.5f) < 1e-6, s"meanR ${f(2)}")
+    assert(math.abs(f(3) - 0.5f) < 1e-6, s"meanG ${f(3)}")
+    assert(math.abs(f(4) - 0.5f) < 1e-6, s"meanB ${f(4)}")
+    assert(math.abs(f(0) - 2f / 4096f) < 1e-9 && math.abs(f(7) - 1.0f) < 1e-9)
+    // gray means: (1/3, 1/3, 1/3, 1) -> mean 0.5, var 0.5²·... > 0
+    assert(math.abs(f(5) - 0.5f) < 1e-6 && f(6) > 0f)
+  }
+
+  test("C12 JPEG walker skips 0xFF fill bytes and length-less TEM/RST markers") {
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    val FF = 0xFF.toByte
+    val jpeg = Array[Byte](FF, 0xD8.toByte) ++
+      Array[Byte](FF, 0x01) ++                       // TEM: no length field
+      Array[Byte](FF, 0xD3.toByte) ++                // RST3: no length field
+      Array[Byte](FF, FF, FF, 0xE0.toByte) ++ be16(4) ++ Array[Byte](9, 9) ++ // fill bytes then APP0
+      Array[Byte](FF, 0xC0.toByte) ++ be16(11) ++ Array[Byte](8) ++
+      be16(240) ++ be16(320) ++ Array[Byte](3, 0, 0, 0)
+    val out = Multimodal.imageDimensions(Seq(MediaRow(1, jpeg, "jpg")).toDS()).collect().head
+    assert(out == Multimodal.ImageDims(1, "jpeg", 320, 240))
+    // truncated after fill bytes: clean "unknown", not a bogus parse
+    val trunc = Array[Byte](FF, 0xD8.toByte, FF, FF, FF)
+    val out2 = Multimodal.imageDimensions(Seq(MediaRow(2, trunc, "jpg")).toDS()).collect().head
+    assert(out2.detected == "unknown")
+  }
+
   test("C12 feature table joins metadata with features") {
     val t = Multimodal.featureTable(rows())
     assert(t.count() == 3)
