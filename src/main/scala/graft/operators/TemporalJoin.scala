@@ -40,9 +40,12 @@ object TemporalJoin {
         payload.map(col) ++
         Seq(col(rightTime).as("_t"), lit(0).as("_side"))): _*)
     // right rows sort before left rows at equal time: an exactly-
-    // simultaneous right row is visible to the left row (ASOF >= tie rule)
+    // simultaneous right row is visible to the left row (ASOF >= tie
+    // rule). Payload columns are the final orderBy keys so duplicate
+    // (key, time) right rows carry a deterministic winner — the
+    // greatest payload tuple — matching asofBroadcast's index sort.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t") +: col("_side") +: payload.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.map(c =>
       last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w).as(c))

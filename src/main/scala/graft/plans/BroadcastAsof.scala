@@ -63,31 +63,87 @@ case class BroadcastAsofJoinExec(
 
   // no required child distribution: the whole point is no shuffle
 
+  /** resolve `name` in `out`, failing clearly on missing or ambiguous
+    * columns instead of the silent -1 of a bare indexWhere */
+  private def resolve(out: Seq[Attribute], name: String, side: String): Int = {
+    val idx = out.indexWhere(_.name == name)
+    require(idx >= 0,
+      s"BroadcastAsofJoin: column '$name' not found on the $side side " +
+        s"(available: ${out.map(_.name).mkString(", ")})")
+    require(out.lastIndexWhere(_.name == name) == idx,
+      s"BroadcastAsofJoin: column '$name' is ambiguous on the $side side")
+    idx
+  }
+
+  private def requireLongBacked(out: Seq[Attribute], idx: Int, role: String): Unit = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val dt = out(idx).dataType
+    require(dt == LongType || dt == TimestampType || dt == TimestampNTZType,
+      s"BroadcastAsofJoin: $role must be bigint or timestamp " +
+        s"(long-backed), got ${dt.simpleString} for '${out(idx).name}'")
+  }
+
+  // lexicographic comparison of payload tuples (nulls first) — the
+  // deterministic tie-breaker for duplicate (key, time) right rows,
+  // mirroring asofLastBefore's payload-extended window orderBy
+  private def comparePayload(a: Array[Any], b: Array[Any]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i)
+      val c =
+        if (x == null && y == null) 0
+        else if (x == null) -1
+        else if (y == null) 1
+        else x.asInstanceOf[Comparable[Any]].compareTo(y)
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val rOut = right.output
-    val rKeyIdx = keyCols.map(k => rOut.indexWhere(_.name == k))
-    val rTimeIdx = rOut.indexWhere(_.name == rightTime)
-    val rPayIdx = payload.map(p => rOut.indexWhere(_.name == p))
+    val rKeyIdx = keyCols.map(resolve(rOut, _, "right"))
+    val rTimeIdx = resolve(rOut, rightTime, "right")
+    val rPayIdx = payload.map(resolve(rOut, _, "right"))
+    requireLongBacked(rOut, rTimeIdx, "rightTime")
     val rKeyTypes = rKeyIdx.map(rOut(_).dataType)
     val rPayTypes = rPayIdx.map(rOut(_).dataType)
 
-    // build key -> time-sorted (time, payload values) on the driver
-    val collected = right.executeCollect()
-    val index: Map[Seq[Any], Array[(Long, Array[Any])]] = collected
+    // driver-side build is the broadcast pattern — but only for a
+    // dimension-sized right side; fail fast with a clear message
+    // instead of an OOM when misused
+    val maxRows = session.conf
+      .get("spark.graft.asof.broadcastMaxRows", "5000000").toLong
+    val collected = right.executeTake((maxRows + 1).min(Int.MaxValue).toInt)
+    require(collected.length <= maxRows,
+      s"BroadcastAsofJoin: right side exceeds " +
+        s"spark.graft.asof.broadcastMaxRows=$maxRows rows — it is not " +
+        s"dimension-sized; use TemporalJoin.asofLastBefore (shuffled) instead")
+
+    // key -> (time, payload-tuple)-sorted entries; null-time right rows
+    // are excluded (a null timestamp is never "the latest prior value")
+    val index: Map[Seq[Any], Array[(Long, Array[Any])]] = collected.iterator
+      .filterNot(_.isNullAt(rTimeIdx))
       .map { row =>
         val key = rKeyIdx.zip(rKeyTypes).map { case (i, t) => row.get(i, t) }.toSeq
         val t = row.getLong(rTimeIdx)
         val pay = rPayIdx.zip(rPayTypes).map { case (i, dt) => row.get(i, dt) }.toArray
         (key, t, pay)
-      }
+      }.toArray
       .groupBy(_._1)
-      .map { case (k, rows) => k -> rows.map(r => (r._2, r._3)).sortBy(_._1) }
+      .map { case (k, rows) =>
+        k -> rows.map(r => (r._2, r._3)).sortWith { (p, q) =>
+          p._1 < q._1 || (p._1 == q._1 && comparePayload(p._2, q._2) < 0)
+        }
+      }
     val bc = session.sparkContext.broadcast(index)
 
     val lOut = left.output
-    val lKeyIdx = keyCols.map(k => lOut.indexWhere(_.name == k))
+    val lKeyIdx = keyCols.map(resolve(lOut, _, "left"))
     val lKeyTypes = lKeyIdx.map(lOut(_).dataType)
-    val lTimeIdx = lOut.indexWhere(_.name == leftTime)
+    val lTimeIdx = resolve(lOut, leftTime, "left")
+    requireLongBacked(lOut, lTimeIdx, "leftTime")
     val nPay = payload.size
 
     left.execute().mapPartitions({ it =>
@@ -95,17 +151,20 @@ case class BroadcastAsofJoinExec(
       val nullPay = new GenericInternalRow(nPay)
       val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
       it.map { lrow =>
-        val key = lKeyIdx.zip(lKeyTypes).map { case (i, t) => lrow.get(i, t) }.toSeq
-        val t = lrow.getLong(lTimeIdx)
-        val arr = bc.value.getOrElse(key, null)
-        val payRow = if (arr == null) nullPay else {
-          // binary search: last entry with time <= t
-          var lo = 0; var hi = arr.length - 1; var ans = -1
-          while (lo <= hi) {
-            val mid = (lo + hi) >>> 1
-            if (arr(mid)._1 <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        // a null left time has no "prior" instant: null payload
+        val payRow = if (lrow.isNullAt(lTimeIdx)) nullPay else {
+          val key = lKeyIdx.zip(lKeyTypes).map { case (i, t) => lrow.get(i, t) }.toSeq
+          val t = lrow.getLong(lTimeIdx)
+          val arr = bc.value.getOrElse(key, null)
+          if (arr == null) nullPay else {
+            // binary search: last entry with time <= t
+            var lo = 0; var hi = arr.length - 1; var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (arr(mid)._1 <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (ans < 0) nullPay else new GenericInternalRow(arr(ans)._2)
           }
-          if (ans < 0) nullPay else new GenericInternalRow(arr(ans)._2)
         }
         proj(joined(lrow, payRow))
       }

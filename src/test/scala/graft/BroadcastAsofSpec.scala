@@ -46,4 +46,63 @@ class BroadcastAsofSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.isNullAt(3)).toMap
     assert(out == Map(10L -> true, 20L -> true))
   }
+
+  test("oversized right side fails fast with a clear message, not an OOM") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("k", "lid", "t")
+    val right = (1L to 20L).map(i => (1L, i, i.toDouble)).toDF("k", "rt", "pv")
+    spark.conf.set("spark.graft.asof.broadcastMaxRows", "10")
+    try {
+      val e = intercept[Exception] {
+        TemporalJoin.asofBroadcast(left, right, Seq("k"), "t", "rt", Seq("pv")).collect()
+      }
+      assert(e.getMessage.contains("broadcastMaxRows"),
+        s"expected the size-guard message, got: ${e.getMessage}")
+    } finally spark.conf.unset("spark.graft.asof.broadcastMaxRows")
+  }
+
+  test("null times: right rows excluded from the index, left rows get null payload") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, Some(100L)), (1L, 11L, None))
+      .toDF("k", "lid", "t")
+    val right = Seq((1L, Some(50L), 1.0), (1L, None, 99.0))
+      .toDF("k", "rt", "pv")
+    val out = TemporalJoin.asofBroadcast(left, right, Seq("k"), "t", "rt", Seq("pv"))
+      .collect().map(r => r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(10L) == Some(1.0))  // the null-time 99.0 row never joins as t=epoch
+    assert(out(11L) == None)       // null left time: no prior instant
+  }
+
+  test("missing / ambiguous columns and non-long time types fail with clear errors") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("k", "lid", "t")
+    val right = Seq((1L, 50L, 1.0)).toDF("k", "rt", "pv")
+    val e1 = intercept[Exception] {
+      TemporalJoin.asofBroadcast(left, right, Seq("k"), "t", "nope", Seq("pv")).collect()
+    }
+    assert(e1.getMessage.contains("not found"))
+    val dupRight = right.select(col("k"), col("rt"), col("pv"), col("pv"))
+    val e2 = intercept[Exception] {
+      TemporalJoin.asofBroadcast(left, dupRight, Seq("k"), "t", "rt", Seq("pv")).collect()
+    }
+    assert(e2.getMessage.contains("ambiguous"))
+    val strTime = Seq((1L, "2024-01-01", 1.0)).toDF("k", "rt", "pv")
+    val e3 = intercept[Exception] {
+      TemporalJoin.asofBroadcast(left, strTime, Seq("k"), "t", "rt", Seq("pv")).collect()
+    }
+    assert(e3.getMessage.contains("long-backed"))
+  }
+
+  test("duplicate (key, time) right rows: both as-of forms pick the same deterministic winner") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("k", "lid", "t")
+    // three simultaneous right rows — greatest payload tuple must win
+    val right = Seq((1L, 100L, 2.0), (1L, 100L, 7.0), (1L, 100L, 5.0))
+      .toDF("k", "rt", "pv").repartition(3)
+    val win = TemporalJoin.asofLastBefore(left, right, Seq("k"), "t", "rt", Seq("pv"))
+      .collect().head.getDouble(3)
+    val bc = TemporalJoin.asofBroadcast(left, right, Seq("k"), "t", "rt", Seq("pv"))
+      .collect().head.getDouble(3)
+    assert(win == 7.0 && bc == 7.0)
+  }
 }
