@@ -41,6 +41,7 @@ object SparkEntry {
     "addr_normalize"       -> (RefDemos.addrNormalize(_, _)),
     "zh_numeral_arabic"    -> (RefDemos.zhNumeralArabic(_, _)),
     "validate_constraints" -> (RefDemos.validateConstraints(_, _)),
+    "schema_validate"      -> (RefDemos.schemaValidate(_, _)),
     "check_total"          -> (RefDemos.checkTotal(_, _)),
     "dedup_exact_docs"     -> (RefDemos.dedupExactDocs(_, _)),
     "geocode_candidates"   -> (RefDemos.geocodeCandidates(_, _)),
@@ -390,6 +391,43 @@ object SparkEntry {
         |  SELECT 'returnflag_enum', CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
         |  UNION ALL
         |  SELECT 'shipdate_null', CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |) ORDER BY rule""".stripMargin,
+
+    // mirrors the rules SchemaRules.compile derives from
+    // RefDemos.clinicSchemaJson over the same synthesized clinic rows
+    "schema_validate" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 <> 0 THEN '臺北市' END AS county,
+        |    CASE WHEN c_custkey % 23 <> 0 THEN 'org' || CAST(c_custkey % 50 AS VARCHAR) END AS org_name,
+        |    'addr' || CAST(c_custkey AS VARCHAR) AS address,
+        |    CASE WHEN c_custkey % 17 = 0 THEN -2 ELSE CAST(c_custkey % 9 AS INT) END AS this_week,
+        |    CASE WHEN c_custkey % 29 <> 0 THEN
+        |      CASE WHEN c_custkey % 13 = 0 THEN -1 ELSE CAST(c_custkey % 5 AS INT) END END AS in_4_weeks,
+        |    c_custkey % 2 = 0 AS has_quota,
+        |    CASE WHEN c_custkey % 19 = 0 THEN 'manual'
+        |         WHEN c_custkey % 7 = 0 THEN NULL
+        |         WHEN c_custkey % 3 = 0 THEN 'opencage'
+        |         WHEN c_custkey % 3 = 1 THEN 'nominatim'
+        |         ELSE 'centroid' END AS source
+        |  FROM customer
+        |)
+        |SELECT * FROM (
+        |  SELECT 'address_required' AS rule, CAST(SUM(CASE WHEN address IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM c
+        |  UNION ALL
+        |  SELECT 'county_required', CAST(SUM(CASE WHEN county IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 'has_quota_required', CAST(SUM(CASE WHEN has_quota IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 'in_4_weeks_minimum', CAST(SUM(CASE WHEN in_4_weeks IS NOT NULL AND in_4_weeks < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 'in_4_weeks_required', CAST(SUM(CASE WHEN in_4_weeks IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 'org_name_required', CAST(SUM(CASE WHEN org_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 'source_enum', CAST(SUM(CASE WHEN source IS NOT NULL AND source NOT IN ('opencage','nominatim','centroid') THEN 1 ELSE 0 END) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 'this_week_minimum', CAST(SUM(CASE WHEN this_week IS NOT NULL AND this_week < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
         |) ORDER BY rule""".stripMargin,
 
     "check_total" ->

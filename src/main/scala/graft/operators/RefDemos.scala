@@ -152,6 +152,50 @@ object RefDemos {
       "shipdate_null"     -> col("l_shipdate").isNull,
       "quantity_over_40"  -> (col("l_quantity") > 40)))
 
+  /** Clinic-schema subset driving the schema-compiled validation demo —
+    * the flat fields of schema.clinic.json's Clinic definition plus an
+    * enum, as one literal document. */
+  val clinicSchemaJson: String =
+    """{
+      |  "type": "object",
+      |  "required": ["county", "org_name", "address", "in_4_weeks", "has_quota"],
+      |  "properties": {
+      |    "county":     { "type": "string" },
+      |    "org_name":   { "type": ["string", "null"] },
+      |    "address":    { "type": ["string", "null"] },
+      |    "this_week":  { "type": "integer", "minimum": 0 },
+      |    "in_4_weeks": { "type": "integer", "minimum": 0 },
+      |    "has_quota":  { "type": "boolean" },
+      |    "lat":        { "type": ["number", "null"] },
+      |    "source":     { "type": ["string", "null"],
+      |                    "enum": ["opencage", "nominatim", "centroid", null] }
+      |  },
+      |  "additionalProperties": false
+      |}""".stripMargin
+
+  /** A10b — the ajv gate driven by the schema document itself:
+    * SchemaRules compiles schema.clinic.json-shaped JSON into
+    * constraintReport rules, so a schema change needs no code change. */
+  def schemaValidate(spark: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val clinics = Tables.customer(spark, dir).select(
+      when(k % 11 =!= 0, lit("臺北市")).as("county"),
+      when(k % 23 =!= 0, concat(lit("org"), (k % 50).cast("string"))).as("org_name"),
+      concat(lit("addr"), k.cast("string")).as("address"),
+      (when(k % 17 === 0, -2).otherwise((k % 9).cast("int"))).cast("int").as("this_week"),
+      when(k % 29 =!= 0,
+        when(k % 13 === 0, -1).otherwise((k % 5).cast("int")).cast("int")).as("in_4_weeks"),
+      (k % 2 === 0).as("has_quota"),
+      when(k % 3 =!= 0, lit(23.5) + (k % 100).cast("double") * lit(0.01)).as("lat"),
+      when(k % 19 === 0, lit("manual"))
+        .when(k % 7 === 0, lit(null).cast("string"))
+        .when(k % 3 === 0, lit("opencage")).when(k % 3 === 1, lit("nominatim"))
+        .otherwise(lit("centroid")).as("source"))
+    val mismatches = SchemaRules.validateTypes(clinicSchemaJson, clinics.schema)
+    require(mismatches.isEmpty, s"schema/type mismatches: ${mismatches.mkString("; ")}")
+    Validate.constraintReport(clinics, SchemaRules.compile(clinicSchemaJson))
+  }
+
   /** A11 — check-total.js: declared vs actual counts per group. */
   def checkTotal(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
