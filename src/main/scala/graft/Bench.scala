@@ -20,8 +20,9 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val all = SparkEntry.queries ++ SparkEntry.benchExtras
     if (warmup) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      all.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         graft.util.CacheRegistry.releaseAll()
       }
@@ -29,7 +30,7 @@ object Bench {
     }
     // Right(seconds) on success, Left(exception class) on failure — a broken
     // query must surface as "error", never bench as a fast success.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = all.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val r = try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
               catch { case e: Throwable => Left(e.getClass.getSimpleName) }

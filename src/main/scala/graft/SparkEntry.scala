@@ -67,6 +67,13 @@ object SparkEntry {
     "pii_scrub"            -> (TextDemos.piiScrub(_, _)),
   )
 
+  /** Bench-only paths: production configurations whose hash functions
+    * have no DuckDB counterpart (so no oracle row), benchmarked
+    * alongside their oracle-portable twins. */
+  def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_prod" -> (TextDemos.dedupMinhashProd(_, _)),
+  )
+
   // Shared SQL fragments for the oracle (DuckDB) side. The cast discipline
   // mirrors graft.functions.Agg: decimal-exact sums cast to double.
   private def dsum(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE)"

@@ -134,17 +134,22 @@ object Geocode {
       concat(col("_org"), col("_hs.x")) -> hasOrg,
       col("_hs.z")                  -> lit(true),
       concat(col("_org"), col("_hs.z")) -> hasOrg)
+    // clamp + looksLike evaluate INSIDE the emission lambda — one site
+    // per candidate. Aliasing the clamped string and filtering later
+    // lets CollapseProject inline the clamp tree into every consumer
+    // (both gate contains-chains + the output), ballooning the
+    // generated method past JIT limits and into interpreted execution:
+    // measured 5× slower on the million-candidate stream.
     val entries = slots.zipWithIndex.map { case ((q, cond), slot) =>
-      when(cond, struct(q.as("q"), lit(slot).as("slot")))
+      when(cond, struct(Norm.clampQuery(q).as("q"), lit(slot).as("slot")))
     }
     val perSeg = lit(hNames.length * SlotsPerH)
     s8.select(col(idCol), col("_segi"), col("_hi"),
-        explode(filter(array(entries: _*), e => e.isNotNull)).as("_c"))
-      .select(col(idCol),
-        Norm.clampQuery(col("_c.q")).as("candidate"),
+        explode(filter(array(entries: _*),
+          e => e.isNotNull && Norm.looksLikeAddress(e.getField("q")))).as("_c"))
+      .select(col(idCol), col("_c.q").as("candidate"),
         (col("_segi") * perSeg + col("_hi") * lit(SlotsPerH) + col("_c.slot"))
           .as("_rank"))
-      .filter(Norm.looksLikeAddress(col("candidate")))
       .groupBy(col(idCol), col("candidate"))
       .agg(min(col("_rank")).cast("int").as("rank"))
   }

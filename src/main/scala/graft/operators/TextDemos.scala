@@ -56,6 +56,15 @@ object TextDemos {
         tokenHash = graft.functions.Vec.md5Hash60, hashBandKeys = false)
       .orderBy("id_a", "id_b")
 
+  /** C2 at production settings — xxhash64 tokens + hashed band keys
+    * (Dedup.minhashLsh defaults). Bench-only: xxhash64 has no DuckDB
+    * counterpart, so this path is benchmarked, not oracled; the
+    * md5-60 demo above proves the algorithm. */
+  def dedupMinhashProd(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(spark, dir), "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, minEstSim = 0.25)
+      .orderBy("id_a", "id_b")
+
   /** C3 — SimHash near-dup pairs (hamming <= 16 on 60 verifiable bits). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
