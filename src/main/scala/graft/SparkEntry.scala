@@ -43,6 +43,7 @@ object SparkEntry {
     "validate_constraints" -> (RefDemos.validateConstraints(_, _)),
     "schema_validate"      -> (RefDemos.schemaValidate(_, _)),
     "check_total"          -> (RefDemos.checkTotal(_, _)),
+    "check_total_fix"      -> (RefDemos.checkTotalFix(_, _)),
     "dedup_exact_docs"     -> (RefDemos.dedupExactDocs(_, _)),
     "geocode_candidates"   -> (RefDemos.geocodeCandidates(_, _)),
     "geocode_validate"     -> (RefDemos.geocodeValidate(_, _)),
@@ -436,6 +437,23 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'this_week_minimum', CAST(SUM(CASE WHEN this_week IS NOT NULL AND this_week < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
         |) ORDER BY rule""".stripMargin,
+
+    "check_total_fix" ->
+      """WITH d AS (
+        |  SELECT o_custkey,
+        |         COUNT(*) OVER (PARTITION BY o_custkey)
+        |           + CASE WHEN o_custkey % 7 = 0 THEN 1 ELSE 0 END AS declared_total,
+        |         COUNT(*) OVER (PARTITION BY o_custkey) AS actual
+        |  FROM orders
+        |), f AS (
+        |  SELECT CASE WHEN declared_total IS NULL OR declared_total <> actual
+        |              THEN actual ELSE declared_total END AS fixed_total,
+        |         (declared_total IS NULL OR declared_total <> actual) AS was_fixed
+        |  FROM d
+        |)
+        |SELECT was_fixed, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(fixed_total) AS BIGINT) AS sum_total
+        |FROM f GROUP BY was_fixed ORDER BY was_fixed""".stripMargin,
 
     "check_total" ->
       """WITH d AS (

@@ -205,6 +205,19 @@ object RefDemos {
     Validate.checkTotals(df, "o_custkey", "declared_total")
   }
 
+  /** A11b — check-total.js --fix: declared totals rewritten to the
+    * recount, summarized by whether a fix was applied. */
+  def checkTotalFix(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+    val df = Tables.orders(spark, dir)
+      .withColumn("declared_total",
+        count(lit(1)).over(w) + when(col("o_custkey") % 7 === 0, 1L).otherwise(0L))
+    Validate.fixTotals(df, "o_custkey", "declared_total")
+      .groupBy(col("was_fixed"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("declared_total")).as("sum_total"))
+      .orderBy(col("was_fixed"))
+  }
+
   /** C1 — exact text dedup via hash groupBy on documents. */
   def dedupExactDocs(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactByHash(Tables.documents(spark, dir), "doc_id", "text")

@@ -32,4 +32,21 @@ object Validate {
       .filter(col("actual_total") =!= col("declared_total"))
       .withColumn("diff", col("declared_total") - col("actual_total"))
       .orderBy(col(groupCol))
+
+  /** check-total.js `--fix` mode (scripts/check-total.js:29-85): rewrite
+    * the declared total to the recount wherever they disagree (or where
+    * no total was declared), instead of only reporting. Returns the
+    * frame with `declaredCol` corrected and a `was_fixed` audit flag —
+    * the relational form of the reference's rewrite-the-JSON-file fix.
+    * One shuffle on the group key; the recount broadcasts back via the
+    * window, so no second pass over the data. */
+  def fixTotals(df: DataFrame, groupCol: String, declaredCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn("_actual", count(lit(1)).over(w))
+      .withColumn("was_fixed",
+        col(declaredCol).isNull || col(declaredCol) =!= col("_actual"))
+      .withColumn(declaredCol,
+        when(col("was_fixed"), col("_actual")).otherwise(col(declaredCol)))
+      .drop("_actual")
+  }
 }

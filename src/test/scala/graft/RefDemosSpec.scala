@@ -71,6 +71,23 @@ class RefDemosSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("diff") == 1L))
   }
 
+  test("A11b fix-totals rewrites bad/missing declared totals, leaves good ones") {
+    import spark.implicits._
+    import graft.operators.Validate
+    val df = Seq(
+      (1L, Some(2L)), (1L, Some(2L)),   // declared correct (2 rows)
+      (2L, Some(9L)),                    // declared wrong
+      (3L, None)                         // no declared total
+    ).toDF("k", "declared")
+    val out = Validate.fixTotals(df, "k", "declared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.filter(_._1 == 1L).forall { case (_, d, f) => d == 2L && !f })
+    assert(out.filter(_._1 == 2L).forall { case (_, d, f) => d == 1L && f })
+    assert(out.filter(_._1 == 3L).forall { case (_, d, f) => d == 1L && f })
+    val fixedAgg = RefDemos.checkTotalFix(spark, sfDir).collect()
+    assert(fixedAgg.map(_.getBoolean(0)).toSet == Set(true, false))
+  }
+
   test("C1 exact dedup groups identical texts under one hash") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
     val out = Dedup.exactByHash(df, "doc_id", "text").collect()
