@@ -66,6 +66,8 @@ object SparkEntry {
     "repetition_score"     -> (TextDemos.repetitionScore(_, _)),
     "hash_split"           -> (TextDemos.hashSplit(_, _)),
     "pii_scrub"            -> (TextDemos.piiScrub(_, _)),
+    "contamination_check"  -> (TextDemos.contaminationCheck(_, _)),
+    "sequence_pack"        -> (TextDemos.sequencePack(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -221,24 +223,42 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
-    "percentiles" ->
-      """SELECT l_returnflag,
-        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
-        |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95_price,
-        |       COUNT(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // percentiles via the shared relational interpolation mirror —
+    // bit-identical to Spark at every SF (quantile_cont differs by
+    // 1 ulp, flipping round() at .xx5 boundaries)
+    "percentiles" -> {
+      val p = graft.oracle.OracleGen.interpolatedPercentilesSql(
+        "lineitem", "l_returnflag", "l_extendedprice",
+        Seq("p50_price" -> 0.5, "p95_price" -> 0.95))
+      s"""WITH p AS (
+         |$p
+         |), c AS (
+         |  SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY l_returnflag
+         |)
+         |SELECT l_returnflag,
+         |       FLOOR(p50_price * 100 + CAST(0.5 AS DOUBLE)) / 100 AS p50_price,
+         |       FLOOR(p95_price * 100 + CAST(0.5 AS DOUBLE)) / 100 AS p95_price, n_rows
+         |FROM p JOIN c USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
+    },
 
     // sketch outputs are engine-specific; the comparable surface is the
     // exact values + in-bound booleans (TRUE here — a drifting sketch
     // makes the Spark side emit false and hash-mismatch)
-    "approx_sketches" ->
-      """SELECT l_returnflag,
-        |       COUNT(DISTINCT l_partkey) AS exact_parts,
-        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
-        |       COUNT(*) AS n_rows,
-        |       TRUE AS parts_within_bound,
-        |       TRUE AS p50_within_bound
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "approx_sketches" -> {
+      val p = graft.oracle.OracleGen.interpolatedPercentilesSql(
+        "lineitem", "l_returnflag", "l_extendedprice", Seq("_p50_raw" -> 0.5))
+      s"""WITH p AS (
+         |$p
+         |), g AS (
+         |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+         |         COUNT(*) AS n_rows
+         |  FROM lineitem GROUP BY l_returnflag
+         |)
+         |SELECT l_returnflag, exact_parts,
+         |       FLOOR(_p50_raw * 100 + CAST(0.5 AS DOUBLE)) / 100 AS exact_p50,
+         |       n_rows, TRUE AS parts_within_bound, TRUE AS p50_within_bound
+         |FROM p JOIN g USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
+    },
 
     "asof_join_broadcast" -> oracleSqlAsof,
 
@@ -564,6 +584,8 @@ object SparkEntry {
     },
 
     "geocode_candidates" -> graft.oracle.OracleGen.geocodeCandidatesSql(),
+    "contamination_check" -> graft.oracle.OracleGen.contaminationCheckSql(),
+    "sequence_pack"      -> graft.oracle.OracleGen.sequencePackSql(),
     "geocode_validate"   -> graft.oracle.OracleGen.geocodeValidateSql(),
 
     "ref_pipeline_e2e" ->

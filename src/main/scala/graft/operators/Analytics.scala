@@ -171,16 +171,23 @@ object Analytics {
         col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
       .orderBy(col("o_orderpriority"))
 
-  /** B17: exact percentiles per group (rounded to absorb the engines'
-    * different interpolation expression forms). */
-  def percentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95_price"),
-        count(lit(1)).as("n_rows"))
+  /** B17: exact percentiles per group, via the relational interpolation
+    * (Agg.interpolatedPercentiles) — bit-identical across engines at
+    * every scale factor, unlike the built-in aggregates whose fp op
+    * order differs by 1 ulp and flips round() at .xx5 boundaries. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pct = graft.functions.Agg.interpolatedPercentiles(li,
+      "l_returnflag", "l_extendedprice",
+      Seq("p50_price" -> 0.5, "p95_price" -> 0.95))
+    val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+    pct.join(counts, "l_returnflag")
+      .select(col("l_returnflag"),
+        graft.functions.Agg.round2(col("p50_price")).as("p50_price"),
+        graft.functions.Agg.round2(col("p95_price")).as("p95_price"),
+        col("n_rows"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** B18: sketch aggregates — HLL distinct + approximate quantiles.
     * Sketch internals differ per engine, so the oracle-comparable
@@ -190,15 +197,18 @@ object Analytics {
     * distributions). DuckDB emits the same exact values with literal
     * TRUE bounds — a sketch drifting out of bounds hash-mismatches
     * the row and fails the gate. */
-  def approxSketches(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
+  def approxSketches(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p50 = graft.functions.Agg.interpolatedPercentiles(li,
+      "l_returnflag", "l_extendedprice", Seq("_p50_raw" -> 0.5))
+    li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("_approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("_approx_p50"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("exact_p50"),
         count(lit(1)).as("n_rows"))
+      .join(p50, "l_returnflag")
+      .withColumn("exact_p50", graft.functions.Agg.round2(col("_p50_raw")))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_p50"),
         col("n_rows"),
         (abs(col("_approx_parts") - col("exact_parts")) /
@@ -206,6 +216,7 @@ object Analytics {
         (abs(col("_approx_p50") - col("exact_p50")) /
           col("exact_p50") <= 0.05).as("p50_within_bound"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** B14: as-of join — each error event picks up the value of the same
     * user's latest prior purchase (null if none). */

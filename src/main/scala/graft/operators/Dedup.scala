@@ -144,6 +144,42 @@ object Dedup {
     labels.select(col("id").as(idCol), col("label").as("cluster"))
   }
 
+  /** Benchmark-contamination check: per corpus document, the fraction
+    * of its distinct n-gram shingles that also occur anywhere in a
+    * benchmark/eval document set (the train-test-overlap scan every
+    * LLM data pipeline runs before training).
+    *
+    * Relational shape: both sides reduce to distinct shingle hashes
+    * (the shuffle carries 8-byte hashes, not text), the benchmark's
+    * distinct-hash set left-joins in (Catalyst broadcasts it when
+    * dimension-sized — eval benchmarks are), and a map-side-combinable
+    * count ratio per doc closes it. `tokenHash` defaults to xxhash64;
+    * pass Vec.md5Hash60 where an external engine must reproduce it. */
+  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, flagThreshold: Double = 0.2,
+                         tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    def hashes(df: DataFrame, keep: Boolean): DataFrame = {
+      val base = df.select(
+        (if (keep) Seq(col(idCol)) else Seq.empty) :+
+          explode(Text.shingles(col(textCol), shingleN)).as("_sh"): _*)
+      base.select((if (keep) Seq(col(idCol)) else Seq.empty) :+
+        tokenHash(col("_sh")).as("_h"): _*).distinct()
+    }
+    val corpusShingles = hashes(corpus, keep = true)
+    val benchShingles = hashes(benchmark, keep = false)
+      .withColumn("_hit", lit(1L))
+    corpusShingles
+      .join(benchShingles, Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          col("n_contaminated").cast("double") / col("n_shingles")).otherwise(0.0))
+      .withColumn("flagged", col("contamination") >= flagThreshold)
+  }
+
   /** exact word-n-gram Jaccard for a candidate pair set; `pairs` has
     * (id_a, id_b); texts joined in by id. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,

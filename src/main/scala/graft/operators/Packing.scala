@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training (SURVEY §2 C22).
+  *
+  * GPT-style pretraining concatenates tokenized documents in a
+  * deterministic order and slices the stream into fixed-capacity
+  * context windows ("chunks"); a document spans every chunk its token
+  * range overlaps. That concat-and-chunk layout is a pure function of
+  * the per-shard running token offset, so it is fully relational: a
+  * window cumsum gives each doc its [start, end) token span, and
+  * integer division by the capacity gives its first/last chunk.
+  *
+  * Scale shape: packing is per SHARD (training shards are independent
+  * by construction — compose with Sampling.hashSplit), so the cumsum
+  * window partitions by shard: bounded state per key, no global
+  * single-task window. Chunk ids are deterministic functions of
+  * (shard order, token counts) — invariant to partitioning and
+  * retries, the same discipline as hash_split.
+  */
+object Packing {
+
+  /** Assign each document its chunk span under concat-and-chunk
+    * packing with `capacity` tokens per chunk, packing independently
+    * within each `shardCol` group in ascending `orderCol` order.
+    *
+    * Output: input keys + token span (start_off) + first_chunk /
+    * last_chunk / n_chunks. Zero-token docs occupy no span: they
+    * report first_chunk = last_chunk = the chunk at their offset and
+    * n_chunks = 0. */
+  def sequencePack(df: DataFrame, shardCol: String, orderCol: String,
+                   tokensCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val endOff = sum(col(tokensCol)).over(w)
+    df.select(col(shardCol), col(orderCol), col(tokensCol).as("n_tokens"),
+        (endOff - col(tokensCol)).as("start_off"), endOff.as("_end"))
+      .select(col(shardCol), col(orderCol), col("n_tokens"), col("start_off"),
+        floor(col("start_off") / capacity).as("first_chunk"),
+        when(col("n_tokens") > 0, floor((col("_end") - 1) / capacity))
+          .otherwise(floor(col("start_off") / capacity)).as("last_chunk"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") > 0, col("last_chunk") - col("first_chunk") + 1)
+          .otherwise(lit(0L)))
+  }
+
+  /** Per-chunk occupancy summary: how many docs touch each chunk and
+    * how many of its `capacity` token slots are filled (the tail chunk
+    * of a shard may be partial). Explodes each doc onto the chunks it
+    * spans — bounded by n_tokens/capacity + 1 rows per doc. */
+  def chunkOccupancy(packed: DataFrame, shardCol: String,
+                     capacity: Int): DataFrame =
+    packed.filter(col("n_tokens") > 0)
+      .select(col(shardCol), col("n_tokens"), col("start_off"),
+        explode(sequence(col("first_chunk"), col("last_chunk"))).as("chunk"))
+      .withColumn("_chunk_start", col("chunk") * capacity)
+      .withColumn("_in_chunk",
+        least(col("start_off") + col("n_tokens"), col("_chunk_start") + capacity) -
+          greatest(col("start_off"), col("_chunk_start")))
+      .groupBy(col(shardCol), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_in_chunk")).as("tokens_filled"))
+}

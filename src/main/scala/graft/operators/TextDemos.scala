@@ -229,4 +229,27 @@ object TextDemos {
         "vec_id", "embedding", threshold = 0.2, nPlanes = 8, dim = 64)
       .withColumn("sim", round(col("sim"), 6))
       .orderBy("id_a", "id_b")
+
+  /** C21 — benchmark-contamination scan: every 20th document doubles
+    * as the "benchmark" set, so those docs read fully contaminated and
+    * everything else reports its true shingle overlap. md5-60 hashing
+    * for oracle parity (production default: xxhash64). */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contaminationCheck(docs, docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", shingleN = 3, flagThreshold = 0.2,
+        tokenHash = graft.functions.Vec.md5Hash60)
+      .orderBy("doc_id")
+  }
+
+  /** C22 — concat-and-chunk sequence packing into 2048-token context
+    * windows, independently per shard (doc_id % 4 stands in for the
+    * hash-split shard key). */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame =
+    Packing.sequencePack(
+        Tables.documents(spark, dir).select(col("doc_id"),
+          (col("doc_id") % 4).as("shard"),
+          Text.tokenCount(col("text")).as("toks")),
+        "shard", "doc_id", "toks", capacity = 2048)
+      .orderBy("shard", "doc_id")
 }

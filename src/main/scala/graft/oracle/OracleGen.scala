@@ -401,6 +401,83 @@ object OracleGen {
        |FROM w WHERE rn = 1 ORDER BY c_custkey""".stripMargin
   }
 
+  /** Mirror of Agg.interpolatedPercentiles: rank-window order
+    * statistics + the explicit lo + (hi - lo) * frac interpolation,
+    * same IEEE op order as the Spark side. Returns a SELECT producing
+    * (key, <name...>) with UNROUNDED doubles. */
+  def interpolatedPercentilesSql(src: String, key: String, value: String,
+                                 qs: Seq[(String, Double)]): String = {
+    // CAST(q AS DOUBLE): a bare 0.5 literal is DECIMAL in DuckDB and
+    // drags the whole interpolation into decimal arithmetic, diverging
+    // from the Spark side's double math
+    val parts = qs.map { case (nm, q) =>
+      val pos = s"((n - 1) * CAST($q AS DOUBLE))"
+      val li = s"CAST(FLOOR($pos) AS BIGINT)"
+      s"MAX(CASE WHEN rn = $li + 1 THEN v END) AS _lo_$nm,\n" +
+      s"    MAX(CASE WHEN rn = LEAST($li + 2, n) THEN v END) AS _hi_$nm,\n" +
+      s"    MAX(CASE WHEN rn = 1 THEN $pos - FLOOR($pos) END) AS _fr_$nm"
+    }.mkString(",\n    ")
+    val outs = qs.map { case (nm, _) =>
+      s"_lo_$nm + (_hi_$nm - _lo_$nm) * _fr_$nm AS $nm" }.mkString(", ")
+    s"""SELECT $key, $outs FROM (
+       |  SELECT $key,
+       |    $parts
+       |  FROM (
+       |    SELECT $key, CAST($value AS DOUBLE) AS v,
+       |      row_number() OVER (PARTITION BY $key ORDER BY CAST($value AS DOUBLE)) AS rn,
+       |      COUNT(*) OVER (PARTITION BY $key) AS n
+       |    FROM $src
+       |  ) GROUP BY $key
+       |)""".stripMargin
+  }
+
+  /** mirror of TextDemos.contaminationCheck: distinct 3-gram md5-60
+    * shingle hashes per doc, left join the benchmark's distinct hash
+    * set (doc_id % 20 = 0), overlap ratio + flag. */
+  def contaminationCheckSql(threshold: Double = 0.2): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t
+       |), ex AS (
+       |  SELECT DISTINCT doc_id, ${md560("tok")} AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS tok FROM s WHERE len(sh) > 0)
+       |), bm AS (
+       |  SELECT DISTINCT h FROM ex WHERE doc_id % 20 = 0
+       |), j AS (
+       |  SELECT ex.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(SUM(CASE WHEN bm.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+       |  FROM ex LEFT JOIN bm ON ex.h = bm.h GROUP BY ex.doc_id
+       |)
+       |SELECT doc_id, n_shingles, n_contaminated,
+       |  CASE WHEN n_shingles > 0 THEN CAST(n_contaminated AS DOUBLE) / n_shingles ELSE 0.0 END AS contamination,
+       |  (CASE WHEN n_shingles > 0 THEN CAST(n_contaminated AS DOUBLE) / n_shingles ELSE 0.0 END) >= $threshold AS flagged
+       |FROM j ORDER BY doc_id""".stripMargin
+
+  /** mirror of TextDemos.sequencePack (capacity 2048, shard = doc_id % 4) */
+  def sequencePackSql(capacity: Int = 2048): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % 4 AS shard,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), w AS (
+       |  SELECT shard, doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+       |  FROM d
+       |)
+       |SELECT shard, doc_id, n_tokens, e - n_tokens AS start_off,
+       |  CAST((e - n_tokens) // $capacity AS BIGINT) AS first_chunk,
+       |  CASE WHEN n_tokens > 0 THEN CAST((e - 1) // $capacity AS BIGINT)
+       |       ELSE CAST((e - n_tokens) // $capacity AS BIGINT) END AS last_chunk,
+       |  CASE WHEN n_tokens > 0
+       |       THEN CAST((e - 1) // $capacity - (e - n_tokens) // $capacity + 1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS n_chunks
+       |FROM w ORDER BY shard, doc_id""".stripMargin
+
   /** mirror of TextDemos.embedNearDup (8 planes, threshold 0.2) */
   def embedNearDupSql(nPlanes: Int = 8, dim: Int = 64, threshold: Double = 0.2): String = {
     val planes = Vec.hyperplanes(nPlanes, dim)
