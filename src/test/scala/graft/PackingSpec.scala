@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Packing}
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("C22 concat-and-chunk packing: spans, chunk ids, zero-token docs") {
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 950L), ("a", 3L, 0L), ("a", 4L, 2000L),
+      ("b", 1L, 1024L), ("b", 2L, 1024L)
+    ).toDF("shard", "doc_id", "toks")
+    val out = Packing.sequencePack(docs, "shard", "doc_id", "toks", capacity = 1024)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // shard a: offsets 0,100,1050,1050 — doc 2 spans the 0/1 boundary
+    assert(out(("a", 1L)) == ((0L, 0L, 0L, 1L)))
+    assert(out(("a", 2L)) == ((100L, 0L, 1L, 2L)))      // straddles chunks 0-1
+    assert(out(("a", 3L)) == ((1050L, 1L, 1L, 0L)))     // zero tokens: no span
+    assert(out(("a", 4L)) == ((1050L, 1L, 2L, 2L)))
+    // shard b: exact-capacity docs tile chunks 0 and 1
+    assert(out(("b", 1L)) == ((0L, 0L, 0L, 1L)))
+    assert(out(("b", 2L)) == ((1024L, 1L, 1L, 1L)))
+  }
+
+  test("C22 chunk occupancy conserves tokens and caps fill at capacity") {
+    val docs = Seq(("a", 1L, 700L), ("a", 2L, 700L), ("a", 3L, 700L))
+      .toDF("shard", "doc_id", "toks")
+    val packed = Packing.sequencePack(docs, "shard", "doc_id", "toks", capacity = 1024)
+    val occ = Packing.chunkOccupancy(packed, "shard", capacity = 1024)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(occ.values.map(_._2).sum == 2100L)            // all tokens placed
+    assert(occ.values.forall(_._2 <= 1024L))             // no chunk over capacity
+    assert(occ(0L) == ((2L, 1024L)) && occ(2L) == ((1L, 52L))) // tail partial
+  }
+
+  test("C21 contamination: benchmark members read 1.0, disjoint docs 0.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),     // dup of benchmark doc
+      (3L, "one two three four five six seven"),       // disjoint
+      (4L, "alpha beta gamma nine ten eleven twelve")  // partial overlap
+    ).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 1L)
+    val out = Dedup.contaminationCheck(docs, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(1L) == ((1.0, true)) && out(2L) == ((1.0, true)))
+    assert(out(3L) == ((0.0, false)))
+    assert(out(4L)._1 > 0.0 && out(4L)._1 < 1.0) // only 'alpha beta gamma' shared
+  }
+}
