@@ -86,4 +86,26 @@ object EventStream {
           }
       }
   }
+
+  /** D4: watermarked stream-stream interval join — each error event
+    * enriched with the same user's purchases from the preceding
+    * `windowMs` (the streaming twin of the batch as-of/range joins).
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time distance, so each side's buffered state is
+    * watermark-reclaimed — the only stream-stream join shape whose
+    * state stays bounded on an unbounded stream. */
+  def intervalJoin(errors: DataFrame, purchases: DataFrame,
+                   watermark: String = "30 minutes",
+                   windowMs: Long = 60L * 60 * 1000): DataFrame = {
+    val e = errors.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("ts").as("e_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    e.join(p,
+      col("user_id") === col("p_user") &&
+        col("p_ts") <= col("e_ts") &&
+        col("p_ts") >= col("e_ts") - expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
+      .select(col("user_id"), col("event_id"), col("e_ts"), col("p_ts"), col("p_value"))
+  }
 }

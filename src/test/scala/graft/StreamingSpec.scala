@@ -30,6 +30,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  case class UEv(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+
+  test("D4 stream-stream interval join: prior-hour purchases only, state bounded by watermark") {
+    implicit val ctx = spark.sqlContext
+    val errs = MemoryStream[UEv]
+    val purs = MemoryStream[UEv]
+    val q = EventStream.intervalJoin(errs.toDF(), purs.toDF(),
+        watermark = "30 minutes", windowMs = 60L * 60 * 1000)
+      .writeStream.format("memory").queryName("d4_join").outputMode("append").start()
+    try {
+      purs.addData(
+        UEv(1, 100, ts(10), 5.0),   // within the hour before the error
+        UEv(1, 101, ts(200), 9.0),  // AFTER the error: must not join
+        UEv(2, 102, ts(15), 7.0))   // other user
+      errs.addData(UEv(1, 900, ts(60), 0.0), UEv(3, 901, ts(60), 0.0))
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      purs.addData(UEv(9, 999, ts(600), 0.0))
+      errs.addData(UEv(9, 998, ts(600), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("d4_join").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+          r.getAs[Double]("p_value"))).toSet
+      assert(out.contains((1L, 900L, 5.0)))            // in-window purchase joined
+      assert(!out.exists(_._3 == 9.0))                 // future purchase excluded
+      assert(!out.exists(t => t._1 == 3L && t._2 == 901L)) // no-purchase user absent (inner join)
+    } finally q.stop()
+  }
+
   test("D3 stateful sessionization closes sessions on gap and emits once") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
