@@ -113,7 +113,13 @@ object Geocode {
              col(s"${h}z").as("z"), col(s"${h}r").as("r"))
     }
     val s8 = s7.select(col(idCol), col("_org"), col("_cty"), col("_dst"),
-      col("_segi"), posexplode(array(hStructs: _*)).as(Seq("_hi", "_hs")))
+        col("_segi"), (col("_h10") === col("_h00")).as("_nosec"),
+        posexplode(array(hStructs: _*)).as(Seq("_hi", "_hs")))
+      // without a 中文段 the Arabic-段 base equals the raw base, so the
+      // second hyphen-block (_hi >= 3) would re-emit byte-identical
+      // candidates at worse ranks — min-rank dedup discards them, so
+      // skipping the blocks is output-invariant and halves gate work
+      .filter(col("_hi") < 3 || !col("_nosec"))
 
     val hasOrg = col("_org") =!= ""
     val ro = col("_hs.r"); val hasRo = ro =!= ""
