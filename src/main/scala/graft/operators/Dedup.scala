@@ -130,14 +130,20 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val msgs = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label"))
-      val next = labels.unionByName(msgs)
-        .groupBy("id").agg(min(col("label")).as("label"))
+      // min over (own label ∪ neighbor labels) = least(own, min(msgs));
+      // carrying a change flag through the same pass means convergence
+      // detection is a scan of the checkpointed result, not an extra
+      // join+shuffle per round
+      val msgMin = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("label").as("_m"))
+        .groupBy("id").agg(min(col("_m")).as("_m"))
+      val next = labels.join(msgMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("_m"), col("label"))).as("label"),
+          (coalesce(col("_m"), col("label")) < col("label")).as("_chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "_old"), "id")
-        .filter(col("label") =!= col("_old")).count()
-      labels = next
+      changed = next.filter(col("_chg")).count()
+      labels = next.drop("_chg")
       i += 1
     }
     edges.unpersist()
