@@ -71,4 +71,44 @@ class PropertySpec extends SparkSpec {
       .count()
     assert(bad == 0L)
   }
+
+  test("clampQuery: identity iff encoded form fits, else a 120-char prefix") {
+    val gen = Gen.oneOf(
+      Gen.listOfN(40, Gen.oneOf('龍', '路', '5', 'a')).map(_.mkString),
+      Gen.listOfN(200, Gen.oneOf('龍', '街', '7', 'z')).map(_.mkString))
+    val strs = samples(gen, 30)
+    def encLen(s: String): Int = s.map { c =>
+      if (c.isLetterOrDigit && c < 128) 1 else c.toString.getBytes("UTF-8").length * 3
+    }.sum
+    val out = strs.toDF("s").select(col("s"), Norm.clampQuery(col("s")).as("c")).collect()
+    out.foreach { r =>
+      val (s, c) = (r.getString(0), r.getString(1))
+      if (encLen(s) <= 512) assert(c == s, s"should pass through: $s")
+      else assert(c == s.take(120), s"should truncate to 120 chars")
+    }
+  }
+
+  test("sectionArabic is idempotent and only touches 段 tokens") {
+    val zhs = Seq("一", "二", "三", "四", "五", "六", "七", "八", "九", "十")
+    val strs = (1 to 10).map(i => s"和平東路${zhs(i - 1)}段5巷") ++
+      Seq("中山北路2段", "光復路", "三重路33號")
+    val out = strs.toDF("s")
+      .select(col("s"), Norm.sectionArabic(col("s")).as("a"))
+      .select(col("s"), col("a"), Norm.sectionArabic(col("a")).as("aa")).collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(2), "idempotence")
+      assert(!r.getString(1).matches(".*[一二三四五六七八九十]段.*"), "no zh 段 left")
+      if (!r.getString(0).contains("段")) assert(r.getString(0) == r.getString(1))
+    }
+  }
+
+  test("round2 is exact half-up to 2 decimals for positive doubles") {
+    import graft.functions.Agg
+    val vals = Seq(52724.244999999995, 52724.245000000004, 1.005, 0.0, 2.675, 99.994999)
+    val out = vals.toDF("v").select(Agg.round2(col("v"))).collect().map(_.getDouble(0))
+    vals.zip(out).foreach { case (v, r) =>
+      val expect = math.floor(v * 100 + 0.5) / 100
+      assert(r == expect, s"$v -> $r, want $expect")
+    }
+  }
 }
