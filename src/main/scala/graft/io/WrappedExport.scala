@@ -47,4 +47,20 @@ object WrappedExport {
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/snapshots/$ts")
     df.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/current")
   }
+
+  /** downloadOrEmpty (gcs-io.js:10-21): read the previous snapshot,
+    * tolerating absence — the first run of an incremental pipeline has
+    * no prior state, and the carry-forward join (MergeOps
+    * .diffMergeCarry) must see an empty frame with the right schema
+    * rather than an AnalysisException. Uses the Hadoop FS API, so it
+    * works against any configured object store, not just local disk. */
+  def readSnapshotOrEmpty(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 }

@@ -42,6 +42,18 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/snapshots/20260101T000000Z").head.getInt(0) == 1)
   }
 
+  test("A12 readSnapshotOrEmpty: empty frame with schema on first run, data after") {
+    val base = tmp()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val empty = WrappedExport.readSnapshotOrEmpty(spark, s"$base/current", schema)
+    assert(empty.count() == 0 && empty.schema == schema)
+    WrappedExport.snapshot(Seq((7, "z")).toDF("id", "v"), base, "20260103T000000Z")
+    val loaded = WrappedExport.readSnapshotOrEmpty(spark, s"$base/current", schema)
+    assert(loaded.count() == 1 && loaded.head.getInt(0) == 7)
+  }
+
   test("A13 paged ingest unions page files with provenance") {
     val dir = tmp()
     Files.writeString(java.nio.file.Path.of(dir, "page_0001.json"),
