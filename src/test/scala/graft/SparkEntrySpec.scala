@@ -14,12 +14,18 @@ class SparkEntrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
   }
 
-  test("every declared query executes at sf0.001") {
-    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
-      try { fn(spark, sfDir).count(); None }
-      catch { case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
+  test("every declared query executes at sf0.001 (bench-only paths included)") {
+    val failures = (SparkEntry.queries ++ SparkEntry.benchExtras).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("bench-only names never shadow oracle-gated queries") {
+    val overlap = SparkEntry.benchExtras.keySet intersect SparkEntry.queries.keySet
+    assert(overlap.isEmpty, s"benchExtras shadowing queries: $overlap")
   }
 
   test("oracle coverage: every query has an oracle") {
