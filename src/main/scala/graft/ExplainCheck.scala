@@ -25,6 +25,11 @@ object ExplainCheck {
     check("merge_max_groups", RefDemos.mergeMaxGroups(spark, dir))
     check("minhash_lsh", TextDemos.dedupMinhashLsh(spark, dir))
     check("embed_cosine_topk", TextDemos.embedCosineTopk(spark, dir))
+    check("geocode_candidates", RefDemos.geocodeCandidates(spark, dir))
+    check("geocode_validate", RefDemos.geocodeValidate(spark, dir))
+    check("schema_validate", RefDemos.schemaValidate(spark, dir))
+    check("contamination", TextDemos.contaminationCheck(spark, dir))
+    check("sequence_pack", TextDemos.sequencePack(spark, dir))
     spark.stop()
   }
 }
