@@ -6,10 +6,11 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, RowOrdering, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
 
 /** Bounded top-k aggregate: keeps the k best (sim, id) pairs ordered by
   * (sim desc, id asc), with both the partial and the merged state
@@ -26,18 +27,22 @@ import org.apache.spark.sql.types._
   * per query. Same trick the repo's topkPerGroup demo documents, as a
   * reusable native aggregate.
   *
-  * Input: struct(sim double, id bigint); k is a literal int.
-  * Output: array<struct<sim double, id bigint>> best-first — explode
-  * with posexplode for (rank-1, entry) rows. Ordering matches the
-  * window formulation exactly (sim desc, id asc), so results are
-  * bit-identical to the previous plan shape.
+  * Input: struct(sim double, id T) for ANY orderable id type T
+  * (string doc ids, ints, dates, even structs) — the tie-break uses
+  * Catalyst's interpreted ordering for T, so results match a
+  * `Window.orderBy(sim desc, id asc)` formulation exactly. k must be
+  * an integer literal >= 1 (checked at analysis time). Entries with a
+  * null sim or null id are skipped (a null id cannot be ranked
+  * deterministically; a null sim has no rank position).
+  * Output: array<struct<sim double, id T>> best-first — explode with
+  * posexplode for (rank-1, entry) rows.
   */
 case class BoundedTopK(
     child: Expression,
     kExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Any)]] {
 
   private lazy val k: Int = kExpr match {
     case Literal(v: Int, IntegerType) => v
@@ -45,42 +50,50 @@ case class BoundedTopK(
       s"graft_topk: k must be an integer literal, got $other")
   }
 
+  private lazy val idField: StructField =
+    child.dataType.asInstanceOf[StructType].fields(1)
+  private lazy val idType: DataType = idField.dataType
+  private lazy val idOrdering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(idType)
+
   // head of the queue = the WORST kept entry (lowest sim, then largest
   // id), so bounded insertion is an O(log k) peek/replace
-  private object WorstFirst extends Ordering[(Double, Long)] {
-    override def compare(x: (Double, Long), y: (Double, Long)): Int = {
+  private object WorstFirst extends Ordering[(Double, Any)] {
+    override def compare(x: (Double, Any), y: (Double, Any)): Int = {
       val c = java.lang.Double.compare(y._1, x._1)
-      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+      if (c != 0) c else idOrdering.compare(x._2, y._2)
     }
   }
 
-  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
-    mutable.PriorityQueue.empty[(Double, Long)](WorstFirst)
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Any)] =
+    mutable.PriorityQueue.empty[(Double, Any)](WorstFirst)
 
-  private def insert(q: mutable.PriorityQueue[(Double, Long)],
-                     e: (Double, Long)): Unit = {
+  private def insert(q: mutable.PriorityQueue[(Double, Any)],
+                     e: (Double, Any)): Unit = {
     if (q.size < k) q.enqueue(e)
     else if (WorstFirst.compare(e, q.head) < 0) { q.dequeue(); q.enqueue(e) }
   }
 
-  override def update(q: mutable.PriorityQueue[(Double, Long)],
-                      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+  override def update(q: mutable.PriorityQueue[(Double, Any)],
+                      input: InternalRow): mutable.PriorityQueue[(Double, Any)] = {
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
       if (!row.isNullAt(0) && !row.isNullAt(1))
-        insert(q, (row.getDouble(0), row.getLong(1)))
+        // copy: the input row's buffers (UTF8String etc.) are reused
+        // across rows by the aggregate iterator
+        insert(q, (row.getDouble(0), InternalRow.copyValue(row.get(1, idType))))
     }
     q
   }
 
-  override def merge(q: mutable.PriorityQueue[(Double, Long)],
-                     other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+  override def merge(q: mutable.PriorityQueue[(Double, Any)],
+                     other: mutable.PriorityQueue[(Double, Any)]): mutable.PriorityQueue[(Double, Any)] = {
     other.foreach(insert(q, _))
     q
   }
 
-  override def eval(q: mutable.PriorityQueue[(Double, Long)]): Any = {
+  override def eval(q: mutable.PriorityQueue[(Double, Any)]): Any = {
     // under WorstFirst, "least" = best, so a plain sort is best-first
     val sorted = q.toArray.sorted(WorstFirst)
     new GenericArrayData(sorted.map { case (s, i) =>
@@ -88,32 +101,63 @@ case class BoundedTopK(
     }.asInstanceOf[Array[Any]])
   }
 
-  override def serialize(q: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + q.size * 16)
-    bb.putInt(q.size)
-    q.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+  // entries serialize as length-prefixed UnsafeRow(sim, id) images —
+  // works for any id type without a per-type encoder
+  @transient private lazy val entryProj =
+    UnsafeProjection.create(Array[DataType](DoubleType, idType))
+
+  override def serialize(q: mutable.PriorityQueue[(Double, Any)]): Array[Byte] = {
+    val rows = q.toArray.map { case (s, i) =>
+      entryProj(InternalRow(s, i)).copy()
+    }
+    val total = 4 + rows.map(4 + _.getSizeInBytes).sum
+    val bb = ByteBuffer.allocate(total)
+    bb.putInt(rows.length)
+    rows.foreach { r =>
+      bb.putInt(r.getSizeInBytes)
+      bb.put(r.getBytes)
+    }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Any)] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val q = createAggregationBuffer()
+    val row = new UnsafeRow(2)
+    var pos = 4
     var i = 0
-    while (i < n) { q.enqueue((bb.getDouble, bb.getLong)); i += 1 }
+    while (i < n) {
+      val size = bb.getInt(pos)
+      row.pointTo(bytes, Platform.BYTE_ARRAY_OFFSET + pos + 4, size)
+      q.enqueue((row.getDouble(0), InternalRow.copyValue(row.get(1, idType))))
+      pos += 4 + size
+      i += 1
+    }
     q
   }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StructType(Array(a, b))
-        if a.dataType == DoubleType && b.dataType == LongType =>
-      TypeCheckResult.TypeCheckSuccess
+    case StructType(Array(a, b)) if a.dataType == DoubleType =>
+      if (!RowOrdering.isOrderable(b.dataType))
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_topk: id type ${b.dataType.simpleString} is not orderable")
+      else kExpr match {
+        case Literal(v: Int, IntegerType) if v >= 1 =>
+          TypeCheckResult.TypeCheckSuccess
+        case Literal(v: Int, IntegerType) =>
+          TypeCheckResult.TypeCheckFailure(s"graft_topk: k must be >= 1, got $v")
+        case other =>
+          TypeCheckResult.TypeCheckFailure(
+            s"graft_topk: k must be an integer literal, got ${other.sql}")
+      }
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_topk expects struct<double, bigint>, got ${other.simpleString}")
+      s"graft_topk expects struct<double, <orderable>>, got ${other.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("sim", DoubleType), StructField("id", LongType))),
+    StructType(Seq(StructField("sim", DoubleType),
+      StructField("id", idType, idField.nullable))),
     containsNull = false)
 
   override def nullable: Boolean = false

@@ -123,9 +123,13 @@ object Norm {
 
   /** drop the 弄 component (alleyDegradeVariants, geocode.js:172-183).
     * TW addresses write the number BEFORE the unit (12巷3弄45號), so the
-    * component is `<n>弄`; the reference's suffix-form regex instead
-    * swallows the house number — intent (degrade alley detail, keep the
-    * house number) is preserved here, not the bug. */
+    * component is `<n>弄`; the reference's regexes instead match
+    * unit-before-digits (`弄3號`→`號`, swallowing the house number)
+    * with a separate house-number-restore fallback — on well-formed
+    * addresses they are no-ops, so the reference's emitted alley
+    * candidates can differ. Intent (degrade alley detail, keep the
+    * house number) is preserved here, not the bug; listed in
+    * [[graft.operators.Geocode.expand]]'s documented deviations. */
   def dropNong(c: Column): Column =
     regexp_replace(c, lit("\\d+(?:-\\d+)?弄"), lit(""))
 

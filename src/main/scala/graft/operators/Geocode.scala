@@ -48,7 +48,15 @@ object Geocode {
     * reference replaces every bare 及/和/與, which dismembers road
     * names like 和平東路/和緯路; candidates are emitted in canonical
     * 臺 form only (the reference emits the 臺/台 pair — derivable via
-    * Norm.foldTai and its inverse).
+    * Norm.foldTai and its inverse); the alley-degrade rungs
+    * (Norm.dropNong/dropXiang) match the number-BEFORE-unit component
+    * real TW addresses use (`12巷3弄45號` → drop `3弄`), where the
+    * reference's alleyDegradeVariants regexes (geocode.js:172-183)
+    * match unit-before-digits (`弄3號` → `號`) and then restore the
+    * house number via a separate fallback — on well-formed addresses
+    * the reference rungs are no-ops, so its emitted alley candidates
+    * can differ from ours (intent preserved: degrade alley detail,
+    * keep the house number).
     */
   def expand(df: DataFrame, idCol: String, addrCol: String,
              orgCol: Option[String] = None): DataFrame = {

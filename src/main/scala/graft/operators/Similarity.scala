@@ -24,13 +24,15 @@ object Similarity {
     * map-side (graft.expressions.BoundedTopK), the shuffle carries at
     * most k entries per (partition, query), and the final merge is
     * k·partitions rows — no task ever absorbs a query's full scored
-    * stream the way Window.partitionBy(query) ranking does. */
+    * stream the way Window.partitionBy(query) ranking does. The id
+    * column keeps its own type (BoundedTopK orders any orderable id
+    * via Catalyst's interpreted ordering — string doc ids included). */
   private def topK(scored: DataFrame, k: Int, queryId: String,
                    candId: String): DataFrame =
     scored
       .groupBy(col(queryId))
       .agg(call_function("graft_topk",
-        struct(col("sim"), col(candId).cast("long")), lit(k)).as("top"))
+        struct(col("sim"), col(candId)), lit(k)).as("top"))
       .select(col(queryId), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col(queryId), col("t.id").as(candId), col("t.sim").as("sim"),
         (col("pos") + 1).cast("long").as("rank"))

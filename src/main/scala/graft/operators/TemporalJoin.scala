@@ -30,29 +30,39 @@ object TemporalJoin {
                      keyCols: Seq[String], leftTime: String, rightTime: String,
                      payload: Seq[String]): DataFrame = {
     val leftOther = left.columns.toSeq.filterNot(keyCols.contains)
+    val payType = org.apache.spark.sql.types.StructType(
+      payload.map(c => right.schema(c).copy(nullable = true)))
+    // the whole payload tuple rides in ONE struct: right rows always
+    // carry a non-null struct (even when every field inside is null),
+    // so `last(..., ignoreNulls)` picks the winning right ROW and
+    // returns its fields as-is — a null payload value on the winning
+    // row stays null instead of back-filling from an older row
+    // (matching asofBroadcast, which returns the winning tuple).
     val leftTagged = left.select(
       (keyCols.map(col) ++ leftOther.map(col) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
-        Seq(col(leftTime).as("_t"), lit(1).as("_side"))): _*)
+        Seq(lit(null).cast(payType).as("_pay"),
+          col(leftTime).as("_t"), lit(1).as("_side"))): _*)
     val rightTagged = right.select(
       (keyCols.map(col) ++
         leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        payload.map(col) ++
-        Seq(col(rightTime).as("_t"), lit(0).as("_side"))): _*)
+        Seq(struct(payload.map(col): _*).as("_pay"),
+          col(rightTime).as("_t"), lit(0).as("_side"))): _*)
     // right rows sort before left rows at equal time: an exactly-
     // simultaneous right row is visible to the left row (ASOF >= tie
-    // rule). Payload columns are the final orderBy keys so duplicate
+    // rule). The payload struct is the final orderBy key so duplicate
     // (key, time) right rows carry a deterministic winner — the
-    // greatest payload tuple — matching asofBroadcast's index sort.
+    // greatest payload tuple (struct ordering = lexicographic by
+    // field, nulls first) — matching asofBroadcast's index sort.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t") +: col("_side") +: payload.map(col): _*)
+      .orderBy(col("_t"), col("_side"), col("_pay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.map(c =>
-      last(when(col("_side") === 0, col(c)), ignoreNulls = true).over(w).as(c))
+    val carried = last(col("_pay"), ignoreNulls = true).over(w)
+    val payCols = payload.map(c => col("_carried").getField(c).as(c))
     leftTagged.unionByName(rightTagged)
-      .select((keyCols.map(col) ++ leftOther.map(col) ++ carried :+ col("_side")): _*)
+      .select((keyCols.map(col) ++ leftOther.map(col) ++
+        Seq(carried.as("_carried"), col("_side"))): _*)
       .filter(col("_side") === 1)
-      .drop("_side")
+      .select((keyCols.map(col) ++ leftOther.map(col) ++ payCols): _*)
   }
 
   /** As-of join for a dimension-sized right side: zero shuffle of the

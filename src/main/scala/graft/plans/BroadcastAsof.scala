@@ -85,8 +85,11 @@ case class BroadcastAsofJoinExec(
 
   // lexicographic comparison of payload tuples (nulls first) — the
   // deterministic tie-breaker for duplicate (key, time) right rows,
-  // mirroring asofLastBefore's payload-extended window orderBy
-  private def comparePayload(a: Array[Any], b: Array[Any]): Int = {
+  // mirroring asofLastBefore's payload-struct window orderBy. Uses
+  // Catalyst's per-type interpreted ordering, so binary/array/struct
+  // payloads compare correctly (a Comparable cast would throw).
+  private def comparePayload(ords: Array[Ordering[Any]])(
+      a: Array[Any], b: Array[Any]): Int = {
     var i = 0
     while (i < a.length) {
       val x = a(i); val y = b(i)
@@ -94,7 +97,7 @@ case class BroadcastAsofJoinExec(
         if (x == null && y == null) 0
         else if (x == null) -1
         else if (y == null) 1
-        else x.asInstanceOf[Comparable[Any]].compareTo(y)
+        else ords(i).compare(x, y)
       if (c != 0) return c
       i += 1
     }
@@ -109,6 +112,15 @@ case class BroadcastAsofJoinExec(
     requireLongBacked(rOut, rTimeIdx, "rightTime")
     val rKeyTypes = rKeyIdx.map(rOut(_).dataType)
     val rPayTypes = rPayIdx.map(rOut(_).dataType)
+    rPayIdx.zip(rPayTypes).foreach { case (i, dt) =>
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt),
+        s"BroadcastAsofJoin: payload column '${rOut(i).name}' has " +
+          s"non-orderable type ${dt.simpleString} — it cannot serve as a " +
+          s"deterministic tie-breaker for duplicate (key, time) right rows")
+    }
+    val payOrds: Array[Ordering[Any]] = rPayTypes.map(
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering).toArray
+    val cmpPay = comparePayload(payOrds) _
 
     // driver-side build is the broadcast pattern — but only for a
     // dimension-sized right side; fail fast with a clear message
@@ -134,7 +146,7 @@ case class BroadcastAsofJoinExec(
       .groupBy(_._1)
       .map { case (k, rows) =>
         k -> rows.map(r => (r._2, r._3)).sortWith { (p, q) =>
-          p._1 < q._1 || (p._1 == q._1 && comparePayload(p._2, q._2) < 0)
+          p._1 < q._1 || (p._1 == q._1 && cmpPay(p._2, q._2) < 0)
         }
       }
     val bc = session.sparkContext.broadcast(index)

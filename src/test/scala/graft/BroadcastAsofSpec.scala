@@ -105,4 +105,48 @@ class BroadcastAsofSpec extends SparkSpec {
       .collect().head.getDouble(3)
     assert(win == 7.0 && bc == 7.0)
   }
+
+  test("null payload value on the winning right row stays null in BOTH as-of forms") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("k", "lid", "t")
+    // the latest-prior right row (t=90) carries a NULL payload; an older
+    // row (t=50) carries a value. The winning tuple's null must NOT be
+    // back-filled from the older row.
+    val right = Seq((1L, 50L, Some(1.0)), (1L, 90L, None))
+      .toDF("k", "rt", "pv")
+    val win = TemporalJoin.asofLastBefore(left, right, Seq("k"), "t", "rt", Seq("pv"))
+      .collect().head
+    val bc = TemporalJoin.asofBroadcast(left, right, Seq("k"), "t", "rt", Seq("pv"))
+      .collect().head
+    assert(win.isNullAt(3), s"union+window back-filled: $win")
+    assert(bc.isNullAt(3), s"broadcast back-filled: $bc")
+  }
+
+  test("multi-column payload: winning row taken as one tuple, not per-column last-non-null") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("k", "lid", "t")
+    val right = Seq((1L, 50L, Some(1.0), Some("old")), (1L, 90L, None, Some("new")))
+      .toDF("k", "rt", "pv", "tag")
+    val win = TemporalJoin.asofLastBefore(left, right, Seq("k"), "t", "rt", Seq("pv", "tag"))
+      .collect().head
+    assert(win.isNullAt(3) && win.getString(4) == "new",
+      s"expected (null, new) from the t=90 row, got $win")
+  }
+
+  test("binary and array payload types: tie-break compares via typed ordering, no ClassCastException") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L)).toDF("k", "lid", "t")
+    // duplicate (key, time) rows with Array[Byte] + Array[Long] payloads:
+    // the old Comparable[Any] cast threw ClassCastException here
+    val right = Seq(
+      (1L, 100L, Array[Byte](1, 2), Seq(5L)),
+      (1L, 100L, Array[Byte](1, 9), Seq(3L)),
+      (1L, 100L, Array[Byte](1, 2), Seq(9L)))
+      .toDF("k", "rt", "bin", "arr")
+    val bc = TemporalJoin.asofBroadcast(left, right, Seq("k"), "t", "rt", Seq("bin", "arr"))
+      .collect().head
+    assert(bc.getAs[Array[Byte]]("bin").toSeq == Seq[Byte](1, 9),
+      s"greatest (bin, arr) tuple must win: $bc")
+    assert(bc.getAs[scala.collection.Seq[Long]]("arr").toSeq == Seq(3L))
+  }
 }

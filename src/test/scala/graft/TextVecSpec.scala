@@ -93,6 +93,51 @@ class TextVecSpec extends SparkSpec {
       s"scored stream must not flow through a per-query Window:\n$plan")
   }
 
+  test("C5 bounded top-k ranks string ids: any orderable id type, same as a window") {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // string doc ids — the old long-cast silently nulled these out
+    val corpus = vecs.filter(col("vec_id") >= 3)
+      .select(concat(lit("doc-"), lpad(col("vec_id").cast("string"), 6, "0")).as("cand_id"),
+        col("embedding").as("cv"))
+    val agg = Similarity.bruteTopK(queries, corpus, k = 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(agg.nonEmpty, "string-id top-k returned no rows")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id"))
+    val win = broadcast(queries).crossJoin(corpus)
+      .withColumn("sim", Vec.cosineFast(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 4)
+      .select(col("query_id"), col("cand_id"), col("sim"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(agg == win)
+  }
+
+  test("graft_topk misuse fails at analysis time: k < 1, non-literal k, non-orderable id") {
+    val df = Seq((1L, 0.5, 2L)).toDF("q", "sim", "id")
+    val e1 = intercept[Exception] {
+      df.groupBy(col("q"))
+        .agg(call_function("graft_topk", struct(col("sim"), col("id")), lit(0)))
+        .collect()
+    }
+    assert(e1.getMessage.contains("k must be >= 1"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      df.groupBy(col("q"))
+        .agg(call_function("graft_topk", struct(col("sim"), col("id")), col("id")))
+        .collect()
+    }
+    assert(e2.getMessage.contains("integer literal"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      df.groupBy(col("q"))
+        .agg(call_function("graft_topk",
+          struct(col("sim"), map(col("id"), col("id"))), lit(2)))
+        .collect()
+    }
+    assert(e3.getMessage.contains("not orderable"), e3.getMessage)
+  }
+
   test("C6 LSH top-k recall against brute force is reasonable") {
     val brute = TextDemos.embedCosineTopk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
