@@ -28,6 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[graft.expressions.BoundedTopK].getName, "graft_topk"),
       (children: Seq[Expression]) => graft.expressions.BoundedTopK(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[graft.expressions.WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) =>
+        graft.expressions.WordShingles(children(0), children(1), children(2))))
     ext.injectOptimizerRule(_ => graft.optimizer.FuseCosine)
     ext.injectPlannerStrategy(_ => graft.plans.BroadcastAsofStrategy)
   }

@@ -69,17 +69,24 @@ object Text {
     aggregate(codes, lit(0L), (h, code) => (h * 131L + code) % 1000000007L)
   }
 
-  /** word n-gram shingles INCLUDING duplicates (for repetition stats) */
-  def shinglesWithDuplicates(c: Column, n: Int): Column = {
-    val toks = wsTokens(c)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** word n-gram shingles INCLUDING duplicates (for repetition stats).
+    * Native one-pass codegen expression
+    * ([[graft.expressions.WordShingles]]); semantics identical to the
+    * HOF chain `transform(sequence, i -> concat_ws(" ", slice(toks, i, n)))`
+    * it replaces — which ran interpreted and dominated every shingle
+    * pipeline's cost. */
+  def shinglesWithDuplicates(c: Column, n: Int): Column =
+    call_function("graft_shingles", c, lit(n), lit(false))
 
-  /** word n-gram shingles (distinct), space-joined */
-  def shingles(c: Column, n: Int): Column = {
+  /** word n-gram shingles (distinct, first-occurrence order), space-
+    * joined — the native form of the HOF chain + array_distinct. */
+  def shingles(c: Column, n: Int): Column =
+    call_function("graft_shingles", c, lit(n), lit(true))
+
+  /** the interpreted HOF formulation of [[shingles]] — kept as the
+    * semantics reference; specs assert bit-equality with the native
+    * expression. */
+  def shinglesHof(c: Column, n: Int): Column = {
     val toks = wsTokens(c)
     // sequence(1, k) descends when k < 1, so guard short docs explicitly
     when(size(toks) >= n,

@@ -42,6 +42,36 @@ class TextVecSpec extends SparkSpec {
     assert(r(1).getSeq[String](0).isEmpty)
   }
 
+  test("native graft_shingles is bit-identical to the HOF formulation on real docs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // edge shapes the corpus may not hit: multi-space runs, dup
+      // shingles, short docs, empty, null
+      .select(col("text")).unionByName(
+        Seq("a  b c  d", "x y x y x y", "one two", "", "a b c a b c a b c d")
+          .toDF("text")).unionByName(
+        Seq(Option.empty[String]).toDF("text"))
+    for (n <- Seq(2, 3)) {
+      val native = docs.select(Text.shingles(col("text"), n)).collect()
+        .map(_.getSeq[String](0))
+      val hof = docs.select(Text.shinglesHof(col("text"), n)).collect()
+        .map(_.getSeq[String](0))
+      native.zip(hof).foreach { case (a, b) => assert(a == b, s"n=$n: $a != $b") }
+    }
+    // with-duplicates form: position count = tokens - n + 1
+    val dup = Seq("x y x y x y").toDF("text")
+      .select(Text.shinglesWithDuplicates(col("text"), 2)).collect()
+    assert(dup(0).getSeq[String](0) == Seq("x y", "y x", "x y", "y x", "x y"))
+  }
+
+  test("graft_shingles stays inside whole-stage codegen (no interpreted HOF)") {
+    val plan = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(Text.shingles(col("text"), 3)))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators fused into WholeStageCodegen
+    assert(plan.contains("*(1) Generate explode(graft_shingles"),
+      plan.linesIterator.take(8).mkString("\n"))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
       .toDF("a", "b", "c")
