@@ -118,36 +118,53 @@ object Dedup {
     * is one join + groupBy (all codegen'd), `localCheckpoint` cuts the
     * growing lineage (an iterative loop without it re-executes every
     * prior round). Rounds needed = component diameter, which for dedup
-    * clusters is tiny; `maxIter` is a safety bound. */
+    * clusters is tiny; `maxIter` is a safety bound.
+    *
+    * Scale shape: only nodes that touch an edge iterate — at 100 TB the
+    * near-dup subgraph is a small fraction of the corpus, and the
+    * edgeless majority joins back self-labeled in one final pass, never
+    * entering the loop. Within the loop, messages flow only FROM nodes
+    * whose label changed last round (delta/frontier propagation — if a
+    * neighbor's label didn't change, its contribution was already
+    * received), so per-round join input shrinks as components converge.
+    * Convergence detection rides the checkpoint job via `observe`
+    * (no second action per round). */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           idCol: String, aCol: String = "id_a", bCol: String = "id_b",
                           maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    // every node's initial label counts as "changed": round 1 messages
+    // flow from everyone
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"), lit(true).as("_chg"))
       .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      // min over (own label ∪ neighbor labels) = least(own, min(msgs));
-      // carrying a change flag through the same pass means convergence
-      // detection is a scan of the checkpointed result, not an extra
-      // join+shuffle per round
-      val msgMin = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("label").as("_m"))
+      val frontier = labels.filter(col("_chg"))
+        .select(col("id").as("_fid"), col("label").as("_flabel"))
+      val msgMin = edges.join(frontier, edges("dst") === col("_fid"))
+        .select(edges("src").as("id"), col("_flabel").as("_m"))
         .groupBy("id").agg(min(col("_m")).as("_m"))
-      val next = labels.join(msgMin, Seq("id"), "left")
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
+      val next = labels.select(col("id"), col("label"))
+        .join(msgMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("_m"), col("label"))).as("label"),
           (coalesce(col("_m"), col("label")) < col("label")).as("_chg"))
-        .localCheckpoint(true)
-      changed = next.filter(col("_chg")).count()
-      labels = next.drop("_chg")
+        .observe(obs, sum(col("_chg").cast("long")).as("n_changed"))
+        .localCheckpoint(true) // eager: the observed metric is final here
+      changed = Option(obs.get("n_changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels = next
       i += 1
     }
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("cluster"))
+    // the edgeless majority self-labels outside the loop
+    nodes.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster"))
   }
 
   /** Benchmark-contamination check: per corpus document, the fraction
