@@ -68,6 +68,10 @@ object SparkEntry {
     "pii_scrub"            -> (TextDemos.piiScrub(_, _)),
     "contamination_check"  -> (TextDemos.contaminationCheck(_, _)),
     "sequence_pack"        -> (TextDemos.sequencePack(_, _)),
+    "url_blocklist_filter" -> (TextDemos.urlBlocklistFilter(_, _)),
+    "outlier_bounds_filter" -> (TextDemos.outlierBoundsFilter(_, _)),
+    "line_dedup"           -> (TextDemos.lineDedup(_, _)),
+    "scd2_history"         -> (Analytics.scd2History(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -735,5 +739,91 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(dirty, 'https?://[^\s]+')) AS BIGINT) AS n_urls
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "url_blocklist_filter" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    'https://www.' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents
+        |), blocked(domain) AS (
+        |  VALUES ('src3.example.com'), ('src7.example.com'), ('src11.example.com')
+        |)
+        |SELECT doc_id, source, url FROM docs
+        |WHERE regexp_extract(url, '^https?://(?:www\.)?([^/]+)', 1)
+        |      NOT IN (SELECT domain FROM blocked)
+        |ORDER BY doc_id""".stripMargin,
+
+    "outlier_bounds_filter" -> {
+      val bounds = graft.oracle.OracleGen.interpolatedPercentilesSql(
+        "(SELECT 1 AS _g, n_tokens FROM m)", "_g", "n_tokens",
+        Seq("lo_bound" -> 0.05, "hi_bound" -> 0.95))
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), b AS (
+         |$bounds
+         |)
+         |SELECT m.doc_id, m.n_tokens, b.lo_bound, b.hi_bound,
+         |       (CAST(m.n_tokens AS DOUBLE) < b.lo_bound OR
+         |        CAST(m.n_tokens AS DOUBLE) > b.hi_bound) AS is_outlier
+         |FROM m CROSS JOIN b
+         |ORDER BY m.doc_id""".stripMargin
+    },
+
+    "line_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0
+        |         THEN 'subscribe to our newsletter accept all cookies now ' || text
+        |         ELSE text END AS text
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, u.i - 1 AS pos, t.toks[u.i] AS tok
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM docs) t
+        |  CROSS JOIN UNNEST(range(1, len(t.toks) + 1)) AS u(i)
+        |), chunks AS (
+        |  SELECT doc_id, CAST(FLOOR(pos / 8) AS BIGINT) AS ck,
+        |         string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        |  FROM toks GROUP BY doc_id, CAST(FLOOR(pos / 8) AS BIGINT)
+        |), hashed AS (
+        |  SELECT doc_id, ck, chunk_text,
+        |         ('0x' || substr(md5(chunk_text), 1, 15))::BIGINT AS h
+        |  FROM chunks
+        |), cdf AS (
+        |  SELECT h, COUNT(*) AS cdf
+        |  FROM (SELECT DISTINCT doc_id, h FROM hashed) GROUP BY h
+        |), kept AS (
+        |  SELECT hh.doc_id,
+        |         string_agg(hh.chunk_text, ' ' ORDER BY hh.ck) AS clean_text,
+        |         COUNT(*) AS n_chunks_kept
+        |  FROM hashed hh JOIN cdf ON hh.h = cdf.h
+        |  WHERE cdf.cdf <= 2
+        |  GROUP BY hh.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       COALESCE(k.clean_text, '') AS clean_text,
+        |       COALESCE(k.n_chunks_kept, 0) AS n_chunks_kept
+        |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "scd2_history" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, MIN(event_type) AS status
+        |  FROM events GROUP BY user_id, ts
+        |), marked AS (
+        |  SELECT user_id, ts, status,
+        |         LAG(status) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM log
+        |), changes AS (
+        |  SELECT user_id, status, ts AS valid_from FROM marked
+        |  WHERE prev IS DISTINCT FROM status
+        |)
+        |SELECT user_id, status, valid_from,
+        |       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+        |       (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL) AS is_current
+        |FROM changes
+        |ORDER BY user_id, valid_from""".stripMargin,
   )
 }

@@ -270,4 +270,16 @@ object Analytics {
       .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("rn"))
       .orderBy(col("l_partkey"), col("rn"))
   }
+
+  /** A18: SCD2 history fold — each user's event-type change log becomes
+    * interval rows (valid_from/valid_to/is_current). Duplicate (user,
+    * ts) rows collapse to min(event_type) first so history order is
+    * deterministic. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    MergeOps.scd2(
+        Tables.events(spark, dir)
+          .groupBy(col("user_id"), col("ts"))
+          .agg(min(col("event_type")).as("status")),
+        Seq("user_id"), "ts", Seq("status"))
+      .orderBy(col("user_id"), col("valid_from"))
 }

@@ -203,6 +203,49 @@ object Dedup {
       .withColumn("flagged", col("contamination") >= flagThreshold)
   }
 
+  /** Cross-document repeated-chunk removal — the "line dedup" /
+    * boilerplate scrub of web-corpus cleaning (CCNet/RefinedWeb drop
+    * lines repeated across many pages: headers, footers, cookie
+    * banners). Corpora without line structure segment into fixed
+    * `chunkTokens`-token chunks instead; any chunk whose hash occurs
+    * in more than `maxDocs` distinct documents is dropped from ALL of
+    * them, and each document's text is rebuilt order-preserving.
+    *
+    * Relational shape (same ladder as docFreqFilter): posexplode
+    * tokens → per-(doc, chunk) ordered re-agg → chunk-hash document
+    * frequency (the shuffle carries 8-byte hashes) → hash join back →
+    * ordered rebuild. Docs reduced to nothing (all chunks boilerplate)
+    * survive with empty text, mirroring the reference's
+    * keep-the-row-drop-the-noise cleaning posture. */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 10, maxDocs: Int = 2,
+                 tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(Text.wsTokens(col(textCol))).as(Seq("pos", "tok")))
+    val chunks = toks
+      .withColumn("_ck", floor(col("pos") / chunkTokens).cast("long"))
+      .groupBy(col(idCol), col("_ck"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok"))).as("chunk_text"))
+    val hashed = chunks.withColumn("_h", tokenHash(col("chunk_text")))
+    val chunkDf = hashed.select(col("_h"), col(idCol)).distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    val rebuilt = hashed.join(chunkDf, "_h")
+      .filter(col("_df") <= maxDocs)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("_ck"), col("chunk_text")))),
+          x => x.getField("chunk_text"))).as("clean_text"),
+        count(lit(1)).as("n_chunks_kept"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_chunks_kept"), lit(0L)).as("n_chunks_kept"))
+  }
+
   /** exact word-n-gram Jaccard for a candidate pair set; `pairs` has
     * (id_a, id_b); texts joined in by id. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Agg, Norm}
+
+/** Corpus-level filters of the training-data pipeline (SURVEY §2C):
+  * source blocklisting and metric-outlier trimming — the first two
+  * gates of every web-scale ingest (cf. the domain filters and length
+  * filters of C4/RefinedWeb-style cleaning).
+  */
+object Filtering {
+
+  /** Drop rows whose URL's registrable domain is on a blocklist.
+    *
+    * The blocklist is dimension-sized by nature (thousands of domains
+    * vs billions of documents), so it broadcasts and the corpus side
+    * streams through a left-anti hash join — zero shuffle of the
+    * corpus at any scale. Domain extraction is [[Norm.urlDomain]]
+    * (hostname sans leading www., empty when not a URL — non-URLs are
+    * never blocked). */
+  def urlBlocklist(df: DataFrame, blocked: DataFrame, urlCol: String,
+                   domainCol: String = "domain"): DataFrame =
+    df.withColumn("_dom", Norm.urlDomain(col(urlCol)))
+      .join(broadcast(blocked.select(col(domainCol).as("_dom"))),
+        Seq("_dom"), "left_anti")
+      .drop("_dom")
+
+  /** Flag rows whose `valCol` falls outside the corpus's
+    * [loQ, hiQ] interpolated-quantile bounds (the length/score outlier
+    * trim of corpus cleaning).
+    *
+    * Two passes, both scale-safe: the bounds reduce to ONE row
+    * ([[Agg.interpolatedPercentiles]] — deterministic interpolation,
+    * bit-reproducible in any engine) and broadcast back over the
+    * corpus as a 1-row cross join; the corpus itself never reshuffles.
+    * Exact global quantiles concentrate the metric column (not the
+    * rows) on one sort partition — for 100 TB use approx_percentile
+    * bounds instead, same plan shape. */
+  def quantileOutliers(df: DataFrame, valCol: String,
+                       loQ: Double, hiQ: Double): DataFrame = {
+    val bounds = Agg.interpolatedPercentiles(
+      df.select(lit(1).as("_g"), col(valCol)), "_g", valCol,
+      Seq("lo_bound" -> loQ, "hi_bound" -> hiQ)).drop("_g")
+    df.crossJoin(broadcast(bounds))
+      .withColumn("is_outlier",
+        col(valCol).cast("double") < col("lo_bound") ||
+        col(valCol).cast("double") > col("hi_bound"))
+  }
+}

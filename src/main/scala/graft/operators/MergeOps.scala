@@ -58,6 +58,36 @@ object MergeOps {
       .withColumn("needs_recompute", col(carryCols.head).isNull)
   }
 
+  /** Fold a change log into SCD2 (slowly-changing-dimension type 2)
+    * history: one row per (key, attribute-state) interval with
+    * `valid_from`/`valid_to`/`is_current`. The relational form of the
+    * reference's dated-snapshot lineage (entrypoint.sh keeps every
+    * day's state; SCD2 is the warehouse-native equivalent — interval
+    * rows instead of full copies).
+    *
+    * One shuffle on the key: a lag window collapses consecutive rows
+    * with unchanged attributes (null-safe struct compare), a lead
+    * window closes each interval with the next change's timestamp.
+    * The open interval (`valid_to` null) is the current state.
+    * Duplicate (key, ts) rows make interval order ambiguous — dedupe
+    * upstream (e.g. groupBy key+ts) for deterministic history. */
+  def scd2(changelog: DataFrame, keyCols: Seq[String], tsCol: String,
+           attrCols: Seq[String]): DataFrame = {
+    val attrs = struct(attrCols.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val changes = changelog
+      .withColumn("_prev", lag(attrs, 1).over(w))
+      .filter(col("_prev").isNull || !(col("_prev") <=> attrs))
+      .select(keyCols.map(col) ++ attrCols.map(col) :+
+        col(tsCol).as("valid_from"): _*)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("valid_from"))
+    changes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Resolve `valueCol` for every row of `facts` through a ladder:
     * exact match in `known` on `factKey`==`knownKey`, else group average
     * over `groupCol`, else global average. Adds `resolved` + `resolution`. */

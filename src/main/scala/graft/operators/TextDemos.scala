@@ -252,4 +252,49 @@ object TextDemos {
           Text.tokenCount(col("text")).as("toks")),
         "shard", "doc_id", "toks", capacity = 2048)
       .orderBy("shard", "doc_id")
+
+  /** C23 — URL/domain blocklist filter: source URLs synthesized onto
+    * the docs (the documents table has no URL column) so Spark and the
+    * oracle see identical inputs; every doc from a blocked source
+    * domain drops via a broadcast anti-join. */
+  def urlBlocklistFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      concat(lit("https://www."), col("source"), lit(".example.com/doc/"),
+        col("doc_id").cast("string")).as("url"))
+    val blocked = Seq("src3.example.com", "src7.example.com", "src11.example.com")
+      .toDF("domain")
+    Filtering.urlBlocklist(docs, blocked, "url")
+      .select(col("doc_id"), col("source"), col("url"))
+      .orderBy("doc_id")
+  }
+
+  /** C24 — quantile outlier trim: docs outside the [p05, p95]
+    * token-count bounds get flagged (the length filter of corpus
+    * cleaning). Bounds are the deterministic interpolated quantiles,
+    * broadcast back over the corpus. */
+  def outlierBoundsFilter(spark: SparkSession, dir: String): DataFrame =
+    Filtering.quantileOutliers(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens")),
+        "n_tokens", loQ = 0.05, hiQ = 0.95)
+      .select(col("doc_id"), col("n_tokens"),
+        col("lo_bound"), col("hi_bound"), col("is_outlier"))
+      .orderBy("doc_id")
+
+  /** C25 — cross-document repeated-chunk removal ("line dedup"):
+    * 8-token chunks occurring in more than 2 distinct docs are dropped
+    * everywhere and the text is rebuilt. A shared boilerplate banner is
+    * synthesized onto every 10th doc so the corpus actually exercises
+    * the drop path; md5-60 chunk hashing for oracle parity (production
+    * default: xxhash64). */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val banner = "subscribe to our newsletter accept all cookies now"
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, concat(lit(banner + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 8, maxDocs = 2,
+        tokenHash = graft.functions.Vec.md5Hash60)
+      .orderBy("doc_id")
+  }
 }

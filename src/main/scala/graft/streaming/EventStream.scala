@@ -108,4 +108,52 @@ object EventStream {
         col("p_ts") >= col("e_ts") - expr(s"INTERVAL ${windowMs / 1000} SECONDS"))
       .select(col("user_id"), col("event_id"), col("e_ts"), col("p_ts"), col("p_value"))
   }
+
+  /** D5: foreachBatch upsert sink — merge each micro-batch's per-key
+    * aggregate deltas into a persistent keyed target (the streaming
+    * materialized-view pattern for sinks with no native upsert: plain
+    * parquet/object storage).
+    *
+    * Per batch: read the previous target state, full-outer-merge the
+    * batch's keys (sum counts/values), write the merged state to a
+    * batch-id-named snapshot directory, then atomically re-point
+    * `current` (write-ahead + pointer swap — readers never see a
+    * partial write). Replayed batches (failure recovery re-runs the
+    * last epoch) are idempotent: a batch that finds its own snapshot
+    * id already present re-merges from the PREVIOUS snapshot, not from
+    * its own output, so deltas never double-apply.
+    *
+    * Use with `ds.writeStream.foreachBatch(EventStream.upsertBatch(dir) _)`
+    * on an update-mode aggregate, or call per-batch as here. */
+  def upsertBatch(targetDir: String, keyCols: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // recovery: merge on top of the latest snapshot BELOW this batch id
+    // (a replay of batch N must not read N's own partial/old output)
+    val snapDir = new org.apache.hadoop.fs.Path(s"$targetDir/snapshots")
+    val prevId =
+      if (!fs.exists(snapDir)) None
+      else fs.listStatus(snapDir).map(_.getPath.getName.toLong)
+        .filter(_ < batchId).sorted.lastOption
+    val valCols = batch.columns.filterNot(keyCols.contains)
+    val prev = prevId match {
+      case Some(id) => spark.read.parquet(s"$targetDir/snapshots/$id")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    }
+    // keyed upsert: batch rows REPLACE the key's previous state (the
+    // batch side of an update-mode agg carries the full new value)
+    val merged = prev.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(batch)
+    merged.write.mode("overwrite").parquet(s"$targetDir/snapshots/$batchId")
+    // pointer swap: write current.tmp, then rename over current
+    val tmp = new org.apache.hadoop.fs.Path(s"$targetDir/current.tmp")
+    val cur = new org.apache.hadoop.fs.Path(s"$targetDir/current")
+    spark.read.parquet(s"$targetDir/snapshots/$batchId")
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(cur)) fs.delete(cur, true)
+    fs.rename(tmp, cur)
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Filtering, MergeOps}
+
+class FilteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("C23 url blocklist drops blocked domains, keeps non-URLs, never shuffles the corpus") {
+    val docs = Seq(
+      (1L, "https://www.bad.example.com/a"),
+      (2L, "https://good.example.com/b"),
+      (3L, "http://bad.example.com/c"),   // no www, same domain
+      (4L, "not a url at all"),
+      (5L, "https://bad.example.com.evil.org/d")) // superstring domain: NOT blocked
+      .toDF("id", "url")
+    val blocked = Seq("bad.example.com").toDF("domain")
+    val out = Filtering.urlBlocklist(docs, blocked, "url")
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L, 5L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.linesIterator.take(6).mkString("\n"))
+    assert(!plan.contains("ShuffleExchange"), "corpus side must not shuffle")
+  }
+
+  test("C24 quantile outliers: bounds are the interpolated percentiles, flags match") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val out = Filtering.quantileOutliers(df, "v", 0.05, 0.95)
+      .select("id", "lo_bound", "hi_bound", "is_outlier").collect()
+    // (n-1)*q interpolation on 1..100: p05 = 1 + 99*0.05 = 5.95; p95 = 95.05
+    assert(out.forall(r => r.getDouble(1) == 5.95 && r.getDouble(2) == 95.05))
+    val outliers = out.filter(_.getBoolean(3)).map(_.getLong(0)).sorted.toSeq
+    assert(outliers == (Seq(1L, 2L, 3L, 4L, 5L) ++ Seq(96L, 97L, 98L, 99L, 100L)))
+  }
+
+  test("C25 chunk dedup drops cross-doc boilerplate everywhere, keeps unique text") {
+    val banner = "b1 b2 b3 b4" // one full 4-token chunk shared by 3 docs
+    val docs = Seq(
+      (1L, s"$banner u11 u12 u13 u14"),
+      (2L, s"$banner u21 u22 u23 u24"),
+      (3L, s"$banner u31 u32 u33 u34"),
+      (4L, "v1 v2 v3 v4 v5 v6 v7 v8"))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 4, maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("u11 u12 u13 u14", 1L), s"banner must drop: ${out(1L)}")
+    assert(out(2L) == ("u21 u22 u23 u24", 1L))
+    assert(out(3L) == ("u31 u32 u33 u34", 1L))
+    assert(out(4L) == ("v1 v2 v3 v4 v5 v6 v7 v8", 2L))
+  }
+
+  test("C25 chunk dedup: doc reduced to nothing survives with empty text") {
+    val docs = Seq(
+      (1L, "x1 x2 x3"), (2L, "x1 x2 x3"), (3L, "x1 x2 x3"), (4L, "solo a b"))
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 3, maxDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("", 0L) && out(2L) == ("", 0L) && out(3L) == ("", 0L))
+    assert(out(4L) == ("solo a b", 1L))
+  }
+
+  test("A18 scd2 collapses unchanged runs, chains intervals, marks current") {
+    val log = Seq(
+      (1L, 10L, "A"), (1L, 20L, "A"), (1L, 30L, "B"), (1L, 40L, "A"), // A->B->A flip
+      (2L, 15L, "X"))
+      .toDF("k", "t", "s")
+    val out = MergeOps.scd2(log, Seq("k"), "t", Seq("s"))
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "A", 10L, 30L, false),  // the t=20 duplicate collapsed
+      (1L, "B", 30L, 40L, false),
+      (1L, "A", 40L, -1L, true),   // flip back opens a NEW interval
+      (2L, "X", 15L, -1L, true)))
+  }
+}

@@ -99,4 +99,37 @@ class StreamingSpec extends SparkSpec {
       assert(ids.sameElements(Array(1L, 2L, 3L)))
     } finally q.stop()
   }
+
+  test("D5 foreachBatch upsert sink: keyed state merges across batches, replay is idempotent") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val ms = MemoryStream[Ev]
+    // update-mode per-type counts: each batch carries the FULL new value
+    // for every key it touches
+    val q = ms.toDF()
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch(EventStream.upsertBatch(dir, Seq("event_type")) _)
+      .start()
+    try {
+      ms.addData(Ev(1, ts(1), "view", 1.0), Ev(2, ts(2), "view", 1.0), Ev(3, ts(3), "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(4, ts(4), "view", 1.0), Ev(5, ts(5), "buy", 1.0))
+      q.processAllAvailable()
+      def state() = spark.read.parquet(s"$dir/current").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(state() == Map("view" -> 3L, "click" -> 1L, "buy" -> 1L))
+      // replay of the last epoch (failure recovery): same batch id, same
+      // data — merges from the PREVIOUS snapshot, state unchanged
+      val replayed = Seq(("view", 3L), ("buy", 1L)).toDF("event_type", "n")
+      EventStream.upsertBatch(dir, Seq("event_type"))(replayed, 1L)
+      assert(state() == Map("view" -> 3L, "click" -> 1L, "buy" -> 1L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
