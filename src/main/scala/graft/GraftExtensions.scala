@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expressions.WordShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) =>
         graft.expressions.WordShingles(children(0), children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_urilen"),
+      new ExpressionInfo(classOf[graft.expressions.UriEncodedLength].getName, "graft_urilen"),
+      (children: Seq[Expression]) => graft.expressions.UriEncodedLength(children(0))))
     ext.injectOptimizerRule(_ => graft.optimizer.FuseCosine)
     ext.injectPlannerStrategy(_ => graft.plans.BroadcastAsofStrategy)
   }

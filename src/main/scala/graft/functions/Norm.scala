@@ -101,14 +101,16 @@ object Norm {
 
   /** clampQuery (geocode.js:216-219): if the URI-encoded form exceeds
     * `maxBytes`, truncate to `fallbackChars` characters. Encoded
-    * length is computed exactly: unreserved ASCII stays 1 byte,
-    * every other char percent-encodes each UTF-8 byte to 3. */
+    * length is computed exactly — unreserved ASCII stays 1 byte,
+    * every other byte percent-encodes to 3 — by the native one-pass
+    * byte counter ([[graft.expressions.UriEncodedLength]]; the
+    * previous regex-strip count ran the regex engine per emission and
+    * dominated the geocode ladder's clamp gate on long addresses).
+    * The cheap `3*octet <= maxBytes` short-circuit still skips the
+    * scan for short strings, since this tree is inlined into every
+    * consumer by CollapseProject. */
   def clampQuery(c: Column, maxBytes: Int = 512, fallbackChars: Int = 120): Column = {
-    val unreserved = length(regexp_replace(c, lit("[^A-Za-z0-9_.!~*'()-]"), lit("")))
-    val encoded = unreserved + (octet_length(c) - unreserved) * 3
-    // encoded <= 3*octet always, so short strings skip the exact
-    // (regex-backed) count entirely — this predicate gets inlined into
-    // every consumer by CollapseProject, so the cheap path matters
+    val encoded = call_function("graft_urilen", c)
     when(octet_length(c) * 3 <= maxBytes, c)
       .otherwise(when(encoded <= maxBytes, c).otherwise(substring(c, 1, fallbackChars)))
   }

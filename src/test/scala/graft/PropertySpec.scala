@@ -88,6 +88,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("graft_urilen equals the regex-strip formulation on arbitrary strings") {
+    val gen = Gen.listOfN(60, Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', ';', '%', '/', '?', '#', '&', '=',
+        '_', '.', '!', '~', '*', '\'', '(', ')', '-'),
+      Gen.oneOf('龍', '臺', '段', '號', 'é', 'ß'))).map(_.mkString)
+    val strs = samples(gen, 50) :+ "" :+ "abc" :+ ("龍" * 200)
+    val out = strs.toDF("s").select(
+      call_function("graft_urilen", col("s")).as("fast"),
+      (length(regexp_replace(col("s"), lit("[^A-Za-z0-9_.!~*'()-]"), lit(""))) +
+        (octet_length(col("s")) -
+          length(regexp_replace(col("s"), lit("[^A-Za-z0-9_.!~*'()-]"), lit("")))) * 3)
+        .as("regex")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("sectionArabic is idempotent and only touches 段 tokens") {
     val zhs = Seq("一", "二", "三", "四", "五", "六", "七", "八", "九", "十")
     val strs = (1 to 10).map(i => s"和平東路${zhs(i - 1)}段5巷") ++
