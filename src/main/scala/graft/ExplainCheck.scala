@@ -30,6 +30,10 @@ object ExplainCheck {
     check("schema_validate", RefDemos.schemaValidate(spark, dir))
     check("contamination", TextDemos.contaminationCheck(spark, dir))
     check("sequence_pack", TextDemos.sequencePack(spark, dir))
+    check("url_blocklist", TextDemos.urlBlocklistFilter(spark, dir))
+    check("outlier_bounds", TextDemos.outlierBoundsFilter(spark, dir))
+    check("line_dedup", TextDemos.lineDedup(spark, dir))
+    check("scd2_history", Analytics.scd2History(spark, dir))
     spark.stop()
   }
 }

@@ -278,6 +278,10 @@ object Analytics {
   def scd2History(spark: SparkSession, dir: String): DataFrame =
     MergeOps.scd2(
         Tables.events(spark, dir)
+          // one shuffle for the whole history fold: hash(user_id)
+          // satisfies the (user_id, ts) dedup grouping AND both scd2
+          // windows, so nothing re-exchanges downstream
+          .repartition(col("user_id"))
           .groupBy(col("user_id"), col("ts"))
           .agg(min(col("event_type")).as("status")),
         Seq("user_id"), "ts", Seq("status"))

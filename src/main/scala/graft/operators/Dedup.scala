@@ -222,6 +222,10 @@ object Dedup {
                  tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = df.select(col(idCol),
       posexplode(Text.wsTokens(col(textCol))).as(Seq("pos", "tok")))
+      // hash(id) satisfies BOTH the (id, chunk) assembly grouping and
+      // the per-id rebuild grouping: the chunk strings shuffle once
+      // (here, as tokens), not again for the rebuild
+      .repartition(col(idCol))
     val chunks = toks
       .withColumn("_ck", floor(col("pos") / chunkTokens).cast("long"))
       .groupBy(col(idCol), col("_ck"))
