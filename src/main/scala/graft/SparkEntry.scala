@@ -72,6 +72,7 @@ object SparkEntry {
     "outlier_bounds_filter" -> (TextDemos.outlierBoundsFilter(_, _)),
     "line_dedup"           -> (TextDemos.lineDedup(_, _)),
     "scd2_history"         -> (Analytics.scd2History(_, _)),
+    "bloom_semi_join"      -> (Analytics.bloomSemiJoinDemo(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -807,6 +808,13 @@ object SparkEntry {
         |       COALESCE(k.n_chunks_kept, 0) AS n_chunks_kept
         |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "bloom_semi_join" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n_lines, ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
 
     "scd2_history" ->
       """WITH log AS (

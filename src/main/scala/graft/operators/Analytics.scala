@@ -271,6 +271,20 @@ object Analytics {
       .orderBy(col("l_partkey"), col("rn"))
   }
 
+  /** B20: bloom-pruned semi-join — lineitems of size-1 parts, counted
+    * per return flag. The Bloom filter of the selective part-key set
+    * evaluates on the fact side BEFORE the join shuffle; the exact
+    * semi-join after it removes false positives, so the oracle is the
+    * plain IN-subquery. */
+  def bloomSemiJoinDemo(spark: SparkSession, dir: String): DataFrame =
+    BloomJoin.bloomSemiJoin(
+        Tables.lineitem(spark, dir),
+        Tables.part(spark, dir).filter(col("p_size") === 1).select(col("p_partkey")),
+        "l_partkey", "p_partkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
   /** A18: SCD2 history fold — each user's event-type change log becomes
     * interval rows (valid_from/valid_to/is_current). Duplicate (user,
     * ts) rows collapse to min(event_type) first so history order is

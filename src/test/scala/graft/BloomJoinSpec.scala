@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BloomJoin
+import graft.sources.Tables
+
+class BloomJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("B20 bloom semi-join is bit-identical to the plain semi-join") {
+    val li = Tables.lineitem(spark, sfDir)
+    val keys = Tables.part(spark, sfDir).filter(col("p_size") === 1)
+      .select(col("p_partkey"))
+    val expected = li.join(keys, col("l_partkey") === col("p_partkey"), "leftsemi")
+      .collect().map(_.toString).sorted
+    val got = BloomJoin.bloomSemiJoin(li, keys, "l_partkey", "p_partkey")
+      .collect().map(_.toString).sorted
+    assert(got.length == expected.length && got.sameElements(expected))
+  }
+
+  test("B20 bloom filter never false-negatives and prunes most non-matches") {
+    val large = (1L to 20000L).map(i => i -> s"row$i").toDF("k", "payload")
+    val small = (1L to 100L).map(_ * 97).toDF("sk") // sparse key set
+    val kept = BloomJoin.bloomFiltered(large, small, "k", "sk",
+        estItems = 1000L, numBits = 65536L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val trueKeys = small.collect().map(_.getLong(0)).toSet
+    assert(trueKeys.subsetOf(kept), "bloom filter must not drop real matches")
+    // ~8 bits/item at est 1000 items: false-positive rate should stay
+    // far below 10% of the 20k probes
+    assert(kept.size < 100 + 2000, s"bloom pruned too little: ${kept.size} survivors")
+  }
+
+  test("B20 plan shape: might_contain filter sits on the fact side BELOW the join exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sfDir)
+      val keys = Tables.part(spark, sfDir).filter(col("p_size") === 1)
+        .select(col("p_partkey"))
+      val df = BloomJoin.bloomSemiJoin(li, keys, "l_partkey", "p_partkey")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), plan.linesIterator.take(10).mkString("\n"))
+      // the pruning filter must run pre-shuffle: in the rendered tree the
+      // fact-side Exchange appears ABOVE (before, textually) the filter
+      val exchangeIdx = plan.indexOf("Exchange hashpartitioning(l_partkey")
+      val filterIdx = plan.indexOf("might_contain")
+      assert(exchangeIdx >= 0 && filterIdx > exchangeIdx,
+        "bloom filter must be below the fact-side exchange:\n" +
+          plan.linesIterator.take(25).mkString("\n"))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
