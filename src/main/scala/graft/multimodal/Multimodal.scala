@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE path decodes for real: `javax.imageio.ImageIO` (JDK
   * built-in, no external libs) decodes PNG/JPEG pixels and
-  * [[extractFeatures]] computes genuine pixel statistics. Audio/video
-  * kernels remain deterministic stubs ([[sampleFrames]]) — no codec
-  * ships with the JDK for those; the partition lifecycle and schema
-  * are the production shape either way.
+  * [[extractFeatures]] computes genuine pixel statistics. The AUDIO
+  * path also decodes for real: `javax.sound.sampled` (JDK built-in)
+  * reads WAV/AIFF/AU to PCM and [[extractAudioFeatures]] computes
+  * genuine waveform statistics. Only VIDEO remains a deterministic
+  * stub ([[sampleFrames]]) — the one modality with no JDK codec; the
+  * partition lifecycle and schema are the production shape either way.
   */
 object Multimodal {
 
@@ -129,8 +131,68 @@ object Multimodal {
     }
   }
 
+  /** Audio decode+feature kernel. WAV/AIFF/AU (anything the JDK's
+    * `javax.sound.sampled` reads — built-in, no external libs) decode
+    * for REAL: the stream converts to signed 16-bit PCM and the
+    * features are genuine waveform statistics —
+    * [sampleRate/48000, channels, durationSec/60, rms, peak, meanAbs,
+    * zeroCrossingRate, dcOffset] cycled to `dim` entries, amplitudes
+    * normalized to [-1, 1]. Non-audio bytes (video stubs, corrupt
+    * data) fall back to the deterministic rolling-hash fake so the
+    * pipeline stays total. */
+  def extractAudioFeatures(ds: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    ds.mapPartitions { it =>
+      val kernel: Array[Byte] => Array[Float] = { bytes =>
+        val pcm =
+          try {
+            val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+            val f = in.getFormat
+            val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+              f.getSampleRate, false)
+            Some((AudioSystem.getAudioInputStream(target, in), target))
+          } catch { case _: Exception => None }
+        pcm match {
+          case Some((in, f)) =>
+            val raw = in.readAllBytes()
+            val n = raw.length / 2
+            var sum = 0.0; var sum2 = 0.0; var sumAbs = 0.0
+            var peak = 0.0; var flips = 0L
+            var prevSign = 0
+            var i = 0
+            while (i < n) {
+              val s = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort / 32768.0
+              sum += s; sum2 += s * s; sumAbs += math.abs(s)
+              if (math.abs(s) > peak) peak = math.abs(s)
+              val sign = if (s > 0) 1 else if (s < 0) -1 else prevSign
+              if (prevSign != 0 && sign != prevSign) flips += 1
+              prevSign = sign
+              i += 1
+            }
+            val frames = n / math.max(1, f.getChannels)
+            val base = Array(
+              f.getSampleRate / 48000.0f, f.getChannels.toFloat,
+              (frames / f.getSampleRate / 60.0).toFloat,
+              (if (n > 0) math.sqrt(sum2 / n) else 0.0).toFloat,
+              peak.toFloat,
+              (if (n > 0) sumAbs / n else 0.0).toFloat,
+              (if (n > 1) flips.toDouble / (n - 1) else 0.0).toFloat,
+              (if (n > 0) sum / n else 0.0).toFloat)
+            Array.tabulate(dim)(j => base(j % base.length))
+          case None =>
+            val hsh = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+            Array.tabulate(dim)(j => (((hsh >>> (j * 7)) & 0xFFFF).toFloat / 65535.0f))
+        }
+      }
+      it.map(r => MediaFeatures(r.media_id, kernel(r.media)))
+    }
+  }
+
   /** STUB frame sampling: every `stride`-th fixed-size slice stands in
-    * for decoded video frames. */
+    * for decoded video frames (video is the one modality with no JDK
+    * codec). */
   def sampleFrames(ds: Dataset[MediaRow], frameSize: Int = 16, stride: Int = 4): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>

@@ -92,4 +92,37 @@ class MultimodalSpec extends SparkSpec {
     assert(t.count() == 3)
     assert(t.columns.toSet == Set("media_id", "n_bytes", "content_hash", "format", "features"))
   }
+
+  test("C12 REAL audio decode: WAV sine wave yields true waveform statistics") {
+    import javax.sound.sampled.{AudioFormat, AudioFileFormat, AudioInputStream, AudioSystem}
+    // 0.5s of a 440 Hz sine at 8 kHz mono 16-bit, amplitude 0.5
+    val rate = 8000f; val nFrames = 4000
+    val pcm = new Array[Byte](nFrames * 2)
+    (0 until nFrames).foreach { i =>
+      val s = (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+      pcm(2 * i) = s.toByte; pcm(2 * i + 1) = (s >> 8).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames), AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val out = Multimodal.extractAudioFeatures(
+      Seq(MediaRow(1, wav, "wav"), MediaRow(2, Array[Byte](1, 2, 3, 4), "bin")).toDS())
+      .collect().map(r => r.media_id -> r.features).toMap
+    val f = out(1L)
+    assert(math.abs(f(0) - rate / 48000f) < 1e-6, s"sample rate ${f(0)}")
+    assert(f(1) == 1.0f, s"channels ${f(1)}")
+    assert(math.abs(f(2) - 0.5f / 60f) < 1e-4, s"duration ${f(2)}")
+    // sine RMS = A/sqrt(2) ~ 0.3536, peak ~ 0.5, meanAbs = 2A/pi ~ 0.3183
+    assert(math.abs(f(3) - 0.3536f) < 0.01, s"rms ${f(3)}")
+    assert(math.abs(f(4) - 0.5f) < 0.01, s"peak ${f(4)}")
+    assert(math.abs(f(5) - 0.3183f) < 0.01, s"meanAbs ${f(5)}")
+    // zero crossings: 2 per cycle, 440 cycles/s -> 2*440/8000 = 0.11
+    assert(math.abs(f(6) - 0.11f) < 0.01, s"zcr ${f(6)}")
+    assert(math.abs(f(7)) < 0.01, s"dc offset ${f(7)}")
+    // non-audio bytes take the documented deterministic fallback
+    assert(out(2L).forall(v => v >= 0f && v <= 1f))
+  }
 }
