@@ -34,6 +34,9 @@ object ExplainCheck {
     check("outlier_bounds", TextDemos.outlierBoundsFilter(spark, dir))
     check("line_dedup", TextDemos.lineDedup(spark, dir))
     check("scd2_history", Analytics.scd2History(spark, dir))
+    check("bloom_semi_join", Analytics.bloomSemiJoinDemo(spark, dir))
+    check("lm_score", TextDemos.lmScore(spark, dir))
+    check("source_mix", TextDemos.sourceMix(spark, dir))
     spark.stop()
   }
 }

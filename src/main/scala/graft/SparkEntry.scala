@@ -73,6 +73,8 @@ object SparkEntry {
     "line_dedup"           -> (TextDemos.lineDedup(_, _)),
     "scd2_history"         -> (Analytics.scd2History(_, _)),
     "bloom_semi_join"      -> (Analytics.bloomSemiJoinDemo(_, _)),
+    "lm_score"             -> (TextDemos.lmScore(_, _)),
+    "source_mix"           -> (TextDemos.sourceMix(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -808,6 +810,44 @@ object SparkEntry {
         |       COALESCE(k.n_chunks_kept, 0) AS n_chunks_kept
         |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents
+        |), ctf AS (
+        |  SELECT tok, COUNT(*) AS ctf FROM toks GROUP BY tok
+        |), tot AS (SELECT COUNT(*) AS n_total FROM toks),
+        |lp AS (
+        |  SELECT t.doc_id, round(ln(CAST(c.ctf AS DOUBLE) / tot.n_total), 6) AS lp
+        |  FROM toks t JOIN ctf c ON t.tok = c.tok CROSS JOIN tot
+        |)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(CAST(lp AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_logprob,
+        |       (CAST(SUM(CAST(lp AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)) < -6.0 AS flagged
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "source_mix" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, n,
+        |         CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0
+        |                     WHEN 'src2' THEN 1.0 ELSE 0.0 END AS w
+        |  FROM c
+        |), t AS (
+        |  SELECT MIN(CAST(n AS DOUBLE) / w) AS T FROM w WHERE w > 0
+        |), f AS (
+        |  SELECT source,
+        |         LEAST(CAST(1.0 AS DOUBLE), w * t.T / CAST(n AS DOUBLE)) AS keep_frac
+        |  FROM w CROSS JOIN t WHERE w > 0
+        |)
+        |SELECT d.source, COUNT(*) AS n_kept, round(f.keep_frac, 6) AS keep_frac
+        |FROM documents d JOIN f ON d.source = f.source
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 1000000 AS DOUBLE) < f.keep_frac * 1000000.0
+        |GROUP BY d.source, f.keep_frac
+        |ORDER BY d.source""".stripMargin,
 
     "bloom_semi_join" ->
       s"""SELECT l_returnflag, COUNT(*) AS n_lines, ${dsum("l_quantity")} AS sum_qty

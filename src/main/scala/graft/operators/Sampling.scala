@@ -37,4 +37,33 @@ object Sampling {
   def stratified(df: DataFrame, strataCol: String,
                  fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Mixture rebalancing for training-data composition: given target
+    * weights per source, keep the LARGEST total consistent with the
+    * weights — T = min over sources of n_s/w_s, per-source keep
+    * fraction w_s·T/n_s — then sample each source down by
+    * deterministic key-hash thresholding (same retry/partition
+    * invariance as [[hashSplit]]; unlisted sources drop). One count
+    * aggregation + a broadcast fraction table; the corpus itself never
+    * shuffles. Adds `keep_frac` to surviving rows. */
+  def sourceMix(df: DataFrame, sourceCol: String, keyCol: String,
+                weights: Seq[(String, Double)],
+                hash: Column => Column = Vec.md5Hash60): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "sourceMix: weights must be positive")
+    val wExpr = weights.foldRight(lit(0.0)) { case ((s, w), els) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(els)
+    }
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", wExpr)
+      .filter(col("_w") > 0)
+    val tMax = counts.agg(min(col("_n").cast("double") / col("_w")).as("_T"))
+    val fracs = counts.crossJoin(broadcast(tMax))
+      .select(col(sourceCol),
+        least(lit(1.0), col("_w") * col("_T") / col("_n").cast("double"))
+          .as("keep_frac"))
+    df.join(broadcast(fracs), sourceCol)
+      .filter(pmod(hash(col(keyCol).cast("string")), lit(1000000)).cast("double") <
+        col("keep_frac") * 1000000.0)
+  }
 }

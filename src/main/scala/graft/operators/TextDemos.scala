@@ -255,6 +255,39 @@ object TextDemos {
         "shard", "doc_id", "toks", capacity = 2048)
       .orderBy("shard", "doc_id")
 
+  /** C26 — corpus-LM quality score (the perplexity filter of
+    * CCNet-style cleaning, with the corpus's own unigram model as the
+    * LM): per-document mean token log-likelihood under corpus token
+    * frequencies. Per-token scores round to 6 places (absorbing
+    * sub-ulp libm differences, as tfidf does) and aggregate through
+    * decimal so partial-agg order can't shift the mean. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(col("doc_id"),
+      explode(Text.wsTokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(counts), "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("ctf").cast("double") / col("n_total")), 6).as("_lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("_lp").cast("decimal(27,6)")).cast("double") / count(lit(1)))
+          .as("avg_logprob"))
+      .withColumn("flagged", col("avg_logprob") < -6.0)
+      .orderBy("doc_id")
+  }
+
+  /** C27 — mixture rebalancing: documents sampled to a 3:1:1
+    * src0/src1/src2 target composition by deterministic hash
+    * thresholding (md5-60 for oracle parity); other sources drop. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.sourceMix(Tables.documents(spark, dir), "source", "doc_id",
+        Seq("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), round(min(col("keep_frac")), 6).as("keep_frac"))
+      .orderBy("source")
+
   /** C23 — URL/domain blocklist filter: source URLs synthesized onto
     * the docs (the documents table has no URL column) so Spark and the
     * oracle see identical inputs; every doc from a blocked source

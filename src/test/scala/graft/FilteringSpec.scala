@@ -59,6 +59,37 @@ class FilteringSpec extends SparkSpec {
     assert(out(4L) == ("solo a b", 1L))
   }
 
+  test("C27 source mix: max-consistent total, heaviest source kept whole, deterministic") {
+    val docs = (1L to 900L).map { i =>
+      (i, if (i <= 600) "a" else if (i <= 800) "b" else "c")
+    }.toDF("id", "src")
+    // weights 3:1 over a(600) and b(200): T = min(600/3, 200/1) = 200
+    // -> a keeps 600/600 = 1.0, b keeps 200/200 = 1.0; c drops
+    val all = graft.operators.Sampling.sourceMix(docs, "src", "id",
+      Seq("a" -> 3.0, "b" -> 1.0))
+    val bySrc = all.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 600L, "b" -> 200L), s"got $bySrc")
+    // skewed weights: b is the binding constraint, a samples down ~1/3
+    val skew = graft.operators.Sampling.sourceMix(docs, "src", "id",
+      Seq("a" -> 1.0, "b" -> 1.0))
+    val n = skew.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("b") == 200L && n("a") > 120 && n("a") < 280, s"got $n")
+    // membership is partitioning-invariant
+    val rep = graft.operators.Sampling.sourceMix(docs.repartition(7), "src", "id",
+      Seq("a" -> 1.0, "b" -> 1.0)).select("id").collect().map(_.getLong(0)).toSet
+    assert(rep == skew.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("C26 lm score: common-token docs score higher than rare-token docs") {
+    val out = graft.operators.TextDemos.lmScore(spark, sfDir).collect()
+    assert(out.length == 500)
+    val scores = out.map(_.getDouble(2))
+    assert(scores.forall(_ < 0.0), "log-likelihoods must be negative")
+    assert(scores.distinct.length > 1, "scores must discriminate")
+  }
+
   test("A18 scd2 collapses unchanged runs, chains intervals, marks current") {
     val log = Seq(
       (1L, 10L, "A"), (1L, 20L, "A"), (1L, 30L, "B"), (1L, 40L, "A"), // A->B->A flip

@@ -99,4 +99,27 @@ class IoSpec extends SparkSpec {
     assert(out == List(2, 4, 6))
     assert(elapsedMs >= 60, s"3 calls at 30ms spacing took ${elapsedMs}ms") // 2 waits
   }
+
+  test("Layout.writeSorted: output files carry disjoint, internally sorted key ranges") {
+    val dir = tmp()
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("l_partkey"),
+        org.apache.spark.sql.functions.col("l_orderkey"))
+    graft.io.Layout.writeSorted(li, Seq("l_partkey"), nFiles = 4, outPath = dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    val ranges = files.map { f =>
+      val keys = spark.read.parquet(f.getAbsolutePath)
+        .select("l_partkey").collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted), s"${f.getName} not sorted within file")
+      (keys.min, keys.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"file ranges overlap: hi=$hi lo=$lo — data skipping impossible")
+      case _ =>
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
