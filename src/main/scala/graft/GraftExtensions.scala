@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_urilen"),
       new ExpressionInfo(classOf[graft.expressions.UriEncodedLength].getName, "graft_urilen"),
       (children: Seq[Expression]) => graft.expressions.UriEncodedLength(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_section_arabic"),
+      new ExpressionInfo(classOf[graft.expressions.ZhSectionArabic].getName, "graft_section_arabic"),
+      (children: Seq[Expression]) => graft.expressions.ZhSectionArabic(children(0))))
     ext.injectOptimizerRule(_ => graft.optimizer.FuseCosine)
     ext.injectPlannerStrategy(_ => graft.plans.BroadcastAsofStrategy)
   }

@@ -75,11 +75,18 @@ object Norm {
     Seq("一" -> 1, "二" -> 2, "三" -> 3, "四" -> 4, "五" -> 5,
         "六" -> 6, "七" -> 7, "八" -> 8, "九" -> 9, "十" -> 10)
 
-  /** sectionArabicVariant (geocode.js:156-159): 一段..十段 -> 1段..10段.
-    * Chained single-token replaces == the reference's single-char
-    * class regex (the last numeral before 段 converts: 二十一段 ->
-    * 二十1段, same as the reference). */
+  /** sectionArabicVariant (geocode.js:156-159): 一段..十段 -> 1段..10段
+    * (the last numeral before 段 converts: 二十一段 -> 二十1段, same as
+    * the reference). Native one-pass scan
+    * ([[graft.expressions.ZhSectionArabic]]) — the geocode ladder
+    * evaluates this at 7 sites per row, and the chained-regex form
+    * cost 10 regex traversals per site. */
   def sectionArabic(c: Column): Column =
+    call_function("graft_section_arabic", c)
+
+  /** the chained-regexp_replace formulation — kept as the semantics
+    * reference; a spec asserts bit-equality with the native scan. */
+  def sectionArabicChained(c: Column): Column =
     zhSections.foldLeft(c) { case (acc, (zh, n)) =>
       regexp_replace(acc, lit(s"${zh}段"), lit(s"${n}段"))
     }

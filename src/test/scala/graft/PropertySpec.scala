@@ -103,6 +103,18 @@ class PropertySpec extends SparkSpec {
     out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
+  test("native sectionArabic equals the chained-regex formulation on arbitrary strings") {
+    val gen = Gen.listOfN(12, Gen.oneOf(
+      Gen.oneOf('一', '二', '三', '四', '五', '六', '七', '八', '九', '十'),
+      Gen.const('段'), Gen.oneOf('路', '巷', '號', '1', '2', 'a'))).map(_.mkString)
+    val strs = samples(gen, 60) ++ Seq("", "段", "段三段", "一段一段", "十一段", "一段段", "和平東路二段33號")
+    val out = strs.toDF("s").select(
+      Norm.sectionArabic(col("s")).as("fast"),
+      Norm.sectionArabicChained(col("s")).as("chained")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"native '${r.getString(0)}' != chained '${r.getString(1)}'"))
+  }
+
   test("sectionArabic is idempotent and only touches 段 tokens") {
     val zhs = Seq("一", "二", "三", "四", "五", "六", "七", "八", "九", "十")
     val strs = (1 to 10).map(i => s"和平東路${zhs(i - 1)}段5巷") ++
