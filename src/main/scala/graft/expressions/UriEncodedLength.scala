@@ -40,7 +40,8 @@ case class UriEncodedLength(child: Expression) extends UnaryExpression {
 }
 
 object UriEncodedLength {
-  // bitmap of the 66 unreserved bytes of RFC 3986 / encodeURIComponent
+  // bitmap of encodeURIComponent's 71 unescaped bytes (letters, digits,
+  // and _.!~*'()- — a superset of RFC 3986's 66 unreserved chars)
   private val unreserved: Array[Boolean] = {
     val a = new Array[Boolean](128)
     (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ "_.!~*'()-").foreach(c => a(c) = true)

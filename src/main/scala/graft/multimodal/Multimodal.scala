@@ -156,7 +156,14 @@ object Multimodal {
           } catch { case _: Exception => None }
         pcm match {
           case Some((in, f)) =>
-            val raw = in.readAllBytes()
+            // body reads can fail after a parseable header (malformed
+            // frames, SPI read errors) — those must hit the fallback
+            // too, not the task
+            val raw = try in.readAllBytes() catch { case _: Exception => null }
+            if (raw == null) {
+              val hsh = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+              Array.tabulate(dim)(j => (((hsh >>> (j * 7)) & 0xFFFF).toFloat / 65535.0f))
+            } else {
             val n = raw.length / 2
             var sum = 0.0; var sum2 = 0.0; var sumAbs = 0.0
             var peak = 0.0; var flips = 0L
@@ -181,6 +188,7 @@ object Multimodal {
               (if (n > 1) flips.toDouble / (n - 1) else 0.0).toFloat,
               (if (n > 0) sum / n else 0.0).toFloat)
             Array.tabulate(dim)(j => base(j % base.length))
+            }
           case None =>
             val hsh = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
             Array.tabulate(dim)(j => (((hsh >>> (j * 7)) & 0xFFFF).toFloat / 65535.0f))

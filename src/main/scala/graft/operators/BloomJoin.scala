@@ -55,7 +55,9 @@ object BloomJoin {
                     largeKey: String, smallKey: String,
                     estItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
     val pre = bloomFiltered(large, small, largeKey, smallKey, estItems, numBits)
-    pre.join(small.select(col(smallKey)),
-      pre(largeKey) === col(smallKey), "leftsemi")
+    // resolve the join key against each side explicitly: a bare
+    // col(smallKey) is ambiguous whenever largeKey == smallKey
+    val rhs = small.select(col(smallKey))
+    pre.join(rhs, pre(largeKey) === rhs(smallKey), "leftsemi")
   }
 }

@@ -123,7 +123,11 @@ object Dedup {
     * Scale shape: only nodes that touch an edge iterate — at 100 TB the
     * near-dup subgraph is a small fraction of the corpus, and the
     * edgeless majority joins back self-labeled in one final pass, never
-    * entering the loop. Within the loop, messages flow only FROM nodes
+    * entering the loop. Edge endpoints absent from `nodes` PARTICIPATE
+    * in propagation (they connect, and can label, the components they
+    * touch — matching the recursive-CTE oracle semantics) but are
+    * dropped from the output; pass pairs ⊆ nodes if ghost ids must not
+    * bridge or label components. Within the loop, messages flow only FROM nodes
     * whose label changed last round (delta/frontier propagation — if a
     * neighbor's label didn't change, its contribution was already
     * received), so per-round join input shrinks as components converge.

@@ -266,7 +266,10 @@ object TextDemos {
       explode(Text.wsTokens(col("text"))).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
     val total = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(broadcast(counts), "tok")
+    // no broadcast hint on counts: the unigram vocabulary is
+    // corpus-sized, not dimension-sized — at 100 TB it must be free to
+    // shuffle-join (Catalyst/AQE still broadcasts it at demo scale)
+    toks.join(counts, "tok")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         round(log(col("ctf").cast("double") / col("n_total")), 6).as("_lp"))

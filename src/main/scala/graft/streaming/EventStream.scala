@@ -114,14 +114,18 @@ object EventStream {
     * materialized-view pattern for sinks with no native upsert: plain
     * parquet/object storage).
     *
-    * Per batch: read the previous target state, full-outer-merge the
-    * batch's keys (sum counts/values), write the merged state to a
-    * batch-id-named snapshot directory, then atomically re-point
-    * `current` (write-ahead + pointer swap — readers never see a
-    * partial write). Replayed batches (failure recovery re-runs the
-    * last epoch) are idempotent: a batch that finds its own snapshot
-    * id already present re-merges from the PREVIOUS snapshot, not from
-    * its own output, so deltas never double-apply.
+    * Per batch: read the previous target state, merge the batch's
+    * keys, write the merged state to a batch-id-named snapshot
+    * directory, then re-point `current`. The SNAPSHOT directories are
+    * the durable source of truth — [[readLatestState]] reads the
+    * highest-id snapshot and never races the pointer swap; `current`
+    * is a convenience copy that can briefly lag (or vanish for the
+    * instant between its delete and rename) and is rebuilt by the
+    * next batch if a crash interrupts the swap. Replayed batches
+    * (failure recovery re-runs the last epoch) are idempotent: a
+    * batch that finds its own snapshot id already present re-merges
+    * from the PREVIOUS snapshot, not from its own output, so deltas
+    * never double-apply.
     *
     * Use with `ds.writeStream.foreachBatch(EventStream.upsertBatch(dir) _)`
     * on an update-mode aggregate, or call per-batch as here. */
@@ -137,7 +141,6 @@ object EventStream {
       if (!fs.exists(snapDir)) None
       else fs.listStatus(snapDir).map(_.getPath.getName.toLong)
         .filter(_ < batchId).sorted.lastOption
-    val valCols = batch.columns.filterNot(keyCols.contains)
     val prev = prevId match {
       case Some(id) => spark.read.parquet(s"$targetDir/snapshots/$id")
       case None => spark.createDataFrame(
@@ -148,12 +151,25 @@ object EventStream {
     val merged = prev.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(batch)
     merged.write.mode("overwrite").parquet(s"$targetDir/snapshots/$batchId")
-    // pointer swap: write current.tmp, then rename over current
+    // best-effort pointer refresh (snapshots stay the source of truth)
     val tmp = new org.apache.hadoop.fs.Path(s"$targetDir/current.tmp")
     val cur = new org.apache.hadoop.fs.Path(s"$targetDir/current")
     spark.read.parquet(s"$targetDir/snapshots/$batchId")
       .write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(cur)) fs.delete(cur, true)
-    fs.rename(tmp, cur)
+    require(fs.rename(tmp, cur),
+      s"upsertBatch: failed to re-point $cur — recover via readLatestState")
+  }
+
+  /** the race-free read path for [[upsertBatch]] targets: the
+    * highest-id snapshot directory, which is complete before `current`
+    * ever points at it. */
+  def readLatestState(spark: org.apache.spark.sql.SparkSession,
+                      targetDir: String): DataFrame = {
+    val snapDir = new org.apache.hadoop.fs.Path(s"$targetDir/snapshots")
+    val fs = snapDir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(snapDir), s"upsert target $targetDir has no snapshots")
+    val latest = fs.listStatus(snapDir).map(_.getPath.getName.toLong).max
+    spark.read.parquet(s"$targetDir/snapshots/$latest")
   }
 }

@@ -18,6 +18,14 @@ class BloomJoinSpec extends SparkSpec {
     assert(got.length == expected.length && got.sameElements(expected))
   }
 
+  test("B20 same-named join keys resolve (no AMBIGUOUS_REFERENCE)") {
+    val large = (1L to 100L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val small = Seq(3L, 7L, 50L).toDF("k")
+    val got = BloomJoin.bloomSemiJoin(large, small, "k", "k")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(3L, 7L, 50L))
+  }
+
   test("B20 bloom filter never false-negatives and prunes most non-matches") {
     val large = (1L to 20000L).map(i => i -> s"row$i").toDF("k", "payload")
     val small = (1L to 100L).map(_ * 97).toDF("sk") // sparse key set

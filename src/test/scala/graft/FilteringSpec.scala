@@ -20,7 +20,7 @@ class FilteringSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       plan.linesIterator.take(6).mkString("\n"))
-    assert(!plan.contains("ShuffleExchange"), "corpus side must not shuffle")
+    assert(!plan.contains("Exchange hashpartitioning"), "corpus side must not shuffle")
   }
 
   test("C24 quantile outliers: bounds are the interpolated percentiles, flags match") {

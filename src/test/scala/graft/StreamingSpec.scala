@@ -127,6 +127,10 @@ class StreamingSpec extends SparkSpec {
       val replayed = Seq(("view", 3L), ("buy", 1L)).toDF("event_type", "n")
       EventStream.upsertBatch(dir, Seq("event_type"))(replayed, 1L)
       assert(state() == Map("view" -> 3L, "click" -> 1L, "buy" -> 1L))
+      // race-free read path agrees with the pointer
+      val latest = EventStream.readLatestState(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(latest == state())
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
