@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expressions.UriEncodedLength].getName, "graft_urilen"),
       (children: Seq[Expression]) => graft.expressions.UriEncodedLength(children(0))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_char_shingles"),
+      new ExpressionInfo(classOf[graft.expressions.CharShingles].getName, "graft_char_shingles"),
+      (children: Seq[Expression]) =>
+        graft.expressions.CharShingles(children(0), children(1), children(2))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_section_arabic"),
       new ExpressionInfo(classOf[graft.expressions.ZhSectionArabic].getName, "graft_section_arabic"),
       (children: Seq[Expression]) => graft.expressions.ZhSectionArabic(children(0))))

@@ -83,6 +83,13 @@ object Text {
   def shingles(c: Column, n: Int): Column =
     call_function("graft_shingles", c, lit(n), lit(true))
 
+  /** character n-gram shingles (distinct, first-occurrence order) —
+    * the CJK configuration of near-dup hashing: unspaced scripts have
+    * no word boundaries, so shingle code points instead
+    * ([[graft.expressions.CharShingles]], surrogate-pair safe). */
+  def charShingles(c: Column, n: Int): Column =
+    call_function("graft_char_shingles", c, lit(n), lit(true))
+
   /** the interpreted HOF formulation of [[shingles]] — kept as the
     * semantics reference; specs assert bit-equality with the native
     * expression. */

@@ -35,6 +35,8 @@ object Dedup {
 
   /** MinHash-LSH near-dup candidates: shingle -> k-perm minhash ->
     * banded bucket join -> estimated similarity (signature agreement).
+    * `shingler` picks the segmentation: word 3-grams by default,
+    * [[Text.charShingles]] for unspaced CJK corpora.
     *
     * Signatures are computed *relationally*: shingle hashes explode to
     * rows and `groupBy(id).agg(min(perm_i) × k)` builds the signature —
@@ -47,9 +49,10 @@ object Dedup {
                  shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                  minEstSim: Double = 0.5,
                  tokenHash: Column => Column = xxhash64(_),
-                 hashBandKeys: Boolean = true): DataFrame = {
+                 hashBandKeys: Boolean = true,
+                 shingler: (Column, Int) => Column = Text.shingles): DataFrame = {
     val exploded = df
-      .select(col(idCol), explode(Text.shingles(col(textCol), shingleN)).as("t"))
+      .select(col(idCol), explode(shingler(col(textCol), shingleN)).as("t"))
       .select(col(idCol), pmod(tokenHash(col("t")), lit(Vec.MinhashPrime)).as("h"))
     val aggs = (0 until k).map { i =>
       val a = 2L * i + 1

@@ -31,4 +31,17 @@ object PagedIngest {
     * vs rows actually ingested — the check-total analog at ingest time. */
   def totalMatches(df: DataFrame, declaredTotal: Long): Boolean =
     df.count() == declaredTotal
+
+  /** Page-count extraction from a pager's status text, the Playwright
+    * variant's readTotalPages (index_taoyuan.js:137-151): prefer an
+    * explicit 共N頁, else estimate ceil(records / pageSize) from
+    * 顯示1到10,共X記錄, else 1. Drives the fetch fan-out when the API
+    * publishes no machine-readable total. */
+  def parseTotalPages(statusText: String, pageSize: Int = 10): Int = {
+    val direct = "共\\s*(\\d+)\\s*頁".r.findFirstMatchIn(statusText)
+      .map(_.group(1).toInt)
+    val estimated = "共\\s*(\\d+)\\s*記錄".r.findFirstMatchIn(statusText)
+      .map(m => (m.group(1).toInt + pageSize - 1) / pageSize)
+    math.max(1, direct.orElse(estimated).getOrElse(1))
+  }
 }

@@ -100,6 +100,15 @@ class IoSpec extends SparkSpec {
     assert(elapsedMs >= 60, s"3 calls at 30ms spacing took ${elapsedMs}ms") // 2 waits
   }
 
+  test("A13 parseTotalPages: explicit 共N頁 wins, record-count estimates, floor of 1") {
+    import graft.sources.PagedIngest.parseTotalPages
+    assert(parseTotalPages("共 12 頁") == 12)
+    assert(parseTotalPages("顯示1到10,共95記錄") == 10)  // ceil(95/10)
+    assert(parseTotalPages("顯示1到10,共95記錄 共 3 頁") == 3) // explicit wins
+    assert(parseTotalPages("no pager text here") == 1)
+    assert(parseTotalPages("共100記錄", pageSize = 25) == 4)
+  }
+
   test("Layout.writeSorted: output files carry disjoint, internally sorted key ranges") {
     val dir = tmp()
     val li = graft.sources.Tables.lineitem(spark, sfDir)

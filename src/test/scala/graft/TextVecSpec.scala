@@ -63,6 +63,32 @@ class TextVecSpec extends SparkSpec {
     assert(dup(0).getSeq[String](0) == Seq("x y", "y x", "x y", "y x", "x y"))
   }
 
+  test("char shingles: CJK n-grams, surrogate-safe, distinct, short-input empty") {
+    val r = Seq("臺北市大安區", "ab", "一一一一", "a😀b😀c").toDF("text")
+      .select(Text.charShingles(col("text"), 2)).collect()
+      .map(_.getSeq[String](0))
+    assert(r(0) == Seq("臺北", "北市", "市大", "大安", "安區"))
+    assert(r(1) == Seq("ab"))
+    assert(r(2) == Seq("一一")) // duplicates collapse, first occurrence kept
+    assert(r(3) == Seq("a😀", "😀b", "b😀", "😀c"), s"surrogate pairs split: ${r(3)}")
+    val short = Seq("臺").toDF("text")
+      .select(Text.charShingles(col("text"), 2)).collect()
+    assert(short(0).getSeq[String](0).isEmpty)
+  }
+
+  test("C2 minhash over char shingles finds near-dup CJK docs") {
+    val docs = Seq(
+      (1L, "臺北市大安區和平東路二段一百零六號心理諮商所歡迎預約晤談服務"),
+      (2L, "臺北市大安區和平東路二段一百零六號心理諮商所歡迎預約晤談服務處"),
+      (3L, "高雄市左營區博愛路完全不同的另一家機構提供不同服務內容")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", shingleN = 3,
+        minEstSim = 0.25, shingler = Text.charShingles)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected CJK near-dup (1,2), got $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("graft_shingles stays inside whole-stage codegen (no interpreted HOF)") {
     val plan = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(explode(Text.shingles(col("text"), 3)))
