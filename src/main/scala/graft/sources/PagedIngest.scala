@@ -27,6 +27,24 @@ object PagedIngest {
       .withColumn("_page",
         regexp_extract(input_file_name(), "page_(\\d+)", 1).cast("int"))
 
+  /** [[readPages]] with corrupt-page capture: malformed page payloads
+    * land as rows with the raw text in `_corrupt` (PERMISSIVE mode)
+    * instead of failing the scan or silently vanishing — at fleet
+    * scale some fetcher output is always garbage, and the re-fetch
+    * loop needs to SEE which pages were bad (`_page` + `_corrupt`
+    * non-null), not discover a count mismatch later. */
+  def readPagesPermissive(spark: SparkSession, dir: String, schema: StructType,
+                          pagePattern: String = "page_*.json"): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("pathGlobFilter", pagePattern)
+      .json(dir)
+      .withColumn("_page",
+        regexp_extract(input_file_name(), "page_(\\d+)", 1).cast("int"))
+
   /** consistency gate: declared total (from the API's `total` field)
     * vs rows actually ingested — the check-total analog at ingest time. */
   def totalMatches(df: DataFrame, declaredTotal: Long): Boolean =

@@ -68,6 +68,23 @@ class IoSpec extends SparkSpec {
     assert(PagedIngest.totalMatches(df, 3) && !PagedIngest.totalMatches(df, 4))
   }
 
+  test("A13 permissive ingest: corrupt pages surface as _corrupt rows, good pages parse") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Path.of(dir, "page_0001.json"),
+      """[{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]""")
+    Files.writeString(java.nio.file.Path.of(dir, "page_0002.json"),
+      """{"id": 3, "name": TRUNCATED GARBAGE""")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    // Spark disallows projecting ONLY the corrupt column from raw JSON
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN): materialize the full rows once
+    val rows = PagedIngest.readPagesPermissive(spark, dir, schema).collect()
+    val (bad, good) = rows.partition(r => r.getAs[String]("_corrupt") != null)
+    assert(good.map(_.getAs[Long]("id")).sorted.sameElements(Array(1L, 2L)))
+    assert(bad.length == 1 && bad(0).getAs[Int]("_page") == 2,
+      "the corrupt page must be identifiable for re-fetch")
+    assert(bad(0).getAs[String]("_corrupt").contains("GARBAGE"))
+  }
+
   test("A14 retry: flaky call succeeds, non-retriable surfaces, retries exhaust") {
     var calls = 0
     val out = RateLimited.withRetry(maxRetries = 3, sleep = _ => ()) { () =>
