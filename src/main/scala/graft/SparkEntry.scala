@@ -815,16 +815,20 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
         |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
         |), ctf AS (
-        |  SELECT tok, COUNT(*) AS ctf FROM toks GROUP BY tok
-        |), tot AS (SELECT COUNT(*) AS n_total FROM toks),
+        |  SELECT tok, SUM(tf) AS ctf FROM tf GROUP BY tok
+        |), tot AS (SELECT SUM(tf) AS n_total FROM tf),
         |lp AS (
-        |  SELECT t.doc_id, round(ln(CAST(c.ctf AS DOUBLE) / tot.n_total), 6) AS lp
-        |  FROM toks t JOIN ctf c ON t.tok = c.tok CROSS JOIN tot
+        |  SELECT t.doc_id, t.tf,
+        |         CAST(round(ln(CAST(c.ctf AS DOUBLE) / tot.n_total), 6)
+        |              AS DECIMAL(27,6)) AS lp
+        |  FROM tf t JOIN ctf c ON t.tok = c.tok CROSS JOIN tot
         |)
-        |SELECT doc_id, COUNT(*) AS n_tokens,
-        |       CAST(SUM(CAST(lp AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_logprob,
-        |       (CAST(SUM(CAST(lp AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)) < -6.0 AS flagged
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf) AS avg_logprob,
+        |       (CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf)) < -6.0 AS flagged
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "source_mix" ->

@@ -264,18 +264,25 @@ object TextDemos {
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir).select(col("doc_id"),
       explode(Text.wsTokens(col("text"))).as("tok"))
-    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // tf-weighted form: the vocabulary join touches DISTINCT (doc, tok)
+    // pairs, not every token instance — the join/shuffle input shrinks
+    // by the in-doc repetition factor. Exactness: lp casts to decimal
+    // BEFORE the integer tf multiply, so tf·lp equals lp summed tf
+    // times (a double-side multiply would not).
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
+    val total = tf.agg(sum(col("tf")).as("n_total"))
     // no broadcast hint on counts: the unigram vocabulary is
     // corpus-sized, not dimension-sized — at 100 TB it must be free to
     // shuffle-join (Catalyst/AQE still broadcasts it at demo scale)
-    toks.join(counts, "tok")
+    tf.join(counts, "tok")
       .crossJoin(broadcast(total))
-      .select(col("doc_id"),
-        round(log(col("ctf").cast("double") / col("n_total")), 6).as("_lp"))
+      .select(col("doc_id"), col("tf"),
+        round(log(col("ctf").cast("double") / col("n_total")), 6)
+          .cast("decimal(27,6)").as("_lp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        (sum(col("_lp").cast("decimal(27,6)")).cast("double") / count(lit(1)))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (sum(col("_lp") * col("tf")).cast("double") / sum(col("tf")))
           .as("avg_logprob"))
       .withColumn("flagged", col("avg_logprob") < -6.0)
       .orderBy("doc_id")
