@@ -51,6 +51,27 @@ object Dedup {
                  tokenHash: Column => Column = xxhash64(_),
                  hashBandKeys: Boolean = true,
                  shingler: (Column, Int) => Column = Text.shingles): DataFrame = {
+    // persist: the banded table is tiny (id, sig, band, key) but its
+    // lineage — shingle + signature computation — is the expensive part;
+    // without it the self-join recomputes signatures for both sides.
+    val banded = graft.util.CacheRegistry.register(
+      minhashBandedSignatures(df, idCol, textCol, shingleN, k, bands,
+        tokenHash, hashBandKeys, shingler).persist())
+    candidatePairs(banded, banded, idCol, k, minEstSim)
+  }
+
+  /** The banded minhash signature table (id, sig, band, key) that
+    * [[minhashLsh]] self-joins — exposed so a daily pipeline can
+    * PERSIST it (e.g. io.Layout / bucketed by band+key) and check each
+    * new batch against the existing corpus with [[minhashLshIncremental]]
+    * instead of re-hashing the corpus every run (the diff-merge
+    * discipline applied to dedup: signature work scales with the
+    * delta, not the archive). */
+  def minhashBandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                              tokenHash: Column => Column = xxhash64(_),
+                              hashBandKeys: Boolean = true,
+                              shingler: (Column, Int) => Column = Text.shingles): DataFrame = {
     val exploded = df
       .select(col(idCol), explode(shingler(col(textCol), shingleN)).as("t"))
       .select(col(idCol), pmod(tokenHash(col("t")), lit(Vec.MinhashPrime)).as("h"))
@@ -61,21 +82,47 @@ object Dedup {
     }
     val sig = exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
-    // persist: the banded table is tiny (id, sig, band, key) but its
-    // lineage — shingle + signature computation — is the expensive part;
-    // without it the self-join recomputes signatures for both sides.
     val keys = if (hashBandKeys) Vec.lshBandKeys(col("sig"), k, bands)
                else Vec.lshBandKeyStrings(col("sig"), k, bands)
-    val banded = graft.util.CacheRegistry.register(
-      sig.select(col(idCol), col("sig"),
-          posexplode(keys).as(Seq("band", "key")))
-        .persist())
-    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    sig.select(col(idCol), col("sig"), posexplode(keys).as(Seq("band", "key")))
+  }
+
+  /** Near-dup candidates of a NEW batch against an existing signature
+    * index (+ within the batch itself): signatures compute for the
+    * delta only; the index joins as-is. Pairs are (id_a < id_b) over
+    * the union, so new-vs-indexed and new-vs-new dups both surface.
+    * The config (shingleN/k/bands/hash) must match the index's. */
+  def minhashLshIncremental(newDocs: DataFrame, index: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                            minEstSim: Double = 0.5,
+                            tokenHash: Column => Column = xxhash64(_),
+                            hashBandKeys: Boolean = true,
+                            shingler: (Column, Int) => Column = Text.shingles): DataFrame = {
+    val newBanded = graft.util.CacheRegistry.register(
+      minhashBandedSignatures(newDocs, idCol, textCol, shingleN, k, bands,
+        tokenHash, hashBandKeys, shingler).persist())
+    // candidates must involve at least one NEW doc: new×(index ∪ new),
+    // not index×index (those pairs were reported when the index grew)
+    candidatePairs(newBanded, index.unionByName(newBanded), idCol, k, minEstSim)
+  }
+
+  /** banded bucket join + signature-agreement estimate shared by the
+    * self-join and incremental forms. Pairs normalize to
+    * (least, greatest) AFTER the join rather than filtering id_a <
+    * id_b — with an asymmetric a-side (the incremental delta) the
+    * `<` filter would silently drop every pair whose indexed id sorts
+    * below the new id. Bucket-local only; output (id_a, id_b,
+    * est_sim), id_a < id_b. */
+  private def candidatePairs(a0: DataFrame, b0: DataFrame, idCol: String,
+                             k: Int, minEstSim: Double): DataFrame = {
+    val a = a0.select(col("band"), col("key"), col(idCol).as("_ia"), col("sig").as("sig_a"))
+    val b = b0.select(col("band"), col("key"), col(idCol).as("_ib"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+      .filter(col("_ia") =!= col("_ib"))
+      .select(least(col("_ia"), col("_ib")).as("id_a"),
+        greatest(col("_ia"), col("_ib")).as("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), bb => bb))
           .cast("double") / k).as("est_sim"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("est_sim")).as("est_sim"))

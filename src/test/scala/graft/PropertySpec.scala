@@ -103,6 +103,20 @@ class PropertySpec extends SparkSpec {
     out.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
 
+  test("native word shingler equals the HOF formulation on random unicode") {
+    val gen = Gen.listOfN(30, Gen.oneOf(
+      Gen.alphaNumChar, Gen.const(' '), Gen.const(' '), // bias toward spaces
+      Gen.oneOf('\t', '\n', '龍', '臺', 'é', '段'))).map(_.mkString)
+    val strs = samples(gen, 80) ++ Seq("", " ", "  ", "a", "a b", "\t\n", " a  b ")
+    for (n <- Seq(1, 2, 3)) {
+      val out = strs.toDF("s").select(
+        Text.shingles(col("s"), n).as("fast"),
+        Text.shinglesHof(col("s"), n).as("hof")).collect()
+      out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"n=$n: ${r.getSeq[String](0)} != ${r.getSeq[String](1)}"))
+    }
+  }
+
   test("native sectionArabic equals the chained-regex formulation on arbitrary strings") {
     val gen = Gen.listOfN(12, Gen.oneOf(
       Gen.oneOf('一', '二', '三', '四', '五', '六', '七', '八', '九', '十'),

@@ -215,6 +215,35 @@ class TextVecSpec extends SparkSpec {
     assert(!m.contains((1L, 3L)) && !m.contains((2L, 3L)))
   }
 
+  test("C2 incremental minhash: new batch checks against a persisted index, both id orders") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (20L, "completely different words describing some other topic entirely here now")
+    ).toDF("doc_id", "text")
+    val index = Dedup.minhashBandedSignatures(corpus, "doc_id", "text")
+    // new batch: id 5 sorts BELOW indexed 10 (the orientation the old
+    // id_a < id_b self-join filter would drop), id 99 above, 7 unique
+    val batch = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (99L, "completely different words describing some other topic entirely here too"),
+      (7L, "unrelated fresh content with nothing shared against anything else at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshIncremental(batch, index, "doc_id", "text",
+        minEstSim = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 10L)), s"new-below-indexed pair lost: $pairs")
+    assert(pairs.contains((20L, 99L)), s"new-above-indexed pair lost: $pairs")
+    assert(!pairs.exists(p => p._1 == 7L || p._2 == 7L))
+    assert(!pairs.contains((10L, 20L)), "index-internal pairs must not re-report")
+    // the full self-join over corpus+batch agrees on every pair that
+    // involves a new doc
+    val full = Dedup.minhashLsh(corpus.unionByName(batch), "doc_id", "text",
+        minEstSim = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newIds = Set(5L, 99L, 7L)
+    assert(pairs == full.filter(p => newIds(p._1) || newIds(p._2)))
+  }
+
   test("C3 simhash: identical docs hamming 0, banded join finds them") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
