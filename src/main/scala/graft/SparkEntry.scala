@@ -819,7 +819,7 @@ object SparkEntry {
         |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
         |), ctf AS (
         |  SELECT tok, SUM(tf) AS ctf FROM tf GROUP BY tok
-        |), tot AS (SELECT SUM(tf) AS n_total FROM tf),
+        |), tot AS (SELECT SUM(ctf) AS n_total FROM ctf),
         |lp AS (
         |  SELECT t.doc_id, t.tf,
         |         CAST(round(ln(CAST(c.ctf AS DOUBLE) / tot.n_total), 6)

@@ -1,11 +1,7 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native word n-gram shingler: one pass over the string, emitted as a
@@ -29,50 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - distinct=true keeps the first occurrence order (array_distinct)
   */
 case class WordShingles(child: Expression, nExpr: Expression, distinctExpr: Expression)
-  extends TernaryExpression {
+  extends ShingleExpressionBase {
 
-  private lazy val n: Int = nExpr.asInstanceOf[Literal].value.asInstanceOf[Int]
-  private lazy val keepDistinct: Boolean =
-    distinctExpr.asInstanceOf[Literal].value.asInstanceOf[Boolean]
-
-  override def first: Expression = child
-  override def second: Expression = nExpr
-  override def third: Expression = distinctExpr
-
-  override def checkInputDataTypes(): TypeCheckResult = {
-    if (child.dataType != StringType)
-      return TypeCheckResult.TypeCheckFailure(
-        s"graft_shingles expects a string, got ${child.dataType.simpleString}")
-    nExpr match {
-      case Literal(v: Int, IntegerType) if v >= 1 => ()
-      case _ => return TypeCheckResult.TypeCheckFailure(
-        "graft_shingles: n must be an integer literal >= 1")
-    }
-    distinctExpr match {
-      case Literal(_: Boolean, BooleanType) => TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(
-        "graft_shingles: distinct must be a boolean literal")
-    }
-  }
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = false
   override def prettyName: String = "graft_shingles"
-
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
-    WordShingles.compute(child.eval(input).asInstanceOf[UTF8String], n, keepDistinct)
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val childGen = child.genCode(ctx)
-    val cls = WordShingles.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    ev.copy(
-      code = code"""
-        ${childGen.code}
-        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
-          $cls.compute(${childGen.isNull} ? null : ${childGen.value}, $n, $keepDistinct);
-      """,
-      isNull = FalseLiteral)
-  }
+  override protected def staticModule: String =
+    WordShingles.getClass.getName.stripSuffix("$") + "$.MODULE$"
+  override protected def computeShingles(s: UTF8String, n: Int, distinct: Boolean): ArrayData =
+    WordShingles.compute(s, n, distinct)
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): WordShingles =
@@ -80,12 +39,10 @@ case class WordShingles(child: Expression, nExpr: Expression, distinctExpr: Expr
 }
 
 object WordShingles {
-  private val Empty: ArrayData = new GenericArrayData(Array.empty[Any])
-
   /** one-pass tokenize + shingle; null -> empty array (the HOF chain's
     * `when(size(null-tokens) >= n, ...)` otherwise-branch) */
   def compute(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
-    if (s == null) return Empty
+    if (s == null) return ShingleExpressionBase.Empty
     val str = s.toString
     val len = str.length
     // split on single literal spaces, dropping empties
@@ -100,7 +57,7 @@ object WordShingles {
       i += 1
     }
     val m = toks.size - n + 1
-    if (m <= 0) return Empty
+    if (m <= 0) return ShingleExpressionBase.Empty
     val out = new java.util.ArrayList[Any](m)
     val seen = if (distinct) new java.util.HashSet[String](m * 2) else null
     val sb = new java.lang.StringBuilder(64)

@@ -27,6 +27,14 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, features: Array[Float])
   case class MediaFrame(media_id: Long, frame_no: Int, frame: Array[Byte])
 
+  /** the shared deterministic fake-feature fallback for undecodable
+    * media: a rolling hash fanned into [0,1] floats. One definition —
+    * the image and audio kernels must never silently diverge. */
+  private def hashFallback(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val hsh = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
+    Array.tabulate(dim)(i => (((hsh >>> (i * 7)) & 0xFFFF).toFloat / 65535.0f))
+  }
+
   /** typed metadata from the raw bytes (cheap, no decode needed) */
   def attachMetadata(ds: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
@@ -121,11 +129,7 @@ object Multimodal {
             (sy2 / n - meanGray * meanGray).toFloat,
             (w.toDouble / h).toFloat)
           Array.tabulate(dim)(i => base(i % base.length))
-        } else {
-          // deterministic fake for non-image media (see scaladoc)
-          val hsh = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-          Array.tabulate(dim)(i => (((hsh >>> (i * 7)) & 0xFFFF).toFloat / 65535.0f))
-        }
+        } else hashFallback(bytes, dim) // deterministic fake for non-image media
       }
       it.map(r => MediaFeatures(r.media_id, kernel(r.media)))
     }
@@ -160,10 +164,7 @@ object Multimodal {
             // frames, SPI read errors) — those must hit the fallback
             // too, not the task
             val raw = try in.readAllBytes() catch { case _: Exception => null }
-            if (raw == null) {
-              val hsh = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-              Array.tabulate(dim)(j => (((hsh >>> (j * 7)) & 0xFFFF).toFloat / 65535.0f))
-            } else {
+            if (raw == null) hashFallback(bytes, dim) else {
             val n = raw.length / 2
             var sum = 0.0; var sum2 = 0.0; var sumAbs = 0.0
             var peak = 0.0; var flips = 0L
@@ -189,9 +190,7 @@ object Multimodal {
               (if (n > 0) sum / n else 0.0).toFloat)
             Array.tabulate(dim)(j => base(j % base.length))
             }
-          case None =>
-            val hsh = bytes.foldLeft(1125899906842597L)((a, b) => a * 31 + b)
-            Array.tabulate(dim)(j => (((hsh >>> (j * 7)) & 0xFFFF).toFloat / 65535.0f))
+          case None => hashFallback(bytes, dim)
         }
       }
       it.map(r => MediaFeatures(r.media_id, kernel(r.media)))

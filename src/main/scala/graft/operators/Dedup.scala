@@ -57,7 +57,7 @@ object Dedup {
     val banded = graft.util.CacheRegistry.register(
       minhashBandedSignatures(df, idCol, textCol, shingleN, k, bands,
         tokenHash, hashBandKeys, shingler).persist())
-    candidatePairs(banded, banded, idCol, k, minEstSim)
+    candidatePairs(banded, banded, idCol, k, minEstSim, symmetric = true)
   }
 
   /** The banded minhash signature table (id, sig, band, key) that
@@ -104,24 +104,35 @@ object Dedup {
         tokenHash, hashBandKeys, shingler).persist())
     // candidates must involve at least one NEW doc: new×(index ∪ new),
     // not index×index (those pairs were reported when the index grew)
-    candidatePairs(newBanded, index.unionByName(newBanded), idCol, k, minEstSim)
+    candidatePairs(newBanded, index.unionByName(newBanded), idCol, k, minEstSim,
+      symmetric = false)
   }
 
   /** banded bucket join + signature-agreement estimate shared by the
-    * self-join and incremental forms. Pairs normalize to
-    * (least, greatest) AFTER the join rather than filtering id_a <
-    * id_b — with an asymmetric a-side (the incremental delta) the
-    * `<` filter would silently drop every pair whose indexed id sorts
-    * below the new id. Bucket-local only; output (id_a, id_b,
-    * est_sim), id_a < id_b. */
+    * self-join and incremental forms. `symmetric` picks the pair
+    * filter: a self-join sees every unordered pair in both
+    * orientations, so `id_a < id_b` keeps exactly one and halves the
+    * verify work; an asymmetric a-side (the incremental delta) sees
+    * each pair ONCE in whatever orientation, so `<` would silently
+    * drop pairs whose b-side id sorts below — those normalize with
+    * least/greatest instead. Bucket-local only; output (id_a, id_b,
+    * est_sim), id_a < id_b either way. */
   private def candidatePairs(a0: DataFrame, b0: DataFrame, idCol: String,
-                             k: Int, minEstSim: Double): DataFrame = {
+                             k: Int, minEstSim: Double,
+                             symmetric: Boolean): DataFrame = {
     val a = a0.select(col("band"), col("key"), col(idCol).as("_ia"), col("sig").as("sig_a"))
     val b = b0.select(col("band"), col("key"), col(idCol).as("_ib"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("_ia") =!= col("_ib"))
-      .select(least(col("_ia"), col("_ib")).as("id_a"),
-        greatest(col("_ia"), col("_ib")).as("id_b"),
+    val joined = a.join(b, Seq("band", "key"))
+    val pairs =
+      if (symmetric) joined.filter(col("_ia") < col("_ib"))
+        .select(col("_ia").as("id_a"), col("_ib").as("id_b"),
+          col("sig_a"), col("sig_b"))
+      else joined.filter(col("_ia") =!= col("_ib"))
+        .select(least(col("_ia"), col("_ib")).as("id_a"),
+          greatest(col("_ia"), col("_ib")).as("id_b"),
+          col("sig_a"), col("sig_b"))
+    pairs
+      .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), bb => bb))
           .cast("double") / k).as("est_sim"))
       .groupBy(col("id_a"), col("id_b"))

@@ -271,7 +271,9 @@ object TextDemos {
     // times (a double-side multiply would not).
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val counts = tf.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
-    val total = tf.agg(sum(col("tf")).as("n_total"))
+    // n_total folds over the vocabulary-sized counts table, not a third
+    // pass over the corpus-sized tf table
+    val total = counts.agg(sum(col("ctf")).as("n_total"))
     // no broadcast hint on counts: the unigram vocabulary is
     // corpus-sized, not dimension-sized — at 100 TB it must be free to
     // shuffle-join (Catalyst/AQE still broadcasts it at demo scale)

@@ -56,10 +56,15 @@ object PagedIngest {
     * 顯示1到10,共X記錄, else 1. Drives the fetch fan-out when the API
     * publishes no machine-readable total. */
   def parseTotalPages(statusText: String, pageSize: Int = 10): Int = {
+    // garbage/adversarial digit runs must degrade, not throw: parse as
+    // long with an Int clamp (the JS reference's parseInt is similarly
+    // total on any digit string)
+    def num(s: String): Option[Long] = s.toLongOption
     val direct = "共\\s*(\\d+)\\s*頁".r.findFirstMatchIn(statusText)
-      .map(_.group(1).toInt)
+      .flatMap(m => num(m.group(1)))
     val estimated = "共\\s*(\\d+)\\s*記錄".r.findFirstMatchIn(statusText)
-      .map(m => (m.group(1).toInt + pageSize - 1) / pageSize)
-    math.max(1, direct.orElse(estimated).getOrElse(1))
+      .flatMap(m => num(m.group(1))).map(r => (r + pageSize - 1) / pageSize)
+    math.max(1L, math.min(Int.MaxValue.toLong,
+      direct.orElse(estimated).getOrElse(1L))).toInt
   }
 }

@@ -139,8 +139,10 @@ object EventStream {
     val snapDir = new org.apache.hadoop.fs.Path(s"$targetDir/snapshots")
     val prevId =
       if (!fs.exists(snapDir)) None
-      else fs.listStatus(snapDir).map(_.getPath.getName.toLong)
-        .filter(_ < batchId).sorted.lastOption
+      else fs.listStatus(snapDir).map(_.getPath)
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+        .map(_.getName.toLong)
+        .filter(_ < batchId).sorted.lastOption // committed snapshots only
     val prev = prevId match {
       case Some(id) => spark.read.parquet(s"$targetDir/snapshots/$id")
       case None => spark.createDataFrame(
@@ -151,25 +153,40 @@ object EventStream {
     val merged = prev.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(batch)
     merged.write.mode("overwrite").parquet(s"$targetDir/snapshots/$batchId")
-    // best-effort pointer refresh (snapshots stay the source of truth)
+    // best-effort pointer refresh (snapshots stay the source of truth):
+    // a pointer failure after the snapshot committed must NOT fail the
+    // batch — replaying a whole epoch to recover a convenience copy is
+    // worse than serving reads from readLatestState until the next
+    // batch repoints it
     val tmp = new org.apache.hadoop.fs.Path(s"$targetDir/current.tmp")
     val cur = new org.apache.hadoop.fs.Path(s"$targetDir/current")
-    spark.read.parquet(s"$targetDir/snapshots/$batchId")
-      .write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(cur)) fs.delete(cur, true)
-    require(fs.rename(tmp, cur),
-      s"upsertBatch: failed to re-point $cur — recover via readLatestState")
+    try {
+      spark.read.parquet(s"$targetDir/snapshots/$batchId")
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(cur)) fs.delete(cur, true)
+      if (!fs.rename(tmp, cur))
+        Console.err.println(s"[upsertBatch] could not re-point $cur; " +
+          "readers should fall back to readLatestState")
+    } catch {
+      case e: Exception =>
+        Console.err.println(s"[upsertBatch] pointer refresh failed (${e.getMessage}); " +
+          "snapshots are intact — readers should fall back to readLatestState")
+    }
   }
 
   /** the race-free read path for [[upsertBatch]] targets: the
-    * highest-id snapshot directory, which is complete before `current`
-    * ever points at it. */
+    * highest-id COMMITTED snapshot — only directories carrying Spark's
+    * _SUCCESS marker count, so an in-flight (or crashed-partial)
+    * snapshot write is never read. */
   def readLatestState(spark: org.apache.spark.sql.SparkSession,
                       targetDir: String): DataFrame = {
     val snapDir = new org.apache.hadoop.fs.Path(s"$targetDir/snapshots")
     val fs = snapDir.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(snapDir), s"upsert target $targetDir has no snapshots")
-    val latest = fs.listStatus(snapDir).map(_.getPath.getName.toLong).max
-    spark.read.parquet(s"$targetDir/snapshots/$latest")
+    val committed = fs.listStatus(snapDir).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName.toLong)
+    require(committed.nonEmpty, s"upsert target $targetDir has no committed snapshots")
+    spark.read.parquet(s"$targetDir/snapshots/${committed.max}")
   }
 }
