@@ -90,6 +90,15 @@ object Text {
   def charShingles(c: Column, n: Int): Column =
     call_function("graft_char_shingles", c, lit(n), lit(true))
 
+  /** [[charShingles]] INCLUDING duplicates (CJK repetition stats) */
+  def charShinglesWithDuplicates(c: Column, n: Int): Column =
+    call_function("graft_char_shingles", c, lit(n), lit(false))
+
+  /** code points as single-char tokens — the CJK tokenizer for
+    * simhash-style per-token hashing over unspaced scripts */
+  def charTokens(c: Column): Column =
+    call_function("graft_char_shingles", c, lit(1), lit(false))
+
   /** the interpreted HOF formulation of [[shingles]] — kept as the
     * semantics reference; specs assert bit-equality with the native
     * expression. */

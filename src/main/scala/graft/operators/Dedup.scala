@@ -147,9 +147,10 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 6,
                    tokenHash: Column => Column = xxhash64(_),
-                   bits: Int = 64): DataFrame = {
+                   bits: Int = 64,
+                   tokenizer: Column => Column = Text.wsTokens): DataFrame = {
     val exploded = df
-      .select(col(idCol), explode(Text.wsTokens(col(textCol))).as("t"))
+      .select(col(idCol), explode(tokenizer(col(textCol))).as("t"))
       .select(col(idCol), tokenHash(col("t")).as("h"))
     val votes = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"_v$j")
@@ -246,11 +247,12 @@ object Dedup {
   def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
                          shingleN: Int = 3, flagThreshold: Double = 0.2,
-                         tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+                         tokenHash: Column => Column = xxhash64(_),
+                         shingler: (Column, Int) => Column = Text.shingles): DataFrame = {
     def hashes(df: DataFrame, keep: Boolean): DataFrame = {
       val base = df.select(
         (if (keep) Seq(col(idCol)) else Seq.empty) :+
-          explode(Text.shingles(col(textCol), shingleN)).as("_sh"): _*)
+          explode(shingler(col(textCol), shingleN)).as("_sh"): _*)
       base.select((if (keep) Seq(col(idCol)) else Seq.empty) :+
         tokenHash(col("_sh")).as("_h"): _*).distinct()
     }
@@ -318,8 +320,9 @@ object Dedup {
   /** exact word-n-gram Jaccard for a candidate pair set; `pairs` has
     * (id_a, id_b); texts joined in by id. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
-                   textCol: String, n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), Text.shingles(col(textCol), n).as("sh"))
+                   textCol: String, n: Int = 3,
+                   shingler: (Column, Int) => Column = Text.shingles): DataFrame = {
+    val sh = docs.select(col(idCol), shingler(col(textCol), n).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

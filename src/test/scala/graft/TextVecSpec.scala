@@ -244,6 +244,31 @@ class TextVecSpec extends SparkSpec {
     assert(pairs == full.filter(p => newIds(p._1) || newIds(p._2)))
   }
 
+  test("CJK variants: simhash char tokens, char-shingle Jaccard and contamination all work") {
+    val a = "臺北市大安區和平東路二段一百零六號三樓心理諮商所歡迎民眾來電預約個別晤談與團體課程服務時間為週一至週六"
+    val b = "臺北市大安區和平東路三段一百零六號三樓心理諮商所歡迎民眾來電預約個別晤談與團體課程服務時間為週一至週六"
+    val c = "高雄市左營區完全不同的另一家機構提供截然不同的服務內容與完全無關的課程安排時段說明文字"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    // simhash over char BIGRAM tokens (the CJK norm: unigram votes are
+    // margin-1 on short docs and flip too many bits per edit): a
+    // one-char edit perturbs only two tokens
+    val sp = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16,
+        tokenizer = c0 => Text.charShinglesWithDuplicates(c0, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sp.contains((1L, 2L)) && !sp.contains((1L, 3L)), s"got $sp")
+    // char-shingle Jaccard: one differing char in 20 -> high but < 1
+    val jac = Dedup.ngramJaccard(docs,
+        Seq((1L, 2L)).toDF("id_a", "id_b"), "doc_id", "text", n = 2,
+        shingler = Text.charShingles)
+      .collect().head.getAs[Double]("jaccard")
+    assert(jac > 0.5 && jac < 1.0, s"jaccard $jac")
+    // contamination of doc 1 against a benchmark containing doc 1's text
+    val cont = Dedup.contaminationCheck(docs, docs.filter(col("doc_id") === 1),
+        "doc_id", "text", shingleN = 3, shingler = Text.charShingles)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("contamination")).toMap
+    assert(cont(1L) == 1.0 && cont(3L) < 0.3, s"got $cont")
+  }
+
   test("C3 simhash: identical docs hamming 0, banded join finds them") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
