@@ -149,6 +149,20 @@ object Dedup {
                    tokenHash: Column => Column = xxhash64(_),
                    bits: Int = 64,
                    tokenizer: Column => Column = Text.wsTokens): DataFrame = {
+    val banded = graft.util.CacheRegistry.register(
+      simhashBandedSignatures(df, idCol, textCol, tokenHash, bits, tokenizer)
+        .persist()) // see minhashLsh: avoid recomputing simhash on both join sides
+    simhashCandidates(banded, banded, idCol, maxHamming, symmetric = true)
+  }
+
+  /** The banded simhash table (id, sh, band, key) [[simhashPairs]]
+    * self-joins — persist it and check new batches with
+    * [[simhashIncremental]], the same delta discipline as the minhash
+    * index. Config (tokenHash/bits/tokenizer) must match across runs. */
+  def simhashBandedSignatures(df: DataFrame, idCol: String, textCol: String,
+                              tokenHash: Column => Column = xxhash64(_),
+                              bits: Int = 64,
+                              tokenizer: Column => Column = Text.wsTokens): DataFrame = {
     val exploded = df
       .select(col(idCol), explode(tokenizer(col(textCol))).as("t"))
       .select(col(idCol), tokenHash(col("t")).as("h"))
@@ -160,14 +174,41 @@ object Dedup {
         (0 until bits).map { j =>
           when(col(s"_v$j") > 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
-    val banded = graft.util.CacheRegistry.register(
-      hashed.select(col(idCol), col("sh"),
-          posexplode(Vec.simhashBands(col("sh"), bits)).as(Seq("band", "key")))
-        .persist()) // see minhashLsh: avoid recomputing simhash on both join sides
-    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
+    hashed.select(col(idCol), col("sh"),
+      posexplode(Vec.simhashBands(col("sh"), bits)).as(Seq("band", "key")))
+  }
+
+  /** SimHash near-dups of a NEW batch against a persisted banded
+    * index (+ within the batch): simhash computes for the delta only.
+    * Pairs involve at least one new doc; output (id_a < id_b). */
+  def simhashIncremental(newDocs: DataFrame, index: DataFrame,
+                         idCol: String, textCol: String,
+                         maxHamming: Int = 6,
+                         tokenHash: Column => Column = xxhash64(_),
+                         bits: Int = 64,
+                         tokenizer: Column => Column = Text.wsTokens): DataFrame = {
+    val newBanded = graft.util.CacheRegistry.register(
+      simhashBandedSignatures(newDocs, idCol, textCol, tokenHash, bits, tokenizer)
+        .persist())
+    simhashCandidates(newBanded, index.unionByName(newBanded), idCol,
+      maxHamming, symmetric = false)
+  }
+
+  /** banded hamming-candidate join shared by the self-join and
+    * incremental simhash forms (same pair-orientation discipline as
+    * [[candidatePairs]]). */
+  private def simhashCandidates(a0: DataFrame, b0: DataFrame, idCol: String,
+                                maxHamming: Int, symmetric: Boolean): DataFrame = {
+    val a = a0.select(col("band"), col("key"), col(idCol).as("_ia"), col("sh").as("sh_a"))
+    val b = b0.select(col("band"), col("key"), col(idCol).as("_ib"), col("sh").as("sh_b"))
+    val joined = a.join(b, Seq("band", "key"))
+    val pairs =
+      if (symmetric) joined.filter(col("_ia") < col("_ib"))
+        .select(col("_ia").as("id_a"), col("_ib").as("id_b"), col("sh_a"), col("sh_b"))
+      else joined.filter(col("_ia") =!= col("_ib"))
+        .select(least(col("_ia"), col("_ib")).as("id_a"),
+          greatest(col("_ia"), col("_ib")).as("id_b"), col("sh_a"), col("sh_b"))
+    pairs
       .select(col("id_a"), col("id_b"), Vec.hamming(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()

@@ -269,6 +269,27 @@ class TextVecSpec extends SparkSpec {
     assert(cont(1L) == 1.0 && cont(3L) < 0.3, s"got $cont")
   }
 
+  test("C3 incremental simhash: delta vs persisted index, both id orders, matches full join") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "wholly unrelated content about completely different things here"))
+      .toDF("doc_id", "text")
+    val index = Dedup.simhashBandedSignatures(corpus, "doc_id", "text")
+    val batch = Seq(
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 10, id BELOW
+      (99L, "wholly unrelated content about completely different things too"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashIncremental(batch, index, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 10L)), s"new-below-indexed simhash pair lost: $pairs")
+    assert(!pairs.contains((10L, 20L)), "index-internal pairs must not re-report")
+    val full = Dedup.simhashPairs(corpus.unionByName(batch), "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val newIds = Set(5L, 99L)
+    assert(pairs == full.filter(p => newIds(p._1) || newIds(p._2)))
+  }
+
   test("C3 simhash: identical docs hamming 0, banded join finds them") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
