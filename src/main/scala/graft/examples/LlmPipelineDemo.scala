@@ -27,18 +27,19 @@ object LlmPipelineDemo {
     val docs = Tables.documents(spark, dir)
     stage("ingested", docs.count())
 
-    // language + quality + length gates (in-row, no shuffle)
+    // language + quality + length gates (in-row, no shuffle): docs with
+    // no identifiable language ("und") drop here, like low-quality ones
     val (pred, _) = Text.langId(col("text"))
     val gated = docs
       .withColumn("lang_pred", pred)
       .withColumn("quality", Text.qualityScore(col("text")))
-      .filter(col("quality") > 0.3)
+      .filter(col("lang_pred") =!= "und" && col("quality") > 0.3)
     val bounded = Filtering.quantileOutliers(
         gated.withColumn("n_tokens", Text.tokenCount(col("text"))),
         "n_tokens", loQ = 0.02, hiQ = 0.98)
       .filter(!col("is_outlier"))
-      .select(col("doc_id"), col("text"), col("lang_pred"))
-    stage("quality+length gated", bounded.count())
+      .select(col("doc_id"), col("text"))
+    stage("lang+quality+length gated", bounded.count())
 
     // cross-doc boilerplate scrub, then exact dedup on the scrubbed text
     val scrubbed = Dedup.chunkDedup(bounded, "doc_id", "text",
@@ -56,11 +57,14 @@ object LlmPipelineDemo {
       clusters.filter(col("doc_id") === col("cluster")).select("doc_id"), "doc_id")
     stage("near-dup canonical", canonical.count())
 
-    // benchmark-leakage check (every 25th doc stands in for the eval set)
+    // benchmark-leakage check (every 25th doc stands in for the eval
+    // set). Drop only POSITIVELY flagged non-benchmark docs via
+    // anti-join: a doc too short to shingle has no contamination row
+    // at all, and must survive, not silently vanish.
     val flagged = Dedup.contaminationCheck(canonical,
         canonical.filter(col("doc_id") % 25 === 0), "doc_id", "clean_text")
-      .filter(!col("flagged") || col("doc_id") % 25 === 0)
-    val clean = canonical.join(flagged.select("doc_id"), "doc_id")
+      .filter(col("flagged") && col("doc_id") % 25 =!= 0)
+    val clean = canonical.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
     stage("decontaminated", clean.count())
 
     // deterministic split + pack + sorted layout

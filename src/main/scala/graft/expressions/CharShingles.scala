@@ -32,20 +32,25 @@ object CharShingles {
   def compute(s: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     if (s == null) return ShingleExpressionBase.Empty
     val str = s.toString
-    // code-point start offsets (+ end sentinel): windows slice between
-    // offsets, so surrogate pairs never split
+    // code-point start offsets (+ end sentinel) in a primitive array —
+    // windows slice between offsets, so surrogate pairs never split,
+    // and nothing boxes on this per-row hot path
     val len = str.length
-    val offs = new java.util.ArrayList[Integer]()
+    val offs = new Array[Int](str.codePointCount(0, len) + 1)
     var i = 0
-    while (i < len) { offs.add(i); i += Character.charCount(str.codePointAt(i)) }
-    offs.add(len)
-    val m = offs.size - 1 - n + 1
+    var c = 0
+    while (i < len) {
+      offs(c) = i; c += 1
+      i += Character.charCount(str.codePointAt(i))
+    }
+    offs(c) = len
+    val m = c - n + 1
     if (m <= 0) return ShingleExpressionBase.Empty
     val out = new java.util.ArrayList[Any](m)
     val seen = if (distinct) new java.util.HashSet[String](m * 2) else null
     var j = 0
     while (j < m) {
-      val sh = str.substring(offs.get(j), offs.get(j + n))
+      val sh = str.substring(offs(j), offs(j + n))
       if (seen == null || seen.add(sh)) out.add(UTF8String.fromString(sh))
       j += 1
     }

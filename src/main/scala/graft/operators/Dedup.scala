@@ -102,10 +102,13 @@ object Dedup {
     val newBanded = graft.util.CacheRegistry.register(
       minhashBandedSignatures(newDocs, idCol, textCol, shingleN, k, bands,
         tokenHash, hashBandKeys, shingler).persist())
-    // candidates must involve at least one NEW doc: new×(index ∪ new),
-    // not index×index (those pairs were reported when the index grew)
-    candidatePairs(newBanded, index.unionByName(newBanded), idCol, k, minEstSim,
-      symmetric = false)
+    // candidates must involve at least one NEW doc, split so each part
+    // uses its cheapest orientation rule: new×new is symmetric (the <
+    // filter halves verify work), new×index is asymmetric (normalize).
+    // Batch and index id sets are disjoint -> the two pair sets are too.
+    candidatePairs(newBanded, newBanded, idCol, k, minEstSim, symmetric = true)
+      .unionByName(candidatePairs(newBanded, index, idCol, k, minEstSim,
+        symmetric = false))
   }
 
   /** banded bucket join + signature-agreement estimate shared by the
@@ -190,8 +193,11 @@ object Dedup {
     val newBanded = graft.util.CacheRegistry.register(
       simhashBandedSignatures(newDocs, idCol, textCol, tokenHash, bits, tokenizer)
         .persist())
-    simhashCandidates(newBanded, index.unionByName(newBanded), idCol,
-      maxHamming, symmetric = false)
+    // same split as minhashLshIncremental: symmetric within the batch,
+    // asymmetric against the (disjoint-id) index
+    simhashCandidates(newBanded, newBanded, idCol, maxHamming, symmetric = true)
+      .unionByName(simhashCandidates(newBanded, index, idCol, maxHamming,
+        symmetric = false))
   }
 
   /** banded hamming-candidate join shared by the self-join and

@@ -32,7 +32,13 @@ object PagedIngest {
     * instead of failing the scan or silently vanishing — at fleet
     * scale some fetcher output is always garbage, and the re-fetch
     * loop needs to SEE which pages were bad (`_page` + `_corrupt`
-    * non-null), not discover a count mismatch later. */
+    * non-null), not discover a count mismatch later.
+    *
+    * Spark restriction: a query that references ONLY the corrupt
+    * column from a raw JSON source throws
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN — `.cache()` the frame (or
+    * select at least one data column) before projecting down to
+    * `_page`/`_corrupt` for the re-fetch list. */
   def readPagesPermissive(spark: SparkSession, dir: String, schema: StructType,
                           pagePattern: String = "page_*.json"): DataFrame =
     spark.read
@@ -59,10 +65,11 @@ object PagedIngest {
     // garbage/adversarial digit runs must degrade, not throw: parse as
     // long with an Int clamp (the JS reference's parseInt is similarly
     // total on any digit string)
-    def num(s: String): Option[Long] = s.toLongOption
-    val direct = "共\\s*(\\d+)\\s*頁".r.findFirstMatchIn(statusText)
+    // digit runs may carry thousands separators (共1,234記錄)
+    def num(s: String): Option[Long] = s.replace(",", "").toLongOption
+    val direct = "共\\s*([\\d,]*\\d)\\s*頁".r.findFirstMatchIn(statusText)
       .flatMap(m => num(m.group(1)))
-    val estimated = "共\\s*(\\d+)\\s*記錄".r.findFirstMatchIn(statusText)
+    val estimated = "共\\s*([\\d,]*\\d)\\s*記錄".r.findFirstMatchIn(statusText)
       .flatMap(m => num(m.group(1))).map(r => (r + pageSize - 1) / pageSize)
     math.max(1L, math.min(Int.MaxValue.toLong,
       direct.orElse(estimated).getOrElse(1L))).toInt

@@ -132,27 +132,38 @@ object EventStream {
   def upsertBatch(targetDir: String, keyCols: Seq[String])(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // commit detection rides _SUCCESS markers: force them on even
+    // where an object-store tuning disabled them globally
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
     val fs = new org.apache.hadoop.fs.Path(targetDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // recovery: merge on top of the latest snapshot BELOW this batch id
-    // (a replay of batch N must not read N's own partial/old output)
-    val snapDir = new org.apache.hadoop.fs.Path(s"$targetDir/snapshots")
-    val prevId =
-      if (!fs.exists(snapDir)) None
-      else fs.listStatus(snapDir).map(_.getPath)
-        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-        .map(_.getName.toLong)
-        .filter(_ < batchId).sorted.lastOption // committed snapshots only
-    val prev = prevId match {
-      case Some(id) => spark.read.parquet(s"$targetDir/snapshots/$id")
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    // idempotent replay: if this batch's snapshot already COMMITTED,
+    // the merge already happened with identical input — rewriting it
+    // would delete a committed snapshot out from under concurrent
+    // readLatestState readers for no new information. Just re-point.
+    val own = new org.apache.hadoop.fs.Path(s"$targetDir/snapshots/$batchId/_SUCCESS")
+    if (!fs.exists(own)) {
+      // recovery: merge on top of the latest snapshot BELOW this batch
+      // id (a replay of batch N must not read N's own partial output)
+      val snapDir = new org.apache.hadoop.fs.Path(s"$targetDir/snapshots")
+      val prevId =
+        if (!fs.exists(snapDir)) None
+        else fs.listStatus(snapDir).map(_.getPath)
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          .map(_.getName.toLong)
+          .filter(_ < batchId).sorted.lastOption // committed snapshots only
+      val prev = prevId match {
+        case Some(id) => spark.read.parquet(s"$targetDir/snapshots/$id")
+        case None => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+      }
+      // keyed upsert: batch rows REPLACE the key's previous state (the
+      // batch side of an update-mode agg carries the full new value)
+      val merged = prev.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .unionByName(batch)
+      merged.write.mode("overwrite").parquet(s"$targetDir/snapshots/$batchId")
     }
-    // keyed upsert: batch rows REPLACE the key's previous state (the
-    // batch side of an update-mode agg carries the full new value)
-    val merged = prev.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
-      .unionByName(batch)
-    merged.write.mode("overwrite").parquet(s"$targetDir/snapshots/$batchId")
     // best-effort pointer refresh (snapshots stay the source of truth):
     // a pointer failure after the snapshot committed must NOT fail the
     // batch — replaying a whole epoch to recover a convenience copy is
