@@ -124,6 +124,8 @@ class IoSpec extends SparkSpec {
     assert(parseTotalPages("顯示1到10,共95記錄 共 3 頁") == 3) // explicit wins
     assert(parseTotalPages("no pager text here") == 1)
     assert(parseTotalPages("共100記錄", pageSize = 25) == 4)
+    assert(parseTotalPages("顯示1到10,共1,234記錄") == 124) // thousands separator
+    assert(parseTotalPages("共 99999999999999 頁") == Int.MaxValue) // clamp, no throw
   }
 
   test("Layout.writeSorted: output files carry disjoint, internally sorted key ranges") {
