@@ -61,6 +61,7 @@ object SparkEntry {
     "embed_near_dup"       -> (TextDemos.embedNearDup(_, _)),
     "ivf_centroids"        -> (TextDemos.ivfCentroids(_, _)),
     "ivf_assign"           -> (TextDemos.ivfAssign(_, _)),
+    "ivf_topk"             -> (TextDemos.ivfTopk(_, _)),
     "doc_freq_filter"      -> (TextDemos.docFreqFilter(_, _)),
     "tfidf_top_terms"      -> (TextDemos.tfidfTopTerms(_, _)),
     "repetition_score"     -> (TextDemos.repetitionScore(_, _)),
@@ -646,6 +647,7 @@ object SparkEntry {
     "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),
+    "ivf_topk"          -> graft.oracle.OracleGen.ivfTopkSql(),
 
     "doc_freq_filter" ->
       """WITH toks AS (

@@ -47,6 +47,22 @@ object Similarity {
     topK(scored, k, queryId, candId)
   }
 
+  /** All XOR masks of Hamming weight <= `probeBits` over `nPlanes` bit
+    * positions — the multi-probe flip set, enumerated STRUCTURALLY as
+    * bit-combinations (sum of C(nPlanes, s) for s <= probeBits masks
+    * generated, nothing else visited). The old form filtered all
+    * 2^nPlanes longs, which forced an nPlanes <= 24 guard; this one
+    * only needs the probe COUNT itself to stay broadcast-sized.
+    * Ascending-weight, ascending-value order matches the filtered
+    * enumeration for probeBits <= 1 (identity first), and the probe
+    * set is order-insensitive anyway (it feeds a join). */
+  private[graft] def hammingBallMasks(nPlanes: Int, probeBits: Int): Seq[Long] =
+    (0 to probeBits).flatMap { s =>
+      (0 until nPlanes).combinations(s)
+        .map(_.foldLeft(0L)((m, bit) => m | (1L << bit)))
+        .toSeq.sorted
+    }
+
   /** LSH-bucketed approximate top-k with multi-probe (probe every
     * bucket within Hamming distance `probeBits` of the query bucket —
     * all bit-combinations, not just single flips). */
@@ -54,15 +70,16 @@ object Similarity {
               nPlanes: Int, dim: Int, probeBits: Int = 1,
               queryId: String = "query_id", queryVec: String = "qv",
               candId: String = "cand_id", candVec: String = "cv"): DataFrame = {
-    require(nPlanes >= 1 && nPlanes <= 24,
-      s"nPlanes must be in [1, 24] (probe enumeration is 2^nPlanes-bounded), got $nPlanes")
+    require(nPlanes >= 1 && nPlanes <= 63,
+      s"nPlanes must be in [1, 63] (bucket ids are one long), got $nPlanes")
     require(probeBits >= 0 && probeBits <= nPlanes,
       s"probeBits must be in [0, $nPlanes], got $probeBits")
+    val flips = hammingBallMasks(nPlanes, probeBits)
+    require(flips.size <= 65536,
+      s"probe set has ${flips.size} buckets per query (nPlanes=$nPlanes, " +
+        s"probeBits=$probeBits); keep sum of C(nPlanes, s<=probeBits) <= 65536")
     val planes = Vec.hyperplanes(nPlanes, dim)
     val cB = corpus.withColumn("bucket", Vec.lshBucket(col(candVec), planes))
-    // query probes: every bucket at hamming distance <= probeBits
-    val flips: Seq[Long] =
-      (0L until (1L << nPlanes)).filter(f => java.lang.Long.bitCount(f) <= probeBits)
     val probes = array(flips.map(lit): _*)
     val qB = broadcast(
       queries.withColumn("bucket0", Vec.lshBucket(col(queryVec), planes))
@@ -99,6 +116,26 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(queryId), col(labelCol), round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF end-to-end search — the point of C14/C15: coarse-quantize each
+    * query to its nearest centroid ([[ivfAssign]]), probe ONLY that
+    * cluster's posting list, and rank with the bounded top-k aggregate.
+    * `corpus` carries its cluster label (`labelCol`); at 100 TB the
+    * corpus is written partitioned/bucketed by label, so the probe is a
+    * partition-pruned scan of one posting list, not a corpus pass, and
+    * the assigned-query side (queries × 1 label each) broadcasts. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroidsLong: DataFrame,
+              k: Int,
+              queryId: String = "query_id", queryVec: String = "qv",
+              candId: String = "cand_id", candVec: String = "cv",
+              labelCol: String = "label"): DataFrame = {
+    val assigned = ivfAssign(queries, centroidsLong, queryId, queryVec, labelCol)
+      .select(col(queryId), col(labelCol))
+    val probing = queries.join(assigned, queryId)
+    val scored = broadcast(probing).join(corpus, labelCol)
+      .withColumn("sim", Vec.cosineFast(col(queryVec), col(candVec)))
+    topK(scored, k, queryId, candId)
   }
 
   /** near-duplicate pairs by embedding cosine above `threshold`,

@@ -225,6 +225,21 @@ object TextDemos {
       .orderBy("query_id")
   }
 
+  /** C14+C15 closed loop — IVF end-to-end top-k: each query probes its
+    * assigned centroid's posting list only (the actual point of IVF),
+    * ranked by the bounded top-k aggregate. */
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("label"))
+    Similarity.ivfTopK(queries, corpus,
+        Similarity.ivfCentroids(emb, "embedding", "label"), k = 5)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   /** C7 — embedding-cosine near-duplicate pairs via shared LSH buckets. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(spark, dir),
