@@ -150,6 +150,34 @@ object Norm {
   def dropXiangNong(c: Column): Column =
     dropXiang(dropNong(c))
 
+  // --- reference-EXACT alleyDegradeVariants rungs (geocode.js:172-183).
+  // The reference regexes read unit-before-digits (`弄3號`→`號`), which
+  // on well-formed `12巷3弄45號` swallows the house number and promotes
+  // the alley number into its place — reproduced verbatim here (opt-in
+  // via Geocode.expand(refAlley = true)) for byte parity with the
+  // reference's emitted candidate lists; the corrected rungs above stay
+  // the default. JS `.replace` without /g is first-occurrence-only: the
+  // `^(.*?)` lazy prefix anchors Spark's replace-all to the first match.
+
+  /** `s.replace(/弄\d+(?:-\d+)?號/, '號')` — first occurrence */
+  def refAlleyNong(c: Column): Column =
+    regexp_replace(c, lit("^(.*?)弄\\d+(?:-\\d+)?號"), lit("$1號"))
+
+  /** `s.replace(/巷\d+(?:-\d+)?(?=(?:弄\d+(?:-\d+)?)?號)/, '')` — the
+    * lookahead emulated by capturing and restoring the tail */
+  def refAlleyXiang(c: Column): Column =
+    regexp_replace(c, lit("^(.*?)巷\\d+(?:-\\d+)?((?:弄\\d+(?:-\\d+)?)?號)"), lit("$1$2"))
+
+  /** global 巷\d+/弄\d+ removal + house-number-restore fallback when the
+    * result lost its 號 (geocode.js:175-180) */
+  def refAlleyBoth(c: Column): Column = {
+    val stripped = regexp_replace(
+      regexp_replace(c, lit("巷\\d+(?:-\\d+)?"), lit("")),
+      lit("弄\\d+(?:-\\d+)?"), lit(""))
+    when(stripped.rlike("號"), stripped)
+      .otherwise(concat(stripped, regexp_extract(c, "(\\d+(?:-\\d+)?號)", 1)))
+  }
+
   private val roadOnlyPat =
     "^(.+?(?:大道|道|路|街))(\\d+段)?(?:\\d+(?:-\\d+)?巷)?(?:\\d+(?:-\\d+)?弄)?(\\d+(?:-\\d+)?)號$"
 

@@ -46,9 +46,7 @@ object Geocode {
     * raw string, so any postal prefix yields no county); the
     * conjunction split (geocode.js:201) requires a preceding 號 — the
     * reference replaces every bare 及/和/與, which dismembers road
-    * names like 和平東路/和緯路; candidates are emitted in canonical
-    * 臺 form only (the reference emits the 臺/台 pair — derivable via
-    * Norm.foldTai and its inverse); the alley-degrade rungs
+    * names like 和平東路/和緯路; the alley-degrade rungs
     * (Norm.dropNong/dropXiang) match the number-BEFORE-unit component
     * real TW addresses use (`12巷3弄45號` → drop `3弄`), where the
     * reference's alleyDegradeVariants regexes (geocode.js:172-183)
@@ -58,8 +56,16 @@ object Geocode {
     * can differ from ours (intent preserved: degrade alley detail,
     * keep the house number).
     */
+  /** `refAlley = true` swaps the corrected alley-degrade rungs for the
+    * reference-EXACT ladder: alleyDegradeVariants' verbatim regexes
+    * (Norm.refAlley*, geocode.js:172-183) and — like the reference's
+    * emission loop (geocode.js:258-274) — a road-only variant computed
+    * per DEGRADED form, each form expanding its own 9-slot combo block.
+    * Byte-parity with buildQueryCandidates on its own fixtures is
+    * spec-proven (GeocodeSpec); default stays the corrected rungs. */
   def expand(df: DataFrame, idCol: String, addrCol: String,
-             orgCol: Option[String] = None): DataFrame = {
+             orgCol: Option[String] = None,
+             refAlley: Boolean = false): DataFrame = {
     val org = orgCol.map(col).getOrElse(lit("")).as("_org")
 
     // -- stage 1: normalize + composite split (geocode.js:197-204) --
@@ -99,27 +105,84 @@ object Geocode {
       col("_segi")) ++ hCols: _*)
 
     // -- stage 4: alley degrade + road-only per hyphen variant --
-    // sectionArabic staged once per h (roadOnly needs it 4×)
     val hNames = for (bi <- 0 to 1; hi <- 0 to 2) yield s"_h${bi}$hi"
-    val secCols = hNames.map(h => Norm.sectionArabic(col(h)).as(s"${h}s"))
-    val s6b = s6.select(s6.columns.map(col) ++ secCols: _*)
-    val derived = hNames.flatMap { h =>
-      Seq(Norm.dropNong(col(h)).as(s"${h}n"),
-          Norm.dropXiang(col(h)).as(s"${h}x"),
-          Norm.dropXiangNong(col(h)).as(s"${h}z"),
-          Norm.roadOnlyOfSection(col(s"${h}s")).as(s"${h}r"))
+    val hasOrg = col("_org") =!= ""
+    val cty = col("_cty"); val dst = col("_dst")
+    /** the reference's road-only combo block (geocode.js:258-274) */
+    def roBlock(ro: Column): Seq[(Column, Column)] = {
+      val hasRo = ro =!= ""
+      Seq(
+        ro                            -> hasRo,
+        concat(col("_org"), ro)       -> (hasOrg && hasRo),
+        concat(cty, ro)               -> (hasRo && cty =!= ""),
+        concat(col("_org"), cty, ro)  -> (hasOrg && hasRo && cty =!= ""),
+        concat(dst, ro)               -> (hasRo && dst =!= ""),
+        concat(col("_org"), dst, ro)  -> (hasOrg && hasRo && dst =!= ""),
+        concat(cty, dst, ro)          -> (hasRo && (cty =!= "" || dst =!= "")))
     }
-    val s7 = s6b.select(s6b.columns.map(col) ++ derived: _*)
+
+    val (s7, hStructs, slots, slotsPerH) = if (!refAlley) {
+      // corrected rungs: one road-only per hyphen variant, degraded
+      // forms as plain candidates. sectionArabic staged once per h
+      // (roadOnly needs it 4×).
+      val secCols = hNames.map(h => Norm.sectionArabic(col(h)).as(s"${h}s"))
+      val s6b = s6.select(s6.columns.map(col) ++ secCols: _*)
+      val derived = hNames.flatMap { h =>
+        Seq(Norm.dropNong(col(h)).as(s"${h}n"),
+            Norm.dropXiang(col(h)).as(s"${h}x"),
+            Norm.dropXiangNong(col(h)).as(s"${h}z"),
+            Norm.roadOnlyOfSection(col(s"${h}s")).as(s"${h}r"))
+      }
+      val s7c = s6b.select(s6b.columns.map(col) ++ derived: _*)
+      val structs = hNames.map { h =>
+        struct(col(h).as("h"), col(s"${h}n").as("n"), col(s"${h}x").as("x"),
+               col(s"${h}z").as("z"), col(s"${h}r").as("r"))
+      }
+      val sl: Seq[(Column, Column)] =
+        Seq[(Column, Column)](
+          col("_hs.h")                      -> lit(true),
+          concat(col("_org"), col("_hs.h")) -> hasOrg) ++
+        roBlock(col("_hs.r")) ++
+        Seq[(Column, Column)](
+          col("_hs.n")                      -> lit(true),
+          concat(col("_org"), col("_hs.n")) -> hasOrg,
+          col("_hs.x")                      -> lit(true),
+          concat(col("_org"), col("_hs.x")) -> hasOrg,
+          col("_hs.z")                      -> lit(true),
+          concat(col("_org"), col("_hs.z")) -> hasOrg)
+      (s7c, structs, sl, SlotsPerH)
+    } else {
+      // reference-exact ladder: the 4 alleyDegradeVariants forms (self +
+      // verbatim rungs), each with ITS OWN roadOnlyVariant and 9-slot
+      // combo block, mirroring the `for a of alleyDegradeVariants(h)`
+      // emission loop exactly (geocode.js:258-274).
+      val derived = hNames.flatMap { h =>
+        val forms = Seq(col(h), Norm.refAlleyNong(col(h)),
+          Norm.refAlleyXiang(col(h)), Norm.refAlleyBoth(col(h)))
+        forms.zipWithIndex.flatMap { case (f, ai) =>
+          Seq(f.as(s"${h}f$ai"), Norm.roadOnly(f).as(s"${h}r$ai"))
+        }
+      }
+      val s7r = s6.select(s6.columns.map(col) ++ derived: _*)
+      val structs = hNames.map { h =>
+        struct((0 to 3).flatMap(ai =>
+          Seq(col(s"${h}f$ai").as(s"f$ai"), col(s"${h}r$ai").as(s"r$ai"))): _*)
+      }
+      val sl: Seq[(Column, Column)] = (0 to 3).flatMap { ai =>
+        val a = col(s"_hs.f$ai")
+        Seq[(Column, Column)](
+          a                      -> lit(true),
+          concat(col("_org"), a) -> hasOrg) ++
+        roBlock(col(s"_hs.r$ai"))
+      }
+      (s7r, structs, sl, 4 * 9)
+    }
 
     // -- stage 5: emission in reference insertion order --
     // Two-level explode keeps each generated method under Janino's
     // size limit (a flat 90-struct array breaks whole-stage codegen):
-    // first explode one 5-field struct per hyphen variant (pure column
-    // refs), then emit the 15 ladder slots from those fields.
-    val hStructs = hNames.map { h =>
-      struct(col(h).as("h"), col(s"${h}n").as("n"), col(s"${h}x").as("x"),
-             col(s"${h}z").as("z"), col(s"${h}r").as("r"))
-    }
+    // first explode one struct per hyphen variant (pure column refs),
+    // then emit the ladder slots from those fields.
     val s8 = s7.select(col(idCol), col("_org"), col("_cty"), col("_dst"),
         col("_segi"), (col("_h10") === col("_h00")).as("_nosec"),
         posexplode(array(hStructs: _*)).as(Seq("_hi", "_hs")))
@@ -129,25 +192,6 @@ object Geocode {
       // skipping the blocks is output-invariant and halves gate work
       .filter(col("_hi") < 3 || !col("_nosec"))
 
-    val hasOrg = col("_org") =!= ""
-    val ro = col("_hs.r"); val hasRo = ro =!= ""
-    val cty = col("_cty"); val dst = col("_dst")
-    val slots: Seq[(Column, Column)] = Seq(
-      col("_hs.h")                  -> lit(true),
-      concat(col("_org"), col("_hs.h")) -> hasOrg,
-      ro                            -> hasRo,
-      concat(col("_org"), ro)       -> (hasOrg && hasRo),
-      concat(cty, ro)               -> (hasRo && cty =!= ""),
-      concat(col("_org"), cty, ro)  -> (hasOrg && hasRo && cty =!= ""),
-      concat(dst, ro)               -> (hasRo && dst =!= ""),
-      concat(col("_org"), dst, ro)  -> (hasOrg && hasRo && dst =!= ""),
-      concat(cty, dst, ro)          -> (hasRo && (cty =!= "" || dst =!= "")),
-      col("_hs.n")                  -> lit(true),
-      concat(col("_org"), col("_hs.n")) -> hasOrg,
-      col("_hs.x")                  -> lit(true),
-      concat(col("_org"), col("_hs.x")) -> hasOrg,
-      col("_hs.z")                  -> lit(true),
-      concat(col("_org"), col("_hs.z")) -> hasOrg)
     // clamp + looksLike evaluate INSIDE the emission lambda — one site
     // per candidate. Aliasing the clamped string and filtering later
     // lets CollapseProject inline the clamp tree into every consumer
@@ -157,15 +201,28 @@ object Geocode {
     val entries = slots.zipWithIndex.map { case ((q, cond), slot) =>
       when(cond, struct(Norm.clampQuery(q).as("q"), lit(slot).as("slot")))
     }
-    val perSeg = lit(hNames.length * SlotsPerH)
+    val perSeg = lit(hNames.length * slotsPerH)
     s8.select(col(idCol), col("_segi"), col("_hi"),
         explode(filter(array(entries: _*),
           e => e.isNotNull && Norm.looksLikeAddress(e.getField("q")))).as("_c"))
-      .select(col(idCol), col("_c.q").as("candidate"),
-        (col("_segi") * perSeg + col("_hi") * lit(SlotsPerH) + col("_c.slot"))
-          .as("_rank"))
-      .groupBy(col(idCol), col("candidate"))
-      .agg(min(col("_rank")).cast("int").as("rank"))
+      .select(col(idCol), col("_c.q").as("q0"),
+        ((col("_segi") * perSeg + col("_hi") * lit(slotsPerH) + col("_c.slot"))
+          * 2).as("_r0"))
+      // 臺/台 pair emission (taiVariants, geocode.js:136-140, applied per
+      // candidate at geocode.js:278-283): the canonical all-臺 form at the
+      // even rank, its all-台 twin immediately after at the odd rank — the
+      // reference's Set-insertion interleaving. looksLikeAddress and
+      // clampQuery are 臺/台-invariant (gate chars untouched, both chars
+      // 3 UTF-8 bytes), so the twin derives from the already-gated,
+      // already-clamped canonical row instead of re-running the ladder.
+      .select(col(idCol), explode(filter(array(
+          struct(col("q0").as("q"), col("_r0").as("r")),
+          when(col("q0").contains("臺"),
+            struct(regexp_replace(col("q0"), lit("臺"), lit("台")).as("q"),
+              (col("_r0") + 1).as("r")))),
+        e => e.isNotNull)).as("_t"))
+      .groupBy(col(idCol), col("_t.q").as("candidate"))
+      .agg(min(col("_t.r")).cast("int").as("rank"))
   }
 
   /** resolve each row against a (query -> lat/lng) cache table taking
@@ -267,11 +324,12 @@ object Geocode {
   }
 
   /** Street-centroid fallback candidates
-    * (buildStreetCentroidCandidates, geocode.js:410-425): last road
-    * token of the house-number-free address, combined with
-    * county/district/org prefixes, clamped, ordered longest-first
-    * (the reference's length-desc sort at geocode.js:424).
-    * Canonical 臺 form only, like [[expand]]. */
+    * (buildStreetCentroidCandidates, geocode.js:398-425): last road
+    * token of the house-number-free address in BOTH 臺/台 spellings
+    * (extractLastRoadToken returns the pair, geocode.js:230-238),
+    * each combined with county/district/org prefixes; plus the 臺/台
+    * pair of the whole road-only base (geocode.js:418-422); clamped,
+    * ordered longest-first (the length-desc sort at geocode.js:424). */
   def streetCentroidCandidates(df: DataFrame, idCol: String, addrCol: String,
                                orgCol: Option[String] = None): DataFrame = {
     val pre = Norm.stripCountry(Norm.foldTai(Norm.stripSpaces(
@@ -289,19 +347,31 @@ object Geocode {
     val road = element_at(
       regexp_extract_all(col("_base"), lit(s"($tokenPat)"), lit(1)), -1)
     val s3 = s2.select(col(idCol), col("_org"), col("_cty"), col("_dst"),
-        road.as("_road"))
+        col("_base"), road.as("_road"))
       .filter(col("_road").isNotNull && col("_road") =!= "")
     val cty = col("_cty"); val dst = col("_dst"); val orgc = col("_org")
-    val r = col("_road")
-    val entries: Seq[(Column, Column)] = Seq(
-      concat(cty, dst, r) -> (cty =!= "" || dst =!= ""),
-      concat(cty, r)      -> (cty =!= ""),
-      concat(dst, r)      -> (dst =!= ""),
-      r                   -> lit(true),
-      concat(orgc, cty, dst, r) -> (orgc =!= "" && (cty =!= "" || dst =!= "")),
-      concat(orgc, cty, r) -> (orgc =!= "" && cty =!= ""),
-      concat(orgc, dst, r) -> (orgc =!= "" && dst =!= ""),
-      concat(orgc, r)      -> (orgc =!= ""))
+    def toTai2(c: Column) = regexp_replace(c, lit("臺"), lit("台"))
+    // extractLastRoadToken's pair: canonical 臺 token, then its 台 twin
+    // (input is pre-folded, so the twin is the only other spelling)
+    val roadPair: Seq[(Column, Column)] = Seq(
+      col("_road") -> lit(true),
+      toTai2(col("_road")) -> col("_road").contains("臺"))
+    val comboEntries: Seq[(Column, Column)] = roadPair.flatMap {
+      case (r, has) => Seq[(Column, Column)](
+        concat(cty, dst, r) -> (has && (cty =!= "" || dst =!= "")),
+        concat(cty, r)      -> (has && cty =!= ""),
+        concat(dst, r)      -> (has && dst =!= ""),
+        r                   -> has,
+        concat(orgc, cty, dst, r) -> (has && orgc =!= "" && (cty =!= "" || dst =!= "")),
+        concat(orgc, cty, r) -> (has && orgc =!= "" && cty =!= ""),
+        concat(orgc, dst, r) -> (has && orgc =!= "" && dst =!= ""),
+        concat(orgc, r)      -> (has && orgc =!= ""))
+    }
+    // plus the 臺/台 pair of the whole road-only base (geocode.js:418-422)
+    val baseGate = col("_base").rlike("大道|道|路|街")
+    val entries = comboEntries ++ Seq[(Column, Column)](
+      col("_base") -> baseGate,
+      toTai2(col("_base")) -> (baseGate && col("_base").contains("臺")))
     val structs = entries.zipWithIndex.map { case ((q, cond), i) =>
       when(cond, struct(Norm.clampQuery(q).as("q"), lit(i).as("i")))
     }

@@ -136,8 +136,7 @@ object OracleGen {
   def annLshSql(nPlanes: Int = 8, dim: Int = 64, k: Int = 5, probeBits: Int = 1): String = {
     val planes = Vec.hyperplanes(nPlanes, dim)
     // same Hamming-ball probe enumeration as Similarity.lshTopK
-    val flips = (0L until (1L << nPlanes))
-      .filter(f => java.lang.Long.bitCount(f) <= probeBits)
+    val flips = graft.operators.Similarity.hammingBallMasks(nPlanes, probeBits)
       .mkString("[", ", ", "]")
     s"""WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
        |c0 AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
@@ -190,6 +189,39 @@ object OracleGen {
        |  FROM x)
        |SELECT query_id, label, round(sim, 6) AS sim
        |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin
+
+  /** mirror of TextDemos.ivfTopk — C14+C15 closed into an end-to-end
+    * posting-list search: nearest centroid per query, then exact cosine
+    * top-k within that cluster's posting list only. */
+  def ivfTopkSql(k: Int = 5): String =
+    s"""$centroidsCore, c2 AS (
+       |  SELECT label, list(centroid ORDER BY pos) AS cv FROM cent GROUP BY label
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvd
+       |  FROM embeddings WHERE vec_id < 5
+       |), x AS (
+       |  SELECT query_id, label, ${cosineExpr("qvd", "cv")} AS sim
+       |  FROM q CROSS JOIN c2
+       |), r AS (
+       |  SELECT query_id, label,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, label) AS rn
+       |  FROM x
+       |), a AS (
+       |  SELECT q.query_id, q.qv, r.label
+       |  FROM q JOIN r ON q.query_id = r.query_id AND r.rn = 1
+       |), c AS (
+       |  SELECT vec_id AS cand_id, embedding AS cv2, label
+       |  FROM embeddings WHERE vec_id >= 5
+       |), s AS (
+       |  SELECT a.query_id, c.cand_id, ${cosineExpr("a.qv", "c.cv2")} AS sim
+       |  FROM a JOIN c ON a.label = c.label
+       |), rr AS (
+       |  SELECT query_id, cand_id, sim,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+       |  FROM s)
+       |SELECT query_id, cand_id, round(sim, 6) AS sim, rank
+       |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** mirror of RefDemos.geocodeCandidates (expansion ladder, 6 variants) */
   /** Mirror of the full Geocode.expand ladder over the synthesized
@@ -328,8 +360,15 @@ object OracleGen {
        |  FROM sec
        |), u AS (
        |  $arms
+       |), c0 AS (
+       |  -- even ranks: canonical 臺 form (taiVariants first element)
+       |  SELECT c_custkey, ${clamp("q")} AS candidate, rnk * 2 AS rnk FROM u
        |), c AS (
-       |  SELECT c_custkey, ${clamp("q")} AS candidate, rnk FROM u
+       |  SELECT c_custkey, candidate, rnk FROM c0
+       |  UNION ALL
+       |  -- odd ranks: the all-台 twin, interleaved right after (geocode.js:278-283)
+       |  SELECT c_custkey, replace(candidate, '臺', '台') AS candidate, rnk + 1 AS rnk
+       |  FROM c0 WHERE contains(candidate, '臺')
        |)
        |SELECT c_custkey, candidate, CAST(MIN(rnk) AS INT) AS rank
        |FROM c WHERE ${looksLike("candidate")}

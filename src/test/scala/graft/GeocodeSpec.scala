@@ -56,9 +56,100 @@ class GeocodeSpec extends SparkSpec {
     val cands = Geocode.expand(df, "id", "addr", orgCol = Some("org"))
       .orderBy("rank").collect().map(r => (r.getInt(2), r.getString(1)))
     assert(cands(0)._2 == "臺北市大安區和平東路9號")
-    assert(cands(1)._2 == "仁心診所臺北市大安區和平東路9號") // org twin is rank+1
+    assert(cands(1)._2 == "台北市大安區和平東路9號")       // 台 twin interleaves
+    assert(cands(2)._2 == "仁心診所臺北市大安區和平東路9號") // then the org twin
+    assert(cands(3)._2 == "仁心診所台北市大安區和平東路9號")
     assert(cands.exists(_._2 == "臺北市仁心診所臺北市大安區和平東路9號")
       || cands.exists(_._2.startsWith("仁心診所臺北市臺北市")))
+  }
+
+  test("A15 臺/台 pair emission matches the reference's ordered candidate list") {
+    // reference-truth lists derived by running buildQueryCandidates
+    // (geocode.js:288-295, pure-function extract) on these fixtures;
+    // addresses avoid the documented deviations (no 及/和/與 in road
+    // names, no 巷/弄, postal handled identically), so graft must match
+    // the emitted list EXACTLY, including 臺→台 twin interleaving and
+    // dedup-by-first-occurrence order.
+    val df = Seq(
+      (1L, "台北市大安區中山北路三段45-2號", ""),
+      (2L, "新竹市東區光復路二段101號；轉介另記", ""),
+      (3L, "高雄市左營區博愛二路366號", ""),
+      (4L, "台北市大安區中山北路三段45-2號", "仁心診所")).toDF("id", "addr", "org")
+    val by = Geocode.expand(df, "id", "addr", orgCol = Some("org")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(2)).map(_.getString(1)).toSeq).toMap
+    assert(by(1L) == Seq(
+      "臺北市大安區中山北路三段45-2號", "台北市大安區中山北路三段45-2號",
+      "臺北市大安區中山北路3段45-2號", "台北市大安區中山北路3段45-2號",
+      "臺北市臺北市大安區中山北路3段45-2號", "台北市台北市大安區中山北路3段45-2號",
+      "大安區臺北市大安區中山北路3段45-2號", "大安區台北市大安區中山北路3段45-2號",
+      "臺北市大安區臺北市大安區中山北路3段45-2號", "台北市大安區台北市大安區中山北路3段45-2號",
+      "臺北市大安區中山北路三段45之2號", "台北市大安區中山北路三段45之2號",
+      "臺北市大安區中山北路三段45號", "台北市大安區中山北路三段45號",
+      "臺北市大安區中山北路3段45號", "台北市大安區中山北路3段45號",
+      "臺北市臺北市大安區中山北路3段45號", "台北市台北市大安區中山北路3段45號",
+      "大安區臺北市大安區中山北路3段45號", "大安區台北市大安區中山北路3段45號",
+      "臺北市大安區臺北市大安區中山北路3段45號", "台北市大安區台北市大安區中山北路3段45號",
+      "臺北市大安區中山北路3段45之2號", "台北市大安區中山北路3段45之2號"))
+    assert(by(2L) == Seq(
+      "新竹市東區光復路二段101號", "新竹市東區光復路2段101號",
+      "新竹市新竹市東區光復路2段101號", "東區新竹市東區光復路2段101號",
+      "新竹市東區新竹市東區光復路2段101號"))
+    assert(by(3L) == Seq(
+      "高雄市左營區博愛二路366號", "高雄市高雄市左營區博愛二路366號",
+      "左營區高雄市左營區博愛二路366號", "高雄市左營區高雄市左營區博愛二路366號"))
+    // org fixture: spot-check the interleaving shape (full 44-item list
+    // is the same ladder with org twins after every base/ro slot)
+    assert(by(4L).take(8) == Seq(
+      "臺北市大安區中山北路三段45-2號", "台北市大安區中山北路三段45-2號",
+      "仁心診所臺北市大安區中山北路三段45-2號", "仁心診所台北市大安區中山北路三段45-2號",
+      "臺北市大安區中山北路3段45-2號", "台北市大安區中山北路3段45-2號",
+      "仁心診所臺北市大安區中山北路3段45-2號", "仁心診所台北市大安區中山北路3段45-2號"))
+    assert(by(4L).size == 44)
+  }
+
+  test("A15 refAlley mode reproduces alleyDegradeVariants' emitted candidates verbatim") {
+    // reference truth from buildQueryCandidates on alley addresses —
+    // including its unit-before-digit misreads (弄45-2號→號 promotes the
+    // alley number to house number) and the per-degraded-form road-only
+    // combos. The corrected default intentionally differs (documented
+    // deviation); refAlley = true must match byte-for-byte, in order.
+    val df = Seq(
+      (1L, "台北市大安區羅斯福路12巷3弄45-2號"),
+      (2L, "新竹市東區光復路30巷8號")).toDF("id", "addr")
+    val by = Geocode.expand(df, "id", "addr", refAlley = true).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(2)).map(_.getString(1)).toSeq).toMap
+    assert(by(1L) == Seq(
+      "臺北市大安區羅斯福路12巷3弄45-2號", "台北市大安區羅斯福路12巷3弄45-2號",
+      "臺北市大安區羅斯福路45-2號", "台北市大安區羅斯福路45-2號",
+      "臺北市臺北市大安區羅斯福路45-2號", "台北市台北市大安區羅斯福路45-2號",
+      "大安區臺北市大安區羅斯福路45-2號", "大安區台北市大安區羅斯福路45-2號",
+      "臺北市大安區臺北市大安區羅斯福路45-2號", "台北市大安區台北市大安區羅斯福路45-2號",
+      "臺北市大安區羅斯福路12巷3號", "台北市大安區羅斯福路12巷3號",
+      "臺北市大安區羅斯福路3號", "台北市大安區羅斯福路3號",
+      "臺北市臺北市大安區羅斯福路3號", "台北市台北市大安區羅斯福路3號",
+      "大安區臺北市大安區羅斯福路3號", "大安區台北市大安區羅斯福路3號",
+      "臺北市大安區臺北市大安區羅斯福路3號", "台北市大安區台北市大安區羅斯福路3號",
+      "臺北市大安區羅斯福路12弄45-2號", "台北市大安區羅斯福路12弄45-2號",
+      "臺北市大安區羅斯福路12號", "台北市大安區羅斯福路12號",
+      "臺北市臺北市大安區羅斯福路12號", "台北市台北市大安區羅斯福路12號",
+      "大安區臺北市大安區羅斯福路12號", "大安區台北市大安區羅斯福路12號",
+      "臺北市大安區臺北市大安區羅斯福路12號", "台北市大安區台北市大安區羅斯福路12號",
+      "臺北市大安區羅斯福路12巷3弄45之2號", "台北市大安區羅斯福路12巷3弄45之2號",
+      "臺北市大安區羅斯福路12之2號", "台北市大安區羅斯福路12之2號",
+      "臺北市大安區羅斯福路12巷3弄45號", "台北市大安區羅斯福路12巷3弄45號",
+      "臺北市大安區羅斯福路45號", "台北市大安區羅斯福路45號",
+      "臺北市臺北市大安區羅斯福路45號", "台北市台北市大安區羅斯福路45號",
+      "大安區臺北市大安區羅斯福路45號", "大安區台北市大安區羅斯福路45號",
+      "臺北市大安區臺北市大安區羅斯福路45號", "台北市大安區台北市大安區羅斯福路45號",
+      "臺北市大安區羅斯福路12弄45號", "台北市大安區羅斯福路12弄45號"))
+    assert(by(2L) == Seq(
+      "新竹市東區光復路30巷8號", "新竹市東區光復路8號",
+      "新竹市新竹市東區光復路8號", "東區新竹市東區光復路8號",
+      "新竹市東區新竹市東區光復路8號", "新竹市東區光復路30號",
+      "新竹市新竹市東區光復路30號", "東區新竹市東區光復路30號",
+      "新竹市東區新竹市東區光復路30號"))
   }
 
   test("A15b validateAndRank: county containment 臺/台-tolerant, centroid-distance rank") {
@@ -101,7 +192,12 @@ class GeocodeSpec extends SparkSpec {
     // buildStreetCentroidCandidates produces (geocode.js:230-238, 415)
     assert(out(1L).head == "臺北市大安區臺北市大安區和平東路")
     assert(out(1L).contains("臺北市大安區和平東路")) // the bare "road" slot
-    assert(out(2L) == Seq("和平東路"))               // no region: single candidate
+    assert(out(1L).contains("台北市大安區和平東路")) // 台-twin road combos too
+    // the whole road-only base (house number stripped) enters in both
+    // spellings (geocode.js:418-422)
+    assert(out(1L).contains("臺北市大安區和平東路12巷"))
+    assert(out(1L).contains("台北市大安區和平東路12巷"))
+    assert(out(2L) == Seq("和平東路12巷", "和平東路")) // base + road, length-desc
     assert(out(1L).sortBy(-_.length) == out(1L))     // length-desc order
   }
 
