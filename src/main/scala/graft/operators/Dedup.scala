@@ -102,14 +102,23 @@ object Dedup {
     val newBanded = graft.util.CacheRegistry.register(
       minhashBandedSignatures(newDocs, idCol, textCol, shingleN, k, bands,
         tokenHash, hashBandKeys, shingler).persist())
-    // candidates must involve at least one NEW doc, split so each part
-    // uses its cheapest orientation rule: new×new is symmetric (the <
-    // filter halves verify work), new×index is asymmetric (normalize).
-    // Batch and index id sets are disjoint -> the two pair sets are too.
+    minhashPairsWithIndex(newBanded, index, idCol, k, minEstSim)
+  }
+
+  /** [[minhashLshIncremental]] over a PRE-BUILT new-batch banded table —
+    * for callers (the streaming dedup sink) that persist the banded
+    * table once and reuse it for both the pair check and the index
+    * append. Candidates must involve at least one NEW doc, split so
+    * each part uses its cheapest orientation rule: new×new is symmetric
+    * (the `<` filter halves verify work), new×index is asymmetric
+    * (normalize). Batch and index id sets are disjoint → the two pair
+    * sets are too. */
+  private[graft] def minhashPairsWithIndex(newBanded: DataFrame, index: DataFrame,
+                                           idCol: String, k: Int,
+                                           minEstSim: Double): DataFrame =
     candidatePairs(newBanded, newBanded, idCol, k, minEstSim, symmetric = true)
       .unionByName(candidatePairs(newBanded, index, idCol, k, minEstSim,
         symmetric = false))
-  }
 
   /** banded bucket join + signature-agreement estimate shared by the
     * self-join and incremental forms. `symmetric` picks the pair

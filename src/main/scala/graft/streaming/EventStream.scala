@@ -185,6 +185,83 @@ object EventStream {
     }
   }
 
+  /** D6: streaming incremental corpus dedup — [[upsertBatch]]'s replay
+    * discipline composed with Dedup.minhashLshIncremental. Each
+    * micro-batch of documents:
+    *
+    *  1. builds its banded minhash signatures ONCE (persisted),
+    *  2. checks them against the index = the union of every COMMITTED
+    *     prior batch's signatures (new×new + new×index pairs — the
+    *     daily-corpus-dedup job as a stream; signature work scales with
+    *     the delta, never the archive),
+    *  3. appends pairs to `pairs/<batchId>` and its signatures to
+    *     `signatures/<batchId>` — in that order.
+    *
+    * Replay safety: a batch whose SIGNATURE dir is committed already
+    * ran to completion and is skipped outright; a crash between the
+    * pairs write and the signature write replays against the same
+    * committed-prior index (batches are sequential, so no later batch
+    * can have committed) and overwrites byte-identical pairs. The
+    * index is append-only — no batch rewrites another's files, so at
+    * 100 TB the per-batch cost is the delta's signatures plus one
+    * banded join against the (bucketable) signature archive.
+    *
+    * Use with `docs.writeStream.foreachBatch(
+    *   EventStream.minhashDedupBatch(dir, "doc_id", "text") _)`. */
+  def minhashDedupBatch(targetDir: String, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                        minEstSim: Double = 0.5,
+                        tokenHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                          org.apache.spark.sql.functions.xxhash64(_),
+                        hashBandKeys: Boolean = true,
+                        shingler: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+                          graft.functions.Text.shingles)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+    val sigRoot = new org.apache.hadoop.fs.Path(s"$targetDir/signatures")
+    val fs = sigRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/signatures/$batchId/_SUCCESS")))
+      return // committed replay: pairs + signatures are already durable
+    val banded = graft.operators.Dedup.minhashBandedSignatures(
+      batch, idCol, textCol, shingleN, k, bands, tokenHash, hashBandKeys,
+      shingler).persist()
+    try {
+      val prior = committedIds(fs, sigRoot).filter(_ < batchId).sorted
+      val index = prior match {
+        case Seq() => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], banded.schema)
+        case ids => spark.read.parquet(
+          ids.map(id => s"$targetDir/signatures/$id"): _*)
+      }
+      graft.operators.Dedup
+        .minhashPairsWithIndex(banded, index, idCol, k, minEstSim)
+        .write.mode("overwrite").parquet(s"$targetDir/pairs/$batchId")
+      banded.write.mode("overwrite").parquet(s"$targetDir/signatures/$batchId")
+    } finally banded.unpersist()
+  }
+
+  /** all near-dup pairs the [[minhashDedupBatch]] sink has recorded so
+    * far (committed batches only). */
+  def readAllPairs(spark: org.apache.spark.sql.SparkSession,
+                   targetDir: String): DataFrame = {
+    val pairsRoot = new org.apache.hadoop.fs.Path(s"$targetDir/pairs")
+    val fs = pairsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(pairsRoot), s"dedup target $targetDir has no pairs")
+    val ids = committedIds(fs, pairsRoot)
+    require(ids.nonEmpty, s"dedup target $targetDir has no committed pairs")
+    spark.read.parquet(ids.map(id => s"$targetDir/pairs/$id"): _*)
+  }
+
+  /** ids of subdirectories carrying a _SUCCESS commit marker */
+  private def committedIds(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath).toSeq
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName.toLong)
+
   /** the race-free read path for [[upsertBatch]] targets: the
     * highest-id COMMITTED snapshot — only directories carrying Spark's
     * _SUCCESS marker count, so an in-flight (or crashed-partial)

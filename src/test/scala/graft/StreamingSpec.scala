@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.EventStream
 
 case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+case class Doc(doc_id: Long, text: String)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -131,6 +132,60 @@ class StreamingSpec extends SparkSpec {
       val latest = EventStream.readLatestState(spark, dir).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(latest == state())
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("D6 streaming incremental minhash dedup: batches check the persisted index, replay-safe") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val ms = MemoryStream[Doc]
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textA2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val textB = "completely different words describing some other topic entirely here now"
+    val textB2 = "completely different words describing some other topic entirely here too"
+    val textC = "unrelated fresh content with nothing shared against anything else at all"
+    val q = ms.toDF().writeStream
+      .foreachBatch(EventStream.minhashDedupBatch(dir, "doc_id", "text",
+        minEstSim = 0.25) _)
+      .outputMode("append").start()
+    try {
+      ms.addData(Doc(10, textA), Doc(20, textB))
+      q.processAllAvailable()
+      ms.addData(Doc(5, textA2), Doc(99, textB2), Doc(7, textC))
+      q.processAllAvailable()
+      def pairs() = EventStream.readAllPairs(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch 2 near-dups surface against batch 1's index in BOTH id
+      // orientations (5 < 10, 99 > 20); the unique doc pairs with nothing
+      assert(pairs() == Set((5L, 10L), (20L, 99L)), s"got ${pairs()}")
+      // equals the batch incremental path over the same index
+      val batch2 = Seq(Doc(5, textA2), Doc(99, textB2), Doc(7, textC)).toDF()
+      val index1 = spark.read.parquet(s"$dir/signatures/0")
+      val batchPairs = graft.operators.Dedup.minhashLshIncremental(
+          batch2, index1, "doc_id", "text", minEstSim = 0.25)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batchPairs == pairs())
+      // committed replay of the last epoch: skipped outright, no change
+      EventStream.minhashDedupBatch(dir, "doc_id", "text", minEstSim = 0.25)(
+        batch2, 1L)
+      assert(pairs() == Set((5L, 10L), (20L, 99L)))
+      // crash-recovery replay: signatures/1 lost mid-write -> the replay
+      // re-checks against the same prior index and restores both outputs
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/signatures/1"))
+      EventStream.minhashDedupBatch(dir, "doc_id", "text", minEstSim = 0.25)(
+        batch2, 1L)
+      assert(pairs() == Set((5L, 10L), (20L, 99L)))
+      assert(new java.io.File(s"$dir/signatures/1/_SUCCESS").exists())
+      // the accumulated signature index serves the NEXT batch: a doc
+      // near-duplicating batch 2's unique doc pairs against it
+      EventStream.minhashDedupBatch(dir, "doc_id", "text", minEstSim = 0.25)(
+        Seq(Doc(42, textC + " extra")).toDF(), 2L)
+      assert(pairs() == Set((5L, 10L), (20L, 99L), (7L, 42L)))
     } finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
