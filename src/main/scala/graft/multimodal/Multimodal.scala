@@ -197,9 +197,92 @@ object Multimodal {
     }
   }
 
+  case class VideoMeta(media_id: Long, container: String, major_brand: String,
+                       duration_sec: Double, n_tracks: Int, codecs: Seq[String])
+
+  /** REAL (no-codec) video container metadata: an MP4/ISO-BMFF box
+    * walker. The box grammar is a plain byte layout —
+    * `[size:u32][type:4cc][payload]`, size 1 → a u64 largesize follows,
+    * size 0 → to end of enclosure — so duration (moov/mvhd timescale +
+    * duration, v0 and v1 layouts), track count (moov/trak boxes) and
+    * sample-entry codec fourccs (trak/mdia/minf/stbl/stsd entries) read
+    * without decoding a single frame. Pixels stay stubbed
+    * ([[sampleFrames]]); the METADATA is genuine. Unknown or truncated
+    * bytes yield ("unknown", "", -1, 0, []) rather than failing the
+    * partition — malformed sizes stop the walk at the enclosure edge. */
+  def videoMetadata(ds: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import ds.sparkSession.implicits._
+    ds.map(r => parseMp4Meta(r.media_id, r.media))
+  }
+
+  private[multimodal] def parseMp4Meta(id: Long, b: Array[Byte]): VideoMeta = {
+    def u8(i: Int) = b(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xFFFFFFFFL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def cc(i: Int): String = new String(b, i, 4, "ISO-8859-1")
+    val unknown = VideoMeta(id, "unknown", "", -1.0, 0, Seq.empty)
+
+    /** top-level and container boxes as (type, payloadStart, payloadEnd);
+      * stops at the first malformed header instead of guessing onward */
+    def boxes(from: Int, to: Int): List[(String, Int, Int)] = {
+      var i = from
+      var out = List.empty[(String, Int, Int)]
+      var bad = false
+      while (!bad && i + 8 <= to) {
+        val size32 = be32(i)
+        val tpe = cc(i + 4)
+        val (payloadStart, end): (Int, Long) =
+          if (size32 == 0) (i + 8, to.toLong)                // box runs to enclosure end
+          else if (size32 == 1) {
+            if (i + 16 > to) (i + 16, Long.MaxValue)         // truncated largesize
+            else (i + 16, i + be64(i + 8))
+          } else (i + 8, i + size32)
+        if (end < payloadStart || end > to) bad = true
+        else { out ::= (tpe, payloadStart, end.toInt); i = end.toInt }
+      }
+      out.reverse
+    }
+
+    if (b.length < 12) return unknown
+    val top = boxes(0, b.length)
+    val known = Set("ftyp", "styp", "moov", "mdat", "free", "skip", "wide", "moof", "pdin")
+    if (top.isEmpty || !known.contains(top.head._1)) return unknown
+
+    val brand = top.find(_._1 == "ftyp")
+      .collect { case (_, s, e) if e - s >= 4 => cc(s) }.getOrElse("")
+    top.find(_._1 == "moov") match {
+      case None => VideoMeta(id, "mp4", brand, -1.0, 0, Seq.empty)
+      case Some((_, ms, me)) =>
+        val inMoov = boxes(ms, me)
+        val duration = inMoov.find(_._1 == "mvhd").flatMap { case (_, s, e) =>
+          if (e - s < 4) None
+          else u8(s) match {                                  // version byte
+            case 0 if e - s >= 20 => Some(be32(s + 16).toDouble / math.max(1L, be32(s + 12)))
+            case 1 if e - s >= 32 => Some(be64(s + 24).toDouble / math.max(1L, be32(s + 20)))
+            case _ => None
+          }
+        }.getOrElse(-1.0)
+        val traks = inMoov.filter(_._1 == "trak")
+        // trak -> mdia -> minf -> stbl -> stsd: 4B version/flags +
+        // 4B entry_count, then [size:u32][format:4cc] sample entries
+        val codecs = traks.flatMap { case (_, ts, te) =>
+          for {
+            (_, ds_, de) <- boxes(ts, te).filter(_._1 == "mdia")
+            (_, ns, ne) <- boxes(ds_, de).filter(_._1 == "minf")
+            (_, ss, se) <- boxes(ns, ne).filter(_._1 == "stbl")
+            (_, es, ee) <- boxes(ss, se).filter(_._1 == "stsd")
+            entry <- if (ee - es >= 8) boxes(es + 8, ee) else Nil
+          } yield entry._1
+        }
+        VideoMeta(id, "mp4", brand, duration, traks.size, codecs)
+    }
+  }
+
   /** STUB frame sampling: every `stride`-th fixed-size slice stands in
     * for decoded video frames (video is the one modality with no JDK
-    * codec). */
+    * codec for the PIXELS; container metadata is real, see
+    * [[videoMetadata]]). */
   def sampleFrames(ds: Dataset[MediaRow], frameSize: Int = 16, stride: Int = 4): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>

@@ -150,4 +150,43 @@ class IoSpec extends SparkSpec {
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("Layout.writeZOrdered: a 2-D predicate prunes files on BOTH keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two decorrelated keys: a linear sort on x leaves every file
+    // spanning all of y, so only the z-order layout can prune both
+    val df = (0 until 1024).map(x => (x.toLong, (x.toLong * 37) % 1024)).toDF("x", "y")
+    val zDir = tmp(); val linDir = tmp()
+    graft.io.Layout.writeZOrdered(df, "x", "y", nFiles = 16, outPath = zDir)
+    graft.io.Layout.writeSorted(df, Seq("x"), nFiles = 16, outPath = linDir)
+    def ranges(dir: String): Array[((Long, Long), (Long, Long))] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map { f =>
+          val rows = spark.read.parquet(f.getAbsolutePath)
+            .select(col("x"), col("y")).collect()
+          val xs = rows.map(_.getLong(0)); val ys = rows.map(_.getLong(1))
+          ((xs.min, xs.max), (ys.min, ys.max))
+        }
+    // files whose stats range overlaps a narrow slab [lo, hi) in one dim
+    def overlapping(rs: Array[((Long, Long), (Long, Long))],
+                    dim: Int, lo: Long, hi: Long): Int =
+      rs.count { case ((xlo, xhi), (ylo, yhi)) =>
+        val (l, h) = if (dim == 0) (xlo, xhi) else (ylo, yhi)
+        l < hi && h >= lo
+      }
+    val z = ranges(zDir); val lin = ranges(linDir)
+    assert(z.length == 16 && lin.length == 16)
+    // the x-sorted layout prunes x but spans all of y in EVERY file
+    assert(overlapping(lin, 0, 100, 164) <= 3)
+    assert(overlapping(lin, 1, 100, 164) == 16, "linear layout cannot prune on y")
+    // the z-order layout prunes BOTH: a 1/16-wide slab in either
+    // dimension touches ~sqrt(16)=4 of 16 files (block-diagonal
+    // curve chunks; margin for sampled range boundaries)
+    assert(overlapping(z, 0, 100, 164) <= 8, s"x slab hit ${overlapping(z, 0, 100, 164)}/16 files")
+    assert(overlapping(z, 1, 100, 164) <= 8, s"y slab hit ${overlapping(z, 1, 100, 164)}/16 files")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zDir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(linDir))
+  }
 }

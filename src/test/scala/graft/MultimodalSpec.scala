@@ -125,4 +125,51 @@ class MultimodalSpec extends SparkSpec {
     // non-audio bytes take the documented deterministic fallback
     assert(out(2L).forall(v => v >= 0f && v <= 1f))
   }
+
+  test("C12 REAL video container metadata: MP4 box walker reads duration, tracks, codecs") {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xFFFFFFFFL)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ tpe.getBytes("ISO-8859-1") ++ payload
+    // mvhd v0: version/flags, creation, modification, timescale=1000,
+    // duration=5500 -> 5.5 s
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ be32(1000) ++ be32(5500) ++ new Array[Byte](80))
+    def trak(codec: String) =
+      box("trak", box("mdia", box("minf", box("stbl",
+        box("stsd", Array[Byte](0, 0, 0, 0) ++ be32(1) ++
+          box(codec, new Array[Byte](8)))))))
+    val moov = box("moov", mvhd ++ trak("avc1") ++ trak("mp4a"))
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(512) ++ "isomiso2".getBytes)
+    // 64-bit largesize mdat exercises the size==1 path
+    val mdatPayload = new Array[Byte](16)
+    val mdat = be32(1) ++ "mdat".getBytes("ISO-8859-1") ++
+      be64(16L + mdatPayload.length) ++ mdatPayload
+    val mp4 = ftyp ++ moov ++ mdat
+
+    val out = Multimodal.videoMetadata(Seq(
+        MediaRow(1, mp4, "mp4"),
+        MediaRow(2, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12), "bin"),
+        MediaRow(3, mp4.take(ftyp.length + 10), "mp4")).toDS()) // truncated mid-moov
+      .collect().map(r => r.media_id -> r).toMap
+    val m = out(1L)
+    assert(m.container == "mp4" && m.major_brand == "isom")
+    assert(m.duration_sec == 5.5, s"duration ${m.duration_sec}")
+    assert(m.n_tracks == 2)
+    assert(m.codecs == Seq("avc1", "mp4a"), s"codecs ${m.codecs}")
+    assert(out(2L).container == "unknown" && out(2L).codecs.isEmpty)
+    // a valid ftyp followed by truncation still reads as mp4, no crash,
+    // and reports what it could prove: nothing past the cut
+    assert(out(3L).container == "mp4" && out(3L).n_tracks == 0)
+
+    // mvhd v1 (64-bit duration) layout
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      be64(0) ++ be64(0) ++ be32(600) ++ be64(900) ++ new Array[Byte](80))
+    val mp4v1 = ftyp ++ box("moov", mvhd1 ++ trak("hvc1"))
+    val m1 = Multimodal.videoMetadata(Seq(MediaRow(9, mp4v1, "mp4")).toDS())
+      .collect().head
+    assert(m1.duration_sec == 1.5 && m1.codecs == Seq("hvc1"))
+  }
 }
