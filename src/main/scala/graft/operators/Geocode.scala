@@ -85,14 +85,24 @@ object Geocode {
         .as(Seq("_segi", "_seg")))
 
     // -- stage 2: region prefix + bases (geocode.js:240-249) --
+    // base insertion order mirrors the reference's nested loop
+    // (`for b1 of [base0, sectionArabic(base0)]: for b2 of
+    //  streetOrdinalArabicVariants(b1)`): [b0, ord(b0), sec(b0),
+    // ord(sec(b0))]. Deviation (documented): multi-token ordinal
+    // addresses (two DIFFERENT 中文數字 tokens before 街/巷/弄 in one
+    // segment) replace every token with the FIRST token's value —
+    // single-token addresses, the practical case, are exact.
     val segr = when(Norm.hasRegionInfo(col("_seg")), col("_seg"))
       .otherwise(concat(col("_cty"), col("_dst"), col("_seg")))
     val s4 = s3.select(col(idCol), col("_org"), col("_cty"), col("_dst"),
       col("_segi"), Norm.trimToHouseNo(segr).as("_b0"))
-    val s5 = s4.withColumn("_b1", Norm.sectionArabic(col("_b0")))
+    val s5 = s4
+      .withColumn("_b1", Norm.zhStreetNumeralToArabic(col("_b0")))
+      .withColumn("_b2", Norm.sectionArabic(col("_b0")))
+      .withColumn("_b3", Norm.zhStreetNumeralToArabic(col("_b2")))
 
     // -- stage 3: hyphen variants per base (geocode.js:162-169) --
-    val hCols = for (bi <- 0 to 1; hi <- 0 to 2) yield {
+    val hCols = for (bi <- 0 to 3; hi <- 0 to 2) yield {
       val b = col(s"_b$bi")
       val h = hi match {
         case 0 => b
@@ -105,7 +115,7 @@ object Geocode {
       col("_segi")) ++ hCols: _*)
 
     // -- stage 4: alley degrade + road-only per hyphen variant --
-    val hNames = for (bi <- 0 to 1; hi <- 0 to 2) yield s"_h${bi}$hi"
+    val hNames = for (bi <- 0 to 3; hi <- 0 to 2) yield s"_h${bi}$hi"
     val hasOrg = col("_org") =!= ""
     val cty = col("_cty"); val dst = col("_dst")
     /** the reference's road-only combo block (geocode.js:258-274) */
@@ -184,13 +194,22 @@ object Geocode {
     // first explode one struct per hyphen variant (pure column refs),
     // then emit the ladder slots from those fields.
     val s8 = s7.select(col(idCol), col("_org"), col("_cty"), col("_dst"),
-        col("_segi"), (col("_h10") === col("_h00")).as("_nosec"),
+        col("_segi"),
+        (col("_h10") === col("_h00")).as("_noord0"),
+        (col("_h20") === col("_h00")).as("_nosec"),
+        (col("_h30") === col("_h20")).as("_noordsec"),
         posexplode(array(hStructs: _*)).as(Seq("_hi", "_hs")))
-      // without a 中文段 the Arabic-段 base equals the raw base, so the
-      // second hyphen-block (_hi >= 3) would re-emit byte-identical
-      // candidates at worse ranks — min-rank dedup discards them, so
-      // skipping the blocks is output-invariant and halves gate work
-      .filter(col("_hi") < 3 || !col("_nosec"))
+      // a base block whose transform was a no-op (no 中文段, no 中文數字
+      // street ordinal) re-emits byte-identical candidates at worse
+      // ranks — min-rank dedup would discard them anyway, so skipping
+      // the block is output-invariant and keeps gate work at the
+      // 2-block cost for ordinary addresses. When _nosec, ord(sec)
+      // equals ord(b0) (block 1), so blocks 2 AND 3 both skip.
+      .filter(
+        col("_hi") < 3 ||
+        (col("_hi") < 6 && !col("_noord0")) ||
+        (col("_hi") >= 6 && col("_hi") < 9 && !col("_nosec")) ||
+        (col("_hi") >= 9 && !col("_nosec") && !col("_noordsec")))
 
     // clamp + looksLike evaluate INSIDE the emission lambda — one site
     // per candidate. Aliasing the clamped string and filtering later

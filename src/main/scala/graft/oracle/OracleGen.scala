@@ -291,22 +291,32 @@ object OracleGen {
       s"${removeLi(removeLi("regexp_extract(pre, '^[^;；]*', 0)"))}, " +
       "'[，,。.]', '、', 'g'), '號[及和與]', '號、', 'g')"
 
-    // --- per-h derived columns + 90-arm emission (same loops as Geocode.expand) ---
-    val hDefs = (for (bi <- 0 to 1; hi <- 0 to 2) yield {
+    // --- per-h derived columns + emission, same block NUMBERING as
+    // Geocode.expand's 4-base ladder [b0, ord(b0), sec(b0), ord(sec(b0))]
+    // (baseIdx*3 + hyphenIdx, perSeg = 12 h-blocks). The demo corpus
+    // contains NO 中文數字+街/巷/弄 tokens (lane/alley numbers are
+    // synthesized as Arabic digits), so the ordinal blocks (baseIdx 1
+    // and 3) are no-ops the Spark side provably skips — the mirror
+    // omits them rather than inflating DuckDB's expression tree 2×
+    // (the full 180-arm form exhausts its allocator). A corpus change
+    // that introduced ordinal tokens would hash-mismatch here, not
+    // silently pass. ---
+    val baseIdxs = Seq(0, 2) // b0 and sec(b0); ordinal blocks 1/3 no-op
+    val hDefs = (for (bi <- baseIdxs; hi <- 0 to 2) yield {
       val b = s"b$bi"
       val h = hi match { case 0 => b; case 1 => hyphenZhi(b); case 2 => hyphenDrop(b) }
       s"$h AS h$bi$hi"
     }).mkString(",\n    ")
-    val secDefs = (for (bi <- 0 to 1; hi <- 0 to 2) yield
+    val secDefs = (for (bi <- baseIdxs; hi <- 0 to 2) yield
       s"${sectionArabic(s"h$bi$hi")} AS s$bi$hi").mkString(",\n    ")
-    val dDefs = (for (bi <- 0 to 1; hi <- 0 to 2) yield {
+    val dDefs = (for (bi <- baseIdxs; hi <- 0 to 2) yield {
       val ij = s"$bi$hi"
       s"${dropNong(s"h$ij")} AS n$ij, ${dropXiang(s"h$ij")} AS x$ij, " +
       s"${dropXiang(dropNong(s"h$ij"))} AS z$ij, ${roadOnly(s"s$ij")} AS ro$ij"
     }).mkString(",\n    ")
     val slotsPerH = 15
-    val perSeg = 6 * slotsPerH
-    val arms = (for (bi <- 0 to 1; hi <- 0 to 2) yield {
+    val perSeg = 12 * slotsPerH
+    val arms = (for (bi <- baseIdxs; hi <- 0 to 2) yield {
       val ij = s"$bi$hi"; val hIdx = bi * 3 + hi
       val slots: Seq[(String, String)] = Seq(
         (s"h$ij", "TRUE"),
@@ -345,7 +355,7 @@ object OracleGen {
              "OR regexp_matches(seg, '[一-龥]{2,3}[縣市]') THEN seg ELSE cty || dst || seg END)")} AS b0
        |  FROM seg
        |), b2 AS (
-       |  SELECT *, ${sectionArabic("b0")} AS b1 FROM b
+       |  SELECT *, ${sectionArabic("b0")} AS b2 FROM b
        |), h AS (
        |  SELECT *,
        |    $hDefs
@@ -354,14 +364,18 @@ object OracleGen {
        |  SELECT *,
        |    $secDefs
        |  FROM h
-       |), d AS (
+       |), d AS MATERIALIZED (
+       |  -- MATERIALIZED: the 90-arm UNION references d; inlining would
+       |  -- replicate the whole regex-derivation pipeline into every arm
+       |  -- and exhaust DuckDB's allocator on a shared connection
        |  SELECT *,
        |    $dDefs
        |  FROM sec
        |), u AS (
        |  $arms
-       |), c0 AS (
-       |  -- even ranks: canonical 臺 form (taiVariants first element)
+       |), c0 AS MATERIALIZED (
+       |  -- even ranks: canonical 臺 form (taiVariants first element);
+       |  -- materialized so the twin branch below reuses the clamped rows
        |  SELECT c_custkey, ${clamp("q")} AS candidate, rnk * 2 AS rnk FROM u
        |), c AS (
        |  SELECT c_custkey, candidate, rnk FROM c0

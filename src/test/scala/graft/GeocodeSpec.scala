@@ -108,6 +108,49 @@ class GeocodeSpec extends SparkSpec {
     assert(by(4L).size == 44)
   }
 
+  test("A15 street-ordinal bases: 中文數字+街巷弄 converts, insertion order matches the reference") {
+    // reference truth from buildQueryCandidates: bases iterate
+    // [b0, ord(b0), sec(b0), ord(sec(b0))]. Exact-list parity needs
+    // refAlley (the reference's 巷\d+號 rung fires on these shapes);
+    // the corrected default must still emit the converted bases.
+    val df = Seq(
+      (1L, "新竹市東區光復路二十巷5號"),
+      (2L, "台北市大安區中山北路三段五巷7號")).toDF("id", "addr")
+    val by = Geocode.expand(df, "id", "addr", refAlley = true).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(2)).map(_.getString(1)).toSeq).toMap
+    assert(by(1L) == Seq(
+      "新竹市東區光復路二十巷5號", "新竹市東區光復路二十號",
+      "新竹市東區光復路20巷5號", "新竹市東區光復路5號",
+      "新竹市新竹市東區光復路5號", "東區新竹市東區光復路5號",
+      "新竹市東區新竹市東區光復路5號", "新竹市東區光復路20號",
+      "新竹市新竹市東區光復路20號", "東區新竹市東區光復路20號",
+      "新竹市東區新竹市東區光復路20號"))
+    assert(by(2L) == Seq(
+      "臺北市大安區中山北路三段五巷7號", "台北市大安區中山北路三段五巷7號",
+      "臺北市大安區中山北路三段五號", "台北市大安區中山北路三段五號",
+      "臺北市大安區中山北路三段5巷7號", "台北市大安區中山北路三段5巷7號",
+      "臺北市大安區中山北路3段7號", "台北市大安區中山北路3段7號",
+      "臺北市臺北市大安區中山北路3段7號", "台北市台北市大安區中山北路3段7號",
+      "大安區臺北市大安區中山北路3段7號", "大安區台北市大安區中山北路3段7號",
+      "臺北市大安區臺北市大安區中山北路3段7號", "台北市大安區台北市大安區中山北路3段7號",
+      "臺北市大安區中山北路三段5號", "台北市大安區中山北路三段5號",
+      "臺北市大安區中山北路3段5號", "台北市大安區中山北路3段5號",
+      "臺北市臺北市大安區中山北路3段5號", "台北市台北市大安區中山北路3段5號",
+      "大安區臺北市大安區中山北路3段5號", "大安區台北市大安區中山北路3段5號",
+      "臺北市大安區臺北市大安區中山北路3段5號", "台北市大安區台北市大安區中山北路3段5號",
+      "臺北市大安區中山北路3段五巷7號", "台北市大安區中山北路3段五巷7號",
+      "臺北市大安區中山北路3段五號", "台北市大安區中山北路3段五號",
+      "臺北市大安區中山北路3段5巷7號", "台北市大安區中山北路3段5巷7號"))
+    // corrected default: converted bases present, ordinary addresses
+    // unaffected (ordinal blocks skip when the transform is a no-op)
+    val corr = Geocode.expand(df, "id", "addr").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(corr(1L).contains("新竹市東區光復路20巷5號"))
+    assert(corr(2L).contains("臺北市大安區中山北路3段5巷7號"))
+  }
+
   test("A15 refAlley mode reproduces alleyDegradeVariants' emitted candidates verbatim") {
     // reference truth from buildQueryCandidates on alley addresses —
     // including its unit-before-digit misreads (弄45-2號→號 promotes the
