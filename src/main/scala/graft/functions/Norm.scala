@@ -222,4 +222,17 @@ object Norm {
     when(token === "", c).otherwise(
       regexp_replace(c, lit(pat), zhNumeralValue(token).cast("string")))
   }
+
+  /** [[zhStreetNumeralToArabic]], but NULL when there is no token to
+    * convert (or the input is null) — the geocode ladder's ordinal base
+    * blocks use this so the no-op case short-circuits: a null base
+    * flows through every downstream regex derivation as null (codegen
+    * checks isNull before running the regex), making the extra blocks
+    * cost one token scan per row instead of a full derivation chain. */
+  def zhStreetNumeralToArabicOrNull(c: Column): Column = {
+    val pat = "[零〇一二兩三四五六七八九十]{1,3}(?=[街巷弄])"
+    val token = regexp_extract(c, s"($pat)", 1)
+    when(token =!= "",
+      regexp_replace(c, lit(pat), zhNumeralValue(token).cast("string")))
+  }
 }

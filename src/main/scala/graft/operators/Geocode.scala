@@ -96,10 +96,16 @@ object Geocode {
       .otherwise(concat(col("_cty"), col("_dst"), col("_seg")))
     val s4 = s3.select(col(idCol), col("_org"), col("_cty"), col("_dst"),
       col("_segi"), Norm.trimToHouseNo(segr).as("_b0"))
+    // transformed bases are NULL when the transform is a no-op: the
+    // null short-circuits every downstream regex derivation of that
+    // block (codegen's isNull check), so ordinary addresses pay one
+    // ordinal-token scan + one 段 comparison per row, not 2× the
+    // full derivation chain. Null candidates never emit (gate below).
+    val secB = Norm.sectionArabic(col("_b0"))
     val s5 = s4
-      .withColumn("_b1", Norm.zhStreetNumeralToArabic(col("_b0")))
-      .withColumn("_b2", Norm.sectionArabic(col("_b0")))
-      .withColumn("_b3", Norm.zhStreetNumeralToArabic(col("_b2")))
+      .withColumn("_b1", Norm.zhStreetNumeralToArabicOrNull(col("_b0")))
+      .withColumn("_b2", when(secB =!= col("_b0"), secB))
+      .withColumn("_b3", Norm.zhStreetNumeralToArabicOrNull(col("_b2")))
 
     // -- stage 3: hyphen variants per base (geocode.js:162-169) --
     val hCols = for (bi <- 0 to 3; hi <- 0 to 2) yield {
@@ -195,21 +201,14 @@ object Geocode {
     // then emit the ladder slots from those fields.
     val s8 = s7.select(col(idCol), col("_org"), col("_cty"), col("_dst"),
         col("_segi"),
-        (col("_h10") === col("_h00")).as("_noord0"),
-        (col("_h20") === col("_h00")).as("_nosec"),
-        (col("_h30") === col("_h20")).as("_noordsec"),
         posexplode(array(hStructs: _*)).as(Seq("_hi", "_hs")))
-      // a base block whose transform was a no-op (no 中文段, no 中文數字
-      // street ordinal) re-emits byte-identical candidates at worse
-      // ranks — min-rank dedup would discard them anyway, so skipping
-      // the block is output-invariant and keeps gate work at the
-      // 2-block cost for ordinary addresses. When _nosec, ord(sec)
-      // equals ord(b0) (block 1), so blocks 2 AND 3 both skip.
-      .filter(
-        col("_hi") < 3 ||
-        (col("_hi") < 6 && !col("_noord0")) ||
-        (col("_hi") >= 6 && col("_hi") < 9 && !col("_nosec")) ||
-        (col("_hi") >= 9 && !col("_nosec") && !col("_noordsec")))
+      // a base block whose transform was a no-op carries a NULL base
+      // (see s5) — its candidates are null and the emission gate drops
+      // them (output-invariant: the non-null twin block emits the same
+      // bytes at a better rank). This explicit filter just spares the
+      // 15-slot gate work for those rows.
+      .filter(col("_hi") < 3 || col("_hs").getField(
+        if (refAlley) "f0" else "h").isNotNull)
 
     // clamp + looksLike evaluate INSIDE the emission lambda — one site
     // per candidate. Aliasing the clamped string and filtering later
