@@ -104,7 +104,18 @@ object Similarity {
     * that cluster's posting list instead of the whole corpus). */
   def ivfAssign(queries: DataFrame, centroidsLong: DataFrame,
                 queryId: String = "query_id", queryVec: String = "qv",
-                labelCol: String = "label"): DataFrame = {
+                labelCol: String = "label"): DataFrame =
+    ivfAssignN(queries, centroidsLong, nprobe = 1, queryId, queryVec, labelCol)
+      .drop("probe_rank")
+
+  /** multi-probe IVF assignment: each query's `nprobe` NEAREST
+    * centroids (probe_rank 1..nprobe) — the standard IVF recall knob.
+    * The per-query window is over the centroid count (dimension-sized),
+    * never the corpus. */
+  def ivfAssignN(queries: DataFrame, centroidsLong: DataFrame, nprobe: Int,
+                 queryId: String = "query_id", queryVec: String = "qv",
+                 labelCol: String = "label"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val centroids = centroidsLong
       .groupBy(col(labelCol))
       .agg(array_sort(collect_list(struct(col("pos"), col("centroid")))).as("cs"))
@@ -114,8 +125,9 @@ object Similarity {
     qd.crossJoin(broadcast(centroids))
       .withColumn("sim", Vec.cosine(col("qvd"), col("cv")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(queryId), col(labelCol), round(col("sim"), 6).as("sim"))
+      .filter(col("rn") <= nprobe)
+      .select(col(queryId), col(labelCol), round(col("sim"), 6).as("sim"),
+        col("rn").cast("long").as("probe_rank"))
   }
 
   /** IVF end-to-end search — the point of C14/C15: coarse-quantize each
@@ -126,13 +138,14 @@ object Similarity {
     * partition-pruned scan of one posting list, not a corpus pass, and
     * the assigned-query side (queries × 1 label each) broadcasts. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroidsLong: DataFrame,
-              k: Int,
+              k: Int, nprobe: Int = 1,
               queryId: String = "query_id", queryVec: String = "qv",
               candId: String = "cand_id", candVec: String = "cv",
               labelCol: String = "label"): DataFrame = {
-    val assigned = ivfAssign(queries, centroidsLong, queryId, queryVec, labelCol)
+    val assigned = ivfAssignN(queries, centroidsLong, nprobe, queryId, queryVec, labelCol)
       .select(col(queryId), col(labelCol))
     val probing = queries.join(assigned, queryId)
+    // labels are distinct per query, so no candidate scores twice
     val scored = broadcast(probing).join(corpus, labelCol)
       .withColumn("sim", Vec.cosineFast(col(queryVec), col(candVec)))
     topK(scored, k, queryId, candId)

@@ -132,6 +132,32 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("C15b ivfTopK multi-probe: recall@10 grows monotonically with nprobe") {
+    val labeled = geometricLabels
+    val geoCorpus = corpus.drop("label")
+      .join(labeled.withColumnRenamed("label", "_l"), "cand_id")
+    val centroids = Similarity.ivfCentroids(geoCorpus, "cv", "_l")
+      .withColumnRenamed("_l", "label")
+    val corpusL = geoCorpus.withColumnRenamed("_l", "label")
+    def recallAt(nprobe: Int): Double = {
+      val approx = Similarity.ivfTopK(queries, corpusL, centroids, k = K,
+          nprobe = nprobe).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      truth.map { case (q, t) =>
+        (t & approx.getOrElse(q, Set.empty)).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val r = Seq(1, 2, 4, 10).map(np => np -> recallAt(np)).toMap
+    info(f"ivf recall@10 (10 geometric cells): nprobe1=${r(1)}%.3f " +
+      f"nprobe2=${r(2)}%.3f nprobe4=${r(4)}%.3f nprobe10=${r(10)}%.3f")
+    // probing more cells is a candidate superset -> monotone by construction
+    assert(r(1) <= r(2) + 1e-12 && r(2) <= r(4) + 1e-12 && r(4) <= r(10) + 1e-12, r)
+    // probing ALL 10 cells IS brute force
+    assert(r(10) == 1.0, s"nprobe=#cells must be exact, got ${r(10)}")
+    assert(r(4) >= 0.5, s"nprobe=4 recall ${r(4)} below floor")
+  }
+
   test("probe enumeration is structural: choose(n, <=b), no 2^n scan, nPlanes > 24 works") {
     // equals the old filtered enumeration where that was feasible
     for (n <- Seq(4, 8, 16); b <- 0 to 3) {
