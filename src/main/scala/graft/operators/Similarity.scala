@@ -130,6 +130,56 @@ object Similarity {
         col("rn").cast("long").as("probe_rank"))
   }
 
+  /** Lloyd's k-means over an embedding column, relationally — makes the
+    * IVF pipeline self-contained (C14 otherwise takes cluster labels
+    * as given). Seeds = the k lowest-id vectors; each round assigns
+    * every vector to its nearest centroid ([[ivfAssignN]]: broadcast
+    * centroids, the corpus never reshuffles) and recomputes
+    * decimal-exact means ([[ivfCentroids]]). The iterative-loop
+    * discipline is [[Dedup.connectedComponents]]'s: `localCheckpoint`
+    * per round cuts lineage, and convergence (no assignment changed)
+    * rides the checkpoint job via `observe` — no extra action per
+    * round. A cluster that loses all members simply stops existing
+    * (standard Lloyd degeneracy); labels are the seed ids' ranks,
+    * 0..k-1. Returns (id, label). */
+  def kmeansFit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+                maxIter: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val seeds = vecs.orderBy(col(idCol)).limit(k)
+      .withColumn("label",
+        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+      .select(col("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"), col("v").cast("double").as("centroid"))
+    val queries = vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    var centroids = seeds.localCheckpoint(true)
+    var assigned: DataFrame = null
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val next = ivfAssignN(queries, centroids, nprobe = 1)
+        .select(col("query_id"), col("label"))
+      val withPrev =
+        if (assigned == null) next.withColumn("_chg", lit(true))
+        else next.join(
+            assigned.select(col("query_id"), col("label").as("_prev")),
+            Seq("query_id"), "left")
+          .select(col("query_id"), col("label"),
+            (coalesce(col("_prev"), lit(-1)) =!= col("label")).as("_chg"))
+      val obs = org.apache.spark.sql.Observation(s"kmeans_round_$i")
+      val checked = withPrev
+        .observe(obs, sum(col("_chg").cast("long")).as("n_changed"))
+        .localCheckpoint(true) // eager: the observed metric is final here
+      changed = Option(obs.get("n_changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      assigned = checked.select(col("query_id"), col("label"))
+      if (changed > 0)
+        centroids = ivfCentroids(
+            queries.join(assigned, "query_id"), "qv", "label")
+          .localCheckpoint(true)
+      i += 1
+    }
+    assigned.select(col("query_id").as(idCol), col("label"))
+  }
+
   /** IVF end-to-end search — the point of C14/C15: coarse-quantize each
     * query to its nearest centroid ([[ivfAssign]]), probe ONLY that
     * cluster's posting list, and rank with the bounded top-k aggregate.
