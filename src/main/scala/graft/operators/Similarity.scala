@@ -69,7 +69,30 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nPlanes: Int, dim: Int, probeBits: Int = 1,
               queryId: String = "query_id", queryVec: String = "qv",
-              candId: String = "cand_id", candVec: String = "cv"): DataFrame = {
+              candId: String = "cand_id", candVec: String = "cv"): DataFrame =
+    lshTopKWithIndex(queries, lshBucketTable(corpus, nPlanes, dim, candVec),
+      k, nPlanes, dim, probeBits, queryId, queryVec, candId, candVec)
+
+  /** The bucketed corpus table (corpus columns + `bucket`) that
+    * [[lshTopK]] computes per call — PERSIST it (io.Layout /
+    * partitioned by bucket) and serve query batches against it with
+    * [[lshTopKWithIndex]], the ANN twin of the minhash signature-index
+    * discipline: bucket work is paid once per corpus, each query batch
+    * pays only its own hashing plus bucket-local scoring, and at
+    * 100 TB a bucket-partitioned layout makes each probe a
+    * partition-pruned scan. Hyperplanes are deterministic (fixed
+    * seed), so index and query sides agree whenever (nPlanes, dim)
+    * match. */
+  def lshBucketTable(corpus: DataFrame, nPlanes: Int, dim: Int,
+                     candVec: String = "cv"): DataFrame =
+    corpus.withColumn("bucket",
+      Vec.lshBucket(col(candVec), Vec.hyperplanes(nPlanes, dim)))
+
+  /** [[lshTopK]] against a pre-built [[lshBucketTable]]. */
+  def lshTopKWithIndex(queries: DataFrame, index: DataFrame, k: Int,
+                       nPlanes: Int, dim: Int, probeBits: Int = 1,
+                       queryId: String = "query_id", queryVec: String = "qv",
+                       candId: String = "cand_id", candVec: String = "cv"): DataFrame = {
     require(nPlanes >= 1 && nPlanes <= 63,
       s"nPlanes must be in [1, 63] (bucket ids are one long), got $nPlanes")
     require(probeBits >= 0 && probeBits <= nPlanes,
@@ -79,13 +102,12 @@ object Similarity {
       s"probe set has ${flips.size} buckets per query (nPlanes=$nPlanes, " +
         s"probeBits=$probeBits); keep sum of C(nPlanes, s<=probeBits) <= 65536")
     val planes = Vec.hyperplanes(nPlanes, dim)
-    val cB = corpus.withColumn("bucket", Vec.lshBucket(col(candVec), planes))
     val probes = array(flips.map(lit): _*)
     val qB = broadcast(
       queries.withColumn("bucket0", Vec.lshBucket(col(queryVec), planes))
         .withColumn("bucket", explode(transform(probes, f => col("bucket0").bitwiseXOR(f))))
         .drop("bucket0"))
-    val scored = qB.join(cB, "bucket")
+    val scored = qB.join(index, "bucket")
       .withColumn("sim", Vec.cosineFast(col(queryVec), col(candVec)))
     topK(scored, k, queryId, candId)
   }

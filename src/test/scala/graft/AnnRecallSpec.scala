@@ -181,6 +181,25 @@ class AnnRecallSpec extends SparkSpec {
     assert(rate >= 0.25, s"kmeans hit-rate $rate below floor")
   }
 
+  test("C6 lshTopKWithIndex: a persisted bucket table serves queries identically") {
+    // the daily-search shape: bucket the corpus once (round-trip
+    // through parquet, as a real index would), serve batches against it
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    try {
+      Similarity.lshBucketTable(corpus.drop("label"), nPlanes = 8, dim = 64)
+        .write.parquet(s"$dir/index")
+      val index = spark.read.parquet(s"$dir/index")
+      val viaIndex = Similarity.lshTopKWithIndex(queries, index, k = K,
+          nPlanes = 8, dim = 64, probeBits = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val inline = Similarity.lshTopK(queries, corpus.drop("label"), k = K,
+          nPlanes = 8, dim = 64, probeBits = 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(viaIndex == inline, "index-served top-k differs from the inline form")
+      assert(viaIndex.nonEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("probe enumeration is structural: choose(n, <=b), no 2^n scan, nPlanes > 24 works") {
     // equals the old filtered enumeration where that was feasible
     for (n <- Seq(4, 8, 16); b <- 0 to 3) {
