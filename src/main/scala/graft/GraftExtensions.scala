@@ -46,6 +46,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_section_arabic"),
       new ExpressionInfo(classOf[graft.expressions.ZhSectionArabic].getName, "graft_section_arabic"),
       (children: Seq[Expression]) => graft.expressions.ZhSectionArabic(children(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_street_arabic"),
+      new ExpressionInfo(classOf[graft.expressions.ZhStreetArabic].getName, "graft_street_arabic"),
+      (children: Seq[Expression]) =>
+        graft.expressions.ZhStreetArabic(children(0), nullIfUnchanged = false)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_street_arabic_ornull"),
+      new ExpressionInfo(classOf[graft.expressions.ZhStreetArabic].getName, "graft_street_arabic_ornull"),
+      (children: Seq[Expression]) =>
+        graft.expressions.ZhStreetArabic(children(0), nullIfUnchanged = true)))
     ext.injectOptimizerRule(_ => graft.optimizer.FuseCosine)
     ext.injectPlannerStrategy(_ => graft.plans.BroadcastAsofStrategy)
   }

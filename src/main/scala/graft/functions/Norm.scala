@@ -31,7 +31,12 @@ object Norm {
     regexp_replace(c, lit("（[^）]*）|\\([^)]*\\)"), lit(""))
 
   /** fold 台 -> 臺 so both variants compare equal (taiVariants) */
-  def foldTai(c: Column): Column = regexp_replace(c, lit("台"), lit("臺"))
+  def foldTai(c: Column): Column = translate(c, "台", "臺")
+
+  /** 臺 -> 台, the inverse of [[foldTai]] (taiVariants' second element,
+    * geocode.js:136-140). `translate` is a single-char map — no regex
+    * engine on the million-candidate emission stream. */
+  def unfoldTai(c: Column): Column = translate(c, "臺", "台")
 
   /** keep everything up to and including the first 號 (trimToHouseNo) */
   def trimToHouseNo(c: Column): Column = {
@@ -213,15 +218,14 @@ object Norm {
     (tens * 10 + ones).cast("int")
   }
 
-  /** replace the first Chinese-numeral token preceding 街|巷|弄 with its
-    * Arabic form (streetOrdinalArabicVariants; first occurrence — repeat
-    * the call for multi-token addresses). */
-  def zhStreetNumeralToArabic(c: Column): Column = {
-    val pat = "[零〇一二兩三四五六七八九十]{1,3}(?=[街巷弄])"
-    val token = regexp_extract(c, s"($pat)", 1)
-    when(token === "", c).otherwise(
-      regexp_replace(c, lit(pat), zhNumeralValue(token).cast("string")))
-  }
+  /** Chinese-numeral tokens preceding 街|巷|弄 → Arabic, EACH with its
+    * own value (streetOrdinalArabicVariants' per-match callback,
+    * geocode.js:117-125) — one native scan
+    * ([[graft.expressions.ZhStreetArabic]]; a per-token Column chain
+    * would nest the input expression combinatorially and trip the
+    * CollapseProject inlining trap the ladder documents). */
+  def zhStreetNumeralToArabic(c: Column): Column =
+    call_function("graft_street_arabic", c)
 
   /** [[zhStreetNumeralToArabic]], but NULL when there is no token to
     * convert (or the input is null) — the geocode ladder's ordinal base
@@ -229,10 +233,6 @@ object Norm {
     * flows through every downstream regex derivation as null (codegen
     * checks isNull before running the regex), making the extra blocks
     * cost one token scan per row instead of a full derivation chain. */
-  def zhStreetNumeralToArabicOrNull(c: Column): Column = {
-    val pat = "[零〇一二兩三四五六七八九十]{1,3}(?=[街巷弄])"
-    val token = regexp_extract(c, s"($pat)", 1)
-    when(token =!= "",
-      regexp_replace(c, lit(pat), zhNumeralValue(token).cast("string")))
-  }
+  def zhStreetNumeralToArabicOrNull(c: Column): Column =
+    call_function("graft_street_arabic_ornull", c)
 }

@@ -66,7 +66,17 @@ object Geocode {
   def expand(df: DataFrame, idCol: String, addrCol: String,
              orgCol: Option[String] = None,
              refAlley: Boolean = false): DataFrame = {
-    val org = orgCol.map(col).getOrElse(lit("")).as("_org")
+    // the reference applies normalizeTWAddress + taiVariants to the
+    // FULL org-prefixed candidate (geocode.js:278-283), so the org name
+    // itself is space-stripped, country-stripped and 臺-folded — an org
+    // containing 台 must emit an all-臺 canonical and an all-台 twin,
+    // never a mixed spelling. Folding org at intake gives the same
+    // result per part (cross-boundary artifacts like an org ending 台
+    // meeting an address starting 灣 aside — not a real shape).
+    val org = orgCol
+      .map(c => Norm.stripCountry(Norm.foldTai(Norm.stripSpaces(
+        Norm.stripPostal(col(c))))))
+      .getOrElse(lit("")).as("_org")
 
     // -- stage 1: normalize + composite split (geocode.js:197-204) --
     val pre = Norm.stripCountry(Norm.foldTai(Norm.stripSpaces(
@@ -236,7 +246,7 @@ object Geocode {
       .select(col(idCol), explode(filter(array(
           struct(col("q0").as("q"), col("_r0").as("r")),
           when(col("q0").contains("臺"),
-            struct(regexp_replace(col("q0"), lit("臺"), lit("台")).as("q"),
+            struct(Norm.unfoldTai(col("q0")).as("q"),
               (col("_r0") + 1).as("r")))),
         e => e.isNotNull)).as("_t"))
       .groupBy(col(idCol), col("_t.q").as("candidate"))
@@ -321,8 +331,7 @@ object Geocode {
       (componentCols :+ formattedCol).map(hits(_)): _*)
     val exp = col("expected_county")
     val ok = exp === "" || text.contains(exp) ||
-      text.contains(regexp_replace(exp, lit("臺"), lit("台"))) ||
-      text.contains(regexp_replace(exp, lit("台"), lit("臺")))
+      text.contains(Norm.unfoldTai(exp)) || text.contains(Norm.foldTai(exp))
     val d2 = when(col("cc_lat").isNotNull,
         (hits(latCol) - col("cc_lat")) * (hits(latCol) - col("cc_lat")) +
         (hits(lngCol) - col("cc_lng")) * (hits(lngCol) - col("cc_lng")))
@@ -368,12 +377,11 @@ object Geocode {
         col("_base"), road.as("_road"))
       .filter(col("_road").isNotNull && col("_road") =!= "")
     val cty = col("_cty"); val dst = col("_dst"); val orgc = col("_org")
-    def toTai2(c: Column) = regexp_replace(c, lit("臺"), lit("台"))
     // extractLastRoadToken's pair: canonical 臺 token, then its 台 twin
     // (input is pre-folded, so the twin is the only other spelling)
     val roadPair: Seq[(Column, Column)] = Seq(
       col("_road") -> lit(true),
-      toTai2(col("_road")) -> col("_road").contains("臺"))
+      Norm.unfoldTai(col("_road")) -> col("_road").contains("臺"))
     val comboEntries: Seq[(Column, Column)] = roadPair.flatMap {
       case (r, has) => Seq[(Column, Column)](
         concat(cty, dst, r) -> (has && (cty =!= "" || dst =!= "")),
@@ -389,7 +397,7 @@ object Geocode {
     val baseGate = col("_base").rlike("大道|道|路|街")
     val entries = comboEntries ++ Seq[(Column, Column)](
       col("_base") -> baseGate,
-      toTai2(col("_base")) -> (baseGate && col("_base").contains("臺")))
+      Norm.unfoldTai(col("_base")) -> (baseGate && col("_base").contains("臺")))
     val structs = entries.zipWithIndex.map { case ((q, cond), i) =>
       when(cond, struct(Norm.clampQuery(q).as("q"), lit(i).as("i")))
     }

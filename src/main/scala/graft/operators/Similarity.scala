@@ -63,6 +63,24 @@ object Similarity {
         .toSeq.sorted
     }
 
+  /** sum of C(n, s) for s <= b, capped — the probe-budget check must
+    * run on ARITHMETIC before [[hammingBallMasks]] enumerates anything
+    * (C(63, 8) ≈ 6.6e9 masks would hang the driver long before a
+    * post-hoc size check could fire). Returns early once past `cap`,
+    * so no intermediate term exceeds cap * n and nothing overflows. */
+  private def binomialSumCapped(n: Int, b: Int, cap: Long): Long = {
+    var total = 0L
+    var c = 1L // C(n, 0)
+    var s = 0
+    while (s <= b) {
+      total += c
+      if (total > cap) return total
+      s += 1
+      if (s <= b) c = c * (n - s + 1) / s
+    }
+    total
+  }
+
   /** LSH-bucketed approximate top-k with multi-probe (probe every
     * bucket within Hamming distance `probeBits` of the query bucket —
     * all bit-combinations, not just single flips). */
@@ -97,10 +115,10 @@ object Similarity {
       s"nPlanes must be in [1, 63] (bucket ids are one long), got $nPlanes")
     require(probeBits >= 0 && probeBits <= nPlanes,
       s"probeBits must be in [0, $nPlanes], got $probeBits")
-    val flips = hammingBallMasks(nPlanes, probeBits)
-    require(flips.size <= 65536,
-      s"probe set has ${flips.size} buckets per query (nPlanes=$nPlanes, " +
+    require(binomialSumCapped(nPlanes, probeBits, 65536) <= 65536,
+      s"probe set exceeds 65536 buckets per query (nPlanes=$nPlanes, " +
         s"probeBits=$probeBits); keep sum of C(nPlanes, s<=probeBits) <= 65536")
+    val flips = hammingBallMasks(nPlanes, probeBits)
     val planes = Vec.hyperplanes(nPlanes, dim)
     val probes = array(flips.map(lit): _*)
     val qB = broadcast(
@@ -193,7 +211,9 @@ object Similarity {
         .localCheckpoint(true) // eager: the observed metric is final here
       changed = Option(obs.get("n_changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
       assigned = checked.select(col("query_id"), col("label"))
-      if (changed > 0)
+      // eager centroid recompute is a corpus-scale job — skip it when
+      // the loop is about to exit (converged OR maxIter reached)
+      if (changed > 0 && i + 1 < maxIter)
         centroids = ivfCentroids(
             queries.join(assigned, "query_id"), "qv", "label")
           .localCheckpoint(true)

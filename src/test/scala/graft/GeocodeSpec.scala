@@ -151,6 +151,58 @@ class GeocodeSpec extends SparkSpec {
     assert(corr(2L).contains("臺北市大安區中山北路3段5巷7號"))
   }
 
+  test("A15 org names containing 台 fold into the pair emission (taiVariants covers the WHOLE candidate)") {
+    // reference truth (buildQueryCandidates, org_name = 台大醫院): the
+    // canonical variant folds the ORG's 台 too, and the twin unfolds
+    // everything — no mixed-spelling candidate ever emits
+    val df = Seq((1L, "台北市大安區中山北路9號", "台大醫院")).toDF("id", "addr", "org")
+    val qs = Geocode.expand(df, "id", "addr", orgCol = Some("org")).collect()
+      .sortBy(_.getInt(2)).map(_.getString(1)).toSeq
+    assert(qs == Seq(
+      "臺北市大安區中山北路9號", "台北市大安區中山北路9號",
+      "臺大醫院臺北市大安區中山北路9號", "台大醫院台北市大安區中山北路9號",
+      "臺北市臺北市大安區中山北路9號", "台北市台北市大安區中山北路9號",
+      "臺大醫院臺北市臺北市大安區中山北路9號", "台大醫院台北市台北市大安區中山北路9號",
+      "大安區臺北市大安區中山北路9號", "大安區台北市大安區中山北路9號",
+      "臺大醫院大安區臺北市大安區中山北路9號", "台大醫院大安區台北市大安區中山北路9號",
+      "臺北市大安區臺北市大安區中山北路9號", "台北市大安區台北市大安區中山北路9號"))
+    assert(!qs.exists(q => q.contains("臺") && q.contains("台")),
+      "mixed 臺/台 spelling leaked into the candidate list")
+  }
+
+  test("A15 multi-token street ordinals: EACH token converts with its own value") {
+    // reference truth: streetOrdinalArabicVariants converts per match
+    // (二十巷五弄 → 20巷5弄, 五巷十五弄 → 5巷15弄 — NOT the first
+    // token's value everywhere); exact-list parity needs refAlley
+    // (these shapes trigger the reference alley rungs)
+    val df = Seq(
+      (1L, "新竹市東區光復路二十巷五弄3號"),
+      (2L, "新竹市東區光復路五巷十五弄3號")).toDF("id", "addr")
+    val by = Geocode.expand(df, "id", "addr", refAlley = true).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(2)).map(_.getString(1)).toSeq).toMap
+    assert(by(1L) == Seq(
+      "新竹市東區光復路二十巷五弄3號", "新竹市東區光復路二十巷五號",
+      "新竹市東區光復路20巷5弄3號", "新竹市東區光復路3號",
+      "新竹市新竹市東區光復路3號", "東區新竹市東區光復路3號",
+      "新竹市東區新竹市東區光復路3號", "新竹市東區光復路20巷5號",
+      "新竹市東區光復路5號", "新竹市新竹市東區光復路5號",
+      "東區新竹市東區光復路5號", "新竹市東區新竹市東區光復路5號",
+      "新竹市東區光復路20弄3號", "新竹市東區光復路20號",
+      "新竹市新竹市東區光復路20號", "東區新竹市東區光復路20號",
+      "新竹市東區新竹市東區光復路20號"))
+    assert(by(2L) == Seq(
+      "新竹市東區光復路五巷十五弄3號", "新竹市東區光復路五巷十五號",
+      "新竹市東區光復路5巷15弄3號", "新竹市東區光復路3號",
+      "新竹市新竹市東區光復路3號", "東區新竹市東區光復路3號",
+      "新竹市東區新竹市東區光復路3號", "新竹市東區光復路5巷15號",
+      "新竹市東區光復路15號", "新竹市新竹市東區光復路15號",
+      "東區新竹市東區光復路15號", "新竹市東區新竹市東區光復路15號",
+      "新竹市東區光復路5弄3號", "新竹市東區光復路5號",
+      "新竹市新竹市東區光復路5號", "東區新竹市東區光復路5號",
+      "新竹市東區新竹市東區光復路5號"))
+  }
+
   test("A15 refAlley mode reproduces alleyDegradeVariants' emitted candidates verbatim") {
     // reference truth from buildQueryCandidates on alley addresses —
     // including its unit-before-digit misreads (弄45-2號→號 promotes the

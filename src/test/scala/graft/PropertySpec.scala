@@ -117,6 +117,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native street-ordinal conversion: per-token values, grammar edges, no-op null") {
+    import graft.expressions.ZhStreetArabic
+    import org.apache.spark.unsafe.types.UTF8String
+    def conv(s: String): String = {
+      val r = ZhStreetArabic.compute(UTF8String.fromString(s))
+      if (r == null) null else r.toString
+    }
+    assert(conv("光復路二十巷五弄3號") == "光復路20巷5弄3號") // each token its OWN value
+    assert(conv("光復路五巷十五弄3號") == "光復路5巷15弄3號") // the 五 of 十五 never matches alone
+    assert(conv("九十九街") == "99街")
+    assert(conv("十巷") == "10巷")
+    assert(conv("零巷") == "0巷")           // reference zhDigit: 零 -> 0
+    assert(conv("兩巷") == "2巷")           // 兩 valid as digit/tens
+    assert(conv("十兩巷") == null)          // ones place excludes 兩 -> grammar reject, no-op
+    assert(conv("三三巷") == null)          // invalid grammar stays verbatim
+    assert(conv("一二三四巷") == null)      // {1,3} run 二三四 is grammar-invalid -> no-op
+    assert(conv("光復路12巷") == null)      // nothing to convert -> null (ladder short-circuit)
+  }
+
   test("native sectionArabic equals the chained-regex formulation on arbitrary strings") {
     val gen = Gen.listOfN(12, Gen.oneOf(
       Gen.oneOf('一', '二', '三', '四', '五', '六', '七', '八', '九', '十'),
