@@ -98,10 +98,9 @@ object Geocode {
     // base insertion order mirrors the reference's nested loop
     // (`for b1 of [base0, sectionArabic(base0)]: for b2 of
     //  streetOrdinalArabicVariants(b1)`): [b0, ord(b0), sec(b0),
-    // ord(sec(b0))]. Deviation (documented): multi-token ordinal
-    // addresses (two DIFFERENT 中文數字 tokens before 街/巷/弄 in one
-    // segment) replace every token with the FIRST token's value —
-    // single-token addresses, the practical case, are exact.
+    // ord(sec(b0))]. The ordinal transform (ZhStreetArabic) converts
+    // EACH 中文數字+街巷弄 token with its own value in one scan, exactly
+    // like the reference's per-match replace callback.
     val segr = when(Norm.hasRegionInfo(col("_seg")), col("_seg"))
       .otherwise(concat(col("_cty"), col("_dst"), col("_seg")))
     val s4 = s3.select(col(idCol), col("_org"), col("_cty"), col("_dst"),
