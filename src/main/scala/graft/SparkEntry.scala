@@ -46,6 +46,7 @@ object SparkEntry {
     "check_total_fix"      -> (RefDemos.checkTotalFix(_, _)),
     "dedup_exact_docs"     -> (RefDemos.dedupExactDocs(_, _)),
     "geocode_candidates"   -> (RefDemos.geocodeCandidates(_, _)),
+    "geocode_street_centroid" -> (RefDemos.geocodeStreetCentroid(_, _)),
     "geocode_validate"     -> (RefDemos.geocodeValidate(_, _)),
     "ref_pipeline_e2e"     -> (RefDemos.refPipelineE2e(_, _)),
     "token_count"          -> (TextDemos.tokenCount(_, _)),
@@ -592,6 +593,7 @@ object SparkEntry {
     },
 
     "geocode_candidates" -> graft.oracle.OracleGen.geocodeCandidatesSql(),
+    "geocode_street_centroid" -> graft.oracle.OracleGen.streetCentroidSql(),
     "contamination_check" -> graft.oracle.OracleGen.contaminationCheckSql(),
     "sequence_pack"      -> graft.oracle.OracleGen.sequencePackSql(),
     "geocode_validate"   -> graft.oracle.OracleGen.geocodeValidateSql(),

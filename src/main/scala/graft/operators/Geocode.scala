@@ -358,22 +358,35 @@ object Geocode {
     * ordered longest-first (the length-desc sort at geocode.js:424). */
   def streetCentroidCandidates(df: DataFrame, idCol: String, addrCol: String,
                                orgCol: Option[String] = None): DataFrame = {
+    // Each stage ends in an explode(array(...)) BARRIER: the expensive
+    // derivation becomes a Generate output that CollapseProject cannot
+    // inline into its many downstream consumers (the 18 emission arms
+    // reference _road/_base; a plain projection chain re-evaluates the
+    // whole normalize+extract pipeline per arm — the repo's documented
+    // CollapseProject trap, measured ~2.7s → sub-second at sf0.1).
     val pre = Norm.stripCountry(Norm.foldTai(Norm.stripSpaces(
       Norm.stripPostal(Norm.stripParens(col(addrCol))))))
     val s1 = df.select(col(idCol),
-      orgCol.map(col).getOrElse(lit("")).as("_org"), pre.as("_pre"))
+      orgCol.map(col).getOrElse(lit("")).as("_org"),
+      explode(array(pre)).as("_pre"))
     val noHouse = regexp_replace(Norm.trimToHouseNo(col("_pre")),
       lit("\\d+(?:-\\d+)?號.*$"), lit(""))
     val s2 = s1.select(col(idCol), col("_org"),
-      Norm.parseCounty(col("_pre")).as("_cty"),
-      Norm.parseDistrict(col("_pre")).as("_dst"),
-      when(noHouse =!= "", noHouse).otherwise(col("_pre")).as("_base"))
+        explode(array(struct(
+          Norm.parseCounty(col("_pre")).as("c"),
+          Norm.parseDistrict(col("_pre")).as("d"),
+          when(noHouse =!= "", noHouse).otherwise(col("_pre")).as("b")))).as("_n2"))
+      .select(col(idCol), col("_org"), col("_n2.c").as("_cty"),
+        col("_n2.d").as("_dst"), col("_n2.b").as("_base"))
     // last ...大道|道|路|街 token (extractLastRoadToken, geocode.js:230-238)
     val tokenPat = "[^\\d、，；;（）()\\s]+?(?:大道|道|路|街)"
-    val road = element_at(
-      regexp_extract_all(col("_base"), lit(s"($tokenPat)"), lit(1)), -1)
+    // guard the last-element take: under ANSI (Spark 4 default)
+    // element_at(-1) THROWS on an empty array, so a road-less address
+    // must short-circuit to null instead of failing the job
+    val toks = regexp_extract_all(col("_base"), lit(s"($tokenPat)"), lit(1))
+    val road = when(size(toks) > 0, element_at(toks, -1))
     val s3 = s2.select(col(idCol), col("_org"), col("_cty"), col("_dst"),
-        col("_base"), road.as("_road"))
+        col("_base"), explode(array(road)).as("_road"))
       .filter(col("_road").isNotNull && col("_road") =!= "")
     val cty = col("_cty"); val dst = col("_dst"); val orgc = col("_org")
     // extractLastRoadToken's pair: canonical 臺 token, then its 台 twin

@@ -267,7 +267,9 @@ object RefDemos {
     * lane/alley components, hyphen sub-numbers, >512-encoded-byte
     * roads (clampQuery drop), composite segments (；-truncated, 及/，
     * continuations), and org-name prefixing. */
-  def geocodeCandidates(spark: SparkSession, dir: String): DataFrame = {
+  /** synthesized TW-address corpus shared by the geocode demos —
+    * mirrored verbatim in OracleGen (raw/orgSql). */
+  private def synthAddrCorpus(spark: SparkSession, dir: String): DataFrame = {
     val k = col("c_custkey"); val n = col("c_nationkey")
     val raw = concat(
       when(k % 3 === 0, lit("106 ")).otherwise(lit("")),
@@ -299,13 +301,22 @@ object RefDemos {
     // would serialize ~150 regex evals/row onto one core — spread it.
     // A real deployment's scan has thousands of splits; this repartition
     // is the small-file stand-in, not part of the operator.
-    Geocode.expand(
-        Tables.customer(spark, dir)
-          .select(col("c_custkey"), raw.as("addr"), orgName.as("org"))
-          .repartition(spark.sparkContext.defaultParallelism),
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), raw.as("addr"), orgName.as("org"))
+      .repartition(spark.sparkContext.defaultParallelism)
+  }
+
+  def geocodeCandidates(spark: SparkSession, dir: String): DataFrame =
+    Geocode.expand(synthAddrCorpus(spark, dir),
         "c_custkey", "addr", orgCol = Some("org"))
       .orderBy("c_custkey", "rank")
-  }
+
+  /** A15c — street-centroid fallback ladder over the same corpus
+    * (buildStreetCentroidCandidates, geocode.js:398-425). */
+  def geocodeStreetCentroid(spark: SparkSession, dir: String): DataFrame =
+    Geocode.streetCentroidCandidates(synthAddrCorpus(spark, dir),
+        "c_custkey", "addr", orgCol = Some("org"))
+      .orderBy("c_custkey", "try_order")
 
   /** A15b — post-resolve county validation + proximity ranking
     * (countyMatches / getExpectedCounty / resolveOneRow best-hit,

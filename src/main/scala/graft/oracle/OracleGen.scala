@@ -223,6 +223,47 @@ object OracleGen {
        |SELECT query_id, cand_id, round(sim, 6) AS sim, rank
        |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  // --- synthesized geocode demo input (must match
+  // RefDemos.synthAddrCorpus) + the Norm.* mirrors shared by the
+  // geocode oracles ---
+  private val synthAddrRaw =
+    "(CASE WHEN c_custkey % 3 = 0 THEN '106 ' ELSE '' END) || " +
+    "(CASE WHEN c_custkey % 4 = 0 THEN '台北市' WHEN c_custkey % 4 = 1 THEN '臺中市' " +
+    "WHEN c_custkey % 4 = 2 THEN '高雄市' ELSE '' END) || " +
+    "(CASE WHEN c_nationkey % 3 = 0 THEN '大安區' WHEN c_nationkey % 3 = 1 THEN '信義區' ELSE '' END) || " +
+    "(CASE WHEN c_custkey % 5 = 0 THEN '關東里' ELSE '' END) || " +
+    "(CASE WHEN c_custkey % 7 = 0 THEN repeat('龍', 125) || '路' " +
+    "WHEN c_nationkey % 2 = 0 THEN '和平東路' ELSE '中山北路' END) || " +
+    "(CASE WHEN c_custkey % 6 = 1 THEN '二段' WHEN c_custkey % 6 = 2 THEN '3段' ELSE '' END) || " +
+    "(CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey % 30 + 1 AS VARCHAR) || '巷' ELSE '' END) || " +
+    "(CASE WHEN c_custkey % 4 = 0 THEN CAST(c_nationkey % 9 + 1 AS VARCHAR) || '弄' ELSE '' END) || " +
+    "CAST(c_custkey % 150 + 1 AS VARCHAR) || " +
+    "(CASE WHEN c_custkey % 5 = 1 THEN '-' || CAST(c_nationkey % 4 + 1 AS VARCHAR) ELSE '' END) || " +
+    "'號' || " +
+    "(CASE WHEN c_custkey % 9 = 0 THEN ' (3樓備註)' ELSE '' END) || " +
+    "(CASE WHEN c_custkey % 8 = 1 THEN '及信義路' || CAST(c_custkey % 99 + 1 AS VARCHAR) || '號' " +
+    "WHEN c_custkey % 8 = 2 THEN '；轉介單位另記' " +
+    "WHEN c_custkey % 8 = 5 THEN '，中山北路' || CAST(c_custkey % 88 + 1 AS VARCHAR) || '號' ELSE '' END)"
+  private val synthOrgSql = "CASE WHEN c_custkey % 3 = 1 THEN '仁心診所' ELSE '' END"
+
+  private def stripParens(e: String) = s"regexp_replace($e, '（[^）]*）|\\([^)]*\\)', '', 'g')"
+  private def stripPostal(e: String) = s"regexp_replace($e, '^\\s*\\d{3,5}[-\\s]?', '')"
+  private def stripSpaces(e: String) = s"regexp_replace($e, '\\s+', '', 'g')"
+  private def foldTai(e: String)     = s"regexp_replace($e, '台', '臺', 'g')"
+  private def stripCountry(e: String) = s"regexp_replace($e, '臺灣|(?i)RepublicofChina', '', 'g')"
+  private def trimToHouseNoSql(e: String) =
+    s"CASE WHEN regexp_extract($e, '^([^號]*號)', 1) <> '' " +
+    s"THEN regexp_extract($e, '^([^號]*號)', 1) ELSE $e END"
+  private val regionPatSql = "^([一-龥]{2,3}[縣市])([一-龥]{1,3}[區鄉鎮市])?"
+  private def clampSql(e: String) = {
+    val u = s"length(regexp_replace($e, '[^A-Za-z0-9_.!~*''()-]', '', 'g'))"
+    s"CASE WHEN $u + 3 * (strlen($e) - $u) <= 512 THEN $e ELSE substr($e, 1, 120) END"
+  }
+  /** normalize chain shared by the geocode oracles (Norm order:
+    * stripParens → stripPostal → stripSpaces → foldTai → stripCountry) */
+  private def preSql(e: String) =
+    stripCountry(foldTai(stripSpaces(stripPostal(stripParens(e)))))
+
   /** mirror of RefDemos.geocodeCandidates (expansion ladder, 6 variants) */
   /** Mirror of the full Geocode.expand ladder over the synthesized
     * addresses in RefDemos.geocodeCandidates. Every stage mirrors one
@@ -230,33 +271,8 @@ object OracleGen {
     * (base × hyphen × slot) loop the Spark side uses, so ranks align
     * by construction. */
   def geocodeCandidatesSql(): String = {
-    // --- synthesized input (must match RefDemos.geocodeCandidates) ---
-    val raw =
-      "(CASE WHEN c_custkey % 3 = 0 THEN '106 ' ELSE '' END) || " +
-      "(CASE WHEN c_custkey % 4 = 0 THEN '台北市' WHEN c_custkey % 4 = 1 THEN '臺中市' " +
-      "WHEN c_custkey % 4 = 2 THEN '高雄市' ELSE '' END) || " +
-      "(CASE WHEN c_nationkey % 3 = 0 THEN '大安區' WHEN c_nationkey % 3 = 1 THEN '信義區' ELSE '' END) || " +
-      "(CASE WHEN c_custkey % 5 = 0 THEN '關東里' ELSE '' END) || " +
-      "(CASE WHEN c_custkey % 7 = 0 THEN repeat('龍', 125) || '路' " +
-      "WHEN c_nationkey % 2 = 0 THEN '和平東路' ELSE '中山北路' END) || " +
-      "(CASE WHEN c_custkey % 6 = 1 THEN '二段' WHEN c_custkey % 6 = 2 THEN '3段' ELSE '' END) || " +
-      "(CASE WHEN c_custkey % 2 = 0 THEN CAST(c_custkey % 30 + 1 AS VARCHAR) || '巷' ELSE '' END) || " +
-      "(CASE WHEN c_custkey % 4 = 0 THEN CAST(c_nationkey % 9 + 1 AS VARCHAR) || '弄' ELSE '' END) || " +
-      "CAST(c_custkey % 150 + 1 AS VARCHAR) || " +
-      "(CASE WHEN c_custkey % 5 = 1 THEN '-' || CAST(c_nationkey % 4 + 1 AS VARCHAR) ELSE '' END) || " +
-      "'號' || " +
-      "(CASE WHEN c_custkey % 9 = 0 THEN ' (3樓備註)' ELSE '' END) || " +
-      "(CASE WHEN c_custkey % 8 = 1 THEN '及信義路' || CAST(c_custkey % 99 + 1 AS VARCHAR) || '號' " +
-      "WHEN c_custkey % 8 = 2 THEN '；轉介單位另記' " +
-      "WHEN c_custkey % 8 = 5 THEN '，中山北路' || CAST(c_custkey % 88 + 1 AS VARCHAR) || '號' ELSE '' END)"
-    val orgSql = "CASE WHEN c_custkey % 3 = 1 THEN '仁心診所' ELSE '' END"
-
-    // --- Norm.* mirrors ---
-    def stripParens(e: String) = s"regexp_replace($e, '（[^）]*）|\\([^)]*\\)', '', 'g')"
-    def stripPostal(e: String) = s"regexp_replace($e, '^\\s*\\d{3,5}[-\\s]?', '')"
-    def stripSpaces(e: String) = s"regexp_replace($e, '\\s+', '', 'g')"
-    def foldTai(e: String)     = s"regexp_replace($e, '台', '臺', 'g')"
-    def stripCountry(e: String) = s"regexp_replace($e, '臺灣|(?i)RepublicofChina', '', 'g')"
+    val raw = synthAddrRaw
+    val orgSql = synthOrgSql
     def removeLi(e: String) =
       s"regexp_replace($e, '[一-龥]{1,4}里([^號]*?(?:路|街|巷|弄|道|大道))', '\\1', 'g')"
     def trimToHouseNo(e: String) =
@@ -387,6 +403,67 @@ object OracleGen {
        |SELECT c_custkey, candidate, CAST(MIN(rnk) AS INT) AS rank
        |FROM c WHERE ${looksLike("candidate")}
        |GROUP BY c_custkey, candidate ORDER BY c_custkey, rank""".stripMargin
+  }
+
+  /** Mirror of Geocode.streetCentroidCandidates over the same
+    * synthesized corpus (buildStreetCentroidCandidates,
+    * geocode.js:398-425): last road token in both 臺/台 spellings ×
+    * region/org combos, plus the road-only base's own pair, clamp,
+    * dedup to first emission index, longest-first try order. */
+  def streetCentroidSql(): String = {
+    val tokenPat = "[^\\d、，；;（）()\\s]+?(?:大道|道|路|街)"
+    // emission order matches the Scala ladder's entries list exactly
+    def comboArms(r: String, extra: String, offset: Int): Seq[String] = Seq(
+      (s"cty || dst || r0", s"(cty <> '' OR dst <> '')"),
+      (s"cty || r0", s"cty <> ''"),
+      (s"dst || r0", s"dst <> ''"),
+      (s"r0", "TRUE"),
+      (s"org || cty || dst || r0", s"org <> '' AND (cty <> '' OR dst <> '')"),
+      (s"org || cty || r0", s"org <> '' AND cty <> ''"),
+      (s"org || dst || r0", s"org <> '' AND dst <> ''"),
+      (s"org || r0", s"org <> ''")
+    ).zipWithIndex.map { case ((e, cond), si) =>
+      val q = e.replace("r0", r)
+      val c = if (extra == "TRUE") cond else s"$extra AND ($cond)"
+      s"SELECT c_custkey, ${offset + si} AS i, $q AS q FROM r WHERE $c"
+    }
+    val arms = (
+      comboArms("road", "TRUE", 0) ++
+      comboArms("replace(road, '臺', '台')", "contains(road, '臺')", 8) ++
+      Seq(
+        s"SELECT c_custkey, 16 AS i, base AS q FROM r " +
+          "WHERE regexp_matches(base, '大道|道|路|街')",
+        s"SELECT c_custkey, 17 AS i, replace(base, '臺', '台') AS q FROM r " +
+          "WHERE regexp_matches(base, '大道|道|路|街') AND contains(base, '臺')")
+    ).mkString("\n  UNION ALL\n  ")
+
+    s"""WITH s AS (
+       |  SELECT c_custkey, $synthAddrRaw AS addr, $synthOrgSql AS org FROM customer
+       |), p1 AS (
+       |  SELECT c_custkey, org, ${preSql("addr")} AS pre FROM s
+       |), p2 AS (
+       |  SELECT c_custkey, org, pre,
+       |    regexp_replace(${trimToHouseNoSql("pre")}, '\\d+(?:-\\d+)?號.*$$', '') AS nohouse
+       |  FROM p1
+       |), r AS MATERIALIZED (
+       |  SELECT c_custkey, org,
+       |    regexp_extract(pre, '$regionPatSql', 1) AS cty,
+       |    regexp_extract(pre, '$regionPatSql', 2) AS dst,
+       |    base, toks[-1] AS road
+       |  FROM (
+       |    SELECT *, regexp_extract_all(base, '($tokenPat)', 1) AS toks
+       |    FROM (SELECT *, CASE WHEN nohouse <> '' THEN nohouse ELSE pre END AS base FROM p2)
+       |  ) WHERE len(toks) > 0
+       |), u AS (
+       |  $arms
+       |), c AS (
+       |  SELECT c_custkey, ${clampSql("q")} AS candidate, MIN(i) AS tie
+       |  FROM u GROUP BY c_custkey, candidate
+       |)
+       |SELECT c_custkey, candidate,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey
+       |       ORDER BY length(candidate) DESC, tie) AS INT) AS try_order
+       |FROM c ORDER BY c_custkey, try_order""".stripMargin
   }
 
   /** Mirror of RefDemos.geocodeValidate: county containment with 臺/台

@@ -277,7 +277,8 @@ class GeocodeSpec extends SparkSpec {
 
   test("A15b street-centroid candidates: last road token, longest-first order") {
     val df = Seq((1L, "台北市大安區和平東路12巷45號"),
-                 (2L, "和平東路12巷45號")).toDF("id", "addr")
+                 (2L, "和平東路12巷45號"),
+                 (3L, "台北市大安區99號")).toDF("id", "addr") // no road token
     val out = Geocode.streetCentroidCandidates(df, "id", "addr").collect()
       .groupBy(_.getLong(0)).view
       .mapValues(_.sortBy(_.getInt(2)).map(_.getString(1)).toSeq).toMap
@@ -294,6 +295,9 @@ class GeocodeSpec extends SparkSpec {
     assert(out(1L).contains("台北市大安區和平東路12巷"))
     assert(out(2L) == Seq("和平東路12巷", "和平東路")) // base + road, length-desc
     assert(out(1L).sortBy(-_.length) == out(1L))     // length-desc order
+    // a road-less address yields NO candidates (and, under ANSI mode,
+    // must not throw on the empty road-token extraction)
+    assert(!out.contains(3L))
   }
 
   test("A15 resolver picks the best-ranked cache hit; misses stay null") {
