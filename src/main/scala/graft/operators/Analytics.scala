@@ -91,10 +91,13 @@ object Analytics {
         col("n_orders"), col("sum_price"))
       .orderBy(col("status"), col("priority"))
 
-  /** B6: JSON column parsing + agg. */
+  /** B6: JSON column parsing + agg. A `$.k` value that isn't an
+    * integer yields NULL (and drops out of the aggregates) — under
+    * ANSI mode a bare cast of a garbage string would fail the job. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("_ks", get_json_object(col("props"), "$.k"))
+      .withColumn("k", when(col("_ks").rlike("^-?\\d+$"), col("_ks").cast("long")))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))

@@ -20,7 +20,10 @@ object RefDemos {
     Tables.events(spark, dir).select(
       col("event_id"), col("user_id"),
       date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
-      coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(0L)).as("k"),
+      // reference parseInt-or-0: garbage must coerce to 0, and under
+      // ANSI mode a bare cast of a non-numeric string would throw
+      coalesce(when(get_json_object(col("props"), "$.k").rlike("^-?\\d+$"),
+        get_json_object(col("props"), "$.k").cast("long")), lit(0L)).as("k"),
       (col("event_type") === "purchase").as("is_purchase"),
       Html.sentinelToNull(col("event_type"), "error").as("event_type_clean"),
       (col("value") > 100.0).as("high_value"))

@@ -15,6 +15,17 @@ import org.apache.spark.sql.types.StructType
   */
 object PagedIngest {
 
+  /** page number from the file name, or NULL when absent. Under ANSI
+    * mode (Spark 4 default) `''.cast("int")` THROWS, so a stray
+    * non-numeric file (`page_final.json` passes the glob) or an
+    * int-overflowing digit run must short-circuit to null instead of
+    * failing the whole scan; `{1,9}` + a no-more-digits lookahead
+    * keeps every accepted run inside Int range. */
+  private def pageFromFileName: org.apache.spark.sql.Column = {
+    val digits = regexp_extract(input_file_name(), "page_(\\d{1,9})(?!\\d)", 1)
+    when(digits =!= "", digits.cast("int"))
+  }
+
   /** read all page files matching `pagePattern` under `dir` with an
     * explicit schema; `_page` is recovered from the filename so
     * page-level provenance (and re-fetch of a bad page) stays possible. */
@@ -24,8 +35,7 @@ object PagedIngest {
       .option("multiLine", "true")
       .option("pathGlobFilter", pagePattern)
       .json(dir)
-      .withColumn("_page",
-        regexp_extract(input_file_name(), "page_(\\d+)", 1).cast("int"))
+      .withColumn("_page", pageFromFileName)
 
   /** [[readPages]] with corrupt-page capture: malformed page payloads
     * land as rows with the raw text in `_corrupt` (PERMISSIVE mode)
@@ -48,8 +58,7 @@ object PagedIngest {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .option("pathGlobFilter", pagePattern)
       .json(dir)
-      .withColumn("_page",
-        regexp_extract(input_file_name(), "page_(\\d+)", 1).cast("int"))
+      .withColumn("_page", pageFromFileName)
 
   /** consistency gate: declared total (from the API's `total` field)
     * vs rows actually ingested — the check-total analog at ingest time. */

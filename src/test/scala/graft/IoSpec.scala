@@ -61,11 +61,21 @@ class IoSpec extends SparkSpec {
     Files.writeString(java.nio.file.Path.of(dir, "page_0002.json"),
       """[{"id": 3, "name": "c"}]""")
     Files.writeString(java.nio.file.Path.of(dir, "other.txt"), "ignored")
+    // passes the page_*.json glob but has no page NUMBER: under ANSI
+    // mode ''.cast(int) throws, so this must yield _page = null, not
+    // fail the scan; same for an int-overflowing digit run
+    Files.writeString(java.nio.file.Path.of(dir, "page_final.json"),
+      """[{"id": 9, "name": "tail"}]""")
+    Files.writeString(java.nio.file.Path.of(dir, "page_99999999999.json"),
+      """[{"id": 10, "name": "huge"}]""")
     val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
     val df = PagedIngest.readPages(spark, dir, schema)
-    assert(df.count() == 3)
-    assert(df.select("_page").distinct().collect().map(_.getInt(0)).sorted.sameElements(Array(1, 2)))
-    assert(PagedIngest.totalMatches(df, 3) && !PagedIngest.totalMatches(df, 4))
+    assert(df.count() == 5)
+    assert(df.filter(col("_page").isNull).select("id").collect()
+      .map(_.getLong(0)).sorted.sameElements(Array(9L, 10L)))
+    val pages = df.filter(col("_page").isNotNull)
+    assert(pages.select("_page").distinct().collect().map(_.getInt(0)).sorted.sameElements(Array(1, 2)))
+    assert(PagedIngest.totalMatches(df, 5) && !PagedIngest.totalMatches(df, 4))
   }
 
   test("A13 permissive ingest: corrupt pages surface as _corrupt rows, good pages parse") {
