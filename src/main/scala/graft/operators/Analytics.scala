@@ -93,11 +93,14 @@ object Analytics {
 
   /** B6: JSON column parsing + agg. A `$.k` value that isn't an
     * integer yields NULL (and drops out of the aggregates) — under
-    * ANSI mode a bare cast of a garbage string would fail the job. */
+    * ANSI mode a bare cast of a garbage string would fail the job.
+    * The digit run is bounded to {1,18} (always inside Long range):
+    * an unbounded `\d+` would accept a 20-digit value whose cast then
+    * throws CAST_OVERFLOW under ANSI anyway. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("_ks", get_json_object(col("props"), "$.k"))
-      .withColumn("k", when(col("_ks").rlike("^-?\\d+$"), col("_ks").cast("long")))
+      .withColumn("k", when(col("_ks").rlike("^-?\\d{1,18}$"), col("_ks").cast("long")))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))

@@ -21,8 +21,10 @@ object RefDemos {
       col("event_id"), col("user_id"),
       date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
       // reference parseInt-or-0: garbage must coerce to 0, and under
-      // ANSI mode a bare cast of a non-numeric string would throw
-      coalesce(when(get_json_object(col("props"), "$.k").rlike("^-?\\d+$"),
+      // ANSI mode a bare cast of a non-numeric string would throw;
+      // {1,18} keeps every accepted run inside Long range (a 20-digit
+      // run would pass an unbounded \d+ and still CAST_OVERFLOW)
+      coalesce(when(get_json_object(col("props"), "$.k").rlike("^-?\\d{1,18}$"),
         get_json_object(col("props"), "$.k").cast("long")), lit(0L)).as("k"),
       (col("event_type") === "purchase").as("is_purchase"),
       Html.sentinelToNull(col("event_type"), "error").as("event_type_clean"),

@@ -132,10 +132,6 @@ object EventStream {
   def upsertBatch(targetDir: String, keyCols: Seq[String])(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    // commit detection rides _SUCCESS markers: force them on even
-    // where an object-store tuning disabled them globally
-    spark.sparkContext.hadoopConfiguration
-      .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
     val fs = new org.apache.hadoop.fs.Path(targetDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // idempotent replay: if this batch's snapshot already COMMITTED,
@@ -147,12 +143,8 @@ object EventStream {
       // recovery: merge on top of the latest snapshot BELOW this batch
       // id (a replay of batch N must not read N's own partial output)
       val snapDir = new org.apache.hadoop.fs.Path(s"$targetDir/snapshots")
-      val prevId =
-        if (!fs.exists(snapDir)) None
-        else fs.listStatus(snapDir).map(_.getPath)
-          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-          .map(_.getName.toLong)
-          .filter(_ < batchId).sorted.lastOption // committed snapshots only
+      val prevId = // committed snapshots only
+        committedIds(fs, snapDir).filter(_ < batchId).sorted.lastOption
       val prev = prevId match {
         case Some(id) => spark.read.parquet(s"$targetDir/snapshots/$id")
         case None => spark.createDataFrame(
@@ -162,7 +154,13 @@ object EventStream {
       // batch side of an update-mode agg carries the full new value)
       val merged = prev.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
         .unionByName(batch)
-      merged.write.mode("overwrite").parquet(s"$targetDir/snapshots/$batchId")
+      // commit detection rides _SUCCESS markers; the option reaches only
+      // THIS write job's Hadoop conf (newHadoopConfWithOptions), so an
+      // object-store tuning that disabled markers globally is overridden
+      // without mutating the shared SparkContext configuration
+      merged.write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .parquet(s"$targetDir/snapshots/$batchId")
     }
     // best-effort pointer refresh (snapshots stay the source of truth):
     // a pointer failure after the snapshot committed must NOT fail the
@@ -218,8 +216,6 @@ object EventStream {
                           graft.functions.Text.shingles)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    spark.sparkContext.hadoopConfiguration
-      .set("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
     val sigRoot = new org.apache.hadoop.fs.Path(s"$targetDir/signatures")
     val fs = sigRoot.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/signatures/$batchId/_SUCCESS")))
@@ -235,10 +231,16 @@ object EventStream {
         case ids => spark.read.parquet(
           ids.map(id => s"$targetDir/signatures/$id"): _*)
       }
+      // _SUCCESS markers forced on per write job (see upsertBatch) —
+      // commit detection depends on them
       graft.operators.Dedup
         .minhashPairsWithIndex(banded, index, idCol, k, minEstSim)
-        .write.mode("overwrite").parquet(s"$targetDir/pairs/$batchId")
-      banded.write.mode("overwrite").parquet(s"$targetDir/signatures/$batchId")
+        .write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .parquet(s"$targetDir/pairs/$batchId")
+      banded.write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+        .parquet(s"$targetDir/signatures/$batchId")
     } finally banded.unpersist()
   }
 
@@ -254,12 +256,16 @@ object EventStream {
     spark.read.parquet(ids.map(id => s"$targetDir/pairs/$id"): _*)
   }
 
-  /** ids of subdirectories carrying a _SUCCESS commit marker */
+  /** ids of subdirectories carrying a _SUCCESS commit marker. Only
+    * all-digit names count: a foreign directory that happens to carry a
+    * _SUCCESS (hand-copied backup, `_temporary` remnant) must be
+    * IGNORED, not NumberFormatException the whole read path. */
   private def committedIds(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path): Seq[Long] =
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).map(_.getPath).toSeq
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .filter(p => p.getName.matches("\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       .map(_.getName.toLong)
 
   /** the race-free read path for [[upsertBatch]] targets: the
@@ -271,9 +277,7 @@ object EventStream {
     val snapDir = new org.apache.hadoop.fs.Path(s"$targetDir/snapshots")
     val fs = snapDir.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(snapDir), s"upsert target $targetDir has no snapshots")
-    val committed = fs.listStatus(snapDir).map(_.getPath)
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      .map(_.getName.toLong)
+    val committed = committedIds(fs, snapDir)
     require(committed.nonEmpty, s"upsert target $targetDir has no committed snapshots")
     spark.read.parquet(s"$targetDir/snapshots/${committed.max}")
   }
