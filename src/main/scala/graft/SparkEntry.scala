@@ -77,6 +77,9 @@ object SparkEntry {
     "bloom_semi_join"      -> (Analytics.bloomSemiJoinDemo(_, _)),
     "lm_score"             -> (TextDemos.lmScore(_, _)),
     "source_mix"           -> (TextDemos.sourceMix(_, _)),
+    "salted_skew_join"     -> (Analytics.saltedSkewJoinDemo(_, _)),
+    "bucketed_colocated_join" -> (Analytics.bucketedColocatedJoin(_, _)),
+    "paged_ingest"         -> (RefDemos.pagedIngest(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -863,6 +866,28 @@ object SparkEntry {
          |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
          |GROUP BY l_returnflag
          |ORDER BY l_returnflag""".stripMargin,
+
+    // B13: the salt is partitioning mechanics only — the oracle is the
+    // plain unsalted join
+    "salted_skew_join" ->
+      s"""SELECT s_nationkey, COUNT(*) AS n_lines, ${dsum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    // B16: bucketing pre-pays the shuffle but must not change the
+    // result — the oracle is the plain join (plan shape is spec-gated)
+    "bucketed_colocated_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${dsum("l_quantity")} AS sum_qty
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // A13: pagination is deterministic, so the oracle recomputes the
+    // expected page assignment straight from the table (the Spark side
+    // goes through real page files + filename recovery)
+    "paged_ingest" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |       CAST((ROW_NUMBER() OVER (ORDER BY c_custkey) - 1) // 200 AS INT) AS _page
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "scd2_history" ->
       """WITH log AS (

@@ -16,8 +16,13 @@ object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String,
                     bucketCols: Seq[String], numBuckets: Int,
-                    sortCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
+                    sortCols: Seq[String] = Nil,
+                    path: Option[String] = None): Unit = {
+    // drop first: Overwrite alone refuses a location/schema change on an
+    // existing external table definition
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val w0 = df.write.mode(SaveMode.Overwrite)
+    val w = path.fold(w0)(p => w0.option("path", p))
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(table)

@@ -291,6 +291,45 @@ object Analytics {
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** B13 oracle demo: the salted join's RESULT equals the plain join —
+    * the salt is pure partitioning mechanics (each hot key spread over
+    * `factor` reducers), so the oracle is the unsalted DuckDB join.
+    * lineitem × supplier on suppkey, aggregated per nation. */
+  def saltedSkewJoinDemo(spark: SparkSession, dir: String): DataFrame =
+    SkewJoin.saltedJoin(
+        Tables.lineitem(spark, dir).select(col("l_suppkey"), col("l_quantity")),
+        Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        "l_suppkey", "s_suppkey", factor = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("s_nationkey"))
+
+  /** B16 oracle demo: both join sides written bucketed + sorted on the
+    * join key, then joined back from the catalog — the sort-merge join
+    * runs bucket-to-bucket with no exchange and no sort (plan shape
+    * asserted by BucketingSpec; the merge hint keeps a small SF from
+    * taking the broadcast path instead of the one under test). The
+    * oracle is the plain DuckDB join: bucketing must not change the
+    * result. Bucketed copies land under java.io.tmpdir keyed by SF so
+    * runs at different scales don't collide. */
+  def bucketedColocatedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sf = new java.io.File(dir).getName
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$sf"
+    graft.io.Bucketing.writeBucketed(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_bco_orders", Seq("o_orderkey"), 8, Seq("o_orderkey"),
+      Some(s"$base/orders"))
+    graft.io.Bucketing.writeBucketed(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity")),
+      "graft_bco_lineitem", Seq("l_orderkey"), 8, Seq("l_orderkey"),
+      Some(s"$base/lineitem"))
+    spark.table("graft_bco_orders").hint("merge")
+      .join(spark.table("graft_bco_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** A18: SCD2 history fold — each user's event-type change log becomes
     * interval rows (valid_from/valid_to/is_current). Duplicate (user,
     * ts) rows collapse to min(event_type) first so history order is

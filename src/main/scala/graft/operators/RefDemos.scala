@@ -359,4 +359,43 @@ object RefDemos {
         Seq("comp_city"), "formatted", "lat", "lng")
       .orderBy("c_custkey")
   }
+
+  /** A13 oracle demo — the paged-ingest loop end-to-end
+    * (http_crawl.js:46-79): a paged API dump is synthesized from the
+    * customer table (one JSON-array file per 200-row page, named
+    * `page_N.json` like a fetcher fleet's output), then read back
+    * through [[graft.sources.PagedIngest.readPages]] with an explicit
+    * schema and filename page recovery. Pagination is deterministic
+    * (page = (row_number − 1) / 200 over c_custkey order), so the
+    * DuckDB oracle recomputes the expected result directly from the
+    * table and the driver checks the whole write → glob scan →
+    * `_page`-recovery loop. Fixture generation collects the page rows
+    * on the driver — that builds TEST INPUT (the fetcher's role, out of
+    * band at scale), not part of the operator under test, which is the
+    * distributed schema'd scan below. The fixture dir is keyed by SF so
+    * runs at different scales don't collide. */
+  def pagedIngest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val pageSize = 200
+    val rows = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+      .toJSON.collect()
+    val pageDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_paged_${new java.io.File(dir).getName}")
+    java.nio.file.Files.createDirectories(pageDir)
+    // clear stale pages so a previous run's longer dump can't leak rows
+    Option(pageDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("page_\\d+\\.json")).foreach(_.delete())
+    rows.grouped(pageSize).zipWithIndex.foreach { case (page, i) =>
+      java.nio.file.Files.write(pageDir.resolve(s"page_$i.json"),
+        page.mkString("[", ",", "]").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_mktsegment", StringType)))
+    graft.sources.PagedIngest.readPages(spark, pageDir.toString, schema)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("_page"))
+      .orderBy("c_custkey")
+  }
 }
