@@ -127,10 +127,21 @@ object EventStream {
     * from the PREVIOUS snapshot, not from its own output, so deltas
     * never double-apply.
     *
+    * `retainSnapshots` bounds the directory count: after each batch
+    * commits, committed snapshots older than the newest N are deleted.
+    * Minimum 2 — the current epoch's crash replay re-merges from the
+    * snapshot BELOW it, so the previous snapshot must survive. Pruning
+    * runs only after this batch's snapshot is committed, and
+    * [[readLatestState]] reads the newest committed snapshot, so
+    * readers never lose their target.
+    *
     * Use with `ds.writeStream.foreachBatch(EventStream.upsertBatch(dir) _)`
     * on an update-mode aggregate, or call per-batch as here. */
-  def upsertBatch(targetDir: String, keyCols: Seq[String])(
+  def upsertBatch(targetDir: String, keyCols: Seq[String],
+                  retainSnapshots: Int = Int.MaxValue)(
       batch: DataFrame, batchId: Long): Unit = {
+    require(retainSnapshots >= 2,
+      s"retainSnapshots must be >= 2 (replay needs the previous snapshot), got $retainSnapshots")
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(targetDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -181,6 +192,15 @@ object EventStream {
         Console.err.println(s"[upsertBatch] pointer refresh failed (${e.getMessage}); " +
           "snapshots are intact — readers should fall back to readLatestState")
     }
+    // retention: prune committed snapshots beyond the newest N (this
+    // batch's snapshot is committed by now, so the newest N always
+    // include the replay anchor)
+    if (retainSnapshots != Int.MaxValue) {
+      val snapDir = new org.apache.hadoop.fs.Path(s"$targetDir/snapshots")
+      committedIds(fs, snapDir).sorted.dropRight(retainSnapshots)
+        .foreach(id => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$targetDir/snapshots/$id"), true))
+    }
   }
 
   /** D6: streaming incremental corpus dedup — [[upsertBatch]]'s replay
@@ -218,18 +238,17 @@ object EventStream {
     val spark = batch.sparkSession
     val sigRoot = new org.apache.hadoop.fs.Path(s"$targetDir/signatures")
     val fs = sigRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$targetDir/signatures/$batchId/_SUCCESS")))
+    if (isCommitted(fs, sigRoot, batchId))
       return // committed replay: pairs + signatures are already durable
     val banded = graft.operators.Dedup.minhashBandedSignatures(
       batch, idCol, textCol, shingleN, k, bands, tokenHash, hashBandKeys,
       shingler).persist()
     try {
-      val prior = committedIds(fs, sigRoot).filter(_ < batchId).sorted
+      val prior = archivePaths(fs, sigRoot, batchId)
       val index = prior match {
         case Seq() => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], banded.schema)
-        case ids => spark.read.parquet(
-          ids.map(id => s"$targetDir/signatures/$id"): _*)
+        case paths => spark.read.parquet(paths: _*)
       }
       // _SUCCESS markers forced on per write job (see upsertBatch) —
       // commit detection depends on them
@@ -251,10 +270,104 @@ object EventStream {
     val pairsRoot = new org.apache.hadoop.fs.Path(s"$targetDir/pairs")
     val fs = pairsRoot.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(pairsRoot), s"dedup target $targetDir has no pairs")
-    val ids = committedIds(fs, pairsRoot)
-    require(ids.nonEmpty, s"dedup target $targetDir has no committed pairs")
-    spark.read.parquet(ids.map(id => s"$targetDir/pairs/$id"): _*)
+    val paths = archivePaths(fs, pairsRoot, Long.MaxValue)
+    require(paths.nonEmpty, s"dedup target $targetDir has no committed pairs")
+    spark.read.parquet(paths: _*)
   }
+
+  /** Compact the [[minhashDedupBatch]] signature archive: every
+    * committed batch dir (and any previous segment) STRICTLY below the
+    * newest committed batch coalesces into one `lo-hi` segment, written
+    * sorted + range-disjoint on the (band, key) join key
+    * ([[graft.io.Layout.writeSorted]]) so the archive side of the
+    * banded join reads few, tight, stats-prunable files instead of one
+    * small directory per batch forever. The newest batch stays a plain
+    * dir — the streaming engine only ever crash-replays the current
+    * epoch, and that replay's index/skip logic must see the world it
+    * committed against.
+    *
+    * Crash-safe ordering: the segment commits (with its _SUCCESS)
+    * BEFORE any covered dir is deleted, and the read path
+    * ([[archivePaths]]) always prefers the widest committed segment —
+    * a crash between the two steps leaves covered dirs that are merely
+    * redundant and are swept by the next compaction. Returns true when
+    * a segment was written. */
+  def compactSignatures(spark: org.apache.spark.sql.SparkSession,
+                        targetDir: String, nFiles: Int = 32): Boolean = {
+    val sigRoot = new org.apache.hadoop.fs.Path(s"$targetDir/signatures")
+    val fs = sigRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val plain = committedIds(fs, sigRoot)
+    if (plain.isEmpty) return false
+    val newest = plain.max
+    val members = archivePaths(fs, sigRoot, newest)
+    if (members.size < 2) return false // a lone segment or dir: no-op
+    val segs = committedSegments(fs, sigRoot)
+    val lo = (plain.filter(_ < newest) ++ segs.map(_._1)).min
+    val hi = (plain.filter(_ < newest) ++ segs.map(_._2)).max
+    val out = s"$targetDir/signatures/$lo-$hi"
+    compactInto(spark, fs, members, Seq("band", "key"), nFiles, out)
+    // the pairs OUTPUT dirs accumulate the same way; same sweep, same
+    // bound (ids below the newest signature batch are final — only the
+    // current epoch ever replays, and its rewrite is byte-identical)
+    val pairsRoot = new org.apache.hadoop.fs.Path(s"$targetDir/pairs")
+    val pMembers = archivePaths(fs, pairsRoot, newest)
+    if (pMembers.size >= 2) {
+      val pSegs = committedSegments(fs, pairsRoot)
+      val pPlain = committedIds(fs, pairsRoot).filter(_ < newest)
+      val pLo = (pPlain ++ pSegs.map(_._1)).min
+      val pHi = (pPlain ++ pSegs.map(_._2)).max
+      compactInto(spark, fs, pMembers, Seq("id_a", "id_b"), nFiles,
+        s"$targetDir/pairs/$pLo-$pHi")
+    }
+    true
+  }
+
+  /** segment write + explicit commit marker + covered-dir sweep */
+  private def compactInto(spark: org.apache.spark.sql.SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          members: Seq[String], sortCols: Seq[String],
+                          nFiles: Int, out: String): Unit = {
+    graft.io.Layout.writeSorted(spark.read.parquet(members: _*),
+      sortCols, nFiles, out)
+    // Layout writes through the default committer; make the marker
+    // explicit in case a global tuning disabled it
+    val marker = new org.apache.hadoop.fs.Path(s"$out/_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
+    members.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+  }
+
+  /** committed compacted segments `<lo>-<hi>` under `root`. */
+  private def committedSegments(fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path): Seq[(Long, Long, org.apache.hadoop.fs.Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath).toSeq
+      .filter(p => p.getName.matches("\\d+-\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map { p =>
+        val Array(lo, hi) = p.getName.split("-")
+        (lo.toLong, hi.toLong, p)
+      }
+
+  /** The committed archive below `belowId`: the widest committed
+    * segment (max hi, then widest lo — an interrupted compaction can
+    * leave nested segments) plus every plain batch dir it does not
+    * cover. */
+  private def archivePaths(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           belowId: Long): Seq[String] = {
+    val best = committedSegments(fs, root).filter(_._2 < belowId)
+      .sortBy(s => (s._2, -s._1)).lastOption
+    val plain = committedIds(fs, root)
+      .filter(id => id < belowId && !best.exists(s => s._1 <= id && id <= s._2))
+    best.map(_._3.toString).toSeq ++
+      plain.sorted.map(id => new org.apache.hadoop.fs.Path(root, id.toString).toString)
+  }
+
+  /** committed either as its own plain dir or inside a segment */
+  private def isCommitted(fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path, id: Long): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(root, s"$id/_SUCCESS")) ||
+      committedSegments(fs, root).exists(s => s._1 <= id && id <= s._2)
 
   /** ids of subdirectories carrying a _SUCCESS commit marker. Only
     * all-digit names count: a foreign directory that happens to carry a

@@ -1,0 +1,96 @@
+package graft
+
+import graft.streaming.EventStream
+
+/** Round-5 scale hygiene for the streaming sinks: snapshot retention
+  * (upsertBatch) and signature/pairs archive compaction
+  * (minhashDedupBatch) — a long stream must keep a BOUNDED directory
+  * count, and replay safety must survive both. */
+class StreamCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dirs(path: String, pat: String): Seq[String] = {
+    val fs = new java.io.File(path)
+    Option(fs.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches(pat)).map(_.getName).toSeq
+  }
+
+  test("snapshot retention bounds the snapshot count; replay of the current epoch survives pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retain").toString
+    def batch(i: Int) = Seq((s"k$i", i.toLong)).toDF("k", "n")
+    (0 to 4).foreach { i =>
+      EventStream.upsertBatch(dir, Seq("k"), retainSnapshots = 2)(batch(i), i.toLong)
+      assert(dirs(s"$dir/snapshots", "\\d+").size <= 2,
+        s"after batch $i: ${dirs(s"$dir/snapshots", "\\d+")}")
+    }
+    assert(dirs(s"$dir/snapshots", "\\d+").toSet == Set("3", "4"))
+    // state carried through every pruned merge
+    def state() = EventStream.readLatestState(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state() == (0 to 4).map(i => s"k$i" -> i.toLong).toMap)
+    // replay of the newest epoch needs snapshot 3 — retained by the >=2 floor
+    EventStream.upsertBatch(dir, Seq("k"), retainSnapshots = 2)(batch(4), 4L)
+    assert(state() == (0 to 4).map(i => s"k$i" -> i.toLong).toMap)
+    // a retention floor below 2 would delete the replay anchor: rejected
+    intercept[IllegalArgumentException] {
+      EventStream.upsertBatch(dir, Seq("k"), retainSnapshots = 1)(batch(9), 9L)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("signature archive compaction: bounded dirs, identical pairs, replay + future batches intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val tA = "the quick brown fox jumps over the lazy dog again and again today"
+    val tA2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val tB = "completely different words describing some other topic entirely here now"
+    val tB2 = "completely different words describing some other topic entirely here too"
+    val tC = "unrelated fresh content with nothing shared against anything else at all"
+    def run(docs: Seq[Doc], id: Long): Unit =
+      EventStream.minhashDedupBatch(dir, "doc_id", "text", minEstSim = 0.25)(
+        docs.toDF(), id)
+    def pairs() = EventStream.readAllPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    run(Seq(Doc(10, tA), Doc(20, tB)), 0L)
+    run(Seq(Doc(5, tA2)), 1L)
+    run(Seq(Doc(99, tB2)), 2L)
+    run(Seq(Doc(7, tC)), 3L)
+    val before = pairs()
+    assert(before == Set((5L, 10L), (20L, 99L)), s"got $before")
+    assert(dirs(s"$dir/signatures", "\\d+").size == 4)
+
+    // compact: everything below the newest batch coalesces to one segment
+    assert(EventStream.compactSignatures(spark, dir, nFiles = 2))
+    assert(dirs(s"$dir/signatures", ".*").toSet == Set("0-2", "3"),
+      s"got ${dirs(s"$dir/signatures", ".*")}")
+    assert(dirs(s"$dir/pairs", ".*").toSet == Set("0-2", "3"))
+    assert(pairs() == before, "compaction must not change the recorded pairs")
+    // an immediate re-compaction has nothing to coalesce
+    assert(!EventStream.compactSignatures(spark, dir))
+
+    // a replay of a COVERED batch is recognized as committed and skipped
+    run(Seq(Doc(5, tA2)), 1L)
+    assert(pairs() == before)
+
+    // crash replay of the NEWEST (uncompacted) epoch still works: its
+    // signature dir is lost mid-write, the re-run checks the compacted
+    // index and rewrites identical output
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/signatures/3"))
+    run(Seq(Doc(7, tC)), 3L)
+    assert(pairs() == before)
+    assert(new java.io.File(s"$dir/signatures/3/_SUCCESS").exists())
+
+    // the compacted index serves future batches: near-dups of a
+    // compacted doc (10/5 in the segment) AND of the plain dir's doc (7)
+    run(Seq(Doc(42, tC + " extra"),
+            Doc(33, "the quick brown fox jumps over the lazy dog again and again forever")), 4L)
+    assert(pairs().contains((7L, 42L)), s"got ${pairs()}")
+    assert(pairs().exists(p => p._2 == 33L && (p._1 == 5L || p._1 == 10L)),
+      s"got ${pairs()}")
+
+    // second sweep widens the segment and sweeps the old one
+    assert(EventStream.compactSignatures(spark, dir, nFiles = 2))
+    assert(dirs(s"$dir/signatures", ".*").toSet == Set("0-3", "4"),
+      s"got ${dirs(s"$dir/signatures", ".*")}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+}
