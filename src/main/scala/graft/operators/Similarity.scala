@@ -170,56 +170,151 @@ object Similarity {
         col("rn").cast("long").as("probe_rank"))
   }
 
+  /** k-means++ seeding, deterministic and distributed. Seed 1 is a
+    * uniform hash draw (max u over the corpus); each next seed is the
+    * Efraimidis–Spirakis weighted draw: the vector maximizing
+    * ln(u)/w with u = a (0,1) hash of the id and w = squared cosine
+    * distance to the NEAREST already-chosen seed. That is hash-based
+    * residual sampling — ∝ D² in distribution (the k-means++ shape,
+    * Arthur & Vassilvitskii SODA'07) yet bit-reproducible under any
+    * partitioning, retry, or cluster size, where rand()-based sampling
+    * is none of those. Already-chosen points (w = 0) can never redraw.
+    * Each round is one corpus scan ending in a 1-row argmax collect (k
+    * rows total cross the driver); at extreme scale swap in k-means‖
+    * oversampling — the per-round scan shape is identical. */
+  private[graft] def kppSeeds(vecs: DataFrame, idCol: String, vecCol: String,
+                              k: Int, salt: Long = 0L): Seq[Seq[Double]] = {
+    val u = (pmod(xxhash64(col(idCol), lit(salt)), lit(1000003L)).cast("double") + 1.0) / 1000005.0
+    val qd = vecs.select(col(idCol).as("_id"),
+      transform(col(vecCol), x => x.cast("double")).as("_v"), u.as("_u"))
+    val first = qd.orderBy(col("_u").desc, col("_id")).limit(1).collect().head
+    val seeds = scala.collection.mutable.ArrayBuffer(first.getSeq[Double](1).toIndexedSeq)
+    while (seeds.size < k) {
+      val chosen = array(seeds.map(s => array(s.map(lit): _*)).toSeq: _*)
+      val d = lit(1.0) - array_max(transform(chosen, s => Vec.cosine(col("_v"), s)))
+      val w = d * d
+      val key = when(w > lit(1e-12), log(col("_u")) / w)
+        .otherwise(lit(Double.NegativeInfinity))
+      val next = qd.withColumn("_key", key)
+        .orderBy(col("_key").desc, col("_id")).limit(1).collect().head
+      seeds += next.getSeq[Double](1).toIndexedSeq
+    }
+    seeds.toSeq
+  }
+
   /** Lloyd's k-means over an embedding column, relationally — makes the
     * IVF pipeline self-contained (C14 otherwise takes cluster labels
-    * as given). Seeds = the k lowest-id vectors; each round assigns
-    * every vector to its nearest centroid ([[ivfAssignN]]: broadcast
-    * centroids, the corpus never reshuffles) and recomputes
-    * decimal-exact means ([[ivfCentroids]]). The iterative-loop
-    * discipline is [[Dedup.connectedComponents]]'s: `localCheckpoint`
-    * per round cuts lineage, and convergence (no assignment changed)
-    * rides the checkpoint job via `observe` — no extra action per
-    * round. A cluster that loses all members simply stops existing
-    * (standard Lloyd degeneracy); labels are the seed ids' ranks,
-    * 0..k-1. Returns (id, label). */
+    * as given). Init is k-means++ by default ([[kppSeeds]] —
+    * deterministic distance-weighted residual sampling); `init =
+    * "lowid"` keeps the former k-lowest-id seeding (degenerate when
+    * the sort order correlates with cluster structure — every seed
+    * lands in one region; kept for comparison and for callers pinned
+    * to the old labels). Each round assigns every vector to its
+    * nearest centroid ([[ivfAssignN]]: broadcast centroids, the corpus
+    * never reshuffles) and recomputes decimal-exact means
+    * ([[ivfCentroids]]). The iterative-loop discipline is
+    * [[Dedup.connectedComponents]]'s: `localCheckpoint` per round cuts
+    * lineage, and convergence (no assignment changed) rides the
+    * checkpoint job via `observe` — no extra action per round.
+    *
+    * A cluster that loses every member no longer silently dies: the
+    * empty cell reseeds to the current FARTHEST point (lowest
+    * similarity to its assigned centroid — the standard farthest-point
+    * repair), and the loop runs on until assignments are stable with
+    * no empty cells (or maxIter). Labels are 0..k-1.
+    *
+    * `restarts` runs the whole fit that many times under different
+    * deterministic seed salts and keeps the fit with the best
+    * objective (highest mean assigned-centroid cosine — lowest
+    * quantization error), the standard n-init discipline: any single
+    * k-means++ draw can land a mediocre local optimum; the best of R
+    * draws rarely does. Strictly-greater comparison keeps the earliest
+    * salt on ties, so the winner is deterministic. Returns
+    * (id, label). */
   def kmeansFit(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-                maxIter: Int = 10): DataFrame = {
+                maxIter: Int = 10, init: String = "kpp",
+                restarts: Int = 1): DataFrame = {
+    require(restarts >= 1, s"restarts must be >= 1, got $restarts")
+    val runs = if (init == "kpp") (0L until restarts.toLong) else Seq(0L)
+    val fits = runs.map(salt => kmeansFitOnce(vecs, idCol, vecCol, k, maxIter, init, salt))
+    fits.maxBy(_._2)._1 // maxBy keeps the first of equal objectives
+  }
+
+  /** one [[kmeansFit]] run; returns (labels, objective = mean cosine of
+    * each vector to its assigned centroid in the final round). */
+  private def kmeansFitOnce(vecs: DataFrame, idCol: String, vecCol: String,
+                            k: Int, maxIter: Int, init: String,
+                            seedSalt: Long): (DataFrame, Double) = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val seeds = vecs.orderBy(col(idCol)).limit(k)
-      .withColumn("label",
-        (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
-      .select(col("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .select(col("label"), col("pos"), col("v").cast("double").as("centroid"))
+    require(init == "kpp" || init == "lowid", s"unknown init '$init'")
+    val seeds = init match {
+      case "kpp" =>
+        import vecs.sparkSession.implicits._
+        kppSeeds(vecs, idCol, vecCol, k, seedSalt).zipWithIndex
+          .flatMap { case (v, label) =>
+            v.zipWithIndex.map { case (x, pos) => (label, pos, x) }
+          }.toDF("label", "pos", "centroid")
+      case "lowid" =>
+        vecs.orderBy(col(idCol)).limit(k)
+          .withColumn("label",
+            (row_number().over(Window.orderBy(col(idCol))) - 1).cast("int"))
+          .select(col("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+          .select(col("label"), col("pos"), col("v").cast("double").as("centroid"))
+    }
     val queries = vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     var centroids = seeds.localCheckpoint(true)
     var assigned: DataFrame = null
     var changed = 1L
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    var stable = false
+    var objective = Double.NegativeInfinity
+    while (!stable && i < maxIter) {
       val next = ivfAssignN(queries, centroids, nprobe = 1)
-        .select(col("query_id"), col("label"))
+        .select(col("query_id"), col("label"), col("sim"))
       val withPrev =
         if (assigned == null) next.withColumn("_chg", lit(true))
         else next.join(
             assigned.select(col("query_id"), col("label").as("_prev")),
             Seq("query_id"), "left")
-          .select(col("query_id"), col("label"),
+          .select(col("query_id"), col("label"), col("sim"),
             (coalesce(col("_prev"), lit(-1)) =!= col("label")).as("_chg"))
-      val obs = org.apache.spark.sql.Observation(s"kmeans_round_$i")
+      val obs = org.apache.spark.sql.Observation(s"kmeans_${seedSalt}_round_$i")
       val checked = withPrev
-        .observe(obs, sum(col("_chg").cast("long")).as("n_changed"))
-        .localCheckpoint(true) // eager: the observed metric is final here
+        .observe(obs, sum(col("_chg").cast("long")).as("n_changed"),
+          avg(col("sim")).as("avg_sim"))
+        .localCheckpoint(true) // eager: the observed metrics are final here
       changed = Option(obs.get("n_changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      objective = Option(obs.get("avg_sim")).map(_.asInstanceOf[Double])
+        .getOrElse(Double.NegativeInfinity)
       assigned = checked.select(col("query_id"), col("label"))
+      // empty-cell detection is a k-int collect off the checkpointed
+      // assignment — dimension-scale, never corpus-scale
+      val present = assigned.select(col("label")).distinct().collect()
+        .map(_.getAs[Number](0).intValue).toSet
+      val empty = (0 until k).filterNot(present)
+      stable = changed == 0 && empty.isEmpty
       // eager centroid recompute is a corpus-scale job — skip it when
-      // the loop is about to exit (converged OR maxIter reached)
-      if (changed > 0 && i + 1 < maxIter)
+      // the loop is about to exit (stable OR maxIter reached)
+      if (!stable && i + 1 < maxIter) {
+        if (empty.nonEmpty) {
+          // farthest-point reseed: the |empty| worst-served vectors
+          // (lowest sim to their centroid) move to the empty labels;
+          // their cells' centroids become those vectors on recompute
+          val far = checked.orderBy(col("sim").asc, col("query_id"))
+            .limit(empty.size).select(col("query_id")).collect().map(_.get(0))
+          val relabeled = empty.zip(far).foldLeft(col("label")) {
+            case (acc, (lbl, id)) =>
+              when(col("query_id") === lit(id), lit(lbl)).otherwise(acc)
+          }
+          assigned = assigned.select(col("query_id"), relabeled.as("label"))
+        }
         centroids = ivfCentroids(
             queries.join(assigned, "query_id"), "qv", "label")
           .localCheckpoint(true)
+      }
       i += 1
     }
-    assigned.select(col("query_id").as(idCol), col("label"))
+    (assigned.select(col("query_id").as(idCol), col("label")), objective)
   }
 
   /** IVF end-to-end search — the point of C14/C15: coarse-quantize each

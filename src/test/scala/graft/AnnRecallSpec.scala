@@ -158,10 +158,23 @@ class AnnRecallSpec extends SparkSpec {
     assert(r(4) >= 0.5, s"nprobe=4 recall ${r(4)} below floor")
   }
 
+  /** mean cosine of every corpus vector to its assigned centroid —
+    * the k-means objective (higher = lower quantization error). */
+  private def meanAssignedSim(labeled: org.apache.spark.sql.DataFrame): Double = {
+    val centroids = Similarity.ivfCentroids(
+      corpus.join(labeled.withColumnRenamed("label", "_l"), "cand_id"), "cv", "_l")
+      .withColumnRenamed("_l", "label")
+    Similarity.ivfAssign(
+        corpus.select(col("cand_id").as("query_id"), col("cv").as("qv")), centroids)
+      .agg(avg(col("sim"))).collect().head.getDouble(0)
+  }
+
   test("C14 kmeansFit: converges, improves on raw Voronoi seeds, feeds ivfTopK") {
+    // maxIter 30: the best-objective k-means++ draw needs ~12 rounds to
+    // reach its fixpoint on this corpus (lowid converged inside 10)
     val labeled = Similarity.kmeansFit(
       corpus.drop("label").withColumnRenamed("cv", "embedding"),
-      "cand_id", "embedding", k = 10, maxIter = 10)
+      "cand_id", "embedding", k = 10, maxIter = 30, restarts = 4)
     val labelOf = labeled.collect()
       .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
     assert(labelOf.size == 470 && labelOf.values.forall(l => l >= 0 && l < 10))
@@ -174,11 +187,77 @@ class AnnRecallSpec extends SparkSpec {
           col("cv").as("qv")), centroids).collect()
       .map(r => r.getLong(0) -> r.getAs[Number]("label").longValue).toMap
     assert(reassigned == labelOf, "kmeansFit did not reach a fixpoint")
-    // quality: the fitted cells hold the true top-1 at least as often
-    // as the one-round Voronoi bootstrap (0.300 measured; kmeans 0.333)
+    // quality 1 — the objective: best-of-4 k-means++ must beat the
+    // lowest-id seeding on quantization (measured 0.2983 vs 0.2890;
+    // every single kpp salt beat lowid here, the floor guards the pick)
+    val objKpp = meanAssignedSim(labeled)
+    val objLow = meanAssignedSim(Similarity.kmeansFit(
+      corpus.drop("label").withColumnRenamed("cv", "embedding"),
+      "cand_id", "embedding", k = 10, maxIter = 10, init = "lowid"))
+    info(f"kmeans objective: kpp-best $objKpp%.4f vs lowid $objLow%.4f")
+    assert(objKpp >= objLow, f"kpp objective $objKpp%.4f below lowid $objLow%.4f")
+    // quality 2 — the fitted cells hold the true top-1 at least as
+    // often as the one-round Voronoi bootstrap (0.300) and the round-4
+    // lowid fit (0.367); measured 0.367 for the best-objective fit
+    // (the hit-rate itself is a 30-query sample: kpp salts span
+    // 0.167–0.467 at near-identical objectives)
     val rate = top1HitRate(labeled.withColumnRenamed("cand_id", "cand_id"))
     info(f"kmeans top-1 cluster hit-rate: $rate%.3f")
-    assert(rate >= 0.25, s"kmeans hit-rate $rate below floor")
+    assert(rate >= 0.36, s"kmeans hit-rate $rate below floor")
+  }
+
+  test("C14 k-means++ vs lowest-id seeding on a cluster-sorted corpus") {
+    import spark.implicits._
+    // three orthogonal clusters, ids SORTED BY CLUSTER — the adversarial
+    // ordering for lowest-id seeding (every seed lands in cluster 0)
+    val dim = 8
+    def point(cluster: Int, j: Int): Seq[Float] = {
+      val base = Array.fill(dim)(0.05f * (((cluster * 31 + j * 7) % 5) - 2))
+      base(cluster) = 1.0f
+      base.toSeq
+    }
+    val rows = for (c <- 0 until 3; j <- 0 until 20)
+      yield ((c * 20 + j).toLong, point(c, j))
+    val vecs = rows.toDF("vec_id", "embedding")
+    def purity(fit: org.apache.spark.sql.DataFrame): Double = {
+      val m = fit.collect().map(r => r.getLong(0) -> r.getAs[Number](1).intValue)
+      m.groupBy(_._2).values
+        .map(g => g.groupBy(t => t._1 / 20).values.map(_.size).max).sum.toDouble / m.length
+    }
+    val kpp = purity(Similarity.kmeansFit(vecs, "vec_id", "embedding", k = 3,
+      maxIter = 10, restarts = 4))
+    val low = purity(Similarity.kmeansFit(vecs, "vec_id", "embedding", k = 3,
+      maxIter = 10, init = "lowid"))
+    info(f"cluster-sorted fixture purity: kpp $kpp%.3f vs lowid $low%.3f")
+    // kpp spreads seeds across the clusters and recovers the partition;
+    // lowid starts all seeds inside cluster 0 and sticks in a local
+    // optimum that splits it while merging the other two
+    assert(kpp >= 0.99, s"kpp purity $kpp")
+    assert(kpp >= low + 0.15, s"kpp ($kpp) must measurably beat lowid ($low)")
+  }
+
+  test("C14 an emptied cluster reseeds to the farthest point instead of dying") {
+    import spark.implicits._
+    // ids 0 and 1 are IDENTICAL vectors: with lowest-id seeding both
+    // seed a cell, every vector tie-breaks to the lower label, and cell
+    // 1 is empty from round one — the degeneracy round 4 documented
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.1f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.1f)),
+      (5L, Seq(0.1f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val fit = Similarity.kmeansFit(vecs, "vec_id", "embedding", k = 3,
+      maxIter = 10, init = "lowid")
+    val labels = fit.collect().map(r => r.getLong(0) -> r.getAs[Number](1).intValue).toMap
+    assert(labels.values.toSet.size == 3,
+      s"expected all 3 cells populated after reseed, got $labels")
+    // the duplicate pair stays together; each remaining cell is one of
+    // the two true clusters
+    assert(labels(0L) == labels(1L))
+    assert(labels(2L) == labels(3L) && labels(4L) == labels(5L))
+    assert(labels(2L) != labels(4L))
   }
 
   test("C6 lshTopKWithIndex: a persisted bucket table serves queries identically") {
