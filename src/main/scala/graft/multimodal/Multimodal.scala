@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   * [[extractFeatures]] computes genuine pixel statistics. The AUDIO
   * path also decodes for real: `javax.sound.sampled` (JDK built-in)
   * reads WAV/AIFF/AU to PCM and [[extractAudioFeatures]] computes
-  * genuine waveform statistics. Only VIDEO remains a deterministic
-  * stub ([[sampleFrames]]) — the one modality with no JDK codec; the
+  * genuine waveform statistics. VIDEO decodes real PIXELS for
+  * MJPEG-in-AVI ([[videoFrameStats]]: RIFF walker + per-frame ImageIO
+  * JPEG decode) and real container METADATA for MP4
+  * ([[videoMetadata]]); only non-MJPEG video codecs remain stubbed
+  * ([[sampleFrames]]) — the JDK ships no H.264/VP9 decoder. The
   * partition lifecycle and schema are the production shape either way.
   */
 object Multimodal {
@@ -279,10 +282,95 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling: every `stride`-th fixed-size slice stands in
-    * for decoded video frames (video is the one modality with no JDK
-    * codec for the PIXELS; container metadata is real, see
-    * [[videoMetadata]]). */
+  case class VideoFrameStats(media_id: Long, frame_no: Int, width: Int,
+                             height: Int, mean_r: Float, mean_g: Float,
+                             mean_b: Float, mean_gray: Float)
+
+  /** REAL video pixels for the one container+codec combination the JDK
+    * can fully decode with no external libraries: MJPEG-in-AVI. The
+    * RIFF/AVI grammar is a plain byte layout —
+    * `[fourcc][size:u32le][payload][pad-to-even]`, LIST chunks carry a
+    * type fourcc then subchunks — so [[aviJpegFrames]] walks to the
+    * `movi` list and yields every video frame chunk (`##dc`/`##db`)
+    * whose payload is a JPEG, and ImageIO decodes each to genuine
+    * pixels. Output: per-frame channel/gray means in [0,1], the same
+    * statistics discipline as [[extractFeatures]]. Non-AVI bytes,
+    * malformed chunks, and frames in codecs the JDK cannot decode
+    * (no JPEG SOI, or ImageIO failure) yield NO rows rather than
+    * failing the partition — for those codecs [[sampleFrames]] remains
+    * the documented stub. */
+  def videoFrameStats(ds: Dataset[MediaRow], maxFrames: Int = 32): Dataset[VideoFrameStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // per-partition init, once
+      it.flatMap { r =>
+        aviJpegFrames(r.media, maxFrames).zipWithIndex.flatMap { case (fb, fi) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = 255.0 * w * h
+            Some(VideoFrameStats(r.media_id, fi, w, h,
+              (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+              ((sr + sg + sb) / (3.0 * n)).toFloat))
+          }
+        }
+      }
+    }
+  }
+
+  /** JPEG payloads of the first `max` video frame chunks of a RIFF/AVI
+    * byte array; empty for anything else. Malformed sizes stop the walk
+    * at the enclosure edge (truncation-safe, like [[parseMp4Meta]]). */
+  private[multimodal] def aviJpegFrames(b: Array[Byte], max: Int): Seq[Array[Byte]] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+    def cc(i: Int) = new String(b, i, 4, "ISO-8859-1")
+    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var i = from
+      var bad = false
+      while (!bad && out.size < max && i + 8 <= to) {
+        val id = cc(i)
+        val size = le32(i + 4)
+        val ps = i + 8
+        val pe = ps + size // Long: a hostile u32 size cannot overflow Int here
+        if (pe > to) bad = true
+        else {
+          val peI = pe.toInt
+          if (id == "LIST" && size >= 4)
+            walk(ps + 4, peI) // movi frames may nest inside rec  lists
+          else if (id(0).isDigit && id(1).isDigit &&
+              (id.endsWith("dc") || id.endsWith("db")) &&
+              size >= 2 && u8(ps) == 0xFF && u8(ps + 1) == 0xD8)
+            out += java.util.Arrays.copyOfRange(b, ps, peI)
+          i = peI + (size & 1L).toInt // chunks pad to even length
+        }
+      }
+    }
+    walk(12, b.length)
+    out.toSeq
+  }
+
+  /** STUB frame sampling for codecs with no JDK decoder (H.264 etc.):
+    * every `stride`-th fixed-size slice stands in for decoded frames.
+    * MJPEG-in-AVI decodes for REAL — see [[videoFrameStats]]; container
+    * metadata is real for MP4 too, see [[videoMetadata]]. */
   def sampleFrames(ds: Dataset[MediaRow], frameSize: Int = 16, stride: Int = 4): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>

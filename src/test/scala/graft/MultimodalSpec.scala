@@ -172,4 +172,50 @@ class MultimodalSpec extends SparkSpec {
       .collect().head
     assert(m1.duration_sec == 1.5 && m1.codecs == Seq("hvc1"))
   }
+
+  test("C12 REAL video pixels: MJPEG-in-AVI frames decode and match the encoder's input") {
+    import java.awt.image.BufferedImage
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", tpe.getBytes("ISO-8859-1") ++ body)
+    def jpegFrame(rgb: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // encoder's input: solid red, solid green, mid-gray
+    val frames = Seq(jpegFrame(0xFF0000), jpegFrame(0x00FF00), jpegFrame(0x808080))
+    val body = list("hdrl", chunk("avih", new Array[Byte](56))) ++
+      list("movi", frames.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val avi = "RIFF".getBytes("ISO-8859-1") ++ le32(body.length + 4) ++
+      "AVI ".getBytes("ISO-8859-1") ++ body
+    // a non-JPEG codec chunk must be skipped, not decoded or crashed on
+    val aviAlien = "RIFF".getBytes("ISO-8859-1") ++ le32(100) ++
+      "AVI ".getBytes("ISO-8859-1") ++
+      list("movi", chunk("00dc", Array.tabulate(40)(_.toByte)))
+    val ds = Seq(
+      MediaRow(1L, avi, "avi"),
+      MediaRow(2L, aviAlien, "avi"),
+      MediaRow(3L, Array.tabulate(64)(_.toByte), "bin")).toDS()
+    val out = Multimodal.videoFrameStats(ds).collect()
+    assert(out.forall(_.media_id == 1L), s"only the MJPEG AVI decodes: $out")
+    val byFrame = out.sortBy(_.frame_no)
+    assert(byFrame.map(_.frame_no).sameElements(Array(0, 1, 2)))
+    assert(byFrame.forall(f => f.width == 32 && f.height == 24))
+    // JPEG is lossy but a solid color survives within tight bounds
+    val red = byFrame(0); val green = byFrame(1); val gray = byFrame(2)
+    assert(red.mean_r > 0.8f && red.mean_g < 0.2f && red.mean_b < 0.2f, red)
+    assert(green.mean_g > 0.8f && green.mean_r < 0.35f && green.mean_b < 0.2f, green)
+    assert(math.abs(gray.mean_gray - 128f / 255f) < 0.05f, gray)
+    // determinism + maxFrames cap
+    val out2 = Multimodal.videoFrameStats(ds).collect().sortBy(_.frame_no)
+    assert(out2.map(_.mean_r).sameElements(byFrame.map(_.mean_r)))
+    assert(Multimodal.videoFrameStats(ds, maxFrames = 2).collect().length == 2)
+  }
 }
