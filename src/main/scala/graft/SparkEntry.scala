@@ -77,6 +77,7 @@ object SparkEntry {
     "bloom_semi_join"      -> (Analytics.bloomSemiJoinDemo(_, _)),
     "lm_score"             -> (TextDemos.lmScore(_, _)),
     "source_mix"           -> (TextDemos.sourceMix(_, _)),
+    "q3_shipping_bloom"    -> (Analytics.q3ShippingPriorityBloom(_, _)),
     "salted_skew_join"     -> (Analytics.saltedSkewJoinDemo(_, _)),
     "bucketed_colocated_join" -> (Analytics.bucketedColocatedJoin(_, _)),
     "paged_ingest"         -> (RefDemos.pagedIngest(_, _)),
@@ -87,6 +88,10 @@ object SparkEntry {
     * alongside their oracle-portable twins. */
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_prod" -> (TextDemos.dedupMinhashProd(_, _)),
+    // the skew stress pair: same dominant-key fixture, with and
+    // without salting — BENCH records both so the delta is on file
+    "skew_join_plain"  -> (Analytics.skewJoinPlain(_, _)),
+    "skew_join_salted" -> (Analytics.skewJoinSalted(_, _)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB) side. The cast discipline
@@ -95,6 +100,18 @@ object SparkEntry {
   private def drev =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
   private def davg(c: String) = s"${dsum(c)} / COUNT($c)"
+
+  private val oracleSqlQ3 =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $drev AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
 
   private val oracleSqlAsof =
     """SELECT e.user_id, e.event_id, e.ts, p.value AS p_value
@@ -119,17 +136,11 @@ object SparkEntry {
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
-    "q3_shipping_priority" ->
-      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $drev AS revenue
-         |FROM customer
-         |JOIN orders ON c_custkey = o_custkey
-         |JOIN lineitem ON o_orderkey = l_orderkey
-         |WHERE c_mktsegment = 'BUILDING'
-         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-         |ORDER BY revenue DESC, l_orderkey
-         |LIMIT 10""".stripMargin,
+    "q3_shipping_priority" -> oracleSqlQ3,
+
+    // bloom pruning must be result-invariant: the fused form answers to
+    // the SAME oracle as the plain q3
+    "q3_shipping_bloom" -> oracleSqlQ3,
 
     "q5_local_supplier" ->
       s"""SELECT n_name, $drev AS revenue

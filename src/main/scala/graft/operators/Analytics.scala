@@ -291,6 +291,70 @@ object Analytics {
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** B2 + B20 fused: q3 with explicit Bloom pre-pruning on BOTH fact
+    * sides — orders pre-filtered by a bloom of the BUILDING customers'
+    * keys, lineitem pre-filtered by a bloom of the surviving orders'
+    * keys — each `might_contain` evaluating BELOW that side's join
+    * exchange (plan shape spec-gated in BloomJoinSpec), so only
+    * probable matches shuffle. False positives die in the exact joins:
+    * the result, and therefore the oracle, is exactly q3's. At 100 TB
+    * this is the flagship shuffle-reduction shape: the demo's measured
+    * delta at sf0.1 is recorded in SURVEY §5. */
+  def q3ShippingPriorityBloom(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val orders   = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val lineitem = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    val ordersB = BloomJoin.bloomFiltered(orders,
+      customer.select(col("c_custkey")), "o_custkey", "c_custkey")
+    val lineitemB = BloomJoin.bloomFiltered(lineitem,
+      ordersB.select(col("o_orderkey")), "l_orderkey", "o_orderkey")
+    customer
+      .join(ordersB, col("c_custkey") === col("o_custkey"))
+      .join(lineitemB, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Deterministic dominant-key fixture for the skew bench: 90% of
+    * lineitem rows land on key 1, the rest spread over 1k keys; the
+    * dim side is hinted off the broadcast path (a dim small enough to
+    * broadcast never needs salting — the bench measures the SHUFFLE
+    * join a 100 TB dim would force). */
+  private[graft] def skewFixture(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // l_orderkey/l_linenumber ride along as high-cardinality salt
+    // carriers — a salt hashed from low-cardinality columns would spread
+    // the hot key over a handful of lumpy buckets, not `factor` even ones
+    val facts = Tables.lineitem(spark, dir).select(
+      when(pmod(col("l_orderkey"), lit(10)) < 9, 1L)
+        .otherwise(pmod(xxhash64(col("l_orderkey")), lit(1000L))).as("k"),
+      col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val dims = spark.range(0, 1000).select(col("id").as("dk"),
+      (col("id") % 7).as("w")).hint("shuffle_hash")
+    (facts, dims)
+  }
+
+  /** skew bench, unsalted arm: the dominant key's rows all meet in one
+    * reducer (modulo AQE's skew split). */
+  def skewJoinPlain(spark: SparkSession, dir: String): DataFrame = {
+    val (facts, dims) = skewFixture(spark, dir)
+    facts.join(dims, facts("k") === dims("dk"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("w"))
+  }
+
+  /** skew bench, salted arm: same fixture through SkewJoin.saltedJoin
+    * (factor 16) — the dominant key spreads over 16 reducers. */
+  def skewJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val (facts, dims) = skewFixture(spark, dir)
+    SkewJoin.saltedJoin(facts, dims, "k", "dk", factor = 16)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("w"))
+  }
+
   /** B13 oracle demo: the salted join's RESULT equals the plain join —
     * the salt is pure partitioning mechanics (each hot key spread over
     * `factor` reducers), so the oracle is the unsalted DuckDB join.

@@ -39,6 +39,31 @@ class BloomJoinSpec extends SparkSpec {
     assert(kept.size < 100 + 2000, s"bloom pruned too little: ${kept.size} survivors")
   }
 
+  test("B20+B2 fused q3: both blooms below their exchanges, result identical to plain q3") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Analytics.q3ShippingPriorityBloom(spark, sfDir)
+      val expected = graft.operators.Analytics.q3ShippingPriority(spark, sfDir)
+        .collect().map(_.toString)
+      assert(df.collect().map(_.toString).sameElements(expected),
+        "bloom-fused q3 must be result-identical to plain q3")
+      val plan = df.queryExecution.executedPlan.toString
+      // a pruning filter on each fused fact side (AQE renders the tree
+      // several times — initial plan, final plan, subqueries — so the
+      // check is presence-below-exchange, not an occurrence count)
+      assert(plan.contains("might_contain"),
+        plan.linesIterator.take(12).mkString("\n"))
+      // each filter runs pre-shuffle: the side's Exchange renders ABOVE it
+      for (key <- Seq("o_custkey", "l_orderkey")) {
+        val ex = plan.indexOf(s"Exchange hashpartitioning($key")
+        val mc = plan.indexOf("might_contain", ex)
+        assert(ex >= 0 && mc > ex,
+          s"bloom filter must sit below the $key exchange:\n" +
+            plan.linesIterator.take(30).mkString("\n"))
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("B20 plan shape: might_contain filter sits on the fact side BELOW the join exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

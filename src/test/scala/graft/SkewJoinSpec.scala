@@ -17,6 +17,31 @@ class SkewJoinSpec extends SparkSpec {
     assert(salted.sameElements(plain))
   }
 
+  test("skew bench pair: salted arm returns exactly the plain arm's rows") {
+    val plain = Analytics.skewJoinPlain(spark, sfDir).collect().map(_.toString)
+    val salted = Analytics.skewJoinSalted(spark, sfDir).collect().map(_.toString)
+    assert(plain.nonEmpty && salted.sameElements(plain))
+  }
+
+  test("salting bounds the hot key's largest reducer group by the factor") {
+    // the structural 100 TB claim: unsalted, the dominant key's rows all
+    // meet in ONE reducer group; salted (factor 16), the largest group
+    // shrinks by ~the factor. Deterministic — no timing, no AQE
+    // dependence (at local scale AQE's skew split equalizes wall-clock;
+    // the salt's guarantee is the bounded group size itself).
+    val (facts, _) = Analytics.skewFixture(spark, sfDir)
+    val hot = facts.filter(col("k") === 1).count()
+    val saltedMax = facts
+      .withColumn("_salt", // saltedJoin's default carriers: all fact columns
+        pmod(xxhash64(facts.columns.map(col): _*), lit(16)))
+      .filter(col("k") === 1)
+      .groupBy(col("_salt")).count()
+      .agg(max("count")).head().getLong(0)
+    assert(hot > 1000, s"fixture must actually be skewed, hot=$hot")
+    assert(saltedMax <= hot / 16 * 3 / 2,
+      s"largest salted group $saltedMax vs hot key $hot at factor 16")
+  }
+
   test("salt spreads the hot key over multiple values") {
     val facts = (1 to 500).map(i => (1, s"f$i")).toDF("k", "v")
     val salts = facts
