@@ -65,7 +65,14 @@ object Bench {
     val errs = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.collect { case Right(ts) => median(ts) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"errors":$errs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's artifact pipeline has head-truncated long bench lines
+    // (BENCH_r03/r04); keep the complete record in the repo as well
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Exception =>
+      Console.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }
