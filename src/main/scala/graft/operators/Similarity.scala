@@ -328,12 +328,26 @@ object Similarity {
               k: Int, nprobe: Int = 1,
               queryId: String = "query_id", queryVec: String = "qv",
               candId: String = "cand_id", candVec: String = "cv",
-              labelCol: String = "label"): DataFrame = {
+              labelCol: String = "label", pruneScan: Boolean = false): DataFrame = {
     val assigned = ivfAssignN(queries, centroidsLong, nprobe, queryId, queryVec, labelCol)
       .select(col(queryId), col(labelCol))
     val probing = queries.join(assigned, queryId)
+    // `pruneScan`: the probed posting lists are a dimension-scale set
+    // (≤ queries × nprobe labels), so collecting them and filtering the
+    // corpus by LITERALS turns a label-partitioned corpus scan into a
+    // statically partition-pruned read (FileScan PartitionFilters:
+    // label IN (...) — only the probed directories are touched;
+    // IvfPruneSpec proves the plan). Spark's dynamic partition pruning
+    // declines this join shape (its broadcast-reuse heuristic emits
+    // dynamicpruningexpression(true) = scan everything), which is why
+    // the explicit literal path exists. Results are identical either
+    // way — the join on label already restricts semantically.
+    val corpusSide = if (pruneScan) {
+      val labels = assigned.select(col(labelCol)).distinct().collect().map(_.get(0))
+      corpus.filter(col(labelCol).isInCollection(labels))
+    } else corpus
     // labels are distinct per query, so no candidate scores twice
-    val scored = broadcast(probing).join(corpus, labelCol)
+    val scored = broadcast(probing).join(corpusSide, labelCol)
       .withColumn("sim", Vec.cosineFast(col(queryVec), col(candVec)))
     topK(scored, k, queryId, candId)
   }
