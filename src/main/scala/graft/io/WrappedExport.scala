@@ -42,10 +42,26 @@ object WrappedExport {
       .csv(outPath)
 
   /** dated immutable snapshot + overwritten "current" pointer. The
-    * timestamp is supplied by the caller (determinism / testability). */
-  def snapshot(df: DataFrame, baseDir: String, ts: String): Unit = {
+    * timestamp is supplied by the caller (determinism / testability).
+    * `retain` bounds the snapshot count: after the new snapshot lands,
+    * only the lexicographically-newest N dated dirs are kept (dated
+    * stamps sort chronologically when zero-padded — the caller's
+    * format discipline) — the same growth bound the streaming sinks
+    * got, since a daily publish otherwise accumulates one dir per day
+    * forever. Minimum 1: "current" duplicates the newest snapshot, but
+    * the snapshot dir is the immutable record. */
+  def snapshot(df: DataFrame, baseDir: String, ts: String,
+               retain: Int = Int.MaxValue): Unit = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/snapshots/$ts")
     df.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/current")
+    if (retain != Int.MaxValue) {
+      val root = new org.apache.hadoop.fs.Path(s"$baseDir/snapshots")
+      val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      fs.listStatus(root).map(_.getPath.getName).sorted.dropRight(retain)
+        .foreach(n => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$baseDir/snapshots/$n"), true))
+    }
   }
 
   /** downloadOrEmpty (gcs-io.js:10-21): read the previous snapshot,

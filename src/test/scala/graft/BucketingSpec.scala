@@ -25,4 +25,19 @@ class BucketingSpec extends SparkSpec {
       assert(joined.count() == Tables.orders(spark, sfDir).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("B16 oracle demo joins with no exchange on the join keys") {
+    // the driver-checked query (Analytics.bucketedColocatedJoin) must
+    // itself take the co-located path: zero exchange on the JOIN keys —
+    // the only exchanges left are the downstream groupBy/orderBy on
+    // o_orderpriority, which any plan pays
+    val df = graft.operators.Analytics.bucketedColocatedJoin(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.linesIterator.take(8).mkString("\n"))
+    for (k <- Seq("o_orderkey", "l_orderkey"))
+      assert(!plan.contains(s"Exchange hashpartitioning($k"),
+        s"bucketed demo must not shuffle on $k:\n" +
+          plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
 }

@@ -42,6 +42,21 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/snapshots/20260101T000000Z").head.getInt(0) == 1)
   }
 
+  test("A12 snapshot retention keeps only the newest N dated dirs") {
+    val base = tmp()
+    for (d <- 1 to 5)
+      WrappedExport.snapshot(Seq((d, "x")).toDF("id", "v"), base,
+        f"2026010${d}T000000Z", retain = 2)
+    val kept = new java.io.File(s"$base/snapshots").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(kept.sameElements(Array("20260104T000000Z", "20260105T000000Z")), kept.toSeq)
+    assert(spark.read.parquet(s"$base/current").head.getInt(0) == 5)
+    intercept[IllegalArgumentException] {
+      WrappedExport.snapshot(Seq((9, "x")).toDF("id", "v"), base,
+        "20260106T000000Z", retain = 0)
+    }
+  }
+
   test("A12 readSnapshotOrEmpty: empty frame with schema on first run, data after") {
     val base = tmp()
     val schema = org.apache.spark.sql.types.StructType(Seq(
