@@ -81,6 +81,7 @@ object SparkEntry {
     "salted_skew_join"     -> (Analytics.saltedSkewJoinDemo(_, _)),
     "bucketed_colocated_join" -> (Analytics.bucketedColocatedJoin(_, _)),
     "paged_ingest"         -> (RefDemos.pagedIngest(_, _)),
+    "wrapped_export"       -> (RefDemos.wrappedExport(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -891,6 +892,15 @@ object SparkEntry {
       s"""SELECT o_orderpriority, COUNT(*) AS n_lines, ${dsum("l_quantity")} AS sum_qty
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // A12: the wrapped {group,total,rows} object, rows sorted and
+    // JSON-serialized — both engines render the same compact form, so
+    // the nested object value-checks through a scalar string column
+    "wrapped_export" ->
+      """SELECT o_orderpriority, COUNT(*) AS total,
+        |       to_json(list(struct_pack(o_orderkey := o_orderkey)
+        |                    ORDER BY o_orderkey)) AS rows_json
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // A13: pagination is deterministic, so the oracle recomputes the
     // expected page assignment straight from the table (the Spark side

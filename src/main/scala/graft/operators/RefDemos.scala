@@ -360,6 +360,24 @@ object RefDemos {
       .orderBy("c_custkey")
   }
 
+  /** A12 oracle demo — the wrapped publish object `{group, total,
+    * rows}` (index.js:319-356) as a driver-checked query. rows sort
+    * before serialization (collect_list order is partition-dependent)
+    * and the array-of-structs serializes to JSON because the driver's
+    * compare hashes scalar columns — both engines render the same
+    * compact `[{"k":v},...]` form, so the whole nested object is
+    * value-checked through a string. The file-writing half of A12
+    * (partitioned CSV/JSON, snapshots, retention) stays spec-gated in
+    * IoSpec. */
+  def wrappedExport(spark: SparkSession, dir: String): DataFrame = {
+    val wrapped = graft.io.WrappedExport.wrappedFrame(
+      Tables.orders(spark, dir).select(col("o_orderpriority"), col("o_orderkey")),
+      "o_orderpriority")
+    wrapped.select(col("o_orderpriority"), col("total"),
+        to_json(array_sort(col("rows"))).as("rows_json"))
+      .orderBy("o_orderpriority")
+  }
+
   /** A13 oracle demo — the paged-ingest loop end-to-end
     * (http_crawl.js:46-79): a paged API dump is synthesized from the
     * customer table (one JSON-array file per 200-row page, named
