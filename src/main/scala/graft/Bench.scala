@@ -69,7 +69,8 @@ object Bench {
     println(json)
     // the driver's artifact pipeline has head-truncated long bench lines
     // (BENCH_r03/r04); keep the complete record in the repo as well
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"${System.getProperty("user.dir")}/BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Exception =>
       Console.err.println(s"[bench] could not write $out: ${e.getMessage}") }

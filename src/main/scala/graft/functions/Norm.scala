@@ -12,6 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Norm {
 
+  /** ANSI-safe string→long: a digit-run gate for FORM, decimal(20,0)
+    * staging (a ≤19-digit run cannot overflow it), then an explicit
+    * Long-range check before the narrowing cast — accepts every
+    * in-range long INCLUDING 19-digit values, nulls everything else.
+    * An unbounded `\d+` guard lets a 20-digit run reach cast() and
+    * throw CAST_OVERFLOW under ANSI; a `{1,18}` bound silently
+    * rejects valid 19-digit longs that the DuckDB oracle's
+    * CAST(... AS BIGINT) parses. */
+  def safeLong(c: Column): Column = {
+    val d = when(c.rlike("^-?\\d{1,19}$"),
+      c.cast(org.apache.spark.sql.types.DecimalType(20, 0)))
+    when(d.between(lit(Long.MinValue), lit(Long.MaxValue)), d.cast("long"))
+  }
+
   /** digits-only phone key (geocode-diff-merge.js normalizePhone) */
   def phoneDigits(c: Column): Column = regexp_replace(c, lit("[^0-9]"), lit(""))
 

@@ -53,12 +53,21 @@ object WrappedExport {
   def snapshot(df: DataFrame, baseDir: String, ts: String,
                retain: Int = Int.MaxValue): Unit = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$baseDir/snapshots/$ts")
+    df.write.mode(SaveMode.ErrorIfExists)
+      .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+      .parquet(s"$baseDir/snapshots/$ts")
     df.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/current")
     if (retain != Int.MaxValue) {
       val root = new org.apache.hadoop.fs.Path(s"$baseDir/snapshots")
       val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-      fs.listStatus(root).map(_.getPath.getName).sorted.dropRight(retain)
+      // only COMMITTED snapshots count toward (and are eligible for)
+      // retention: a crashed partial dir must neither occupy a slot —
+      // which would push a good snapshot out — nor be deleted here
+      // (it is crash debris for the operator to inspect, not ours)
+      fs.listStatus(root).map(_.getPath.getName)
+        .filter(n => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$baseDir/snapshots/$n/_SUCCESS")))
+        .sorted.dropRight(retain)
         .foreach(n => fs.delete(
           new org.apache.hadoop.fs.Path(s"$baseDir/snapshots/$n"), true))
     }

@@ -92,15 +92,14 @@ object Analytics {
       .orderBy(col("status"), col("priority"))
 
   /** B6: JSON column parsing + agg. A `$.k` value that isn't an
-    * integer yields NULL (and drops out of the aggregates) — under
-    * ANSI mode a bare cast of a garbage string would fail the job.
-    * The digit run is bounded to {1,18} (always inside Long range):
-    * an unbounded `\d+` would accept a 20-digit value whose cast then
-    * throws CAST_OVERFLOW under ANSI anyway. */
+    * in-range integer yields NULL (and drops out of the aggregates) —
+    * under ANSI mode a bare cast of a garbage or overflowing string
+    * would fail the job; Norm.safeLong range-checks through decimal
+    * staging so every valid long (19-digit included) parses. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("_ks", get_json_object(col("props"), "$.k"))
-      .withColumn("k", when(col("_ks").rlike("^-?\\d{1,18}$"), col("_ks").cast("long")))
+      .withColumn("k", graft.functions.Norm.safeLong(col("_ks")))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))

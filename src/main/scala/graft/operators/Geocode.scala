@@ -318,12 +318,19 @@ object Geocode {
     val unresolved = rows.join(cacheHits, Seq(idCol), "left_anti")
     val cands = expand(unresolved, idCol, addrCol)
     graft.util.CacheRegistry.register(cands.persist()) // two consumers below
+    // The resolver stage is EXTERNAL work (rate-limited calls, possibly
+    // nondeterministic answers): it must execute exactly once, so its
+    // output is eagerly localCheckpoint'ed — the cache write-back below
+    // and the returned roster both read the SAME materialized answers
+    // (an unpersisted plan would re-call the geocoder per action and
+    // could write different coordinates than it returns).
     val fresh = resolver(cands)
       // defensive: one deterministic row per candidate even if the
       // resolver returns several
       .groupBy(col("candidate"))
       .agg(min(struct(col("lat"), col("lng"))).as("_p"))
       .select(col("candidate"), col("_p.lat").as("lat"), col("_p.lng").as("lng"))
+      .localCheckpoint(true)
     val freshBest = cands.join(fresh, Seq("candidate"))
       .groupBy(col(idCol))
       .agg(min(struct(col("rank"), col("candidate"), col("lat"), col("lng"))).as("best"))

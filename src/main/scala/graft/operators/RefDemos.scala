@@ -21,11 +21,11 @@ object RefDemos {
       col("event_id"), col("user_id"),
       date_format(col("ts"), "yyyy-MM-dd").as("event_date"),
       // reference parseInt-or-0: garbage must coerce to 0, and under
-      // ANSI mode a bare cast of a non-numeric string would throw;
-      // {1,18} keeps every accepted run inside Long range (a 20-digit
-      // run would pass an unbounded \d+ and still CAST_OVERFLOW)
-      coalesce(when(get_json_object(col("props"), "$.k").rlike("^-?\\d{1,18}$"),
-        get_json_object(col("props"), "$.k").cast("long")), lit(0L)).as("k"),
+      // ANSI mode a bare cast of a non-numeric or overflowing string
+      // would throw; Norm.safeLong stages through decimal with an
+      // explicit range check, so all in-range longs (19-digit
+      // included) parse and everything else nulls -> 0
+      coalesce(Norm.safeLong(get_json_object(col("props"), "$.k")), lit(0L)).as("k"),
       (col("event_type") === "purchase").as("is_purchase"),
       Html.sentinelToNull(col("event_type"), "error").as("event_type_clean"),
       (col("value") > 100.0).as("high_value"))

@@ -235,6 +235,9 @@ object Similarity {
                 maxIter: Int = 10, init: String = "kpp",
                 restarts: Int = 1): DataFrame = {
     require(restarts >= 1, s"restarts must be >= 1, got $restarts")
+    require(init == "kpp" || restarts == 1,
+      s"restarts > 1 only varies the kpp seed salt; init='$init' is " +
+        "deterministic and would silently run once — pass restarts = 1")
     val runs = if (init == "kpp") (0L until restarts.toLong) else Seq(0L)
     val fits = runs.map(salt => kmeansFitOnce(vecs, idCol, vecCol, k, maxIter, init, salt))
     fits.maxBy(_._2)._1 // maxBy keeps the first of equal objectives
@@ -329,8 +332,12 @@ object Similarity {
               queryId: String = "query_id", queryVec: String = "qv",
               candId: String = "cand_id", candVec: String = "cv",
               labelCol: String = "label", pruneScan: Boolean = false): DataFrame = {
-    val assigned = ivfAssignN(queries, centroidsLong, nprobe, queryId, queryVec, labelCol)
+    val assignedPlan = ivfAssignN(queries, centroidsLong, nprobe, queryId, queryVec, labelCol)
       .select(col(queryId), col(labelCol))
+    // pruneScan needs the assignment twice (literal label list + the
+    // probing join); materialize it once so the queries × centroids
+    // assignment job doesn't run twice
+    val assigned = if (pruneScan) assignedPlan.localCheckpoint(true) else assignedPlan
     val probing = queries.join(assigned, queryId)
     // `pruneScan`: the probed posting lists are a dimension-scale set
     // (≤ queries × nprobe labels), so collecting them and filtering the

@@ -132,8 +132,12 @@ object EventStream {
     * Minimum 2 — the current epoch's crash replay re-merges from the
     * snapshot BELOW it, so the previous snapshot must survive. Pruning
     * runs only after this batch's snapshot is committed, and
-    * [[readLatestState]] reads the newest committed snapshot, so
-    * readers never lose their target.
+    * [[readLatestState]] reads the newest committed snapshot, so a
+    * reader STARTING now always finds a live target. The guarantee is
+    * read-start-time only: a job still scanning snapshot X after N
+    * further batches commit loses X's files — size `retainSnapshots`
+    * to cover the longest expected reader lag (it is a count-based
+    * retention window, exactly like table-format snapshot expiry).
     *
     * Use with `ds.writeStream.foreachBatch(EventStream.upsertBatch(dir) _)`
     * on an update-mode aggregate, or call per-batch as here. */
@@ -296,6 +300,12 @@ object EventStream {
                         targetDir: String, nFiles: Int = 32): Boolean = {
     val sigRoot = new org.apache.hadoop.fs.Path(s"$targetDir/signatures")
     val fs = sigRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    // crash recovery first: a compaction that died between its segment
+    // commit and its member deletes left covered dirs behind — the read
+    // path ignores them, but archivePaths excludes them from `members`,
+    // so without this sweep they would leak forever
+    sweepCovered(fs, sigRoot)
+    sweepCovered(fs, new org.apache.hadoop.fs.Path(s"$targetDir/pairs"))
     val plain = committedIds(fs, sigRoot)
     if (plain.isEmpty) return false
     val newest = plain.max
@@ -320,6 +330,24 @@ object EventStream {
         s"$targetDir/pairs/$pLo-$pHi")
     }
     true
+  }
+
+  /** delete committed plain dirs and narrower segments that the widest
+    * committed segment already covers — the crash-recovery sweep for a
+    * compaction that died between its segment commit and its member
+    * deletes. Returns whether anything was removed. */
+  private def sweepCovered(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path): Boolean = {
+    val segs = committedSegments(fs, root)
+    if (segs.isEmpty) return false
+    val best = segs.sortBy(s => (s._2, -s._1)).last
+    val doomed =
+      committedIds(fs, root).filter(id => id >= best._1 && id <= best._2)
+        .map(id => new org.apache.hadoop.fs.Path(root, id.toString)) ++
+      segs.filter(s => (s._1, s._2) != ((best._1, best._2)) &&
+        s._1 >= best._1 && s._2 <= best._2).map(_._3)
+    doomed.foreach(p => fs.delete(p, true))
+    doomed.nonEmpty
   }
 
   /** segment write + explicit commit marker + covered-dir sweep */

@@ -55,6 +55,17 @@ class IoSpec extends SparkSpec {
       WrappedExport.snapshot(Seq((9, "x")).toDF("id", "v"), base,
         "20260106T000000Z", retain = 0)
     }
+    // a crashed PARTIAL snapshot (no _SUCCESS) must not occupy a
+    // retention slot (which would evict a good snapshot) and must not
+    // be deleted (it is crash debris for the operator, not ours)
+    val partial = new java.io.File(s"$base/snapshots/20260106T000000Z")
+    partial.mkdirs()
+    WrappedExport.snapshot(Seq((7, "x")).toDF("id", "v"), base,
+      "20260107T000000Z", retain = 2)
+    val after = new java.io.File(s"$base/snapshots").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(after.sameElements(Array(
+      "20260105T000000Z", "20260106T000000Z", "20260107T000000Z")), after.toSeq)
   }
 
   test("A12 readSnapshotOrEmpty: empty frame with schema on first run, data after") {

@@ -45,6 +45,25 @@ class RefDemosSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum == graft.sources.Tables.lineitem(spark, sfDir).count())
   }
 
+  test("Norm.safeLong: full Long range parses, overflow and garbage null out") {
+    val rows = Seq(
+      "9223372036854775807",   // Long.MaxValue (19 digits)
+      "-9223372036854775808",  // Long.MinValue
+      "1000000000000000000",   // 19 digits, in range
+      "9223372036854775808",   // Long.MaxValue + 1 -> null
+      "12345678901234567890",  // 20 digits -> null
+      "12.5", "", "abc",       // non-integral forms -> null
+      "-0")
+      .toDF("s").select(Norm.safeLong(col("s")).as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(rows(0).contains(Long.MaxValue))
+    assert(rows(1).contains(Long.MinValue))
+    assert(rows(2).contains(1000000000000000000L))
+    assert(rows(3).isEmpty && rows(4).isEmpty)
+    assert(rows(5).isEmpty && rows(6).isEmpty && rows(7).isEmpty)
+    assert(rows(8).contains(0L))
+  }
+
   test("A7-A9 normalization functions") {
     val df = Seq(("(02) 2345-678", "https://www.foo.tw/a", "104 台北市（備註）中山北路三十五巷7號9樓"))
       .toDF("phone", "url", "addr")

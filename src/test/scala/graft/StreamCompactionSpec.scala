@@ -91,6 +91,19 @@ class StreamCompactionSpec extends SparkSpec {
     assert(EventStream.compactSignatures(spark, dir, nFiles = 2))
     assert(dirs(s"$dir/signatures", ".*").toSet == Set("0-3", "4"),
       s"got ${dirs(s"$dir/signatures", ".*")}")
+
+    // crash-path sweep: a compaction that died between its segment
+    // commit and its member deletes leaves covered dirs behind —
+    // simulate the leftover (a committed plain dir inside the segment
+    // range) and assert the next compaction call sweeps it even though
+    // there is nothing new to coalesce
+    val leftover = new java.io.File(s"$dir/signatures/2")
+    leftover.mkdirs()
+    new java.io.File(leftover, "_SUCCESS").createNewFile()
+    assert(!EventStream.compactSignatures(spark, dir)) // nothing to coalesce...
+    assert(!leftover.exists(), "covered leftover dir must be swept")
+    assert(dirs(s"$dir/signatures", ".*").toSet == Set("0-3", "4"))
+    assert(pairs().contains((7L, 42L)), "sweep must not touch live data")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
