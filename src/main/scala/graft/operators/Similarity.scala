@@ -359,6 +359,26 @@ object Similarity {
     topK(scored, k, queryId, candId)
   }
 
+  /** Incremental IVF index maintenance — the daily-growth path of the
+    * IVF pipeline: assign each NEW vector to its nearest centroid and
+    * APPEND it into the label-partitioned index layout. The existing
+    * corpus never rewrites; each batch lands as new files inside its
+    * posting lists' partition directories, and [[ivfTopK]] with
+    * `pruneScan` keeps reading only probed directories. Centroids stay
+    * fixed between refits (production IVF serving); re-run
+    * [[kmeansFit]] + a full rewrite when drift warrants. */
+  def ivfAppend(newVecs: DataFrame, centroidsLong: DataFrame, indexDir: String,
+                idCol: String = "cand_id", vecCol: String = "cv",
+                labelCol: String = "label"): Unit = {
+    val assigned = ivfAssign(
+        newVecs.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        centroidsLong, labelCol = labelCol)
+      .select(col("query_id").as(idCol), col(labelCol))
+    newVecs.join(assigned, idCol)
+      .select(col(idCol), col(vecCol), col(labelCol))
+      .write.mode("append").partitionBy(labelCol).parquet(indexDir)
+  }
+
   /** near-duplicate pairs by embedding cosine above `threshold`,
     * candidate-limited to shared LSH buckets (id_a < id_b). */
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,

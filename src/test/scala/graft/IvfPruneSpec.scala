@@ -53,4 +53,39 @@ class IvfPruneSpec extends SparkSpec {
       assert(labels <= 6, s"fixture sanity: $labels probed labels")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("C15b ivfAppend: daily batches append into posting-list partitions, search sees them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val base = emb.filter(col("vec_id") >= 30 && col("vec_id") < 300)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("label"))
+      base.write.partitionBy("label").parquet(s"$dir/index")
+      val centroids = Similarity.ivfCentroids(base, "cv", "label")
+      // two daily batches append; the base partitions never rewrite
+      val day1 = emb.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      val day2 = emb.filter(col("vec_id") >= 400)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      Similarity.ivfAppend(day1, centroids, s"$dir/index")
+      Similarity.ivfAppend(day2, centroids, s"$dir/index")
+      val index = spark.read.parquet(s"$dir/index")
+      assert(index.count() == emb.filter(col("vec_id") >= 30).count())
+      // appended vectors live in their ASSIGNED partition
+      val reassigned = Similarity.ivfAssign(
+          index.filter(col("cand_id") >= 300)
+            .select(col("cand_id").as("query_id"), col("cv").as("qv")), centroids)
+        .collect().map(r => r.getLong(0) -> r.getAs[Number]("label").intValue).toMap
+      val stored = index.filter(col("cand_id") >= 300)
+        .select(col("cand_id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.getAs[Number]("label").intValue).toMap
+      assert(stored == reassigned, "appended rows must sit in their assigned posting list")
+      // search over the grown index returns appended ids when they win
+      val out = Similarity.ivfTopK(queries, index, centroids, k = 10,
+        nprobe = 3, pruneScan = true).collect()
+      assert(out.nonEmpty && out.forall(_.getLong(3) <= 10))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
