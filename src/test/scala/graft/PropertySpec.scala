@@ -15,6 +15,35 @@ class PropertySpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("binary walkers never throw on adversarial bytes (AVI/MP4/JPEG/PNG/audio)") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.MediaRow
+    // random bytes, random bytes behind plausible magic prefixes, and
+    // truncations of each — every walker must classify or skip, never
+    // fail the task (the repo's stated truncation-safety invariant)
+    val raw = samples(Gen.choose(0, 512).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)), 40)
+    val prefixed = raw.zipWithIndex.map { case (b, i) =>
+      val magic = (i % 5) match {
+        case 0 => "RIFF1234AVI ".getBytes("ISO-8859-1")
+        case 1 => Array[Byte](0, 0, 0, 32) ++ "ftypisom".getBytes("ISO-8859-1")
+        case 2 => Array[Byte](0xFF.toByte, 0xD8.toByte)
+        case 3 => Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+        case _ => "LIST".getBytes("ISO-8859-1")
+      }
+      magic ++ b
+    }
+    val all = (raw ++ prefixed).zipWithIndex
+      .map { case (b, i) => MediaRow(i.toLong, b, "bin") }
+    val ds = all.toDS()
+    // none of these may throw — results just classify/skip
+    assert(Multimodal.imageDimensions(ds).count() == all.size)
+    assert(Multimodal.videoMetadata(ds).count() == all.size)
+    assert(Multimodal.videoFrameStats(ds).collect().forall(_.width > 0))
+    assert(Multimodal.extractFeatures(ds).count() == all.size)
+    assert(Multimodal.extractAudioFeatures(ds).count() == all.size)
+  }
+
   test("phoneDigits yields digits only, idempotently") {
     val strs = samples(Gen.listOfN(30, Gen.asciiPrintableChar).map(_.mkString), 20)
     val rows = strs.toDF("p")
