@@ -66,6 +66,34 @@ class GeocodeDailySpec extends SparkSpec {
     graft.util.CacheRegistry.releaseAll()
   }
 
+  test("the external resolver stage executes exactly once per day") {
+    // the resolver is EXTERNAL work (rate-limited, possibly
+    // nondeterministic): dailyGeocode must materialize its output once
+    // and reuse it for both the cache write-back and the returned
+    // roster — an accumulator counts the rows that actually flow
+    // through the resolver's plan, so a recompute would double it
+    val dir = java.nio.file.Files.createTempDirectory("graft_daily_once").toString
+    val day = Seq(
+      (1L, "台北市大安區和平東路12巷34號"),
+      (2L, "高雄市左營區中山路5號")).toDF("id", "addr")
+    val acc = spark.sparkContext.longAccumulator("resolver_rows")
+    def resolver(cands: DataFrame): DataFrame = {
+      val counted = cands.map { r => acc.add(1); r }(
+        org.apache.spark.sql.Encoders.row(cands.schema))
+      counted.filter(col("candidate").rlike("\\d+號$"))
+        .select(col("candidate"),
+          (lit(22.0) + pmod(xxhash64(col("candidate")), lit(1000)).cast("double") / 1000.0).as("lat"),
+          (lit(120.0) + pmod(xxhash64(col("candidate"), lit(7)), lit(1000)).cast("double") / 1000.0).as("lng"))
+    }
+    val out = Geocode.dailyGeocode(day, "id", "addr", dir, 0L)(resolver)
+    assert(out.count() == 2) // consume the returned roster too
+    val expected = Geocode.expand(day, "id", "addr").count()
+    assert(acc.value == expected,
+      s"resolver saw ${acc.value} rows for $expected candidates — " +
+        "it must execute exactly once")
+    graft.util.CacheRegistry.releaseAll()
+  }
+
   test("a replayed day re-merges idempotently and a row with no hit stays null") {
     val dir = Files.createTempDirectory("graft_daily_geo2").toString
     val day = Seq(
