@@ -82,6 +82,7 @@ object SparkEntry {
     "bucketed_colocated_join" -> (Analytics.bucketedColocatedJoin(_, _)),
     "paged_ingest"         -> (RefDemos.pagedIngest(_, _)),
     "wrapped_export"       -> (RefDemos.wrappedExport(_, _)),
+    "gopher_quality"       -> (TextDemos.gopherQuality(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -665,6 +666,34 @@ object SparkEntry {
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),
     "ivf_topk"          -> graft.oracle.OracleGen.ivfTopkSql(),
+
+    // C28: the Gopher rule battery — integer counts and exact
+    // int-over-int divisions, so doubles match without rounding
+    "gopher_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS total_chars,
+        |    CAST(len(list_filter(toks, x -> contains(x, '#') OR contains(x, '...'))) AS BIGINT) AS symbol_hits,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(toks, s))) AS BIGINT) AS n_stop_hits
+        |  FROM t
+        |), r AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN CAST(total_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN n_words > 0 THEN CAST(symbol_hits AS DOUBLE) / n_words ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE) / n_words ELSE 0.0 END AS alpha_frac,
+        |    n_stop_hits
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, n_stop_hits,
+        |       (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |        AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop_hits >= 2) AS passes
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "doc_freq_filter" ->
       """WITH toks AS (

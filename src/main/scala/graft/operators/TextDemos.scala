@@ -24,6 +24,37 @@ object TextDemos {
       col("doc_id"), Text.qualityScore(col("text")).as("score"))
       .orderBy("doc_id")
 
+  /** C28 — the Gopher quality rules (Rae et al. 2021, §A1.1) as a
+    * per-document filter report: word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio, alphabetic-word fraction, and
+    * required-stopword presence — the standard pre-training heuristic
+    * filter battery, each rule a codegen'd Column over one tokenize
+    * pass (no UDFs; at 100 TB this is a map-only scan). Divisions are
+    * exact-int-over-int IEEE ops identical in any engine, so the
+    * doubles oracle-match without rounding. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => t =!= "")
+    val nWords = size(toks).cast("long")
+    val totalChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val meanLen = when(nWords > 0, totalChars.cast("double") / nWords).otherwise(0.0)
+    val symbolHits = size(filter(toks,
+      t => t.contains("#") || t.contains("..."))).cast("long")
+    val symbolRatio = when(nWords > 0, symbolHits.cast("double") / nWords).otherwise(0.0)
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val alphaFrac = when(nWords > 0, alphaWords.cast("double") / nWords).otherwise(0.0)
+    val stopList = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(filter(
+      array(stopList.map(lit): _*), s => array_contains(toks, s))).cast("long")
+    val passes = nWords.between(50, 100000) &&
+      meanLen.between(3.0, 10.0) &&
+      symbolRatio <= 0.1 && alphaFrac >= 0.8 && stopHits >= 2
+    Tables.documents(spark, dir).select(
+      col("doc_id"), nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_frac"),
+      stopHits.as("n_stop_hits"), passes.as("passes"))
+      .orderBy("doc_id")
+  }
+
   /** C8 — stopword-profile language ID. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val (pred, hits) = Text.langId(col("text"))

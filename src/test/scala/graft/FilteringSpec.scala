@@ -4,6 +4,26 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Filtering, MergeOps}
 
 class FilteringSpec extends SparkSpec {
+
+  test("C28 gopher rules: each rule trips on its own fixture") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps right over and beside that lazy " * 6) +
+      "dog done with it").trim                         // ~60 words, stopwords, alpha
+    val short = "the and that have with tiny"          // < 50 words
+    val symbols = (Seq.fill(60)("#tag").mkString(" ") +
+      " the and of that")                              // symbol ratio ~1
+    val numeric = (Seq.fill(60)("12345").mkString(" ") +
+      " the and of that")                              // alpha fraction ~0
+    val docs = Seq((1L, good), (2L, short), (3L, symbols), (4L, numeric))
+      .toDF("doc_id", "text")
+    // reuse the query body over a swapped-in table: write to a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = graft.operators.TextDemos.gopherQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false), out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
   import spark.implicits._
 
   test("C23 url blocklist drops blocked domains, keeps non-URLs, never shuffles the corpus") {
