@@ -83,6 +83,7 @@ object SparkEntry {
     "paged_ingest"         -> (RefDemos.pagedIngest(_, _)),
     "wrapped_export"       -> (RefDemos.wrappedExport(_, _)),
     "gopher_quality"       -> (TextDemos.gopherQuality(_, _)),
+    "llm_pipeline_e2e"     -> (TextDemos.llmPipelineE2e(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -666,6 +667,47 @@ object SparkEntry {
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),
     "ivf_topk"          -> graft.oracle.OracleGen.ivfTopkSql(),
+
+    // C-pipeline E2E: blocklist → outlier trim → exact dedup → hash
+    // split, each stage mirroring its standalone oracle's SQL
+    "llm_pipeline_e2e" -> {
+      val bounds = graft.oracle.OracleGen.interpolatedPercentilesSql(
+        "(SELECT 1 AS _g, n_tokens FROM m)", "_g", "n_tokens",
+        Seq("lo_bound" -> 0.05, "hi_bound" -> 0.95))
+      s"""WITH docs AS (
+         |  SELECT doc_id, source, text,
+         |    'https://www.' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+         |  FROM documents
+         |), blocked(domain) AS (
+         |  VALUES ('src3.example.com'), ('src7.example.com'), ('src11.example.com')
+         |), kept AS (
+         |  SELECT * FROM docs
+         |  WHERE regexp_extract(url, '^https?://(?:www\\.)?([^/]+)', 1)
+         |        NOT IN (SELECT domain FROM blocked)
+         |), m AS (
+         |  SELECT doc_id, source, text,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |  FROM kept
+         |), b AS (
+         |$bounds
+         |), trimmed AS (
+         |  SELECT m.* FROM m CROSS JOIN b
+         |  WHERE NOT (CAST(n_tokens AS DOUBLE) < b.lo_bound OR
+         |             CAST(n_tokens AS DOUBLE) > b.hi_bound)
+         |), keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM trimmed GROUP BY md5(text)
+         |), dd AS (
+         |  SELECT t.* FROM trimmed t JOIN keep USING (doc_id)
+         |), s AS (
+         |  SELECT *, CASE WHEN bucket < 80 THEN 'train'
+         |                 WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT *,
+         |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+         |        FROM dd)
+         |)
+         |SELECT split, source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM s GROUP BY split, source ORDER BY split, source""".stripMargin
+    },
 
     // C28: the Gopher rule battery — integer counts and exact
     // int-over-int divisions, so doubles match without rounding

@@ -24,6 +24,38 @@ object TextDemos {
       col("doc_id"), Text.qualityScore(col("text")).as("score"))
       .orderBy("doc_id")
 
+  /** C-pipeline E2E — the whole corpus-cleaning chain as ONE
+    * driver-checked query, composed from the library's own stages in
+    * production order: domain blocklist (broadcast anti-join, corpus
+    * never shuffles) → token-length outlier trim (one broadcast bounds
+    * row) → exact dedup (first-wins per text hash) → deterministic
+    * 80/10/10 hash split → per-(split, source) summary. Every stage is
+    * an independently-oracled operator; this row proves the
+    * COMPOSITION — what a user actually runs — stays value-exact
+    * end-to-end. */
+  def llmPipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).withColumn("url",
+      concat(lit("https://www."), col("source"), lit(".example.com/doc/"),
+        col("doc_id").cast("string")))
+    val blocked = Seq("src3.example.com", "src7.example.com", "src11.example.com")
+      .toDF("domain")
+    val kept = Filtering.urlBlocklist(docs, blocked, "url")
+      .withColumn("n_tokens", Text.tokenCount(col("text")))
+    val trimmed = Filtering.quantileOutliers(kept, "n_tokens", 0.05, 0.95)
+      .filter(!col("is_outlier"))
+      .drop("lo_bound", "hi_bound", "is_outlier")
+    val keepIds = trimmed
+      .groupBy(md5(col("text")).as("_h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = trimmed.join(keepIds, Seq("doc_id"), "leftsemi")
+    Sampling.hashSplit(deduped, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("split"), col("source"))
+  }
+
   /** C28 — the Gopher quality rules (Rae et al. 2021, §A1.1) as a
     * per-document filter report: word-count bounds, mean-word-length
     * bounds, symbol-to-word ratio, alphabetic-word fraction, and
