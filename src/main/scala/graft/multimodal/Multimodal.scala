@@ -342,10 +342,23 @@ object Multimodal {
     def cc(i: Int) = new String(b, i, 4, "ISO-8859-1")
     if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    def walk(from: Int, to: Int): Unit = {
-      var i = from
+    // Iterative depth-first walk over (from, to) enclosure ranges. An
+    // explicit heap stack instead of recursion: a crafted AVI can nest
+    // LIST chunks ~len/12 levels deep, and that depth on the CALL stack
+    // is a StackOverflowError — an Error the malformed-bytes Exception
+    // handler cannot catch, breaking the "bad bytes yield NO rows, never
+    // a failed partition" invariant. Heap depth is bounded by the same
+    // len/12 and is just memory. Pushing (resume-after-list, interior)
+    // in that order pops the interior first, preserving the recursive
+    // version's stream-order frame collection; a malformed size aborts
+    // only its own enclosure (outer ranges stay on the stack), exactly
+    // like the recursive `bad` flag.
+    val stack = scala.collection.mutable.Stack[(Int, Int)]((12, b.length))
+    while (stack.nonEmpty && out.size < max) {
+      var (i, to) = stack.pop()
       var bad = false
-      while (!bad && out.size < max && i + 8 <= to) {
+      var descended = false
+      while (!bad && !descended && out.size < max && i + 8 <= to) {
         val id = cc(i)
         val size = le32(i + 4)
         val ps = i + 8
@@ -353,17 +366,22 @@ object Multimodal {
         if (pe > to) bad = true
         else {
           val peI = pe.toInt
-          if (id == "LIST" && size >= 4)
-            walk(ps + 4, peI) // movi frames may nest inside rec  lists
-          else if (id(0).isDigit && id(1).isDigit &&
-              (id.endsWith("dc") || id.endsWith("db")) &&
-              size >= 2 && u8(ps) == 0xFF && u8(ps + 1) == 0xD8)
-            out += java.util.Arrays.copyOfRange(b, ps, peI)
-          i = peI + (size & 1L).toInt // chunks pad to even length
+          val next = peI + (size & 1L).toInt // chunks pad to even length
+          if (id == "LIST" && size >= 4) {
+            // movi frames may nest inside rec  lists
+            stack.push((next, to))
+            stack.push((ps + 4, peI))
+            descended = true
+          } else {
+            if (id(0).isDigit && id(1).isDigit &&
+                (id.endsWith("dc") || id.endsWith("db")) &&
+                size >= 2 && u8(ps) == 0xFF && u8(ps + 1) == 0xD8)
+              out += java.util.Arrays.copyOfRange(b, ps, peI)
+            i = next
+          }
         }
       }
     }
-    walk(12, b.length)
     out.toSeq
   }
 

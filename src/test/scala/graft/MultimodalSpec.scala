@@ -218,4 +218,44 @@ class MultimodalSpec extends SparkSpec {
     assert(out2.map(_.mean_r).sameElements(byFrame.map(_.mean_r)))
     assert(Multimodal.videoFrameStats(ds, maxFrames = 2).collect().length == 2)
   }
+
+  test("C12 adversarial: 300k-deep nested LISTs neither overflow the stack nor lose the frame") {
+    import java.awt.image.BufferedImage
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    val bos0 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos0)
+    val jpeg0 = bos0.toByteArray
+    val jpeg = if (jpeg0.length % 2 == 0) jpeg0 else jpeg0 :+ 0.toByte // keep sizes even: no pad bytes to track
+    // 12 bytes per nesting level (LIST header + type fourcc), so a
+    // ~3.6 MB blob nests 300k deep — far past any JVM call stack. The
+    // old recursive walk died here with StackOverflowError (an Error,
+    // so the malformed-bytes Exception handler could not contain it);
+    // the iterative walk must still find the innermost frame. Sizes
+    // are computable inner-out (each level adds 12), so the blob is
+    // written in one linear pass instead of O(n^2) re-wrapping.
+    val depth = 300000
+    val frameChunk = "00dc".getBytes("ISO-8859-1") ++ le32(jpeg.length) ++ jpeg
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("RIFF".getBytes("ISO-8859-1"))
+    bos.write(le32(4 + 12 * depth + frameChunk.length))
+    bos.write("AVI ".getBytes("ISO-8859-1"))
+    var k = depth
+    while (k >= 1) { // size of level k counted from the innermost = 4 + frame + 12*(k-1)
+      bos.write("LIST".getBytes("ISO-8859-1"))
+      bos.write(le32(4 + frameChunk.length + 12 * (k - 1)))
+      bos.write("movi".getBytes("ISO-8859-1"))
+      k -= 1
+    }
+    bos.write(frameChunk)
+    val deepAvi = bos.toByteArray
+    val out = Multimodal.videoFrameStats(Seq(MediaRow(7L, deepAvi, "avi")).toDS()).collect()
+    assert(out.length == 1 && out.head.width == 8 && out.head.height == 8, out.toSeq)
+    // and a deep nest whose innermost size lies past the buffer edge
+    // still yields no rows, no failure
+    val broken = deepAvi.clone()
+    val lastSizeOff = 12 + 12 * (depth - 1) + 4
+    le32(Int.MaxValue).copyToArray(broken, lastSizeOff)
+    assert(Multimodal.videoFrameStats(Seq(MediaRow(8L, broken, "avi")).toDS()).collect().isEmpty)
+  }
 }
