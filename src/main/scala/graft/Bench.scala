@@ -74,6 +74,9 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Exception =>
       Console.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // fixture janitor: drop run-scoped demo tables + tmp dirs so
+    // repeated bench runs leave tmpdir/spark-warehouse flat
+    graft.util.Fixtures.sweep(spark)
     spark.stop()
   }
 }

@@ -24,6 +24,7 @@ object BenchOne {
       graft.util.CacheRegistry.releaseAll()
       println(f"[bench-one] $name pass $i: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
     }
+    graft.util.Fixtures.sweep(spark)
     spark.stop()
   }
 }

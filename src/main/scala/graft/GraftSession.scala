@@ -13,7 +13,13 @@ object GraftSession {
   def local(appName: String = "graft",
             cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
             shufflePartitions: Int = 32): SparkSession = {
-    val warehouse = java.nio.file.Files.createTempDirectory("graft_warehouse").toString
+    val warehousePath = java.nio.file.Files.createTempDirectory("graft_warehouse")
+    // session-unique warehouse (concurrent local sessions must not share
+    // catalog state), removed at JVM exit so repeated runs leave tmpdir flat
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try graft.util.Fixtures.deleteRecursively(warehousePath)
+      catch { case _: Exception => () }))
+    val warehouse = warehousePath.toString
     val spark = SparkSession.builder()
       .appName(appName)
       .withExtensions(new GraftExtensions)

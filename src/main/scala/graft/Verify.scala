@@ -46,6 +46,9 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // fixture janitor: drop run-scoped demo tables + tmp dirs so
+    // repeated verify runs leave tmpdir/spark-warehouse flat
+    graft.util.Fixtures.sweep(spark)
     spark.stop()
   }
 }

@@ -14,12 +14,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Bucketing {
 
+  /** DESTRUCTIVE drop-first contract: any existing table named `table`
+    * is dropped before the write (Overwrite alone refuses a
+    * location/schema change on an existing external table definition),
+    * so a failure mid-write leaves NO table, and an unrelated table of
+    * the same name is destroyed. Callers own name uniqueness — the
+    * in-repo demos take run-unique names from [[graft.util.Fixtures]]
+    * and write each at most once per run. */
   def writeBucketed(df: DataFrame, table: String,
                     bucketCols: Seq[String], numBuckets: Int,
                     sortCols: Seq[String] = Nil,
                     path: Option[String] = None): Unit = {
-    // drop first: Overwrite alone refuses a location/schema change on an
-    // existing external table definition
     df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
     val w0 = df.write.mode(SaveMode.Overwrite)
     val w = path.fold(w0)(p => w0.option("path", p))

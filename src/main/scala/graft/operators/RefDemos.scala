@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -387,27 +389,29 @@ object RefDemos {
     * (page = (row_number − 1) / 200 over c_custkey order), so the
     * DuckDB oracle recomputes the expected result directly from the
     * table and the driver checks the whole write → glob scan →
-    * `_page`-recovery loop. Fixture generation collects the page rows
-    * on the driver — that builds TEST INPUT (the fetcher's role, out of
-    * band at scale), not part of the operator under test, which is the
-    * distributed schema'd scan below. The fixture dir is keyed by SF so
-    * runs at different scales don't collide. */
+    * `_page`-recovery loop. Fixture generation streams the page rows
+    * through the driver one partition at a time (`toLocalIterator`,
+    * never a whole-table collect) — that builds TEST INPUT (the
+    * fetcher's role, out of band at scale), not part of the operator
+    * under test, which is the distributed schema'd scan below. The
+    * fixture dir is run-scoped ([[graft.util.Fixtures]]): unique per
+    * run (no concurrent-run races, no stale-page leakage), written
+    * once per (run, SF), swept by the janitor. */
   def pagedIngest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val pageSize = 200
-    val rows = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      .orderBy("c_custkey")
-      .toJSON.collect()
-    val pageDir = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_paged_${new java.io.File(dir).getName}")
-    java.nio.file.Files.createDirectories(pageDir)
-    // clear stale pages so a previous run's longer dump can't leak rows
-    Option(pageDir.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("page_\\d+\\.json")).foreach(_.delete())
-    rows.grouped(pageSize).zipWithIndex.foreach { case (page, i) =>
-      java.nio.file.Files.write(pageDir.resolve(s"page_$i.json"),
-        page.mkString("[", ",", "]").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val pageDir = graft.util.Fixtures.dir(s"paged_${new java.io.File(dir).getName}")
+    graft.util.Fixtures.buildOnce(pageDir) {
+      // sorted range partitions stream back in global c_custkey order,
+      // bounding driver memory to one partition of JSON strings
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+        .toJSON.toLocalIterator().asScala
+        .grouped(pageSize).zipWithIndex.foreach { case (page, i) =>
+          java.nio.file.Files.write(pageDir.resolve(s"page_$i.json"),
+            page.mkString("[", ",", "]").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
     }
     val schema = StructType(Seq(
       StructField("c_custkey", LongType), StructField("c_name", StringType),

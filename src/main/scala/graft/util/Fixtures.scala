@@ -1,0 +1,95 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Run-scoped demo fixtures: unique tmp directories and catalog table
+  * names, plus the end-of-run janitor.
+  *
+  * Some oracle demos must BUILD their input before exercising the
+  * operator under test (paged_ingest writes page_N.json files,
+  * bucketed_colocated_join writes bucketed table copies, the streaming
+  * parity rows stage file-source input). Two problems with fixed tmp
+  * paths keyed only by SF:
+  *
+  *  - two concurrent runs at the same SF race on the shared dir and on
+  *    global catalog table names;
+  *  - repeated driver runs accumulate fixture state forever (tmpdir
+  *    and spark-warehouse grow per run).
+  *
+  * So every fixture path/table carries [[runId]] — unique per JVM — and
+  * registers here; [[sweep]] (called by Verify/Bench after the last
+  * query, the same place CacheRegistry releases) deletes the lot.
+  * WITHIN a run, a fixture keyed by (name, SF) is built once and reused:
+  * the bench's three passes then time the operator, not the fixture
+  * write ([[buildOnce]]).
+  */
+object Fixtures {
+
+  /** unique per JVM: concurrent runs at the same SF never share paths */
+  val runId: String = java.util.UUID.randomUUID().toString.take(8)
+
+  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private val tables = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** run-unique tmp dir for fixture `key`; registered for [[sweep]].
+    * Stable within the run — same key, same path. */
+  def dir(key: String): Path = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_${key}_$runId")
+    if (!dirs.contains(p)) dirs.add(p)
+    p
+  }
+
+  /** run-unique catalog table name; registered for [[sweep]]. The key
+    * is sanitized to identifier characters — a dot (e.g. an "sf0.01"
+    * basename) would parse as a schema separator in saveAsTable. */
+  def tableName(key: String): String = {
+    val n = s"graft_${key.replaceAll("[^A-Za-z0-9_]", "_")}_$runId"
+    if (!tables.contains(n)) tables.add(n)
+    n
+  }
+
+  /** Build the fixture under `path` exactly once per run: `build` runs
+    * only when no committed marker exists, then the marker commits it.
+    * Callers re-invoking the same demo (bench pass 2/3) skip straight
+    * to the operator under test. The marker is written AFTER the build
+    * completes, so a crashed half-build is rebuilt, never trusted. */
+  def buildOnce(path: Path)(build: => Unit): Path = {
+    val marker = path.resolve("_GRAFT_BUILT")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(path)
+      build
+      Files.createFile(marker)
+    }
+    path
+  }
+
+  /** End-of-run janitor: drop registered tables, delete registered
+    * dirs. Idempotent; failures are logged, not thrown — cleanup must
+    * never fail the run that produced correct results. */
+  def sweep(spark: SparkSession): Unit = {
+    var t = tables.poll()
+    while (t != null) {
+      try spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      catch { case e: Exception =>
+        Console.err.println(s"[fixtures] drop $t failed: ${e.getMessage}") }
+      t = tables.poll()
+    }
+    var d = dirs.poll()
+    while (d != null) {
+      try deleteRecursively(d)
+      catch { case e: Exception =>
+        Console.err.println(s"[fixtures] delete $d failed: ${e.getMessage}") }
+      d = dirs.poll()
+    }
+  }
+
+  private[graft] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p) && !Files.isSymbolicLink(p)) {
+        val children = Files.list(p)
+        try children.forEach(deleteRecursively(_)) finally children.close()
+      }
+      Files.deleteIfExists(p)
+    }
+}

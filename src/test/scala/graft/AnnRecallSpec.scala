@@ -263,7 +263,7 @@ class AnnRecallSpec extends SparkSpec {
   test("C6 lshTopKWithIndex: a persisted bucket table serves queries identically") {
     // the daily-search shape: bucket the corpus once (round-trip
     // through parquet, as a real index would), serve batches against it
-    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    val dir = tempDir("graft_lshidx")
     try {
       Similarity.lshBucketTable(corpus.drop("label"), nPlanes = 8, dim = 64)
         .write.parquet(s"$dir/index")

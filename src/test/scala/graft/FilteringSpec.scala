@@ -17,7 +17,7 @@ class FilteringSpec extends SparkSpec {
     val docs = Seq((1L, good), (2L, short), (3L, symbols), (4L, numeric))
       .toDF("doc_id", "text")
     // reuse the query body over a swapped-in table: write to a temp dir
-    val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    val dir = tempDir("graft_gopher")
     docs.write.parquet(s"$dir/documents.parquet")
     val out = graft.operators.TextDemos.gopherQuality(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getBoolean(6)).toMap

@@ -27,7 +27,7 @@ class GeocodeDailySpec extends SparkSpec {
   }
 
   test("day 2 resolves yesterday's rows from cache and geocodes only the delta") {
-    val dir = Files.createTempDirectory("graft_daily_geo").toString
+    val dir = tempDir("graft_daily_geo")
     val day1 = Seq(
       (1L, "台北市大安區和平東路12巷34號"),
       (2L, "高雄市左營區中山路5號")).toDF("id", "addr")
@@ -72,7 +72,7 @@ class GeocodeDailySpec extends SparkSpec {
     // and reuse it for both the cache write-back and the returned
     // roster — an accumulator counts the rows that actually flow
     // through the resolver's plan, so a recompute would double it
-    val dir = java.nio.file.Files.createTempDirectory("graft_daily_once").toString
+    val dir = tempDir("graft_daily_once")
     val day = Seq(
       (1L, "台北市大安區和平東路12巷34號"),
       (2L, "高雄市左營區中山路5號")).toDF("id", "addr")
@@ -95,7 +95,7 @@ class GeocodeDailySpec extends SparkSpec {
   }
 
   test("a replayed day re-merges idempotently and a row with no hit stays null") {
-    val dir = Files.createTempDirectory("graft_daily_geo2").toString
+    val dir = tempDir("graft_daily_geo2")
     val day = Seq(
       (1L, "台北市大安區和平東路12巷34號"),
       (9L, "not an address at all")).toDF("id", "addr")

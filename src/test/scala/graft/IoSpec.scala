@@ -10,7 +10,7 @@ import graft.util.RateLimited
 class IoSpec extends SparkSpec {
   import spark.implicits._
 
-  def tmp(): String = Files.createTempDirectory("graft_io").toString
+  def tmp(): String = tempDir("graft_io")
 
   test("A12 wrapped frame: {group, total, rows} with total == |rows|") {
     val df = Seq(("tw", 1, "a"), ("tw", 2, "b"), ("jp", 3, "c")).toDF("county", "id", "v")

@@ -12,7 +12,7 @@ import graft.operators.Similarity
 class IvfPruneSpec extends SparkSpec {
 
   test("C15b ivfTopK(pruneScan) reads only the probed posting-list partitions") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_part").toString
+    val dir = tempDir("graft_ivf_part")
     try {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val queries = emb.filter(col("vec_id") < 3)
@@ -55,7 +55,7 @@ class IvfPruneSpec extends SparkSpec {
   }
 
   test("C15b ivfAppend: daily batches append into posting-list partitions, search sees them") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val dir = tempDir("graft_ivf_append")
     try {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val queries = emb.filter(col("vec_id") < 3)

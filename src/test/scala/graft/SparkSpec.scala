@@ -9,7 +9,23 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   val sfDir = "/root/testdata/sf0.001"
   lazy val spark: SparkSession = SparkSpec.session
 
-  override def afterAll(): Unit = ()
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+  /** spec-scoped tmp dir, deleted in afterAll — specs must not leave
+    * fixture state behind in java.io.tmpdir across runs. */
+  def tempDir(prefix: String): String = synchronized {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs += p
+    p.toString
+  }
+
+  override def afterAll(): Unit = synchronized {
+    tmpDirs.foreach { p =>
+      try graft.util.Fixtures.deleteRecursively(p)
+      catch { case _: Exception => () } // cleanup never fails a green suite
+    }
+    tmpDirs.clear()
+  }
 }
 
 object SparkSpec {

@@ -16,7 +16,7 @@ class StreamCompactionSpec extends SparkSpec {
   }
 
   test("snapshot retention bounds the snapshot count; replay of the current epoch survives pruning") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_retain").toString
+    val dir = tempDir("graft_retain")
     def batch(i: Int) = Seq((s"k$i", i.toLong)).toDF("k", "n")
     (0 to 4).foreach { i =>
       EventStream.upsertBatch(dir, Seq("k"), retainSnapshots = 2)(batch(i), i.toLong)
@@ -39,7 +39,7 @@ class StreamCompactionSpec extends SparkSpec {
   }
 
   test("signature archive compaction: bounded dirs, identical pairs, replay + future batches intact") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val dir = tempDir("graft_compact")
     val tA = "the quick brown fox jumps over the lazy dog again and again today"
     val tA2 = "the quick brown fox jumps over the lazy dog again and again tonight"
     val tB = "completely different words describing some other topic entirely here now"

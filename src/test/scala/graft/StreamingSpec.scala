@@ -103,7 +103,7 @@ class StreamingSpec extends SparkSpec {
 
   test("D5 foreachBatch upsert sink: keyed state merges across batches, replay is idempotent") {
     implicit val ctx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val dir = tempDir("graft_upsert")
     val ms = MemoryStream[Ev]
     // update-mode per-type counts: each batch carries the FULL new value
     // for every key it touches
@@ -140,7 +140,7 @@ class StreamingSpec extends SparkSpec {
 
   test("D6 streaming incremental minhash dedup: batches check the persisted index, replay-safe") {
     implicit val ctx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val dir = tempDir("graft_sdedup")
     val ms = MemoryStream[Doc]
     val textA = "the quick brown fox jumps over the lazy dog again and again today"
     val textA2 = "the quick brown fox jumps over the lazy dog again and again tonight"
