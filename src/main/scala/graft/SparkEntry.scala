@@ -84,6 +84,13 @@ object SparkEntry {
     "wrapped_export"       -> (RefDemos.wrappedExport(_, _)),
     "gopher_quality"       -> (TextDemos.gopherQuality(_, _)),
     "llm_pipeline_e2e"     -> (TextDemos.llmPipelineE2e(_, _)),
+    // D-series stream-batch parity: the REAL streaming pipelines
+    // replayed finitely (Trigger.AvailableNow over staged file
+    // sources), final sink state checked against the batch twins'
+    // oracles (D1↔B7, D5↔A12, D6↔C2)
+    "stream_window_parity" -> (graft.streaming.StreamParity.streamWindowParity(_, _)),
+    "stream_upsert_parity" -> (graft.streaming.StreamParity.streamUpsertParity(_, _)),
+    "stream_dedup_parity"  -> (graft.streaming.StreamParity.streamDedupParity(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -125,7 +132,18 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  // The D-series parity rows reuse their batch twins' oracles VERBATIM:
+  // the streaming replay must produce value-identical final state, so a
+  // drift between incremental and from-scratch answers hash-mismatches.
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    m ++ Map(
+      "stream_window_parity" -> m("time_window_agg"),
+      "stream_upsert_parity" -> m("wrapped_export"),
+      "stream_dedup_parity"  -> m("dedup_minhash_lsh"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${dsum("l_quantity")} AS sum_qty,

@@ -32,6 +32,17 @@ object Fixtures {
   private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
   private val tables = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  // last-resort dir cleanup for JVMs that never reach an explicit
+  // sweep() (test runs, aborted mains). Tables need no hook: they live
+  // in the session warehouse, itself removed at exit (GraftSession).
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    var d = dirs.poll()
+    while (d != null) {
+      try deleteRecursively(d) catch { case _: Exception => () }
+      d = dirs.poll()
+    }
+  }))
+
   /** run-unique tmp dir for fixture `key`; registered for [[sweep]].
     * Stable within the run — same key, same path. */
   def dir(key: String): Path = {
