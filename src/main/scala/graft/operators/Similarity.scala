@@ -284,16 +284,19 @@ object Similarity {
       val obs = org.apache.spark.sql.Observation(s"kmeans_${seedSalt}_round_$i")
       val checked = withPrev
         .observe(obs, sum(col("_chg").cast("long")).as("n_changed"),
-          avg(col("sim")).as("avg_sim"))
+          avg(col("sim")).as("avg_sim"),
+          // empty-cell detection rides the SAME pass: the set of live
+          // labels is a ≤k-int aggregate, so no separate
+          // distinct+collect job per Lloyd's round (cosmetic at k=10,
+          // one corpus-scale job per iteration at k=65536)
+          collect_set(col("label")).as("present"))
         .localCheckpoint(true) // eager: the observed metrics are final here
       changed = Option(obs.get("n_changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
       objective = Option(obs.get("avg_sim")).map(_.asInstanceOf[Double])
         .getOrElse(Double.NegativeInfinity)
       assigned = checked.select(col("query_id"), col("label"))
-      // empty-cell detection is a k-int collect off the checkpointed
-      // assignment — dimension-scale, never corpus-scale
-      val present = assigned.select(col("label")).distinct().collect()
-        .map(_.getAs[Number](0).intValue).toSet
+      val present = Option(obs.get("present")).map(_.asInstanceOf[Seq[Any]])
+        .getOrElse(Seq.empty).map(_.asInstanceOf[Number].intValue).toSet
       val empty = (0 until k).filterNot(present)
       stable = changed == 0 && empty.isEmpty
       // eager centroid recompute is a corpus-scale job — skip it when
@@ -380,7 +383,13 @@ object Similarity {
   }
 
   /** near-duplicate pairs by embedding cosine above `threshold`,
-    * candidate-limited to shared LSH buckets (id_a < id_b). */
+    * candidate-limited to the shared LSH bucket (id_a < id_b).
+    *
+    * [[Vec.lshBucket]] assigns each vector exactly ONE sign-bit bucket,
+    * so the bucket equi-join emits every unordered pair at most once —
+    * no pair-level dedup exists in the plan. (A multi-probe variant
+    * that put a vector in m buckets would need the min-shared-bucket
+    * emission trick to keep that property; single-bucket gets it free.) */
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, nPlanes: Int, dim: Int): DataFrame = {
     val planes = Vec.hyperplanes(nPlanes, dim)
@@ -395,6 +404,5 @@ object Similarity {
       .withColumn("sim", Vec.cosineFast(col("va"), col("vb")))
       .filter(col("sim") > threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
-      .distinct()
   }
 }
