@@ -228,6 +228,14 @@ object EventStream {
     * 100 TB the per-batch cost is the delta's signatures plus one
     * banded join against the (bucketable) signature archive.
     *
+    * Batch-id contract: ids must be assigned in ARRIVAL order
+    * (monotonically increasing — what the streaming engine guarantees;
+    * gaps are fine), because a batch is checked against the committed
+    * archive of LOWER ids. Commit/skip detection is by actual
+    * membership (plain dir or a compacted segment's `_MEMBERS`
+    * manifest), never by a segment's numeric name range, so a new id
+    * that happens to fall inside a compacted range still runs.
+    *
     * Use with `docs.writeStream.foreachBatch(
     *   EventStream.minhashDedupBatch(dir, "doc_id", "text") _)`. */
   def minhashDedupBatch(targetDir: String, idCol: String, textCol: String,
@@ -309,93 +317,134 @@ object EventStream {
     val plain = committedIds(fs, sigRoot)
     if (plain.isEmpty) return false
     val newest = plain.max
-    val members = archivePaths(fs, sigRoot, newest)
-    if (members.size < 2) return false // a lone segment or dir: no-op
-    val segs = committedSegments(fs, sigRoot)
-    val lo = (plain.filter(_ < newest) ++ segs.map(_._1)).min
-    val hi = (plain.filter(_ < newest) ++ segs.map(_._2)).max
-    val out = s"$targetDir/signatures/$lo-$hi"
-    compactInto(spark, fs, members, Seq("band", "key"), nFiles, out)
+    if (!compactRoot(spark, fs, sigRoot, newest, Seq("band", "key"), nFiles))
+      return false // a lone segment or dir: no-op
     // the pairs OUTPUT dirs accumulate the same way; same sweep, same
     // bound (ids below the newest signature batch are final — only the
     // current epoch ever replays, and its rewrite is byte-identical)
-    val pairsRoot = new org.apache.hadoop.fs.Path(s"$targetDir/pairs")
-    val pMembers = archivePaths(fs, pairsRoot, newest)
-    if (pMembers.size >= 2) {
-      val pSegs = committedSegments(fs, pairsRoot)
-      val pPlain = committedIds(fs, pairsRoot).filter(_ < newest)
-      val pLo = (pPlain ++ pSegs.map(_._1)).min
-      val pHi = (pPlain ++ pSegs.map(_._2)).max
-      compactInto(spark, fs, pMembers, Seq("id_a", "id_b"), nFiles,
-        s"$targetDir/pairs/$pLo-$pHi")
-    }
+    compactRoot(spark, fs,
+      new org.apache.hadoop.fs.Path(s"$targetDir/pairs"), newest,
+      Seq("id_a", "id_b"), nFiles)
     true
   }
 
-  /** delete committed plain dirs and narrower segments that the widest
-    * committed segment already covers — the crash-recovery sweep for a
-    * compaction that died between its segment commit and its member
-    * deletes. Returns whether anything was removed. */
+  /** Coalesce `root`'s committed archive strictly below `newest` (the
+    * widest committed segment + uncovered plain dirs) into one segment
+    * carrying a `_MEMBERS` manifest of the ACTUAL batch ids inside —
+    * membership, not the `lo-hi` name range, decides commit/skip and
+    * sweep decisions everywhere, so batch ids need NOT be gapless: a
+    * genuinely new id that falls inside a segment's numeric range is
+    * still processed, never mistaken for a committed replay. No-op
+    * (false) when fewer than two sources exist. */
+  private def compactRoot(spark: org.apache.spark.sql.SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path, newest: Long,
+                          sortCols: Seq[String], nFiles: Int): Boolean = {
+    val best = committedSegments(fs, root).filter(_.hi < newest)
+      .sortBy(s => (s.hi, -s.lo)).lastOption
+    val plainBelow = committedIds(fs, root)
+      .filter(id => id < newest && !best.exists(_.members(id)))
+    val paths = best.map(_.path.toString).toSeq ++
+      plainBelow.sorted.map(id => new org.apache.hadoop.fs.Path(root, id.toString).toString)
+    if (paths.size < 2) return false
+    val memberIds = best.map(_.members).getOrElse(Set.empty) ++ plainBelow
+    compactInto(spark, fs, paths, memberIds, sortCols, nFiles,
+      new org.apache.hadoop.fs.Path(root, s"${memberIds.min}-${memberIds.max}").toString)
+    true
+  }
+
+  /** delete committed plain dirs and narrower segments whose MEMBERS
+    * the widest committed segment already carries — the crash-recovery
+    * sweep for a compaction that died between its segment commit and
+    * its member deletes. Membership (not name range) gates every
+    * delete: a new gap-id batch dir inside the range survives. Returns
+    * whether anything was removed. */
   private def sweepCovered(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path): Boolean = {
     val segs = committedSegments(fs, root)
     if (segs.isEmpty) return false
-    val best = segs.sortBy(s => (s._2, -s._1)).last
+    val best = segs.sortBy(s => (s.hi, -s.lo)).last
     val doomed =
-      committedIds(fs, root).filter(id => id >= best._1 && id <= best._2)
+      committedIds(fs, root).filter(best.members)
         .map(id => new org.apache.hadoop.fs.Path(root, id.toString)) ++
-      segs.filter(s => (s._1, s._2) != ((best._1, best._2)) &&
-        s._1 >= best._1 && s._2 <= best._2).map(_._3)
+      segs.filter(s => s.path != best.path && s.members.subsetOf(best.members))
+        .map(_.path)
     doomed.foreach(p => fs.delete(p, true))
     doomed.nonEmpty
   }
 
-  /** segment write + explicit commit marker + covered-dir sweep */
+  /** segment write + member manifest + explicit commit marker +
+    * covered-dir sweep. The `_MEMBERS` manifest is the real commit
+    * point ([[committedSegments]] ignores a segment without one), so a
+    * crash mid-sequence leaves the covered dirs in place for the next
+    * compaction to redo — writeSorted overwrites the segment dir. */
   private def compactInto(spark: org.apache.spark.sql.SparkSession,
                           fs: org.apache.hadoop.fs.FileSystem,
-                          members: Seq[String], sortCols: Seq[String],
+                          paths: Seq[String], memberIds: Iterable[Long],
+                          sortCols: Seq[String],
                           nFiles: Int, out: String): Unit = {
-    graft.io.Layout.writeSorted(spark.read.parquet(members: _*),
+    graft.io.Layout.writeSorted(spark.read.parquet(paths: _*),
       sortCols, nFiles, out)
+    val manifest = fs.create(
+      new org.apache.hadoop.fs.Path(s"$out/_MEMBERS"), true)
+    try manifest.write(memberIds.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally manifest.close()
     // Layout writes through the default committer; make the marker
     // explicit in case a global tuning disabled it
     val marker = new org.apache.hadoop.fs.Path(s"$out/_SUCCESS")
     if (!fs.exists(marker)) fs.create(marker, true).close()
-    members.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    paths.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
   }
 
-  /** committed compacted segments `<lo>-<hi>` under `root`. */
+  private case class Segment(lo: Long, hi: Long,
+                             path: org.apache.hadoop.fs.Path,
+                             members: Set[Long])
+
+  /** committed compacted segments `<lo>-<hi>` under `root` — committed
+    * means BOTH the `_SUCCESS` marker and the `_MEMBERS` manifest of
+    * actual batch ids exist (the manifest is what distinguishes "ran
+    * and was compacted" from "happens to fall in the name range"). */
   private def committedSegments(fs: org.apache.hadoop.fs.FileSystem,
-                                root: org.apache.hadoop.fs.Path): Seq[(Long, Long, org.apache.hadoop.fs.Path)] =
+                                root: org.apache.hadoop.fs.Path): Seq[Segment] =
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).map(_.getPath).toSeq
       .filter(p => p.getName.matches("\\d+-\\d+") &&
         fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      .map { p =>
-        val Array(lo, hi) = p.getName.split("-")
-        (lo.toLong, hi.toLong, p)
+      .flatMap { p =>
+        val mf = new org.apache.hadoop.fs.Path(p, "_MEMBERS")
+        if (!fs.exists(mf)) None // manifest is the commit point
+        else {
+          val in = fs.open(mf)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                    finally in.close()
+          val ids = txt.split("\\s+").iterator.filter(_.nonEmpty)
+            .map(_.toLong).toSet
+          val Array(lo, hi) = p.getName.split("-")
+          Some(Segment(lo.toLong, hi.toLong, p, ids))
+        }
       }
 
   /** The committed archive below `belowId`: the widest committed
     * segment (max hi, then widest lo — an interrupted compaction can
-    * leave nested segments) plus every plain batch dir it does not
-    * cover. */
+    * leave nested segments) plus every plain batch dir whose id is not
+    * among the segment's members. */
   private def archivePaths(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path,
                            belowId: Long): Seq[String] = {
-    val best = committedSegments(fs, root).filter(_._2 < belowId)
-      .sortBy(s => (s._2, -s._1)).lastOption
+    val best = committedSegments(fs, root).filter(_.hi < belowId)
+      .sortBy(s => (s.hi, -s.lo)).lastOption
     val plain = committedIds(fs, root)
-      .filter(id => id < belowId && !best.exists(s => s._1 <= id && id <= s._2))
-    best.map(_._3.toString).toSeq ++
+      .filter(id => id < belowId && !best.exists(_.members(id)))
+    best.map(_.path.toString).toSeq ++
       plain.sorted.map(id => new org.apache.hadoop.fs.Path(root, id.toString).toString)
   }
 
-  /** committed either as its own plain dir or inside a segment */
+  /** committed either as its own plain dir or as a segment MEMBER — a
+    * gap id inside a segment's numeric range is NOT committed. */
   private def isCommitted(fs: org.apache.hadoop.fs.FileSystem,
                           root: org.apache.hadoop.fs.Path, id: Long): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(root, s"$id/_SUCCESS")) ||
-      committedSegments(fs, root).exists(s => s._1 <= id && id <= s._2)
+      committedSegments(fs, root).exists(_.members(id))
 
   /** ids of subdirectories carrying a _SUCCESS commit marker. Only
     * all-digit names count: a foreign directory that happens to carry a

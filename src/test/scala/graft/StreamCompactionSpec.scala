@@ -106,4 +106,37 @@ class StreamCompactionSpec extends SparkSpec {
     assert(pairs().contains((7L, 42L)), "sweep must not touch live data")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("gap batch ids: a new id inside a compacted segment's range still runs and survives sweeps") {
+    val dir = tempDir("graft_gapid")
+    val tA = "the quick brown fox jumps over the lazy dog again and again today"
+    val tA2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val tC = "unrelated fresh content with nothing shared against anything else at all"
+    def run(docs: Seq[Doc], id: Long): Unit =
+      EventStream.minhashDedupBatch(dir, "doc_id", "text", minEstSim = 0.25)(
+        docs.toDF(), id)
+    def pairs() = EventStream.readAllPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batches 0, 5, 9 (gaps are legal — only monotonicity is required)
+    run(Seq(Doc(10, tA)), 0L)
+    run(Seq(Doc(20, tC)), 5L)
+    run(Seq(Doc(30, tC + " indeed")), 9L)
+    assert(EventStream.compactSignatures(spark, dir, nFiles = 2))
+    // the segment is named by its id RANGE (0-5) but carries only the
+    // ids that actually ran
+    assert(new java.io.File(s"$dir/signatures/0-5/_MEMBERS").exists())
+    // id 7 never ran: inside the range, NOT a member — it must process,
+    // not silently skip as a "replay", and its near-dup of doc 10 must
+    // surface against the compacted index
+    run(Seq(Doc(40, tA2)), 7L)
+    assert(pairs().contains((10L, 40L)), s"got ${pairs()}")
+    // the next compaction folds the gap id in as a member and the
+    // covered-dir sweep must not mistake any live dir for a leftover
+    assert(EventStream.compactSignatures(spark, dir, nFiles = 2))
+    assert(pairs().contains((10L, 40L)), s"got ${pairs()}")
+    // a true replay of the gap id (now a segment member) is skipped
+    run(Seq(Doc(40, tA2)), 7L)
+    assert(pairs().contains((10L, 40L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
