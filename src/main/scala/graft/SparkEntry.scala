@@ -91,6 +91,9 @@ object SparkEntry {
     "stream_window_parity" -> (graft.streaming.StreamParity.streamWindowParity(_, _)),
     "stream_upsert_parity" -> (graft.streaming.StreamParity.streamUpsertParity(_, _)),
     "stream_dedup_parity"  -> (graft.streaming.StreamParity.streamDedupParity(_, _)),
+    "stream_dedup_state_parity"  -> (graft.streaming.StreamParity.streamDedupStateParity(_, _)),
+    "stream_interval_join_parity" -> (graft.streaming.StreamParity.streamIntervalJoinParity(_, _)),
+    "stream_session_parity" -> (graft.streaming.StreamParity.streamSessionParity(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -140,7 +143,58 @@ object SparkEntry {
     m ++ Map(
       "stream_window_parity" -> m("time_window_agg"),
       "stream_upsert_parity" -> m("wrapped_export"),
-      "stream_dedup_parity"  -> m("dedup_minhash_lsh"))
+      "stream_dedup_parity"  -> m("dedup_minhash_lsh"),
+      // D2: the doubled stream dedups back to the table itself
+      "stream_dedup_state_parity" ->
+        """SELECT event_id, ts, user_id, event_type, value
+          |FROM events ORDER BY event_id""".stripMargin,
+      // D4: inner interval join = the plain time-range join
+      "stream_interval_join_parity" ->
+        """SELECT e.user_id, e.event_id, e.ts AS e_ts,
+          |       p.ts AS p_ts, p.value AS p_value
+          |FROM events e
+          |JOIN events p
+          |  ON p.user_id = e.user_id
+          | AND p.ts <= e.ts AND p.ts >= e.ts - INTERVAL 1 HOUR
+          |WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+          |ORDER BY e.event_id, p.ts""".stripMargin,
+      // D3: gap sessions over ms-truncated event times (the stateful
+      // operator keeps Timestamp.getTime ms). Emission semantics: a
+      // session followed by a later event of the same user CLOSES and
+      // emits when that successor arrives (watermark-independent);
+      // each user's LAST session emits only if its event-time timeout
+      // (end + 30 min) fell strictly behind the final watermark
+      // (max ts - the 1 h delay) — otherwise it lives only in state,
+      // exactly as on an unbounded stream
+      "stream_session_parity" ->
+        """WITH ev AS (
+          |  SELECT user_id, date_trunc('milliseconds', ts) AS ts FROM events
+          |), flagged AS (
+          |  SELECT user_id, ts,
+          |         CASE WHEN lag(ts) OVER w IS NULL
+          |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+          |              THEN 1 ELSE 0 END AS new_sess
+          |  FROM ev
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+          |), sessions AS (
+          |  SELECT user_id, ts,
+          |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          |                             ROWS UNBOUNDED PRECEDING) AS session_id
+          |  FROM flagged
+          |), agg AS (
+          |  SELECT user_id, session_id, MIN(ts) AS session_start,
+          |         MAX(ts) AS session_end, COUNT(*) AS n_events,
+          |         MAX(session_id) OVER (PARTITION BY user_id) AS last_sid
+          |  FROM sessions GROUP BY user_id, session_id
+          |)
+          |SELECT user_id, session_start, session_end,
+          |       CAST(n_events AS BIGINT) AS n_events
+          |FROM agg
+          |WHERE session_id < last_sid
+          |   OR epoch_ms(session_end) + 1800000 <
+          |      (SELECT MAX(epoch_ms(date_trunc('milliseconds', ts))) - 3600000
+          |       FROM events)
+          |ORDER BY user_id, session_start""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -55,6 +55,22 @@ object StreamParity {
       .parquet(input)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily
+    * lowered: every stateful streaming operator keeps one state-store
+    * instance PER shuffle partition PER trigger, so the session's
+    * corpus-sized default (32 here) is pure fixed overhead when the
+    * keyed state is tiny — the right parallelism for stateful streams
+    * tracks KEY cardinality, not batch corpus cores (at 100 TB the two
+    * are sized independently; this harness makes the same choice).
+    * The conf only affects queries planned inside `body`; batch plans
+    * already compiled are untouched, and it is restored after. */
+  private def withStateParallelism[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** D1 ↔ B7: the events table streamed through [[EventStream.windowAgg]]
     * (the production transform, hour windows), final state read via a
     * complete-mode memory sink. `value` pre-casts to decimal so the
@@ -69,10 +85,12 @@ object StreamParity {
     val src = fileStream(events, s"swin_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val view = s"graft_swin_${Fixtures.runId}"
     spark.catalog.dropTempView(view) // re-invocation reuses the name
-    val q = EventStream.windowAgg(src, watermark = "3650 days")
-      .writeStream.format("memory").queryName(view)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStateParallelism(spark, 8) {
+      val q = EventStream.windowAgg(src, watermark = "3650 days")
+        .writeStream.format("memory").queryName(view)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(view).select(
         col("window_start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value").cast("double").as("sum_value"))
@@ -93,23 +111,138 @@ object StreamParity {
       .select(col("o_orderpriority"), col("o_orderkey"))
     val src = fileStream(orders, s"sups_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val target = Fixtures.dir(s"sups_tgt_${sfName(dir)}").toString
-    val q = src.groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("total"),
-        collect_list(struct(col("o_orderkey"))).as("rows"))
-      .writeStream.outputMode("update")
-      .foreachBatch(EventStream.upsertBatch(target, Seq("o_orderpriority")) _)
-      // the checkpoint lives WITH the target, as in production: a
-      // re-invocation resumes (no new files → no work) instead of
-      // replaying epochs whose skip path would leave the agg's state
-      // store uncommitted (Spark 4 validates commits per batch). The
-      // crash-replay discipline itself is spec-gated in StreamingSpec.
-      .option("checkpointLocation", s"$target/ckpt")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStateParallelism(spark, 8) {
+      val q = src.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("total"),
+          collect_list(struct(col("o_orderkey"))).as("rows"))
+        .writeStream.outputMode("update")
+        .foreachBatch(EventStream.upsertBatch(target, Seq("o_orderpriority")) _)
+        // the checkpoint lives WITH the target, as in production: a
+        // re-invocation resumes (no new files → no work) instead of
+        // replaying epochs whose skip path would leave the agg's state
+        // store uncommitted (Spark 4 validates commits per batch). The
+        // crash-replay discipline itself is spec-gated in StreamingSpec.
+        .option("checkpointLocation", s"$target/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     EventStream.readLatestState(spark, target)
       .select(col("o_orderpriority"), col("total"),
         to_json(array_sort(col("rows"))).as("rows_json"))
       .orderBy("o_orderpriority")
+  }
+
+  /** [[fileStream]] staged in EVENT-TIME order: range-partitioned on
+    * `orderCol`, one file per range, file modification times stamped
+    * strictly increasing in range order so the file source replays
+    * ranges oldest-first regardless of which write task finished last
+    * (the source orders files by mod time; local-fs write completion
+    * order would otherwise be racy). For pipelines whose state logic
+    * assumes in-order arrival (sessionization) this is the faithful
+    * replay of an ordered ingest like Kafka-per-key. */
+  private def fileStreamOrdered(df: DataFrame, key: String, nFiles: Int,
+                                orderCol: String): DataFrame = {
+    val dir = Fixtures.dir(key)
+    val input = s"$dir/input"
+    Fixtures.buildOnce(dir) {
+      df.repartitionByRange(nFiles, col(orderCol))
+        .sortWithinPartitions(col(orderCol))
+        .write.mode("overwrite").parquet(input)
+      val p = new org.apache.hadoop.fs.Path(input)
+      val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      fs.listStatus(p).map(_.getPath).filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) => fs.setTimes(f, 1000000000L + i * 1000L, -1) }
+    }
+    df.sparkSession.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(input)
+  }
+
+  /** D2 ↔ SELECT DISTINCT: the events table doubled (every row twice)
+    * and streamed through [[EventStream.dedupWithinWatermark]]; the
+    * deduped stream must reproduce the original table exactly — 20k
+    * rows in, 10k out, value-identical to the batch distinct. Watermark
+    * past the replay horizon: the parity question is exact global
+    * dedup, so no key state may expire mid-replay (production bounds
+    * state with the 30-minute default). Duplicate rows are identical,
+    * so "keep first seen" is value-deterministic however the replay
+    * interleaves them. The sink is a FILE sink with its checkpoint
+    * (the deduped-corpus shape at scale — never a driver-side
+    * collect); re-invocations resume and read the committed output. */
+  def streamDedupStateParity(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val doubled = events.unionAll(events)
+    val src = fileStream(doubled, s"sdws_${sfName(dir)}", nFiles = 4, filesPerTrigger = 2)
+    val target = Fixtures.dir(s"sdws_tgt_${sfName(dir)}").toString
+    withStateParallelism(spark, 8) {
+      val q = EventStream.dedupWithinWatermark(src, "event_id", watermark = "3650 days")
+        .writeStream.format("parquet").option("path", s"$target/out")
+        .option("checkpointLocation", s"$target/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$target/out").orderBy("event_id")
+  }
+
+  /** D4 ↔ the batch time-range join: error events streamed against
+    * purchase events through [[EventStream.intervalJoin]] (same-user
+    * purchases in the preceding hour). Both watermarks sit past the
+    * replay horizon so no buffered row is evicted before its
+    * out-of-order match arrives — the inner interval join then emits
+    * exactly the batch join's pair set (production watermarks bound
+    * the buffers; here they would race the unordered file replay). */
+  def streamIntervalJoinParity(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val errSrc = fileStream(events.filter(col("event_type") === "error"),
+      s"sij_err_${sfName(dir)}", nFiles = 2, filesPerTrigger = 1)
+    val purSrc = fileStream(events.filter(col("event_type") === "purchase"),
+      s"sij_pur_${sfName(dir)}", nFiles = 2, filesPerTrigger = 1)
+    val target = Fixtures.dir(s"sij_tgt_${sfName(dir)}").toString
+    withStateParallelism(spark, 8) {
+      val q = EventStream.intervalJoin(errSrc, purSrc, watermark = "3650 days")
+        .writeStream.format("parquet").option("path", s"$target/out")
+        .option("checkpointLocation", s"$target/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$target/out").orderBy("event_id", "p_ts")
+  }
+
+  /** D3 ↔ B8: the events table replayed in event-time order through
+    * [[EventStream.sessionizeStateful]] (flatMapGroupsWithState,
+    * event-time timeout). Two faithfulness constraints shape the
+    * harness: (1) timestamps pre-truncate to whole milliseconds on
+    * BOTH sides — the state struct keeps `Timestamp.getTime` ms, so
+    * micro-precision inputs could never value-match; (2) only sessions
+    * whose timeout (end + 30 min) fell behind the final watermark
+    * (max ts − the 1 h production delay) ever EMIT — sessions still
+    * open when the finite replay ends live only in state, exactly as
+    * in production — so the batch-twin oracle filters to the same
+    * closed set. Emission order is state-iteration order; the driver
+    * gate row-sorts, and the returned frame orders for readability. */
+  def streamSessionParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir).select(col("user_id"),
+      timestamp_micros(expr("unix_micros(ts) div 1000 * 1000")).as("ts"),
+      col("value"))
+    val src = fileStreamOrdered(events, s"ssess_${sfName(dir)}", nFiles = 4, orderCol = "ts")
+      .as[EventStream.SessionInput]
+    val target = Fixtures.dir(s"ssess_tgt_${sfName(dir)}").toString
+    withStateParallelism(spark, 8) {
+      val q = EventStream.sessionizeStateful(src)
+        .writeStream.format("parquet").option("path", s"$target/out")
+        .option("checkpointLocation", s"$target/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$target/out")
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
   }
 
   /** D6 ↔ C2: documents streamed through the

@@ -26,6 +26,65 @@ class StreamParitySpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("D2 parity: doubled stream dedups back to the exact table") {
+    val streamed = StreamParity.streamDedupStateParity(spark, sfDir)
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(streamed.count() == batch.count())
+    assert(rows(streamed) ==
+      rows(graft.sources.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")))
+  }
+
+  test("D4 parity: streamed interval join emits the batch time-range join's pair set") {
+    import org.apache.spark.sql.functions._
+    val streamed = rows(StreamParity.streamIntervalJoinParity(spark, sfDir))
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts").as("e_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+    val batch = rows(e.join(p,
+        col("user_id") === col("p_user") &&
+          col("p_ts") <= col("e_ts") &&
+          col("p_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("event_id"), col("e_ts"), col("p_ts"), col("p_value"))
+      .orderBy("event_id", "p_ts"))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("D3 parity: stateful sessionization emits exactly the closed-session set") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val streamed = rows(StreamParity.streamSessionParity(spark, sfDir))
+    // batch twin with the operator's emission semantics: ms-truncated
+    // times; every session closed by a successor event emits, each
+    // user's last session only if its timeout beat the final watermark
+    val ev = graft.sources.Tables.events(spark, sfDir).select(col("user_id"),
+      timestamp_micros(expr("unix_micros(ts) div 1000 * 1000")).as("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapMs = 30L * 60 * 1000
+    val sess = ev
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess", when(col("prev").isNull ||
+        (unix_millis(col("ts")) - unix_millis(col("prev"))) > gapMs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("last_sid",
+        max(col("sid")).over(Window.partitionBy(col("user_id"))))
+    val wmMs = ev.agg(max(unix_millis(col("ts")))).head.getLong(0) - 3600000L
+    val batch = rows(sess
+      .filter(col("sid") < col("last_sid") ||
+        unix_millis(col("session_end")) + gapMs < wmMs)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start"))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("D6 parity: streamed+compacted dedup pair set equals batch minhash LSH") {
     val streamed = rows(StreamParity.streamDedupParity(spark, sfDir))
     val batch = rows(TextDemos.dedupMinhashLsh(spark, sfDir))
