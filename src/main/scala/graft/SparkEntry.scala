@@ -73,6 +73,8 @@ object SparkEntry {
     "url_blocklist_filter" -> (TextDemos.urlBlocklistFilter(_, _)),
     "outlier_bounds_filter" -> (TextDemos.outlierBoundsFilter(_, _)),
     "line_dedup"           -> (TextDemos.lineDedup(_, _)),
+    "dup_span_detect"      -> (TextDemos.dupSpanDetect(_, _)),
+    "dup_span_scrub"       -> (TextDemos.dupSpanScrub(_, _)),
     "scd2_history"         -> (Analytics.scd2History(_, _)),
     "bloom_semi_join"      -> (Analytics.bloomSemiJoinDemo(_, _)),
     "lm_score"             -> (TextDemos.lmScore(_, _)),
@@ -732,6 +734,8 @@ object SparkEntry {
         |FROM carried GROUP BY has_quota, matched_by
         |ORDER BY has_quota DESC, matched_by""".stripMargin,
     "dedup_minhash_lsh" -> graft.oracle.OracleGen.minhashLshSql(),
+    "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
+    "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_clusters"    -> graft.oracle.OracleGen.dedupClustersSql(),
     "dedup_simhash"     -> graft.oracle.OracleGen.simhashSql(),
     "ann_lsh_topk"      -> graft.oracle.OracleGen.annLshSql(),

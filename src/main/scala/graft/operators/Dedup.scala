@@ -373,6 +373,83 @@ object Dedup {
         coalesce(col("n_chunks_kept"), lit(0L)).as("n_chunks_kept"))
   }
 
+  /** C30: exact duplicate-span detection — the substring-level dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") re-expressed relationally, replacing the paper's
+    * suffix array with a sliding-window hash join. Every k-token window
+    * hashes ([[graft.expressions.WordShingles]] keeps one entry per
+    * start position, so `posexplode` yields the window's token offset);
+    * a window whose hash occurs in ≥ `minDocs` DISTINCT documents is
+    * duplicated text, and per document the duplicated window starts
+    * coalesce into maximal token intervals [span_start, span_end]
+    * (end-inclusive; overlapping-or-adjacent windows merge — the
+    * classic island detection via a running max-end window function).
+    *
+    * Unlike [[chunkDedup]] (disjoint fixed chunks, boilerplate scrub),
+    * the SLIDING window catches duplicated passages at any alignment —
+    * the training-data case where a quote or template is embedded
+    * mid-document. At 100 TB the shuffles carry (id, pos, 8-byte hash)
+    * rows; duplicate detection is a map-side-combinable hash count,
+    * never a string comparison, and the interval merge partitions by
+    * document. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minDocs: Int = 2,
+                     tokenHash: Column => Column = xxhash64(_),
+                     shingler: (Column, Int) => Column = Text.shinglesWithDuplicates): DataFrame = {
+    val win = graft.util.CacheRegistry.register(
+      df.select(col(idCol), posexplode(shingler(col(textCol), k)).as(Seq("pos", "w")))
+        .select(col(idCol), col("pos"), tokenHash(col("w")).as("h"))
+        .persist()) // used twice: duplicate detection + position join-back
+    val dup = win.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("h"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    win.join(dup, "h")
+      .select(col(idCol), col("pos"))
+      .withColumn("_prev_end", max(col("pos") + lit(k - 1)).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new", when(col("_prev_end").isNull ||
+        col("pos") > col("_prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** C30b: remove the [[duplicateSpans]] intervals from each document —
+    * the scrub half of substring dedup. Tokens join their document's
+    * span list on (doc equi-key + position range); the anti join keeps
+    * uncovered tokens, and the order-preserving rebuild is the same
+    * sorted-collect discipline as [[chunkDedup]]. Every input document
+    * survives (fully-duplicated text becomes empty, keep-the-row
+    * posture). */
+  def scrubDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, minDocs: Int = 2,
+                          tokenHash: Column => Column = xxhash64(_),
+                          shingler: (Column, Int) => Column = Text.shinglesWithDuplicates): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, minDocs, tokenHash, shingler)
+      .select(col(idCol).as("_sid"), col("span_start"), col("span_end"))
+    val toks = df.select(col(idCol),
+      posexplode(Text.wsTokens(col(textCol))).as(Seq("pos", "tok")))
+    val surviving = toks.join(spans,
+      toks(idCol) === col("_sid") &&
+        col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+      "left_anti")
+    val rebuilt = surviving
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok"))).as("scrubbed_text"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"))
+  }
+
   /** exact word-n-gram Jaccard for a candidate pair set; `pairs` has
     * (id_a, id_b); texts joined in by id. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,

@@ -422,4 +422,20 @@ object TextDemos {
         tokenHash = graft.functions.Vec.md5Hash60)
       .orderBy("doc_id")
   }
+
+  /** C30 — exact duplicate-span detection (Lee et al. substring dedup):
+    * 8-token sliding windows shared by ≥2 distinct docs, merged into
+    * maximal per-doc token intervals. md5-60 window hashing for oracle
+    * parity (production default: xxhash64). */
+  def dupSpanDetect(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(Tables.documents(spark, dir), "doc_id", "text",
+        k = 8, minDocs = 2, tokenHash = graft.functions.Vec.md5Hash60)
+      .orderBy("doc_id", "span_start")
+
+  /** C30b — the scrub half: duplicated spans removed, text rebuilt
+    * order-preserving, every doc kept (empty when fully duplicated). */
+  def dupSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.scrubDuplicateSpans(Tables.documents(spark, dir), "doc_id", "text",
+        k = 8, minDocs = 2, tokenHash = graft.functions.Vec.md5Hash60)
+      .orderBy("doc_id")
 }

@@ -35,6 +35,68 @@ object OracleGen {
     s"$dot / (sqrt($na) * sqrt($nb))"
   }
 
+  /** shared CTE chain for the duplicate-span oracles: positional
+    * k-token window hashes → ≥minDocs-distinct-doc duplicate set →
+    * per-doc island merge into [span_start, span_end] intervals —
+    * mirroring Dedup.duplicateSpans step by step (md5-60 window hash,
+    * same overlap-or-adjacent merge rule). */
+  private def dupSpanCore(k: Int, minDocs: Int): String = {
+    val gram = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - $k + 2),
+       |    i -> struct_pack(pos := i - 1, h := ${md560(s"($gram)")}))) AS u
+       |  FROM t WHERE len(toks) >= $k
+       |), w AS (
+       |  SELECT doc_id, u.pos AS pos, u.h AS h FROM g
+       |), dup AS (
+       |  SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= $minDocs
+       |), hits AS (
+       |  SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)
+       |), marked AS (
+       |  SELECT doc_id, pos,
+       |    MAX(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+       |  FROM hits
+       |), islands AS (
+       |  SELECT doc_id, pos,
+       |    SUM(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end + 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM marked
+       |), spans AS (
+       |  SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |         CAST(MAX(pos) + ${k - 1} AS BIGINT) AS span_end,
+       |         CAST(COUNT(*) AS BIGINT) AS n_windows
+       |  FROM islands GROUP BY doc_id, island
+       |)""".stripMargin
+  }
+
+  /** mirror of TextDemos.dupSpanDetect */
+  def dupSpansSql(k: Int = 8, minDocs: Int = 2): String =
+    s"""WITH ${dupSpanCore(k, minDocs)}
+       |SELECT doc_id, span_start, span_end, n_windows
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** mirror of TextDemos.dupSpanScrub: tokens not covered by any span
+    * rebuild the document order-preserving; every doc survives. */
+  def dupSpanScrubSql(k: Int = 8, minDocs: Int = 2): String =
+    s"""WITH ${dupSpanCore(k, minDocs)}, tokpos AS (
+       |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |      i -> struct_pack(pos := i - 1, tok := toks[i]))) AS u
+       |    FROM t) q
+       |), surviving AS (
+       |  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |    WHERE s.doc_id = tp.doc_id
+       |      AND tp.pos BETWEEN s.span_start AND s.span_end)
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(string_agg(sv.tok, ' ' ORDER BY sv.pos), '') AS scrubbed_text
+       |FROM documents d LEFT JOIN surviving sv ON sv.doc_id = d.doc_id
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** mirror of TextDemos.dedupClusters: connected components over the
     * minhash pairs, as a recursive CTE computing per-node min reachable
     * label (exact fixpoint, like the iterative Spark propagation). */

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** C30 duplicate-span detection + scrub (Lee et al. substring dedup):
+  * sliding-window hash semantics on hand-crafted docs where the
+  * expected intervals are known exactly. */
+class DupSpanSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a 10-token passage embedded mid-document in two different docs at
+  // DIFFERENT alignments — the case disjoint-chunk dedup misses
+  private val passage = "the shared quoted passage repeats verbatim across both documents here"
+  private val docs = Seq(
+    (1L, s"alpha beta gamma $passage tail one two"),
+    (2L, s"x $passage y z w v u t"),
+    (3L, "an entirely unrelated document with its own words only right")
+  ).toDF("doc_id", "text")
+
+  test("C30: shared passage found at any alignment, merged to one maximal interval per doc") {
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", k = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: passage tokens occupy positions 3..12 (10 tokens); the six
+    // 5-token windows starting at 3..8 overlap-merge into [3, 12]
+    // doc 2: same passage at positions 1..10 -> [1, 10]
+    assert(spans == Set((1L, 3L, 12L), (2L, 1L, 10L)), s"got $spans")
+  }
+
+  test("C30: within-doc repetition does not count toward minDocs (distinct docs)") {
+    val selfRep = Seq(
+      (7L, "again and again and again and again and again and again"),
+      (8L, "totally different content that shares nothing with the other")
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(selfRep, "doc_id", "text", k = 4, minDocs = 2).isEmpty)
+  }
+
+  test("C30b: scrub removes exactly the covered tokens, keeps every doc, order intact") {
+    val out = Dedup.scrubDuplicateSpans(docs, "doc_id", "text", k = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha beta gamma tail one two")
+    assert(out(2L) == "x y z w v u t")
+    assert(out(3L) == "an entirely unrelated document with its own words only right")
+    // fully-duplicated docs survive as empty rows (keep-the-row posture)
+    val twins = Seq((1L, passage), (2L, passage)).toDF("doc_id", "text")
+    val scrubbed = Dedup.scrubDuplicateSpans(twins, "doc_id", "text", k = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrubbed == Map(1L -> "", 2L -> ""))
+  }
+
+  test("C30: detect plan is hash-join + window island merge, no string self-join") {
+    val plan = Dedup.duplicateSpans(docs, "doc_id", "text", k = 5, minDocs = 2)
+      .queryExecution.optimizedPlan.toString
+    // duplicate detection joins 8-byte hashes; the window strings never
+    // reach a join condition (they reduce to `h` before the shuffle)
+    val joins = plan.linesIterator.filter(_.contains("Join ")).toSeq
+    assert(joins.nonEmpty && joins.forall(l => l.contains("h#") && !l.contains("w#")),
+      s"join should be on the window hash only:\n${joins.mkString("\n")}")
+    graft.util.CacheRegistry.releaseAll()
+  }
+}
