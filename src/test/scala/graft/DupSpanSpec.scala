@@ -48,6 +48,39 @@ class DupSpanSpec extends SparkSpec {
     assert(scrubbed == Map(1L -> "", 2L -> ""))
   }
 
+  test("C30: randomized corpus matches a brute-force span computation exactly") {
+    // tiny vocabulary forces genuine cross-doc k-gram collisions
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val rnd = new scala.util.Random(20260813L)
+    val corpus = (0L until 40L).map { id =>
+      id -> Vector.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val k = 3; val minDocs = 2
+    def brute: Set[(Long, Long, Long, Long)] = {
+      val wins = corpus.flatMap { case (id, t) =>
+        t.split("\\s+").filter(_.nonEmpty).sliding(k).zipWithIndex
+          .collect { case (w, p) if w.length == k => (id, p, w.mkString(" ")) }
+      }
+      val dup = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= minDocs).keySet
+      wins.filter(w => dup(w._3)).groupBy(_._1).flatMap { case (id, ws) =>
+        val starts = ws.map(_._2).sorted
+        val islands = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+        var (s, e, n) = (starts.head, starts.head + k - 1, 1)
+        starts.tail.foreach { p =>
+          if (p <= e + 1) { e = math.max(e, p + k - 1); n += 1 }
+          else { islands += ((s, e, n)); s = p; e = p + k - 1; n = 1 }
+        }
+        islands += ((s, e, n))
+        islands.map { case (a, b, c) => (id, a.toLong, b.toLong, c.toLong) }
+      }.toSet
+    }
+    val got = Dedup.duplicateSpans(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        k = k, minDocs = minDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == brute, s"diff: extra=${got -- brute} missing=${brute -- got}")
+    graft.util.CacheRegistry.releaseAll()
+  }
+
   test("C30: detect plan is hash-join + window island merge, no string self-join") {
     val plan = Dedup.duplicateSpans(docs, "doc_id", "text", k = 5, minDocs = 2)
       .queryExecution.optimizedPlan.toString
