@@ -105,7 +105,12 @@ object StreamParity {
     * key's FULL aggregate, which is precisely the upsert sink's
     * replace-by-key contract; a replayed epoch re-merges from the
     * previous snapshot, so the state is identical no matter how the
-    * replay splits batches. */
+    * replay splits batches. The collect_list state is A12's semantic
+    * (the wrapped export carries the group's rows) and is
+    * fixture-sized here; a production stream materializing group
+    * MEMBERSHIP at scale would keep the rows in the sink partition
+    * (upsert key = (group, row-id)) and leave only bounded aggregates
+    * in stream state. */
   def streamUpsertParity(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_orderkey"))

@@ -35,13 +35,18 @@ object Fixtures {
   // last-resort dir cleanup for JVMs that never reach an explicit
   // sweep() (test runs, aborted mains). Tables need no hook: they live
   // in the session warehouse, itself removed at exit (GraftSession).
-  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+  // Registration must survive being first-touched FROM another
+  // shutdown hook (GraftSession's warehouse hook calls
+  // deleteRecursively): addShutdownHook throws IllegalStateException
+  // mid-shutdown, and an uncaught throw here would fail this object's
+  // static init — every later reference becomes NoClassDefFoundError.
+  try Runtime.getRuntime.addShutdownHook(new Thread(() => {
     var d = dirs.poll()
     while (d != null) {
       try deleteRecursively(d) catch { case _: Exception => () }
       d = dirs.poll()
     }
-  }))
+  })) catch { case _: IllegalStateException => () }
 
   /** run-unique tmp dir for fixture `key`; registered for [[sweep]].
     * Stable within the run — same key, same path. */
