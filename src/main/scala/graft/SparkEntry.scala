@@ -75,6 +75,8 @@ object SparkEntry {
     "line_dedup"           -> (TextDemos.lineDedup(_, _)),
     "dup_span_detect"      -> (TextDemos.dupSpanDetect(_, _)),
     "dup_span_scrub"       -> (TextDemos.dupSpanScrub(_, _)),
+    "dedup_canonicalize"   -> (TextDemos.dedupCanonicalize(_, _)),
+    "training_shuffle"     -> (TextDemos.trainingShuffle(_, _)),
     "scd2_history"         -> (Analytics.scd2History(_, _)),
     "bloom_semi_join"      -> (Analytics.bloomSemiJoinDemo(_, _)),
     "lm_score"             -> (TextDemos.lmScore(_, _)),
@@ -736,6 +738,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> graft.oracle.OracleGen.minhashLshSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
+    "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),
+    "training_shuffle"  -> graft.oracle.OracleGen.trainingShuffleSql(),
     "dedup_clusters"    -> graft.oracle.OracleGen.dedupClustersSql(),
     "dedup_simhash"     -> graft.oracle.OracleGen.simhashSql(),
     "ann_lsh_topk"      -> graft.oracle.OracleGen.annLshSql(),

@@ -373,6 +373,23 @@ object Dedup {
         coalesce(col("n_chunks_kept"), lit(0L)).as("n_chunks_kept"))
   }
 
+  /** C31: survivor selection — the step AFTER near-dup clustering: one
+    * canonical document per cluster (highest `scoreCol`, ties to the
+    * lowest id — deterministic), every other member marked for drop.
+    * This is how a production dedup actually shrinks the corpus: the
+    * cluster step ([[connectedComponents]]) finds the groups, this
+    * picks who survives. The rank window partitions by cluster, so the
+    * only shuffle is hash(cluster); cluster sizes are bounded by real
+    * duplication, not corpus size. */
+  def canonicalPerCluster(clusters: DataFrame, scored: DataFrame,
+                          idCol: String, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    clusters.join(scored, idCol)
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster"), col(scoreCol), col("is_canonical"))
+  }
+
   /** C30: exact duplicate-span detection — the substring-level dedup of
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language
     * Models Better") re-expressed relationally, replacing the paper's

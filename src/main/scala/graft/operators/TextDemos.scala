@@ -423,6 +423,42 @@ object TextDemos {
       .orderBy("doc_id")
   }
 
+  /** C31 — dedup survivor selection: the minhash clusters (C13's exact
+    * config) scored by whitespace token count; the longest member of
+    * each cluster is canonical (ties to the lowest id), everything
+    * else is the drop set. */
+  def dedupCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, minEstSim = 0.25,
+      tokenHash = graft.functions.Vec.md5Hash60, hashBandKeys = false)
+    val clusters = Dedup.connectedComponents(docs, pairs, "doc_id")
+    Dedup.canonicalPerCluster(clusters,
+        docs.select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** C32 — deterministic training-order shuffle: a seed-keyed
+    * pseudo-random permutation of the corpus WITHOUT a global sort —
+    * hash the id with the seed, shard by the hash, order within the
+    * shard. Reading shards in (shard, pos) order replays the exact
+    * epoch order on any cluster size; reshuffling is a seed change.
+    * md5-60 keys for oracle parity (production: xxhash64). */
+  def trainingShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val seed = "42"
+    val key = graft.functions.Vec.md5Hash60(
+      concat(col("doc_id").cast("string"), lit("_" + seed)))
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), key.as("k"))
+      .withColumn("shard", pmod(col("k"), lit(8L)))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
   /** C30 — exact duplicate-span detection (Lee et al. substring dedup):
     * 8-token sliding windows shared by ≥2 distinct docs, merged into
     * maximal per-doc token intervals. md5-60 window hashing for oracle

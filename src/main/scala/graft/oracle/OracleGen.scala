@@ -35,6 +35,38 @@ object OracleGen {
     s"$dot / (sqrt($na) * sqrt($nb))"
   }
 
+  /** mirror of TextDemos.dedupCanonicalize: the recursive-CTE cluster
+    * labels (as a parenthesized subquery — its own WITH RECURSIVE
+    * nests there) scored by token count; rank-1 per cluster on
+    * (n_tokens DESC, doc_id) is canonical. */
+  def dedupCanonicalizeSql(k: Int = 32, bands: Int = 8, minEst: Double = 0.25): String = {
+    val clusters = dedupClustersSql(k, bands, minEst)
+      .replaceAll("(?s)\\s*ORDER BY doc_id\\s*$", "")
+    s"""WITH scored AS (
+       |  SELECT c.doc_id, c.cluster,
+       |         CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM (
+       |$clusters
+       |  ) c JOIN documents d ON d.doc_id = c.doc_id
+       |)
+       |SELECT doc_id, cluster, n_tokens,
+       |       (ROW_NUMBER() OVER (PARTITION BY cluster
+       |                           ORDER BY n_tokens DESC, doc_id) = 1) AS is_canonical
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  /** mirror of TextDemos.trainingShuffle (md5-60 seed-keyed order) */
+  def trainingShuffleSql(seed: String = "42", nShards: Int = 8): String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |         ${md560(s"(CAST(doc_id AS VARCHAR) || '_$seed')")} AS k
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(k % $nShards AS BIGINT) AS shard,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY k % $nShards
+       |                               ORDER BY k, doc_id) AS BIGINT) AS pos
+       |FROM keyed ORDER BY doc_id""".stripMargin
+
   /** shared CTE chain for the duplicate-span oracles: positional
     * k-token window hashes → ≥minDocs-distinct-doc duplicate set →
     * per-doc island merge into [span_start, span_end] intervals —

@@ -81,6 +81,34 @@ class DupSpanSpec extends SparkSpec {
     graft.util.CacheRegistry.releaseAll()
   }
 
+  test("C31: survivor selection picks the highest score per cluster, ties to lowest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)).toDF("doc_id", "cluster")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (9L, 1L)).toDF("doc_id", "score")
+    val out = Dedup.canonicalPerCluster(clusters, scores, "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // cluster 1: docs 2 and 3 tie at 9 -> lowest id (2) wins; singleton 9 survives
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 9L -> true), out)
+  }
+
+  test("C32: training shuffle is a complete, collision-free, deterministic permutation") {
+    val a = graft.operators.TextDemos.trainingShuffle(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(a.length == docs, "every doc gets a slot")
+    assert(a.map(x => (x._2, x._3)).distinct.length == a.length, "(shard, pos) is unique")
+    // pos is dense 1..n within each shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    }
+    val b = graft.operators.TextDemos.trainingShuffle(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sameElements(b), "same seed, same order")
+    // and it is not the identity order: ids sorted by (shard, pos) differ
+    // from plain id order somewhere
+    val shuffled = a.sortBy(x => (x._2, x._3)).map(_._1)
+    assert(!shuffled.sameElements(shuffled.sorted), "order is actually permuted")
+  }
+
   test("C30: detect plan is hash-join + window island merge, no string self-join") {
     val plan = Dedup.duplicateSpans(docs, "doc_id", "text", k = 5, minDocs = 2)
       .queryExecution.optimizedPlan.toString
