@@ -228,13 +228,18 @@ object EventStream {
     * 100 TB the per-batch cost is the delta's signatures plus one
     * banded join against the (bucketable) signature archive.
     *
-    * Batch-id contract: ids must be assigned in ARRIVAL order
-    * (monotonically increasing — what the streaming engine guarantees;
-    * gaps are fine), because a batch is checked against the committed
-    * archive of LOWER ids. Commit/skip detection is by actual
-    * membership (plain dir or a compacted segment's `_MEMBERS`
-    * manifest), never by a segment's numeric name range, so a new id
-    * that happens to fall inside a compacted range still runs.
+    * Batch-id contract: each id is checked against EVERY other
+    * committed batch (the index is membership-defined — a compacted
+    * segment's `_MEMBERS` manifest or a plain committed dir — never a
+    * numeric id range), so ids only need to be unique: the streaming
+    * engine's gapless monotonic ids are the normal case, and a
+    * manually-supplied out-of-order or gap id still runs, still
+    * dedups against the full archive, and is never mistaken for a
+    * committed replay. Pair completeness holds for ANY arrival order
+    * (a pair is emitted by whichever member arrives later), and crash
+    * replays stay deterministic because batches against one target are
+    * sequential — nothing new can commit between a batch's crash and
+    * its replay.
     *
     * Use with `docs.writeStream.foreachBatch(
     *   EventStream.minhashDedupBatch(dir, "doc_id", "text") _)`. */
@@ -282,7 +287,7 @@ object EventStream {
     val pairsRoot = new org.apache.hadoop.fs.Path(s"$targetDir/pairs")
     val fs = pairsRoot.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(pairsRoot), s"dedup target $targetDir has no pairs")
-    val paths = archivePaths(fs, pairsRoot, Long.MaxValue)
+    val paths = archivePaths(fs, pairsRoot, excludeId = -1L)
     require(paths.nonEmpty, s"dedup target $targetDir has no committed pairs")
     spark.read.parquet(paths: _*)
   }
@@ -340,16 +345,24 @@ object EventStream {
                           fs: org.apache.hadoop.fs.FileSystem,
                           root: org.apache.hadoop.fs.Path, newest: Long,
                           sortCols: Seq[String], nFiles: Int): Boolean = {
-    val best = committedSegments(fs, root).filter(_.hi < newest)
-      .sortBy(s => (s.hi, -s.lo)).lastOption
+    val best = bestSegment(fs, root)
     val plainBelow = committedIds(fs, root)
       .filter(id => id < newest && !best.exists(_.members(id)))
     val paths = best.map(_.path.toString).toSeq ++
       plainBelow.sorted.map(id => new org.apache.hadoop.fs.Path(root, id.toString).toString)
     if (paths.size < 2) return false
     val memberIds = best.map(_.members).getOrElse(Set.empty) ++ plainBelow
+    val outName = s"${memberIds.min}-${memberIds.max}"
+    // A gap id strictly inside the segment's range widens the MEMBER
+    // set but not the min-max NAME — writing there would overwrite the
+    // very segment being read. Leave the gap dir plain; a later
+    // compaction whose range extends past hi folds it in. The read
+    // path is correct either way (archivePaths includes uncovered
+    // plain dirs). Compared by NAME: listStatus returns qualified
+    // (file:/...) paths while `root` may be scheme-less.
+    if (best.exists(_.path.getName == outName)) return false
     compactInto(spark, fs, paths, memberIds, sortCols, nFiles,
-      new org.apache.hadoop.fs.Path(root, s"${memberIds.min}-${memberIds.max}").toString)
+      new org.apache.hadoop.fs.Path(root, outName).toString)
     true
   }
 
@@ -403,7 +416,12 @@ object EventStream {
   /** committed compacted segments `<lo>-<hi>` under `root` — committed
     * means BOTH the `_SUCCESS` marker and the `_MEMBERS` manifest of
     * actual batch ids exist (the manifest is what distinguishes "ran
-    * and was compacted" from "happens to fall in the name range"). */
+    * and was compacted" from "happens to fall in the name range").
+    * Migration note: a segment written by the pre-manifest format
+    * (marker only) is treated as uncommitted and ignored by reads and
+    * sweeps — to adopt one, write an `_MEMBERS` file listing its batch
+    * ids (newline-separated); nothing in this repo's history shipped
+    * manifest-less segments outside transient test dirs. */
   private def committedSegments(fs: org.apache.hadoop.fs.FileSystem,
                                 root: org.apache.hadoop.fs.Path): Seq[Segment] =
     if (!fs.exists(root)) Seq.empty
@@ -424,17 +442,27 @@ object EventStream {
         }
       }
 
-  /** The committed archive below `belowId`: the widest committed
-    * segment (max hi, then widest lo — an interrupted compaction can
-    * leave nested segments) plus every plain batch dir whose id is not
-    * among the segment's members. */
+  /** the widest committed segment: max hi, then widest lo — an
+    * interrupted compaction can leave nested segments. */
+  private def bestSegment(fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path): Option[Segment] =
+    committedSegments(fs, root).sortBy(s => (s.hi, -s.lo)).lastOption
+
+  /** The committed archive EXCEPT `excludeId` (pass a negative id for
+    * the whole archive): the widest committed segment plus every plain
+    * batch dir not among its members. Selection is by membership, not
+    * id ordering — a batch checking its prior index must see every
+    * OTHER committed batch whatever order ids arrived in (a gap id's
+    * near-dups against later-id batches would otherwise silently
+    * vanish). `excludeId` can never sit inside the segment: only
+    * COMPLETED batches compact, and a completed id is skipped by
+    * [[isCommitted]] before any index read. */
   private def archivePaths(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path,
-                           belowId: Long): Seq[String] = {
-    val best = committedSegments(fs, root).filter(_.hi < belowId)
-      .sortBy(s => (s.hi, -s.lo)).lastOption
+                           excludeId: Long): Seq[String] = {
+    val best = bestSegment(fs, root)
     val plain = committedIds(fs, root)
-      .filter(id => id < belowId && !best.exists(_.members(id)))
+      .filter(id => id != excludeId && !best.exists(_.members(id)))
     best.map(_.path.toString).toSeq ++
       plain.sorted.map(id => new org.apache.hadoop.fs.Path(root, id.toString).toString)
   }

@@ -111,13 +111,15 @@ class StreamCompactionSpec extends SparkSpec {
     val dir = tempDir("graft_gapid")
     val tA = "the quick brown fox jumps over the lazy dog again and again today"
     val tA2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val tB = "completely different words describing some other topic entirely here now"
+    val tB2 = "completely different words describing some other topic entirely here too"
     val tC = "unrelated fresh content with nothing shared against anything else at all"
     def run(docs: Seq[Doc], id: Long): Unit =
       EventStream.minhashDedupBatch(dir, "doc_id", "text", minEstSim = 0.25)(
         docs.toDF(), id)
     def pairs() = EventStream.readAllPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // batches 0, 5, 9 (gaps are legal — only monotonicity is required)
+    // batches 0, 5, 9 (gaps are legal — ids only need to be unique)
     run(Seq(Doc(10, tA)), 0L)
     run(Seq(Doc(20, tC)), 5L)
     run(Seq(Doc(30, tC + " indeed")), 9L)
@@ -126,17 +128,40 @@ class StreamCompactionSpec extends SparkSpec {
     // ids that actually ran
     assert(new java.io.File(s"$dir/signatures/0-5/_MEMBERS").exists())
     // id 7 never ran: inside the range, NOT a member — it must process,
-    // not silently skip as a "replay", and its near-dup of doc 10 must
-    // surface against the compacted index
-    run(Seq(Doc(40, tA2)), 7L)
+    // not silently skip as a "replay". Its near-dups must surface
+    // against the WHOLE committed archive: doc 10 sits in the compacted
+    // segment, doc 30 in a plain batch with a HIGHER id — membership,
+    // not id ordering, defines the index
+    run(Seq(Doc(40, tA2), Doc(41, tC + " indeed also")), 7L)
     assert(pairs().contains((10L, 40L)), s"got ${pairs()}")
-    // the next compaction folds the gap id in as a member and the
-    // covered-dir sweep must not mistake any live dir for a leftover
+    assert(pairs().contains((30L, 41L)), s"gap batch must see higher-id batches: ${pairs()}")
+    // the next compaction folds the gap id in as a member (7 extends
+    // the range: segment 0-7), and the sweep keeps the pair set intact
+    run(Seq(Doc(50, tB)), 3L)
     assert(EventStream.compactSignatures(spark, dir, nFiles = 2))
-    assert(pairs().contains((10L, 40L)), s"got ${pairs()}")
-    // a true replay of the gap id (now a segment member) is skipped
-    run(Seq(Doc(40, tA2)), 7L)
+    def segs() = Option(new java.io.File(s"$dir/signatures").listFiles()).get
+      .filter(f => f.getName.matches("\\d+-\\d+")).map(_.getName).toSet
+    assert(segs() == Set("0-7"), s"got ${segs()}")
+    assert(pairs().contains((10L, 40L)) && pairs().contains((30L, 41L)))
+    // a true replay of a folded/committed gap id is skipped
+    run(Seq(Doc(40, tA2), Doc(41, tC + " indeed also")), 7L)
     assert(pairs().contains((10L, 40L)))
+    // an id strictly INSIDE the folded range (members {0,3,5,7} + new 6
+    // still name 0-7): the same-name guard must SKIP the fold — never
+    // overwrite a segment with a write that reads it — and leave the
+    // new dir plain and live
+    run(Seq(Doc(70, tB2)), 6L)
+    assert(pairs().contains((50L, 70L)), s"inside-range id sees the archive: ${pairs()}")
+    assert(!EventStream.compactSignatures(spark, dir, nFiles = 2))
+    assert(new java.io.File(s"$dir/signatures/6/_SUCCESS").exists(),
+      "inside-range gap dir stays plain, never lost")
+    assert(pairs().contains((50L, 70L)))
+    // once a later batch extends the range past hi, everything folds
+    run(Seq(Doc(80, tA + " anew")), 12L)
+    assert(EventStream.compactSignatures(spark, dir, nFiles = 2))
+    assert(segs() == Set("0-9"), s"got ${segs()}")
+    assert(pairs().contains((10L, 40L)) && pairs().contains((30L, 41L)) &&
+      pairs().contains((50L, 70L)), s"got ${pairs()}")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }

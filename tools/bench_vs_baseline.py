@@ -21,6 +21,9 @@ for name, b in sorted(base["queries"].items()):
 
 
 def report(label, rs):
+    if not rs:
+        print(f"[{label}] nothing to compare (no overlapping successful queries)")
+        return
     tot_g = sum(r[1] for r in rs)
     tot_b = sum(r[2] for r in rs)
     gmean = math.exp(sum(math.log(r[3]) for r in rs) / len(rs))
