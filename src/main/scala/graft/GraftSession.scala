@@ -15,10 +15,12 @@ object GraftSession {
             shufflePartitions: Int = 32): SparkSession = {
     val warehousePath = java.nio.file.Files.createTempDirectory("graft_warehouse")
     // session-unique warehouse (concurrent local sessions must not share
-    // catalog state), removed at JVM exit so repeated runs leave tmpdir flat
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try graft.util.Fixtures.deleteRecursively(warehousePath)
-      catch { case _: Exception => () }))
+    // catalog state), removed at JVM exit so repeated runs leave tmpdir
+    // flat. Routed through the single Fixtures janitor hook rather than
+    // one hook per session: a long-lived process creating many short
+    // sessions must not accumulate hook threads, and Fixtures already
+    // survives first-touch during shutdown (d353d84).
+    graft.util.Fixtures.registerPath(warehousePath)
     val warehouse = warehousePath.toString
     val spark = SparkSession.builder()
       .appName(appName)

@@ -322,15 +322,18 @@ object EventStream {
     val plain = committedIds(fs, sigRoot)
     if (plain.isEmpty) return false
     val newest = plain.max
-    if (!compactRoot(spark, fs, sigRoot, newest, Seq("band", "key"), nFiles))
-      return false // a lone segment or dir: no-op
+    val sigDone = compactRoot(spark, fs, sigRoot, newest, Seq("band", "key"), nFiles)
     // the pairs OUTPUT dirs accumulate the same way; same sweep, same
     // bound (ids below the newest signature batch are final — only the
-    // current epoch ever replays, and its rewrite is byte-identical)
-    compactRoot(spark, fs,
+    // current epoch ever replays, and its rewrite is byte-identical).
+    // Attempted INDEPENDENTLY of the signatures result: the two roots
+    // can decline for different reasons (lone source, or the gap-id
+    // same-name guard in compactRoot), and a signatures no-op must not
+    // leave a legal pairs fold deferred forever.
+    val pairsDone = compactRoot(spark, fs,
       new org.apache.hadoop.fs.Path(s"$targetDir/pairs"), newest,
       Seq("id_a", "id_b"), nFiles)
-    true
+    sigDone || pairsDone
   }
 
   /** Coalesce `root`'s committed archive strictly below `newest` (the

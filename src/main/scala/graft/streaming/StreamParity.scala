@@ -184,7 +184,9 @@ object StreamParity {
     * so "keep first seen" is value-deterministic however the replay
     * interleaves them. The sink is a FILE sink with its checkpoint
     * (the deduped-corpus shape at scale — never a driver-side
-    * collect); re-invocations resume and read the committed output. */
+    * collect); per the [[freshTarget]] contract each invocation gets a
+    * new sink+checkpoint and fully re-runs the pipeline, so a bench
+    * pass never no-op-resumes the previous pass's completed query. */
   def streamDedupStateParity(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"),

@@ -29,22 +29,30 @@ object Fixtures {
   /** unique per JVM: concurrent runs at the same SF never share paths */
   val runId: String = java.util.UUID.randomUUID().toString.take(8)
 
-  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
-  private val tables = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  // ConcurrentHashMap-backed sets: registration is one atomic O(1)
+  // `add` (the previous queue's check-then-act contains+add could
+  // double-register under concurrency and scanned O(n) per call)
+  private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+  private val tables = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // exit-only paths (session warehouses): deleted by the JVM hook but
+  // NEVER by sweep() — sweep runs while the owning session may still
+  // be live, and wiping its warehouse mid-run would break the catalog
+  private val atExit = java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
 
   // last-resort dir cleanup for JVMs that never reach an explicit
   // sweep() (test runs, aborted mains). Tables need no hook: they live
-  // in the session warehouse, itself removed at exit (GraftSession).
+  // in the session warehouse, itself an [[atExit]] path here.
   // Registration must survive being first-touched FROM another
-  // shutdown hook (GraftSession's warehouse hook calls
-  // deleteRecursively): addShutdownHook throws IllegalStateException
+  // shutdown hook: addShutdownHook throws IllegalStateException
   // mid-shutdown, and an uncaught throw here would fail this object's
   // static init — every later reference becomes NoClassDefFoundError.
   try Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    var d = dirs.poll()
-    while (d != null) {
-      try deleteRecursively(d) catch { case _: Exception => () }
-      d = dirs.poll()
+    Seq(dirs, atExit).foreach { set =>
+      val it = set.iterator()
+      while (it.hasNext) {
+        try deleteRecursively(it.next()) catch { case _: Exception => () }
+        it.remove()
+      }
     }
   })) catch { case _: IllegalStateException => () }
 
@@ -52,7 +60,7 @@ object Fixtures {
     * Stable within the run — same key, same path. */
   def dir(key: String): Path = {
     val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_${key}_$runId")
-    if (!dirs.contains(p)) dirs.add(p)
+    dirs.add(p)
     p
   }
 
@@ -61,9 +69,14 @@ object Fixtures {
     * basename) would parse as a schema separator in saveAsTable. */
   def tableName(key: String): String = {
     val n = s"graft_${key.replaceAll("[^A-Za-z0-9_]", "_")}_$runId"
-    if (!tables.contains(n)) tables.add(n)
+    tables.add(n)
     n
   }
+
+  /** register a path for deletion at JVM exit ONLY (not by [[sweep]]):
+    * the janitor home for per-session state like GraftSession's
+    * warehouse dir, replacing one shutdown-hook thread per session. */
+  def registerPath(p: Path): Unit = atExit.add(p)
 
   /** Build the fixture under `path` exactly once per run: `build` runs
     * only when no committed marker exists, then the marker commits it.
@@ -84,19 +97,21 @@ object Fixtures {
     * dirs. Idempotent; failures are logged, not thrown — cleanup must
     * never fail the run that produced correct results. */
   def sweep(spark: SparkSession): Unit = {
-    var t = tables.poll()
-    while (t != null) {
+    val ti = tables.iterator()
+    while (ti.hasNext) {
+      val t = ti.next()
       try spark.sql(s"DROP TABLE IF EXISTS `$t`")
       catch { case e: Exception =>
         Console.err.println(s"[fixtures] drop $t failed: ${e.getMessage}") }
-      t = tables.poll()
+      ti.remove()
     }
-    var d = dirs.poll()
-    while (d != null) {
+    val di = dirs.iterator()
+    while (di.hasNext) {
+      val d = di.next()
       try deleteRecursively(d)
       catch { case e: Exception =>
         Console.err.println(s"[fixtures] delete $d failed: ${e.getMessage}") }
-      d = dirs.poll()
+      di.remove()
     }
   }
 

@@ -119,4 +119,17 @@ class DupSpanSpec extends SparkSpec {
       s"join should be on the window hash only:\n${joins.mkString("\n")}")
     graft.util.CacheRegistry.releaseAll()
   }
+
+  test("C30: detect never caches a corpus-scale intermediate (two-scan plan)") {
+    // r6 verdict item 2: the per-token window set must not be persisted —
+    // the plan re-derives it in a second scan instead of pinning a
+    // corpus-sized cache. No InMemoryRelation anywhere; the input
+    // relation is scanned exactly twice (detection + join-back).
+    val qe = Dedup.duplicateSpans(docs, "doc_id", "text", k = 5, minDocs = 2)
+      .queryExecution
+    assert(!qe.optimizedPlan.toString.contains("InMemoryRelation"),
+      "duplicateSpans must not persist any intermediate")
+    val scans = qe.optimizedPlan.collectLeaves().size
+    assert(scans == 2, s"expected the two-scan shape, got $scans leaves")
+  }
 }
