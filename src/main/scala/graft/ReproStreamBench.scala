@@ -36,10 +36,12 @@ object ReproStreamBench {
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
 
+    val target = args.headOption.getOrElse("stream_window_parity")
     val all = SparkEntry.queries ++ SparkEntry.benchExtras
-    all.foreach { case (n, fn) =>
+    val warm = if (args.length > 1 && args(1) == "full") all.keys.toSeq else Seq(target)
+    warm.foreach { n =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try all(n)(spark, sfDir).count() catch { case _: Throwable => () }
       graft.util.CacheRegistry.releaseAll()
       println(f"[warmup] $n: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
@@ -48,7 +50,7 @@ object ReproStreamBench {
     (1 to passes).foreach { i =>
       val g0 = gcMillis
       val t0 = System.nanoTime()
-      val n = all("stream_window_parity")(spark, sfDir).count()
+      val n = all(target)(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       graft.util.CacheRegistry.releaseAll()
       println(f"[pass $i] ${sec}%.2fs ($n rows, gc +${gcMillis - g0}ms)")

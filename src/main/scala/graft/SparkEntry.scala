@@ -77,6 +77,7 @@ object SparkEntry {
     "dup_span_scrub"       -> (TextDemos.dupSpanScrub(_, _)),
     "dedup_canonicalize"   -> (TextDemos.dedupCanonicalize(_, _)),
     "training_shuffle"     -> (TextDemos.trainingShuffle(_, _)),
+    "training_prep_e2e"    -> (TextDemos.trainingPrepTail(_, _)),
     "scd2_history"         -> (Analytics.scd2History(_, _)),
     "bloom_semi_join"      -> (Analytics.bloomSemiJoinDemo(_, _)),
     "lm_score"             -> (TextDemos.lmScore(_, _)),
@@ -740,6 +741,7 @@ object SparkEntry {
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),
     "training_shuffle"  -> graft.oracle.OracleGen.trainingShuffleSql(),
+    "training_prep_e2e" -> graft.oracle.OracleGen.trainingPrepSql(),
     "dedup_clusters"    -> graft.oracle.OracleGen.dedupClustersSql(),
     "dedup_simhash"     -> graft.oracle.OracleGen.simhashSql(),
     "ann_lsh_topk"      -> graft.oracle.OracleGen.annLshSql(),

@@ -14,22 +14,44 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Bucketing {
 
-  /** DESTRUCTIVE drop-first contract: any existing table named `table`
-    * is dropped before the write (Overwrite alone refuses a
-    * location/schema change on an existing external table definition),
-    * so a failure mid-write leaves NO table, and an unrelated table of
-    * the same name is destroyed. Callers own name uniqueness — the
-    * in-repo demos take run-unique names from [[graft.util.Fixtures]]
-    * and write each at most once per run. */
+  /** Overwrite `table` via write-to-temp + catalog swap: the (long)
+    * write runs against `{table}__swap`, so a mid-write failure leaves
+    * any existing `table` fully queryable; only after the temp commits
+    * is the old table dropped and the temp renamed over it. The rename
+    * is a catalog metadata op (it relocates a MANAGED table's
+    * directory — cheap on HDFS-like stores; on an object store prefer
+    * the external-location form below). The exposure window shrinks
+    * from the whole write to the drop→rename pair; a crash exactly
+    * there loses the NAME binding but never the data (the committed
+    * swap table remains, and the next call clears it).
+    *
+    * With `path` (external location) the swap is unavailable — two
+    * tables cannot own one directory — so the old DESTRUCTIVE
+    * drop-first contract applies: failure mid-write leaves NO table,
+    * and an unrelated same-named table is destroyed. Callers own name
+    * uniqueness — the in-repo demos take run-unique names from
+    * [[graft.util.Fixtures]] and write each at most once per run. */
   def writeBucketed(df: DataFrame, table: String,
                     bucketCols: Seq[String], numBuckets: Int,
                     sortCols: Seq[String] = Nil,
                     path: Option[String] = None): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
-    val w0 = df.write.mode(SaveMode.Overwrite)
-    val w = path.fold(w0)(p => w0.option("path", p))
-      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(table)
+    val spark = df.sparkSession
+    def write(name: String): Unit = {
+      val w0 = df.write.mode(SaveMode.Overwrite)
+      val w = path.fold(w0)(p => w0.option("path", p))
+        .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+        .saveAsTable(name)
+    }
+    if (path.isDefined) {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      write(table)
+    } else {
+      val swap = s"${table}__swap"
+      spark.sql(s"DROP TABLE IF EXISTS `$swap`") // a crashed prior attempt
+      write(swap) // failure HERE leaves the existing `table` untouched
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      spark.sql(s"ALTER TABLE `$swap` RENAME TO `$table`")
+    }
   }
 }

@@ -303,9 +303,13 @@ object Analytics {
     val customer = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val orders   = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val lineitem = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-    val ordersB = BloomJoin.bloomFiltered(orders,
+    // adaptive: each bloom builds only while its build side's estimated
+    // size stays under the threshold (both do at test SFs; at a scale
+    // where surviving orders outgrow it, the lineitem bloom drops out
+    // and the exact join carries on unfiltered — same result)
+    val ordersB = BloomJoin.bloomFilteredAdaptive(orders,
       customer.select(col("c_custkey")), "o_custkey", "c_custkey")
-    val lineitemB = BloomJoin.bloomFiltered(lineitem,
+    val lineitemB = BloomJoin.bloomFilteredAdaptive(lineitem,
       ordersB.select(col("o_orderkey")), "l_orderkey", "o_orderkey")
     customer
       .join(ordersB, col("c_custkey") === col("o_custkey"))

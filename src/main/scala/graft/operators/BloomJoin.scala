@@ -48,6 +48,30 @@ object BloomJoin {
     GraftDataset.ofPlan(large.sparkSession, LFilter(cond, largePlan))
   }
 
+  /** [[bloomFiltered]] gated on the build side's size, the way
+    * Catalyst's own InjectRuntimeFilter gates on
+    * `runtime.bloomFilter.creationSideThreshold`: building a bloom
+    * means an extra full scan + aggregation of the build side, which
+    * only pays off while that side is small relative to the probe
+    * side's saved shuffle. When the build side's estimated plan size
+    * exceeds `maxBuildBytes`, the probe side is returned UNCHANGED (no
+    * filter, no build scan) — results are identical either way because
+    * the bloom only ever pre-prunes an exact join that follows.
+    *
+    * The estimate is Catalyst's `LogicalPlan.stats.sizeInBytes`
+    * (file-size × selectivity propagation — available without ANALYZE
+    * stats), read at plan-composition time; no job runs. Default 64 MB:
+    * past that a bloom of useful FPP needs enough bits that shipping
+    * it to every task rivals a broadcast join of the keys themselves. */
+  def bloomFilteredAdaptive(large: DataFrame, small: DataFrame,
+                            largeKey: String, smallKey: String,
+                            estItems: Long = 1000000L, numBits: Long = 8388608L,
+                            maxBuildBytes: Long = 64L * 1024 * 1024): DataFrame = {
+    val buildSize = small.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (buildSize > maxBuildBytes) large
+    else bloomFiltered(large, small, largeKey, smallKey, estItems, numBits)
+  }
+
   /** Exact semi-join with Bloom pre-pruning: semantically identical to
     * `large.join(small, largeKey === smallKey, "leftsemi")`, but only
     * probable matches reach the join's shuffle. */

@@ -116,9 +116,15 @@ object Dedup {
   private[graft] def minhashPairsWithIndex(newBanded: DataFrame, index: DataFrame,
                                            idCol: String, k: Int,
                                            minEstSim: Double): DataFrame =
-    candidatePairs(newBanded, newBanded, idCol, k, minEstSim, symmetric = true)
+    minhashSelfPairs(newBanded, idCol, k, minEstSim)
       .unionByName(candidatePairs(newBanded, index, idCol, k, minEstSim,
         symmetric = false))
+
+  /** the batch-internal half of [[minhashPairsWithIndex]] alone — for a
+    * first epoch whose index is statically empty. */
+  private[graft] def minhashSelfPairs(banded: DataFrame, idCol: String,
+                                      k: Int, minEstSim: Double): DataFrame =
+    candidatePairs(banded, banded, idCol, k, minEstSim, symmetric = true)
 
   /** banded bucket join + signature-agreement estimate shared by the
     * self-join and incremental forms. `symmetric` picks the pair

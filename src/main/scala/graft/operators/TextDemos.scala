@@ -459,6 +459,40 @@ object TextDemos {
       .orderBy("doc_id")
   }
 
+  /** C33 — the training-prep TAIL end-to-end (the publish twin of C29's
+    * cleaning pipeline): dedup survivor selection (C31, minhash
+    * clusters scored by length) → seed-keyed epoch shuffle of the
+    * survivors (C32) → concat-and-chunk packing of the survivor token
+    * stream in epoch order (C22). Each stage is independently oracled;
+    * this row proves the COMPOSITION stays value-exact — survivors
+    * feed the shuffle, the shuffle's (shard, pos) drives the pack
+    * cumsum, and a drift anywhere (a lost survivor, a reordered pack)
+    * shifts every downstream offset and fails the hash gate. Scale
+    * shape is inherited: cluster-bounded rank window, sort-free
+    * hash sharding, per-shard pack cumsum — no stage adds a global
+    * sort or corpus-scale cache. */
+  def trainingPrepTail(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = dedupCanonicalize(spark, dir)
+      .filter(col("is_canonical"))
+      .select(col("doc_id"), col("n_tokens"))
+    val key = graft.functions.Vec.md5Hash60(
+      concat(col("doc_id").cast("string"), lit("_42")))
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    val epoch = survivors
+      .withColumn("k", key)
+      .withColumn("shard", pmod(col("k"), lit(8L)))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+    val packed = Packing.sequencePack(
+      epoch.select(col("shard"), col("pos"), col("n_tokens")),
+      "shard", "pos", "n_tokens", capacity = 2048)
+    epoch.select(col("doc_id"), col("shard"), col("pos"))
+      .join(packed, Seq("shard", "pos"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
+        col("start_off"), col("first_chunk"), col("last_chunk"), col("n_chunks"))
+      .orderBy("doc_id")
+  }
+
   /** C30 — exact duplicate-span detection (Lee et al. substring dedup):
     * 8-token sliding windows shared by ≥2 distinct docs, merged into
     * maximal per-doc token intervals. md5-60 window hashing for oracle

@@ -67,6 +67,42 @@ object OracleGen {
        |                               ORDER BY k, doc_id) AS BIGINT) AS pos
        |FROM keyed ORDER BY doc_id""".stripMargin
 
+  /** mirror of TextDemos.trainingPrepTail: canonical survivors →
+    * seed-keyed epoch shuffle → per-shard concat-and-chunk pack, the
+    * three stage oracles composed in the same order. */
+  def trainingPrepSql(capacity: Int = 2048, seed: String = "42",
+                      nShards: Int = 8): String = {
+    val canon = dedupCanonicalizeSql()
+      .replaceAll("(?s)\\s*ORDER BY doc_id\\s*$", "")
+    s"""WITH surv AS (
+       |  SELECT doc_id, n_tokens FROM (
+       |$canon
+       |  ) WHERE is_canonical
+       |), keyed AS (
+       |  SELECT doc_id, n_tokens,
+       |         ${md560(s"(CAST(doc_id AS VARCHAR) || '_$seed')")} AS k
+       |  FROM surv
+       |), epoch AS (
+       |  SELECT doc_id, n_tokens, CAST(k % $nShards AS BIGINT) AS shard,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY k % $nShards
+       |                                 ORDER BY k, doc_id) AS BIGINT) AS pos
+       |  FROM keyed
+       |), w AS (
+       |  SELECT doc_id, shard, pos, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+       |  FROM epoch
+       |)
+       |SELECT doc_id, shard, pos, n_tokens, e - n_tokens AS start_off,
+       |  CAST((e - n_tokens) // $capacity AS BIGINT) AS first_chunk,
+       |  CASE WHEN n_tokens > 0 THEN CAST((e - 1) // $capacity AS BIGINT)
+       |       ELSE CAST((e - n_tokens) // $capacity AS BIGINT) END AS last_chunk,
+       |  CASE WHEN n_tokens > 0
+       |       THEN CAST((e - 1) // $capacity - (e - n_tokens) // $capacity + 1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS n_chunks
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   /** shared CTE chain for the duplicate-span oracles: positional
     * k-token window hashes → ≥minDocs-distinct-doc duplicate set →
     * per-doc island merge into [span_start, span_end] intervals —

@@ -262,16 +262,23 @@ object EventStream {
       shingler).persist()
     try {
       val prior = archivePaths(fs, sigRoot, batchId)
-      val index = prior match {
-        case Seq() => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], banded.schema)
-        case paths => spark.read.parquet(paths: _*)
+      val pairs = prior match {
+        // first epoch: no index exists, so the batch-vs-index half is
+        // statically empty — plan only the self-join instead of a
+        // join/union pair against an empty relation
+        case Seq() => graft.operators.Dedup
+          .minhashSelfPairs(banded, idCol, k, minEstSim)
+        // the archive's schema IS the banded schema — passing it skips
+        // per-batch parquet footer inference, which at scale means not
+        // listing/reading footers across an ever-growing archive on
+        // every micro-batch
+        case paths => graft.operators.Dedup.minhashPairsWithIndex(banded,
+          spark.read.schema(banded.schema).parquet(paths: _*),
+          idCol, k, minEstSim)
       }
       // _SUCCESS markers forced on per write job (see upsertBatch) —
       // commit detection depends on them
-      graft.operators.Dedup
-        .minhashPairsWithIndex(banded, index, idCol, k, minEstSim)
-        .write.mode("overwrite")
+      pairs.write.mode("overwrite")
         .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
         .parquet(s"$targetDir/pairs/$batchId")
       banded.write.mode("overwrite")

@@ -76,11 +76,16 @@ object StreamParity {
     * are sized independently; this harness makes the same choice).
     * The conf only affects queries planned inside `body`; batch plans
     * already compiled are untouched, and it is restored after. */
-  private def withStateParallelism[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+  private def withStateParallelism[T](spark: SparkSession, n: Int)(body: => T): T =
+    withConfs(spark, "spark.sql.shuffle.partitions" -> n.toString)(body)
+
+  /** Run `body` with session confs temporarily overridden (restored
+    * after, even on failure). Only queries PLANNED inside `body` see
+    * the overrides. */
+  private def withConfs[T](spark: SparkSession, confs: (String, String)*)(body: => T): T = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   /** D1 ↔ B7: the events table streamed through [[EventStream.windowAgg]]
@@ -272,16 +277,43 @@ object StreamParity {
     * compaction must not change them. */
   def streamDedupParity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val src = fileStream(docs, s"sded_${sfName(dir)}", nFiles = 4, filesPerTrigger = 1)
+    // 12 staged files, 4 per trigger: 3 micro-batches (empty-index,
+    // one-prior, two-prior — the minimum that still exercises a REAL
+    // below-newest compaction fold), each reading 4 input splits so the
+    // minhash map side (md5 × k permutations over every shingle — the
+    // CPU-heavy half) parallelizes inside the batch exactly as a
+    // production micro-batch with many source files would. The r6 shape
+    // (4 files × 1/trigger) ran that map side in ONE task per batch.
+    val src = fileStream(docs, s"sded_${sfName(dir)}", nFiles = 12, filesPerTrigger = 4)
     val target = freshTarget(s"sded_tgt_${sfName(dir)}")
-    val q = src.writeStream.outputMode("append")
-      .foreachBatch(EventStream.minhashDedupBatch(target, "doc_id", "text",
-        shingleN = 3, k = 32, bands = 8, minEstSim = 0.25,
-        tokenHash = graft.functions.Vec.md5Hash60, hashBandKeys = false) _)
-      .option("checkpointLocation", s"$target/ckpt")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    EventStream.compactSignatures(spark, target)
+    // the foreachBatch body plans its joins/aggs per micro-batch, so the
+    // lowered parallelism applies to every batch: ~5 shuffle stages over
+    // a ~1/3-corpus batch do not need 32 partitions each (same
+    // key-cardinality-not-core-count sizing as the stateful harnesses).
+    // maxPartitionBytes drops too: the staged fixture files are ~0.5 MB,
+    // so at the 128 MB default the 4-file batch packs into ONE input
+    // split and the minhash map side runs single-task — production
+    // source files are split-sized and get map parallelism for free;
+    // the harness has to ask for it.
+    // AQE off for the replay only: its per-stage re-optimization jobs
+    // are latency on fixture-sized batches with nothing to re-plan
+    // (production micro-batches keep it for skew/coalesce)
+    withConfs(spark,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.files.maxPartitionBytes" -> (1024 * 1024).toString,
+      "spark.sql.files.openCostInBytes" -> (64 * 1024).toString) {
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch(EventStream.minhashDedupBatch(target, "doc_id", "text",
+          shingleN = 3, k = 32, bands = 8, minEstSim = 0.25,
+          tokenHash = graft.functions.Vec.md5Hash60, hashBandKeys = false) _)
+        .option("checkpointLocation", s"$target/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // 8 segment files, not the production 32: the parity archive is
+      // fixture-sized, and the fold's cost here is task-commit overhead
+      EventStream.compactSignatures(spark, target, nFiles = 8)
+    }
     EventStream.readAllPairs(spark, target)
       .orderBy("id_a", "id_b")
   }

@@ -64,6 +64,33 @@ class BloomJoinSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("B20 adaptive gate: bloom builds under the threshold, drops out above it, same result") {
+    val li = Tables.lineitem(spark, sfDir)
+    val keys = Tables.part(spark, sfDir).filter(col("p_size") === 1)
+      .select(col("p_partkey"))
+    // gate ON: build side comfortably under a generous threshold
+    val on = BloomJoin.bloomFilteredAdaptive(li, keys, "l_partkey", "p_partkey")
+    assert(on.queryExecution.optimizedPlan.toString.contains("might_contain"),
+      "small build side must get a bloom")
+    // gate OFF: zero-byte threshold refuses every build side; the probe
+    // side must come back UNCHANGED — no filter, no extra build scan
+    val off = BloomJoin.bloomFilteredAdaptive(li, keys, "l_partkey", "p_partkey",
+      maxBuildBytes = 0L)
+    assert(!off.queryExecution.optimizedPlan.toString.contains("might_contain"),
+      "oversized build side must skip the bloom")
+    assert(off.queryExecution.optimizedPlan.sameResult(
+      li.queryExecution.optimizedPlan),
+      "gate-off must return the probe side unchanged")
+    // and the downstream exact join makes both ends value-identical
+    val expected = li.join(keys, col("l_partkey") === col("p_partkey"), "leftsemi")
+      .collect().map(_.toString).sorted
+    for (side <- Seq(on, off)) {
+      val got = side.join(keys, side("l_partkey") === keys("p_partkey"), "leftsemi")
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(expected))
+    }
+  }
+
   test("B20 plan shape: might_contain filter sits on the fact side BELOW the join exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {

@@ -26,6 +26,36 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("B16 failed overwrite leaves the previous table fully queryable (swap contract)") {
+    val table = graft.util.Fixtures.tableName("swap_test")
+    import spark.implicits._
+    Bucketing.writeBucketed(
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), table, Seq("k"), 4)
+    assert(spark.table(table).count() == 100)
+    // an overwrite whose WRITE fails mid-job: raise_error fires on a
+    // data-dependent row, well after the job has started
+    val poisoned = spark.range(50)
+      .select(col("id").as("k"),
+        when(col("id") === 17L, raise_error(lit("mid-write failure")))
+          .otherwise(concat(lit("x"), col("id"))).as("v"))
+    intercept[Exception] {
+      Bucketing.writeBucketed(poisoned, table, Seq("k"), 4)
+    }
+    // the old table survives, data intact — the failed write only ever
+    // touched the swap name
+    assert(spark.table(table).count() == 100, "old table must survive a failed overwrite")
+    assert(spark.table(table).filter(col("v") === "v42").count() == 1)
+    // and a SUCCESSFUL overwrite swaps in the new contents with the
+    // bucket spec intact
+    Bucketing.writeBucketed(
+      (1L to 10L).map(i => (i, s"w$i")).toDF("k", "v"), table, Seq("k"), 4)
+    assert(spark.table(table).count() == 10)
+    val buckets = spark.sql(s"DESCRIBE EXTENDED `$table`")
+      .filter(col("col_name") === "Num Buckets").select("data_type")
+      .collect().map(_.getString(0))
+    assert(buckets.sameElements(Array("4")), s"bucket spec must survive the swap: ${buckets.toSeq}")
+  }
+
   test("B16 oracle demo joins with no exchange on the join keys") {
     // the driver-checked query (Analytics.bucketedColocatedJoin) must
     // itself take the co-located path: zero exchange on the JOIN keys —
