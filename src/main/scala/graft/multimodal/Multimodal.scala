@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   * reads WAV/AIFF/AU to PCM and [[extractAudioFeatures]] computes
   * genuine waveform statistics. VIDEO decodes real PIXELS for
   * MJPEG-in-AVI ([[videoFrameStats]]: RIFF walker + per-frame ImageIO
-  * JPEG decode) and real container METADATA for MP4
-  * ([[videoMetadata]]); only non-MJPEG video codecs remain stubbed
+  * JPEG decode) and for UNCOMPRESSED DIB-in-AVI (BI_RGB raw frames —
+  * no codec needed), plus real container METADATA for MP4
+  * ([[videoMetadata]]); only inter-frame video codecs remain stubbed
   * ([[sampleFrames]]) — the JDK ships no H.264/VP9 decoder. The
   * partition lifecycle and schema are the production shape either way.
   */
@@ -286,56 +287,157 @@ object Multimodal {
                              height: Int, mean_r: Float, mean_g: Float,
                              mean_b: Float, mean_gray: Float)
 
-  /** REAL video pixels for the one container+codec combination the JDK
-    * can fully decode with no external libraries: MJPEG-in-AVI. The
-    * RIFF/AVI grammar is a plain byte layout —
-    * `[fourcc][size:u32le][payload][pad-to-even]`, LIST chunks carry a
-    * type fourcc then subchunks — so [[aviJpegFrames]] walks to the
-    * `movi` list and yields every video frame chunk (`##dc`/`##db`)
-    * whose payload is a JPEG, and ImageIO decodes each to genuine
-    * pixels. Output: per-frame channel/gray means in [0,1], the same
+  /** REAL video pixels for the two container+codec combinations that
+    * need no external libraries: MJPEG-in-AVI (per-frame ImageIO JPEG
+    * decode) and UNCOMPRESSED DIB-in-AVI (BI_RGB — raw bottom-up BGR
+    * rows, no codec at all, just the BITMAPINFOHEADER geometry from the
+    * stream's `strf` chunk). The RIFF/AVI grammar is a plain byte
+    * layout — `[fourcc][size:u32le][payload][pad-to-even]`, LIST chunks
+    * carry a type fourcc then subchunks — so [[aviFrames]] walks to the
+    * `movi` list and yields every video frame chunk (`##dc`/`##db`).
+    * When the header declares BI_RGB ([[aviDibFormat]]), frames decode
+    * as raw DIB rows; otherwise each JPEG-payload frame decodes through
+    * ImageIO. Output: per-frame channel/gray means in [0,1], the same
     * statistics discipline as [[extractFeatures]]. Non-AVI bytes,
-    * malformed chunks, and frames in codecs the JDK cannot decode
-    * (no JPEG SOI, or ImageIO failure) yield NO rows rather than
-    * failing the partition — for those codecs [[sampleFrames]] remains
-    * the documented stub. */
+    * malformed chunks, geometry-short DIB frames, and frames in codecs
+    * the JDK cannot decode (no JPEG SOI, or ImageIO failure) yield NO
+    * rows rather than failing the partition — for those codecs
+    * [[sampleFrames]] remains the documented stub. */
   def videoFrameStats(ds: Dataset[MediaRow], maxFrames: Int = 32): Dataset[VideoFrameStats] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false) // per-partition init, once
       it.flatMap { r =>
-        aviJpegFrames(r.media, maxFrames).zipWithIndex.flatMap { case (fb, fi) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
-            catch { case _: Exception => null }
-          if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-          else {
-            val w = img.getWidth; val h = img.getHeight
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val p = img.getRGB(x, y)
-                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                x += 1
-              }
-              y += 1
+        aviDibFormat(r.media) match {
+          case Some((w, h, bpp)) =>
+            aviFrames(r.media, maxFrames, jpegOnly = false).zipWithIndex.flatMap {
+              case (fb, fi) => dibFrameStats(r.media_id, fi, fb, w, h, bpp)
             }
-            val n = 255.0 * w * h
-            Some(VideoFrameStats(r.media_id, fi, w, h,
-              (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
-              ((sr + sg + sb) / (3.0 * n)).toFloat))
-          }
+          case None =>
+            aviFrames(r.media, maxFrames, jpegOnly = true).zipWithIndex.flatMap {
+              case (fb, fi) => jpegFrameStats(r.media_id, fi, fb)
+            }
         }
       }
     }
   }
 
-  /** JPEG payloads of the first `max` video frame chunks of a RIFF/AVI
-    * byte array; empty for anything else. Malformed sizes stop the walk
-    * at the enclosure edge (truncation-safe, like [[parseMp4Meta]]). */
-  private[multimodal] def aviJpegFrames(b: Array[Byte], max: Int): Seq[Array[Byte]] = {
+  private def jpegFrameStats(id: Long, fi: Int, fb: Array[Byte]): Option[VideoFrameStats] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = 255.0 * w * h
+      Some(VideoFrameStats(id, fi, w, h,
+        (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+        ((sr + sg + sb) / (3.0 * n)).toFloat))
+    }
+  }
+
+  /** channel means of one uncompressed DIB frame: `bpp`∈{24,32},
+    * byte order B,G,R(,X), rows padded to 4 bytes. Channel MEANS are
+    * row-order-invariant, so bottom-up vs top-down (biHeight sign)
+    * needs no branch. A frame shorter than its declared geometry is
+    * skipped, never partially summed. */
+  private def dibFrameStats(id: Long, fi: Int, fb: Array[Byte],
+                            w: Int, h: Int, bpp: Int): Option[VideoFrameStats] = {
+    val bytesPP = bpp / 8
+    val rowBytes = (w * bytesPP + 3) & ~3
+    if (fb.length < rowBytes.toLong * h) None
+    else {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        val base = y * rowBytes
+        var x = 0
+        while (x < w) {
+          val p = base + x * bytesPP
+          sb += fb(p) & 0xff; sg += fb(p + 1) & 0xff; sr += fb(p + 2) & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = 255.0 * w * h
+      Some(VideoFrameStats(id, fi, w, h,
+        (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+        ((sr + sg + sb) / (3.0 * n)).toFloat))
+    }
+  }
+
+  /** the video stream's BITMAPINFOHEADER geometry IF it declares
+    * uncompressed BI_RGB at 24/32 bpp: walk the header lists to the
+    * first `strf` following a `strh` whose fccType is `vids`, read
+    * (biWidth, |biHeight|, biBitCount, biCompression). None for any
+    * other codec (including MJPEG: biCompression 'MJPG'), malformed
+    * headers, or non-AVI bytes — the caller then takes the JPEG path. */
+  private[multimodal] def aviDibFormat(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def cc(i: Int) = new String(b, i, 4, "ISO-8859-1")
+    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    // same iterative enclosure walk as aviFrames (see the stack-depth
+    // note there); state: whether the last strh seen was a video stream
+    var vids = false
+    val stack = scala.collection.mutable.Stack[(Int, Int)]((12, b.length))
+    while (stack.nonEmpty) {
+      var (i, to) = stack.pop()
+      var bad = false
+      var descended = false
+      while (!bad && !descended && i + 8 <= to) {
+        val id = cc(i)
+        val size = le32(i + 4)
+        val ps = i + 8
+        val pe = ps + size
+        if (pe > to) bad = true
+        else {
+          val peI = pe.toInt
+          val next = peI + (size & 1L).toInt
+          if (id == "LIST" && size >= 4) {
+            stack.push((next, to))
+            stack.push((ps + 4, peI))
+            descended = true
+          } else {
+            if (id == "strh" && size >= 4) vids = cc(ps) == "vids"
+            else if (id == "strf" && vids && size >= 20) {
+              val width = le32(ps + 4).toInt
+              val height = math.abs(le32(ps + 8).toInt)
+              val bpp = le16(ps + 14)
+              val compression = le32(ps + 16)
+              return if (compression == 0L && (bpp == 24 || bpp == 32) &&
+                width > 0 && height > 0) Some((width, height, bpp))
+              else None
+            }
+            i = next
+          }
+        }
+      }
+    }
+    None
+  }
+
+  /** Payloads of the first `max` video frame chunks (`##dc`/`##db`) of
+    * a RIFF/AVI byte array — JPEG-SOI-bearing ones only when
+    * `jpegOnly` (the MJPEG path), every frame chunk otherwise (the
+    * raw-DIB path, whose frames have no magic to sniff); empty for
+    * anything else. Malformed sizes stop the walk at the enclosure
+    * edge (truncation-safe, like [[parseMp4Meta]]). */
+  private[multimodal] def aviFrames(b: Array[Byte], max: Int,
+                                    jpegOnly: Boolean): Seq[Array[Byte]] = {
     def u8(i: Int) = b(i) & 0xff
     def le32(i: Int): Long =
       (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
@@ -375,7 +477,7 @@ object Multimodal {
           } else {
             if (id(0).isDigit && id(1).isDigit &&
                 (id.endsWith("dc") || id.endsWith("db")) &&
-                size >= 2 && u8(ps) == 0xFF && u8(ps + 1) == 0xD8)
+                (!jpegOnly || (size >= 2 && u8(ps) == 0xFF && u8(ps + 1) == 0xD8)))
               out += java.util.Arrays.copyOfRange(b, ps, peI)
             i = next
           }
@@ -387,8 +489,9 @@ object Multimodal {
 
   /** STUB frame sampling for codecs with no JDK decoder (H.264 etc.):
     * every `stride`-th fixed-size slice stands in for decoded frames.
-    * MJPEG-in-AVI decodes for REAL — see [[videoFrameStats]]; container
-    * metadata is real for MP4 too, see [[videoMetadata]]. */
+    * MJPEG-in-AVI and uncompressed DIB-in-AVI decode for REAL — see
+    * [[videoFrameStats]]; container metadata is real for MP4 too, see
+    * [[videoMetadata]]. */
   def sampleFrames(ds: Dataset[MediaRow], frameSize: Int = 16, stride: Int = 4): Dataset[MediaFrame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { r =>

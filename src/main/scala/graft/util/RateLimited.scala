@@ -43,14 +43,18 @@ object RateLimited {
   }
 
   /** map an iterator with rate limiting + retry — the body to hand to
-    * `Dataset.mapPartitions` for external-call stages. */
+    * `Dataset.mapPartitions` for external-call stages. `isRetriable`
+    * narrows which failures burn a retry (an HTTP 404 should fail
+    * fast; a 429/5xx should back off — the reference retries only
+    * OVER_QUERY_LIMIT-style statuses the same way). */
   def mapRateLimited[A, B](it: Iterator[A], minIntervalMs: Long,
-                           maxRetries: Int = 3, baseDelayMs: Long = 100)
+                           maxRetries: Int = 3, baseDelayMs: Long = 100,
+                           isRetriable: Throwable => Boolean = _ => true)
                           (f: A => B): Iterator[B] = {
     val limiter = new Limiter(minIntervalMs)
     it.map { a =>
       limiter.acquire()
-      withRetry(maxRetries, baseDelayMs)(() => f(a))
+      withRetry(maxRetries, baseDelayMs, isRetriable)(() => f(a))
     }
   }
 }

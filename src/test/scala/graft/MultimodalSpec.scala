@@ -219,6 +219,64 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.videoFrameStats(ds, maxFrames = 2).collect().length == 2)
   }
 
+  test("C12 REAL video pixels: uncompressed DIB-in-AVI frames decode EXACTLY (no codec)") {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ le32(payload.length) ++ payload ++
+        (if (payload.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", tpe.getBytes("ISO-8859-1") ++ body)
+    // encoder: BI_RGB bottom-up BGR rows padded to 4 bytes (w=5 -> 15
+    // data bytes + 1 pad per row at 24bpp, so padding is exercised)
+    val w = 5; val h = 3
+    def dibFrame(r: Int, g: Int, b: Int): Array[Byte] = {
+      val rowBytes = (w * 3 + 3) & ~3
+      val f = new Array[Byte](rowBytes * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = y * rowBytes + x * 3
+        f(p) = b.toByte; f(p + 1) = g.toByte; f(p + 2) = r.toByte
+      }
+      f
+    }
+    def bih(compression: Int, bpp: Int = 24, height: Int = h) =
+      le32(40) ++ le32(w) ++ le32(height) ++ le16(1) ++ le16(bpp) ++
+        le32(compression) ++ new Array[Byte](20)
+    def avi(strf: Array[Byte], frames: Seq[Array[Byte]]): Array[Byte] = {
+      val strl = list("strl",
+        chunk("strh", "vids".getBytes("ISO-8859-1") ++ new Array[Byte](52)) ++
+          chunk("strf", strf))
+      val body = list("hdrl", chunk("avih", new Array[Byte](56)) ++ strl) ++
+        list("movi", frames.map(f => chunk("00db", f)).reduce(_ ++ _))
+      "RIFF".getBytes("ISO-8859-1") ++ le32(body.length + 4) ++
+        "AVI ".getBytes("ISO-8859-1") ++ body
+    }
+    val rgbAvi = avi(bih(0), Seq(dibFrame(255, 0, 0), dibFrame(0, 128, 0), dibFrame(10, 20, 30)))
+    val out = Multimodal.videoFrameStats(Seq(Multimodal.MediaRow(1L, rgbAvi, "avi")).toDS())
+      .collect().sortBy(_.frame_no)
+    assert(out.length == 3 && out.forall(f => f.width == w && f.height == h), out.toSeq)
+    // raw pixels: stats are EXACT, not lossy-codec-approximate
+    assert(out(0).mean_r == 1.0f && out(0).mean_g == 0.0f && out(0).mean_b == 0.0f, out(0))
+    assert(out(1).mean_g == 128f / 255f && out(1).mean_r == 0.0f, out(1))
+    assert(out(2).mean_r == 10f / 255f && out(2).mean_g == 20f / 255f &&
+      out(2).mean_b == 30f / 255f, out(2))
+    assert(out(2).mean_gray == (10f + 20f + 30f) / (3 * 255f), out(2))
+    // top-down (negative biHeight) carries the same means
+    val topDown = avi(bih(0, height = -h), Seq(dibFrame(10, 20, 30)))
+    val td = Multimodal.videoFrameStats(Seq(Multimodal.MediaRow(2L, topDown, "avi")).toDS())
+      .collect().head
+    assert(td.mean_r == 10f / 255f && td.height == h, td)
+    // a geometry-SHORT frame yields no row, never a partial sum
+    val short = avi(bih(0), Seq(dibFrame(1, 2, 3).take(10)))
+    assert(Multimodal.videoFrameStats(Seq(Multimodal.MediaRow(3L, short, "avi")).toDS())
+      .collect().isEmpty)
+    // a compressed fourcc in strf (MJPG) must NOT take the DIB path:
+    // raw-looking frames are skipped, not misread as pixels
+    val mjpgTagged = avi(bih(0x47504A4D), Seq(dibFrame(9, 9, 9)))
+    assert(Multimodal.videoFrameStats(Seq(Multimodal.MediaRow(4L, mjpgTagged, "avi")).toDS())
+      .collect().isEmpty)
+  }
+
   test("C12 adversarial: 300k-deep nested LISTs neither overflow the stack nor lose the frame") {
     import java.awt.image.BufferedImage
     def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
