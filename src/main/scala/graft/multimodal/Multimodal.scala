@@ -355,9 +355,15 @@ object Multimodal {
   private def dibFrameStats(id: Long, fi: Int, fb: Array[Byte],
                             w: Int, h: Int, bpp: Int): Option[VideoFrameStats] = {
     val bytesPP = bpp / 8
-    val rowBytes = (w * bytesPP + 3) & ~3
-    if (fb.length < rowBytes.toLong * h) None
+    // stride math in Long: a hostile biWidth (e.g. 2^29 at 32bpp) wraps
+    // Int multiply negative, which would defeat the length guard below
+    // and index out of bounds — the malformed-bytes invariant says skip,
+    // never fail the partition. Once the guard passes, every index fits
+    // an Int because rowBytes*h <= fb.length.
+    val rowBytesL = (w.toLong * bytesPP + 3) & ~3L
+    if (fb.length.toLong < rowBytesL * h) None
     else {
+      val rowBytes = rowBytesL.toInt
       var sr = 0L; var sg = 0L; var sb = 0L
       var y = 0
       while (y < h) {
@@ -383,88 +389,41 @@ object Multimodal {
     * (biWidth, |biHeight|, biBitCount, biCompression). None for any
     * other codec (including MJPEG: biCompression 'MJPG'), malformed
     * headers, or non-AVI bytes — the caller then takes the JPEG path. */
-  private[multimodal] def aviDibFormat(b: Array[Byte]): Option[(Int, Int, Int)] = {
+  /** THE iterative RIFF/AVI enclosure walk — the single shared engine
+    * under [[aviFrames]] and [[aviDibFormat]], so every hardening fix
+    * (bounds, overflow, nesting) lives in exactly one place. Invokes
+    * `onChunk(fourcc, payloadStart, payloadEnd)` for each non-LIST
+    * chunk in stream order, descending into LISTs; a `true` return
+    * stops the walk. No-op for non-AVI bytes.
+    *
+    * Depth-first over (from, to) ranges with an explicit HEAP stack,
+    * not recursion: a crafted AVI can nest LIST chunks ~len/12 levels
+    * deep, and that depth on the CALL stack is a StackOverflowError —
+    * an Error the malformed-bytes Exception handler cannot catch,
+    * breaking the "bad bytes yield NO rows, never a failed partition"
+    * invariant. Heap depth is bounded by the same len/12 and is just
+    * memory. Pushing (resume-after-list, interior) in that order pops
+    * the interior first, preserving stream-order chunk visits; a
+    * malformed size aborts only its own enclosure (outer ranges stay
+    * on the stack). Sizes are read as u32 into Long so a hostile size
+    * cannot overflow the Int bounds checks. */
+  private def walkRiff(b: Array[Byte])(onChunk: (String, Int, Int) => Boolean): Unit = {
     def u8(i: Int) = b(i) & 0xff
     def le32(i: Int): Long =
       (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
-    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def cc(i: Int) = new String(b, i, 4, "ISO-8859-1")
-    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return None
-    // same iterative enclosure walk as aviFrames (see the stack-depth
-    // note there); state: whether the last strh seen was a video stream
-    var vids = false
+    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return
     val stack = scala.collection.mutable.Stack[(Int, Int)]((12, b.length))
-    while (stack.nonEmpty) {
+    var stop = false
+    while (!stop && stack.nonEmpty) {
       var (i, to) = stack.pop()
       var bad = false
       var descended = false
-      while (!bad && !descended && i + 8 <= to) {
+      while (!stop && !bad && !descended && i + 8 <= to) {
         val id = cc(i)
         val size = le32(i + 4)
         val ps = i + 8
         val pe = ps + size
-        if (pe > to) bad = true
-        else {
-          val peI = pe.toInt
-          val next = peI + (size & 1L).toInt
-          if (id == "LIST" && size >= 4) {
-            stack.push((next, to))
-            stack.push((ps + 4, peI))
-            descended = true
-          } else {
-            if (id == "strh" && size >= 4) vids = cc(ps) == "vids"
-            else if (id == "strf" && vids && size >= 20) {
-              val width = le32(ps + 4).toInt
-              val height = math.abs(le32(ps + 8).toInt)
-              val bpp = le16(ps + 14)
-              val compression = le32(ps + 16)
-              return if (compression == 0L && (bpp == 24 || bpp == 32) &&
-                width > 0 && height > 0) Some((width, height, bpp))
-              else None
-            }
-            i = next
-          }
-        }
-      }
-    }
-    None
-  }
-
-  /** Payloads of the first `max` video frame chunks (`##dc`/`##db`) of
-    * a RIFF/AVI byte array — JPEG-SOI-bearing ones only when
-    * `jpegOnly` (the MJPEG path), every frame chunk otherwise (the
-    * raw-DIB path, whose frames have no magic to sniff); empty for
-    * anything else. Malformed sizes stop the walk at the enclosure
-    * edge (truncation-safe, like [[parseMp4Meta]]). */
-  private[multimodal] def aviFrames(b: Array[Byte], max: Int,
-                                    jpegOnly: Boolean): Seq[Array[Byte]] = {
-    def u8(i: Int) = b(i) & 0xff
-    def le32(i: Int): Long =
-      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
-    def cc(i: Int) = new String(b, i, 4, "ISO-8859-1")
-    if (b.length < 12 || cc(0) != "RIFF" || cc(8) != "AVI ") return Seq.empty
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    // Iterative depth-first walk over (from, to) enclosure ranges. An
-    // explicit heap stack instead of recursion: a crafted AVI can nest
-    // LIST chunks ~len/12 levels deep, and that depth on the CALL stack
-    // is a StackOverflowError — an Error the malformed-bytes Exception
-    // handler cannot catch, breaking the "bad bytes yield NO rows, never
-    // a failed partition" invariant. Heap depth is bounded by the same
-    // len/12 and is just memory. Pushing (resume-after-list, interior)
-    // in that order pops the interior first, preserving the recursive
-    // version's stream-order frame collection; a malformed size aborts
-    // only its own enclosure (outer ranges stay on the stack), exactly
-    // like the recursive `bad` flag.
-    val stack = scala.collection.mutable.Stack[(Int, Int)]((12, b.length))
-    while (stack.nonEmpty && out.size < max) {
-      var (i, to) = stack.pop()
-      var bad = false
-      var descended = false
-      while (!bad && !descended && out.size < max && i + 8 <= to) {
-        val id = cc(i)
-        val size = le32(i + 4)
-        val ps = i + 8
-        val pe = ps + size // Long: a hostile u32 size cannot overflow Int here
         if (pe > to) bad = true
         else {
           val peI = pe.toInt
@@ -475,14 +434,61 @@ object Multimodal {
             stack.push((ps + 4, peI))
             descended = true
           } else {
-            if (id(0).isDigit && id(1).isDigit &&
-                (id.endsWith("dc") || id.endsWith("db")) &&
-                (!jpegOnly || (size >= 2 && u8(ps) == 0xFF && u8(ps + 1) == 0xD8)))
-              out += java.util.Arrays.copyOfRange(b, ps, peI)
+            stop = onChunk(id, ps, peI)
             i = next
           }
         }
       }
+    }
+  }
+
+  private[multimodal] def aviDibFormat(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def le32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    // state across chunks: whether the last strh seen was a video stream
+    var vids = false
+    var result: Option[(Int, Int, Int)] = None
+    walkRiff(b) { (id, ps, pe) =>
+      val size = pe - ps
+      if (id == "strh" && size >= 4) {
+        vids = new String(b, ps, 4, "ISO-8859-1") == "vids"
+        false
+      } else if (id == "strf" && vids && size >= 20) {
+        val width = le32(ps + 4).toInt
+        val height = math.abs(le32(ps + 8).toInt)
+        val bpp = le16(ps + 14)
+        val compression = le32(ps + 16)
+        // 64k bound: every real video dimension fits, and it caps
+        // stride*height far below any integer-overflow edge a hostile
+        // header could otherwise steer the decoder into
+        if (compression == 0L && (bpp == 24 || bpp == 32) &&
+          width > 0 && height > 0 && width <= 65536 && height <= 65536)
+          result = Some((width, height, bpp))
+        true // first video strf decides, hit or miss
+      } else false
+    }
+    result
+  }
+
+  /** Payloads of the first `max` video frame chunks (`##dc`/`##db`) of
+    * a RIFF/AVI byte array — JPEG-SOI-bearing ones only when
+    * `jpegOnly` (the MJPEG path), every frame chunk otherwise (the
+    * raw-DIB path, whose frames have no magic to sniff); empty for
+    * anything else. Malformed sizes stop the walk at the enclosure
+    * edge (truncation-safe, like [[parseMp4Meta]]); see [[walkRiff]]
+    * for the adversarial-nesting posture. */
+  private[multimodal] def aviFrames(b: Array[Byte], max: Int,
+                                    jpegOnly: Boolean): Seq[Array[Byte]] = {
+    def u8(i: Int) = b(i) & 0xff
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    walkRiff(b) { (id, ps, pe) =>
+      if (id(0).isDigit && id(1).isDigit &&
+          (id.endsWith("dc") || id.endsWith("db")) &&
+          (!jpegOnly || (pe - ps >= 2 && u8(ps) == 0xFF && u8(ps + 1) == 0xD8)))
+        out += java.util.Arrays.copyOfRange(b, ps, pe)
+      out.size >= max
     }
     out.toSeq
   }

@@ -99,20 +99,24 @@ object HttpPagedSource {
     * [[PagedIngest.totalMatches]]). A body `from_json` cannot parse
     * yields one `_corrupt`-flagged row carrying the raw text — the
     * re-fetch list, same posture as [[PagedIngest.readPagesPermissive]].
+    * EVERY fetched page stays visible: a well-formed page whose `rows`
+    * is empty still emits one recordless row (`_corrupt` null, record
+    * fields null, `total` present) — a vanished page would leave the
+    * totalMatches gate a count mismatch with nothing to re-fetch.
+    * Record-bearing rows are the ones whose schema fields are non-null.
     *
-    * SINGLE-scan by construction: good and corrupt rows come out of one
-    * projection (a corrupt page becomes a one-element null-struct array
-    * so the same explode emits its marker row). A filter-each-side +
-    * union shape would put the fetch subtree in the plan twice and
-    * HTTP-GET every page twice per action. */
+    * SINGLE-scan by construction: good, empty and corrupt pages come
+    * out of one projection (explode_outer emits the marker row when
+    * the array is null/empty). A filter-each-side + union shape would
+    * put the fetch subtree in the plan twice and HTTP-GET every page
+    * twice per action. */
   def parsePages(pages: DataFrame, rowSchema: StructType): DataFrame = {
     val payload = new StructType()
       .add("total", LongType).add("rows", ArrayType(rowSchema))
     pages
       .select(col("_page"), from_json(col("body"), payload).as("_p"), col("body"))
       .select(col("_page"), col("_p.total").as("total"),
-        explode(when(col("_p.rows").isNotNull, col("_p.rows"))
-          .otherwise(array(lit(null).cast(rowSchema)))).as("_r"),
+        explode_outer(when(size(col("_p.rows")) > 0, col("_p.rows"))).as("_r"),
         when(col("_p.rows").isNull, col("body")).as("_corrupt"))
       .select(Seq(col("_page"), col("total")) ++
         rowSchema.fields.map(f => col(s"_r.${f.name}").as(f.name)) :+
@@ -128,13 +132,17 @@ object HttpPagedSource {
   def stagePages(pages: DataFrame, dir: String): Unit = {
     // Hadoop FS, not java.io: `dir` must be visible to every executor
     // (HDFS/object store on a cluster), and overwrite-create is the
-    // idempotence the task-retry contract above relies on
+    // idempotence the task-retry contract above relies on. The
+    // SESSION's hadoop conf ships to the tasks (a bare Configuration
+    // would drop every spark.hadoop.* overlay — fs.defaultFS, object-
+    // store credentials — and silently write to executor-local disks).
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      pages.sparkSession.sessionState.newHadoopConf())
     pages.select(col("_page"), col("body")).foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
         it.foreach { r =>
           val p = new org.apache.hadoop.fs.Path(dir, s"page_${r.getInt(0)}.json")
-          val fs = p.getFileSystem(conf)
+          val fs = p.getFileSystem(hconf.value)
           val out = fs.create(p, true)
           try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()

@@ -118,20 +118,30 @@ class HttpPagedSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
-  test("A13 fetch: corrupt page bodies surface as the re-fetch list, not silent loss") {
-    val srv = new MockServer(Map.empty) {
-      // page 4's payload is garbage JSON
-    }
+  test("A13 fetch: corrupt and empty pages surface as visible rows, not silent loss") {
+    val srv = new MockServer(Map.empty)
     try {
+      // page 4's payload is garbage JSON; page 6 is well-formed but EMPTY
       val pages = HttpPagedSource.fetchPages(spark, srv.url, pageSize)
         .withColumn("body",
-          when(col("_page") === 4, lit("{ not json")).otherwise(col("body")))
+          when(col("_page") === 4, lit("{ not json"))
+            .when(col("_page") === 6, lit(s"""{"total": $total, "rows": []}"""))
+            .otherwise(col("body")))
       val parsed = HttpPagedSource.parsePages(pages, rowSchema).cache()
       try {
         val bad = parsed.filter(col("_corrupt").isNotNull)
           .select("_page").collect().map(_.getInt(0)).toSeq
         assert(bad == Seq(4), s"corrupt pages: $bad")
-        assert(parsed.filter(col("_corrupt").isNull).count() == total - pageSize)
+        // the empty page is VISIBLE (one recordless row, _corrupt null,
+        // total riding along) — totalMatches can name it, not just
+        // count a mismatch
+        val emptyRows = parsed.filter(col("_corrupt").isNull && col("id").isNull)
+        val empties = emptyRows.select("_page", "total").collect()
+        assert(empties.map(_.getInt(0)).toSeq == Seq(6) &&
+          empties.head.getLong(1) == total, empties.toSeq)
+        // record-bearing rows: everything except page 4's (corrupt) and
+        // page 6's (emptied) records
+        assert(parsed.filter(col("id").isNotNull).count() == total - pageSize - 7)
       } finally parsed.unpersist()
     } finally srv.stop()
   }

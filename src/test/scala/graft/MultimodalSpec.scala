@@ -275,6 +275,19 @@ class MultimodalSpec extends SparkSpec {
     val mjpgTagged = avi(bih(0x47504A4D), Seq(dibFrame(9, 9, 9)))
     assert(Multimodal.videoFrameStats(Seq(Multimodal.MediaRow(4L, mjpgTagged, "avi")).toDS())
       .collect().isEmpty)
+    // adversarial geometry: biWidth = 2^29 at 32bpp wraps a 32-bit
+    // stride multiply negative — the decoder must skip (no rows), never
+    // index out of bounds and fail the partition
+    val hostile = "RIFF".getBytes("ISO-8859-1") ++ le32(200) ++
+      "AVI ".getBytes("ISO-8859-1") ++
+      list("hdrl", chunk("avih", new Array[Byte](56)) ++
+        list("strl",
+          chunk("strh", "vids".getBytes("ISO-8859-1") ++ new Array[Byte](52)) ++
+          chunk("strf", le32(40) ++ le32(0x20000000) ++ le32(1) ++ le16(1) ++
+            le16(32) ++ le32(0) ++ new Array[Byte](20)))) ++
+      list("movi", chunk("00db", new Array[Byte](64)))
+    assert(Multimodal.videoFrameStats(Seq(Multimodal.MediaRow(5L, hostile, "avi")).toDS())
+      .collect().isEmpty, "hostile width must yield no rows, not a crash")
   }
 
   test("C12 adversarial: 300k-deep nested LISTs neither overflow the stack nor lose the frame") {
