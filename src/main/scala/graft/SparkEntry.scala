@@ -63,6 +63,8 @@ object SparkEntry {
     "ivf_centroids"        -> (TextDemos.ivfCentroids(_, _)),
     "ivf_assign"           -> (TextDemos.ivfAssign(_, _)),
     "ivf_topk"             -> (TextDemos.ivfTopk(_, _)),
+    "pq_encode"            -> (TextDemos.pqEncodeDemo(_, _)),
+    "pq_topk"              -> (TextDemos.pqTopkDemo(_, _)),
     "doc_freq_filter"      -> (TextDemos.docFreqFilter(_, _)),
     "tfidf_top_terms"      -> (TextDemos.tfidfTopTerms(_, _)),
     "repetition_score"     -> (TextDemos.repetitionScore(_, _)),
@@ -749,6 +751,8 @@ object SparkEntry {
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),
     "ivf_topk"          -> graft.oracle.OracleGen.ivfTopkSql(),
+    "pq_encode"         -> graft.oracle.OracleGen.pqEncodeSql(),
+    "pq_topk"           -> graft.oracle.OracleGen.pqTopkSql(),
 
     // C-pipeline E2E: blocklist → outlier trim → exact dedup → hash
     // split, each stage mirroring its standalone oracle's SQL

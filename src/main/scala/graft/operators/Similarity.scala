@@ -130,6 +130,168 @@ object Similarity {
     topK(scored, k, queryId, candId)
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks (C34): split dim-d vectors into `m`
+    * contiguous subvectors of d/m dims and learn one codebook per
+    * subspace — here trained by the supplied `codeCol` assignment (the
+    * same bootstrap the IVF demo uses; swap in [[kmeansFit]] per
+    * subspace for self-trained codebooks). Output long form
+    * (subspace, code, subpos, centroid), dimension-scale — m × codes ×
+    * d/m rows — so it BROADCASTS everywhere downstream.
+    *
+    * Why PQ at 100 TB: a 64-dim float corpus is 256 B/vector; encoded
+    * at m=8 it is 8 one-byte codes — 32× smaller. Search then never
+    * touches raw corpus vectors (see [[pqTopK]]); the corpus-side I/O
+    * and shuffle shrink by the same factor. Same decimal-deterministic
+    * mean as [[ivfCentroids]] so the DuckDB oracle hash-matches. */
+  def pqCodebooks(vecs: DataFrame, vecCol: String, codeCol: String,
+                  m: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    vecs.select(col(codeCol).as("code"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select((col("pos") / lit(sub)).cast("int").as("subspace"), col("code"),
+        (col("pos") % lit(sub)).as("subpos"), col("v"))
+      .groupBy(col("subspace"), col("code"), col("subpos"))
+      .agg((sum(col("v").cast("decimal(27,20)")).cast("double") / count(col("v"))).as("centroid"))
+  }
+
+  /** Self-trained PQ codebooks: [[kmeansFit]] per subspace over the
+    * subvectors (deterministic k-means++ with restarts), then the same
+    * decimal-exact means as [[pqCodebooks]] — the quality upgrade over
+    * the bootstrap assignment, exactly as kmeansFit is to the IVF
+    * label bootstrap. Spec-gated (PqSpec: strictly lower reconstruction
+    * error than the bootstrap books); the oracle rows pin the
+    * bootstrap configuration, which is the cross-engine-reproducible
+    * one. m fits over d/m-dim subvectors: training cost scales with m,
+    * not with d². */
+  def pqCodebooksFit(vecs: DataFrame, idCol: String, vecCol: String,
+                     m: Int, dim: Int, codes: Int = 10,
+                     maxIter: Int = 10, restarts: Int = 1): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val subv = vecs.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as("_sv"))
+      val labeled = kmeansFit(subv, idCol, "_sv", codes, maxIter, restarts = restarts)
+      // pqCodebooks at m=1 over the subvector IS this subspace's book
+      pqCodebooks(subv.join(labeled, idCol), "_sv", "label", 1, sub)
+        .select(lit(s).as("subspace"), col("code"), col("subpos"), col("centroid"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** squared-L2 term with the cross-engine exactness discipline: each
+    * per-dimension term rounds to 6 places and accumulates in decimal,
+    * so partial-agg order cannot shift the sum (the [[graft.functions.Agg]]
+    * rule applied to distances). The square is a plain multiply — IEEE
+    * pow(x,2) is not guaranteed to equal x*x across engines. */
+  private def l2Term(v: Column, centroid: Column): Column = {
+    val d = v.cast("double") - centroid
+    round(d * d, 6).cast("decimal(27,6)")
+  }
+
+  /** PQ encoding (C34): each vector compresses to `m` codes — per
+    * subspace, the codebook entry with the smallest squared L2 to its
+    * subvector (ties to the lowest code, deterministic). Long-form
+    * output (id, subspace, code): ~m bytes of information per corpus
+    * vector, the representation [[pqTopK]] searches.
+    *
+    * Shape: codebooks broadcast; the per-(vector, subspace, code)
+    * distance agg and the per-(vector, subspace) argmin are both
+    * map-side combinable, so the shuffles carry m·codes then m rows
+    * per vector — never raw vectors. (At extreme corpus scale the same
+    * math can run as a single map-only pass over broadcast codebooks;
+    * this relational form is the oracle-exact reference shape.) */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+               books: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    vecs.select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(idCol), (col("pos") / lit(sub)).cast("int").as("subspace"),
+        (col("pos") % lit(sub)).as("subpos"), col("v"))
+      .join(broadcast(books), Seq("subspace", "subpos"))
+      .groupBy(col(idCol), col("subspace"), col("code"))
+      .agg(sum(l2Term(col("v"), col("centroid"))).as("_l2"))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min(struct(col("_l2"), col("code"))).as("_best"))
+      .select(col(idCol), col("subspace"), col("_best.code").as("code"))
+  }
+
+  /** [[pqEncode]] as a single MAP-ONLY pass — the extreme-corpus form:
+    * the codebooks (dimension-scale: m × codes × d/m doubles) collect
+    * to the driver and embed as literals, and each vector's m codes
+    * compute per row with zip_with/aggregate — no shuffle, no
+    * broadcast join, nothing corpus-scale in flight but the scan
+    * itself. Output and determinism are IDENTICAL to the relational
+    * form (same 6-place-rounded decimal terms, same first-minimum =
+    * lowest-code tie-break via array_position; decimal sums are
+    * order-free so fold order cannot matter) — PqSpec asserts
+    * row-for-row equality. The trade is honest and measured: the
+    * zip_with/aggregate lambdas evaluate INTERPRETED (Spark does not
+    * codegen higher-order functions), costing ~10× the relational
+    * form's codegen'd aggregation CPU at sf0.1 — so reach for this
+    * only when the m·codes-per-vector shuffle is the binding
+    * constraint (network-bound clusters), and treat it as the
+    * reference shape a custom codegen Expression would optimize. The
+    * relational [[pqEncode]] is the default. */
+  def pqEncodeMapOnly(vecs: DataFrame, idCol: String, vecCol: String,
+                      books: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    val zero = lit(BigDecimal(0).setScale(6)).cast("decimal(27,6)")
+    // (subspace, code) -> centroid vector, collected: dimension-scale
+    val local = books.select(col("subspace"), col("code"), col("subpos"), col("centroid"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      }
+    def l2(subv: Column, cent: Array[Double]): Column =
+      aggregate(
+        zip_with(subv, array(cent.map(lit): _*), (x, y) => {
+          val d = x.cast("double") - y
+          round(d * d, 6).cast("decimal(27,6)")
+        }),
+        zero, (acc, t) => (acc + t).cast("decimal(27,6)"))
+    val codeCols = (0 until m).map { s =>
+      val cs = local.keys.filter(_._1 == s).map(_._2).toSeq.sorted
+      require(cs.nonEmpty, s"no codebook entries for subspace $s")
+      val subv = slice(col(vecCol), s * sub + 1, sub)
+      val l2s = array(cs.map(c => l2(subv, local((s, c)))): _*)
+      element_at(array(cs.map(lit): _*), array_position(l2s, array_min(l2s)).cast("int"))
+    }
+    vecs.select(col(idCol), posexplode(array(codeCols: _*)).as(Seq("subspace", "code")))
+      .select(col(idCol), col("subspace").cast("int").as("subspace"), col("code"))
+  }
+
+  /** PQ asymmetric-distance top-k (C34): each query builds its m×codes
+    * lookup table of exact subspace distances to the CODEBOOK entries
+    * (dimension-scale, broadcast), then every encoded corpus vector's
+    * approximate distance is just m table lookups summed — the
+    * compressed codes table is the ONLY corpus-scale input, raw
+    * vectors are never read at search time. Ranking uses the
+    * [[graft.expressions.BoundedTopK]] native aggregate on the negated
+    * distance (sim desc ≡ dist asc, ties to the lowest id), so ≤k
+    * candidates per partition survive map-side. */
+  def pqTopK(queries: DataFrame, codes: DataFrame, books: DataFrame,
+             k: Int, m: Int, dim: Int,
+             queryId: String = "query_id", queryVec: String = "qv",
+             candId: String = "cand_id"): DataFrame = {
+    val sub = dim / m
+    val dtable = queries
+      .select(col(queryId), posexplode(col(queryVec)).as(Seq("pos", "v")))
+      .select(col(queryId), (col("pos") / lit(sub)).cast("int").as("subspace"),
+        (col("pos") % lit(sub)).as("subpos"), col("v"))
+      .join(broadcast(books), Seq("subspace", "subpos"))
+      .groupBy(col(queryId), col("subspace"), col("code"))
+      .agg(sum(l2Term(col("v"), col("centroid"))).as("_dpart"))
+    val scored = codes.join(broadcast(dtable), Seq("subspace", "code"))
+      .groupBy(col(queryId), col(candId))
+      .agg(sum(col("_dpart")).as("_dist"))
+      .select(col(queryId), col(candId),
+        negate(col("_dist").cast("double")).as("sim"))
+    topK(scored, k, queryId, candId)
+      .select(col(queryId), col(candId),
+        round(negate(col("sim")), 6).as("dist"), col("rank"))
+  }
+
   /** IVF centroids, relationally: explode vector components, decimal-
     * deterministic mean per (cluster label, dimension). One shuffle,
     * map-side combinable — giant clusters parallelize (a per-group

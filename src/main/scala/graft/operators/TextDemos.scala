@@ -303,6 +303,42 @@ object TextDemos {
       .orderBy("query_id", "rank")
   }
 
+  /** C34a — PQ corpus compression: 64-dim embeddings encoded to m=8
+    * one-byte codes each (32× smaller than the floats), codebooks
+    * bootstrap-trained by the table's label column (the oracle-exact
+    * configuration; kmeansFit-per-subspace is the self-trained path,
+    * spec-gated like IVF's). */
+  def pqEncodeDemo(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val books = Similarity.pqCodebooks(emb, "embedding", "label", m = 8, dim = 64)
+    Similarity.pqEncode(emb.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", books, m = 8, dim = 64)
+      .orderBy("vec_id", "subspace")
+  }
+
+  /** the PQ codebooks persisted: dimension-scale (m × codes × d/m =
+    * 640 rows), but its SUBTREE is a corpus aggregation — without the
+    * persist every broadcast branch that joins the books would re-run
+    * that corpus scan independently. */
+  private def pqBooksCached(emb: DataFrame): DataFrame =
+    graft.util.CacheRegistry.register(
+      Similarity.pqCodebooks(emb, "embedding", "label", m = 8, dim = 64).persist())
+
+  /** C34b — PQ asymmetric-distance top-k: queries (vec_id < 5, as the
+    * IVF demos) search ONLY the encoded codes of the rest of the
+    * corpus — raw candidate vectors never load at query time. */
+  def pqTopkDemo(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val books = pqBooksCached(emb)
+    val codes = Similarity.pqEncode(
+      emb.filter(col("vec_id") >= 5).select(col("vec_id").as("cand_id"), col("embedding")),
+      "cand_id", "embedding", books, m = 8, dim = 64)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    Similarity.pqTopK(queries, codes, books, k = 5, m = 8, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
   /** C7 — embedding-cosine near-duplicate pairs via shared LSH buckets. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(spark, dir),

@@ -296,6 +296,59 @@ object OracleGen {
       |  FROM e GROUP BY label, pos
       |)""".stripMargin
 
+  /** shared CTE chain for the PQ oracles: per-subspace exploded
+    * components → bootstrap codebooks (same double+varchar decimal hops
+    * as centroidsCore) → per-(vector, subspace, code) squared L2 with
+    * 6-place-rounded decimal terms (plain multiply, not pow — IEEE
+    * pow(x,2) need not equal x*x) → argmin code per subspace. */
+  private def pqCore(m: Int = 8, dim: Int = 64, minCandId: Int = 5): String = {
+    val sub = dim / m
+    s"""WITH e AS (
+       |  SELECT vec_id, label, CAST((u.i - 1) // $sub AS INT) AS subspace,
+       |         CAST((u.i - 1) % $sub AS INT) AS subpos, embedding[u.i] AS v
+       |  FROM embeddings CROSS JOIN UNNEST(range(1, ${dim + 1})) AS u(i)
+       |), books AS (
+       |  SELECT subspace, label AS code, subpos,
+       |         CAST(SUM(CAST(CAST(CAST(v AS DOUBLE) AS VARCHAR) AS DECIMAL(27,20))) AS DOUBLE) / COUNT(v) AS centroid
+       |  FROM e GROUP BY subspace, label, subpos
+       |), enc0 AS (
+       |  SELECT e.vec_id, e.subspace, b.code,
+       |         SUM(CAST(round((CAST(e.v AS DOUBLE) - b.centroid) * (CAST(e.v AS DOUBLE) - b.centroid), 6) AS DECIMAL(27,6))) AS l2
+       |  FROM e JOIN books b ON e.subspace = b.subspace AND e.subpos = b.subpos
+       |  GROUP BY e.vec_id, e.subspace, b.code
+       |), enc AS (
+       |  SELECT vec_id, subspace, code FROM (
+       |    SELECT vec_id, subspace, code,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY l2, code) AS rn
+       |    FROM enc0) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** mirror of TextDemos.pqEncodeDemo */
+  def pqEncodeSql(): String =
+    s"""${pqCore()}
+       |SELECT vec_id, subspace, code FROM enc ORDER BY vec_id, subspace""".stripMargin
+
+  /** mirror of TextDemos.pqTopkDemo: ADC — each query's m×codes
+    * subspace-distance table summed over the corpus codes, ranked by
+    * the DOUBLE-cast distance (matching Spark's BoundedTopK on the
+    * negated double), ties to the lowest cand_id. */
+  def pqTopkSql(k: Int = 5): String =
+    s"""${pqCore()}, sc AS (
+       |  SELECT d.vec_id AS query_id, c.vec_id AS cand_id,
+       |         CAST(SUM(d.l2) AS DOUBLE) AS dist
+       |  FROM enc c JOIN enc0 d
+       |    ON c.subspace = d.subspace AND c.code = d.code
+       |  WHERE d.vec_id < 5 AND c.vec_id >= 5
+       |  GROUP BY d.vec_id, c.vec_id
+       |), r AS (
+       |  SELECT query_id, cand_id, dist,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                                 ORDER BY dist, cand_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT query_id, cand_id, round(dist, 6) AS dist, rank
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** mirror of TextDemos.ivfCentroids */
   def ivfCentroidsSql(): String =
     s"""$centroidsCore
