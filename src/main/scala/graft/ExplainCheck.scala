@@ -37,6 +37,12 @@ object ExplainCheck {
     check("bloom_semi_join", Analytics.bloomSemiJoinDemo(spark, dir))
     check("lm_score", TextDemos.lmScore(spark, dir))
     check("source_mix", TextDemos.sourceMix(spark, dir))
+    check("dup_span_detect", TextDemos.dupSpanDetect(spark, dir))
+    check("training_prep_e2e", TextDemos.trainingPrepTail(spark, dir))
+    check("q3_shipping_bloom", Analytics.q3ShippingPriorityBloom(spark, dir))
+    check("pq_encode", TextDemos.pqEncodeDemo(spark, dir))
+    check("pq_topk", TextDemos.pqTopkDemo(spark, dir))
+    graft.util.CacheRegistry.releaseAll()
     spark.stop()
   }
 }

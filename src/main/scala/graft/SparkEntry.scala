@@ -65,6 +65,7 @@ object SparkEntry {
     "ivf_topk"             -> (TextDemos.ivfTopk(_, _)),
     "pq_encode"            -> (TextDemos.pqEncodeDemo(_, _)),
     "pq_topk"              -> (TextDemos.pqTopkDemo(_, _)),
+    "bpe_train"            -> (TextDemos.bpeTrain(_, _)),
     "doc_freq_filter"      -> (TextDemos.docFreqFilter(_, _)),
     "tfidf_top_terms"      -> (TextDemos.tfidfTopTerms(_, _)),
     "repetition_score"     -> (TextDemos.repetitionScore(_, _)),
@@ -753,6 +754,7 @@ object SparkEntry {
     "ivf_topk"          -> graft.oracle.OracleGen.ivfTopkSql(),
     "pq_encode"         -> graft.oracle.OracleGen.pqEncodeSql(),
     "pq_topk"           -> graft.oracle.OracleGen.pqTopkSql(),
+    "bpe_train"         -> graft.oracle.OracleGen.bpeTrainSql(),
 
     // C-pipeline E2E: blocklist → outlier trim → exact dedup → hash
     // split, each stage mirroring its standalone oracle's SQL

@@ -339,6 +339,14 @@ object TextDemos {
       .orderBy("query_id", "rank")
   }
 
+  /** C35 — BPE vocabulary training: 12 merge rules learned from the
+    * corpus' distinct-word frequency table (one corpus pass, then
+    * vocabulary-scale rounds — see [[Bpe]] for the 100 TB posture).
+    * The merge table IS the trained artifact a tokenizer ships. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    Bpe.trainDf(Tables.documents(spark, dir), "text", nMerges = 12)
+      .orderBy("rank")
+
   /** C7 — embedding-cosine near-duplicate pairs via shared LSH buckets. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(spark, dir),

@@ -296,6 +296,65 @@ object OracleGen {
       |  FROM e GROUP BY label, pos
       |)""".stripMargin
 
+  /** mirror of TextDemos.bpeTrain: `n` unrolled merge rounds, each a
+    * mechanical copy of one template — adjacent-pair counts over the
+    * previous round's symbol arrays, the (count desc, pair asc) argmax
+    * rule, greedy left-to-right application via the island trick
+    * (consecutive match runs keep even offsets — identical to the
+    * Spark side's window algebra). Early exhaustion is consistent by
+    * construction: an empty best{r} leaves w{r} = w{r-1} and
+    * contributes no output row, exactly like the trainer's early
+    * stop. */
+  def bpeTrainSql(n: Int = 12): String = {
+    val rounds = (1 to n).map { r =>
+      s"""p$r AS (
+         |  SELECT word, freq, unnest(list_transform(range(1, len(syms)), i ->
+         |    struct_pack(pos := i - 1, a := syms[i], b := syms[i+1]))) AS u
+         |  FROM w${r - 1} WHERE len(syms) >= 2
+         |), pp$r AS MATERIALIZED (
+         |  SELECT word, freq, u.pos AS pos, u.a AS a, u.b AS b FROM p$r
+         |), best$r AS MATERIALIZED (
+         |  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM pp$r
+         |  GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
+         |), mt$r AS (
+         |  SELECT pp.word, pp.pos FROM pp$r pp JOIN best$r bs ON pp.a = bs.a AND pp.b = bs.b
+         |), kp$r AS (
+         |  SELECT word, pos FROM (
+         |    SELECT word, pos, MIN(pos) OVER (PARTITION BY word, grp) AS run0 FROM (
+         |      SELECT word, pos, pos - ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS grp
+         |      FROM mt$r))
+         |  WHERE (pos - run0) % 2 = 0
+         |), ee$r AS (
+         |  SELECT word, freq, u.pos AS pos, u.s AS s FROM (
+         |    SELECT word, freq, unnest(list_transform(range(1, len(syms) + 1), i ->
+         |      struct_pack(pos := i - 1, s := syms[i]))) AS u
+         |    FROM w${r - 1})
+         |), w$r AS MATERIALIZED (
+         |  SELECT e.word, MIN(e.freq) AS freq,
+         |         list(CASE WHEN k1.pos IS NOT NULL THEN (SELECT a || b FROM best$r) ELSE e.s END ORDER BY e.pos) AS syms
+         |  FROM ee$r e
+         |  LEFT JOIN kp$r k1 ON e.word = k1.word AND e.pos = k1.pos
+         |  LEFT JOIN kp$r k2 ON e.word = k2.word AND e.pos = k2.pos + 1
+         |  WHERE k2.pos IS NULL
+         |  GROUP BY e.word
+         |)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to n).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS rank, a AS "left", b AS "right", cnt AS n_occurrences FROM best$r""")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |         list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |        FROM documents)
+       |  GROUP BY word
+       |),
+       |$rounds
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY rank""".stripMargin
+  }
+
   /** shared CTE chain for the PQ oracles: per-subspace exploded
     * components → bootstrap codebooks (same double+varchar decimal hops
     * as centroidsCore) → per-(vector, subspace, code) squared L2 with

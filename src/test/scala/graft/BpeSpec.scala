@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Bpe
+
+/** C35 BPE trainer: the relational merge loop must reproduce the
+  * classic sequential algorithm exactly — including greedy
+  * left-to-right application and the (count desc, pair asc)
+  * tie-break — on hand-built and randomized corpora. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** reference implementation: textbook BPE on a word-frequency map. */
+  private def classicBpe(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+    var syms: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.map(_.toString).toVector } { case (_, f) => f }(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to n) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((s, f) <- syms; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((a, b, c))
+        syms = syms.groupMapReduce { case (s, _) =>
+          val r = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { r += a + b; i += 2 }
+            else { r += s(i); i += 1 }
+          }
+          r.result()
+        } { case (_, f) => f }(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  private def trainOn(corpus: Seq[String], n: Int): Seq[(String, String, Long)] =
+    Bpe.train(corpus.toDF("text"), "text", n)
+      .map(m => (m.left, m.right, m.n_occurrences))
+
+  test("C35: overlapping-run greedy (aaa / aaaa) and tie-breaks match classic BPE") {
+    // 'aaaa' exercises run-greedy ((aa)(aa), not a,(aa),a); ties abound
+    val corpus = Seq("aaaa aaa ab", "ab ab ba", "aaaa")
+    val freq = corpus.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.length.toLong }
+    assert(trainOn(corpus, 4) == classicBpe(freq, 4))
+  }
+
+  test("C35: randomized corpora match classic BPE over many merge rounds") {
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = "abcd"
+    (1 to 3).foreach { trial =>
+      val words = Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val docs = Seq.fill(20)(Seq.fill(5)(words(rnd.nextInt(words.size))).mkString(" "))
+      val freq = docs.flatMap(_.split(" ")).groupBy(identity)
+        .map { case (w, ws) => w -> ws.length.toLong }
+      val got = trainOn(docs, 8)
+      val want = classicBpe(freq, 8)
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("C35: training stops early when every word is a single symbol") {
+    val merges = trainOn(Seq("ab ab cd"), 10)
+    // ab, cd merge in some order; after both, no pairs remain
+    assert(merges.length == 2, merges)
+    assert(merges.map(m => m._1 + m._2).toSet == Set("ab", "cd"))
+  }
+}
