@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding vocabulary training, relationally (SURVEY §2
@@ -16,14 +15,15 @@ import org.apache.spark.sql.functions._
   *     training is O(distinct words), the corpus only ever contributes
   *     integer counts. A 100 TB corpus with a 10M-word vocabulary
   *     trains on 10M rows.
-  *  2. Each merge round is relational: adjacent-pair counts via array
-  *     indexing (no window over the corpus), the argmax rule by
+  *  2. Each merge round costs ONE shuffle (the adjacent-pair count
+  *     via array indexing + groupBy); the argmax rule is picked by
   *     (count desc, pair asc) — a deterministic total order — and the
-  *     greedy left-to-right application of the rule is the SAME
-  *     island-detection window used by [[Dedup.duplicateSpans]]: for
-  *     a rule (a,a) overlapping matches form runs, and greedy keeps
-  *     every other position from each run's start. No UDFs, no
-  *     per-row loops — the DuckDB oracle runs the identical algebra.
+  *     greedy left-to-right application of the rule is a map-only
+  *     per-word left fold (see [[applyRule]]): zero shuffles, because
+  *     greedy application never looks outside one word. The DuckDB
+  *     oracle computes the identical semantics with the island-trick
+  *     window algebra (runs of overlapping matches keep even offsets
+  *     — equivalent to the fold's consume-next flag).
   *  3. The only driver traffic is ONE RULE ROW per round (the
   *     dimension-scale collect discipline of the k-means seeds);
   *     `localCheckpoint` per round cuts the growing lineage exactly
@@ -48,7 +48,6 @@ object Bpe {
     * n_occurrences) — the artifact a tokenizer ships. */
   def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    val spark = docs.sparkSession
     var words = wordFreq(docs, textCol)
       .select(col("word"), col("freq"),
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
@@ -84,36 +83,37 @@ object Bpe {
           .as(Seq("pos", "p")))
       .select(col("word"), col("freq"), col("pos"), col("p.a").as("a"), col("p.b").as("b"))
 
-  /** greedy left-to-right application of rule (a, b) to every word:
-    * match positions that overlap-chain (only possible when a == b)
-    * form runs of consecutive positions, and greedy keeps the even
-    * offsets within each run — the island trick. The survivors merge
-    * `a ++ b`; positions directly after a kept match drop; everything
-    * else passes through, order preserved via the sorted rebuild. */
+  /** greedy left-to-right application of rule (a, b) to every word.
+    * Greedy application is per-word-LOCAL, so it is one map-only left
+    * fold over the symbol array (`functions.aggregate`) — NO shuffle:
+    * walk positions carrying (rebuilt array, consumed-next flag); a
+    * match at i emits `a ++ b` and consumes i+1 (which also makes
+    * overlap chains — only possible when a == b — keep even run
+    * offsets, the textbook greedy). `try_element_at(syms, i + 2)` past
+    * the end is NULL (plain element_at THROWS under Spark 4's default
+    * ANSI mode) and a NULL comparison is never a match, so the last
+    * position needs no guard. Interpreted-HOF CPU (see the C34 note)
+    * is irrelevant here: the fold runs at VOCABULARY scale, not corpus
+    * scale. */
   private[operators] def applyRule(words: DataFrame, a: String, b: String): DataFrame = {
-    val ex = words.select(col("word"), col("freq"),
-      posexplode(col("syms")).as(Seq("pos", "s")))
-    val matches = adjacentPairs(words)
-      .filter(col("a") === lit(a) && col("b") === lit(b))
-      .select(col("word"), col("pos"))
-    val byWord = Window.partitionBy(col("word")).orderBy(col("pos"))
-    val keep = matches
-      .withColumn("_grp", col("pos") - row_number().over(byWord))
-      .withColumn("_run0", min(col("pos")).over(
-        Window.partitionBy(col("word"), col("_grp"))))
-      .filter((col("pos") - col("_run0")) % 2 === 0)
-      .select(col("word"), col("pos"))
-    val k = keep.select(col("word").as("_kword"), col("pos").as("_kpos"))
-    ex
-      .join(k, ex("word") === col("_kword") && (ex("pos") === col("_kpos") ||
-        ex("pos") === col("_kpos") + 1), "left")
-      .filter(col("_kpos").isNull || col("pos") === col("_kpos")) // drop the consumed right side
-      .select(col("word"), col("freq"), col("pos"),
-        when(col("_kpos").isNotNull, lit(a + b)).otherwise(col("s")).as("s"))
-      .groupBy(col("word"))
-      .agg(min(col("freq")).as("freq"),
-        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-          x => x.getField("s")).as("syms"))
+    val init = struct(
+      array().cast("array<string>").as("acc"), lit(false).as("skip"))
+    val folded = aggregate(
+      sequence(lit(0), size(col("syms")) - 1),
+      init,
+      (st, i) => {
+        val acc = st.getField("acc")
+        val cur = element_at(col("syms"), i + 1)
+        val nxt = try_element_at(col("syms"), i + 2)
+        when(st.getField("skip"),
+          struct(acc.as("acc"), lit(false).as("skip")))
+          .when(cur === lit(a) && nxt === lit(b),
+            struct(concat(acc, array(lit(a + b))).as("acc"), lit(true).as("skip")))
+          .otherwise(
+            struct(concat(acc, array(cur)).as("acc"), lit(false).as("skip")))
+      },
+      st => st.getField("acc"))
+    words.select(col("word"), col("freq"), folded.as("syms"))
   }
 
   /** the trained table as a DataFrame (for the oracle row). */
