@@ -42,6 +42,7 @@ object ExplainCheck {
     check("q3_shipping_bloom", Analytics.q3ShippingPriorityBloom(spark, dir))
     check("pq_encode", TextDemos.pqEncodeDemo(spark, dir))
     check("pq_topk", TextDemos.pqTopkDemo(spark, dir))
+    check("bpe_encode", TextDemos.bpeEncode(spark, dir))
     graft.util.CacheRegistry.releaseAll()
     spark.stop()
   }

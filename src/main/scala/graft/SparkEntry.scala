@@ -66,6 +66,7 @@ object SparkEntry {
     "pq_encode"            -> (TextDemos.pqEncodeDemo(_, _)),
     "pq_topk"              -> (TextDemos.pqTopkDemo(_, _)),
     "bpe_train"            -> (TextDemos.bpeTrain(_, _)),
+    "bpe_encode"           -> (TextDemos.bpeEncode(_, _)),
     "doc_freq_filter"      -> (TextDemos.docFreqFilter(_, _)),
     "tfidf_top_terms"      -> (TextDemos.tfidfTopTerms(_, _)),
     "repetition_score"     -> (TextDemos.repetitionScore(_, _)),
@@ -755,6 +756,7 @@ object SparkEntry {
     "pq_encode"         -> graft.oracle.OracleGen.pqEncodeSql(),
     "pq_topk"           -> graft.oracle.OracleGen.pqTopkSql(),
     "bpe_train"         -> graft.oracle.OracleGen.bpeTrainSql(),
+    "bpe_encode"        -> graft.oracle.OracleGen.bpeEncodeSql(),
 
     // C-pipeline E2E: blocklist → outlier trim → exact dedup → hash
     // split, each stage mirroring its standalone oracle's SQL

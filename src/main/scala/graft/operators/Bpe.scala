@@ -37,6 +37,11 @@ object Bpe {
   /** One trained merge rule. */
   final case class Merge(rank: Long, left: String, right: String, n_occurrences: Long)
 
+  /** [[encode]]'s token separator in `bpe_text`: U+0001 — a control
+    * char no whitespace-split token contains, so the joined stream is
+    * losslessly splittable (the DuckDB oracle writes it as chr(1)). */
+  val Sep: String = "\u0001"
+
   /** distinct-word frequency table from a corpus text column: ONE
     * corpus pass; `word` doubles as the stable row key. */
   def wordFreq(docs: DataFrame, textCol: String): DataFrame =
@@ -46,7 +51,16 @@ object Bpe {
   /** Train `nMerges` BPE rules over the corpus' distinct words.
     * Returns the ordered merge table (rank, left, right,
     * n_occurrences) — the artifact a tokenizer ships. */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] =
+    trainWithVocab(docs, textCol, nMerges)._1
+
+  /** [[train]], also returning the post-training vocabulary symbol
+    * table (word, freq, syms) — every distinct corpus word already
+    * segmented by all learned rules. This IS the tokenizer's
+    * dictionary: [[encode]] segments the corpus by joining words to
+    * it instead of replaying the merge loop per document. */
+  def trainWithVocab(docs: DataFrame, textCol: String,
+      nMerges: Int): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     var words = wordFreq(docs, textCol)
       .select(col("word"), col("freq"),
@@ -68,7 +82,39 @@ object Bpe {
         r += 1
       }
     }
-    merges.toSeq
+    (merges.toSeq, words)
+  }
+
+  /** Segment the corpus with the trained vocabulary: per document,
+    * the BPE token stream ([[Sep]]-joined, word order preserved) and
+    * its token count. The corpus-scale work is ONE posexplode + ONE
+    * dictionary join + ONE per-doc agg: every distinct word was
+    * already segmented at vocabulary scale during training, so no
+    * merge logic ever touches a document. The join is declared plain
+    * and Catalyst broadcasts the vocab side while it fits
+    * (vocabulary ≪ corpus); past the broadcast threshold AQE picks
+    * the shuffle join — the right behavior for a 10M-word vocab on a
+    * real cluster, no hint needed. Documents with no words survive
+    * with an empty stream: `posexplode_outer` emits their one null
+    * word row through the left vocab join (null never matches), so
+    * the whole operator is ONE corpus scan and ONE per-doc shuffle —
+    * no second corpus join to re-attach wordless docs. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      nMerges: Int): DataFrame = {
+    val (_, vocab) = trainWithVocab(docs, textCol, nMerges)
+    val docWords = docs.select(col(idCol),
+      posexplode_outer(graft.functions.Text.wsTokens(col(textCol))).as(Seq("pos", "word")))
+    docWords
+      .join(vocab.select(col("word"), col("syms")), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        coalesce(sum(when(col("syms").isNotNull, size(col("syms")))), lit(0L))
+          .as("n_tokens"),
+        // a wordless doc's lone null-syms row nulls the flatten — the
+        // coalesce is exactly its empty stream
+        coalesce(concat_ws(Sep,
+          flatten(transform(array_sort(collect_list(struct(col("pos"), col("syms")))),
+            x => x.getField("syms")))), lit("")).as("bpe_text"))
   }
 
   /** (word, freq, pos, a, b) — every adjacent symbol pair, by array

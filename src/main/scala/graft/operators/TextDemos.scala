@@ -347,6 +347,13 @@ object TextDemos {
     Bpe.trainDf(Tables.documents(spark, dir), "text", nMerges = 12)
       .orderBy("rank")
 
+  /** C36 — the corpus segmented by the C35-trained vocabulary: per
+    * doc, the BPE token stream and count. Train once at vocab scale,
+    * then ONE dictionary join over the corpus (see [[Bpe.encode]]). */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    Bpe.encode(Tables.documents(spark, dir), "doc_id", "text", nMerges = 12)
+      .orderBy("doc_id")
+
   /** C7 — embedding-cosine near-duplicate pairs via shared LSH buckets. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(spark, dir),

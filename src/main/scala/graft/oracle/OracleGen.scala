@@ -305,7 +305,42 @@ object OracleGen {
     * construction: an empty best{r} leaves w{r} = w{r-1} and
     * contributes no output row, exactly like the trainer's early
     * stop. */
-  def bpeTrainSql(n: Int = 12): String = {
+  def bpeTrainSql(n: Int = 12): String =
+    s"""WITH ${bpeRoundsCte(n)}
+       |SELECT * FROM (
+       |${(1 to n).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS rank, a AS "left", b AS "right", cnt AS n_occurrences FROM best$r""")
+      .mkString("\nUNION ALL ")}
+       |) ORDER BY rank""".stripMargin
+
+  /** mirror of TextDemos.bpeEncode: the same `n` training rounds, then
+    * the corpus segmented by the FINAL symbol table w{n} — per-doc
+    * word list joined to the vocab, token streams rebuilt in word
+    * order (chr(1)-separated, matching Bpe.Sep), wordless docs kept
+    * with an empty stream via the trailing left join. */
+  def bpeEncodeSql(n: Int = 12): String =
+    s"""WITH ${bpeRoundsCte(n)},
+       |dw AS (
+       |  SELECT doc_id, u.pos AS pos, u.word AS word FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1), i ->
+       |      struct_pack(pos := i, word := ws[i]))) AS u
+       |    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |          FROM documents))
+       |), enc AS (
+       |  SELECT dw.doc_id,
+       |         CAST(SUM(len(w.syms)) AS BIGINT) AS n_tokens,
+       |         array_to_string(flatten(list(w.syms ORDER BY dw.pos)), chr(1)) AS bpe_text
+       |  FROM dw JOIN w$n w ON dw.word = w.word
+       |  GROUP BY dw.doc_id
+       |)
+       |SELECT d.doc_id, CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       COALESCE(e.bpe_text, '') AS bpe_text
+       |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** the shared unrolled-merge-round CTE chain (w0 … w{n},
+    * best1 … best{n}) behind both BPE oracles. */
+  private def bpeRoundsCte(n: Int): String = {
     val rounds = (1 to n).map { r =>
       s"""p$r AS (
          |  SELECT word, freq, unnest(list_transform(range(1, len(syms)), i ->
@@ -339,20 +374,14 @@ object OracleGen {
          |  GROUP BY e.word
          |)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to n).map(r =>
-      s"""SELECT CAST($r AS BIGINT) AS rank, a AS "left", b AS "right", cnt AS n_occurrences FROM best$r""")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
        |         list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
        |        FROM documents)
        |  GROUP BY word
        |),
-       |$rounds
-       |SELECT * FROM (
-       |$out
-       |) ORDER BY rank""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** shared CTE chain for the PQ oracles: per-subspace exploded

@@ -62,6 +62,41 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  /** reference tokenizer: apply the classic merge list to one word,
+    * rule by rule, greedy left-to-right. */
+  private def classicSegment(word: String, merges: Seq[(String, String, Long)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) { case (s, (a, b, _)) =>
+      val r = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { r += a + b; i += 2 }
+        else { r += s(i); i += 1 }
+      }
+      r.result()
+    }
+
+  test("C36: encode matches per-word classic segmentation, keeps word order, counts tokens") {
+    val rnd = new scala.util.Random(42L)
+    val words = Seq.fill(20)(
+      Seq.fill(1 + rnd.nextInt(6))("abc"(rnd.nextInt(3))).mkString)
+    val docs = Seq.tabulate(15)(i =>
+      (i.toLong, Seq.fill(4)(words(rnd.nextInt(words.size))).mkString(" "))) :+
+      (99L, "") // wordless doc must survive with an empty stream
+    val df = docs.toDF("doc_id", "text")
+    val freq = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val merges = classicBpe(freq, 6)
+    val got = Bpe.encode(df, "doc_id", "text", nMerges = 6)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = docs.sortBy(_._1).map { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty).toVector
+        .flatMap(w => classicSegment(w, merges))
+      (id, toks.length.toLong, toks.mkString(Bpe.Sep))
+    }
+    assert(got.toSeq == want)
+  }
+
   test("C35: training stops early when every word is a single symbol") {
     val merges = trainOn(Seq("ab ab cd"), 10)
     // ab, cd merge in some order; after both, no pairs remain
