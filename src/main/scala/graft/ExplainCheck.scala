@@ -43,6 +43,7 @@ object ExplainCheck {
     check("pq_encode", TextDemos.pqEncodeDemo(spark, dir))
     check("pq_topk", TextDemos.pqTopkDemo(spark, dir))
     check("bpe_encode", TextDemos.bpeEncode(spark, dir))
+    check("bm25_topk", TextDemos.bm25Topk(spark, dir))
     graft.util.CacheRegistry.releaseAll()
     spark.stop()
   }

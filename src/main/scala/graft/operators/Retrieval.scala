@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Lexical retrieval over the corpus (SURVEY §2 C37): BM25 top-k —
+  * the inverted-index query a training pipeline runs for
+  * decontamination lookups, eval-set retrieval, and hard-negative
+  * mining, expressed relationally.
+  *
+  * Scale shape:
+  *
+  *  - The corpus appears only as its (doc_id, term, tf) posting table
+  *    — ONE corpus pass, map-side-combinable groupBy; doc lengths and
+  *    document frequencies both derive from it, never from a second
+  *    scan.
+  *  - The query set is dimension-scale, so the (query, term) table
+  *    broadcasts, and joining it to the posting table IS the inverted
+  *    index: only documents containing at least one query term are
+  *    ever scored — the classic posting-list pruning, not a scan of
+  *    all (query × doc) pairs.
+  *  - Ranking is the [[graft.expressions.BoundedTopK]] native
+  *    aggregate (score desc, doc asc): ≤k candidates per partition
+  *    survive map-side, so the per-query shuffle is bounded no matter
+  *    how many documents matched.
+  *
+  * Determinism (the [[TextDemos.lmScore]] discipline): each per-term
+  * score rounds to 6 places and aggregates through decimal, so
+  * partial-agg order cannot shift a sum; both engines compute the
+  * identical arithmetic shape, so the final doubles are bit-equal.
+  */
+object Bm25 {
+
+  /** classic BM25 constants; fixed so the oracle can inline them. */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** BM25 top-k: `queries`(query_id, terms array) against
+    * `docs`(idCol, textCol). Scores sum over DISTINCT query terms
+    * (standard BM25 — query-side repetition does not reweight);
+    * terms absent from the corpus contribute nothing (empty posting
+    * list); documents sharing no term with a query are not candidates.
+    * Output: (query_id, doc_id, score, rank), rank by
+    * (score desc, doc_id asc). */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, k: Int): DataFrame = {
+    // the posting table feeds three consumers (the query join, doc
+    // lengths, document frequencies): persist it once instead of
+    // re-running the corpus explode+groupBy per consumer. This IS the
+    // index build — a production deployment writes tf out (bucketed by
+    // term) and amortizes it across every query batch; DISK_ONLY keeps
+    // the one-shot demo honest about memory at corpus scale.
+    val tf = graft.util.CacheRegistry.register(
+      docs.select(col(idCol).as("doc_id"),
+          explode(Text.wsTokens(col(textCol))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // n counts ALL documents (wordless ones too — they dilute avgdl,
+    // the standard collection-size semantics); avgdl folds over the
+    // doc-length table, not a second corpus scan
+    val consts = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum(col("dl")).as("_tot")))
+      .select(col("n"), (col("_tot").cast("double") / col("n")).as("avgdl"))
+    val qt = queries
+      .select(col("query_id"), explode(col("terms")).as("term")).distinct()
+    // the broadcast query-term set prunes tf to matching postings
+    // BEFORE any per-doc work; df and dl carry NO hint — both are
+    // corpus-derived and must be free to shuffle-join at 100 TB
+    // (post-pruning, the surviving posting side is query-bounded and
+    // AQE broadcasts it at demo scale anyway)
+    val terms = broadcast(qt)
+      .join(tf, Seq("term"))
+      .join(df, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(consts))
+      .select(col("query_id"), col("doc_id"),
+        round(
+          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+            col("tf") * lit(K1 + 1) /
+            (col("tf") + lit(K1) *
+              (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
+          .cast("decimal(27,6)").as("_term"))
+    val scored = terms
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_term")).cast("double").as("sim"))
+    Similarity.topK(scored, k, "query_id", "doc_id")
+      .withColumnRenamed("sim", "score")
+  }
+}

@@ -27,7 +27,7 @@ object Similarity {
     * stream the way Window.partitionBy(query) ranking does. The id
     * column keeps its own type (BoundedTopK orders any orderable id
     * via Catalyst's interpreted ordering — string doc ids included). */
-  private def topK(scored: DataFrame, k: Int, queryId: String,
+  private[operators] def topK(scored: DataFrame, k: Int, queryId: String,
                    candId: String): DataFrame =
     scored
       .groupBy(col(queryId))

@@ -354,6 +354,18 @@ object TextDemos {
     Bpe.encode(Tables.documents(spark, dir), "doc_id", "text", nMerges = 12)
       .orderBy("doc_id")
 
+  /** C37 — BM25 top-10 lexical retrieval: queries are the first 8
+    * words of every 97th document (self-retrieval doubles as a sanity
+    * check — a query's own doc must score). See [[Bm25.topK]]. */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"),
+        slice(Text.wsTokens(col("text")), 1, 8).as("terms"))
+    Bm25.topK(docs, "doc_id", "text", queries, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** C7 — embedding-cosine near-duplicate pairs via shared LSH buckets. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(spark, dir),

@@ -338,6 +338,50 @@ object OracleGen {
        |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** mirror of TextDemos.bm25Topk: posting table → dl/df/consts →
+    * broadcast query terms → per-term BM25 rounded to 6 places into
+    * decimal (the lm_score discipline) → decimal sum → dense top-k by
+    * (score desc, doc_id). Constants interpolate from Bm25 so both
+    * engines parse the SAME shortest-round-trip double literals. */
+  def bm25TopkSql(k: Int = 10): String = {
+    import graft.operators.Bm25.{K1, B}
+    s"""WITH tf AS MATERIALIZED (
+       |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |    FROM documents)
+       |  GROUP BY doc_id, tok
+       |), dl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+       |), df AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |), consts AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n,
+       |         (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+       |           / (SELECT COUNT(*) FROM documents) AS avgdl
+       |), qt AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT doc_id AS query_id, unnest(ws[1:8]) AS term FROM (
+       |      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |      FROM documents WHERE doc_id % 97 = 0))
+       |), terms AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    CAST(ROUND(ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1)
+       |      * tf.tf * ${K1 + 1} / (tf.tf + $K1 * (${1 - B} + $B * dl.dl / c.avgdl)), 6)
+       |      AS DECIMAL(27,6)) AS term_score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN consts c
+       |), scores AS (
+       |  SELECT query_id, doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+       |  FROM terms GROUP BY query_id, doc_id
+       |), ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scores)
+       |SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** the shared unrolled-merge-round CTE chain (w0 … w{n},
     * best1 … best{n}) behind both BPE oracles. */
   private def bpeRoundsCte(n: Int): String = {

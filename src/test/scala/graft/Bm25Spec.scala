@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Bm25
+
+/** C37 BM25 retrieval: the relational scorer must match a plain-Scala
+  * reference (same formula, same 6-place half-up rounding, decimal
+  * sum) including posting-list semantics — OOV query terms score
+  * nothing, docs sharing no term are not candidates. */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** reference scorer over an in-memory corpus. */
+  private def refBm25(corpus: Seq[(Long, String)], queries: Seq[(Long, Seq[String])],
+      k: Int): Seq[(Long, Long, Double, Long)] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }
+    val tf = toks.flatMap { case (id, ts) => ts.map(id -> _) }
+      .groupBy(identity).map { case ((id, w), xs) => (id, w) -> xs.length.toLong }
+    val dl = toks.map { case (id, ts) => id -> ts.length.toLong }.filter(_._2 > 0).toMap
+    val df = tf.keys.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+    val n = corpus.length.toLong
+    val avgdl = dl.values.sum.toDouble / n
+    queries.flatMap { case (qid, terms) =>
+      val scored = terms.distinct.flatMap { w =>
+        df.get(w).toSeq.flatMap { dfw =>
+          tf.collect { case ((id, `w`), tfv) =>
+            val raw = math.log((n - dfw + 0.5) / (dfw + 0.5) + 1) *
+              tfv * (Bm25.K1 + 1) /
+              (tfv + Bm25.K1 * ((1 - Bm25.B) + Bm25.B * dl(id) / avgdl))
+            id -> BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          }
+        }
+      }.groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).sum.toDouble }
+      scored.toSeq.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((id, s), i) => (qid, id, s, (i + 1).toLong) }
+    }
+  }
+
+  test("C37: randomized corpora match the reference scorer, ranks and scores") {
+    val rnd = new scala.util.Random(20260813L)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    (1 to 3).foreach { trial =>
+      val corpus = Seq.tabulate(40)(i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" ")))
+      val queries = Seq(
+        (100L, Seq(words(rnd.nextInt(words.size)), words(rnd.nextInt(words.size)))),
+        (101L, Seq(words(rnd.nextInt(words.size)), "oovword")), // OOV term ignored
+        (102L, Seq("onlyoov")))                                 // no candidates at all
+      val got = Bm25.topK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+          queries.toDF("query_id", "terms"), k = 5)
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val want = refBm25(corpus, queries, 5)
+      assert(got.toSeq == want, s"trial $trial")
+    }
+  }
+
+  test("C37: a doc repeating the query term outranks one mentioning it once") {
+    val corpus = Seq(
+      (1L, "cat cat cat dog"),
+      (2L, "cat bird fish lizard"),
+      (3L, "dog dog bird fish")) // no 'cat': must not be a candidate
+    val got = Bm25.topK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        Seq((7L, Seq("cat"))).toDF("query_id", "terms"), k = 10)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(got(0).getDouble(2) > got(1).getDouble(2))
+  }
+}
