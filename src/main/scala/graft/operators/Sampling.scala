@@ -33,6 +33,34 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** C38 — deterministic EXACT-k per-group sample (the bottom-k /
+    * priority-sampling sketch): each row's priority is a seed-keyed
+    * engine-portable md5-60 hash of its id, and the k smallest
+    * priorities per group are a uniform k-sample — re-running with
+    * the same seed reproduces membership bit-for-bit (the property
+    * `TABLESAMPLE`/`rand()` lack), a new seed redraws it, and groups
+    * smaller than k survive whole. Selection rides
+    * [[graft.expressions.BoundedTopK]] with a CONSTANT sim and the
+    * (priority, id) pair as the orderable tie-break id, so ordering
+    * is exact 60-bit integer comparison (a double sim would round
+    * above 2^53) and at most k rows per partition per group reach the
+    * shuffle — no per-group window sort ever materializes a full
+    * group in one task. Output: (group, id, rank), rank 1..k by
+    * (priority, id). */
+  def groupSample(df: DataFrame, groupCol: String, idCol: String,
+                  k: Int, seed: Long): DataFrame = {
+    val pri = Vec.md5Hash60(concat(col(idCol).cast("string"), lit("_" + seed)))
+    df.select(col(groupCol), col(idCol), pri.as("_pri"))
+      .groupBy(col(groupCol))
+      .agg(call_function("graft_topk",
+        struct(lit(0.0).as("sim"),
+          struct(col("_pri").as("pri"), col(idCol).as("id")).as("id")),
+        lit(k)).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col(groupCol), col("t.id.id").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** seeded per-stratum sampling (approximate fractions). */
   def stratified(df: DataFrame, strataCol: String,
                  fractions: Map[String, Double], seed: Long): DataFrame =

@@ -441,6 +441,14 @@ object TextDemos {
       .agg(count(lit(1)).as("n_kept"), round(min(col("keep_frac")), 6).as("keep_frac"))
       .orderBy("source")
 
+  /** C38 — deterministic exact-k per-source sample: the 10 docs per
+    * source with the smallest seed-17 hash priorities (uniform,
+    * reproducible, redrawn by seed — see [[Sampling.groupSample]]). */
+  def groupSampleDemo(spark: SparkSession, dir: String): DataFrame =
+    Sampling.groupSample(Tables.documents(spark, dir), "source", "doc_id",
+        k = 10, seed = 17)
+      .orderBy("source", "rank")
+
   /** C23 — URL/domain blocklist filter: source URLs synthesized onto
     * the docs (the documents table has no URL column) so Spark and the
     * oracle see identical inputs; every doc from a blocked source

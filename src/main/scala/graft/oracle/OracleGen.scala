@@ -338,6 +338,18 @@ object OracleGen {
        |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** mirror of TextDemos.groupSampleDemo: per-source ROW_NUMBER over
+    * the same seed-keyed md5-60 priority (ties to doc_id — the
+    * BoundedTopK (priority, id) tie-break), keep rank <= k. */
+  def groupSampleSql(k: Int = 10, seed: Long = 17): String =
+    s"""SELECT source, doc_id, rank FROM (
+       |  SELECT source, doc_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |           ORDER BY ${md560(s"(CAST(doc_id AS VARCHAR) || '_$seed')")}, doc_id)
+       |           AS BIGINT) AS rank
+       |  FROM documents)
+       |WHERE rank <= $k ORDER BY source, rank""".stripMargin
+
   /** mirror of TextDemos.bm25Topk: posting table → dl/df/consts →
     * broadcast query terms → per-term BM25 rounded to 6 places into
     * decimal (the lm_score discipline) → decimal sum → dense top-k by

@@ -315,6 +315,37 @@ class TextVecSpec extends SparkSpec {
     assert(cc == Map(1L->1L, 2L->1L, 3L->1L, 4L->1L, 5L->5L, 6L->5L, 7L->7L))
   }
 
+  test("C38 group sample: exact k, window-equivalent, seed-keyed, partition-invariant") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      graft.operators.Sampling.groupSample(df, "source", "doc_id", k = 7, seed = seed)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val s1 = run(docs, 17)
+    // exactly k per group (every source has >= 7 docs at any SF)
+    assert(s1.groupBy(_._1).forall(_._2.size == 7))
+    // equals the full window-sort formulation (the thing it replaces)
+    val pri = graft.functions.Vec.md5Hash60(
+      concat(col("doc_id").cast("string"), lit("_17")))
+    val want = docs.select(col("source"), col("doc_id"), pri.as("_p"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("_p"), col("doc_id"))))
+      .filter(col("rank") <= 7)
+      .select(col("source"), col("doc_id"), col("rank").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s1 == want)
+    assert(run(docs.repartition(7), 17) == s1)   // partition-invariant
+    assert(run(docs, 18) != s1)                  // a new seed redraws
+    // a group smaller than k survives whole, ranked 1..n
+    import spark.implicits._
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("source", "doc_id")
+    val t = graft.operators.Sampling.groupSample(tiny, "source", "doc_id", 5, 17)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(t.count(_._1 == "a") == 2 && t.count(_._1 == "b") == 1)
+    assert(t.filter(_._1 == "a").map(_._2).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("C20 hash split: deterministic, partition-count invariant") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val s1 = graft.operators.Sampling.hashSplit(docs, "doc_id",
