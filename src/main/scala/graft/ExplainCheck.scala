@@ -44,6 +44,8 @@ object ExplainCheck {
     check("pq_topk", TextDemos.pqTopkDemo(spark, dir))
     check("bpe_encode", TextDemos.bpeEncode(spark, dir))
     check("bm25_topk", TextDemos.bm25Topk(spark, dir))
+    check("group_sample", TextDemos.groupSampleDemo(spark, dir))
+    check("bigram_lm_score", TextDemos.bigramLmScore(spark, dir))
     graft.util.CacheRegistry.releaseAll()
     spark.stop()
   }

@@ -69,6 +69,7 @@ object SparkEntry {
     "bpe_encode"           -> (TextDemos.bpeEncode(_, _)),
     "bm25_topk"            -> (TextDemos.bm25Topk(_, _)),
     "group_sample"         -> (TextDemos.groupSampleDemo(_, _)),
+    "bigram_lm_score"      -> (TextDemos.bigramLmScore(_, _)),
     "doc_freq_filter"      -> (TextDemos.docFreqFilter(_, _)),
     "tfidf_top_terms"      -> (TextDemos.tfidfTopTerms(_, _)),
     "repetition_score"     -> (TextDemos.repetitionScore(_, _)),
@@ -761,6 +762,7 @@ object SparkEntry {
     "bpe_encode"        -> graft.oracle.OracleGen.bpeEncodeSql(),
     "bm25_topk"         -> graft.oracle.OracleGen.bm25TopkSql(),
     "group_sample"      -> graft.oracle.OracleGen.groupSampleSql(),
+    "bigram_lm_score"   -> graft.oracle.OracleGen.bigramLmScoreSql(),
 
     // C-pipeline E2E: blocklist → outlier trim → exact dedup → hash
     // split, each stage mirroring its standalone oracle's SQL

@@ -431,6 +431,48 @@ object TextDemos {
       .orderBy("doc_id")
   }
 
+  /** C39 — bigram LM quality score (the KenLM-perplexity-proxy filter
+    * one order up from [[lmScore]]): per doc, mean log P(w_i | w_{i-1})
+    * under corpus bigram counts with add-0.5 smoothing over the
+    * unigram vocabulary. Bigrams never cross document boundaries.
+    * Scale shape mirrors lmScore: the per-doc bigram tf table is the
+    * only corpus-scale shuffle; corpus bigram counts reduce from it,
+    * prefix counts reduce from THOSE (vocabulary² scale, one hop
+    * each, no extra corpus pass); V is one count-distinct; no
+    * broadcast hints on corpus-derived tables. Same 6-place-round +
+    * decimal-agg determinism. Docs with fewer than two tokens have no
+    * bigram and drop. */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScoreOn(Tables.documents(spark, dir))
+
+  /** [[bigramLmScore]]'s computation over any (doc_id, text) frame —
+    * separate so specs score literal corpora through the same code. */
+  def bigramLmScoreOn(docs: DataFrame): DataFrame = {
+    val ws = docs
+      .select(col("doc_id"), Text.wsTokens(col("text")).as("ws"))
+    val bg = ws.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("a"),
+            element_at(col("ws"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val tf2 = bg.groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
+    val cb = tf2.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cb"))
+    val cu = cb.groupBy(col("a")).agg(sum(col("cb")).as("cu"))
+    val v = ws.select(explode(col("ws")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    tf2.join(cb, Seq("a", "b")).join(cu, Seq("a")).crossJoin(broadcast(v))
+      .select(col("doc_id"), col("tf"),
+        round(log((col("cb") + lit(0.5)) / (col("cu") + lit(0.5) * col("v"))), 6)
+          .cast("decimal(27,6)").as("_lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (sum(col("_lp") * col("tf")).cast("double") / sum(col("tf")))
+          .as("avg_logprob"))
+      .withColumn("flagged", col("avg_logprob") < -7.0)
+      .orderBy("doc_id")
+  }
+
   /** C27 — mixture rebalancing: documents sampled to a 3:1:1
     * src0/src1/src2 target composition by deterministic hash
     * thresholding (md5-60 for oracle parity); other sources drop. */

@@ -350,6 +350,38 @@ object OracleGen {
        |  FROM documents)
        |WHERE rank <= $k ORDER BY source, rank""".stripMargin
 
+  /** mirror of TextDemos.bigramLmScore: same add-0.5 bigram model,
+    * same 6-place-round-into-decimal per-bigram scores, identical
+    * arithmetic shape so the final doubles are bit-equal. */
+  def bigramLmScoreSql(): String =
+    """WITH ws AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, u.a AS a, u.b AS b FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ws)), i ->
+      |      struct_pack(a := ws[i], b := ws[i+1]))) AS u
+      |    FROM ws WHERE len(ws) >= 2)
+      |), tf2 AS MATERIALIZED (
+      |  SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS tf FROM bg GROUP BY doc_id, a, b
+      |), cb AS MATERIALIZED (
+      |  SELECT a, b, CAST(SUM(tf) AS BIGINT) AS cb FROM tf2 GROUP BY a, b
+      |), cu AS (
+      |  SELECT a, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY a
+      |), v AS (
+      |  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+      |  FROM (SELECT unnest(ws) AS tok FROM ws)
+      |), lp AS (
+      |  SELECT t.doc_id, t.tf,
+      |         CAST(round(ln((c.cb + 0.5) / (u.cu + 0.5 * v.v)), 6)
+      |              AS DECIMAL(27,6)) AS lp
+      |  FROM tf2 t JOIN cb c ON t.a = c.a AND t.b = c.b
+      |  JOIN cu u ON t.a = u.a CROSS JOIN v)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |       CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf) AS avg_logprob,
+      |       (CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf)) < -7.0 AS flagged
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** mirror of TextDemos.bm25Topk: posting table → dl/df/consts →
     * broadcast query terms → per-term BM25 rounded to 6 places into
     * decimal (the lm_score discipline) → decimal sum → dense top-k by

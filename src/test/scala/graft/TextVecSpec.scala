@@ -315,6 +315,35 @@ class TextVecSpec extends SparkSpec {
     assert(cc == Map(1L->1L, 2L->1L, 3L->1L, 4L->1L, 5L->5L, 6L->5L, 7L->7L))
   }
 
+  test("C39 bigram LM: matches a plain-Scala reference; <2-token docs drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b a b c"), (2L, "a a a"), (3L, "c b a"),
+      (4L, "solo"), (5L, ""), (6L, "b c b c b")).toDF("doc_id", "text")
+    val got = graft.operators.TextDemos.bigramLmScoreOn(docs)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // reference: explicit counts + BigDecimal half-up rounding
+    val toks = Seq(1L -> "a b a b c", 2L -> "a a a", 3L -> "c b a",
+      6L -> "b c b c b").map { case (id, t) => id -> t.split(" ").toSeq }
+    val bgs = toks.flatMap { case (id, ts) => ts.zip(ts.tail).map(id -> _) }
+    val cbR = bgs.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    val cuR = cbR.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val vR = (toks.flatMap(_._2) ++ Seq("solo")).distinct.size.toLong
+    val want = toks.map { case (id, ts) =>
+      val perBg = ts.zip(ts.tail).map { p =>
+        BigDecimal(math.log((cbR(p) + 0.5) / (cuR(p._1) + 0.5 * vR)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      (id, perBg.size.toLong, (perBg.sum.toDouble / perBg.size))
+    }
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 6L)) // 4,5 have no bigram
+    got.zip(want).foreach { case ((gi, gn, gs), (wi, wn, wsc)) =>
+      assert(gi == wi && gn == wn && math.abs(gs - wsc) < 1e-12, s"doc $gi")
+    }
+  }
+
   test("C38 group sample: exact k, window-equivalent, seed-keyed, partition-invariant") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
