@@ -100,8 +100,17 @@ object Bpe {
     * the whole operator is ONE corpus scan and ONE per-doc shuffle —
     * no second corpus join to re-attach wordless docs. */
   def encode(docs: DataFrame, idCol: String, textCol: String,
-      nMerges: Int): DataFrame = {
-    val (_, vocab) = trainWithVocab(docs, textCol, nMerges)
+      nMerges: Int): DataFrame =
+    encodeWith(docs, idCol, textCol, trainWithVocab(docs, textCol, nMerges)._2)
+
+  /** [[encode]] with an ALREADY-trained vocabulary symbol table
+    * (word, syms) — the deployment path: train once
+    * ([[trainWithVocab]]), persist the dictionary, segment any number
+    * of corpora without replaying the merge rounds. Words absent from
+    * the vocabulary are skipped (same null-join path as wordless
+    * docs); retrain or extend the dictionary to cover them. */
+  def encodeWith(docs: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
     val docWords = docs.select(col(idCol),
       posexplode_outer(graft.functions.Text.wsTokens(col(textCol))).as(Seq("pos", "word")))
     docWords

@@ -30,19 +30,26 @@ object Packing {
     * Output: input keys + token span (start_off) + first_chunk /
     * last_chunk / n_chunks. Zero-token docs occupy no span: they
     * report first_chunk = last_chunk = the chunk at their offset and
-    * n_chunks = 0. */
+    * n_chunks = 0.
+    *
+    * `carryCols` ride through unchanged (appended after last_chunk) —
+    * callers that need extra identity columns (e.g. doc_id) pass them
+    * here instead of re-joining the packed result back to the input,
+    * which would execute the input subtree twice. */
   def sequencePack(df: DataFrame, shardCol: String, orderCol: String,
-                   tokensCol: String, capacity: Int): DataFrame = {
+                   tokensCol: String, capacity: Int,
+                   carryCols: Seq[String] = Nil): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
+    val carry = carryCols.map(col)
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val endOff = sum(col(tokensCol)).over(w)
-    df.select(col(shardCol), col(orderCol), col(tokensCol).as("n_tokens"),
-        (endOff - col(tokensCol)).as("start_off"), endOff.as("_end"))
-      .select(col(shardCol), col(orderCol), col("n_tokens"), col("start_off"),
-        floor(col("start_off") / capacity).as("first_chunk"),
+    df.select(col(shardCol) +: col(orderCol) +: col(tokensCol).as("n_tokens") +:
+        (endOff - col(tokensCol)).as("start_off") +: endOff.as("_end") +: carry: _*)
+      .select(col(shardCol) +: col(orderCol) +: col("n_tokens") +: col("start_off") +:
+        floor(col("start_off") / capacity).as("first_chunk") +:
         when(col("n_tokens") > 0, floor((col("_end") - 1) / capacity))
-          .otherwise(floor(col("start_off") / capacity)).as("last_chunk"))
+          .otherwise(floor(col("start_off") / capacity)).as("last_chunk") +: carry: _*)
       .withColumn("n_chunks",
         when(col("n_tokens") > 0, col("last_chunk") - col("first_chunk") + 1)
           .otherwise(lit(0L)))

@@ -46,6 +46,7 @@ object Bm25 {
     * (score desc, doc_id asc). */
   def topK(docs: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"Bm25.topK: k must be >= 1, got $k")
     // the posting table feeds three consumers (the query join, doc
     // lengths, document frequencies): persist it once instead of
     // re-running the corpus explode+groupBy per consumer. This IS the

@@ -49,6 +49,7 @@ object Sampling {
     * (priority, id). */
   def groupSample(df: DataFrame, groupCol: String, idCol: String,
                   k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"groupSample: k must be >= 1, got $k")
     val pri = Vec.md5Hash60(concat(col(idCol).cast("string"), lit("_" + seed)))
     df.select(col(groupCol), col(idCol), pri.as("_pri"))
       .groupBy(col(groupCol))

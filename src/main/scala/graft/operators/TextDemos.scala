@@ -596,11 +596,12 @@ object TextDemos {
       .withColumn("k", key)
       .withColumn("shard", pmod(col("k"), lit(8L)))
       .withColumn("pos", row_number().over(byShard).cast("long"))
-    val packed = Packing.sequencePack(
-      epoch.select(col("shard"), col("pos"), col("n_tokens")),
-      "shard", "pos", "n_tokens", capacity = 2048)
-    epoch.select(col("doc_id"), col("shard"), col("pos"))
-      .join(packed, Seq("shard", "pos"))
+    // doc_id rides through the pack as a carry column: joining the
+    // packed result back to `epoch` would execute the canonicalize
+    // fixpoint subtree twice (once per join side)
+    Packing.sequencePack(
+        epoch.select(col("shard"), col("pos"), col("n_tokens"), col("doc_id")),
+        "shard", "pos", "n_tokens", capacity = 2048, carryCols = Seq("doc_id"))
       .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
         col("start_off"), col("first_chunk"), col("last_chunk"), col("n_chunks"))
       .orderBy("doc_id")

@@ -477,7 +477,7 @@ object OracleGen {
     * as centroidsCore) → per-(vector, subspace, code) squared L2 with
     * 6-place-rounded decimal terms (plain multiply, not pow — IEEE
     * pow(x,2) need not equal x*x) → argmin code per subspace. */
-  private def pqCore(m: Int = 8, dim: Int = 64, minCandId: Int = 5): String = {
+  private def pqCore(m: Int = 8, dim: Int = 64): String = {
     val sub = dim / m
     s"""WITH e AS (
        |  SELECT vec_id, label, CAST((u.i - 1) // $sub AS INT) AS subspace,
@@ -508,7 +508,8 @@ object OracleGen {
   /** mirror of TextDemos.pqTopkDemo: ADC — each query's m×codes
     * subspace-distance table summed over the corpus codes, ranked by
     * the DOUBLE-cast distance (matching Spark's BoundedTopK on the
-    * negated double), ties to the lowest cand_id. */
+    * negated double), ties to the lowest cand_id. The vec_id < 5
+    * query/candidate split is pinned to TextDemos.pqTopkDemo's. */
   def pqTopkSql(k: Int = 5): String =
     s"""${pqCore()}, sc AS (
        |  SELECT d.vec_id AS query_id, c.vec_id AS cand_id,
