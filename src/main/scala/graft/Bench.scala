@@ -74,6 +74,14 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Exception =>
       Console.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+    // append-only history so every run stays machine-comparable across
+    // rounds even when the driver's per-round tail capture truncates
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${System.getProperty("user.dir")}/BENCH_HISTORY.jsonl"),
+      json + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case e: Exception =>
+      Console.err.println(s"[bench] could not append history: ${e.getMessage}") }
     // fixture janitor: drop run-scoped demo tables + tmp dirs so
     // repeated bench runs leave tmpdir/spark-warehouse flat
     graft.util.Fixtures.sweep(spark)

@@ -18,13 +18,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must surface as an explicit record, never a
+        // silent omission: a missing result dir would read as "query not
+        // claimed" in the driver compare and mask a regression (the r7
+        // ts-encoding break produced an all-pass artifact this way)
+        failures += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
       // release operator-persisted intermediates (LSH banded tables etc.)
       // so a 50-query session doesn't accumulate cached partitions
@@ -46,9 +52,22 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable failure manifest next to the results: the driver
+    // (or a human) can join this against oracle_sql.json to see exactly
+    // which claimed queries produced no parquet and why
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     // fixture janitor: drop run-scoped demo tables + tmp dirs so
     // repeated verify runs leave tmpdir/spark-warehouse flat
     graft.util.Fixtures.sweep(spark)
     spark.stop()
+    // exit 0 even on failures: the driver must still compare the queries
+    // that DID produce results (a nonzero exit could zero the round).
+    // The manifest + stderr banner are the explicit failure record.
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} quer" +
+        (if (failures.size == 1) "y" else "ies") +
+        s" FAILED: ${failures.keys.mkString(", ")}")
   }
 }

@@ -26,7 +26,16 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 
-  /** events with `ts` as a proper (microsecond) timestamp. */
+  /** events with `ts` as a proper (microsecond, session-tz) timestamp.
+    *
+    * The generated parquet has shipped `ts` in two encodings across
+    * testdata revisions: TIMESTAMP(NANOS) (read as long under
+    * nanosAsLong) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    * TIMESTAMP_NTZ under Spark 4's NTZ inference). Normalize both to
+    * TimestampType so downstream `unix_micros`/window/watermark code
+    * sees one type. Session tz is pinned to UTC, so the NTZ cast is
+    * deterministic and matches DuckDB's naive-timestamp reading.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType.typeName match {
@@ -34,6 +43,8 @@ object Tables {
         // integer-divide nanos -> micros (double division would lose
         // precision past 2^53), matching DuckDB's truncating ns->us read
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
