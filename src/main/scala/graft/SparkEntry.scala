@@ -85,6 +85,9 @@ object SparkEntry {
     "dedup_canonicalize"   -> (TextDemos.dedupCanonicalize(_, _)),
     "training_shuffle"     -> (TextDemos.trainingShuffle(_, _)),
     "training_prep_e2e"    -> (TextDemos.trainingPrepTail(_, _)),
+    "semantic_dedup"       -> (TextDemos.semanticDedup(_, _)),
+    "dsir_score"           -> (TextDemos.dsirScore(_, _)),
+    "winnow_fingerprint"   -> (TextDemos.winnowFingerprint(_, _)),
     "scd2_history"         -> (Analytics.scd2History(_, _)),
     "bloom_semi_join"      -> (Analytics.bloomSemiJoinDemo(_, _)),
     "lm_score"             -> (TextDemos.lmScore(_, _)),
@@ -763,6 +766,9 @@ object SparkEntry {
     "bm25_topk"         -> graft.oracle.OracleGen.bm25TopkSql(),
     "group_sample"      -> graft.oracle.OracleGen.groupSampleSql(),
     "bigram_lm_score"   -> graft.oracle.OracleGen.bigramLmScoreSql(),
+    "semantic_dedup"    -> graft.oracle.OracleGen.semanticDedupSql(),
+    "dsir_score"        -> graft.oracle.OracleGen.dsirScoreSql(),
+    "winnow_fingerprint" -> graft.oracle.OracleGen.winnowFingerprintSql(),
 
     // C-pipeline E2E: blocklist → outlier trim → exact dedup → hash
     // split, each stage mirroring its standalone oracle's SQL

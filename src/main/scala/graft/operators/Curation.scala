@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Text, Vec}
+
+/** Corpus-curation scoring operators (SURVEY §2C): DSIR importance
+  * weights and winnowing fingerprints. Both follow the lm_score
+  * determinism discipline — per-feature terms round to 6 places and
+  * accumulate in decimal, so partial-aggregation order can never shift
+  * a score and results hash-match the DuckDB oracle bit-for-bit.
+  */
+object Curation {
+
+  /** DSIR importance weight (C41) — Data Selection via Importance
+    * Resampling (Xie et al. 2023, arXiv:2302.03169): score every raw
+    * document by how much more likely its hashed-feature bag is under
+    * the TARGET distribution than under the RAW distribution,
+    * log w(x) = Σ_f log( p_target(f) / p_raw(f) ),
+    * with hashed unigram features (md5-60 mod `buckets` — the paper's
+    * hashed n-grams; swap the token expr for bigrams) and add-0.5
+    * smoothing over the bucket space on both sides. Selecting the
+    * top-weighted documents (or hash-resampling ∝ w) tilts the corpus
+    * toward the target domain.
+    *
+    * Scale shape: ONE corpus tokenize pass reduces to the per-(doc,
+    * bucket) tf table — the only corpus-scale shuffle; bucket counts
+    * for both distributions reduce from it in the SAME aggregate (no
+    * second pass over the target side); the λ table is `buckets` rows
+    * — dimension-scale, broadcast — so scoring is a map-side-combinable
+    * per-doc sum. `isTarget` marks the in-domain rows (a boolean
+    * Column over the doc's columns), so target membership never joins.
+    *
+    * Returns (doc_id, n_tokens, dsir_logweight, selected) with
+    * `selected` = logweight at or above the corpus's `selectQ`
+    * interpolated quantile — the deterministic stand-in for the
+    * paper's importance resampling: the kept fraction is exactly
+    * 1 − selectQ. The threshold reduces to ONE broadcast row
+    * ([[graft.functions.Agg.interpolatedPercentiles]], the
+    * outlier_bounds_filter discipline), so selection adds no
+    * corpus-scale shuffle; at 100 TB swap in approx_percentile for
+    * the exact order statistic, same plan shape. */
+  def dsirScore(docs: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, buckets: Int = 1024,
+                selectQ: Double = 0.8): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val toks = docs.select(col(idCol), isTarget.as("_t"),
+        explode(Text.wsTokens(col(textCol))).as("_tok"))
+      .select(col(idCol), col("_t"),
+        pmod(Vec.md5Hash60(col("_tok")), lit(buckets.toLong)).as("_b"))
+    val tf = toks.groupBy(col(idCol), col("_t"), col("_b"))
+      .agg(count(lit(1)).as("_tf"))
+    val counts = tf.groupBy(col("_b")).agg(
+      sum(when(col("_t"), col("_tf")).otherwise(0L)).as("_ct"),
+      sum(col("_tf")).as("_cr"))
+    val totals = counts.agg(sum(col("_ct")).as("_tt"), sum(col("_cr")).as("_tr"))
+    // λ_b = ln(p_target(b) / p_raw(b)), both add-0.5 smoothed over the
+    // full bucket space; rounded to 6 and held in decimal so the
+    // per-doc sum is order-free. Division order matters for bit parity
+    // — the oracle writes the identical expression.
+    val half = lit(0.5)
+    val halfB = lit(0.5 * buckets)
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("_b"),
+        round(log(((col("_ct") + half) / (col("_tt") + halfB)) /
+                  ((col("_cr") + half) / (col("_tr") + halfB))), 6)
+          .cast("decimal(27,6)").as("_lam"))
+    val scored = tf.join(broadcast(lam), "_b")
+      .groupBy(col(idCol))
+      .agg(sum(col("_tf")).as("n_tokens"),
+        sum(col("_lam") * col("_tf")).cast("double").as("dsir_logweight"))
+    val thr = graft.functions.Agg.interpolatedPercentiles(
+      scored.select(lit(1).as("_g"), col("dsir_logweight")),
+      "_g", "dsir_logweight", Seq("_sel_thr" -> selectQ)).drop("_g")
+    scored.crossJoin(broadcast(thr))
+      .withColumn("selected", col("dsir_logweight") >= col("_sel_thr"))
+      .drop("_sel_thr")
+  }
+
+  /** Positions fit in this many bits of the winnowing packed key; the
+    * 40-bit hash uses the rest of the long. */
+  private val PosBits = 23
+  private val PosCap = 1L << PosBits
+
+  /** Winnowing document fingerprints (C42) — Schleimer, Wilkerson &
+    * Aiken, SIGMOD'03 (the MOSS algorithm): hash every `k`-token gram
+    * positionally, slide a window of `w` consecutive gram hashes, and
+    * in each window select the RIGHTMOST minimal hash; the distinct
+    * selected (pos, hash) set is the document's fingerprint. The
+    * guarantee: any shared run of at least w + k - 1 tokens between
+    * two documents shares at least one fingerprint — so fingerprint
+    * intersection detects overlap at ~1/w the storage of C30's
+    * every-window set, with C11's single rolling hash as the
+    * degenerate w = ∞ case.
+    *
+    * The rightmost-min rule is encoded ARITHMETICALLY: each gram's
+    * comparable key is hash40 · 2^23 + (2^23 − 1 − pos), so a plain
+    * integer MIN over the window frame is simultaneously the minimal
+    * hash and, among equal hashes, the maximal position — no struct
+    * ordering, identical semantics in any engine. Costs: docs cap at
+    * 2^23 grams (8.4M tokens — far beyond any training document; the
+    * operator fails loudly past it) and the hash narrows to 40 bits
+    * (md5 prefix), which only makes fingerprints slightly denser on
+    * collision — winnowing is sampling, not identity.
+    *
+    * Scale shape: map-only gram hashing; ONE shuffle on hash(doc) for
+    * the per-doc ordered window (the sessionize discipline); distinct
+    * is per-doc and map-side combinable. Docs shorter than k + w − 1
+    * tokens have no full window and emit nothing (documented MOSS
+    * behavior — whole-doc matching below that is C1's job). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val grams = docs
+      .select(col(idCol), Text.wsTokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("_toks")) - k),
+          i => conv(substring(md5(concat_ws(" ",
+            slice(col("_toks"), i + 1, lit(k)))), 1, 10), 16, 10).cast("long"))
+      ).as(Seq("_pos", "_h40")))
+    val guarded = grams.select(col(idCol), col("_pos"),
+      when(col("_pos") < PosCap,
+        col("_h40") * PosCap + (lit(PosCap - 1) - col("_pos")))
+        .otherwise(raise_error(lit(
+          s"winnowFingerprints: document exceeds 2^$PosBits grams")))
+        .as("_key"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+      .rowsBetween(-(w - 1), 0)
+    guarded
+      .withColumn("_mkey", min(col("_key")).over(win))
+      .filter(col("_pos") >= w - 1) // full windows only
+      .select(col(idCol),
+        (lit(PosCap - 1) - pmod(col("_mkey"), lit(PosCap))).as("pos"),
+        // integer div — a double-path `/` would corrupt the 63-bit key
+        // (53-bit mantissa)
+        expr(s"_mkey div ${PosCap}L").as("hash"))
+      .distinct()
+  }
+}

@@ -544,6 +544,61 @@ object Similarity {
       .write.mode("append").partitionBy(labelCol).parquet(indexDir)
   }
 
+  /** Semantic deduplication (C40) — SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then within each
+    * cluster drop members that sit within cosine `threshold` of a
+    * better-kept member. The keep rule is the paper's: of a near-dup
+    * pair, the member with the LOWER similarity to its cluster
+    * centroid survives (it contributes more diversity); ties break to
+    * the lower id. The rule is per-pair and order-free — member i
+    * drops iff SOME same-cluster j within threshold beats it
+    * (cent_sim_j < cent_sim_i, or equal and j < i) — so the output is
+    * deterministic under any partitioning, unlike the paper's
+    * sequential greedy sweep.
+    *
+    * Scale shape: centroids are dimension-scale (k × d, broadcast);
+    * the only corpus-scale shuffle is hash(label) for the
+    * within-cluster pair join, so pair work is bounded by the largest
+    * cluster — k is the knob that keeps clusters small (the paper runs
+    * k = 50k on LAION; a label-bucketed layout makes each cluster's
+    * pairs partition-local). The corpus never self-joins globally.
+    *
+    * `labelCol` supplies the clustering (the oracle-exact bootstrap,
+    * as C14/C34); [[kmeansFit]] is the self-trained path. Cosines
+    * round to 6 places before every comparison so the drop decisions
+    * are bit-identical cross-engine. Returns one row per vector:
+    * (id, label, cent_sim, is_kept). */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, threshold: Double): DataFrame = {
+    val c2 = ivfCentroids(vecs, vecCol, labelCol)
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid")))).as("cs"))
+      .select(col(labelCol), transform(col("cs"), x => x.getField("centroid")).as("_cv"))
+    val withCent = vecs
+      .select(col(idCol).as("_id"), col(labelCol).as("_lbl"),
+        transform(col(vecCol), x => x.cast("double")).as("_v"))
+      .join(broadcast(c2).withColumnRenamed(labelCol, "_lbl"), "_lbl")
+      .withColumn("_csim", round(Vec.cosine(col("_v"), col("_cv")), 6))
+    // both pair sides + the report read this; persist so the centroid
+    // aggregation subtree runs once
+    val side = graft.util.CacheRegistry.register(
+      withCent.select(col("_lbl"), col("_id"), col("_v"), col("_csim")).persist())
+    val a = side.select(col("_lbl"), col("_id").as("id_a"),
+      col("_v").as("_va"), col("_csim").as("_ca"))
+    val b = side.select(col("_lbl"), col("_id").as("id_b"),
+      col("_v").as("_vb"), col("_csim").as("_cb"))
+    val dropped = a.join(b, Seq("_lbl"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(round(Vec.cosine(col("_va"), col("_vb")), 6) >= lit(threshold))
+      .filter(col("_cb") < col("_ca") ||
+        (col("_cb") === col("_ca") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("_did")).distinct()
+    side
+      .join(dropped, side("_id") === dropped("_did"), "left")
+      .select(col("_id").as(idCol), col("_lbl").as(labelCol),
+        col("_csim").as("cent_sim"), col("_did").isNull.as("is_kept"))
+  }
+
   /** near-duplicate pairs by embedding cosine above `threshold`,
     * candidate-limited to the shared LSH bucket (id_a < id_b).
     *

@@ -622,4 +622,32 @@ object TextDemos {
     Dedup.scrubDuplicateSpans(Tables.documents(spark, dir), "doc_id", "text",
         k = 8, minDocs = 2, tokenHash = graft.functions.Vec.md5Hash60)
       .orderBy("doc_id")
+
+  /** C40 — SemDeDup semantic deduplication over the embeddings table:
+    * label-bootstrap clusters (the oracle-exact configuration, as
+    * C14/C34; kmeansFit is the self-trained path), within-cluster
+    * near-dups at cosine ≥ 0.25 (the top ~1% of within-cluster pair
+    * sims on this corpus) resolved by the paper's
+    * keep-the-least-central rule. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", "label", threshold = 0.25)
+      .orderBy("vec_id")
+
+  /** C41 — DSIR importance weights with English as the target domain:
+    * every doc scored by Σ_f ln(p_en(f)/p_raw(f)) over 1024 hashed
+    * unigram buckets. English docs should tilt positive, the rest
+    * negative — the selection signal DSIR resamples by. */
+  def dsirScore(spark: SparkSession, dir: String): DataFrame =
+    Curation.dsirScore(Tables.documents(spark, dir), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 1024)
+      .orderBy("doc_id")
+
+  /** C42 — winnowing fingerprints (MOSS): 4-token grams, window 5 —
+    * any shared run of ≥ 8 tokens between documents is guaranteed a
+    * shared fingerprint at ~1/5 the storage of the full window set. */
+  def winnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Curation.winnowFingerprints(Tables.documents(spark, dir),
+        "doc_id", "text", k = 4, w = 5)
+      .orderBy("doc_id", "pos")
 }

@@ -382,6 +382,107 @@ object OracleGen {
       |       (CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf)) < -7.0 AS flagged
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** mirror of Similarity.semanticDedup: label-bootstrap centroids
+    * (the centroidsCore decimal discipline), per-member centroid
+    * cosine, within-cluster pair join at the rounded threshold, the
+    * SemDeDup keep-the-least-central drop rule as an EXISTS set. */
+  def semanticDedupSql(threshold: Double = 0.25): String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), e AS (
+       |  SELECT label, CAST(u.i - 1 AS INT) AS pos, embedding[u.i] AS vv
+       |  FROM embeddings CROSS JOIN UNNEST(range(1, 65)) AS u(i)
+       |), cent AS (
+       |  SELECT label, pos,
+       |         CAST(SUM(CAST(CAST(CAST(vv AS DOUBLE) AS VARCHAR) AS DECIMAL(27,20))) AS DOUBLE) / COUNT(vv) AS centroid
+       |  FROM e GROUP BY label, pos
+       |), c2 AS (
+       |  SELECT label, list(centroid ORDER BY pos) AS cv FROM cent GROUP BY label
+       |), cs AS MATERIALIZED (
+       |  SELECT ev.vec_id, ev.label, ev.v,
+       |         round(${cosineExpr("ev.v", "c2.cv")}, 6) AS cent_sim
+       |  FROM ev JOIN c2 ON ev.label = c2.label
+       |), dropped AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id
+       |  FROM cs a JOIN cs b ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  WHERE round(${cosineExpr("a.v", "b.v")}, 6) >= $threshold
+       |    AND (b.cent_sim < a.cent_sim
+       |         OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+       |)
+       |SELECT cs.vec_id, cs.label, cs.cent_sim, (d.vec_id IS NULL) AS is_kept
+       |FROM cs LEFT JOIN dropped d ON cs.vec_id = d.vec_id
+       |ORDER BY cs.vec_id""".stripMargin
+
+  /** mirror of Curation.dsirScore (target = lang 'en'): hashed-bucket
+    * tf, one counts pass for both distributions, the smoothed
+    * log-ratio λ table rounded into decimal, decimal per-doc sums,
+    * selection at the corpus's interpolated `selectQ` quantile. */
+  def dsirScoreSql(buckets: Int = 1024, selectQ: Double = 0.8): String = {
+    val halfB = 0.5 * buckets
+    val thrSql = interpolatedPercentilesSql(
+      "(SELECT 1 AS _g, dsir_logweight FROM scored)", "_g", "dsir_logweight",
+      Seq("_sel_thr" -> selectQ))
+    s"""WITH toks AS (
+       |  SELECT doc_id, t, ('0x'||substr(md5(tok),1,15))::BIGINT % $buckets AS b
+       |  FROM (
+       |    SELECT doc_id, (lang = 'en') AS t,
+       |           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |    FROM documents)
+       |), tf AS MATERIALIZED (
+       |  SELECT doc_id, t, b, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY doc_id, t, b
+       |), counts AS MATERIALIZED (
+       |  SELECT b, CAST(SUM(CASE WHEN t THEN tf ELSE 0 END) AS BIGINT) AS ct,
+       |         CAST(SUM(tf) AS BIGINT) AS cr
+       |  FROM tf GROUP BY b
+       |), tot AS (
+       |  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr
+       |  FROM counts
+       |), lam AS (
+       |  SELECT b, CAST(round(ln(((ct + 0.5) / (tt + $halfB)) /
+       |                          ((cr + 0.5) / (tr + $halfB))), 6)
+       |              AS DECIMAL(27,6)) AS lam
+       |  FROM counts CROSS JOIN tot
+       |), scored AS MATERIALIZED (
+       |  SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(lam * tf) AS DOUBLE) AS dsir_logweight
+       |  FROM tf JOIN lam ON tf.b = lam.b
+       |  GROUP BY tf.doc_id
+       |), thr AS (
+       |$thrSql
+       |)
+       |SELECT doc_id, n_tokens, dsir_logweight,
+       |       dsir_logweight >= thr._sel_thr AS selected
+       |FROM scored CROSS JOIN thr ORDER BY doc_id""".stripMargin
+  }
+
+  /** mirror of Curation.winnowFingerprints: positional k-gram md5-40
+    * hashes, the packed (hash, −pos) key, plain integer MIN over the
+    * w-row frame, unpacked back to the rightmost-min fingerprint. */
+  def winnowFingerprintSql(k: Int = 4, w: Int = 5): String = {
+    val cap = 1L << 23
+    s"""WITH ws AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+       |  FROM documents
+       |), grams AS MATERIALIZED (
+       |  SELECT doc_id, CAST(u.i - 1 AS INT) AS pos,
+       |         ('0x'||substr(md5(array_to_string(ts[u.i:u.i+${k - 1}], ' ')),1,10))::BIGINT AS h40
+       |  FROM ws CROSS JOIN UNNEST(range(1, len(ts) - $k + 2)) AS u(i)
+       |  WHERE len(ts) >= $k
+       |), m AS (
+       |  SELECT doc_id, pos,
+       |         min(h40 * $cap + (${cap - 1} - pos)) OVER (
+       |           PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS mkey
+       |  FROM grams
+       |)
+       |SELECT DISTINCT doc_id, ${cap - 1} - (mkey % $cap) AS pos,
+       |       mkey // $cap AS hash
+       |FROM m WHERE pos >= ${w - 1} ORDER BY doc_id, pos""".stripMargin
+  }
+
   /** mirror of TextDemos.bm25Topk: posting table → dl/df/consts →
     * broadcast query terms → per-term BM25 rounded to 6 places into
     * decimal (the lm_score discipline) → decimal sum → dense top-k by

@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Similarity}
+
+/** Specs for the curation operators (C40–C42): each checked against an
+  * independent plain-Scala reference, not against their own algebra.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- shared reference hashing (the md5-hex-prefix discipline) ------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def md560(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+  private def md540(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(10), 16)
+
+  private def round6(d: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+
+  // ---- winnowing -----------------------------------------------------
+
+  /** textbook winnowing (Schleimer et al. §4): every window of w gram
+    * hashes selects its rightmost minimum. */
+  private def refWinnow(tokens: IndexedSeq[String], k: Int, w: Int): Set[(Long, Long)] = {
+    if (tokens.size < k) return Set.empty
+    val hs = tokens.sliding(k).map(g => md540(g.mkString(" "))).toIndexedSeq
+    (math.max(w - 1, 0) until hs.size).map { e =>
+      val win = (e - w + 1) to e
+      val minH = win.map(hs).min
+      (win.filter(i => hs(i) == minH).max.toLong, minH)
+    }.toSet
+  }
+
+  test("winnowing matches the textbook reference on randomized docs") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (1L to 30L).map { id =>
+      val n = 1 + rnd.nextInt(40)
+      (id, IndexedSeq.fill(n)(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+    val got = Curation.winnowFingerprints(df, "doc_id", "text", k = 4, w = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    docs.foreach { case (id, ts) =>
+      val want = refWinnow(ts, 4, 5)
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id")
+    }
+  }
+
+  test("winnowing guarantee: a shared run of w+k-1 tokens shares a fingerprint") {
+    val shared = "q w e r t y u i" // 8 tokens = w + k - 1 for k=4, w=5
+    val a = s"a1 a2 a3 a4 a5 $shared a6 a7"
+    val b = s"b1 $shared b2 b3 b4 b5 b6 b7 b8"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val fps = Curation.winnowFingerprints(df, "doc_id", "text", k = 4, w = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getLong(2)).toSet }
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+  }
+
+  test("winnowing emits nothing below one full window and nothing for short docs") {
+    val df = Seq(
+      (1L, "a b c"),           // < k tokens: no grams
+      (2L, "a b c d"),         // 1 gram < w: no full window
+      (3L, "a b c d e f g h") // 5 grams = exactly one full window
+    ).toDF("doc_id", "text")
+    val got = Curation.winnowFingerprints(df, "doc_id", "text", k = 4, w = 5).collect()
+    assert(!got.exists(r => r.getLong(0) == 1L || r.getLong(0) == 2L))
+    assert(got.count(_.getLong(0) == 3L) == 1)
+  }
+
+  // ---- DSIR ----------------------------------------------------------
+
+  test("dsirScore matches a BigDecimal reference incl. quantile selection") {
+    val docs = Seq(
+      (1L, "apple banana apple cherry", true),
+      (2L, "apple cherry banana", true),
+      (3L, "dog dog banana cat", false),
+      (4L, "dog cat mouse", false),
+      (5L, "apple dog", false),
+      (6L, "", false) // tokenless: drops from the output
+    )
+    val B = 8
+    // reference: bucket tf per doc, target/raw counts, smoothed log
+    // ratios rounded into decimal, exact decimal sums
+    val tf = docs.flatMap { case (id, text, t) =>
+      text.split(" ").filter(_.nonEmpty)
+        .map(tok => ((id, t, md560(tok) % B), 1L))
+    }.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+    val ct = tf.groupBy(_._1._3).map { case (b, m) =>
+      b -> m.collect { case ((_, t, _), n) if t => n }.sum
+    }
+    val cr = tf.groupBy(_._1._3).map { case (b, m) => b -> m.values.sum }
+    val tt = ct.values.sum.toDouble
+    val tr = cr.values.sum.toDouble
+    val lam = cr.keys.map { b =>
+      val pt = (ct.getOrElse(b, 0L) + 0.5) / (tt + 0.5 * B)
+      val pr = (cr(b) + 0.5) / (tr + 0.5 * B)
+      b -> round6(math.log(pt / pr))
+    }.toMap
+    val want = tf.groupBy(_._1._1).map { case (id, m) =>
+      val score = m.map { case ((_, _, b), n) =>
+        lam(b).multiply(java.math.BigDecimal.valueOf(n))
+      }.reduce(_ add _)
+      id -> (m.values.sum, score.doubleValue)
+    }
+    // threshold: lo + (hi - lo) * frac at q = 0.5 over the 5 scores
+    val sorted = want.values.map(_._2).toSeq.sorted
+    val pos = (sorted.size - 1) * 0.5
+    val li = math.floor(pos).toInt
+    val thr = sorted(li) + (sorted(math.min(li + 1, sorted.size - 1)) - sorted(li)) * (pos - li)
+
+    val df = docs.map { case (id, text, t) => (id, text, t) }.toDF("doc_id", "text", "t")
+    val got = Curation.dsirScore(df, "doc_id", "text", col("t"), buckets = B, selectQ = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.keySet == want.keySet) // doc 6 absent
+    want.foreach { case (id, (n, score)) =>
+      val (gn, gs, sel) = got(id)
+      assert(gn == n, s"doc $id n_tokens")
+      assert(gs == score, s"doc $id score: got $gs want $score")
+      assert(sel == (score >= thr), s"doc $id selected")
+    }
+    assert(got.values.count(_._3) == 3) // p50 over 5 docs keeps the top 3
+  }
+
+  test("dsirScore tilts toward the target: target-heavy tokens score higher") {
+    // two disjoint vocabularies; target docs use only vocab T
+    val docs = (1L to 10L).map { id =>
+      val t = id <= 5
+      val toks = if (t) Seq("t1", "t2", "t3") else Seq("r1", "r2", "r3")
+      (id, toks.mkString(" "), t)
+    }
+    val got = Curation.dsirScore(docs.toDF("doc_id", "text", "t"),
+        "doc_id", "text", col("t"), buckets = 64, selectQ = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val tScores = (1L to 5L).map(got)
+    val rScores = (6L to 10L).map(got)
+    assert(tScores.min > rScores.max)
+  }
+
+  // ---- SemDeDup ------------------------------------------------------
+
+  test("semanticDedup keeps the least-central member of a near-dup pair") {
+    val emb = Seq(
+      // cluster 0: (1,2) near-dup — 2 is nearer the centroid, so 2 drops
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.999f, 0.03f), 0),
+      (3L, Seq(0.0f, 1.0f), 0), // distinct: kept
+      // cluster 1: (5,6) identical — tie breaks to the LOWER id kept
+      (4L, Seq(1.0f, 0.0f), 1), // near-dup of 1 but ANOTHER cluster: kept
+      (5L, Seq(0.0f, 1.0f), 1),
+      (6L, Seq(0.0f, 1.0f), 1),
+      // singleton cluster: trivially kept
+      (7L, Seq(0.5f, 0.5f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding", "label", 0.25)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val want = Map(1L -> true, 2L -> false, 3L -> true, 4L -> true,
+      5L -> true, 6L -> false, 7L -> true)
+    assert(got == want)
+  }
+
+  test("semanticDedup drop decisions agree with a brute-force reference") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 60L).map { id =>
+      (id, IndexedSeq.fill(4)(rnd.nextGaussian().toFloat), (id % 3).toInt)
+    }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // reference centroids: plain per-label per-dim double means (the
+    // operator's decimal path agrees to far beyond the 6-place round)
+    val cents = rows.groupBy(_._3).map { case (l, rs) =>
+      l -> (0 until 4).map(d => rs.map(_._2(d).toDouble).sum / rs.size)
+    }
+    def r6(d: Double) = round6(d).doubleValue
+    val centSim = rows.map { case (id, v, l) =>
+      id -> r6(cos(v.map(_.toDouble), cents(l)))
+    }.toMap
+    val tau = 0.6
+    val want = rows.map { case (id, v, l) =>
+      val beaten = rows.exists { case (jid, jv, jl) =>
+        jl == l && jid != id && r6(cos(v.map(_.toDouble), jv.map(_.toDouble))) >= tau &&
+          (centSim(jid) < centSim(id) || (centSim(jid) == centSim(id) && jid < id))
+      }
+      id -> !beaten
+    }.toMap
+    val got = Similarity.semanticDedup(
+        rows.toDF("vec_id", "embedding", "label"), "vec_id", "embedding", "label", tau)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == want)
+  }
+}
