@@ -92,6 +92,8 @@ object SparkEntry {
     "bloom_semi_join"      -> (Analytics.bloomSemiJoinDemo(_, _)),
     "lm_score"             -> (TextDemos.lmScore(_, _)),
     "source_mix"           -> (TextDemos.sourceMix(_, _)),
+    "temperature_mix"      -> (TextDemos.temperatureMix(_, _)),
+    "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
     "q3_shipping_bloom"    -> (Analytics.q3ShippingPriorityBloom(_, _)),
     "salted_skew_join"     -> (Analytics.saltedSkewJoinDemo(_, _)),
     "bucketed_colocated_join" -> (Analytics.bucketedColocatedJoin(_, _)),
@@ -769,6 +771,7 @@ object SparkEntry {
     "semantic_dedup"    -> graft.oracle.OracleGen.semanticDedupSql(),
     "dsir_score"        -> graft.oracle.OracleGen.dsirScoreSql(),
     "winnow_fingerprint" -> graft.oracle.OracleGen.winnowFingerprintSql(),
+    "quality_classifier" -> graft.oracle.OracleGen.logregScoreSql(),
 
     // C-pipeline E2E: blocklist → outlier trim → exact dedup → hash
     // split, each stage mirroring its standalone oracle's SQL
@@ -1044,6 +1047,25 @@ object SparkEntry {
         |           % 1000000 AS DOUBLE) < f.keep_frac * 1000000.0
         |GROUP BY d.source, f.keep_frac
         |ORDER BY d.source""".stripMargin,
+
+    // q_s ∝ p_s^0.5 downsample-only: keep_frac = (n/n_min)^(0.5-1);
+    // pow/division order mirrors Sampling.temperatureMix exactly
+    "temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        |), m AS (
+        |  SELECT MIN(n) AS nmin FROM c
+        |), f AS (
+        |  SELECT lang,
+        |         pow(CAST(n AS DOUBLE) / CAST(m.nmin AS DOUBLE), -0.5) AS keep_frac
+        |  FROM c CROSS JOIN m
+        |)
+        |SELECT d.lang, COUNT(*) AS n_kept, round(f.keep_frac, 6) AS keep_frac
+        |FROM documents d JOIN f ON d.lang = f.lang
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 1000000 AS DOUBLE) < f.keep_frac * 1000000.0
+        |GROUP BY d.lang, f.keep_frac
+        |ORDER BY d.lang""".stripMargin,
 
     "bloom_semi_join" ->
       s"""SELECT l_returnflag, COUNT(*) AS n_lines, ${dsum("l_quantity")} AS sum_qty

@@ -67,6 +67,10 @@ object Curation {
         round(log(((col("_ct") + half) / (col("_tt") + halfB)) /
                   ((col("_cr") + half) / (col("_tr") + halfB))), 6)
           .cast("decimal(27,6)").as("_lam"))
+    // scored feeds BOTH the threshold reduction and the output join;
+    // no persist on purpose: the two consumers share the aggregation
+    // subtree and Spark's ReusedExchange serves the second from the
+    // first's shuffle files (measured faster than a persist here)
     val scored = tf.join(broadcast(lam), "_b")
       .groupBy(col(idCol))
       .agg(sum(col("_tf")).as("n_tokens"),

@@ -67,6 +67,38 @@ object Sampling {
                  fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
 
+  /** Temperature-scaled source mixing (C44) — the multinomial
+    * flattening of the GPT-3 / PaLM / mT5 data recipes: target source
+    * probabilities q_s ∝ p_s^α with p_s the corpus shares and
+    * α ∈ (0, 1] the temperature (α = 1 keeps the natural mix, α → 0
+    * approaches uniform). Downsample-only: the largest total
+    * consistent with q is kept, which reduces to per-source keep
+    * fraction f_s = (n_s / n_min)^(α−1) — the SMALLEST source
+    * survives whole and larger sources flatten toward it; the
+    * normalization constant cancels, so no Σ q_s is ever computed.
+    * (Upsampling, the other half of the published recipes, is epoch
+    * repetition at training time, not a corpus transform.)
+    *
+    * Same scale shape as [[sourceMix]]: one count aggregation reduces
+    * to a broadcast per-source fraction table, membership is
+    * deterministic key-hash thresholding, and the corpus itself never
+    * shuffles. Adds `keep_frac` to surviving rows. */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
+                     alpha: Double,
+                     hash: Column => Column = Vec.md5Hash60): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      s"temperatureMix: alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    val nMin = counts.agg(min(col("_n")).as("_nmin"))
+    val fracs = counts.crossJoin(broadcast(nMin))
+      .select(col(sourceCol),
+        pow(col("_n").cast("double") / col("_nmin").cast("double"),
+          lit(alpha - 1.0)).as("keep_frac"))
+    df.join(broadcast(fracs), sourceCol)
+      .filter(pmod(hash(col(keyCol).cast("string")), lit(1000000)).cast("double") <
+        col("keep_frac") * 1000000.0)
+  }
+
   /** Mixture rebalancing for training-data composition: given target
     * weights per source, keep the LARGEST total consistent with the
     * weights — T = min over sources of n_s/w_s, per-source keep

@@ -483,6 +483,34 @@ object TextDemos {
       .agg(count(lit(1)).as("n_kept"), round(min(col("keep_frac")), 6).as("keep_frac"))
       .orderBy("source")
 
+  /** C45 — in-engine quality classifier: logistic regression on 1024
+    * hashed binary unigram buckets, trained by 20 relational
+    * full-batch GD rounds, then every doc scored by the trained
+    * weights (see [[Classifier]]). The reference-class label here is a
+    * marker-token membership (`key` ∈ tokens) — the synthetic corpus
+    * has no curated/crawl divide, and a text-derived label makes the
+    * learned boundary independently checkable (the demo trains to
+    * ~100% accuracy); in production the label is the curated-vs-crawl
+    * flag of the GPT-3/CCNet recipe and the operator is label-
+    * agnostic. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    Classifier.logregScore(Tables.documents(spark, dir), "doc_id", "text",
+        label = array_contains(Text.wsTokens(col("text")), "key"))
+      .orderBy("doc_id")
+
+  /** C44 — temperature-scaled source mixing at α = 0.5: large groups
+    * flatten toward the smallest (f_s = (n_s/n_min)^−0.5), the
+    * smallest survives whole — the GPT-3/PaLM multinomial recipe as a
+    * deterministic downsample. Mixes by `lang` (the skewed grouping on
+    * this corpus — `source` is uniform at sf0.01, which would make
+    * every keep_frac 1). */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(Tables.documents(spark, dir), "lang", "doc_id",
+        alpha = 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), round(min(col("keep_frac")), 6).as("keep_frac"))
+      .orderBy("lang")
+
   /** C38 — deterministic exact-k per-source sample: the 10 docs per
     * source with the smallest seed-17 hash priorities (uniform,
     * reproducible, redrawn by seed — see [[Sampling.groupSample]]). */

@@ -483,6 +483,58 @@ object OracleGen {
        |FROM m WHERE pos >= ${w - 1} ORDER BY doc_id, pos""".stripMargin
   }
 
+  /** mirror of Classifier.logregScore: the same hashed L1-normalized
+    * features + bias pseudo-bucket, then `rounds` UNROLLED full-batch
+    * GD rounds — margin (rounded-term decimal sum) → σ rounded to 6 →
+    * gradient (rounded-term decimal sum) → weight round — exactly the
+    * Spark loop's algebra, ending in the final scoring join. */
+  def logregScoreSql(buckets: Int = 1024, rounds: Int = 20,
+                     lr: Double = 10.0): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""m$r AS (
+         |  SELECT fx.doc_id, fx.y,
+         |         CAST(SUM(CAST(round(w.w * fx.x, 9) AS DECIMAL(27,9))) AS DOUBLE) AS m
+         |  FROM fx JOIN w${r - 1} w ON fx.b = w.b GROUP BY fx.doc_id, fx.y
+         |), p$r AS (
+         |  SELECT doc_id, y, round(1.0 / (1.0 + exp(-m)), 6) AS p FROM m$r
+         |), g$r AS (
+         |  SELECT fx.b,
+         |         CAST(SUM(CAST(round(fx.x * (p.y - p.p), 9) AS DECIMAL(27,9))) AS DOUBLE)
+         |           / (SELECT nd FROM nd) AS g
+         |  FROM fx JOIN p$r p ON fx.doc_id = p.doc_id GROUP BY fx.b
+         |), w$r AS MATERIALIZED (
+         |  SELECT w.b, round(w.w + $lr * COALESCE(g.g, 0.0), 6) AS w
+         |  FROM w${r - 1} w LEFT JOIN g$r g ON w.b = g.b
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, y, ('0x'||substr(md5(tok),1,15))::BIGINT % $buckets AS b
+       |  FROM (
+       |    SELECT doc_id,
+       |           CASE WHEN list_contains(list_filter(string_split(text, ' '),
+       |                                               x -> x <> ''), 'key')
+       |                THEN 1.0 ELSE 0.0 END AS y,
+       |           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |    FROM documents)
+       |), fx AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, y, b, 1.0 AS x FROM toks
+       |  UNION ALL
+       |  SELECT DISTINCT doc_id, y, CAST(-1 AS BIGINT) AS b, 1.0 AS x FROM toks
+       |), w0 AS (
+       |  SELECT DISTINCT b, 0.0 AS w FROM fx
+       |), nd AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM fx WHERE b = -1
+       |), $roundCtes, mf AS (
+       |  SELECT fx.doc_id, fx.y,
+       |         CAST(SUM(CAST(round(w.w * fx.x, 9) AS DECIMAL(27,9))) AS DOUBLE) AS m
+       |  FROM fx JOIN w$rounds w ON fx.b = w.b GROUP BY fx.doc_id, fx.y
+       |)
+       |SELECT doc_id, y = 1.0 AS is_target,
+       |       round(1.0 / (1.0 + exp(-m)), 6) AS score,
+       |       round(1.0 / (1.0 + exp(-m)), 6) >= 0.5 AS predicted
+       |FROM mf ORDER BY doc_id""".stripMargin
+  }
+
   /** mirror of TextDemos.bm25Topk: posting table → dl/df/consts →
     * broadcast query terms → per-term BM25 rounded to 6 places into
     * decimal (the lm_score discipline) → decimal sum → dense top-k by

@@ -102,6 +102,30 @@ class FilteringSpec extends SparkSpec {
     assert(rep == skew.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("C44 temperature mix: smallest source whole, larger ones flatten by (n/nmin)^(a-1)") {
+    import spark.implicits._
+    val docs = ((1L to 900L).map(i => (i, "big")) ++
+      (901L to 1000L).map(i => (i, "small"))).toDF("id", "src")
+    val out = graft.operators.Sampling.temperatureMix(docs, "src", "id", alpha = 0.5)
+    val fracs = out.select("src", "keep_frac").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fracs("small") == 1.0)
+    assert(math.abs(fracs("big") - math.pow(9.0, -0.5)) < 1e-12)
+    val n = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n("small") == 100L) // the smallest source survives whole
+    // hash thresholding tracks the fraction approximately
+    assert(n("big") > 240 && n("big") < 360, s"got ${n("big")}")
+    // alpha = 1 is the identity mix
+    val id = graft.operators.Sampling.temperatureMix(docs, "src", "id", alpha = 1.0)
+    assert(id.count() == 1000L)
+    // membership is partitioning-invariant
+    val rep = graft.operators.Sampling.temperatureMix(
+      docs.repartition(7), "src", "id", alpha = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(rep == out.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("C26 lm score: common-token docs score higher than rare-token docs") {
     val out = graft.operators.TextDemos.lmScore(spark, sfDir).collect()
     assert(out.length == 500)
