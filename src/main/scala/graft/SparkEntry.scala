@@ -94,6 +94,7 @@ object SparkEntry {
     "source_mix"           -> (TextDemos.sourceMix(_, _)),
     "temperature_mix"      -> (TextDemos.temperatureMix(_, _)),
     "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
+    "knn_graph"            -> (TextDemos.knnGraphDemo(_, _)),
     "q3_shipping_bloom"    -> (Analytics.q3ShippingPriorityBloom(_, _)),
     "salted_skew_join"     -> (Analytics.saltedSkewJoinDemo(_, _)),
     "bucketed_colocated_join" -> (Analytics.bucketedColocatedJoin(_, _)),
@@ -772,6 +773,7 @@ object SparkEntry {
     "dsir_score"        -> graft.oracle.OracleGen.dsirScoreSql(),
     "winnow_fingerprint" -> graft.oracle.OracleGen.winnowFingerprintSql(),
     "quality_classifier" -> graft.oracle.OracleGen.logregScoreSql(),
+    "knn_graph"          -> graft.oracle.OracleGen.knnGraphSql(),
 
     // C-pipeline E2E: blocklist → outlier trim → exact dedup → hash
     // split, each stage mirroring its standalone oracle's SQL

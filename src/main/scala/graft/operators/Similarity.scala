@@ -544,6 +544,46 @@ object Similarity {
       .write.mode("append").partitionBy(labelCol).parquet(indexDir)
   }
 
+  /** k-NN graph (C46): every corpus vector's approximate k nearest
+    * neighbors, LSH-bucket-restricted — the corpus plays both sides
+    * (no broadcast: the bucket equi-join shuffles each side once on
+    * its bucket id, and candidate work is bucket-local, exactly the
+    * [[embeddingNearDup]] scale shape with multi-probe recall on
+    * top). Self-pairs are excluded before ranking so they never
+    * occupy a top-k slot. Returns (query_id, cand_id, sim, rank). */
+  def knnGraph(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+               nPlanes: Int, dim: Int, probeBits: Int = 1): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63], got $nPlanes")
+    require(probeBits >= 0 && probeBits <= nPlanes,
+      s"probeBits must be in [0, $nPlanes], got $probeBits")
+    val planes = Vec.hyperplanes(nPlanes, dim)
+    val flips = hammingBallMasks(nPlanes, probeBits)
+    val index = vecs.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", Vec.lshBucket(col("cv"), planes))
+    val probes = array(flips.map(lit): _*)
+    val qB = vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket0", Vec.lshBucket(col("qv"), planes))
+      .withColumn("bucket",
+        explode(transform(probes, f => col("bucket0").bitwiseXOR(f))))
+      .drop("bucket0")
+    val scored = qB.join(index, "bucket")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", Vec.cosineFast(col("qv"), col("cv")))
+    topK(scored, k, "query_id", "cand_id")
+  }
+
+  /** The MUTUAL-kNN edge set over a [[knnGraph]] result: undirected
+    * edges (id_a < id_b) kept only when each endpoint ranks in the
+    * other's top k — the standard symmetrization that makes kNN graphs
+    * robust for clustering / diversity sampling (a hub node's one-way
+    * arrows drop out). Input is persisted by the caller when both
+    * directions come from the same computation. */
+  def mutualKnnEdges(knn: DataFrame): DataFrame =
+    knn.select(col("query_id").as("id_a"), col("cand_id").as("id_b"), col("sim"))
+      .join(knn.select(col("cand_id").as("id_a"), col("query_id").as("id_b")),
+        Seq("id_a", "id_b"))
+      .filter(col("id_a") < col("id_b"))
+
   /** Semantic deduplication (C40) — SemDeDup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, then within each
     * cluster drop members that sit within cosine `threshold` of a

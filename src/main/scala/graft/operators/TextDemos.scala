@@ -483,6 +483,19 @@ object TextDemos {
       .agg(count(lit(1)).as("n_kept"), round(min(col("keep_frac")), 6).as("keep_frac"))
       .orderBy("source")
 
+  /** C46 — mutual-kNN graph over the embeddings table: each vector's
+    * LSH-restricted top-5 neighbors, symmetrized to the undirected
+    * mutual edge set (see [[Similarity.knnGraph]]). The knn result
+    * persists because both join sides of the symmetrization read it. */
+  def knnGraphDemo(spark: SparkSession, dir: String): DataFrame = {
+    val knn = graft.util.CacheRegistry.register(
+      Similarity.knnGraph(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", k = 5, nPlanes = 8, dim = 64).persist())
+    Similarity.mutualKnnEdges(knn)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("id_a", "id_b")
+  }
+
   /** C45 — in-engine quality classifier: logistic regression on 1024
     * hashed binary unigram buckets, trained by 20 relational
     * full-batch GD rounds, then every doc scored by the trained

@@ -283,6 +283,32 @@ object OracleGen {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** mirror of TextDemos.knnGraphDemo: the annLshSql shape with the
+    * corpus on both sides, self-pairs excluded before ranking, then
+    * the mutual (both-directions top-k) symmetrization. */
+  def knnGraphSql(nPlanes: Int = 8, dim: Int = 64, k: Int = 5,
+                  probeBits: Int = 1): String = {
+    val planes = Vec.hyperplanes(nPlanes, dim)
+    val flips = graft.operators.Similarity.hammingBallMasks(nPlanes, probeBits)
+      .mkString("[", ", ", "]")
+    s"""WITH c0 AS (SELECT vec_id, embedding FROM embeddings),
+       |cb AS MATERIALIZED (SELECT vec_id AS cand_id, embedding AS cv,
+       |       ${bucketExpr("embedding", planes)} AS bucket FROM c0),
+       |qb AS (SELECT cand_id AS query_id, cv AS qv, xor(bucket, u.f) AS bucket
+       |       FROM cb CROSS JOIN (SELECT unnest($flips) AS f) u),
+       |x AS (SELECT query_id, cand_id, ${cosineExpr("qv", "cv")} AS sim
+       |      FROM qb JOIN cb USING (bucket) WHERE query_id <> cand_id),
+       |r AS MATERIALIZED (
+       |      SELECT query_id, cand_id, sim,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+       |      FROM x),
+       |t AS (SELECT query_id, cand_id, sim FROM r WHERE rank <= $k)
+       |SELECT a.query_id AS id_a, a.cand_id AS id_b, round(a.sim, 6) AS sim
+       |FROM t a JOIN t b ON a.query_id = b.cand_id AND a.cand_id = b.query_id
+       |WHERE a.query_id < a.cand_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val centroidsCore =
     """WITH e AS (
       |  SELECT label, CAST(u.i - 1 AS INT) AS pos, embedding[u.i] AS v

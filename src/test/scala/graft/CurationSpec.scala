@@ -145,6 +145,40 @@ class CurationSpec extends SparkSpec {
     assert(tScores.min > rScores.max)
   }
 
+  // ---- kNN graph -----------------------------------------------------
+
+  test("knnGraph at full probe matches exact brute-force mutual-kNN") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 20L).map { id =>
+      (id, IndexedSeq.fill(4)(rnd.nextGaussian().toFloat))
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      ad.zip(bd).map { case (x, y) => x * y }.sum /
+        (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val k = 3
+    val topk = rows.map { case (id, v) =>
+      id -> rows.filter(_._1 != id)
+        .map { case (j, u) => (j, cos(v, u)) }
+        .sortBy { case (j, s) => (-s, j) }.take(k).map(_._1).toSet
+    }.toMap
+    val wantEdges = (for {
+      (a, na) <- topk.toSeq; b <- na
+      if a < b && topk(b).contains(a)
+    } yield (a, b)).toSet
+    // probeBits = nPlanes probes every bucket -> candidate set is the
+    // whole corpus, so the LSH graph must equal the exact one
+    val knn = graft.operators.Similarity.knnGraph(
+      rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      k = k, nPlanes = 4, dim = 4, probeBits = 4)
+    val self = knn.filter(col("query_id") === col("cand_id")).count()
+    assert(self == 0L)
+    val got = graft.operators.Similarity.mutualKnnEdges(knn)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == wantEdges)
+  }
+
   // ---- SemDeDup ------------------------------------------------------
 
   test("semanticDedup keeps the least-central member of a near-dup pair") {
