@@ -95,6 +95,8 @@ object SparkEntry {
     "temperature_mix"      -> (TextDemos.temperatureMix(_, _)),
     "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
     "knn_graph"            -> (TextDemos.knnGraphDemo(_, _)),
+    "chunk_overlap"        -> (TextDemos.chunkOverlapDemo(_, _)),
+    "vec_quantize"         -> (TextDemos.vecQuantizeDemo(_, _)),
     "q3_shipping_bloom"    -> (Analytics.q3ShippingPriorityBloom(_, _)),
     "salted_skew_join"     -> (Analytics.saltedSkewJoinDemo(_, _)),
     "bucketed_colocated_join" -> (Analytics.bucketedColocatedJoin(_, _)),
@@ -774,6 +776,43 @@ object SparkEntry {
     "winnow_fingerprint" -> graft.oracle.OracleGen.winnowFingerprintSql(),
     "quality_classifier" -> graft.oracle.OracleGen.logregScoreSql(),
     "knn_graph"          -> graft.oracle.OracleGen.knnGraphSql(),
+
+    // sliding-window chunking: starts = range(0, n, stride); chunk_idx
+    // = start/stride (starts are exact multiples, so the integer
+    // division mirrors posexplode's ordinal)
+    "chunk_overlap" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(u.s // 48 AS BIGINT) AS chunk_idx,
+        |       CAST(u.s AS BIGINT) AS start_tok,
+        |       CAST(LEAST(64, len(ts) - u.s) AS BIGINT) AS n_tokens,
+        |       array_to_string(ts[u.s + 1 : u.s + 64], ' ') AS chunk_text
+        |FROM ws CROSS JOIN UNNEST(range(0, len(ts), 48)) AS u(s)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // symmetric int8 quantization: the clamp/round expression appears
+    // twice (codes + error) exactly as the Spark side evaluates it
+    "vec_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings
+        |), a AS (
+        |  SELECT vec_id, vd,
+        |         round(list_max(list_transform(vd, x -> abs(x))) / 127.0, 9) AS scale
+        |  FROM v
+        |)
+        |SELECT vec_id, scale,
+        |       array_to_string(list_transform(vd, x ->
+        |         CAST(CASE WHEN scale = 0 THEN 0
+        |                   ELSE GREATEST(-127, LEAST(127, CAST(round(x / scale, 0) AS BIGINT)))
+        |              END AS VARCHAR)), ',') AS codes,
+        |       CASE WHEN scale = 0 THEN 0.0
+        |            ELSE round(list_max(list_transform(vd, x ->
+        |                   abs(x - GREATEST(-127, LEAST(127, CAST(round(x / scale, 0) AS BIGINT))) * scale))), 9)
+        |       END AS max_abs_err
+        |FROM a ORDER BY vec_id""".stripMargin,
 
     // C-pipeline E2E: blocklist → outlier trim → exact dedup → hash
     // split, each stage mirroring its standalone oracle's SQL

@@ -47,12 +47,11 @@ object Classifier {
     present.unionByName(bias)
   }
 
-  /** Train `rounds` full-batch GD rounds; returns the final weight
-    * table (bucket −1 = bias). Weights start at 0 (so round 1 sees
-    * σ = 0.5 exactly), update w ← round(w + lr·grad, 6) with
-    * grad_b = Σ_d x_db · (y_d − σ_d) and σ = round(logistic(margin), 6).
-    * All Σ are rounded-term decimal sums. */
-  /** the GD loop over a prepared (persisted) feature table. */
+  /** The GD loop over a prepared (persisted) feature table. Weights
+    * start at 0 (so round 1 sees σ = 0.5 exactly), update
+    * w ← round(w + lr·grad, 6) with grad_b = (1/N)·Σ_d x_db·(y_d − σ_d)
+    * and σ = round(logistic(margin), 6). All Σ are rounded-term
+    * decimal sums. Returns the final weights (bucket −1 = bias). */
   private def trainOn(feats: DataFrame, idCol: String, rounds: Int,
                       lr: Double): Map[Long, Double] = {
     val spark = feats.sparkSession
@@ -90,12 +89,13 @@ object Classifier {
   }
 
   def logregTrain(docs: DataFrame, idCol: String, textCol: String,
-                  label: Column, buckets: Int = 1024, rounds: Int = 20,
-                  lr: Double = 10.0): DataFrame = {
+                  label: Column, buckets: Int = 1024, rounds: Int = 12,
+                  lr: Double = 20.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val feats = graft.util.CacheRegistry.register(
-      featureTable(docs, idCol, textCol, label, buckets).persist())
+      featureTable(docs, idCol, textCol, label, buckets)
+        .repartition(col(idCol)).persist())
     trainOn(feats, idCol, rounds, lr).toSeq.toDF("bucket", "weight")
   }
 
@@ -104,12 +104,17 @@ object Classifier {
     * pass reuses the persisted feature table — one extra broadcast
     * join over it, no re-tokenize. */
   def logregScore(docs: DataFrame, idCol: String, textCol: String,
-                  label: Column, buckets: Int = 1024, rounds: Int = 20,
-                  lr: Double = 10.0): DataFrame = {
+                  label: Column, buckets: Int = 1024, rounds: Int = 12,
+                  lr: Double = 20.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // hash-partitioned by doc id once: HashPartitioning(id) satisfies
+    // the per-doc margin aggregation's ClusteredDistribution((id, y)),
+    // so every GD round's margin agg reads the cache with NO exchange —
+    // only the bucket-scale gradient agg shuffles per round
     val feats = graft.util.CacheRegistry.register(
-      featureTable(docs, idCol, textCol, label, buckets).persist())
+      featureTable(docs, idCol, textCol, label, buckets)
+        .repartition(col(idCol)).persist())
     val w = trainOn(feats, idCol, rounds, lr).toSeq.toDF("_b", "_w")
     feats.join(broadcast(w), "_b")
       .groupBy(col(idCol), col("_y"))

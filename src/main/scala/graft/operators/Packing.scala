@@ -71,4 +71,42 @@ object Packing {
       .groupBy(col(shardCol), col("chunk"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_in_chunk")).as("tokens_filled"))
+
+  /** Sliding-window document chunking (C47) — the retrieval/embedding
+    *-pipeline precursor: each doc splits into windows of `size`
+    * tokens starting every `stride` tokens (stride < size overlaps,
+    * the RAG convention that keeps sentences intact across chunk
+    * boundaries; stride = size is disjoint chunking). Every start
+    * below the token count emits, so the tail chunk may be short and
+    * a doc shorter than `size` yields exactly one chunk of itself;
+    * tokenless docs emit nothing.
+    *
+    * Map-only at any scale: chunk starts are a per-row `sequence` over
+    * the token array, exploded — no shuffle, no window function, and
+    * chunk ids are pure functions of the doc so the output is
+    * partitioning/retry-invariant. Output: (id, chunk_idx, start_tok,
+    * n_tokens, chunk_text). */
+  def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
+                   size: Int, stride: Int): DataFrame = {
+    require(size >= 1, s"chunkOverlap: size must be >= 1, got $size")
+    require(stride >= 1 && stride <= size,
+      s"chunkOverlap: stride must be in [1, size], got $stride")
+    docs
+      .select(col(idCol), graft.functions.Text.wsTokens(col(textCol)).as("_toks"))
+      .filter(size_(col("_toks")) >= 1)
+      .select(col(idCol), col("_toks"),
+        // sequence(0, n-1, stride) = every chunk start below the token
+        // count, directly — no div/mod arithmetic to mirror in SQL
+        posexplode(sequence(lit(0), size_(col("_toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(size), size_(col("_toks")) - col("start_tok")).cast("long")
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("_toks"), col("start_tok") + 1, lit(size)))
+          .as("chunk_text"))
+  }
+
+  // functions.size is shadowed by the `size` parameter above
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

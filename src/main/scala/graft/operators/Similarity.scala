@@ -544,6 +544,35 @@ object Similarity {
       .write.mode("append").partitionBy(labelCol).parquet(indexDir)
   }
 
+  /** Symmetric int8 vector quantization (C48) — the serving-side
+    * compression every large ANN deployment runs before PQ is worth
+    * its training: per vector, scale = round(max|v_i| / 127, 9) and
+    * q_i = clamp(round(v_i / scale), −127, 127), shrinking a float
+    * corpus 4× (and, composed with [[lshTopKWithIndex]]-style
+    * serving, the scan/shuffle volume with it) at a bounded
+    * reconstruction error |v_i − q_i·scale| ≤ scale/2 + rounding.
+    * Zero vectors quantize to all-zero codes with scale 0. Map-only:
+    * one pass, no shuffle, no state. round() is half-away-from-zero
+    * in both engines, so codes are bit-identical cross-engine; codes
+    * emit as a comma-joined string (the bpe_encode convention — the
+    * driver compare treats arrays unreliably across engines).
+    * Output: (id, scale, codes, max_abs_err). */
+  def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val amax = array_max(transform(vd, x => abs(x)))
+    val scale = round(amax / lit(127.0), 9)
+    val codes = transform(vd, x =>
+      when(scale === 0.0, lit(0L))
+        .otherwise(greatest(lit(-127L), least(lit(127L),
+          round(x / scale, 0).cast("long")))))
+    val err = when(scale === 0.0, lit(0.0))
+      .otherwise(round(array_max(zip_with(vd, codes,
+        (v, q) => abs(v - q * scale))), 9))
+    vecs.select(col(idCol), scale.as("scale"),
+      concat_ws(",", transform(codes, _.cast("string"))).as("codes"),
+      err.as("max_abs_err"))
+  }
+
   /** k-NN graph (C46): every corpus vector's approximate k nearest
     * neighbors, LSH-bucket-restricted — the corpus plays both sides
     * (no broadcast: the bucket equi-join shuffles each side once on

@@ -483,6 +483,21 @@ object TextDemos {
       .agg(count(lit(1)).as("n_kept"), round(min(col("keep_frac")), 6).as("keep_frac"))
       .orderBy("source")
 
+  /** C47 — sliding-window chunking at size 64 / stride 48 (25%
+    * overlap, the RAG convention): every doc in overlapping 64-token
+    * windows (see [[Packing.chunkOverlap]]). */
+  def chunkOverlapDemo(spark: SparkSession, dir: String): DataFrame =
+    Packing.chunkOverlap(Tables.documents(spark, dir), "doc_id", "text",
+        size = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** C48 — symmetric int8 quantization of the embeddings table: 4×
+    * smaller vectors with per-vector scale and a bounded
+    * reconstruction error (see [[Similarity.quantizeInt8]]). */
+  def vecQuantizeDemo(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy("vec_id")
+
   /** C46 — mutual-kNN graph over the embeddings table: each vector's
     * LSH-restricted top-5 neighbors, symmetrized to the undirected
     * mutual edge set (see [[Similarity.knnGraph]]). The knn result

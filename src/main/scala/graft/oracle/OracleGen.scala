@@ -514,8 +514,8 @@ object OracleGen {
     * GD rounds — margin (rounded-term decimal sum) → σ rounded to 6 →
     * gradient (rounded-term decimal sum) → weight round — exactly the
     * Spark loop's algebra, ending in the final scoring join. */
-  def logregScoreSql(buckets: Int = 1024, rounds: Int = 20,
-                     lr: Double = 10.0): String = {
+  def logregScoreSql(buckets: Int = 1024, rounds: Int = 12,
+                     lr: Double = 20.0): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""m$r AS (
          |  SELECT fx.doc_id, fx.y,

@@ -179,6 +179,38 @@ class CurationSpec extends SparkSpec {
     assert(got == wantEdges)
   }
 
+  // ---- int8 quantization ---------------------------------------------
+
+  test("quantizeInt8: bounded error, high-fidelity round trip, zero-vector edge") {
+    val rnd = new scala.util.Random(9)
+    val rows = (1L to 30L).map { id =>
+      (id, IndexedSeq.fill(16)((rnd.nextGaussian() * (1 + id % 5)).toFloat))
+    } :+ ((31L, IndexedSeq.fill(16)(0.0f)))
+    val out = graft.operators.Similarity.quantizeInt8(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getString(2), r.getDouble(3))).toMap
+    rows.foreach { case (id, v) =>
+      val (scale, codesStr, err) = out(id)
+      val codes = codesStr.split(",").map(_.toLong)
+      assert(codes.length == 16 && codes.forall(c => c >= -127 && c <= 127))
+      if (v.forall(_ == 0.0f)) {
+        assert(scale == 0.0 && err == 0.0 && codes.forall(_ == 0L))
+      } else {
+        // reported error is real and within the half-step bound
+        val recon = codes.map(_ * scale)
+        val trueErr = v.map(_.toDouble).zip(recon).map { case (a, b) => math.abs(a - b) }.max
+        assert(math.abs(trueErr - err) < 1e-8)
+        assert(err <= scale / 2 + 1e-6, s"vec $id err $err vs scale $scale")
+        // fidelity: the decoded vector stays nearly parallel
+        val vd = v.map(_.toDouble)
+        val cos = vd.zip(recon).map { case (a, b) => a * b }.sum /
+          (math.sqrt(vd.map(x => x * x).sum) * math.sqrt(recon.map(x => x * x).sum))
+        assert(cos > 0.999, s"vec $id cosine $cos")
+      }
+    }
+  }
+
   // ---- SemDeDup ------------------------------------------------------
 
   test("semanticDedup keeps the least-central member of a near-dup pair") {

@@ -6,6 +6,40 @@ import graft.operators.{Dedup, Packing}
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("C47 chunk overlap matches a sliding-window reference; edges hold") {
+    val rnd = new scala.util.Random(5)
+    val docs = (1L to 25L).map { id =>
+      val n = rnd.nextInt(30) // 0..29 tokens; size=8, stride=5
+      (id, IndexedSeq.tabulate(n)(i => s"t${id}_$i"))
+    }
+    val out = Packing.chunkOverlap(
+        docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text"),
+        "doc_id", "text", size = 8, stride = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    val want = docs.flatMap { case (id, ts) =>
+      Iterator.from(0).map(_ * 5).takeWhile(_ < ts.size).zipWithIndex.map {
+        case (s, k) =>
+          val chunk = ts.slice(s, s + 8)
+          (id, k.toLong) -> (s.toLong, chunk.size.toLong, chunk.mkString(" "))
+      }
+    }.toMap
+    assert(out == want)
+    // a doc shorter than size yields exactly one whole-doc chunk;
+    // tokenless docs yield none
+    assert(docs.filter(d => d._2.nonEmpty && d._2.size <= 5)
+      .forall(d => out((d._1, 0L))._3 == d._2.mkString(" ")))
+    assert(!docs.filter(_._2.isEmpty).exists(d => out.keys.exists(_._1 == d._1)))
+    // stride = size is disjoint full coverage
+    val disjoint = Packing.chunkOverlap(
+        Seq((1L, (1 to 20).map("w" + _).mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", size = 8, stride = 8)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(disjoint.toSeq.sorted == Seq((0L, 8L), (8L, 8L), (16L, 4L)))
+  }
+
   test("C22 concat-and-chunk packing: spans, chunk ids, zero-token docs") {
     val docs = Seq(
       ("a", 1L, 100L), ("a", 2L, 950L), ("a", 3L, 0L), ("a", 4L, 2000L),
