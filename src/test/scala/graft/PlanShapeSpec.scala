@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Packing, Similarity}
+
+/** Plan-shape assertions for the r8 operators: the 100 TB claims in
+  * SURVEY §2 (map-only, single-exchange, broadcast-only) checked
+  * against the actual physical plans, not just prose. Reads the
+  * pre-execution executedPlan (AQE's initial plan) so tiny spec
+  * inputs can't let runtime re-planning rewrite the shape under
+  * test.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // executedPlan, not sparkPlan: EnsureRequirements only inserts the
+  // exchanges/sorts during preparation, so sparkPlan under-counts
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def exchanges(df: DataFrame): Int =
+    "Exchange".r.findAllIn(plan(df)).length
+
+  // repartition(4): a single-partition LocalTableScan satisfies EVERY
+  // required distribution, which would let the planner elide the very
+  // exchanges these tests count
+  private val docs = Seq(
+    (1L, "a b c d e f g h i j"), (2L, "a b c"), (3L, "")
+  ).toDF("doc_id", "text").repartition(4)
+  private val vecs = Seq(
+    (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding").repartition(4)
+
+  test("chunk_overlap is map-only: adds zero exchanges over its input") {
+    val df = Packing.chunkOverlap(docs, "doc_id", "text", size = 4, stride = 3)
+    assert(exchanges(df) == exchanges(docs), plan(df))
+  }
+
+  test("vec_quantize is map-only: adds zero exchanges over its input") {
+    val df = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+    assert(exchanges(df) == exchanges(vecs), plan(df))
+  }
+
+  test("winnow fingerprints shuffle once: the window's hash(doc) serves the distinct") {
+    // HashPartitioning(doc) from the window satisfies the distinct's
+    // ClusteredDistribution((doc, pos, hash)) — a second exchange
+    // appearing here means that reuse broke
+    val df = Curation.winnowFingerprints(docs, "doc_id", "text", k = 2, w = 2)
+    assert(exchanges(df) == exchanges(docs) + 1, plan(df))
+  }
+
+  /** run `body` with statistics-driven broadcasting off, so the only
+    * broadcasts left in a plan are the ones an operator FORCES with a
+    * broadcast() hint — the actual shape claim under test (tiny spec
+    * inputs would otherwise auto-broadcast every join). */
+  private def withoutAutoBroadcast[T](body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("dsir score joins only by FORCED broadcast: no shuffle join even with stats off") {
+    withoutAutoBroadcast {
+      val df = Curation.dsirScore(docs, "doc_id", "text",
+        isTarget = col("doc_id") === 1L, buckets = 16)
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    }
+  }
+
+  test("semantic_dedup broadcasts centroids; the pair join is NOT broadcast") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0), (3L, Seq(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label").repartition(4)
+    withoutAutoBroadcast {
+      val df = Similarity.semanticDedup(emb, "vec_id", "embedding", "label", 0.5)
+      val p = plan(df)
+      // the centroid attach is a FORCED broadcast: it survives stats-off
+      assert(p.contains("BroadcastHashJoin"), p)
+      // the within-cluster pair join must shuffle both corpus sides
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    }
+  }
+
+  test("knn_graph never broadcasts the corpus: the bucket join shuffles both sides") {
+    withoutAutoBroadcast {
+      val df = Similarity.knnGraph(vecs, "vec_id", "embedding",
+        k = 1, nPlanes = 2, dim = 4, probeBits = 0)
+      val p = plan(df)
+      // no forced broadcast anywhere: with stats-driven broadcasting
+      // off, the bucket join must plan as a two-sided shuffle join
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    }
+  }
+}
