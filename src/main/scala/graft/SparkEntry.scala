@@ -96,6 +96,7 @@ object SparkEntry {
     "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
     "knn_graph"            -> (TextDemos.knnGraphDemo(_, _)),
     "chunk_overlap"        -> (TextDemos.chunkOverlapDemo(_, _)),
+    "cdc_chunk_dedup"      -> (TextDemos.cdcChunkDedup(_, _)),
     "vec_quantize"         -> (TextDemos.vecQuantizeDemo(_, _)),
     "q3_shipping_bloom"    -> (Analytics.q3ShippingPriorityBloom(_, _)),
     "salted_skew_join"     -> (Analytics.saltedSkewJoinDemo(_, _)),
@@ -790,6 +791,42 @@ object SparkEntry {
         |       CAST(LEAST(64, len(ts) - u.s) AS BIGINT) AS n_tokens,
         |       array_to_string(ts[u.s + 1 : u.s + 64], ' ') AS chunk_text
         |FROM ws CROSS JOIN UNNEST(range(0, len(ts), 48)) AS u(s)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // content-defined chunking: boundary rule hash(tok) % 8 = 0, chunk
+    // spans from prepend(0, bounds+1) x append(bounds+1, n), empty tail
+    // slot dropped, duplicate flag = distinct-doc count per chunk hash
+    "cdc_chunk_dedup" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, ts,
+        |         list_filter(range(0, len(ts)),
+        |           p -> (('0x'||substr(md5(ts[p+1]),1,15))::BIGINT % 8) = 0) AS bounds
+        |  FROM ws WHERE len(ts) >= 1
+        |), se AS (
+        |  SELECT doc_id, ts,
+        |         list_prepend(0, list_transform(bounds, x -> x + 1)) AS starts,
+        |         list_append(list_transform(bounds, x -> x + 1), len(ts)) AS ends
+        |  FROM b
+        |), chunks AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS chunk_idx,
+        |         CAST(starts[u.i] AS BIGINT) AS start_tok,
+        |         CAST(ends[u.i] - starts[u.i] AS BIGINT) AS n_tokens,
+        |         array_to_string(ts[starts[u.i] + 1 : ends[u.i]], ' ') AS chunk_text
+        |  FROM se CROSS JOIN UNNEST(range(1, len(starts) + 1)) AS u(i)
+        |  WHERE ends[u.i] > starts[u.i]
+        |), h AS (
+        |  SELECT doc_id, chunk_idx, start_tok, n_tokens,
+        |         ('0x'||substr(md5(chunk_text),1,15))::BIGINT AS chunk_hash
+        |  FROM chunks
+        |), dfc AS (
+        |  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS ndocs FROM h GROUP BY chunk_hash
+        |)
+        |SELECT h.doc_id, h.chunk_idx, h.start_tok, h.n_tokens, h.chunk_hash,
+        |       (dfc.ndocs >= 2) AS is_dup
+        |FROM h JOIN dfc USING (chunk_hash)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // symmetric int8 quantization: the clamp/round expression appears

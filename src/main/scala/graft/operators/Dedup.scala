@@ -379,6 +379,50 @@ object Dedup {
         coalesce(col("n_chunks_kept"), lit(0L)).as("n_chunks_kept"))
   }
 
+  /** Content-defined chunking (C49) — the rsync/LBFS/FastCDC boundary
+    * rule applied to token streams: position p ends a chunk iff
+    * hash(token_p) ≡ 0 (mod `divisor`), so chunk boundaries are a
+    * function of CONTENT, not offsets. That is what [[chunkDedup]]'s
+    * fixed windows cannot give: insert one token at the front of a
+    * page and every fixed chunk shifts (nothing matches), while every
+    * CDC chunk after the first surviving boundary is byte-identical
+    * and still deduplicates. Expected chunk length = `divisor` tokens.
+    *
+    * Relational shape (the [[chunkDedup]] ladder, boundary rule
+    * swapped in): posexplode tokens → CODEGEN'd boundary flag →
+    * per-doc cumsum window assigns chunk ids → ordered re-agg builds
+    * chunk text. Everything between the one hash(id) shuffle stays in
+    * whole-stage codegen — an array-lambda formulation is map-only on
+    * paper but evaluates interpreted (the pqEncodeMapOnly lesson) and
+    * measured ~2× slower end-to-end. The window's partitioning serves
+    * the re-agg too, so tokens shuffle once; the cross-doc duplicate
+    * scan downstream aggregates 8-byte chunk hashes only. A boundary
+    * token ends (and belongs to) its chunk, so indices are contiguous
+    * from 0. Output: (id, chunk_idx, start_tok, n_tokens, chunk_text,
+    * chunk_hash). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                divisor: Int = 8,
+                tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(divisor >= 1, s"cdcChunks: divisor must be >= 1, got $divisor")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(col(idCol),
+        posexplode(Text.wsTokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("_bflag",
+        when(pmod(tokenHash(col("tok")), lit(divisor.toLong)) === 0, 1L)
+          .otherwise(0L))
+      // chunk of position p = boundaries strictly BEFORE p: inclusive
+      // cumsum minus the row's own flag
+      .withColumn("chunk_idx", sum(col("_bflag")).over(byDoc) - col("_bflag"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(min(col("pos")).cast("long").as("start_tok"),
+        count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("chunk_text"))
+      .withColumn("chunk_hash", tokenHash(col("chunk_text")))
+  }
+
   /** C31: survivor selection — the step AFTER near-dup clustering: one
     * canonical document per cluster (highest `scoreCol`, ties to the
     * lowest id — deterministic), every other member marked for drop.

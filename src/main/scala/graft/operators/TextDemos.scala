@@ -483,6 +483,28 @@ object TextDemos {
       .agg(count(lit(1)).as("n_kept"), round(min(col("keep_frac")), 6).as("keep_frac"))
       .orderBy("source")
 
+  /** C49 — content-defined chunk dedup: CDC boundaries at
+    * hash(token) ≡ 0 (mod 8), every chunk flagged when its hash
+    * occurs in ≥ 2 distinct docs — the shift-robust boilerplate scan
+    * (see [[Dedup.cdcChunks]]). md5-60 hashing for oracle parity
+    * (production default: xxhash64). */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the chunking subtree is map-only but its boundary
+    // lambdas evaluate interpreted (Spark doesn't codegen higher-order
+    // functions), and BOTH the frequency table and the join side read
+    // it — without the persist the whole chunking pass runs twice
+    val chunks = graft.util.CacheRegistry.register(
+      Dedup.cdcChunks(Tables.documents(spark, dir), "doc_id", "text",
+        divisor = 8, tokenHash = graft.functions.Vec.md5Hash60)
+        .drop("chunk_text").persist())
+    val dfc = chunks.select(col("chunk_hash"), col("doc_id")).distinct()
+      .groupBy(col("chunk_hash")).agg(count(lit(1)).as("_ndocs"))
+    chunks.join(dfc, "chunk_hash")
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tokens"), col("chunk_hash"), (col("_ndocs") >= 2).as("is_dup"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** C47 — sliding-window chunking at size 64 / stride 48 (25%
     * overlap, the RAG convention): every doc in overlapping 64-token
     * windows (see [[Packing.chunkOverlap]]). */

@@ -179,6 +179,61 @@ class CurationSpec extends SparkSpec {
     assert(got == wantEdges)
   }
 
+  // ---- content-defined chunking --------------------------------------
+
+  /** textbook CDC over tokens: boundary where md5-60(tok) % d == 0. */
+  private def refCdc(tokens: IndexedSeq[String], d: Int): IndexedSeq[(Long, Long, String)] = {
+    if (tokens.isEmpty) return IndexedSeq.empty
+    val bounds = tokens.indices.filter(p => md560(tokens(p)) % d == 0)
+    val starts = 0 +: bounds.map(_ + 1)
+    val ends = bounds.map(_ + 1) :+ tokens.size
+    starts.zip(ends).filter { case (s, e) => e > s }.map { case (s, e) =>
+      (s.toLong, (e - s).toLong, tokens.slice(s, e).mkString(" "))
+    }.toIndexedSeq
+  }
+
+  test("cdcChunks matches the textbook reference on randomized docs") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("p", "q", "r", "s", "t", "u", "v", "w", "x", "y")
+    val docs = (1L to 30L).map { id =>
+      (id, IndexedSeq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val got = graft.operators.Dedup.cdcChunks(
+        docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text"),
+        "doc_id", "text", divisor = 4, tokenHash = graft.functions.Vec.md5Hash60)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getLong(1))
+          .map(r => (r.getLong(2), r.getLong(3), r.getString(4))).toIndexedSeq
+      }
+    docs.foreach { case (id, ts) =>
+      assert(got.getOrElse(id, IndexedSeq.empty) == refCdc(ts, 4), s"doc $id")
+    }
+  }
+
+  test("CDC chunks survive a front insertion; fixed chunks do not") {
+    val rnd = new scala.util.Random(21)
+    val vocab = Vector("p", "q", "r", "s", "t", "u", "v", "w", "x", "y")
+    val base = IndexedSeq.fill(60)(vocab(rnd.nextInt(vocab.size)))
+    assert(base.indices.exists(p => md560(base(p)) % 4 == 0)) // has a boundary
+    val shifted = "zzz" +: base
+    val df = Seq((1L, base.mkString(" ")), (2L, shifted.mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = graft.operators.Dedup.cdcChunks(df, "doc_id", "text",
+        divisor = 4, tokenHash = graft.functions.Vec.md5Hash60)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getString(4)).toSet }
+    val shared = chunks(1L) intersect chunks(2L)
+    // everything after doc 1's first boundary re-aligns in doc 2
+    assert(shared.nonEmpty, s"no shared CDC chunks")
+    // the fixed-window counterpart finds NO shared chunk under the
+    // same shift (every window moved one token)
+    val fixedShared = Seq(base, shifted).map(ts =>
+      ts.grouped(4).map(_.mkString(" ")).toSet).reduce(_ intersect _)
+    assert(fixedShared.isEmpty)
+  }
+
   // ---- int8 quantization ---------------------------------------------
 
   test("quantizeInt8: bounded error, high-fidelity round trip, zero-vector edge") {
