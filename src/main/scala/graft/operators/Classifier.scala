@@ -88,14 +88,23 @@ object Classifier {
     weights
   }
 
+  /** the shared feature-table preparation: hash-partitioned by doc id
+    * once, so HashPartitioning(id) satisfies the per-doc margin
+    * aggregation's ClusteredDistribution((id, y)) and every GD round's
+    * margin agg reads the cache with NO exchange — only the
+    * bucket-scale gradient agg shuffles per round. */
+  private def prepareFeats(docs: DataFrame, idCol: String, textCol: String,
+                           label: Column, buckets: Int): DataFrame =
+    graft.util.CacheRegistry.register(
+      featureTable(docs, idCol, textCol, label, buckets)
+        .repartition(col(idCol)).persist())
+
   def logregTrain(docs: DataFrame, idCol: String, textCol: String,
                   label: Column, buckets: Int = 1024, rounds: Int = 12,
                   lr: Double = 20.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val feats = graft.util.CacheRegistry.register(
-      featureTable(docs, idCol, textCol, label, buckets)
-        .repartition(col(idCol)).persist())
+    val feats = prepareFeats(docs, idCol, textCol, label, buckets)
     trainOn(feats, idCol, rounds, lr).toSeq.toDF("bucket", "weight")
   }
 
@@ -108,13 +117,7 @@ object Classifier {
                   lr: Double = 20.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // hash-partitioned by doc id once: HashPartitioning(id) satisfies
-    // the per-doc margin aggregation's ClusteredDistribution((id, y)),
-    // so every GD round's margin agg reads the cache with NO exchange —
-    // only the bucket-scale gradient agg shuffles per round
-    val feats = graft.util.CacheRegistry.register(
-      featureTable(docs, idCol, textCol, label, buckets)
-        .repartition(col(idCol)).persist())
+    val feats = prepareFeats(docs, idCol, textCol, label, buckets)
     val w = trainOn(feats, idCol, rounds, lr).toSeq.toDF("_b", "_w")
     feats.join(broadcast(w), "_b")
       .groupBy(col(idCol), col("_y"))

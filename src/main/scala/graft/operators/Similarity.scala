@@ -585,6 +585,11 @@ object Similarity {
     require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63], got $nPlanes")
     require(probeBits >= 0 && probeBits <= nPlanes,
       s"probeBits must be in [0, $nPlanes], got $probeBits")
+    // same probe-budget guard as lshTopKWithIndex: the check must run
+    // on arithmetic BEFORE hammingBallMasks enumerates anything
+    require(binomialSumCapped(nPlanes, probeBits, 65536) <= 65536,
+      s"probe set exceeds 65536 buckets per query (nPlanes=$nPlanes, " +
+        s"probeBits=$probeBits); keep sum of C(nPlanes, s<=probeBits) <= 65536")
     val planes = Vec.hyperplanes(nPlanes, dim)
     val flips = hammingBallMasks(nPlanes, probeBits)
     val index = vecs.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))

@@ -534,9 +534,9 @@ object TextDemos {
   }
 
   /** C45 — in-engine quality classifier: logistic regression on 1024
-    * hashed binary unigram buckets, trained by 20 relational
-    * full-batch GD rounds, then every doc scored by the trained
-    * weights (see [[Classifier]]). The reference-class label here is a
+    * hashed binary unigram buckets, trained by 12 relational
+    * full-batch GD rounds at lr 20, then every doc scored by the
+    * trained weights (see [[Classifier]]). The reference-class label here is a
     * marker-token membership (`key` ∈ tokens) — the synthetic corpus
     * has no curated/crawl divide, and a text-derived label makes the
     * learned boundary independently checkable (the demo trains to

@@ -509,7 +509,7 @@ object OracleGen {
        |FROM m WHERE pos >= ${w - 1} ORDER BY doc_id, pos""".stripMargin
   }
 
-  /** mirror of Classifier.logregScore: the same hashed L1-normalized
+  /** mirror of Classifier.logregScore: the same hashed BINARY-presence
     * features + bias pseudo-bucket, then `rounds` UNROLLED full-batch
     * GD rounds — margin (rounded-term decimal sum) → σ rounded to 6 →
     * gradient (rounded-term decimal sum) → weight round — exactly the

@@ -177,6 +177,13 @@ class CurationSpec extends SparkSpec {
     val got = graft.operators.Similarity.mutualKnnEdges(knn)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == wantEdges)
+    // the probe-budget guard must fire on arithmetic BEFORE the
+    // Hamming ball enumerates (C(63, <=8) ~ 6.6e9 masks would hang)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.knnGraph(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, nPlanes = 63, dim = 4, probeBits = 8)
+    }
+    assert(e.getMessage.contains("probe set exceeds"))
   }
 
   // ---- content-defined chunking --------------------------------------
