@@ -97,6 +97,7 @@ object SparkEntry {
     "knn_graph"            -> (TextDemos.knnGraphDemo(_, _)),
     "chunk_overlap"        -> (TextDemos.chunkOverlapDemo(_, _)),
     "cdc_chunk_dedup"      -> (TextDemos.cdcChunkDedup(_, _)),
+    "phrase_blocklist_scan" -> (TextDemos.phraseBlocklistScan(_, _)),
     "vec_quantize"         -> (TextDemos.vecQuantizeDemo(_, _)),
     "q3_shipping_bloom"    -> (Analytics.q3ShippingPriorityBloom(_, _)),
     "salted_skew_join"     -> (Analytics.saltedSkewJoinDemo(_, _)),
@@ -792,6 +793,22 @@ object SparkEntry {
         |       array_to_string(ts[u.s + 1 : u.s + 64], ' ') AS chunk_text
         |FROM ws CROSS JOIN UNNEST(range(0, len(ts), 48)) AS u(s)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // exact phrase scan: candidates on the first token, verified by
+    // token-slice list equality — mirrors phraseMatches exactly
+    "phrase_blocklist_scan" ->
+      """WITH ws AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents
+        |), pt AS (
+        |  SELECT phrase, list_filter(string_split(phrase, ' '), x -> x <> '') AS pts
+        |  FROM (VALUES ('the part'), ('window spark'), ('customer query line')) AS p(phrase)
+        |)
+        |SELECT w.doc_id, pt.phrase, CAST(u.i - 1 AS BIGINT) AS pos
+        |FROM ws w CROSS JOIN UNNEST(range(1, len(w.ts) + 1)) AS u(i)
+        |JOIN pt ON w.ts[u.i] = pt.pts[1]
+        |WHERE w.ts[u.i : u.i + len(pt.pts) - 1] = pt.pts
+        |ORDER BY doc_id, pos, phrase""".stripMargin,
 
     // content-defined chunking: boundary rule hash(tok) % 8 = 0, chunk
     // spans from prepend(0, bounds+1) x append(bounds+1, n), empty tail

@@ -27,6 +27,34 @@ object Filtering {
         Seq("_dom"), "left_anti")
       .drop("_dom")
 
+  /** Exact token-phrase matching against a blocklist (C50) — the
+    * policy-filter primitive (banned phrases, boilerplate sentences,
+    * canary strings): every occurrence of every listed phrase in
+    * every document, at token granularity.
+    *
+    * Relational shape: the phrase list is dimension-scale and
+    * BROADCASTS tokenized; candidate positions come from a map-side
+    * equi-join on the phrase's FIRST token (so a doc row only fans
+    * out where a phrase could start), and each candidate verifies by
+    * array equality against the doc's token slice — posexplode →
+    * broadcast join → filter, all before any shuffle; the corpus
+    * never shuffles at all. Overlapping and repeated occurrences all
+    * emit. Output: (id, phrase, pos) — compose with a left-anti join
+    * on id for drop-the-document semantics, or with C30's island
+    * merge for scrub-the-span. */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                    phrases: DataFrame, phraseCol: String = "phrase"): DataFrame = {
+    val pt = phrases.select(col(phraseCol).as("phrase"),
+        graft.functions.Text.wsTokens(col(phraseCol)).as("_pts"))
+      .filter(size(col("_pts")) >= 1)
+    docs.select(col(idCol), graft.functions.Text.wsTokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        posexplode(col("_toks")).as(Seq("pos", "_tok")))
+      .join(broadcast(pt), col("_tok") === element_at(col("_pts"), 1))
+      .filter(slice(col("_toks"), col("pos") + 1, size(col("_pts"))) === col("_pts"))
+      .select(col(idCol), col("phrase"), col("pos").cast("long").as("pos"))
+  }
+
   /** Flag rows whose `valCol` falls outside the corpus's
     * [loQ, hiQ] interpolated-quantile bounds (the length/score outlier
     * trim of corpus cleaning).

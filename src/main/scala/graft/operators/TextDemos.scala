@@ -483,6 +483,17 @@ object TextDemos {
       .agg(count(lit(1)).as("n_kept"), round(min(col("keep_frac")), 6).as("keep_frac"))
       .orderBy("source")
 
+  /** C50 — exact-phrase blocklist scan: every occurrence of three
+    * listed token phrases across the corpus, at token granularity
+    * (see [[Filtering.phraseMatches]]). */
+  def phraseBlocklistScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val phrases = Seq("the part", "window spark", "customer query line")
+      .toDF("phrase")
+    Filtering.phraseMatches(Tables.documents(spark, dir), "doc_id", "text", phrases)
+      .orderBy("doc_id", "pos", "phrase")
+  }
+
   /** C49 — content-defined chunk dedup: CDC boundaries at
     * hash(token) ≡ 0 (mod 8), every chunk flagged when its hash
     * occurs in ≥ 2 distinct docs — the shift-robust boilerplate scan

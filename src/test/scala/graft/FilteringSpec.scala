@@ -102,6 +102,31 @@ class FilteringSpec extends SparkSpec {
     assert(rep == skew.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("C50 phrase scan: all occurrences incl. overlaps, truncation-safe, reference-exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),   // "a b a b" overlaps itself at 0 and 2
+      (2L, "x y z a b"),     // "a b" at the very end
+      (3L, "a"),             // shorter than every phrase: no match
+      (4L, "")               // tokenless
+    ).toDF("doc_id", "text")
+    val phrases = Seq("a b", "a b a b", "missing token").toDF("phrase")
+    val got = graft.operators.Filtering.phraseMatches(docs, "doc_id", "text", phrases)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val corpus = Map(1L -> "a b a b a b", 2L -> "x y z a b", 3L -> "a", 4L -> "")
+    val want = (for {
+      (id, text) <- corpus.toSeq
+      ts = text.split(" ").filter(_.nonEmpty).toIndexedSeq
+      p <- Seq("a b", "a b a b", "missing token")
+      pts = p.split(" ").toIndexedSeq
+      pos <- ts.indices if ts.slice(pos, pos + pts.size) == pts
+    } yield (id, p, pos.toLong)).toSet
+    assert(got == want)
+    assert(got.contains((1L, "a b a b", 0L)) && got.contains((1L, "a b a b", 2L)))
+    assert(got.contains((2L, "a b", 3L)))
+    assert(!got.exists(_._2 == "missing token"))
+  }
+
   test("C44 temperature mix: smallest source whole, larger ones flatten by (n/nmin)^(a-1)") {
     import spark.implicits._
     val docs = ((1L to 900L).map(i => (i, "big")) ++
