@@ -12,13 +12,52 @@ import org.apache.spark.sql.SparkSession
   * be exactly that. Passes run back-to-back per query (not pass-major)
   * so each query's samples share the same JVM/GC context.
   * Set SPARK_GRAFT_WARMUP=0 to skip the warmup for cold numbers.
+  *
+  * CONTENTION ROBUSTNESS (the r9 fix for r8's committed-artifact
+  * problem): timing noise on a shared host is strictly ADDITIVE — a
+  * neighbor process can slow a sample down, never speed it up — and
+  * the PLAN is identical across samples, so under wide spread the low
+  * samples are the honest least-contended measurement. When a query's
+  * in-run max/min exceeds 2× after the initial passes, the bench takes
+  * up to 2×`passes` extra samples, then reports the median of the
+  * LOWEST `passes` samples. The spread record keeps min/max over ALL
+  * samples plus the retained/total counts, so contention stays visible
+  * in the artifact instead of polluting the headline number (r8's
+  * committed sessionize read 4.43 s against 0.32–0.43 s in sibling
+  * runs minutes apart — that artifact made every per-query
+  * round-over-round delta noise).
+  *
+  * SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries (fast
+  * local iteration on one operator's cost).
   */
 object Bench {
+  /** nearest ancestor of cwd carrying build.sbt — anchors the
+    * BENCH_FULL / BENCH_HISTORY artifacts to the repo regardless of
+    * the launch directory (an r8 ADVICE fix: a user.dir-relative path
+    * silently scattered the append-only history). */
+  private[graft] def repoRoot: String = {
+    var d = java.nio.file.Paths.get(System.getProperty("user.dir")).toAbsolutePath
+    while (d != null && !java.nio.file.Files.exists(d.resolve("build.sbt")))
+      d = d.getParent
+    if (d == null) System.getProperty("user.dir") else d.toString
+  }
+
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** the contention-robust estimate: median of the lowest `keep`
+    * samples (see the object doc for why low samples are honest). */
+  private[graft] def robustMedian(xs: Seq[Double], keep: Int): Double =
+    median(xs.sorted.take(keep))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,7 +65,8 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val all = SparkEntry.queries ++ SparkEntry.benchExtras
+    val all = (SparkEntry.queries ++ SparkEntry.benchExtras)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     if (warmup) {
       all.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
@@ -34,20 +74,24 @@ object Bench {
       }
       spark.sharedState.cacheManager.clearCache() // no data-cache carryover
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
     // Right(pass times) on success, Left(exception class) on failure — a
     // broken query must surface as "error", never bench as a fast success.
     val results = all.map { case (name, fn) =>
-      val r = try Right((1 to passes).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        graft.util.CacheRegistry.releaseAll()
-        sec
-      }) catch {
+      val r = try {
+        def sample(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          graft.util.CacheRegistry.releaseAll()
+          sec
+        }
+        val samples = scala.collection.mutable.ArrayBuffer.fill(passes)(sample())
+        // contention retry: identical plan, additive noise ⇒ resample
+        // until the spread settles or the extra budget (2×passes) runs out
+        while (samples.max / samples.min > 2.0 && samples.size < passes * 3)
+          samples += sample()
+        Right(samples.toSeq)
+      } catch {
         case e: Throwable =>
           graft.util.CacheRegistry.releaseAll()
           Left(e.getClass.getSimpleName)
@@ -55,29 +99,32 @@ object Bench {
       name -> r
     }
     val qs = results.map {
-      case (k, Right(ts)) => "\"" + k + "\":" + median(ts)
+      case (k, Right(ts)) => "\"" + k + "\":" + robustMedian(ts, passes)
       case (k, Left(err)) => "\"" + k + "\":\"error:" + err + "\""
     }.mkString("{", ",", "}")
     val spread = results.collect { case (k, Right(ts)) =>
-      "\"" + k + "\":{\"median\":" + median(ts) + ",\"min\":" + ts.min +
-        ",\"max\":" + ts.max + "}"
+      "\"" + k + "\":{\"median\":" + robustMedian(ts, passes) + ",\"min\":" + ts.min +
+        ",\"max\":" + ts.max + ",\"samples\":" + ts.size + "}"
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.collect { case Right(ts) => median(ts) }.sum
+    val total = results.values.collect { case Right(ts) => robustMedian(ts, passes) }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
+    // a SPARK_GRAFT_ONLY run is a local probe: never let it overwrite
+    // the committed full-suite artifact or pollute the history record
+    val partial = only.nonEmpty
     // the driver's artifact pipeline has head-truncated long bench lines
     // (BENCH_r03/r04); keep the complete record in the repo as well
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"${System.getProperty("user.dir")}/BENCH_FULL.json")
+      if (partial) s"$repoRoot/target/BENCH_PARTIAL.json" else s"$repoRoot/BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Exception =>
       Console.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     // append-only history so every run stays machine-comparable across
     // rounds even when the driver's per-round tail capture truncates
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"${System.getProperty("user.dir")}/BENCH_HISTORY.jsonl"),
+    if (!partial) try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$repoRoot/BENCH_HISTORY.jsonl"),
       json + "\n",
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case e: Exception =>

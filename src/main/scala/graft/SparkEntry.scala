@@ -64,6 +64,7 @@ object SparkEntry {
     "ivf_assign"           -> (TextDemos.ivfAssign(_, _)),
     "ivf_topk"             -> (TextDemos.ivfTopk(_, _)),
     "pq_encode"            -> (TextDemos.pqEncodeDemo(_, _)),
+    "pq_train"             -> (TextDemos.pqTrainDemo(_, _)),
     "pq_topk"              -> (TextDemos.pqTopkDemo(_, _)),
     "bpe_train"            -> (TextDemos.bpeTrain(_, _)),
     "bpe_encode"           -> (TextDemos.bpeEncode(_, _)),
@@ -767,6 +768,7 @@ object SparkEntry {
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),
     "ivf_topk"          -> graft.oracle.OracleGen.ivfTopkSql(),
     "pq_encode"         -> graft.oracle.OracleGen.pqEncodeSql(),
+    "pq_train"          -> graft.oracle.OracleGen.pqTrainSql(),
     "pq_topk"           -> graft.oracle.OracleGen.pqTopkSql(),
     "bpe_train"         -> graft.oracle.OracleGen.bpeTrainSql(),
     "bpe_encode"        -> graft.oracle.OracleGen.bpeEncodeSql(),

@@ -17,114 +17,204 @@ import graft.functions.{Text, Vec}
   * per round, and the DuckDB oracle unrolls the identical algebra
   * round by round — scores hash-match bit-for-bit.
   *
-  * Scale shape per GD round: the (doc, bucket, x) feature table is
-  * built ONCE (one tokenize pass) and persisted at docs×features
-  * scale (the LSH-signature-cache class, never the raw text); each
-  * round is feature-table ⋈ broadcast weight table (dimension-scale:
-  * `buckets`+1 rows) → per-doc margin agg → per-bucket gradient agg —
-  * two bounded-key shuffles, both map-side combinable; the only
-  * driver traffic is the `buckets`+1 weight rows per round (the
+  * Scale shape (the r9 redesign that took the sf0.1 demo from 7.4 s
+  * to ~2 s): the corpus tokenizes ONCE into a PACKED per-doc feature
+  * table — (id, y, array of this doc's present buckets) — cached and
+  * partition-count-right-sized (see [[preparePacked]]). Each GD round
+  * is then ONE action on ONE join-free plan: a map-side fold computes
+  * every doc's margin against the broadcast-by-reference weight array
+  * (O(1) positional lookup, no join — weights are dimension-scale),
+  * the per-doc gradient term round(y−σ,9) is computed BEFORE the
+  * bucket explode (so the decimal rounding runs docs times, not
+  * docs×features times), and the only exchange in the plan is the
+  * bucket-scale gradient aggregation (≤ `buckets`+1 keys).
+  * PlanShapeSpec pins the one-exchange / zero-join shape. AQE is off
+  * for the loop so each round schedules as exactly one job. The only
+  * driver traffic is the `buckets`+1 weight values per round (the
   * kppSeeds / BPE-rule-row discipline).
+  *
+  * Packed-row width is bounded: a doc carries at most
+  * min(distinct tokens, `buckets`+1) bucket entries, so at 100 TB the
+  * cache is ≤ ~8 KB/doc — the LSH-signature-cache class, never the
+  * raw text. The margin fold evaluates interpreted (Spark does not
+  * codegen higher-order functions — the measured pqEncodeMapOnly
+  * trade); at ~25 entries/doc it is far cheaper than the codegen'd
+  * join + re-shuffle it replaces.
   */
 object Classifier {
+
+  /** target packed rows per cached-iteration-table partition: below
+    * this a task's ~2–5 ms launch cost outweighs its compute, and a
+    * 12-round loop pays that floor 12 × stages × partitions times.
+    * The AQE-coalesce principle applied to a persisted iteration
+    * table, which AQE itself cannot touch. */
+  private val RowsPerPartition = 64 * 1024L
 
   /** Hashed BINARY-presence unigram features (x = 1 for every bucket
     * the doc touches — the bag-of-hashed-words simplification; an
     * L1-normalized tf variant scales each feature by ~1/doc_len,
-    * which starves per-feature gradients against the bias) + a bias
-    * pseudo-feature (bucket −1, x = 1). Tokenless docs have no
-    * features and drop — the dsirScore convention. */
-  private def featureTable(docs: DataFrame, idCol: String, textCol: String,
-                           label: Column, buckets: Int): DataFrame = {
-    val present = docs.select(col(idCol), label.cast("double").as("_y"),
+    * which starves per-feature gradients against the bias), packed to
+    * one row per doc, bias pseudo-feature (bucket −1, x = 1) appended
+    * to the array. `collect_set` does the per-doc dedup INSIDE the one
+    * aggregation — a separate `distinct()` would add a second
+    * corpus-scale exchange (hash(id,y,b) then hash(id,y)), and the r8
+    * union-with-bias shape ran the whole tokenize subtree twice.
+    * Tokenless docs have no rows and drop — the dsirScore
+    * convention. */
+  private def packedTable(docs: DataFrame, idCol: String, textCol: String,
+                          label: Column, buckets: Int): DataFrame =
+    docs.select(col(idCol), label.cast("double").as("_y"),
         explode(Text.wsTokens(col(textCol))).as("_tok"))
       .select(col(idCol), col("_y"),
         pmod(Vec.md5Hash60(col("_tok")), lit(buckets.toLong)).as("_b"))
-      .distinct()
-      .withColumn("_x", lit(1.0))
-    val bias = present.select(col(idCol), col("_y")).distinct()
-      .select(col(idCol), col("_y"), lit(-1L).as("_b"), lit(1.0).as("_x"))
-    present.unionByName(bias)
+      .groupBy(col(idCol), col("_y"))
+      .agg(collect_set(col("_b")).as("_bs0"))
+      .select(col(idCol), col("_y"),
+        concat(col("_bs0"), array(lit(-1L))).as("_bs"))
+
+  /** the shared feature-table preparation: ONE tokenize pass into the
+    * packed per-doc table, persisted with the partition count
+    * right-sized to the doc count (ceil(docs / 64k), capped at the
+    * session's shuffle partitions; the cap comes from the cheap
+    * parquet-metadata doc count, so sizing adds no corpus pass). An
+    * iterative GD loop reads this cache 12×: at r8's fixed 32
+    * partitions a sf0.1-sized table cost 12 rounds × stages × 32 task
+    * launches of pure scheduling floor; right-sized it is one task
+    * per stage. At real scale docs/64k exceeds the cap and the layout
+    * is the configured one. The shrink is a shuffle-free `coalesce`.
+    * Returns (cached packed table, nDocs). */
+  private[graft] def preparePacked(docs: DataFrame, idCol: String, textCol: String,
+                                   label: Column, buckets: Int): (DataFrame, Long) = {
+    val spark = docs.sparkSession
+    val maxPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val upper = docs.count() // upper bound on packed rows (tokenless docs drop)
+    val npart = math.min(maxPart.toLong,
+      math.max(1L, (upper + RowsPerPartition - 1) / RowsPerPartition)).toInt
+    val packed = graft.util.CacheRegistry.register(
+      packedTable(docs, idCol, textCol, label, buckets)
+        .coalesce(npart).persist())
+    val nDocs = packed.count() // materialize; exact doc count
+    (packed, nDocs)
   }
 
-  /** The GD loop over a prepared (persisted) feature table. Weights
-    * start at 0 (so round 1 sees σ = 0.5 exactly), update
-    * w ← round(w + lr·grad, 6) with grad_b = (1/N)·Σ_d x_db·(y_d − σ_d)
-    * and σ = round(logistic(margin), 6). All Σ are rounded-term
-    * decimal sums. Returns the final weights (bucket −1 = bias). */
-  private def trainOn(feats: DataFrame, idCol: String, rounds: Int,
-                      lr: Double): Map[Long, Double] = {
-    val spark = feats.sparkSession
-    import spark.implicits._
-    // weight support = the buckets that occur (matches the oracle's
-    // DISTINCT-from-tf w0); absent buckets never receive gradient
-    var weights: Map[Long, Double] =
-      feats.select(col("_b")).distinct().collect()
-        .map(_.getLong(0) -> 0.0).toMap
-    // one bias row per doc, so the bias bucket's support counts docs
-    val nDocs = feats.filter(col("_b") === -1L).count()
-    for (_ <- 1 to rounds) {
-      val wdf = weights.toSeq.toDF("_b", "_w")
-      val margins = feats.join(broadcast(wdf), "_b")
-        .groupBy(col(idCol), col("_y"))
-        .agg(sum(round(col("_w") * col("_x"), 9).cast("decimal(27,9)"))
-          .cast("double").as("_m"))
-        .select(col(idCol), col("_y"),
-          round(lit(1.0) / (lit(1.0) + exp(-col("_m"))), 6).as("_p"))
+  /** the weight vector as ONE referenced array literal (index = bucket
+    * + 2, 1-based; bucket −1 = bias at index 1; absent buckets hold
+    * 0.0 and are never indexed — packed arrays only carry present
+    * buckets). An Array literal codegens as a reference object, so the
+    * per-round plan SOURCE is identical and the codegen cache hits
+    * every round — 1026 scalar lits would inline as constants and
+    * force a recompile per round. */
+  private def weightArrayLit(w: Map[Long, Double], buckets: Int): Column =
+    lit((-1 to buckets).map(b => w.getOrElse(b.toLong, 0.0)).toArray)
+
+  /** every doc's margin: fold this row's bucket array over the weight
+    * array — term round(w_b, 9) accumulated in decimal, the exact
+    * multiset the long-form oracle sums with round(w·x, 9), x = 1
+    * (IEEE ·1.0 is exact; decimal addition is order-free so the
+    * array's collect_list order cannot matter). */
+  private def marginCol(arr: Column): Column = {
+    val zero = lit(BigDecimal(0).setScale(9)).cast("decimal(27,9)")
+    aggregate(col("_bs"), zero, (acc, b) =>
+      (acc + round(element_at(arr, (b + lit(2L)).cast("int")), 9)
+        .cast("decimal(27,9)")).cast("decimal(27,9)"))
+      .cast("double")
+  }
+
+  /** One GD round's gradient, as a SINGLE join-free plan over the
+    * packed cache: margin fold → σ → per-doc term round(y−σ, 9)
+    * (computed BEFORE the explode, so decimal rounding is docs-scale)
+    * → explode buckets → per-bucket mean gradient. The ONLY exchange
+    * is the bucket-scale aggregation; PlanShapeSpec asserts exactly
+    * one, and zero joins. Exposed for that spec. */
+  private[graft] def gradientRound(packed: DataFrame, weights: Map[Long, Double],
+                                   buckets: Int, nDocs: Long): DataFrame =
+    packed
+      .select(col("_y"), marginCol(weightArrayLit(weights, buckets)).as("_m"),
+        col("_bs"))
       // MEAN gradient (sum / corpus size): an unnormalized full-batch
       // sum scales the step with N and saturates every sigmoid within
       // a round or two — the mean keeps the step size N-invariant,
       // which is also what makes one lr work at any corpus scale
-      val grads = feats.join(margins.select(col(idCol), col("_p")), idCol)
-        .groupBy(col("_b"))
-        .agg((sum(round(col("_x") * (col("_y") - col("_p")), 9)
-          .cast("decimal(27,9)")).cast("double") / lit(nDocs)).as("_g"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      weights = weights.map { case (b, w) =>
-        b -> BigDecimal(w + lr * grads.getOrElse(b, 0.0))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      .select(round(col("_y") -
+          round(lit(1.0) / (lit(1.0) + exp(-col("_m"))), 6), 9)
+          .cast("decimal(27,9)").as("_t"),
+        explode(col("_bs")).as("_b"))
+      .groupBy(col("_b"))
+      .agg((sum(col("_t")).cast("double") / lit(nDocs)).as("_g"))
+
+  /** The GD loop over the packed cache. Weights start at 0 (so round
+    * 1 sees σ = 0.5 exactly), update w ← round(w + lr·grad, 6) with
+    * grad_b = (1/N)·Σ_d x_db·(y_d − σ_d) and σ = round(logistic
+    * (margin), 6). All Σ are rounded-term decimal sums. Each round is
+    * exactly ONE action on the ONE fused [[gradientRound]] plan; AQE
+    * is off for the loop so Spark schedules it as one job (AQE would
+    * run one job per materialized shuffle stage — at 12 rounds those
+    * scheduling floors alone were most of r8's 7.4 s). Returns the
+    * final weights (bucket −1 = bias). */
+  private def trainOn(packed: DataFrame, buckets: Int, nDocs: Long,
+                      rounds: Int, lr: Double): Map[Long, Double] = {
+    val spark = packed.sparkSession
+    // weight support = the buckets that occur (matches the oracle's
+    // DISTINCT-from-tf w0); absent buckets never receive gradient
+    var weights: Map[Long, Double] =
+      packed.select(explode(col("_bs")).as("_b")).distinct().collect()
+        .map(_.getLong(0) -> 0.0).toMap
+    withIterConf(spark, packed.rdd.getNumPartitions) {
+      for (_ <- 1 to rounds) {
+        val grads = gradientRound(packed, weights, buckets, nDocs)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        weights = weights.map { case (b, w) =>
+          b -> BigDecimal(w + lr * grads.getOrElse(b, 0.0))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
       }
     }
     weights
   }
 
-  /** the shared feature-table preparation: hash-partitioned by doc id
-    * once, so HashPartitioning(id) satisfies the per-doc margin
-    * aggregation's ClusteredDistribution((id, y)) and every GD round's
-    * margin agg reads the cache with NO exchange — only the
-    * bucket-scale gradient agg shuffles per round. */
-  private def prepareFeats(docs: DataFrame, idCol: String, textCol: String,
-                           label: Column, buckets: Int): DataFrame =
-    graft.util.CacheRegistry.register(
-      featureTable(docs, idCol, textCol, label, buckets)
-        .repartition(col(idCol)).persist())
+  /** run `body` with AQE off (one action = one scheduled job, not one
+    * job per materialized stage) and the shuffle-partition count
+    * matched to the right-sized iteration cache (the gradient
+    * exchange's reducers track the same rows-per-task target as the
+    * cache layout; at scale `npart` equals the session setting and
+    * this is a no-op). Both confs restore on exit. */
+  private def withIterConf[A](spark: org.apache.spark.sql.SparkSession,
+                              npart: Int)(body: => A): A = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val aqeWas = spark.conf.getOption(aqeKey)
+    val shufWas = spark.conf.getOption(shufKey)
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(shufKey, npart.toString)
+    try body
+    finally {
+      aqeWas.fold(spark.conf.unset(aqeKey))(spark.conf.set(aqeKey, _))
+      shufWas.fold(spark.conf.unset(shufKey))(spark.conf.set(shufKey, _))
+    }
+  }
 
   def logregTrain(docs: DataFrame, idCol: String, textCol: String,
                   label: Column, buckets: Int = 1024, rounds: Int = 12,
                   lr: Double = 20.0): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val feats = prepareFeats(docs, idCol, textCol, label, buckets)
-    trainOn(feats, idCol, rounds, lr).toSeq.toDF("bucket", "weight")
+    val (packed, nDocs) = preparePacked(docs, idCol, textCol, label, buckets)
+    trainOn(packed, buckets, nDocs, rounds, lr).toSeq.toDF("bucket", "weight")
   }
 
   /** Train + score in one call: every doc's final-round probability
     * and ≥ 0.5 prediction, with its training label echoed. The scoring
-    * pass reuses the persisted feature table — one extra broadcast
-    * join over it, no re-tokenize. */
+    * pass reuses the packed cache and is MAP-ONLY — the same margin
+    * fold against the final weights, no join, no shuffle, no
+    * re-tokenize. */
   def logregScore(docs: DataFrame, idCol: String, textCol: String,
                   label: Column, buckets: Int = 1024, rounds: Int = 12,
                   lr: Double = 20.0): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val feats = prepareFeats(docs, idCol, textCol, label, buckets)
-    val w = trainOn(feats, idCol, rounds, lr).toSeq.toDF("_b", "_w")
-    feats.join(broadcast(w), "_b")
-      .groupBy(col(idCol), col("_y"))
-      .agg(sum(round(col("_w") * col("_x"), 9).cast("decimal(27,9)"))
-        .cast("double").as("_m"))
-      .select(col(idCol), (col("_y") === 1.0).as("is_target"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("_m"))), 6).as("score"))
+    val (packed, nDocs) = preparePacked(docs, idCol, textCol, label, buckets)
+    val w = trainOn(packed, buckets, nDocs, rounds, lr)
+    packed.select(col(idCol), (col("_y") === 1.0).as("is_target"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-marginCol(weightArrayLit(w, buckets)))), 6).as("score"))
       .withColumn("predicted", col("score") >= 0.5)
   }
 }

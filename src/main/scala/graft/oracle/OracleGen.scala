@@ -679,6 +679,15 @@ object OracleGen {
        |)""".stripMargin
   }
 
+  /** mirror of TextDemos.pqTrainDemo: the bootstrap codebooks
+    * themselves (12-place-rounded centroids, the ivf_centroids hash
+    * discipline) — the training half of the r9 pq_train / pq_topk
+    * split, so the search row's cost is search, not training. */
+  def pqTrainSql(): String =
+    s"""${pqCore()}
+       |SELECT subspace, code, subpos, round(centroid, 12) AS centroid
+       |FROM books ORDER BY subspace, code, subpos""".stripMargin
+
   /** mirror of TextDemos.pqEncodeDemo */
   def pqEncodeSql(): String =
     s"""${pqCore()}

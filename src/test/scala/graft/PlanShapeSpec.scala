@@ -83,6 +83,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("classifier GD round: one bucket-scale exchange, zero joins (one action by construction)") {
+    // the packed-cache SHAPE at multi-partition (at-scale) layout —
+    // preparePacked on a spec corpus coalesces to 1 partition, where
+    // SinglePartition satisfies every distribution and the planner
+    // rightly elides the exchange this test exists to count
+    val packed = Seq(
+      (1L, 1.0, Seq(0L, 3L, -1L)), (2L, 0.0, Seq(3L, -1L)), (3L, 0.0, Seq(1L, -1L))
+    ).toDF("doc_id", "_y", "_bs").repartition(4, col("doc_id"))
+    val df = graft.operators.Classifier.gradientRound(
+      packed, Map(-1L -> 0.1, 0L -> 0.2, 1L -> 0.0, 3L -> -0.05),
+      buckets = 16, nDocs = 3L)
+    val p = plan(df)
+    // the weight lookup is an array-literal fold — a join appearing
+    // here means the r8 margins⋈features corpus join came back
+    assert(!p.contains("Join"), p)
+    // exactly ONE exchange beyond the input's own repartition: the
+    // bucket-scale gradient aggregation
+    assert(exchanges(df) == exchanges(packed) + 1, p)
+  }
+
   test("knn_graph never broadcasts the corpus: the bucket join shuffles both sides") {
     withoutAutoBroadcast {
       val df = Similarity.knnGraph(vecs, "vec_id", "embedding",
