@@ -856,6 +856,7 @@ object SparkEntry {
         |  FROM embeddings
         |), a AS (
         |  SELECT vec_id, vd,
+        |         list_max(list_transform(vd, x -> abs(x))) AS amax,
         |         round(list_max(list_transform(vd, x -> abs(x))) / 127.0, 9) AS scale
         |  FROM v
         |)
@@ -864,7 +865,8 @@ object SparkEntry {
         |         CAST(CASE WHEN scale = 0 THEN 0
         |                   ELSE GREATEST(-127, LEAST(127, CAST(round(x / scale, 0) AS BIGINT)))
         |              END AS VARCHAR)), ',') AS codes,
-        |       CASE WHEN scale = 0 THEN 0.0
+        |       CASE WHEN amax = 0 THEN 0.0
+        |            WHEN scale = 0 THEN round(amax, 9)
         |            ELSE round(list_max(list_transform(vd, x ->
         |                   abs(x - GREATEST(-127, LEAST(127, CAST(round(x / scale, 0) AS BIGINT))) * scale))), 9)
         |       END AS max_abs_err

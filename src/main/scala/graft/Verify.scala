@@ -31,6 +31,12 @@ object Verify {
         // ts-encoding break produced an all-pass artifact this way)
         failures += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        // and a failed query must never leave a STALE result from a
+        // previous run in place either — if the driver reuses outDir,
+        // old parquet would compare as passing (r8 ADVICE)
+        try graft.util.Fixtures.deleteRecursively(
+          java.nio.file.Paths.get(s"$outDir/$name"))
+        catch { case _: Exception => () }
       }
       // release operator-persisted intermediates (LSH banded tables etc.)
       // so a 50-query session doesn't accumulate cached partitions

@@ -36,10 +36,15 @@ object Filtering {
     * BROADCASTS tokenized; candidate positions come from a map-side
     * equi-join on the phrase's FIRST token (so a doc row only fans
     * out where a phrase could start), and each candidate verifies by
-    * array equality against the doc's token slice — posexplode →
-    * broadcast join → filter, all before any shuffle; the corpus
-    * never shuffles at all. Overlapping and repeated occurrences all
-    * emit. Output: (id, phrase, pos) — compose with a left-anti join
+    * array equality against the doc's token WINDOW — posexplode →
+    * window slice → broadcast join → filter, all before any shuffle;
+    * the corpus never shuffles at all. The window is cut to the
+    * longest phrase's length BEFORE the join (one dimension-scale
+    * driver lookup), so a candidate row carries O(max phrase len)
+    * tokens — the r8 shape carried the doc's FULL token array on
+    * every exploded row, O(n²) in-flight width on long documents
+    * (r8 ADVICE). Overlapping and repeated occurrences all emit.
+    * Output: (id, phrase, pos) — compose with a left-anti join
     * on id for drop-the-document semantics, or with C30's island
     * merge for scrub-the-span. */
   def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
@@ -47,11 +52,17 @@ object Filtering {
     val pt = phrases.select(col(phraseCol).as("phrase"),
         graft.functions.Text.wsTokens(col(phraseCol)).as("_pts"))
       .filter(size(col("_pts")) >= 1)
+    // dimension-scale driver traffic (the BPE-rule-row discipline):
+    // the longest phrase bounds the verification window
+    val maxLen = Option(pt.agg(max(size(col("_pts")))).collect()(0).get(0))
+      .map(_.asInstanceOf[Int]).getOrElse(1)
     docs.select(col(idCol), graft.functions.Text.wsTokens(col(textCol)).as("_toks"))
       .select(col(idCol), col("_toks"),
         posexplode(col("_toks")).as(Seq("pos", "_tok")))
+      .select(col(idCol), col("pos"), col("_tok"),
+        slice(col("_toks"), col("pos") + 1, lit(maxLen)).as("_win"))
       .join(broadcast(pt), col("_tok") === element_at(col("_pts"), 1))
-      .filter(slice(col("_toks"), col("pos") + 1, size(col("_pts"))) === col("_pts"))
+      .filter(slice(col("_win"), lit(1), size(col("_pts"))) === col("_pts"))
       .select(col(idCol), col("phrase"), col("pos").cast("long").as("pos"))
   }
 

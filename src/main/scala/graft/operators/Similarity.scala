@@ -565,7 +565,13 @@ object Similarity {
       when(scale === 0.0, lit(0L))
         .otherwise(greatest(lit(-127L), least(lit(127L),
           round(x / scale, 0).cast("long")))))
-    val err = when(scale === 0.0, lit(0.0))
+    // guard on amax, not scale (r8 ADVICE): a nonzero vector with
+    // max|v| < ~6.4e-8 rounds scale to 0.0 — its codes collapse to 0
+    // (nothing else is representable at 9-place scale), but the
+    // reported error bound must stay truthful: the worst
+    // reconstruction error of an all-zero code is amax itself
+    val err = when(amax === 0.0, lit(0.0))
+      .when(scale === 0.0, round(amax, 9))
       .otherwise(round(array_max(zip_with(vd, codes,
         (v, q) => abs(v - q * scale))), 9))
     vecs.select(col(idCol), scale.as("scale"),
@@ -610,13 +616,22 @@ object Similarity {
     * edges (id_a < id_b) kept only when each endpoint ranks in the
     * other's top k — the standard symmetrization that makes kNN graphs
     * robust for clustering / diversity sampling (a hub node's one-way
-    * arrows drop out). Input is persisted by the caller when both
-    * directions come from the same computation. */
-  def mutualKnnEdges(knn: DataFrame): DataFrame =
+    * arrows drop out).
+    *
+    * Both join sides read the SAME ranking, so the operator persists
+    * its input itself (CacheRegistry-registered) — an r8 ADVICE fix:
+    * the old contract left the persist to the caller, and a caller
+    * who skipped it silently recomputed the full LSH ranking twice.
+    * `persist()` on an already-cached plan is idempotent, so a
+    * disciplined caller pays nothing extra. PlanShapeSpec asserts
+    * both sides scan the cache. */
+  def mutualKnnEdges(knn0: DataFrame): DataFrame = {
+    val knn = graft.util.CacheRegistry.register(knn0.persist())
     knn.select(col("query_id").as("id_a"), col("cand_id").as("id_b"), col("sim"))
       .join(knn.select(col("cand_id").as("id_a"), col("query_id").as("id_b")),
         Seq("id_a", "id_b"))
       .filter(col("id_a") < col("id_b"))
+  }
 
   /** Semantic deduplication (C40) — SemDeDup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, then within each

@@ -570,16 +570,15 @@ object TextDemos {
 
   /** C46 — mutual-kNN graph over the embeddings table: each vector's
     * LSH-restricted top-5 neighbors, symmetrized to the undirected
-    * mutual edge set (see [[Similarity.knnGraph]]). The knn result
-    * persists because both join sides of the symmetrization read it. */
-  def knnGraphDemo(spark: SparkSession, dir: String): DataFrame = {
-    val knn = graft.util.CacheRegistry.register(
-      Similarity.knnGraph(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", k = 5, nPlanes = 8, dim = 64).persist())
-    Similarity.mutualKnnEdges(knn)
+    * mutual edge set (see [[Similarity.knnGraph]]). The symmetrization
+    * persists the ranking internally (r9: moved into the operator so
+    * every caller gets the one-computation guarantee). */
+  def knnGraphDemo(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mutualKnnEdges(
+        Similarity.knnGraph(Tables.embeddings(spark, dir),
+          "vec_id", "embedding", k = 5, nPlanes = 8, dim = 64))
       .withColumn("sim", round(col("sim"), 6))
       .orderBy("id_a", "id_b")
-  }
 
   /** C45 — in-engine quality classifier: logistic regression on 1024
     * hashed binary unigram buckets, trained by 12 relational

@@ -273,6 +273,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("quantizeInt8: sub-1e-7 vector reports a truthful error bound (r8 ADVICE)") {
+    // max|v| < 127 * 5e-10 rounds scale to 0.0: codes collapse to 0
+    // (nothing else is representable at 9-place scale), but the error
+    // must report amax — the real worst-case reconstruction error of
+    // an all-zero code — not 0.0
+    val tiny = Seq((1L, IndexedSeq(3.0e-8f, -5.0e-8f, 0.0f))).toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity.quantizeInt8(tiny, "vec_id", "embedding")
+      .collect().head
+    assert(r.getDouble(1) == 0.0, "scale")
+    assert(r.getString(2) == "0,0,0", "codes")
+    val err = r.getDouble(3)
+    assert(math.abs(err - 5.0e-8) < 1e-12, s"err $err should be amax, not 0")
+  }
+
   // ---- SemDeDup ------------------------------------------------------
 
   test("semanticDedup keeps the least-central member of a near-dup pair") {

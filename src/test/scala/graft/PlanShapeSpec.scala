@@ -114,4 +114,17 @@ class PlanShapeSpec extends SparkSpec {
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
     }
   }
+
+  test("mutual_knn symmetrization reads ONE cached ranking on both join sides") {
+    val df = graft.operators.Similarity.mutualKnnEdges(
+      Similarity.knnGraph(vecs, "vec_id", "embedding",
+        k = 1, nPlanes = 2, dim = 4, probeBits = 0))
+    try {
+      val p = plan(df)
+      // the operator registers the persist itself (r9) — a caller
+      // without the demo's discipline must still see two cache scans,
+      // never a second inline LSH-ranking computation
+      assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
+    } finally graft.util.CacheRegistry.releaseAll()
+  }
 }
