@@ -669,9 +669,22 @@ object Similarity {
       .join(broadcast(c2).withColumnRenamed(labelCol, "_lbl"), "_lbl")
       .withColumn("_csim", round(Vec.cosine(col("_v"), col("_cv")), 6))
     // both pair sides + the report read this; persist so the centroid
-    // aggregation subtree runs once
+    // aggregation subtree runs once. This cache is CORPUS-scale (id,
+    // label, vector, cent_sim) — the one corpus-sized persist in the
+    // C-series, justified because the vectors are genuinely needed on
+    // both pair sides; [[semanticDedupBucketed]] is the no-persist
+    // 100 TB form (land the side table label-partitioned, read twice).
     val side = graft.util.CacheRegistry.register(
       withCent.select(col("_lbl"), col("_id"), col("_v"), col("_csim")).persist())
+    semanticDropReport(side, idCol, labelCol, threshold)
+  }
+
+  /** the SemDeDup pair join + drop rule + report over a prepared
+    * (_lbl, _id, _v, _csim) side table — shared by the cached
+    * ([[semanticDedup]]) and landed ([[semanticDedupBucketed]])
+    * forms so the decision algebra cannot diverge. */
+  private def semanticDropReport(side: DataFrame, idCol: String,
+                                 labelCol: String, threshold: Double): DataFrame = {
     val a = side.select(col("_lbl"), col("_id").as("id_a"),
       col("_v").as("_va"), col("_csim").as("_ca"))
     val b = side.select(col("_lbl"), col("_id").as("id_b"),
@@ -686,6 +699,40 @@ object Similarity {
       .join(dropped, side("_id") === dropped("_did"), "left")
       .select(col("_id").as(idCol), col("_lbl").as(labelCol),
         col("_csim").as("cent_sim"), col("_did").isNull.as("is_kept"))
+  }
+
+  /** [[semanticDedup]] without the corpus-scale persist — the 100 TB
+    * form: the slim (id, vector, cent_sim) side table LANDS ONCE to a
+    * LABEL-PARTITIONED parquet layout under `layoutDir`, and every
+    * consumer (both pair sides + the report) re-reads that layout
+    * instead of pinning the corpus in executor memory. The trade is
+    * one write + three column-pruned scans of the slim layout against
+    * a corpus-sized cache — at 100 TB the cache does not fit and the
+    * landed layout is the only honest option; it also leaves the
+    * corpus laid out by cluster, which makes each cluster's pair work
+    * partition-local for any LATER dedup pass over the same space
+    * (the documented SemDeDup serving layout). Results are identical
+    * to [[semanticDedup]] (same [[semanticDropReport]] algebra;
+    * SimilaritySpec asserts row equality, PlanShapeSpec asserts the
+    * plan reads the layout with no InMemoryRelation). */
+  def semanticDedupBucketed(vecs: DataFrame, idCol: String, vecCol: String,
+                            labelCol: String, threshold: Double,
+                            layoutDir: String): DataFrame = {
+    val spark = vecs.sparkSession
+    val c2 = ivfCentroids(vecs, vecCol, labelCol)
+      .groupBy(col(labelCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid")))).as("cs"))
+      .select(col(labelCol), transform(col("cs"), x => x.getField("centroid")).as("_cv"))
+    vecs
+      .select(col(idCol).as("_id"), col(labelCol).as("_lbl"),
+        transform(col(vecCol), x => x.cast("double")).as("_v"))
+      .join(broadcast(c2).withColumnRenamed(labelCol, "_lbl"), "_lbl")
+      .withColumn("_csim", round(Vec.cosine(col("_v"), col("_cv")), 6))
+      .select(col("_lbl"), col("_id"), col("_v"), col("_csim"))
+      .write.mode("overwrite").partitionBy("_lbl").parquet(layoutDir)
+    val side = spark.read.parquet(layoutDir)
+      .select(col("_lbl"), col("_id"), col("_v"), col("_csim"))
+    semanticDropReport(side, idCol, labelCol, threshold)
   }
 
   /** near-duplicate pairs by embedding cosine above `threshold`,

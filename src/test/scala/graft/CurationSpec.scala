@@ -309,6 +309,23 @@ class CurationSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("semanticDedupBucketed matches semanticDedup row-for-row (no-persist 100TB form)") {
+    val rnd = new scala.util.Random(11)
+    val emb = (1L to 40L).map { id =>
+      (id, IndexedSeq.fill(4)(rnd.nextGaussian().toFloat), (id % 4).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = graft.util.Fixtures.dir("semdedup_eq").toString
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3))
+    val cached = Similarity.semanticDedup(emb, "vec_id", "embedding", "label", 0.6)
+      .collect().map(key).toSet
+    graft.util.CacheRegistry.releaseAll()
+    val landed = Similarity.semanticDedupBucketed(
+        emb, "vec_id", "embedding", "label", 0.6, dir)
+      .collect().map(key).toSet
+    assert(cached == landed)
+  }
+
   test("semanticDedup drop decisions agree with a brute-force reference") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 60L).map { id =>

@@ -115,6 +115,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("semantic_dedup bucketed variant reads the landed layout, no InMemoryRelation") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0), (3L, Seq(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label").repartition(4)
+    val dir = graft.util.Fixtures.dir("semdedup_plan").toString
+    val df = Similarity.semanticDedupBucketed(
+      emb, "vec_id", "embedding", "label", 0.5, dir)
+    val p = plan(df)
+    // the whole point of the variant: corpus state lives in the landed
+    // label-partitioned layout, not in a cache
+    assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"), p)
+    // and every consumer scans that layout
+    assert(p.contains("Scan parquet") || p.contains("FileScan"), p)
+  }
+
   test("mutual_knn symmetrization reads ONE cached ranking on both join sides") {
     val df = graft.operators.Similarity.mutualKnnEdges(
       Similarity.knnGraph(vecs, "vec_id", "embedding",
