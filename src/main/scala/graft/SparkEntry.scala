@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> (TextDemos.dedupMinhashLsh(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "dedup_simhash"        -> (TextDemos.dedupSimhash(_, _)),
+    "image_phash_dedup"    -> (graft.multimodal.ImageHash.imagePhashDedup(_, _)),
     "embed_near_dup"       -> (TextDemos.embedNearDup(_, _)),
     "ivf_centroids"        -> (TextDemos.ivfCentroids(_, _)),
     "ivf_assign"           -> (TextDemos.ivfAssign(_, _)),
@@ -762,6 +763,7 @@ object SparkEntry {
     "training_prep_e2e" -> graft.oracle.OracleGen.trainingPrepSql(),
     "dedup_clusters"    -> graft.oracle.OracleGen.dedupClustersSql(),
     "dedup_simhash"     -> graft.oracle.OracleGen.simhashSql(),
+    "image_phash_dedup" -> graft.oracle.OracleGen.imagePhashSql(),
     "ann_lsh_topk"      -> graft.oracle.OracleGen.annLshSql(),
     "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),

@@ -218,7 +218,7 @@ object Dedup {
   /** banded hamming-candidate join shared by the self-join and
     * incremental simhash forms (same pair-orientation discipline as
     * [[candidatePairs]]). */
-  private def simhashCandidates(a0: DataFrame, b0: DataFrame, idCol: String,
+  private[graft] def simhashCandidates(a0: DataFrame, b0: DataFrame, idCol: String,
                                 maxHamming: Int, symmetric: Boolean): DataFrame = {
     val a = a0.select(col("band"), col("key"), col(idCol).as("_ia"), col("sh").as("sh_a"))
     val b = b0.select(col("band"), col("key"), col(idCol).as("_ib"), col("sh").as("sh_b"))

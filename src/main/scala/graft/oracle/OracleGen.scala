@@ -262,6 +262,54 @@ object OracleGen {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** mirror of ImageHash.imagePhashDedup: regenerate the synthetic
+    * gray values relationally (same integer arithmetic as synthGray —
+    * the Spark side must survive a REAL PNG encode→decode roundtrip to
+    * land on the same numbers), area-average 4×4 cells, assemble the
+    * 56-bit dHash, band 7×8 bits, exact-hamming verify. */
+  def imagePhashSql(maxHamming: Int = 6): String = {
+    val bandRows = (0 until 7).map(b => s"($b)").mkString(", ")
+    s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+       |px AS (
+       |  SELECT id, CAST(t.range AS BIGINT) AS x, CAST(s.range AS BIGINT) AS y
+       |  FROM ids, range(0, ${ImagePhashW}) t, range(0, ${ImagePhashH}) s
+       |), g0 AS (
+       |  SELECT id, x, y,
+       |    ((id % 80) * 5741 + (x // 4) * 7919 + (y // 4) * 6007)
+       |      * ((id % 80) * 5741 + (x // 4) * 7919 + (y // 4) * 6007) % 100019 % 249 AS v0
+       |  FROM px
+       |), gv AS (
+       |  SELECT id, x, y,
+       |    (CASE WHEN id // 80 > 0 AND ((x // 4) * 7 + (y // 4) * 11 + (id // 80) * 5) % 19 = 0
+       |          THEN (v0 + 120) % 249 ELSE v0 END) + (x * 5 + y * 3) % 8 AS pix
+       |  FROM g0
+       |), cells AS (
+       |  SELECT id, x // 4 AS cx, y // 4 AS cy, SUM(pix) // 16 AS gray
+       |  FROM gv GROUP BY id, x // 4, y // 4
+       |), bits AS (
+       |  SELECT l.id, l.cy * 8 + l.cx AS j,
+       |         CASE WHEN l.gray > r.gray THEN 1 ELSE 0 END AS bit
+       |  FROM cells l JOIN cells r ON r.id = l.id AND r.cy = l.cy AND r.cx = l.cx + 1
+       |  WHERE l.cx < 8
+       |), h AS (
+       |  SELECT id, SUM(CASE WHEN bit = 1 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS sh
+       |  FROM bits GROUP BY id
+       |), bands AS (
+       |  SELECT id, sh, b.band, (sh >> (b.band * 8)) & 255 AS key
+       |  FROM h, (VALUES $bandRows) b(band)
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sa, b.sh AS sb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sa, sb)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val ImagePhashW = graft.multimodal.ImageHash.SynthW
+  private val ImagePhashH = graft.multimodal.ImageHash.SynthH
+
   /** mirror of TextDemos.annLshTopk (8 planes, 1 probe bit, top-5) */
   def annLshSql(nPlanes: Int = 8, dim: Int = 64, k: Int = 5, probeBits: Int = 1): String = {
     val planes = Vec.hyperplanes(nPlanes, dim)

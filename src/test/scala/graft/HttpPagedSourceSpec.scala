@@ -146,6 +146,93 @@ class HttpPagedSourceSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  // ---- DataSource V2 format path: spark.read.format("graft-paged-http") ----
+
+  private def formatRead(url: String, extra: (String, String)*) = {
+    val base = spark.read.format("graft-paged-http")
+      .option("url", url).option("pageSize", pageSize)
+    extra.foldLeft(base) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  test("A13 DSv2: format path fetches every page exactly once, absorbing 429/5xx faults") {
+    val srv = new MockServer(Map(3 -> Seq(429, 429), 5 -> Seq(500)))
+    try {
+      val pages = formatRead(srv.url,
+        "parallelism" -> "3", "maxRetries" -> "3", "baseDelayMs" -> "30")
+      assert(pages.schema.fieldNames.toSeq == Seq("_page", "body"))
+      val parsed = HttpPagedSource.parsePages(pages, rowSchema).cache()
+      try {
+        val good = parsed.filter(col("_corrupt").isNull)
+        assert(good.count() == total)
+        assert(PagedIngest.totalMatches(good, total))
+        val ids = good.select("id").collect().map(_.getLong(0)).sorted
+        assert(ids.toSeq == (1L to total.toLong), "exactly-once row coverage")
+        // probe body reused for page 1: server saw each page once
+        assert((1 to nPages).forall(p => srv.successes.get(p) == 1),
+          s"successes: ${srv.successes}")
+        assert(srv.attempts.get(3) == 3 && srv.attempts.get(5) == 2,
+          s"attempts: ${srv.attempts}")
+      } finally parsed.unpersist()
+    } finally srv.stop()
+  }
+
+  test("A13 DSv2: each action re-probes and re-fetches (lazy scan contract)") {
+    val srv = new MockServer(Map.empty)
+    try {
+      val pages = formatRead(srv.url, "parallelism" -> "2")
+      assert(pages.count() == nPages)
+      assert(pages.count() == nPages)
+      // two actions => two probes + two fetch passes, like fetchPages
+      assert((1 to nPages).forall(p => srv.successes.get(p) == 2),
+        s"successes: ${srv.successes}")
+    } finally srv.stop()
+  }
+
+  test("A13 DSv2: retries exhaust and surface; 404 fails fast; option validation") {
+    val down = new MockServer(Map(2 -> Seq.fill(10)(503)))
+    try {
+      val e = intercept[Exception] {
+        formatRead(down.url, "maxRetries" -> "2", "baseDelayMs" -> "10").count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("503")), msgs(e))
+      assert(down.attempts.get(2) == 3, s"attempts: ${down.attempts}")
+    } finally down.stop()
+    val missing = new MockServer(Map(4 -> Seq.fill(10)(404)))
+    try {
+      intercept[Exception] {
+        formatRead(missing.url, "maxRetries" -> "3", "baseDelayMs" -> "10").count()
+      }
+      assert(missing.attempts.get(4) == 1, s"attempts: ${missing.attempts}")
+    } finally missing.stop()
+    // missing required options fail at planning with a named option
+    val srv = new MockServer(Map.empty)
+    try {
+      val e2 = intercept[Exception] {
+        spark.read.format("graft-paged-http").option("url", srv.url).load().count()
+      }
+      assert(e2.getMessage.contains("pagesize") || e2.getMessage.contains("pageSize"), e2.getMessage)
+      // a user-supplied schema that isn't the page schema is rejected
+      val e3 = intercept[Exception] {
+        spark.read.format("graft-paged-http").schema(rowSchema)
+          .option("url", srv.url).option("pageSize", pageSize).load().count()
+      }
+      assert(e3.getMessage.contains("parsePages"), e3.getMessage)
+    } finally srv.stop()
+  }
+
+  test("A13 DSv2: per-partition throttle spaces requests through the format path") {
+    val srv = new MockServer(Map.empty)
+    try {
+      formatRead(srv.url, "parallelism" -> "1", "minIntervalMs" -> "60").count()
+      val ts = srv.requestMillis.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+      assert(ts.length == nPages)
+      val gaps = ts.drop(1).sliding(2).filter(_.length == 2).map(w => w(1) - w(0)).toSeq
+      assert(gaps.forall(_ >= 50), s"throttle gaps too tight: $gaps")
+    } finally srv.stop()
+  }
+
   test("A13 fetch→stage→PagedIngest: staged page files feed the existing file-scan recovery") {
     val srv = new MockServer(Map(2 -> Seq(429)))
     try {
