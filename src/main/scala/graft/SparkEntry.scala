@@ -70,6 +70,9 @@ object SparkEntry {
     "bpe_train"            -> (TextDemos.bpeTrain(_, _)),
     "bpe_encode"           -> (TextDemos.bpeEncode(_, _)),
     "bm25_topk"            -> (TextDemos.bm25Topk(_, _)),
+    "rrf_fusion"           -> (TextDemos.rrfFusion(_, _)),
+    "mmr_rerank"           -> (TextDemos.mmrRerank(_, _)),
+    "source_quality_gate"  -> (TextDemos.sourceQualityGate(_, _)),
     "group_sample"         -> (TextDemos.groupSampleDemo(_, _)),
     "bigram_lm_score"      -> (TextDemos.bigramLmScore(_, _)),
     "doc_freq_filter"      -> (TextDemos.docFreqFilter(_, _)),
@@ -775,6 +778,9 @@ object SparkEntry {
     "bpe_train"         -> graft.oracle.OracleGen.bpeTrainSql(),
     "bpe_encode"        -> graft.oracle.OracleGen.bpeEncodeSql(),
     "bm25_topk"         -> graft.oracle.OracleGen.bm25TopkSql(),
+    "rrf_fusion"        -> graft.oracle.OracleGen.rrfFusionSql(),
+    "mmr_rerank"        -> graft.oracle.OracleGen.mmrRerankSql(),
+    "source_quality_gate" -> graft.oracle.OracleGen.sourceQualityGateSql(),
     "group_sample"      -> graft.oracle.OracleGen.groupSampleSql(),
     "bigram_lm_score"   -> graft.oracle.OracleGen.bigramLmScoreSql(),
     "semantic_dedup"    -> graft.oracle.OracleGen.semanticDedupSql(),

@@ -92,3 +92,123 @@ object Bm25 {
       .withColumnRenamed("sim", "score")
   }
 }
+
+/** Hybrid-retrieval rank fusion (SURVEY §2 C52): Reciprocal Rank
+  * Fusion (Cormack/Clarke/Buettcher, SIGIR'09) over any set of
+  * rankers — the standard way a training-data pipeline combines
+  * lexical (BM25) and dense (embedding) retrieval without score
+  * calibration, since RRF consumes only RANKS.
+  *
+  * Determinism across engines: each contribution is the INTEGER
+  * `floor(1e9 / (rrfK + rank))` — exact in any engine (the one exact
+  * division in the family, 1e9/64, is itself float-exact, and every
+  * inexact quotient sits ≥ 1/(rrfK+rank)² away from an integer, far
+  * above double ulp) — so fused scores are exact BIGINT sums in
+  * units of 1e-9, with no cross-engine round() seam at all.
+  *
+  * Scale shape: inputs are already top-k rankings (queries × k rows,
+  * dimension-scale next to the corpus the rankers scanned); union +
+  * groupBy shuffles only those, and the final ranking is the bounded
+  * BoundedTopK aggregate. The corpus-scale work lives in the upstream
+  * rankers, where it belongs.
+  */
+object Fusion {
+
+  /** Fuse rankings (each: query_id, doc_id, rank ascending from 1)
+    * into (query_id, doc_id, rrf_score_e9, rank). A document absent
+    * from one ranker simply lacks that term (standard RRF). Ties
+    * break by doc_id ascending. */
+  def rrf(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "Fusion.rrf: no rankings to fuse")
+    require(k >= 1 && rrfK >= 1, s"Fusion.rrf: k=$k rrfK=$rrfK must be >= 1")
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+      floor(lit(1000000000.0) / (lit(rrfK) + col("rank"))).cast("long").as("_c")))
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy(col("query_id"), col("doc_id"))
+      // exact long sum; max possible (rankers × 1e9/(rrfK+1)) is far
+      // inside double's 2^53 integer range, so the BoundedTopK ranking
+      // can order the cast losslessly
+      .agg(sum(col("_c")).as("_s"))
+      .select(col("query_id"), col("doc_id"), col("_s").cast("double").as("sim"))
+    Similarity.topK(fused, k, "query_id", "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        col("sim").cast("long").as("rrf_score_e9"), col("rank"))
+  }
+}
+
+/** Diversity-aware reranking (SURVEY §2 C53): Maximal Marginal
+  * Relevance (Carbonell & Goldstein, SIGIR'98) — the selection rule
+  * RAG pipelines and eval-set builders run on top of a first-stage
+  * ranking so the k results aren't k near-duplicates:
+  * `argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`, greedy until |S|=k.
+  *
+  * The greedy loop is inherently sequential in ROUNDS but each round
+  * is pure relational algebra, so it unrolls exactly like the
+  * quality-classifier's GD rounds: per round one bounded join
+  * (pairwise-sim table × selected set), one max-aggregate, one
+  * window argmax — no collect, no driver-side candidate state; each
+  * pick localCheckpoints so round t+1's plan doesn't re-derive rounds
+  * 1..t (the selected set would otherwise appear twice per round and
+  * double the plan each unroll).
+  *
+  * Scale shape: candidates are a first-stage TOP-M per query, so every
+  * table here is (queries × m) or (queries × m²) — dimension-scale
+  * next to the corpus scan that produced them; m is the knob.
+  * Determinism: rel and pairwise sims round to 6 places; the MMR
+  * combination is two IEEE mults and a sub on identical bit patterns,
+  * so scores and the (mmr desc, doc_id) argmax agree across engines.
+  */
+object Mmr {
+
+  /** Rerank `candidates`(query_id, doc_id, rel, vec) to the k-pick MMR
+    * sequence (query_id, doc_id, mmr_round 1-based, mmr_score).
+    * Queries with fewer than k candidates yield fewer rounds. */
+  def rerank(candidates: DataFrame, k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"Mmr.rerank: k must be >= 1, got $k")
+    require(lambda >= 0 && lambda <= 1, s"Mmr.rerank: lambda $lambda outside [0,1]")
+    val cand = graft.util.CacheRegistry.register(
+      candidates.select(col("query_id"), col("doc_id"), col("rel"), col("vec"))
+        .persist())
+    val psim = graft.util.CacheRegistry.register(
+      cand.as("a").join(cand.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.query_id").as("query_id"),
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          round(graft.functions.Vec.cosineFast(col("a.vec"), col("b.vec")), 6)
+            .as("ps"))
+        .persist())
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("mmr_score").desc, col("doc_id"))
+    var selected: DataFrame = null
+    var out: DataFrame = null
+    for (t <- 1 to k) {
+      val scoredRemaining =
+        if (selected == null)
+          cand.select(col("query_id"), col("doc_id"),
+            (lit(lambda) * col("rel") - lit(1 - lambda) * lit(0.0)).as("mmr_score"))
+        else {
+          val sel = selected.select(col("query_id"), col("doc_id"))
+          val maxsim = psim
+            .join(sel.withColumnRenamed("doc_id", "doc_b"), Seq("query_id", "doc_b"))
+            .groupBy(col("query_id"), col("doc_a").as("doc_id"))
+            .agg(max(col("ps")).as("maxsim"))
+          cand.join(sel, Seq("query_id", "doc_id"), "left_anti")
+            .join(maxsim, Seq("query_id", "doc_id"))
+            .select(col("query_id"), col("doc_id"),
+              (lit(lambda) * col("rel") - lit(1 - lambda) * col("maxsim"))
+                .as("mmr_score"))
+        }
+      val pick = scoredRemaining
+        .withColumn("_rn", row_number().over(win))
+        .filter(col("_rn") === 1)
+        .select(col("query_id"), col("doc_id"), lit(t).as("mmr_round"),
+          col("mmr_score"))
+        .localCheckpoint()
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      out = if (out == null) pick else out.unionByName(pick)
+    }
+    out
+  }
+}

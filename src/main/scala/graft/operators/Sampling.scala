@@ -127,4 +127,31 @@ object Sampling {
       .filter(pmod(hash(col(keyCol).cast("string")), lit(1000000)).cast("double") <
         col("keep_frac") * 1000000.0)
   }
+
+  /** C54 — per-source quality-quantile gate (the FineWeb/CCNet curation
+    * step "keep each source's best fraction", without cross-source
+    * score calibration: a boilerplate-heavy source and a book corpus
+    * get their own bars). Threshold = the exact interpolated q-quantile
+    * of `scoreCol` WITHIN each source ([[graft.functions.Agg
+    * .interpolatedPercentiles]] — engine-bit-exact interpolation), kept
+    * rows are `score >= threshold`.
+    *
+    * Scale shape: the threshold pass shuffles only (source, score)
+    * pairs and yields one row per source, which then BROADCASTS into a
+    * map-side filter of the corpus — the corpus itself never shuffles;
+    * it is read twice, the dsir lesson (a second scan beats a
+    * corpus-scale persist under an exchange-reuse subtree). Exact
+    * per-source quantiles sort within source partitions; the
+    * approx_percentile sketch is the documented escape hatch when a
+    * single source outgrows a sort (B18's machinery). */
+  def sourceQuantileFilter(df: DataFrame, idCol: String, scoreCol: String,
+                           sourceCol: String, q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"sourceQuantileFilter: q=$q outside (0,1)")
+    val thr = graft.functions.Agg.interpolatedPercentiles(
+      df.select(col(sourceCol), col(scoreCol)), sourceCol, scoreCol,
+      Seq("threshold" -> q))
+    df.join(broadcast(thr), Seq(sourceCol))
+      .filter(col(scoreCol) >= col("threshold"))
+      .select(col(idCol), col(sourceCol), col(scoreCol), col("threshold"))
+  }
 }

@@ -403,6 +403,56 @@ object TextDemos {
       .orderBy("query_id", "rank")
   }
 
+  /** C54 — per-source quality-quantile gate: keep each source's
+    * above-median-quality half, with per-source bars (no cross-source
+    * score calibration). */
+  def sourceQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), Text.qualityScore(col("text")).as("score"))
+    Sampling.sourceQuantileFilter(scored, "doc_id", "score", "source", q = 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** C52 — hybrid retrieval: BM25 and dense cosine rankings over the
+    * id-aligned corpus slice (documents that carry an embedding),
+    * fused by integer Reciprocal Rank Fusion. One corpus persist feeds
+    * the posting table, the dense candidates and both query sides. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.util.CacheRegistry.register(
+      Tables.documents(spark, dir)
+        .join(Tables.embeddings(spark, dir).withColumnRenamed("vec_id", "doc_id"),
+          Seq("doc_id"))
+        .persist())
+    val queries = corpus.filter(col("doc_id") % 97 === 0)
+    val lex = Bm25.topK(corpus, "doc_id", "text",
+      queries.select(col("doc_id").as("query_id"),
+        slice(Text.wsTokens(col("text")), 1, 8).as("terms")), k = 20)
+      .select("query_id", "doc_id", "rank")
+    val dense = Similarity.bruteTopK(
+        queries.select(col("doc_id").as("query_id"), col("embedding").as("qv")),
+        corpus.select(col("doc_id").as("cand_id"), col("embedding").as("cv")),
+        k = 20)
+      .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+    Fusion.rrf(Seq(lex, dense), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** C53 — MMR diversity rerank over a dense first-stage top-20:
+    * greedy λ·rel − (1−λ)·max-sim-to-selected picks, 5 rounds. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val cand = Similarity.bruteTopK(queries, corpus, k = 20)
+      .select(col("query_id"), col("cand_id").as("doc_id"),
+        round(col("sim"), 6).as("rel"))
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding").as("vec")),
+        Seq("doc_id"))
+    Mmr.rerank(cand, k = 5, lambda = 0.7)
+      .orderBy("query_id", "mmr_round")
+  }
+
   /** C7 — embedding-cosine near-duplicate pairs via shared LSH buckets. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(spark, dir),

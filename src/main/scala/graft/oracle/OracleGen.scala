@@ -310,6 +310,97 @@ object OracleGen {
   private val ImagePhashW = graft.multimodal.ImageHash.SynthW
   private val ImagePhashH = graft.multimodal.ImageHash.SynthH
 
+  /** mirror of TextDemos.sourceQualityGate: the C9 quality score with
+    * `source` riding along, per-source exact interpolated median via
+    * the shared percentile SQL, broadcast-threshold keep. */
+  def sourceQualityGateSql(q: Double = 0.5): String = {
+    val thr = interpolatedPercentilesSql("sc", "source", "score",
+      Seq("threshold" -> q))
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, source, text, CAST(len(toks) AS DOUBLE) AS n_tok,
+       |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS DOUBLE) AS stop_hits,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha_hits
+       |  FROM t
+       |), sc AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    0.4 * least(n_tok / 100.0, 1.0)
+       |    + 0.3 * (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END)
+       |    + 0.3 * (CASE WHEN length(text) > 0 THEN alpha_hits / CAST(length(text) AS DOUBLE) ELSE 0.0 END) AS score
+       |  FROM m
+       |), thr AS (
+       |$thr
+       |)
+       |SELECT doc_id, source, score, threshold
+       |FROM sc JOIN thr USING (source)
+       |WHERE score >= threshold
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** mirror of TextDemos.mmrRerank: dense top-m candidates + pairwise
+    * sims (both ROUND 6), then the greedy MMR rounds unrolled as CTEs
+    * (the quality-classifier discipline): each round joins the
+    * pairwise table to the selected set, max-aggregates, and argmaxes
+    * by (mmr desc, doc_id). λ and 1−λ interpolate from the SAME Scala
+    * doubles the Spark side multiplies with. */
+  def mmrRerankSql(m: Int = 20, k: Int = 5, lambda: Double = 0.7): String = {
+    val lam = lambda.toString
+    val oneMinus = (1 - lambda).toString
+    val rounds = (2 to k).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT query_id, doc_id, CAST($t AS INT) AS mmr_round, mmr_score FROM (
+         |    SELECT c.query_id, c.doc_id,
+         |           $lam * c.rel - $oneMinus * ms.maxsim AS mmr_score,
+         |           ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |             ORDER BY $lam * c.rel - $oneMinus * ms.maxsim DESC, c.doc_id) AS rn
+         |    FROM cand c
+         |    JOIN (SELECT p.query_id, p.doc_a AS doc_id, MAX(p.ps) AS maxsim
+         |          FROM psim p JOIN sel${t - 1} s
+         |            ON s.query_id = p.query_id AND s.doc_id = p.doc_b
+         |          GROUP BY p.query_id, p.doc_a) ms
+         |      ON ms.query_id = c.query_id AND ms.doc_id = c.doc_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |                      WHERE s.query_id = c.query_id AND s.doc_id = c.doc_id))
+         |  WHERE rn = 1
+         |), sel$t AS (
+         |  SELECT query_id, doc_id FROM sel${t - 1}
+         |  UNION ALL SELECT query_id, doc_id FROM s$t)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    val unionAll = (1 to k).map(t => s"SELECT * FROM s$t").mkString("\n  UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0
+       |), x AS (
+       |  SELECT query_id, e.vec_id AS doc_id, ${cosineExpr("qv", "e.embedding")} AS sim,
+       |         e.embedding AS cv
+       |  FROM q CROSS JOIN embeddings e
+       |), rr AS (
+       |  SELECT query_id, doc_id, sim, cv,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rk
+       |  FROM x
+       |), cand AS MATERIALIZED (
+       |  SELECT query_id, doc_id, ROUND(sim, 6) AS rel, cv FROM rr WHERE rk <= $m
+       |), psim AS MATERIALIZED (
+       |  SELECT a.query_id, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         ROUND(${cosineExpr("a.cv", "b.cv")}, 6) AS ps
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+       |), s1 AS MATERIALIZED (
+       |  SELECT query_id, doc_id, CAST(1 AS INT) AS mmr_round, mmr_score FROM (
+       |    SELECT query_id, doc_id, $lam * rel - $oneMinus * 0.0 AS mmr_score,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY $lam * rel - $oneMinus * 0.0 DESC, doc_id) AS rn
+       |    FROM cand)
+       |  WHERE rn = 1
+       |), sel1 AS (
+       |  SELECT query_id, doc_id FROM s1
+       |)$rounds
+       |SELECT query_id, doc_id, mmr_round, mmr_score FROM (
+       |  $unionAll)
+       |ORDER BY query_id, mmr_round""".stripMargin
+  }
+
   /** mirror of TextDemos.annLshTopk (8 planes, 1 probe bit, top-5) */
   def annLshSql(nPlanes: Int = 8, dim: Int = 64, k: Int = 5, probeBits: Int = 1): String = {
     val planes = Vec.hyperplanes(nPlanes, dim)
@@ -614,26 +705,34 @@ object OracleGen {
     * decimal (the lm_score discipline) → decimal sum → dense top-k by
     * (score desc, doc_id). Constants interpolate from Bm25 so both
     * engines parse the SAME shortest-round-trip double literals. */
-  def bm25TopkSql(k: Int = 10): String = {
+  def bm25TopkSql(k: Int = 10): String =
+    s"""WITH ${bm25Ctes("documents")}
+       |SELECT query_id, doc_id, score, rank FROM lexranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** the BM25 CTE chain (tf … lexranked) over `corpus`(doc_id, text) —
+    * shared by the bm25_topk oracle and the rrf_fusion oracle's
+    * lexical leg. `lexranked` is the FULL ranking; consumers filter. */
+  private def bm25Ctes(corpus: String): String = {
     import graft.operators.Bm25.{K1, B}
-    s"""WITH tf AS MATERIALIZED (
+    s"""tf AS MATERIALIZED (
        |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-       |    FROM documents)
+       |    FROM $corpus)
        |  GROUP BY doc_id, tok
        |), dl AS MATERIALIZED (
        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
        |), df AS (
        |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
        |), consts AS (
-       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n,
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM $corpus) AS n,
        |         (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
-       |           / (SELECT COUNT(*) FROM documents) AS avgdl
+       |           / (SELECT COUNT(*) FROM $corpus) AS avgdl
        |), qt AS (
        |  SELECT DISTINCT query_id, term FROM (
        |    SELECT doc_id AS query_id, unnest(ws[1:8]) AS term FROM (
        |      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-       |      FROM documents WHERE doc_id % 97 = 0))
+       |      FROM $corpus WHERE doc_id % 97 = 0))
        |), terms AS (
        |  SELECT qt.query_id, tf.doc_id,
        |    CAST(ROUND(ln((c.n - df.df + 0.5) / (df.df + 0.5) + 1)
@@ -644,12 +743,49 @@ object OracleGen {
        |), scores AS (
        |  SELECT query_id, doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
        |  FROM terms GROUP BY query_id, doc_id
-       |), ranked AS (
+       |), lexranked AS (
        |  SELECT query_id, doc_id, score,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-       |  FROM scores)
-       |SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= $k
+       |  FROM scores)""".stripMargin
+  }
+
+  /** mirror of TextDemos.rrfFusion: the id-aligned (documents ⋈
+    * embeddings) corpus, the SAME BM25 chain as bm25_topk plus a
+    * brute-force dense cosine ranking, fused by integer RRF —
+    * `1000000000 // (60 + rank)` is exact in both engines, so fused
+    * scores are exact BIGINT sums with no float seam. */
+  def rrfFusionSql(mLex: Int = 20, mDense: Int = 20, k: Int = 10,
+                   rrfK: Int = 60): String = {
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text, e.embedding
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+       |), ${bm25Ctes("corpus")},
+       |dq AS (
+       |  SELECT doc_id AS query_id, embedding AS qv FROM corpus WHERE doc_id % 97 = 0
+       |), dx AS (
+       |  SELECT dq.query_id, c.doc_id, ${cosineExpr("dq.qv", "c.embedding")} AS sim
+       |  FROM dq CROSS JOIN corpus c
+       |), denseranked AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
+       |  FROM dx
+       |), contrib AS (
+       |  SELECT query_id, doc_id, 1000000000 // ($rrfK + rank) AS c
+       |  FROM lexranked WHERE rank <= $mLex
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 1000000000 // ($rrfK + rank) AS c
+       |  FROM denseranked WHERE rank <= $mDense
+       |), fusedsc AS (
+       |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score_e9
+       |  FROM contrib GROUP BY query_id, doc_id
+       |), fr AS (
+       |  SELECT query_id, doc_id, rrf_score_e9,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY rrf_score_e9 DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fusedsc)
+       |SELECT query_id, doc_id, rrf_score_e9, rank FROM fr WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
 

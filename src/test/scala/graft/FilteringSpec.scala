@@ -151,6 +151,35 @@ class FilteringSpec extends SparkSpec {
     assert(rep == out.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("C54 source quantile gate: per-source bars, reference keep set, tie inclusivity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // source A scores ~[0,1); source B systematically LOWER ~[0,0.1):
+    // a global bar would wipe B out, per-source bars must not
+    val rows = (0 until 40).map(i => (i.toLong, "A", rnd.nextDouble())) ++
+      (40 until 80).map(i => (i.toLong, "B", rnd.nextDouble() / 10)) ++
+      // source C: all-equal scores — every row ties the median and the
+      // >= semantics must keep ALL of them
+      (80 until 86).map(i => (i.toLong, "C", 0.25))
+    val df = rows.toDF("doc_id", "source", "score")
+    val kept = graft.operators.Sampling
+      .sourceQuantileFilter(df, "doc_id", "score", "source", q = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // independent reference: interpolated median per source (lo + (hi-lo)*frac)
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val pos = (s.size - 1) * 0.5
+      val li = math.floor(pos).toInt
+      s(li) + (s(math.min(li + 1, s.size - 1)) - s(li)) * (pos - li)
+    }
+    val bySource = rows.groupBy(_._2).view.mapValues(g => medianOf(g.map(_._3))).toMap
+    val want = rows.filter { case (_, src, sc) => sc >= bySource(src) }.map(_._1).toSet
+    assert(kept == want)
+    // every source survives with roughly its own half
+    assert((80L until 86L).forall(kept), "all-tied source C must keep every row")
+    assert(kept.count(_ < 40) > 10 && kept.count(i => i >= 40 && i < 80) > 10,
+      "both A and B keep their own top half — no cross-source bar")
+  }
+
   test("C26 lm score: common-token docs score higher than rare-token docs") {
     val out = graft.operators.TextDemos.lmScore(spark, sfDir).collect()
     assert(out.length == 500)

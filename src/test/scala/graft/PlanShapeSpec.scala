@@ -59,6 +59,29 @@ class PlanShapeSpec extends SparkSpec {
     try body finally spark.conf.set(key, prev)
   }
 
+  test("image dHash is map-only; near-dup candidates shuffle only the banded hashes") {
+    val media = docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id =>
+        graft.multimodal.Multimodal.MediaRow(id, graft.multimodal.ImageHash.synthPng(id), "png")))
+    val hashes = graft.multimodal.ImageHash.dHash(media)
+    // decode+hash adds no exchange over its input
+    assert(exchanges(hashes) == exchanges(hashes.sparkSession.emptyDataFrame) + exchanges(docs),
+      plan(hashes))
+  }
+
+  test("source quantile gate: corpus keep-side joins only by FORCED broadcast") {
+    withoutAutoBroadcast {
+      val scored = docs.select(col("doc_id"),
+        (col("doc_id") % 2).cast("string").as("source"),
+        length(col("text")).cast("double").as("score"))
+      val df = graft.operators.Sampling.sourceQuantileFilter(
+        scored, "doc_id", "score", "source", q = 0.5)
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
   test("dsir score joins only by FORCED broadcast: no shuffle join even with stats off") {
     withoutAutoBroadcast {
       val df = Curation.dsirScore(docs, "doc_id", "text",
