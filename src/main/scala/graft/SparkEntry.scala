@@ -73,6 +73,7 @@ object SparkEntry {
     "rrf_fusion"           -> (TextDemos.rrfFusion(_, _)),
     "mmr_rerank"           -> (TextDemos.mmrRerank(_, _)),
     "source_quality_gate"  -> (TextDemos.sourceQualityGate(_, _)),
+    "url_canonicalize"     -> (TextDemos.urlCanonicalize(_, _)),
     "group_sample"         -> (TextDemos.groupSampleDemo(_, _)),
     "bigram_lm_score"      -> (TextDemos.bigramLmScore(_, _)),
     "doc_freq_filter"      -> (TextDemos.docFreqFilter(_, _)),
@@ -781,6 +782,7 @@ object SparkEntry {
     "rrf_fusion"        -> graft.oracle.OracleGen.rrfFusionSql(),
     "mmr_rerank"        -> graft.oracle.OracleGen.mmrRerankSql(),
     "source_quality_gate" -> graft.oracle.OracleGen.sourceQualityGateSql(),
+    "url_canonicalize"  -> graft.oracle.OracleGen.urlCanonicalizeSql(),
     "group_sample"      -> graft.oracle.OracleGen.groupSampleSql(),
     "bigram_lm_score"   -> graft.oracle.OracleGen.bigramLmScoreSql(),
     "semantic_dedup"    -> graft.oracle.OracleGen.semanticDedupSql(),

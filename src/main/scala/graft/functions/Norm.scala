@@ -33,6 +33,42 @@ object Norm {
   def urlDomain(c: Column): Column =
     regexp_extract(c, "^https?://(?:www\\.)?([^/]+)", 1)
 
+  /** URL canonicalization (SURVEY §2 C55) — the crawl-pipeline
+    * normalization run before URL-level dedup and host aggregation,
+    * so `HTTP://WWW.Site.COM:80/a/?utm_source=x&id=1#top` and
+    * `http://www.site.com/a?id=1` collapse to one key. Rules (the
+    * standard safe set — semantics-preserving for any sane server):
+    * lowercase scheme and host; drop the default port (80/http,
+    * 443/https), keep explicit non-defaults; strip trailing slashes
+    * off the path (empty path → "/"); drop tracking parameters
+    * (utm_*, gclid, fbclid) and SORT the survivors for an
+    * order-insensitive key; drop the fragment (client-side only).
+    * Path/query CASE is preserved (case-sensitive on most servers).
+    * Pure Column algebra — map-only at any scale; non-URLs (no
+    * scheme) pass through unchanged. */
+  def canonicalizeUrl(c: Column): Column = {
+    val scheme = lower(regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_extract(auth, "^([^:]*)", 1))
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
+    val path0 = regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val pathStripped = regexp_replace(path0, "/+$", "")
+    val pathC = when(pathStripped === "", lit("/")).otherwise(pathStripped)
+    val query = regexp_extract(c, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("gclid=") &&
+        !p.startsWith("fbclid="))
+    val queryC = array_join(array_sort(params), "&")
+    val canon = concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      pathC,
+      when(queryC =!= "", concat(lit("?"), queryC)).otherwise(lit("")))
+    when(scheme === "", c).otherwise(canon)
+  }
+
   /** strip a leading 3-5 digit postal code (normalizeTWAddress) */
   def stripPostal(c: Column): Column =
     regexp_replace(c, lit("^\\s*\\d{3,5}[-\\s]?"), lit(""))

@@ -403,6 +403,32 @@ object TextDemos {
       .orderBy("query_id", "rank")
   }
 
+  /** C55 — URL canonicalization: messy source URLs synthesized onto
+    * the docs (the C23 convention — the table has no URL column, so
+    * both engines see identical inputs) covering every rule: mixed
+    * case scheme/host, default + explicit ports, trailing slashes,
+    * tracking params in shuffled positions, fragments. */
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val url = concat(
+      when(i % 2 === 0, "HTTP://").otherwise("https://"),
+      lit("WWW.Src"), col("source"), lit(".Example.COM"),
+      when(i % 3 === 0, when(i % 2 === 0, ":80").otherwise(":443"))
+        .when(i % 5 === 0, ":8080").otherwise(""),
+      lit("/Doc/"), i.cast("string"),
+      when(i % 4 === 0, "/").otherwise(""),
+      when(i % 2 === 0,
+          concat(lit("?utm_source=feed&id="), i.cast("string"), lit("&utm_campaign=x&b=2")))
+        .otherwise(concat(lit("?b=2&gclid=abc&id="), i.cast("string"))),
+      when(i % 3 === 0, concat(lit("#sec"), i.cast("string"))).otherwise(""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("canon_url", graft.functions.Norm.canonicalizeUrl(col("url")))
+      .withColumn("host", regexp_extract(col("canon_url"),
+        "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1))
+      .orderBy("doc_id")
+  }
+
   /** C54 — per-source quality-quantile gate: keep each source's
     * above-median-quality half, with per-source bars (no cross-source
     * score calibration). */

@@ -310,6 +310,52 @@ object OracleGen {
   private val ImagePhashW = graft.multimodal.ImageHash.SynthW
   private val ImagePhashH = graft.multimodal.ImageHash.SynthH
 
+  /** mirror of TextDemos.urlCanonicalize: the same synthesized messy
+    * URLs, the same canonicalization algebra (lowercase scheme/host,
+    * default-port drop, trailing-slash strip, tracking-param drop +
+    * sort, fragment drop) in DuckDB string/regex/list functions. */
+  def urlCanonicalizeSql(): String =
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+       |    || 'WWW.Src' || source || '.Example.COM'
+       |    || (CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+       |             WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END)
+       |    || '/Doc/' || CAST(doc_id AS VARCHAR)
+       |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+       |    || (CASE WHEN doc_id % 2 = 0
+       |             THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x&b=2'
+       |             ELSE '?b=2&gclid=abc&id=' || CAST(doc_id AS VARCHAR) END)
+       |    || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END)
+       |    AS url
+       |  FROM documents
+       |), parts AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+       |    regexp_extract(url, '\\?([^#]*)', 1) AS query
+       |  FROM raw
+       |), norm AS (
+       |  SELECT doc_id, url, scheme,
+       |    lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+       |    regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+       |    CASE WHEN regexp_replace(path0, '/+$$', '') = '' THEN '/'
+       |         ELSE regexp_replace(path0, '/+$$', '') END AS path_c,
+       |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+       |      p -> p <> '' AND NOT (p LIKE 'utm_%' OR p LIKE 'gclid=%' OR p LIKE 'fbclid=%'))), '&') AS query_c
+       |  FROM parts
+       |)
+       |SELECT doc_id, url,
+       |  scheme || '://' || host
+       |  || (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+       |                                 OR (scheme = 'https' AND port = '443'))
+       |       THEN ':' || port ELSE '' END)
+       |  || path_c
+       |  || (CASE WHEN query_c <> '' THEN '?' || query_c ELSE '' END) AS canon_url,
+       |  host
+       |FROM norm ORDER BY doc_id""".stripMargin
+
   /** mirror of TextDemos.sourceQualityGate: the C9 quality score with
     * `source` riding along, per-source exact interpolated median via
     * the shared percentile SQL, broadcast-threshold keep. */

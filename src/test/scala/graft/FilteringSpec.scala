@@ -151,6 +151,40 @@ class FilteringSpec extends SparkSpec {
     assert(rep == out.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("C55 url canonicalize: every rule, idempotence, non-URL passthrough, map-only") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host case, default port, trailing slash, tracking drop + sort, fragment
+      "HTTP://WWW.Site.COM:80/A/B/?utm_source=x&b=2&a=1#top" ->
+        "http://www.site.com/A/B?a=1&b=2",
+      // https default port; query order normalizes; path case preserved
+      "https://Site.com:443/Path?z=9&a=1" -> "https://site.com/Path?a=1&z=9",
+      // explicit non-default port survives; tracking-only query vanishes
+      "https://site.com:8080/x?utm_campaign=only&gclid=1" -> "https://site.com:8080/x",
+      // empty path -> "/", fragment-only dropped
+      "http://site.com#frag" -> "http://site.com/",
+      // root path stays root
+      "http://site.com/" -> "http://site.com/",
+      // fbclid dropped, empty params dropped
+      "http://a.b/p?fbclid=9&&x=1" -> "http://a.b/p?x=1",
+      // non-URL passes through untouched
+      "not a url at all" -> "not a url at all",
+      "ftp://Host.Com:21/Dir/" -> "ftp://host.com:21/Dir")
+    val df = cases.map(_._1).toDF("url")
+      .withColumn("canon", graft.functions.Norm.canonicalizeUrl(col("url")))
+    val got = df.select("canon").as[String].collect()
+    assert(got.toSeq == cases.map(_._2), got.toSeq.mkString("\n"))
+    // idempotence: canonical form is a fixed point
+    val twice = df.select(graft.functions.Norm.canonicalizeUrl(col("canon")).as("c2"))
+      .as[String].collect()
+    assert(twice.toSeq == cases.map(_._2))
+    // map-only: no exchange beyond the input's
+    val probe = spark.range(8).select(col("id").cast("string").as("url")).repartition(4)
+    val plan = probe.withColumn("c", graft.functions.Norm.canonicalizeUrl(col("url")))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("C54 source quantile gate: per-source bars, reference keep set, tie inclusivity") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
