@@ -48,7 +48,10 @@ object Norm {
     * scheme) pass through unchanged. */
   def canonicalizeUrl(c: Column): Column = {
     val scheme = lower(regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val auth = regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val auth0 = regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    // credentials are not part of the resource identity (and must not
+    // leak into dedup keys): user:pass@host drops to host
+    val auth = element_at(split(auth0, "@"), -1)
     val host = lower(regexp_extract(auth, "^([^:]*)", 1))
     val port = regexp_extract(auth, ":([0-9]+)$", 1)
     val keepPort = port =!= "" &&
@@ -66,7 +69,10 @@ object Norm {
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       pathC,
       when(queryC =!= "", concat(lit("?"), queryC)).otherwise(lit("")))
-    when(scheme === "", c).otherwise(canon)
+    // pass through untouched: non-URLs (no scheme) and bracketed IPv6
+    // authorities, whose colons defeat the host:port split — mangling
+    // them would corrupt the dedup key worse than not normalizing
+    when(scheme === "" || auth0.contains("["), c).otherwise(canon)
   }
 
   /** strip a leading 3-5 digit postal code (normalizeTWAddress) */

@@ -127,10 +127,15 @@ private[io] class WrappedJsonWrite(path: String, schema: StructType,
         s"duplicate group files across partitions — clustering contract broken: " +
           finals.diff(finals.distinct).distinct.mkString(", "))
       if (truncate) {
-        // overwrite = clear previous group files inside THIS commit
+        // overwrite = clear previous group files inside THIS commit.
+        // _SUCCESS drops FIRST: renames are per-file atomic but the
+        // commit as a whole is not (the classic v1-committer caveat) —
+        // readers gate on _SUCCESS, so the directory reads as
+        // "unpublished" for the whole mutation window instead of ever
+        // presenting a half-mixed layout as complete
+        f.delete(new Path(path, "_SUCCESS"), false)
         Option(f.globStatus(new Path(path, "*.json")))
           .getOrElse(Array.empty).foreach(st => f.delete(st.getPath, false))
-        f.delete(new Path(path, "_SUCCESS"), false)
       }
       files.foreach { case (temp, finalName) =>
         val dst = new Path(path, finalName)
