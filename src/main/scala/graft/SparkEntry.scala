@@ -71,6 +71,7 @@ object SparkEntry {
     "bpe_encode"           -> (TextDemos.bpeEncode(_, _)),
     "bm25_topk"            -> (TextDemos.bm25Topk(_, _)),
     "rrf_fusion"           -> (TextDemos.rrfFusion(_, _)),
+    "hard_negatives"       -> (TextDemos.hardNegatives(_, _)),
     "mmr_rerank"           -> (TextDemos.mmrRerank(_, _)),
     "source_quality_gate"  -> (TextDemos.sourceQualityGate(_, _)),
     "url_canonicalize"     -> (TextDemos.urlCanonicalize(_, _)),
@@ -780,6 +781,7 @@ object SparkEntry {
     "bpe_encode"        -> graft.oracle.OracleGen.bpeEncodeSql(),
     "bm25_topk"         -> graft.oracle.OracleGen.bm25TopkSql(),
     "rrf_fusion"        -> graft.oracle.OracleGen.rrfFusionSql(),
+    "hard_negatives"    -> graft.oracle.OracleGen.hardNegativesSql(),
     "mmr_rerank"        -> graft.oracle.OracleGen.mmrRerankSql(),
     "source_quality_gate" -> graft.oracle.OracleGen.sourceQualityGateSql(),
     "url_canonicalize"  -> graft.oracle.OracleGen.urlCanonicalizeSql(),

@@ -479,6 +479,35 @@ object TextDemos {
       .orderBy("query_id", "mmr_round")
   }
 
+  /** C56 — hard-negative mining (the DPR/contrastive-training recipe:
+    * documents that MATCH the query lexically but are NOT among its
+    * semantic neighbors make the hardest negatives): BM25 top-20 with
+    * the dense cosine top-5 anti-joined away, over the same id-aligned
+    * corpus as C52. The query document itself lands in dense top-1
+    * (sim 1.0), so the anti-join also guarantees no query leaks into
+    * its own negative set. Pure composition of C37 + C5 — the rankings
+    * are dimension-scale, the anti-join touches only them. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.util.CacheRegistry.register(
+      Tables.documents(spark, dir)
+        .join(Tables.embeddings(spark, dir).withColumnRenamed("vec_id", "doc_id"),
+          Seq("doc_id"))
+        .persist())
+    val queries = corpus.filter(col("doc_id") % 97 === 0)
+    val lex = Bm25.topK(corpus, "doc_id", "text",
+      queries.select(col("doc_id").as("query_id"),
+        slice(Text.wsTokens(col("text")), 1, 8).as("terms")), k = 20)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("rank").as("bm25_rank"))
+    val dense = Similarity.bruteTopK(
+        queries.select(col("doc_id").as("query_id"), col("embedding").as("qv")),
+        corpus.select(col("doc_id").as("cand_id"), col("embedding").as("cv")),
+        k = 5)
+      .select(col("query_id"), col("cand_id").as("doc_id"))
+    lex.join(dense, Seq("query_id", "doc_id"), "left_anti")
+      .orderBy("query_id", "bm25_rank")
+  }
+
   /** C7 — embedding-cosine near-duplicate pairs via shared LSH buckets. */
   def embedNearDup(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingNearDup(Tables.embeddings(spark, dir),

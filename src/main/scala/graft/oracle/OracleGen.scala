@@ -386,6 +386,31 @@ object OracleGen {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** mirror of TextDemos.hardNegatives: the C52 corpus + shared BM25
+    * chain, dense top-5 removed by NOT EXISTS. */
+  def hardNegativesSql(mLex: Int = 20, kDense: Int = 5): String =
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text, e.embedding
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+       |), ${bm25Ctes("corpus")},
+       |dq AS (
+       |  SELECT doc_id AS query_id, embedding AS qv FROM corpus WHERE doc_id % 97 = 0
+       |), dx AS (
+       |  SELECT dq.query_id, c.doc_id, ${cosineExpr("dq.qv", "c.embedding")} AS sim
+       |  FROM dq CROSS JOIN corpus c
+       |), denseranked AS (
+       |  SELECT query_id, doc_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY sim DESC, doc_id) AS BIGINT) AS rank
+       |  FROM dx
+       |)
+       |SELECT l.query_id, l.doc_id, l.score, l.rank AS bm25_rank
+       |FROM lexranked l
+       |WHERE l.rank <= $mLex AND NOT EXISTS (
+       |  SELECT 1 FROM denseranked d
+       |  WHERE d.query_id = l.query_id AND d.doc_id = l.doc_id AND d.rank <= $kDense)
+       |ORDER BY l.query_id, l.rank""".stripMargin
+
   /** mirror of TextDemos.mmrRerank: dense top-m candidates + pairwise
     * sims (both ROUND 6), then the greedy MMR rounds unrolled as CTEs
     * (the quality-classifier discipline): each round joins the

@@ -56,6 +56,29 @@ class FusionSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("C56 hard negatives: lexical top-20 minus dense top-5, query never its own negative") {
+    val out = graft.operators.TextDemos.hardNegatives(spark, sfDir)
+      .select("query_id", "doc_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, d) => q != d },
+      "the query doc (dense rank 1) must be anti-joined away")
+    // composition property: exactly the BM25 top-20 with dense top-5 removed
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+      .join(graft.sources.Tables.embeddings(spark, sfDir)
+        .withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+    val queries = corpus.filter(col("doc_id") % 97 === 0)
+    val lex = graft.operators.Bm25.topK(corpus, "doc_id", "text",
+      queries.select(col("doc_id").as("query_id"),
+        slice(graft.functions.Text.wsTokens(col("text")), 1, 8).as("terms")), k = 20)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSet
+    val dense = graft.operators.Similarity.bruteTopK(
+        queries.select(col("doc_id").as("query_id"), col("embedding").as("qv")),
+        corpus.select(col("doc_id").as("cand_id"), col("embedding").as("cv")), k = 5)
+      .select(col("query_id"), col("cand_id")).as[(Long, Long)].collect().toSet
+    assert(out.toSet == lex.diff(dense))
+    graft.util.CacheRegistry.releaseAll()
+  }
+
   test("C52 rrf: floor(1e9/(rrfK+rank)) is float-exact for every plausible rank") {
     for (r <- 1L to 10000L) {
       val viaDouble = math.floor(1000000000.0 / (60.0 + r)).toLong
