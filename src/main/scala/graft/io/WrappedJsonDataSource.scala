@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapabi
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -71,7 +72,8 @@ private[io] class WrappedJsonTable(schema0: StructType, props: Map[String, Strin
   override def name(): String = s"graft-wrapped(${props.getOrElse("path", "?")})"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -90,14 +92,17 @@ private[io] class WrappedJsonTable(schema0: StructType, props: Map[String, Strin
         require(bad.isEmpty,
           s"graft-wrapped serializes atomic columns only; to_json these first: " +
             bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
-        new WrappedJsonWrite(path, schema, groupCol, info.queryId(), doTruncate)
+        val retain = opts.get("retain").map(_.trim.toInt).getOrElse(Int.MaxValue)
+        require(retain >= 1, s"graft-wrapped: retain must be >= 1, got $retain")
+        new WrappedJsonWrite(path, schema, groupCol, info.queryId(), doTruncate, retain)
       }
     }
 }
 
-private[io] class WrappedJsonWrite(path: String, schema: StructType,
+private[graft] class WrappedJsonWrite(path: String, schema: StructType,
                                    groupCol: String, queryId: String,
-                                   truncate: Boolean)
+                                   truncate: Boolean,
+                                   retain: Int = Int.MaxValue)
   extends Write with RequiresDistributionAndOrdering {
 
   // the sink's contract, not the caller's job: cluster AND sort by the
@@ -117,7 +122,7 @@ private[io] class WrappedJsonWrite(path: String, schema: StructType,
     private def tempDir = new Path(path, s"_temporary/$queryId")
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-      WrappedJsonWriterFactory(path, queryId, schema, groupCol, hconf)
+      WrappedJsonWriterFactory(path, s"_temporary/$queryId", schema, groupCol, hconf)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val files = messages.collect { case m: WrappedCommit => m.files }.flatten
@@ -154,6 +159,7 @@ private[io] class WrappedJsonWrite(path: String, schema: StructType,
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       cleanupTemp(fs) // no renames happened; the final layout is untouched
 
+
     /** drop this query's temp dir, and the shared `_temporary` parent
       * when nothing else (a concurrent writer) still owns a subdir */
     private def cleanupTemp(f: org.apache.hadoop.fs.FileSystem): Unit = {
@@ -164,9 +170,96 @@ private[io] class WrappedJsonWrite(path: String, schema: StructType,
       } catch { case _: java.io.IOException => () }
     }
   }
+
+  /** The STREAMING side publishes the reference's dated-snapshot
+    * layout (index.js:319-356, gcs-io.js): every epoch commits an
+    * immutable `snapshots/ep<id>/` full of wrapped group files plus a
+    * `_SUCCESS` manifest, then atomically re-points `current` (a
+    * pointer FILE naming the epoch dir — pointer swap, not data copy).
+    * Meant for complete-mode aggregated queries — each epoch is a
+    * whole republish, exactly the reference's daily-publish contract,
+    * now continuous.
+    *
+    * Exactly-once across recovery: the epoch id is the micro-batch id,
+    * which the checkpoint replays after a crash — a re-committed epoch
+    * whose `_SUCCESS` already landed is a NO-OP (the first commit won;
+    * the replay's temps are swept), so duplicated publishes cannot
+    * happen. `retain` bounds snapshot growth (newest N committed dirs
+    * survive — A12.snapshot's knob, same only-committed-count rule). */
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    private val hconf = new SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    private def fs = new Path(path).getFileSystem(hconf.value)
+
+    /** drop the epoch's temp dir and any now-empty temp ancestors
+      * (`_temporary/<queryId>`, `_temporary`) — a shared parent stays
+      * while a concurrent writer still owns a subdir. */
+    private def sweepEpochTemp(f: org.apache.hadoop.fs.FileSystem, epochId: Long): Unit = {
+      f.delete(new Path(path, s"_temporary/$queryId/ep$epochId"), true)
+      Seq(s"_temporary/$queryId", "_temporary").foreach { d =>
+        val dir = new Path(path, d)
+        try {
+          if (f.exists(dir) && f.listStatus(dir).isEmpty) f.delete(dir, false)
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      WrappedJsonWriterFactory(path, s"_temporary/$queryId", schema, groupCol, hconf)
+
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val f = fs
+      val snapDir = new Path(path, f"snapshots/ep$epochId%019d")
+      val marker = new Path(snapDir, "_SUCCESS")
+      if (f.exists(marker)) { // replayed epoch: the first commit won
+        sweepEpochTemp(f, epochId)
+        return
+      }
+      val files = messages.collect { case m: WrappedCommit => m.files }.flatten
+      val finals = files.map(_._2)
+      require(finals.distinct.size == finals.size,
+        s"duplicate group files across partitions — clustering contract broken: " +
+          finals.diff(finals.distinct).distinct.mkString(", "))
+      f.delete(snapDir, true) // crash debris from a commit that never marked
+      f.mkdirs(snapDir)
+      files.foreach { case (temp, finalName) =>
+        if (!f.rename(new Path(temp), new Path(snapDir, finalName)))
+          throw new IllegalStateException(
+            s"graft-wrapped: rename $temp -> $snapDir/$finalName failed")
+      }
+      val out = f.create(marker, true)
+      try out.write(finals.sorted.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // atomic pointer swap: write current.tmp, rename over current
+      val tmpPtr = new Path(path, s"current.tmp-$queryId")
+      val ptrOut = f.create(tmpPtr, true)
+      try ptrOut.write(snapDir.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally ptrOut.close()
+      val ptr = new Path(path, "current")
+      f.delete(ptr, false)
+      if (!f.rename(tmpPtr, ptr))
+        throw new IllegalStateException(s"graft-wrapped: pointer swap to $snapDir failed")
+      sweepEpochTemp(f, epochId)
+      if (retain != Int.MaxValue) {
+        val root = new Path(path, "snapshots")
+        // only COMMITTED snapshots occupy retention slots or are
+        // eligible to drop (the A12.snapshot discipline: crash debris
+        // is the operator's to inspect, not ours to delete)
+        Option(f.listStatus(root)).getOrElse(Array.empty)
+          .map(_.getPath.getName)
+          .filter(n => f.exists(new Path(root, s"$n/_SUCCESS")))
+          .sorted.dropRight(retain)
+          .foreach(n => f.delete(new Path(root, n), true))
+      }
+    }
+
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      sweepEpochTemp(fs, epochId)
+  }
 }
 
-private[io] object WrappedJsonWrite {
+private[graft] object WrappedJsonWrite {
   def atomic(t: DataType): Boolean = t match {
     case StringType | BooleanType | ByteType | ShortType | IntegerType |
          LongType | FloatType | DoubleType => true
@@ -175,23 +268,29 @@ private[io] object WrappedJsonWrite {
   }
 }
 
-private[io] case class WrappedCommit(files: Seq[(String, String)])
+private[graft] case class WrappedCommit(files: Seq[(String, String)])
   extends WriterCommitMessage
 
-private[io] case class WrappedJsonWriterFactory(path: String, queryId: String,
+private[io] case class WrappedJsonWriterFactory(path: String, tempPrefix: String,
                                                 schema: StructType, groupCol: String,
                                                 hconf: SerializableConfiguration)
-  extends DataWriterFactory {
+  extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new WrappedJsonWriter(path, queryId, schema, groupCol, hconf,
+    new WrappedJsonWriter(path, tempPrefix, schema, groupCol, hconf,
       partitionId, taskId)
+  // streaming: the epoch gets its own temp subdir, so a replayed epoch
+  // can never collide with a committed sibling's temps
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new WrappedJsonWriter(path, s"$tempPrefix/ep$epochId", schema, groupCol,
+      hconf, partitionId, taskId)
 }
 
 /** Streams one sorted partition: rows of a group accumulate, a group
   * change flushes one temp file. Temp names carry partition AND task
   * id, so a retried/speculated attempt writes beside, never over, its
   * sibling — only the committed attempt's names reach the driver. */
-private[io] class WrappedJsonWriter(path: String, queryId: String,
+private[graft] class WrappedJsonWriter(path: String, tempPrefix: String,
                                     schema: StructType, groupCol: String,
                                     hconf: SerializableConfiguration,
                                     partitionId: Int, taskId: Long)
@@ -246,7 +345,7 @@ private[io] class WrappedJsonWriter(path: String, queryId: String,
 
   private def flush(): Unit = if (open) {
     val name = s"${fileSafe(currentKey)}.json"
-    val temp = new Path(path, s"_temporary/$queryId/p$partitionId-t$taskId-$name")
+    val temp = new Path(path, s"$tempPrefix/p$partitionId-t$taskId-$name")
     val out = fs.create(temp, true)
     try {
       val json = s"""{${quote(groupCol)}: $currentJson, "total": $total, "rows": [${rows.toString}]}"""
