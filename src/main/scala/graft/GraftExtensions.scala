@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.expressions.WordShingles(children(0), children(1), children(2))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[graft.expressions.NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => graft.expressions.NfcNormalize(children(0))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_urilen"),
       new ExpressionInfo(classOf[graft.expressions.UriEncodedLength].getName, "graft_urilen"),
       (children: Seq[Expression]) => graft.expressions.UriEncodedLength(children(0))))

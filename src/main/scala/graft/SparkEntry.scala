@@ -72,6 +72,7 @@ object SparkEntry {
     "bm25_topk"            -> (TextDemos.bm25Topk(_, _)),
     "rrf_fusion"           -> (TextDemos.rrfFusion(_, _)),
     "hard_negatives"       -> (TextDemos.hardNegatives(_, _)),
+    "text_canonicalize"    -> (TextDemos.textCanonicalize(_, _)),
     "mmr_rerank"           -> (TextDemos.mmrRerank(_, _)),
     "source_quality_gate"  -> (TextDemos.sourceQualityGate(_, _)),
     "url_canonicalize"     -> (TextDemos.urlCanonicalize(_, _)),
@@ -782,6 +783,13 @@ object SparkEntry {
     "bm25_topk"         -> graft.oracle.OracleGen.bm25TopkSql(),
     "rrf_fusion"        -> graft.oracle.OracleGen.rrfFusionSql(),
     "hard_negatives"    -> graft.oracle.OracleGen.hardNegativesSql(),
+    "text_canonicalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |    '[^\pL\pN\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS canon,
+        |  md5(trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |    '[^\pL\pN\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mmr_rerank"        -> graft.oracle.OracleGen.mmrRerankSql(),
     "source_quality_gate" -> graft.oracle.OracleGen.sourceQualityGateSql(),
     "url_canonicalize"  -> graft.oracle.OracleGen.urlCanonicalizeSql(),

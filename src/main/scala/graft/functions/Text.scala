@@ -41,6 +41,20 @@ object Text {
     lit(0.4) * least(nTok / 100.0, lit(1.0)) + lit(0.3) * stopRatio + lit(0.3) * alphaRatio
   }
 
+  /** Canonical text for dedup keys (SURVEY §2 C57) — the normalization
+    * every near-dup family here keys on, folding the three equivalence
+    * classes that defeat byte-level hashing: Unicode canonical
+    * equivalence (NFC via the codegen'd [[graft.expressions
+    * .NfcNormalize]] — precomposed é vs e+combining-accent), case, and
+    * punctuation/whitespace variation (non-letter/digit runs → one
+    * space, collapsed, trimmed). Stays inside whole-stage codegen
+    * end-to-end; map-only at any scale. */
+  def canonicalText(c: Column): Column = {
+    val folded = lower(call_function("graft_nfc", c))
+    trim(regexp_replace(
+      regexp_replace(folded, "[^\\p{L}\\p{N}\\s]+", " "), "\\s+", " "))
+  }
+
   /** per-language stopword profiles for the n-gram/stopword language ID */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is"),

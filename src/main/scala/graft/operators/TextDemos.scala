@@ -479,6 +479,15 @@ object TextDemos {
       .orderBy("query_id", "mmr_round")
   }
 
+  /** C57 — canonical text + the dedup key it exists for: NFC (native
+    * codegen'd expression) → casefold → punctuation/whitespace
+    * collapse → md5 key. */
+  def textCanonicalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), Text.canonicalText(col("text")).as("canon"))
+      .withColumn("canon_key", md5(col("canon")))
+      .orderBy("doc_id")
+
   /** C56 — hard-negative mining (the DPR/contrastive-training recipe:
     * documents that MATCH the query lexically but are NOT among its
     * semantic neighbors make the hardest negatives): BM25 top-20 with

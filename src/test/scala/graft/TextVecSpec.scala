@@ -7,6 +7,32 @@ import graft.operators.{Dedup, Similarity, TextDemos}
 class TextVecSpec extends SparkSpec {
   import spark.implicits._
 
+  test("C57 canonical text: NFC folds, casefolds, collapses; codegen'd; ASCII fast path") {
+    import org.apache.spark.sql.functions._
+    val decomposed = "Cafe\u0301 --- BAR!!"   // e + combining acute
+    val precomposed = "caf\u00e9 bar"          // precomposed é, already canonical
+    // repartition blocks ConvertToLocalRelation from constant-folding
+    // the projection away, so the plan assertion sees the real stage
+    val df = Seq(decomposed, precomposed, "  Tabs\tand\nlines  ", "", "...")
+      .toDF("t").repartition(1)
+      .select(graft.functions.Text.canonicalText(col("t")).as("c"))
+    val ds = df.as[String]
+    val out = ds.collect() // executes, so the AQE final plan below is real
+    assert(out(0) == out(1), s"'${out(0)}' vs '${out(1)}': NFC+fold must unify the pair")
+    assert(out(0) == "caf\u00e9 bar")
+    assert(out(2) == "tabs and lines")
+    assert(out(3) == "" && out(4) == "", "punct-only and empty collapse to empty")
+    // the expression rides INSIDE whole-stage codegen (a UDF would split the stage)
+    val plan = ds.queryExecution.executedPlan.toString
+    // the `*(n)` marker on the Project IS the whole-stage-codegen span
+    assert("\\*\\(\\d+\\) Project.*graft_nfc".r.findFirstIn(plan).nonEmpty, plan)
+    // ASCII fast path: normalize skipped, the UTF8String passes through
+    val ascii = org.apache.spark.unsafe.types.UTF8String.fromString("plain ascii")
+    assert(graft.expressions.NfcNormalize.compute(ascii) eq ascii)
+    val nonCanon = org.apache.spark.unsafe.types.UTF8String.fromString("e\u0301")
+    assert(graft.expressions.NfcNormalize.compute(nonCanon).toString == "\u00e9")
+  }
+
   test("C10 token counting: whitespace and BPE-ish") {
     val r = Seq("hello world  foo", "a-b 12").toDF("text")
       .select(Text.tokenCount(col("text")), Text.bpeTokenCount(col("text"))).collect()
