@@ -59,7 +59,10 @@ object Norm {
     val path0 = regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     val pathStripped = regexp_replace(path0, "/+$", "")
     val pathC = when(pathStripped === "", lit("/")).otherwise(pathStripped)
-    val query = regexp_extract(c, "\\?([^#]*)", 1)
+    // query = after the first '?' BEFORE any '#': a '?' inside the
+    // fragment ("/#/route?tab=1") must not leak fragment content into
+    // the canonical key (review finding — the naive \? grabbed it)
+    val query = regexp_extract(c, "^[^#]*?\\?([^#]*)", 1)
     val params = filter(split(query, "&"), p =>
       p =!= "" && !p.startsWith("utm_") && !p.startsWith("gclid=") &&
         !p.startsWith("fbclid="))

@@ -131,14 +131,24 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
       require(finals.distinct.size == finals.size,
         s"duplicate group files across partitions — clustering contract broken: " +
           finals.diff(finals.distinct).distinct.mkString(", "))
+      // an APPEND keeps previously published groups: fold them into the
+      // rewritten manifest instead of erasing them (review finding)
+      val successPath = new Path(path, "_SUCCESS")
+      val carried: Seq[String] =
+        if (truncate || !f.exists(successPath)) Seq.empty
+        else {
+          val in = f.open(successPath)
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").toSeq.filter(_.nonEmpty)
+          finally in.close()
+        }
+      // _SUCCESS drops FIRST in both modes: renames are per-file atomic
+      // but the commit as a whole is not (the classic v1-committer
+      // caveat) — readers gate on _SUCCESS, so the directory reads as
+      // "unpublished" for the whole mutation window instead of ever
+      // presenting a half-mixed layout as complete
+      f.delete(successPath, false)
       if (truncate) {
-        // overwrite = clear previous group files inside THIS commit.
-        // _SUCCESS drops FIRST: renames are per-file atomic but the
-        // commit as a whole is not (the classic v1-committer caveat) —
-        // readers gate on _SUCCESS, so the directory reads as
-        // "unpublished" for the whole mutation window instead of ever
-        // presenting a half-mixed layout as complete
-        f.delete(new Path(path, "_SUCCESS"), false)
         Option(f.globStatus(new Path(path, "*.json")))
           .getOrElse(Array.empty).foreach(st => f.delete(st.getPath, false))
       }
@@ -149,8 +159,8 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
         if (!f.rename(new Path(temp), dst))
           throw new IllegalStateException(s"graft-wrapped: rename $temp -> $dst failed")
       }
-      val out = f.create(new Path(path, "_SUCCESS"), true)
-      try out.write(finals.sorted.mkString("", "\n", "\n")
+      val out = f.create(successPath, true)
+      try out.write((carried ++ finals).distinct.sorted.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       cleanupTemp(f)
@@ -231,15 +241,27 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
       try out.write(finals.sorted.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      // atomic pointer swap: write current.tmp, rename over current
+      // pointer swap: write current.tmp, rename over current. The
+      // FileContext OVERWRITE rename is atomic where the FS supports it
+      // (HDFS, posix local); the delete+rename fallback has a no-pointer
+      // window a reader can observe — resolve via the newest committed
+      // snapshot dir when the pointer is briefly absent. Stale tmp
+      // pointers from a crashed commit are swept here first.
+      Option(f.globStatus(new Path(path, "current.tmp-*")))
+        .getOrElse(Array.empty).foreach(st => f.delete(st.getPath, false))
       val tmpPtr = new Path(path, s"current.tmp-$queryId")
       val ptrOut = f.create(tmpPtr, true)
       try ptrOut.write(snapDir.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally ptrOut.close()
       val ptr = new Path(path, "current")
-      f.delete(ptr, false)
-      if (!f.rename(tmpPtr, ptr))
-        throw new IllegalStateException(s"graft-wrapped: pointer swap to $snapDir failed")
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, hconf.value)
+          .rename(tmpPtr, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch { case _: Exception =>
+        f.delete(ptr, false)
+        if (!f.rename(tmpPtr, ptr))
+          throw new IllegalStateException(s"graft-wrapped: pointer swap to $snapDir failed")
+      }
       sweepEpochTemp(f, epochId)
       if (retain != Int.MaxValue) {
         val root = new Path(path, "snapshots")
@@ -300,7 +322,10 @@ private[graft] class WrappedJsonWriter(path: String, tempPrefix: String,
   private val gi = schema.fieldIndex(groupCol)
   private val payload = schema.fields.zipWithIndex.filter(_._2 != gi)
   private val written = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-  private var currentKey: String = _
+  // (isNull, canonical string) — nullness rides beside the string so a
+  // genuine "__null__" STRING group can never collide with a null
+  // group (review finding); file names disambiguate the same way
+  private var currentKey: (Boolean, String) = _
   private var currentJson: String = _ // JSON form of the group value
   private var open = false
   private val rows = new StringBuilder
@@ -314,11 +339,16 @@ private[graft] class WrappedJsonWriter(path: String, tempPrefix: String,
       case ShortType => row.getShort(i).toString
       case IntegerType => row.getInt(i).toString
       case LongType => row.getLong(i).toString
-      case FloatType => row.getFloat(i).toString
-      case DoubleType => row.getDouble(i).toString
+      // NaN/Infinity are not JSON numbers: emit them QUOTED so every
+      // strict consumer can still parse the file (review finding)
+      case FloatType => fpJson(row.getFloat(i).toDouble)
+      case DoubleType => fpJson(row.getDouble(i))
       case d: DecimalType => row.getDecimal(i, d.precision, d.scale).toString
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
+
+  private def fpJson(d: Double): String =
+    if (java.lang.Double.isFinite(d)) d.toString else "\"" + d.toString + "\""
 
   private def quote(s: String): String = {
     val b = new StringBuilder("\"")
@@ -334,13 +364,19 @@ private[graft] class WrappedJsonWriter(path: String, tempPrefix: String,
     b.append('"').toString
   }
 
-  private def fileSafe(s: String): String = {
-    val safe = s.map(c =>
-      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '_')
-    // a sanitized name can collide ("a/b" vs "a_b"): disambiguate with
-    // a hash of the RAW value whenever sanitizing changed anything
-    if (safe == s) s
-    else safe + "-" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s))
+  private def canonicalFp(d: Double): String =
+    if (d == 0.0) "0.0" else d.toString // folds -0.0; NaN -> "NaN"
+
+  private def fileSafe(key: (Boolean, String)): String = key match {
+    case (true, _) => "__null__"
+    case (false, s) =>
+      val safe = s.map(c =>
+        if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '_')
+      // a sanitized name can collide ("a/b" vs "a_b"), and the literal
+      // string "__null__" would collide with the null group's file:
+      // disambiguate both with a hash of the RAW value
+      if (safe == s && s != "__null__") s
+      else safe + "-" + Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(s))
   }
 
   private def flush(): Unit = if (open) {
@@ -357,11 +393,16 @@ private[graft] class WrappedJsonWriter(path: String, tempPrefix: String,
 
   override def write(row: InternalRow): Unit = {
     val keyJson = jsonScalar(row, gi, schema.fields(gi).dataType)
-    val key = if (row.isNullAt(gi)) "__null__"
-      else schema.fields(gi).dataType match {
+    val key: (Boolean, String) = if (row.isNullAt(gi)) (true, "")
+      else (false, schema.fields(gi).dataType match {
         case StringType => row.getUTF8String(gi).toString
+        // floats canonicalize so -0.0/0.0 (equal under the sink's sort,
+        // so possibly ADJACENT in one group) share one key; NaN is one
+        // group (all NaN bit patterns sort together)
+        case FloatType => canonicalFp(row.getFloat(gi).toDouble)
+        case DoubleType => canonicalFp(row.getDouble(gi))
         case _ => keyJson
-      }
+      })
     if (!open || key != currentKey) {
       flush() // sorted input: a new key means the previous group is complete
       currentKey = key; currentJson = keyJson; open = true

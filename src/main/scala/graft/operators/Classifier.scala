@@ -87,14 +87,20 @@ object Classifier {
                                    label: Column, buckets: Int): (DataFrame, Long) = {
     val spark = docs.sparkSession
     val maxPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val upper = docs.count() // upper bound on packed rows (tokenless docs drop)
+    // ONE corpus action total: materialize the packed cache at the
+    // input's partitioning and take the exact doc count from that same
+    // job, then coalesce the CACHED plan to the right-sized partition
+    // count (shuffle-free; each round reads cached blocks into npart
+    // tasks). The previous form paid a separate docs.count() corpus
+    // scan first just to size the coalesce — free only for raw parquet
+    // scans, a whole extra job for any derived training frame
+    // (review finding).
+    val packed0 = graft.util.CacheRegistry.register(
+      packedTable(docs, idCol, textCol, label, buckets).persist())
+    val nDocs = packed0.count() // materialize; exact doc count
     val npart = math.min(maxPart.toLong,
-      math.max(1L, (upper + RowsPerPartition - 1) / RowsPerPartition)).toInt
-    val packed = graft.util.CacheRegistry.register(
-      packedTable(docs, idCol, textCol, label, buckets)
-        .coalesce(npart).persist())
-    val nDocs = packed.count() // materialize; exact doc count
-    (packed, nDocs)
+      math.max(1L, (nDocs + RowsPerPartition - 1) / RowsPerPartition)).toInt
+    (packed0.coalesce(npart), nDocs)
   }
 
   /** the weight vector as ONE referenced array literal (index = bucket
@@ -177,7 +183,14 @@ object Classifier {
     * matched to the right-sized iteration cache (the gradient
     * exchange's reducers track the same rows-per-task target as the
     * cache layout; at scale `npart` equals the session setting and
-    * this is a no-op). Both confs restore on exit. */
+    * this is a no-op). Both confs restore on exit.
+    *
+    * SESSION-SCOPED, by construction: for the duration of the loop
+    * these overrides are visible to any OTHER query planned on the
+    * same SparkSession — fine for the single-query drivers here
+    * (Verify/Bench), but a multi-tenant service embedding training
+    * should isolate it on `spark.newSession()` (own SQLConf, shared
+    * cache/catalog) rather than share its serving session. */
   private def withIterConf[A](spark: org.apache.spark.sql.SparkSession,
                               npart: Int)(body: => A): A = {
     val aqeKey = "spark.sql.adaptive.enabled"

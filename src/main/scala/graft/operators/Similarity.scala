@@ -730,7 +730,22 @@ object Similarity {
       .withColumn("_csim", round(Vec.cosine(col("_v"), col("_cv")), 6))
       .select(col("_lbl"), col("_id"), col("_v"), col("_csim"))
       .write.mode("overwrite").partitionBy("_lbl").parquet(layoutDir)
-    val side = spark.read.parquet(layoutDir)
+    // read back with an EXPLICIT schema: default partition-column type
+    // inference re-parses the _lbl dir values ("007" and "07" both
+    // become int 7, silently merging distinct string clusters and
+    // changing the output label type — review finding). Declaring the
+    // original label type makes the roundtrip value-preserving.
+    // Remaining partition-layout caveat (inherent to dir encoding, not
+    // inference): a NULL or empty-string label lands in the hive
+    // default partition and reads back null — labels must be non-null,
+    // non-empty for the bucketed form.
+    val readSchema = new org.apache.spark.sql.types.StructType()
+      .add("_id", vecs.schema(idCol).dataType)
+      .add("_v", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+      .add("_csim", org.apache.spark.sql.types.DoubleType)
+      .add("_lbl", vecs.schema(labelCol).dataType)
+    val side = spark.read.schema(readSchema).parquet(layoutDir)
       .select(col("_lbl"), col("_id"), col("_v"), col("_csim"))
     semanticDropReport(side, idCol, labelCol, threshold)
   }

@@ -334,7 +334,7 @@ object OracleGen {
        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-       |    regexp_extract(url, '\\?([^#]*)', 1) AS query
+       |    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
        |  FROM raw
        |), norm AS (
        |  SELECT doc_id, url, scheme,

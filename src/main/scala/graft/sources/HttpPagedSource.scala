@@ -55,6 +55,30 @@ object HttpPagedSource {
     } finally conn.disconnect()
   }
 
+  /** page-N URL for a base that may already carry a query string —
+    * shared by the programmatic fetch and the DSv2 format. */
+  private[sources] def pageUrl(baseUrl: String, p: Int): String =
+    s"$baseUrl${if (baseUrl.contains("?")) "&" else "?"}page=$p"
+
+  /** Driver-side probe shared by [[fetchPages]] and the DSv2 format:
+    * GET page 1 (with the retry discipline) and extract the declared
+    * `total`. KNOWN LIMIT (single place to fix now): the regex takes
+    * the FIRST `"total":` in the body — a row object carrying its own
+    * `total` field BEFORE the top-level one would win; the reference
+    * APIs put `total` at the top of the envelope, which this mirrors.
+    * Returns (probe body, total). */
+  private[sources] def probeTotal(baseUrl: String, maxRetries: Int,
+                                  baseDelayMs: Long,
+                                  timeoutMs: Int = 10000): (String, Long) = {
+    val probe = RateLimited.withRetry(maxRetries, baseDelayMs, isRetriable)(
+      () => httpGet(pageUrl(baseUrl, 1), timeoutMs))
+    val total = "\"total\"\\s*:\\s*(\\d{1,18})".r.findFirstMatchIn(probe)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"probe page carries no numeric 'total' field: ${probe.take(200)}"))
+    (probe, total)
+  }
+
   /** Fetch every page of `baseUrl` (which must accept `?page=N`,
     * 1-based, and answer `{"total": T, "rows": [...]}`) as one
     * (_page, body) row per page. `pageSize` is the API's page length —
@@ -70,13 +94,7 @@ object HttpPagedSource {
                  maxRetries: Int = 3, baseDelayMs: Long = 50): DataFrame = {
     require(pageSize > 0, s"pageSize must be positive, got $pageSize")
     import spark.implicits._
-    def pageUrl(p: Int) = s"$baseUrl${if (baseUrl.contains("?")) "&" else "?"}page=$p"
-    val probe = RateLimited.withRetry(maxRetries, baseDelayMs, isRetriable)(
-      () => httpGet(pageUrl(1)))
-    val total = "\"total\"\\s*:\\s*(\\d{1,18})".r.findFirstMatchIn(probe)
-      .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalStateException(
-        s"probe page carries no numeric 'total' field: ${probe.take(200)}"))
+    val (probe, total) = probeTotal(baseUrl, maxRetries, baseDelayMs)
     val nPages = math.max(1L, (total + pageSize - 1) / pageSize)
     require(nPages <= Int.MaxValue, s"$nPages pages overflow the planner")
     val first = Seq((1, probe)).toDF("_page", "body")
@@ -87,7 +105,7 @@ object HttpPagedSource {
           math.max(1, math.min(parallelism, nPages.toInt - 1)))
         .mapPartitions { pages =>
           RateLimited.mapRateLimited(pages, minIntervalMs, maxRetries,
-            baseDelayMs, isRetriable)(p => (p, httpGet(pageUrl(p))))
+            baseDelayMs, isRetriable)(p => (p, httpGet(pageUrl(baseUrl, p))))
         }
       first.unionAll(rest.toDF("_page", "body"))
     }

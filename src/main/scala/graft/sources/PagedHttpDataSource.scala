@@ -79,8 +79,7 @@ private[sources] case class PagedHttpConf(url: String, pageSize: Int,
                                           parallelism: Int, minIntervalMs: Long,
                                           maxRetries: Int, baseDelayMs: Long,
                                           timeoutMs: Int) {
-  def pageUrl(p: Int): String =
-    s"$url${if (url.contains("?")) "&" else "?"}page=$p"
+  def pageUrl(p: Int): String = HttpPagedSource.pageUrl(url, p)
 }
 
 private[sources] object PagedHttpConf {
@@ -132,13 +131,8 @@ private[sources] class PagedHttpTable(conf: PagedHttpConf)
       override def planInputPartitions(): Array[InputPartition] = partitions
 
       private def planPartitions(): Array[InputPartition] = {
-        val probe = RateLimited.withRetry(conf.maxRetries, conf.baseDelayMs,
-          HttpPagedSource.isRetriable)(
-          () => HttpPagedSource.httpGet(conf.pageUrl(1), conf.timeoutMs))
-        val total = "\"total\"\\s*:\\s*(\\d{1,18})".r.findFirstMatchIn(probe)
-          .map(_.group(1).toLong)
-          .getOrElse(throw new IllegalStateException(
-            s"probe page carries no numeric 'total' field: ${probe.take(200)}"))
+        val (probe, total) = HttpPagedSource.probeTotal(conf.url,
+          conf.maxRetries, conf.baseDelayMs, conf.timeoutMs)
         val nPages = math.max(1L, (total + conf.pageSize - 1) / conf.pageSize)
         require(nPages <= Int.MaxValue, s"$nPages pages overflow the planner")
         val head: InputPartition = PagedHttpPartition(Seq(1), Some(probe), conf)

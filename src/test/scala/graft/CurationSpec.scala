@@ -326,6 +326,30 @@ class CurationSpec extends SparkSpec {
     assert(cached == landed)
   }
 
+  test("semanticDedupBucketed preserves STRING label values and type through the layout") {
+    // "007" and "07" both parse as int 7 under partition-column type
+    // inference — the bucketed roundtrip must keep them distinct
+    // clusters with their exact string values (review finding)
+    val emb = Seq(
+      (1L, IndexedSeq(1.0f, 0.0f), "007"),
+      (2L, IndexedSeq(1.0f, 0.01f), "007"),
+      (3L, IndexedSeq(1.0f, 0.0f), "07"),
+      (4L, IndexedSeq(1.0f, 0.01f), "07")
+    ).toDF("vec_id", "embedding", "label")
+    val dir = graft.util.Fixtures.dir("semdedup_strlbl").toString
+    val out = Similarity.semanticDedupBucketed(
+      emb, "vec_id", "embedding", "label", 0.6, dir)
+    assert(out.schema("label").dataType ==
+      org.apache.spark.sql.types.StringType, out.schema)
+    val rows = out.collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(3))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    assert(rows(1L)._1 == "007" && rows(3L)._1 == "07", rows)
+    // within each string cluster the near-dup drops; had the labels
+    // merged into one int-7 cluster the drop pattern would differ
+    assert(Seq(1L, 2L, 3L, 4L).count(id => !rows(id)._2) == 2, rows)
+    graft.util.CacheRegistry.releaseAll()
+  }
+
   test("semanticDedup drop decisions agree with a brute-force reference") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 60L).map { id =>

@@ -163,6 +163,8 @@ class FilteringSpec extends SparkSpec {
       "https://site.com:8080/x?utm_campaign=only&gclid=1" -> "https://site.com:8080/x",
       // empty path -> "/", fragment-only dropped
       "http://site.com#frag" -> "http://site.com/",
+      // a '?' INSIDE the fragment is fragment, not query
+      "https://site.com/#/route?tab=1" -> "https://site.com/",
       // root path stays root
       "http://site.com/" -> "http://site.com/",
       // fbclid dropped, empty params dropped

@@ -86,6 +86,42 @@ class WrappedSinkSpec extends SparkSpec {
     assert(readWrapped(dir).count() == 3, "previous publish still reads back whole")
   }
 
+  test("A12 DSv2 sink: append keeps prior groups in the manifest; null vs literal \"__null__\"; NaN stays valid JSON") {
+    val dir = tempDir("wrapped_edge")
+    sampleDf.write.format("graft-wrapped")
+      .option("groupCol", "county").mode("append").save(dir)
+    // appending a DISJOINT group must not erase prior manifest entries
+    Seq(("east", 9L, "zed", Double.NaN)).toDF("county", "id", "name", "score")
+      .write.format("graft-wrapped").option("groupCol", "county")
+      .mode("append").save(dir)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_SUCCESS")), "UTF-8").trim.split("\n").toSeq
+    assert(manifest == Seq("east.json", "north.json", "south.json", "west.json"), manifest)
+    // NaN serialized QUOTED: strict JSON parsers accept the file
+    val east = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "east.json")), "UTF-8")
+    assert(east.contains("\"score\": \"NaN\""), east)
+    val parsed = spark.read.json(s"$dir/east.json")
+    assert(!parsed.columns.contains("_corrupt_record"), parsed.columns.toSeq)
+    // a null group and a doc whose group is literally the STRING
+    // "__null__" are different groups: distinct files, no silent merge
+    val dir2 = tempDir("wrapped_nullstr")
+    Seq((Option.empty[String], 1L), (Option("__null__"), 2L), (Option.empty[String], 3L))
+      .toDF("grp", "v").write.format("graft-wrapped")
+      .option("groupCol", "grp").mode("append").save(dir2)
+    val files2 = new java.io.File(dir2).list().filter(_.endsWith(".json")).sorted.toSeq
+    assert(files2.size == 2, files2)
+    assert(files2.contains("__null__.json"))
+    val litFile = files2.filterNot(_ == "__null__.json").head
+    assert(litFile.startsWith("__null__-"), s"literal string must hash-disambiguate: $litFile")
+    val nullObj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir2, "__null__.json")), "UTF-8")
+    assert(nullObj.contains("\"grp\": null") && nullObj.contains("\"total\": 2"), nullObj)
+    val litObj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir2, litFile)), "UTF-8")
+    assert(litObj.contains("\"grp\": \"__null__\"") && litObj.contains("\"total\": 1"), litObj)
+  }
+
   test("A12 DSv2 sink streaming: per-epoch snapshots, current pointer, retention") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = tempDir("wrapped_stream")
