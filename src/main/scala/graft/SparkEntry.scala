@@ -69,6 +69,7 @@ object SparkEntry {
     "pq_topk"              -> (TextDemos.pqTopkDemo(_, _)),
     "bpe_train"            -> (TextDemos.bpeTrain(_, _)),
     "bpe_encode"           -> (TextDemos.bpeEncode(_, _)),
+    "bm25_index"           -> (TextDemos.bm25Index(_, _)),
     "bm25_topk"            -> (TextDemos.bm25Topk(_, _)),
     "rrf_fusion"           -> (TextDemos.rrfFusion(_, _)),
     "hard_negatives"       -> (TextDemos.hardNegatives(_, _)),
@@ -780,6 +781,7 @@ object SparkEntry {
     "pq_topk"           -> graft.oracle.OracleGen.pqTopkSql(),
     "bpe_train"         -> graft.oracle.OracleGen.bpeTrainSql(),
     "bpe_encode"        -> graft.oracle.OracleGen.bpeEncodeSql(),
+    "bm25_index"        -> graft.oracle.OracleGen.bm25IndexSql(),
     "bm25_topk"         -> graft.oracle.OracleGen.bm25TopkSql(),
     "rrf_fusion"        -> graft.oracle.OracleGen.rrfFusionSql(),
     "hard_negatives"    -> graft.oracle.OracleGen.hardNegativesSql(),

@@ -37,42 +37,25 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
-  /** BM25 top-k: `queries`(query_id, terms array) against
-    * `docs`(idCol, textCol). Scores sum over DISTINCT query terms
-    * (standard BM25 — query-side repetition does not reweight);
-    * terms absent from the corpus contribute nothing (empty posting
-    * list); documents sharing no term with a query are not candidates.
-    * Output: (query_id, doc_id, score, rank), rank by
-    * (score desc, doc_id asc). */
-  def topK(docs: DataFrame, idCol: String, textCol: String,
-           queries: DataFrame, k: Int): DataFrame = {
-    require(k >= 1, s"Bm25.topK: k must be >= 1, got $k")
-    // the posting table feeds three consumers (the query join, doc
-    // lengths, document frequencies): persist it once instead of
-    // re-running the corpus explode+groupBy per consumer. This IS the
-    // index build — a production deployment writes tf out (bucketed by
-    // term) and amortizes it across every query batch; DISK_ONLY keeps
-    // the one-shot demo honest about memory at corpus scale.
-    val tf = graft.util.CacheRegistry.register(
-      docs.select(col(idCol).as("doc_id"),
-          explode(Text.wsTokens(col(textCol))).as("term"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // n counts ALL documents (wordless ones too — they dilute avgdl,
-    // the standard collection-size semantics); avgdl folds over the
-    // doc-length table, not a second corpus scan
-    val consts = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(dl.agg(sum(col("dl")).as("_tot")))
-      .select(col("n"), (col("_tot").cast("double") / col("n")).as("avgdl"))
+  /** The corpus pass: (doc_id, term, tf) posting table. Map-side
+    * combinable groupBy — ONE scan of the corpus; doc lengths and
+    * document frequencies both derive from this table, never from a
+    * second scan. */
+  private def postingTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(Text.wsTokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Score prebuilt index tables against a query set. The broadcast
+    * query-term set prunes tf to matching postings BEFORE any per-doc
+    * work — joining it to the posting table IS the inverted index; df
+    * and dl carry NO hint: both are corpus-derived and must be free to
+    * shuffle-join at 100 TB (post-pruning, the surviving posting side
+    * is query-bounded and AQE broadcasts it at demo scale anyway). */
+  private def score(tf: DataFrame, df: DataFrame, dl: DataFrame,
+                    consts: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val qt = queries
       .select(col("query_id"), explode(col("terms")).as("term")).distinct()
-    // the broadcast query-term set prunes tf to matching postings
-    // BEFORE any per-doc work; df and dl carry NO hint — both are
-    // corpus-derived and must be free to shuffle-join at 100 TB
-    // (post-pruning, the surviving posting side is query-bounded and
-    // AQE broadcasts it at demo scale anyway)
     val terms = broadcast(qt)
       .join(tf, Seq("term"))
       .join(df, Seq("term"))
@@ -88,6 +71,115 @@ object Bm25 {
     val scored = terms
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("_term")).cast("double").as("sim"))
+    Similarity.topK(scored, k, "query_id", "doc_id")
+      .withColumnRenamed("sim", "score")
+  }
+
+  /** BM25 top-k: `queries`(query_id, terms array) against
+    * `docs`(idCol, textCol). Scores sum over DISTINCT query terms
+    * (standard BM25 — query-side repetition does not reweight);
+    * terms absent from the corpus contribute nothing (empty posting
+    * list); documents sharing no term with a query are not candidates.
+    * Output: (query_id, doc_id, score, rank), rank by
+    * (score desc, doc_id asc).
+    *
+    * One-shot form: builds the index in-plan and searches it once.
+    * A deployment serving repeated query batches should
+    * [[buildIndex]] once and [[searchIndex]] per batch instead —
+    * every retrieval engine amortizes the inverted index, and paying
+    * the corpus pass per batch is the single biggest avoidable cost. */
+  def topK(docs: DataFrame, idCol: String, textCol: String,
+           queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"Bm25.topK: k must be >= 1, got $k")
+    // the posting table feeds three consumers (the query join, doc
+    // lengths, document frequencies): persist it once instead of
+    // re-running the corpus explode+groupBy per consumer. DISK_ONLY
+    // keeps the one-shot demo honest about memory at corpus scale.
+    val tf = graft.util.CacheRegistry.register(
+      postingTable(docs, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // n counts ALL documents (wordless ones too — they dilute avgdl,
+    // the standard collection-size semantics); avgdl folds over the
+    // doc-length table, not a second corpus scan
+    val consts = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum(col("dl")).as("_tot")))
+      .select(col("n"), (col("_tot").cast("double") / col("n")).as("avgdl"))
+    score(tf, df, dl, consts, queries, k)
+  }
+
+  /** Land the inverted index as a PRECOMPUTED-IMPACT parquet artifact:
+    * `impacts/`(term, doc_id, w_e6) — each posting's full rounded BM25
+    * term weight, in exact integer MICRO-units — clustered by term so
+    * a query batch's posting-list join reads whole terms (a bucketed
+    * write on term at cluster scale).
+    *
+    * This is the impact-ordered-index design quantized IR engines use:
+    * ALL per-posting scoring arithmetic (idf, length normalization)
+    * moves to build time, so serving is a pure join + integer sum —
+    * no df/dl/consts lookups, no transcendentals, no decimal math at
+    * query time. The trade is the standard one: impacts bake in the
+    * corpus statistics, so a corpus change means an index rebuild
+    * (incremental deployments also land the raw `tf` posting table to
+    * skip re-tokenizing; recomputing impacts from tf is one
+    * vocabulary-join pass).
+    *
+    * Exactness: `w_e6 = round(w, 6) · 10⁶` computed through
+    * decimal(27,6) — an exact integer for every posting — so the
+    * query-time long sum Σw_e6 is exact, and `(double) Σw_e6 / 10⁶`
+    * equals the decimal-sum-cast-to-double of [[topK]]'s in-plan path
+    * bit-for-bit (both are the correctly-rounded double of the same
+    * real number; Σ stays far inside 2⁵³ for any real query: ≤ q_terms
+    * · idf_max · (k1+1) · 10⁶ ≈ q · ln(n) · 2.2e6).
+    * ONE corpus pass total (tf persists for its four consumers within
+    * the build, then releases). */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 path: String): Unit = {
+    val tf = postingTable(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // n counts ALL documents (wordless ones dilute avgdl — the
+      // standard collection-size semantics), folded over dl, not a
+      // second corpus scan
+      val consts = docs.agg(count(lit(1)).as("n"))
+        .crossJoin(dl.agg(sum(col("dl")).as("_tot")))
+        .select(col("n"), (col("_tot").cast("double") / col("n")).as("avgdl"))
+      tf.join(df, Seq("term")).join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(consts))
+        .select(col("term"), col("doc_id"),
+          (round(
+            log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+              col("tf") * lit(K1 + 1) /
+              (col("tf") + lit(K1) *
+                (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
+            .cast("decimal(27,6)") * lit(1000000)).cast("long").as("w_e6"))
+        .repartition(col("term"))
+        .write.mode("overwrite").parquet(s"$path/impacts")
+    } finally tf.unpersist()
+  }
+
+  /** Search a [[buildIndex]]-landed impact index: broadcast query
+    * terms prune the impact table to matching postings (the inverted
+    * index), one repartition on query_id co-locates everything a query
+    * needs, then the exact integer sum and the bounded top-k run
+    * exchange-free in a single stage. Zero corpus-scale work and zero
+    * scoring arithmetic at query time; results are bit-identical to
+    * the one-shot [[topK]] (see [[buildIndex]]'s exactness note;
+    * pinned by Bm25IndexSpec and the shared oracle rows). */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"Bm25.searchIndex: k must be >= 1, got $k")
+    val impacts = spark.read.parquet(s"$path/impacts")
+    val qt = queries
+      .select(col("query_id"), explode(col("terms")).as("term")).distinct()
+    val scored = broadcast(qt)
+      .join(impacts, Seq("term"))
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg((sum(col("w_e6")).cast("double") / lit(1000000.0)).as("sim"))
     Similarity.topK(scored, k, "query_id", "doc_id")
       .withColumnRenamed("sim", "score")
   }

