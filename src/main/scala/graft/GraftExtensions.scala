@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expressions.BoundedTopK].getName, "graft_topk"),
       (children: Seq[Expression]) => graft.expressions.BoundedTopK(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_mmr"),
+      new ExpressionInfo(classOf[graft.expressions.GreedyMmr].getName, "graft_mmr"),
+      (children: Seq[Expression]) =>
+        graft.expressions.GreedyMmr(children(0), children(1), children(2))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[graft.expressions.WordShingles].getName, "graft_shingles"),
       (children: Seq[Expression]) =>

@@ -234,27 +234,49 @@ object Fusion {
   * ranking so the k results aren't k near-duplicates:
   * `argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`, greedy until |S|=k.
   *
-  * The greedy loop is inherently sequential in ROUNDS but each round
-  * is pure relational algebra, so it unrolls exactly like the
-  * quality-classifier's GD rounds: per round one bounded join
-  * (pairwise-sim table × selected set), one max-aggregate, one
-  * window argmax — no collect, no driver-side candidate state; each
-  * pick localCheckpoints so round t+1's plan doesn't re-derive rounds
-  * 1..t (the selected set would otherwise appear twice per round and
-  * double the plan each unroll).
+  * Two formulations, spec-pinned bit-equal (GreedyMmrSpec):
   *
-  * Scale shape: candidates are a first-stage TOP-M per query, so every
-  * table here is (queries × m) or (queries × m²) — dimension-scale
-  * next to the corpus scan that produced them; m is the knob.
+  *  - [[rerank]] — the production path: the whole greedy loop runs
+  *    inside the [[graft.expressions.GreedyMmr]] native aggregate, so
+  *    the rerank is ONE shuffle (partials collect ≤m candidates
+  *    map-side, the loop runs once per group at eval). MMR selection
+  *    is per-query-local over the first-stage top-m, so the buffer is
+  *    bounded by the upstream knob, never corpus-scale.
+  *  - [[rerankUnrolled]] — the relational unroll (k rounds × one
+  *    bounded join + max-aggregate + window argmax, localCheckpoint
+  *    per pick). Kept as the pure-DataFrame reference the aggregate
+  *    is proven against, and as the fallback formulation for engines
+  *    without the extension installed; it pays k job barriers for
+  *    work that fits in one buffer, which is why it lost the bench.
+  *
+  * Scale shape: candidates are a first-stage TOP-M per query, so
+  * everything here is (queries × m) — dimension-scale next to the
+  * corpus scan that produced them; m is the knob.
   * Determinism: rel and pairwise sims round to 6 places; the MMR
   * combination is two IEEE mults and a sub on identical bit patterns,
-  * so scores and the (mmr desc, doc_id) argmax agree across engines.
+  * so scores and the (mmr desc, doc_id) argmax agree across engines
+  * and across both formulations.
   */
 object Mmr {
 
   /** Rerank `candidates`(query_id, doc_id, rel, vec) to the k-pick MMR
-    * sequence (query_id, doc_id, mmr_round 1-based, mmr_score).
-    * Queries with fewer than k candidates yield fewer rounds.
+    * sequence (query_id, doc_id, mmr_round 1-based, mmr_score) via the
+    * [[graft.expressions.GreedyMmr]] aggregate — one shuffle total.
+    * Queries with fewer than k candidates yield fewer rounds. */
+  def rerank(candidates: DataFrame, k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"Mmr.rerank: k must be >= 1, got $k")
+    require(lambda >= 0 && lambda <= 1, s"Mmr.rerank: lambda $lambda outside [0,1]")
+    candidates
+      .groupBy(col("query_id"))
+      .agg(call_function("graft_mmr",
+        struct(col("doc_id"), col("rel"), col("vec")),
+        lit(k), lit(lambda)).as("picks"))
+      .select(col("query_id"), explode(col("picks")).as("p"))
+      .select(col("query_id"), col("p.doc_id").as("doc_id"),
+        col("p.mmr_round").as("mmr_round"), col("p.mmr_score").as("mmr_score"))
+  }
+
+  /** The relational unroll of [[rerank]] (see the object doc).
     *
     * `checkpointEvery`: rounds between localCheckpoints of the
     * accumulated selected set. MEASURED at sf0.1 (21 queries × 20
@@ -266,8 +288,8 @@ object Mmr {
     * barrier it saves. Default 1 (barrier every round, the classifier
     * discipline); the knob stays for schedulers where job submission
     * is costlier than local codegen. */
-  def rerank(candidates: DataFrame, k: Int, lambda: Double = 0.7,
-             checkpointEvery: Int = 1): DataFrame = {
+  def rerankUnrolled(candidates: DataFrame, k: Int, lambda: Double = 0.7,
+                     checkpointEvery: Int = 1): DataFrame = {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     require(k >= 1, s"Mmr.rerank: k must be >= 1, got $k")
     require(lambda >= 0 && lambda <= 1, s"Mmr.rerank: lambda $lambda outside [0,1]")
