@@ -4,7 +4,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -16,20 +16,32 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
-/** A12's wrapped publish as a DataSource V2 batch SINK:
+/** A12's wrapped publish as a DataSource V2 SINK:
   *
   * {{{
   * df.write.format("graft-wrapped")
   *   .option("groupCol", "county")
-  *   .mode("overwrite")             // or "append" for first publish
-  *   .save("/out/dir")              // => <dir>/<group>.json per group + _SUCCESS
+  *   .mode("overwrite")             // or "append" to extend the published set
+  *   .save("/out/dir")
   * }}}
   *
   * Each output file holds ONE wrapped object `{<groupCol>, total,
   * rows:[...]}` — the reference's per-county publish layout
   * (index.js:319-356) as a first-class Spark sink instead of a helper.
   *
-  * Two pieces make this Spark-first rather than a foreachPartition:
+  * **Layout (batch AND streaming — one commit shape).** Every publish
+  * lands as an immutable `snapshots/<id>/` directory (group files + a
+  * `_SUCCESS` manifest naming them), then a `current` pointer FILE
+  * atomically re-points at it. Readers resolve `current` (falling back
+  * to the newest committed snapshot while the pointer is mid-swap on a
+  * non-atomic FS — [[WrappedPublish.resolveCurrent]]); a reader
+  * polling during a publish therefore always observes a complete
+  * layout, and a commit killed at ANY point leaves the prior publish
+  * intact — the classic v1-committer mutate-in-place window does not
+  * exist here. Streaming epochs name snapshots `ep<batchId>`; batch
+  * runs name them `b<millis>-<queryId>` (monotonic per writer).
+  *
+  * Three pieces make this Spark-first rather than a foreachPartition:
   *
   *  1. **The sink DECLARES its distribution** via
   *     [[RequiresDistributionAndOrdering]]: clustered + sorted on the
@@ -42,13 +54,27 @@ import org.apache.spark.util.SerializableConfiguration
   *  2. **A real commit protocol.** Tasks write attempt-scoped temp
   *     files under `_temporary/<queryId>/` and return the (temp,
   *     final) pairs as commit messages; only the DRIVER's commit
-  *     promotes them (rename) and stamps `_SUCCESS`. A failed or
-  *     speculated attempt can never corrupt the published layout:
-  *     its files carry its own attempt id in the temp name, and
-  *     Spark hands commit() exactly one message per partition.
-  *     `mode("overwrite")` maps to [[SupportsTruncate]]: previous
-  *     group files are cleared inside the same driver commit, so a
-  *     re-publish is atomic-per-run, never a half-mixed directory.
+  *     assembles the snapshot, stamps its `_SUCCESS`, and swaps the
+  *     pointer. A failed or speculated attempt can never corrupt the
+  *     published layout. `mode("append")` extends the current
+  *     snapshot (prior group files are COPIED into the new snapshot —
+  *     snapshots stay immutable; appending onto an already-published
+  *     group refuses BEFORE anything is assembled, leaving the prior
+  *     publish untouched and still marked).
+  *
+  *  3. **Change-gated publish** (`entrypoint.sh:33-62`'s
+  *     CHANGE_COUNT=0 skip): with `option("publishIfChanged","true")`
+  *     a commit whose content is byte-identical to the current
+  *     snapshot publishes NOTHING — no new snapshot dir, pointer
+  *     untouched; a streaming epoch still records itself as committed
+  *     (replay-safe) via an `_epochs/` marker. A daily republish that
+  *     usually changes nothing stops minting identical snapshots.
+  *
+  * `retain` bounds committed-snapshot history (newest N). Concurrent
+  * writers to ONE output path are NOT supported (retention, pointer
+  * swap, and append's read-modify-publish all assume a single writer
+  * per path — same contract as the reference's daily job); concurrent
+  * writers to different paths are fine.
   *
   * Scale: one file per group mirrors the reference's contract (groups
   * are counties/tenants — bounded); row data streams through the
@@ -65,6 +91,46 @@ class WrappedJsonDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new WrappedJsonTable(schema, properties.asScala.toMap)
+}
+
+/** Reader-side helpers for the `graft-wrapped` snapshot/pointer
+  * layout: how a consumer finds the published data. */
+object WrappedPublish {
+  /** The committed snapshot `current` points at; falls back to the
+    * newest committed snapshot dir when the pointer is absent or
+    * stale-mid-swap (the non-atomic-rename window on local FS). */
+  def resolveCurrent(fs: FileSystem, root: Path): Option[Path] = {
+    val snapRoot = new Path(root, "snapshots")
+    def committed(name: String): Option[Path] = {
+      val dir = new Path(snapRoot, name)
+      if (fs.exists(new Path(dir, "_SUCCESS"))) Some(dir) else None
+    }
+    val viaPtr =
+      try {
+        val ptr = new Path(root, "current")
+        if (!fs.exists(ptr)) None
+        else {
+          val in = fs.open(ptr)
+          val name = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+          committed(name)
+        }
+      } catch { case _: java.io.IOException => None }
+    viaPtr.orElse {
+      Option(fs.globStatus(new Path(snapRoot, "*")))
+        .getOrElse(Array.empty).map(_.getPath.getName).sorted.reverse
+        .iterator.flatMap(committed).nextOption()
+    }
+  }
+
+  /** group-file names listed in a committed snapshot's manifest. */
+  def manifest(fs: FileSystem, snapDir: Path): Seq[String] = {
+    val in = fs.open(new Path(snapDir, "_SUCCESS"))
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+    finally in.close()
+  }
 }
 
 private[io] class WrappedJsonTable(schema0: StructType, props: Map[String, String])
@@ -94,7 +160,9 @@ private[io] class WrappedJsonTable(schema0: StructType, props: Map[String, Strin
             bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
         val retain = opts.get("retain").map(_.trim.toInt).getOrElse(Int.MaxValue)
         require(retain >= 1, s"graft-wrapped: retain must be >= 1, got $retain")
-        new WrappedJsonWrite(path, schema, groupCol, info.queryId(), doTruncate, retain)
+        val ifChanged = opts.get("publishifchanged").exists(_.trim.toBoolean)
+        new WrappedJsonWrite(path, schema, groupCol, info.queryId(), doTruncate,
+          retain, ifChanged)
       }
     }
 }
@@ -102,7 +170,8 @@ private[io] class WrappedJsonTable(schema0: StructType, props: Map[String, Strin
 private[graft] class WrappedJsonWrite(path: String, schema: StructType,
                                    groupCol: String, queryId: String,
                                    truncate: Boolean,
-                                   retain: Int = Int.MaxValue)
+                                   retain: Int = Int.MaxValue,
+                                   publishIfChanged: Boolean = false)
   extends Write with RequiresDistributionAndOrdering {
 
   // the sink's contract, not the caller's job: cluster AND sort by the
@@ -113,66 +182,170 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
     Array(Expressions.sort(Expressions.identity(groupCol),
       SortDirection.ASCENDING, NullOrdering.NULLS_FIRST))
 
+  private def root = new Path(path)
+
+  private def requireNoDuplicates(finals: Seq[String]): Unit =
+    require(finals.distinct.size == finals.size,
+      s"duplicate group files across partitions — clustering contract broken, " +
+        s"or two raw group values sanitized to one file name: " +
+        finals.diff(finals.distinct).distinct.mkString(", "))
+
+  /** byte-identical republish? names must equal the current manifest
+    * and every staged temp must equal its published counterpart.
+    * Streams both sides in 64 KiB chunks — group files are bounded by
+    * the sink's contract, so this is a bounded read, not a corpus
+    * scan. */
+  private def unchangedVs(f: FileSystem, prior: Path,
+                          files: Seq[(String, String)]): Boolean = {
+    val names = files.map(_._2)
+    if (WrappedPublish.manifest(f, prior).sorted != names.sorted) return false
+    files.forall { case (temp, name) =>
+      val a = new Path(temp); val b = new Path(prior, name)
+      if (f.getFileStatus(a).getLen != f.getFileStatus(b).getLen) false
+      else {
+        val ia = f.open(a); val ib = f.open(b)
+        try {
+          val ba = new Array[Byte](65536); val bb = new Array[Byte](65536)
+          var same = true
+          var done = false
+          while (same && !done) {
+            val na = ia.readNBytes(ba, 0, ba.length)
+            val nb = ib.readNBytes(bb, 0, bb.length)
+            if (na != nb || !java.util.Arrays.equals(
+                java.util.Arrays.copyOf(ba, math.max(na, 0)),
+                java.util.Arrays.copyOf(bb, math.max(nb, 0)))) same = false
+            if (na <= 0) done = true
+          }
+          same
+        } finally { ia.close(); ib.close() }
+      }
+    }
+  }
+
+  /** assemble `snapDir` from staged temps (+ carried copies), stamp
+    * its manifest, swap the pointer. The snapshot is invisible until
+    * `_SUCCESS` lands and unreferenced until the pointer swaps, so a
+    * crash anywhere in here leaves only inert debris. */
+  private def publishSnapshot(f: FileSystem,
+                              hconf: org.apache.hadoop.conf.Configuration,
+                              snapDir: Path,
+                              files: Seq[(String, String)],
+                              carried: Seq[(Path, String)]): Unit = {
+    f.delete(snapDir, true) // crash debris from a commit that never marked
+    f.mkdirs(snapDir)
+    files.foreach { case (temp, finalName) =>
+      if (!f.rename(new Path(temp), new Path(snapDir, finalName)))
+        throw new IllegalStateException(
+          s"graft-wrapped: rename $temp -> $snapDir/$finalName failed")
+    }
+    // carried files COPY from the prior snapshot — it stays immutable
+    // for readers and retention
+    carried.foreach { case (src, name) =>
+      if (!FileUtil.copy(f, src, f, new Path(snapDir, name), false, hconf))
+        throw new IllegalStateException(
+          s"graft-wrapped: carry-copy $src -> $snapDir/$name failed")
+    }
+    val names = (files.map(_._2) ++ carried.map(_._2)).sorted
+    val out = f.create(new Path(snapDir, "_SUCCESS"), true)
+    try out.write(names.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    swapPointer(f, snapDir)
+  }
+
+  /** atomic pointer swap: write `current.tmp-<queryId>`, rename over
+    * `current`. Only THIS query's tmp pointer is ever touched — a
+    * concurrent writer's in-flight tmp is not ours to sweep (single
+    * writer per path is the supported contract, but we stay polite).
+    * The FileContext OVERWRITE rename is atomic where the FS supports
+    * it (HDFS, posix local); the delete+rename fallback has a brief
+    * no-pointer window — [[WrappedPublish.resolveCurrent]]'s
+    * newest-committed fallback covers readers through it. */
+  private def swapPointer(f: FileSystem, snapDir: Path): Unit = {
+    val tmpPtr = new Path(path, s"current.tmp-$queryId")
+    f.delete(tmpPtr, false) // this query's own stale tmp from a crash
+    val ptrOut = f.create(tmpPtr, true)
+    try ptrOut.write(snapDir.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally ptrOut.close()
+    val ptr = new Path(path, "current")
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri,
+          f.getConf)
+        .rename(tmpPtr, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch { case _: Exception =>
+      f.delete(ptr, false)
+      if (!f.rename(tmpPtr, ptr))
+        throw new IllegalStateException(s"graft-wrapped: pointer swap to $snapDir failed")
+    }
+  }
+
+  /** drop committed snapshots beyond the newest `retain`. Only
+    * COMMITTED snapshots occupy retention slots or are eligible to
+    * drop (crash debris is the operator's to inspect, not ours to
+    * delete); the pointed snapshot is always within the newest
+    * `retain` because the pointer only moves forward. */
+  private def applyRetention(f: FileSystem): Unit = if (retain != Int.MaxValue) {
+    val snapRoot = new Path(path, "snapshots")
+    Option(f.listStatus(snapRoot)).getOrElse(Array.empty)
+      .map(_.getPath.getName)
+      .filter(n => f.exists(new Path(snapRoot, s"$n/_SUCCESS")))
+      .sorted.dropRight(retain)
+      .foreach(n => f.delete(new Path(snapRoot, n), true))
+  }
+
   override def toBatch: BatchWrite = new BatchWrite {
     // driver-captured session conf, shipped to tasks: object-store
     // creds and fs.defaultFS ride along (the stagePages discipline)
     private val hconf = new SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-    private def fs = new Path(path).getFileSystem(hconf.value)
+    private def fs = root.getFileSystem(hconf.value)
     private def tempDir = new Path(path, s"_temporary/$queryId")
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
       WrappedJsonWriterFactory(path, s"_temporary/$queryId", schema, groupCol, hconf)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      val files = messages.collect { case m: WrappedCommit => m.files }.flatten
+      val files = messages.collect { case m: WrappedCommit => m.files }.flatten.toSeq
       val f = fs
-      val finals = files.map { case (_, finalName) => finalName }
-      require(finals.distinct.size == finals.size,
-        s"duplicate group files across partitions — clustering contract broken: " +
-          finals.diff(finals.distinct).distinct.mkString(", "))
-      // an APPEND keeps previously published groups: fold them into the
-      // rewritten manifest instead of erasing them (review finding)
-      val successPath = new Path(path, "_SUCCESS")
-      val carried: Seq[String] =
-        if (truncate || !f.exists(successPath)) Seq.empty
-        else {
-          val in = f.open(successPath)
-          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-            .split("\n").toSeq.filter(_.nonEmpty)
-          finally in.close()
+      val finals = files.map(_._2)
+      requireNoDuplicates(finals)
+      val prior = WrappedPublish.resolveCurrent(f, root)
+      // ALL validation runs before anything is assembled: a refused
+      // append mutates nothing — the prior publish stays marked and
+      // readable (it is never touched at all in this layout)
+      val carried: Seq[(Path, String)] =
+        if (truncate) Seq.empty
+        else prior match {
+          case None => Seq.empty
+          case Some(p) =>
+            val existing = WrappedPublish.manifest(f, p)
+            val clash = existing.toSet.intersect(finals.toSet)
+            if (clash.nonEmpty) throw new IllegalStateException(
+              s"graft-wrapped: group files already published: " +
+                s"${clash.toSeq.sorted.mkString(", ")}; use mode(\"overwrite\") to re-publish")
+            existing.map(n => new Path(p, n) -> n)
         }
-      // _SUCCESS drops FIRST in both modes: renames are per-file atomic
-      // but the commit as a whole is not (the classic v1-committer
-      // caveat) — readers gate on _SUCCESS, so the directory reads as
-      // "unpublished" for the whole mutation window instead of ever
-      // presenting a half-mixed layout as complete
-      f.delete(successPath, false)
-      if (truncate) {
-        Option(f.globStatus(new Path(path, "*.json")))
-          .getOrElse(Array.empty).foreach(st => f.delete(st.getPath, false))
+      // change gate: an identical republish (overwrite with the same
+      // bytes, or an append contributing zero new groups) publishes
+      // nothing — no snapshot dir, pointer untouched
+      val unchanged = publishIfChanged && prior.exists { p =>
+        if (truncate) unchangedVs(f, p, files) else files.isEmpty
       }
-      files.foreach { case (temp, finalName) =>
-        val dst = new Path(path, finalName)
-        if (f.exists(dst)) throw new IllegalStateException(
-          s"graft-wrapped: $dst already exists; use mode(\"overwrite\") to re-publish")
-        if (!f.rename(new Path(temp), dst))
-          throw new IllegalStateException(s"graft-wrapped: rename $temp -> $dst failed")
+      if (!unchanged) {
+        val snapDir = new Path(path,
+          f"snapshots/b${System.currentTimeMillis()}%013d-${queryId.take(8)}")
+        publishSnapshot(f, hconf.value, snapDir, files, carried)
       }
-      val out = f.create(successPath, true)
-      try out.write((carried ++ finals).distinct.sorted.mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
       cleanupTemp(f)
+      applyRetention(f)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
-      cleanupTemp(fs) // no renames happened; the final layout is untouched
-
+      cleanupTemp(fs) // nothing was assembled; the published layout is untouched
 
     /** drop this query's temp dir, and the shared `_temporary` parent
       * when nothing else (a concurrent writer) still owns a subdir */
-    private def cleanupTemp(f: org.apache.hadoop.fs.FileSystem): Unit = {
+    private def cleanupTemp(f: FileSystem): Unit = {
       f.delete(tempDir, true)
       val parent = new Path(path, "_temporary")
       try {
@@ -181,30 +354,29 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
     }
   }
 
-  /** The STREAMING side publishes the reference's dated-snapshot
-    * layout (index.js:319-356, gcs-io.js): every epoch commits an
-    * immutable `snapshots/ep<id>/` full of wrapped group files plus a
-    * `_SUCCESS` manifest, then atomically re-points `current` (a
-    * pointer FILE naming the epoch dir — pointer swap, not data copy).
-    * Meant for complete-mode aggregated queries — each epoch is a
-    * whole republish, exactly the reference's daily-publish contract,
-    * now continuous.
+  /** The STREAMING side: the same snapshot/pointer commit, one per
+    * epoch (the reference's dated-snapshot layout — index.js:319-356,
+    * gcs-io.js — made continuous). Meant for complete-mode aggregated
+    * queries: each epoch is a whole republish.
     *
     * Exactly-once across recovery: the epoch id is the micro-batch id,
-    * which the checkpoint replays after a crash — a re-committed epoch
-    * whose `_SUCCESS` already landed is a NO-OP (the first commit won;
-    * the replay's temps are swept), so duplicated publishes cannot
-    * happen. `retain` bounds snapshot growth (newest N committed dirs
-    * survive — A12.snapshot's knob, same only-committed-count rule). */
+    * which the checkpoint replays after a crash. A re-committed epoch
+    * is a NO-OP when its snapshot `_SUCCESS` already landed (the first
+    * commit won) — but the replay DOES re-check the pointer: a crash
+    * between marker and pointer swap would otherwise strand `current`
+    * on the previous epoch until the next one commits, so the replay
+    * re-points when the pointer is older than the marked snapshot. An
+    * epoch skipped by the change gate records itself in `_epochs/`
+    * so ITS replay is also a no-op. */
   override def toStreaming: StreamingWrite = new StreamingWrite {
     private val hconf = new SerializableConfiguration(
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
-    private def fs = new Path(path).getFileSystem(hconf.value)
+    private def fs = root.getFileSystem(hconf.value)
 
     /** drop the epoch's temp dir and any now-empty temp ancestors
       * (`_temporary/<queryId>`, `_temporary`) — a shared parent stays
       * while a concurrent writer still owns a subdir. */
-    private def sweepEpochTemp(f: org.apache.hadoop.fs.FileSystem, epochId: Long): Unit = {
+    private def sweepEpochTemp(f: FileSystem, epochId: Long): Unit = {
       f.delete(new Path(path, s"_temporary/$queryId/ep$epochId"), true)
       Seq(s"_temporary/$queryId", "_temporary").foreach { d =>
         val dir = new Path(path, d)
@@ -221,59 +393,53 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
       val f = fs
       val snapDir = new Path(path, f"snapshots/ep$epochId%019d")
       val marker = new Path(snapDir, "_SUCCESS")
-      if (f.exists(marker)) { // replayed epoch: the first commit won
+      val skipMarker = new Path(path, f"_epochs/ep$epochId%019d.unchanged")
+      if (f.exists(marker)) {
+        // replayed epoch: the first commit won — but finish its
+        // half-done pointer swap if the crash landed between marker
+        // and swap (the pointer must never lag a committed epoch).
+        // The RAW pointer file, not resolveCurrent: the resolver's
+        // newest-committed fallback would mask exactly the staleness
+        // this check exists to repair.
+        val raw: Option[String] =
+          try {
+            val ptr = new Path(path, "current")
+            if (!f.exists(ptr)) None
+            else {
+              val in = f.open(ptr)
+              try Some(new String(in.readAllBytes(),
+                java.nio.charset.StandardCharsets.UTF_8).trim)
+              finally in.close()
+            }
+          } catch { case _: java.io.IOException => None }
+        if (!raw.contains(snapDir.getName) && raw.forall(_ < snapDir.getName))
+          swapPointer(f, snapDir)
         sweepEpochTemp(f, epochId)
         return
       }
-      val files = messages.collect { case m: WrappedCommit => m.files }.flatten
-      val finals = files.map(_._2)
-      require(finals.distinct.size == finals.size,
-        s"duplicate group files across partitions — clustering contract broken: " +
-          finals.diff(finals.distinct).distinct.mkString(", "))
-      f.delete(snapDir, true) // crash debris from a commit that never marked
-      f.mkdirs(snapDir)
-      files.foreach { case (temp, finalName) =>
-        if (!f.rename(new Path(temp), new Path(snapDir, finalName)))
-          throw new IllegalStateException(
-            s"graft-wrapped: rename $temp -> $snapDir/$finalName failed")
+      if (f.exists(skipMarker)) { // replay of a change-gated no-op epoch
+        sweepEpochTemp(f, epochId)
+        return
       }
-      val out = f.create(marker, true)
-      try out.write(finals.sorted.mkString("", "\n", "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      // pointer swap: write current.tmp, rename over current. The
-      // FileContext OVERWRITE rename is atomic where the FS supports it
-      // (HDFS, posix local); the delete+rename fallback has a no-pointer
-      // window a reader can observe — resolve via the newest committed
-      // snapshot dir when the pointer is briefly absent. Stale tmp
-      // pointers from a crashed commit are swept here first.
-      Option(f.globStatus(new Path(path, "current.tmp-*")))
-        .getOrElse(Array.empty).foreach(st => f.delete(st.getPath, false))
-      val tmpPtr = new Path(path, s"current.tmp-$queryId")
-      val ptrOut = f.create(tmpPtr, true)
-      try ptrOut.write(snapDir.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally ptrOut.close()
-      val ptr = new Path(path, "current")
-      try {
-        org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, hconf.value)
-          .rename(tmpPtr, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      } catch { case _: Exception =>
-        f.delete(ptr, false)
-        if (!f.rename(tmpPtr, ptr))
-          throw new IllegalStateException(s"graft-wrapped: pointer swap to $snapDir failed")
+      val files = messages.collect { case m: WrappedCommit => m.files }.flatten.toSeq
+      requireNoDuplicates(files.map(_._2))
+      if (publishIfChanged &&
+          WrappedPublish.resolveCurrent(f, root).exists(p => unchangedVs(f, p, files))) {
+        // CHANGE_COUNT = 0: no new snapshot, pointer untouched — but
+        // the epoch must still read as committed on replay
+        f.mkdirs(skipMarker.getParent)
+        f.create(skipMarker, true).close()
+        // skip markers are tiny but unbounded over years: keep only
+        // the newest few beyond any epoch the checkpoint could replay
+        Option(f.listStatus(skipMarker.getParent)).getOrElse(Array.empty)
+          .map(_.getPath.getName).sorted.dropRight(math.max(retain, 16))
+          .foreach(n => f.delete(new Path(skipMarker.getParent, n), false))
+        sweepEpochTemp(f, epochId)
+        return
       }
+      publishSnapshot(f, hconf.value, snapDir, files, Seq.empty)
       sweepEpochTemp(f, epochId)
-      if (retain != Int.MaxValue) {
-        val root = new Path(path, "snapshots")
-        // only COMMITTED snapshots occupy retention slots or are
-        // eligible to drop (the A12.snapshot discipline: crash debris
-        // is the operator's to inspect, not ours to delete)
-        Option(f.listStatus(root)).getOrElse(Array.empty)
-          .map(_.getPath.getName)
-          .filter(n => f.exists(new Path(root, s"$n/_SUCCESS")))
-          .sorted.dropRight(retain)
-          .foreach(n => f.delete(new Path(root, n), true))
-      }
+      applyRetention(f)
     }
 
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -322,6 +488,7 @@ private[graft] class WrappedJsonWriter(path: String, tempPrefix: String,
   private val gi = schema.fieldIndex(groupCol)
   private val payload = schema.fields.zipWithIndex.filter(_._2 != gi)
   private val written = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  private val writtenNames = scala.collection.mutable.HashSet.empty[String]
   // (isNull, canonical string) — nullness rides beside the string so a
   // genuine "__null__" STRING group can never collide with a null
   // group (review finding); file names disambiguate the same way
@@ -381,6 +548,16 @@ private[graft] class WrappedJsonWriter(path: String, tempPrefix: String,
 
   private def flush(): Unit = if (open) {
     val name = s"${fileSafe(currentKey)}.json"
+    // residual collision edge: a RAW value already shaped like
+    // "<safe>-<hex>" passes fileSafe unchanged and can land on another
+    // value's sanitized+hashed name. Within one (sorted) partition the
+    // two groups are adjacent here — fail with the real cause instead
+    // of silently overwriting our own temp and dying later in the
+    // driver's duplicate check with a misleading clustering message.
+    if (!writtenNames.add(name)) throw new IllegalStateException(
+      s"graft-wrapped: two distinct group values map to one file name '$name' " +
+        s"after sanitization (one raw value ends in the other's hash suffix); " +
+        s"rename the colliding group value or pre-hash the group column")
     val temp = new Path(path, s"$tempPrefix/p$partitionId-t$taskId-$name")
     val out = fs.create(temp, true)
     try {

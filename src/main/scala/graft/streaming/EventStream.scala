@@ -139,10 +139,18 @@ object EventStream {
     * to cover the longest expected reader lag (it is a count-based
     * retention window, exactly like table-format snapshot expiry).
     *
+    * `publishIfChanged` (the reference's CHANGE_COUNT = 0 skip,
+    * entrypoint.sh:33-62): a batch whose rows are all already present
+    * identically in the previous snapshot writes NO snapshot and
+    * leaves the pointer untouched — a daily upsert that usually
+    * changes nothing stops minting identical state copies. The skip is
+    * recomputed deterministically on replay, so it needs no marker.
+    *
     * Use with `ds.writeStream.foreachBatch(EventStream.upsertBatch(dir) _)`
     * on an update-mode aggregate, or call per-batch as here. */
   def upsertBatch(targetDir: String, keyCols: Seq[String],
-                  retainSnapshots: Int = Int.MaxValue)(
+                  retainSnapshots: Int = Int.MaxValue,
+                  publishIfChanged: Boolean = false)(
       batch: DataFrame, batchId: Long): Unit = {
     require(retainSnapshots >= 2,
       s"retainSnapshots must be >= 2 (replay needs the previous snapshot), got $retainSnapshots")
@@ -165,6 +173,17 @@ object EventStream {
         case None => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
       }
+      // change gate (entrypoint.sh:33-62's CHANGE_COUNT = 0 skip): a
+      // batch whose every row already sits identically in the previous
+      // snapshot changes nothing — skip the snapshot write AND the
+      // pointer refresh; a later batch merges from the same prev, and
+      // a replay of this batch recomputes the same verdict (the skip
+      // is deterministic, so no committed-marker is needed). The check
+      // is one bounded anti-diff of the DELTA against prev — delta-
+      // scale work, not an archive scan.
+      val unchanged = publishIfChanged && prevId.isDefined &&
+        batch.exceptAll(prev).isEmpty
+      if (unchanged) return
       // keyed upsert: batch rows REPLACE the key's previous state (the
       // batch side of an update-mode agg carries the full new value)
       val merged = prev.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")

@@ -38,6 +38,29 @@ class StreamCompactionSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("change-gated upsert: a no-delta batch writes no snapshot; a real delta still publishes") {
+    val dir = tempDir("graft_upsert_gate")
+    def put(rows: Seq[(String, Long)], id: Long): Unit =
+      EventStream.upsertBatch(dir, Seq("k"), retainSnapshots = Int.MaxValue,
+        publishIfChanged = true)(rows.toDF("k", "n"), id)
+    put(Seq("a" -> 1L, "b" -> 2L), 0L)
+    assert(dirs(s"$dir/snapshots", "\\d+") == Seq("0"))
+    // batch 1 re-delivers state already present identically: no new
+    // snapshot dir, pointer untouched (CHANGE_COUNT = 0 skip)
+    put(Seq("a" -> 1L), 1L)
+    assert(dirs(s"$dir/snapshots", "\\d+") == Seq("0"), "no-delta batch minted a snapshot")
+    // replay of the skipped batch: deterministic re-skip
+    put(Seq("a" -> 1L), 1L)
+    assert(dirs(s"$dir/snapshots", "\\d+") == Seq("0"))
+    // a changed value publishes, and later reads see it
+    put(Seq("a" -> 9L), 2L)
+    assert(dirs(s"$dir/snapshots", "\\d+").toSet == Set("0", "2"))
+    val state = EventStream.readLatestState(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(state == Map("a" -> 9L, "b" -> 2L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("signature archive compaction: bounded dirs, identical pairs, replay + future batches intact") {
     val dir = tempDir("graft_compact")
     val tA = "the quick brown fox jumps over the lazy dog again and again today"

@@ -1,11 +1,15 @@
 package graft
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 
-/** A12's wrapped publish as a DSv2 sink (`graft-wrapped`): layout +
-  * content parity with the wrappedFrame contract, the sink-declared
-  * clustering (RequiresDistributionAndOrdering), commit-protocol
-  * atomicity on failure, overwrite/append semantics, and input
+import graft.io.WrappedPublish
+
+/** A12's wrapped publish as a DSv2 sink (`graft-wrapped`):
+  * snapshot/pointer layout + content parity with the wrappedFrame
+  * contract, the sink-declared clustering
+  * (RequiresDistributionAndOrdering), commit-protocol atomicity on
+  * failure, overwrite/append semantics, the change gate, and input
   * validation. */
 class WrappedSinkSpec extends SparkSpec {
   import spark.implicits._
@@ -16,9 +20,26 @@ class WrappedSinkSpec extends SparkSpec {
     ("south", 5L, "erin", 5.5), ("north", 6L, "frank", 6.5)
   ).toDF("county", "id", "name", "score")
 
+  private def hfs(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** resolve the published snapshot like a reader would. */
+  private def currentDir(dir: String): String =
+    WrappedPublish.resolveCurrent(hfs(dir), new Path(dir))
+      .getOrElse(fail(s"no committed snapshot under $dir")).toString
+
+  private def currentFiles(dir: String): Seq[String] =
+    new java.io.File(new java.net.URI(
+      currentDir(dir)).getPath).list().sorted.toSeq
+
   private def readWrapped(dir: String) = {
     val schema = "county string, total long, rows array<struct<id:long,name:string,score:double>>"
-    spark.read.schema(schema).json(s"$dir/*.json")
+    spark.read.schema(schema).json(s"${currentDir(dir)}/*.json")
+  }
+
+  private def snapshotNames(dir: String): Seq[String] = {
+    val f = new java.io.File(dir, "snapshots")
+    Option(f.list()).map(_.sorted.toSeq).getOrElse(Seq.empty)
   }
 
   test("A12 DSv2 sink: per-group wrapped files from ROUND-ROBIN input (sink plans its own shuffle)") {
@@ -29,10 +50,14 @@ class WrappedSinkSpec extends SparkSpec {
     // refuse the duplicate. Success here IS the distribution proof.
     sampleDf.repartition(5).write.format("graft-wrapped")
       .option("groupCol", "county").mode("append").save(dir)
-    val files = new java.io.File(dir).list().sorted.toSeq
+    val files = currentFiles(dir)
     assert(files.filter(_.endsWith(".json")) == Seq("north.json", "south.json", "west.json"))
     assert(files.contains("_SUCCESS"))
-    assert(!files.exists(_.startsWith("_temporary")), files)
+    assert(!new java.io.File(dir, "_temporary").exists())
+    // the pointer file names the snapshot a reader resolves
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "current")), "UTF-8").trim
+    assert(currentDir(dir).endsWith(ptr))
     val back = readWrapped(dir).orderBy("county").collect()
     assert(back.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("north", 3L), ("south", 2L), ("west", 1L)))
@@ -41,17 +66,20 @@ class WrappedSinkSpec extends SparkSpec {
     val northRows = back(0).getSeq[org.apache.spark.sql.Row](2)
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(northRows == Set((1L, "alice", 1.5), (3L, "carol", 3.5), (6L, "frank", 6.5)))
-    // _SUCCESS manifest lists the group files
-    val manifest = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_SUCCESS")), "UTF-8").trim.split("\n").toSeq
-    assert(manifest == Seq("north.json", "south.json", "west.json"))
+    // the snapshot _SUCCESS manifest lists the group files
+    assert(WrappedPublish.manifest(hfs(dir), new Path(currentDir(dir))) ==
+      Seq("north.json", "south.json", "west.json"))
   }
 
-  test("A12 DSv2 sink: overwrite truncates atomically; append onto an existing group refuses") {
+  test("A12 DSv2 sink: overwrite republishes as a NEW snapshot; append onto an existing group refuses WITHOUT unpublishing") {
     val dir = tempDir("wrapped_over")
     sampleDf.write.format("graft-wrapped")
       .option("groupCol", "county").mode("append").save(dir)
-    // re-publishing the same groups without overwrite must refuse
+    val firstSnap = currentDir(dir)
+    // re-publishing the same groups without overwrite must refuse —
+    // and the refusal must leave the prior publish fully intact and
+    // still marked (the r9 ADVICE hazard: a refused append used to
+    // drop _SUCCESS first and strand the layout unpublished)
     val e = intercept[Exception] {
       sampleDf.write.format("graft-wrapped")
         .option("groupCol", "county").mode("append").save(dir)
@@ -59,19 +87,28 @@ class WrappedSinkSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("overwrite")), msgs(e))
-    // overwrite with a DIFFERENT group set: old group files must be gone
+    assert(currentDir(dir) == firstSnap, "refusal must not move the pointer")
+    assert(readWrapped(dir).count() == 3, "prior publish still committed and readable")
+    // overwrite with a DIFFERENT group set: a reader now resolves only
+    // the new groups; the old snapshot survives as history
     sampleDf.filter(col("county") =!= "west").write.format("graft-wrapped")
       .option("groupCol", "county").mode("overwrite").save(dir)
-    val files = new java.io.File(dir).list().filter(_.endsWith(".json")).sorted.toSeq
-    assert(files == Seq("north.json", "south.json"), files)
+    assert(currentFiles(dir).filter(_.endsWith(".json")) == Seq("north.json", "south.json"))
     assert(readWrapped(dir).count() == 2)
+    assert(snapshotNames(dir).size == 2, "prior snapshot retained as history")
+    // retention: an overwrite under retain=1 leaves only the newest
+    sampleDf.write.format("graft-wrapped")
+      .option("groupCol", "county").option("retain", "1")
+      .mode("overwrite").save(dir)
+    assert(snapshotNames(dir).size == 1)
+    assert(readWrapped(dir).count() == 3)
   }
 
-  test("A12 DSv2 sink: a failing task aborts the job without touching the final layout") {
+  test("A12 DSv2 sink: a failing task aborts the job without touching the published layout") {
     val dir = tempDir("wrapped_abort")
     sampleDf.write.format("graft-wrapped")
       .option("groupCol", "county").mode("append").save(dir)
-    val before = new java.io.File(dir).list().sorted.toSeq
+    val before = currentDir(dir)
     // a poisoned row detonates mid-write, after other groups' temp
     // files may already exist — the published layout must not change
     // and no temp debris may survive the abort
@@ -81,27 +118,27 @@ class WrappedSinkSpec extends SparkSpec {
       poisoned.write.format("graft-wrapped")
         .option("groupCol", "county").mode("overwrite").save(dir)
     }
-    val after = new java.io.File(dir).list().sorted.toSeq
-    assert(after == before, s"layout changed: $before -> $after")
+    assert(currentDir(dir) == before, "pointer moved on an aborted write")
+    assert(!new java.io.File(dir, "_temporary").exists(), "temp debris survived abort")
     assert(readWrapped(dir).count() == 3, "previous publish still reads back whole")
   }
 
-  test("A12 DSv2 sink: append keeps prior groups in the manifest; null vs literal \"__null__\"; NaN stays valid JSON") {
+  test("A12 DSv2 sink: append carries prior groups into the new snapshot; null vs literal \"__null__\"; NaN stays valid JSON") {
     val dir = tempDir("wrapped_edge")
     sampleDf.write.format("graft-wrapped")
       .option("groupCol", "county").mode("append").save(dir)
-    // appending a DISJOINT group must not erase prior manifest entries
+    // appending a DISJOINT group republishes prior groups + the new one
     Seq(("east", 9L, "zed", Double.NaN)).toDF("county", "id", "name", "score")
       .write.format("graft-wrapped").option("groupCol", "county")
       .mode("append").save(dir)
-    val manifest = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "_SUCCESS")), "UTF-8").trim.split("\n").toSeq
-    assert(manifest == Seq("east.json", "north.json", "south.json", "west.json"), manifest)
+    val cur = currentDir(dir)
+    assert(WrappedPublish.manifest(hfs(dir), new Path(cur)) ==
+      Seq("east.json", "north.json", "south.json", "west.json"))
     // NaN serialized QUOTED: strict JSON parsers accept the file
     val east = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "east.json")), "UTF-8")
+      java.nio.file.Paths.get(new java.net.URI(cur).getPath, "east.json")), "UTF-8")
     assert(east.contains("\"score\": \"NaN\""), east)
-    val parsed = spark.read.json(s"$dir/east.json")
+    val parsed = spark.read.json(s"$cur/east.json")
     assert(!parsed.columns.contains("_corrupt_record"), parsed.columns.toSeq)
     // a null group and a doc whose group is literally the STRING
     // "__null__" are different groups: distinct files, no silent merge
@@ -109,17 +146,42 @@ class WrappedSinkSpec extends SparkSpec {
     Seq((Option.empty[String], 1L), (Option("__null__"), 2L), (Option.empty[String], 3L))
       .toDF("grp", "v").write.format("graft-wrapped")
       .option("groupCol", "grp").mode("append").save(dir2)
-    val files2 = new java.io.File(dir2).list().filter(_.endsWith(".json")).sorted.toSeq
+    val files2 = currentFiles(dir2).filter(_.endsWith(".json"))
     assert(files2.size == 2, files2)
     assert(files2.contains("__null__.json"))
     val litFile = files2.filterNot(_ == "__null__.json").head
     assert(litFile.startsWith("__null__-"), s"literal string must hash-disambiguate: $litFile")
+    val base2 = new java.net.URI(currentDir(dir2)).getPath
     val nullObj = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir2, "__null__.json")), "UTF-8")
+      java.nio.file.Paths.get(base2, "__null__.json")), "UTF-8")
     assert(nullObj.contains("\"grp\": null") && nullObj.contains("\"total\": 2"), nullObj)
     val litObj = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir2, litFile)), "UTF-8")
+      java.nio.file.Paths.get(base2, litFile)), "UTF-8")
     assert(litObj.contains("\"grp\": \"__null__\"") && litObj.contains("\"total\": 1"), litObj)
+  }
+
+  test("A12 DSv2 sink: change-gated batch publish — an identical overwrite mints no snapshot") {
+    val dir = tempDir("wrapped_gate")
+    // one row per group: byte-identity of a republish must not depend
+    // on intra-group row order (which the sink's sort does not pin)
+    def gateDf(bump: Double) = Seq(
+      ("north", 1L, "alice", 1.5 + bump), ("south", 2L, "bob", 2.5 + bump),
+      ("west", 3L, "dan", 4.5 + bump)).toDF("county", "id", "name", "score")
+    def publish(bump: Double): Unit = gateDf(bump).write.format("graft-wrapped")
+      .option("groupCol", "county").option("publishIfChanged", "true")
+      .mode("overwrite").save(dir)
+    publish(0.0)
+    val firstSnaps = snapshotNames(dir)
+    val firstCur = currentDir(dir)
+    assert(firstSnaps.size == 1)
+    // byte-identical republish: zero new dirs, pointer untouched
+    publish(0.0)
+    assert(snapshotNames(dir) == firstSnaps, "unchanged republish minted a snapshot")
+    assert(currentDir(dir) == firstCur)
+    // a changed value DOES publish
+    publish(1.0)
+    assert(snapshotNames(dir).size == 2, "changed republish must publish")
+    assert(currentDir(dir) != firstCur)
   }
 
   test("A12 DSv2 sink streaming: per-epoch snapshots, current pointer, retention") {
@@ -140,7 +202,7 @@ class WrappedSinkSpec extends SparkSpec {
       ms.addData(("west", 4L)); q.processAllAvailable()
     } finally q.stop()
     // three epochs published, retain=2 keeps the newest two committed
-    val snaps = new java.io.File(dir, "snapshots").list().sorted.toSeq
+    val snaps = snapshotNames(dir)
     assert(snaps.size == 2, snaps)
     assert(snaps.forall(n => new java.io.File(s"$dir/snapshots/$n/_SUCCESS").exists()))
     // the current pointer names the newest snapshot
@@ -159,48 +221,107 @@ class WrappedSinkSpec extends SparkSpec {
     assert(!new java.io.File(dir, "_temporary").exists())
   }
 
-  test("A12 DSv2 sink streaming: a replayed epoch is a no-op — the first commit wins") {
+  test("A12 DSv2 sink streaming: change-gated epochs — unchanged state mints no snapshot, replay of a skipped epoch is a no-op") {
+    import org.apache.spark.sql.types._
+    val dir = tempDir("wrapped_stream_gate")
+    spark.range(1).count() // ensure an active session for the sink's conf capture
+    val schema = new StructType().add("grp", StringType).add("v", LongType)
+    val w = new graft.io.WrappedJsonWrite(dir, schema, "grp", "q1", false,
+      retain = Int.MaxValue, publishIfChanged = true)
+    val sw = w.toStreaming
+    def stageTemp(ep: Long, content: String): String = {
+      val t = java.nio.file.Paths.get(dir, s"_temporary/q1/ep$ep/p0-t0-g.json")
+      java.nio.file.Files.createDirectories(t.getParent)
+      java.nio.file.Files.write(t, content.getBytes("UTF-8"))
+      t.toString
+    }
+    val body = """{"grp": "g", "total": 1, "rows": [{"v": 1}]}"""
+    sw.commit(1L, Array(graft.io.WrappedCommit(Seq(stageTemp(1, body) -> "g.json"))))
+    assert(snapshotNames(dir).size == 1)
+    // epoch 2 carries IDENTICAL bytes: no new snapshot, pointer stays,
+    // but the epoch records itself committed
+    sw.commit(2L, Array(graft.io.WrappedCommit(Seq(stageTemp(2, body) -> "g.json"))))
+    assert(snapshotNames(dir).size == 1, "unchanged epoch minted a snapshot")
+    assert(new java.io.File(dir, "_epochs").list()
+      .count(!_.startsWith(".")) == 1) // ignore local-FS .crc shadows
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_temporary/q1/ep2")))
+    // replaying the SKIPPED epoch after a crash: still a no-op
+    sw.commit(2L, Array(graft.io.WrappedCommit(Seq(stageTemp(2, body) -> "g.json"))))
+    assert(snapshotNames(dir).size == 1)
+    // epoch 3 with different bytes publishes
+    sw.commit(3L, Array(graft.io.WrappedCommit(Seq(
+      stageTemp(3, """{"grp": "g", "total": 2, "rows": [{"v": 1}, {"v": 2}]}""") -> "g.json"))))
+    assert(snapshotNames(dir).size == 2)
+  }
+
+  test("A12 DSv2 sink streaming: a replayed epoch is a no-op — and finishes a half-done pointer swap") {
     import org.apache.spark.sql.types._
     val dir = tempDir("wrapped_replay")
     spark.range(1).count() // ensure an active session for the sink's conf capture
     val schema = new StructType().add("grp", StringType).add("v", LongType)
     val w = new graft.io.WrappedJsonWrite(dir, schema, "grp", "q1", false)
     val sw = w.toStreaming
-    def stageTemp(content: String): String = {
-      val t = java.nio.file.Paths.get(dir, "_temporary/q1/ep7/p0-t0-g.json")
+    def stageTemp(ep: Long, content: String): String = {
+      val t = java.nio.file.Paths.get(dir, s"_temporary/q1/ep$ep/p0-t0-g.json")
       java.nio.file.Files.createDirectories(t.getParent)
       java.nio.file.Files.write(t, content.getBytes("UTF-8"))
       t.toString
     }
-    val first = stageTemp("""{"grp": "g", "total": 1, "rows": [{"v": 1}]}""")
+    val first = stageTemp(7, """{"grp": "g", "total": 1, "rows": [{"v": 1}]}""")
     sw.commit(7L, Array(graft.io.WrappedCommit(Seq(first -> "g.json"))))
-    val snap = new java.io.File(dir, "snapshots").list().head
+    val snap = snapshotNames(dir).head
     val out = java.nio.file.Paths.get(dir, s"snapshots/$snap/g.json")
     val committed = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
     // recovery replays epoch 7 with DIFFERENT bytes: must be ignored
-    val replay = stageTemp("""{"grp": "g", "total": 99, "rows": []}""")
+    val replay = stageTemp(7, """{"grp": "g", "total": 99, "rows": []}""")
     sw.commit(7L, Array(graft.io.WrappedCommit(Seq(replay -> "g.json"))))
     assert(new String(java.nio.file.Files.readAllBytes(out), "UTF-8") == committed,
       "replayed epoch must not overwrite the committed snapshot")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_temporary/q1/ep7")),
       "replay temps are swept")
-    assert(new java.io.File(dir, "snapshots").list().length == 1)
+    assert(snapshotNames(dir).size == 1)
+    // crash-between-marker-and-swap: epoch 8 commits its snapshot but
+    // the pointer is (simulated) still on epoch 7 — the REPLAY of
+    // epoch 8 must re-point instead of returning early (r9 ADVICE)
+    val e8 = stageTemp(8, """{"grp": "g", "total": 2, "rows": [{"v": 1}, {"v": 2}]}""")
+    sw.commit(8L, Array(graft.io.WrappedCommit(Seq(e8 -> "g.json"))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "current"),
+      snap.getBytes("UTF-8")) // wind the pointer back to epoch 7's snapshot
+    sw.commit(8L, Array(graft.io.WrappedCommit(Seq(
+      stageTemp(8, "ignored") -> "g.json"))))
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "current")), "UTF-8").trim
+    assert(ptr == snapshotNames(dir).last, s"replay must finish the pointer swap: $ptr")
   }
 
-  test("A12 DSv2 sink: null + unsafe group values, option and schema validation") {
+  test("A12 DSv2 sink: null + unsafe group values, name-collision detection, option and schema validation") {
     val dir = tempDir("wrapped_names")
     Seq((Option("a/b"), 1L), (Option.empty[String], 2L), (Option("ok"), 3L))
       .toDF("grp", "v").write.format("graft-wrapped")
       .option("groupCol", "grp").mode("append").save(dir)
-    val files = new java.io.File(dir).list().filter(_.endsWith(".json")).sorted.toSeq
+    val files = currentFiles(dir).filter(_.endsWith(".json"))
     assert(files.contains("ok.json"))
     assert(files.contains("__null__.json"))
     // "a/b" sanitizes with a disambiguating hash, never a subdirectory
     assert(files.exists(f => f.startsWith("a_b-") && f.endsWith(".json")), files)
-    assert(!new java.io.File(dir, "a").exists())
+    val base = new java.net.URI(currentDir(dir)).getPath
+    assert(!new java.io.File(base, "a").exists())
     val nullObj = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(dir, "__null__.json")), "UTF-8")
+      java.nio.file.Paths.get(base, "__null__.json")), "UTF-8")
     assert(nullObj.contains("\"grp\": null"), nullObj)
+    // the fileSafe residual edge: a raw value that IS another value's
+    // sanitized+hashed name must refuse with the collision cause, not
+    // overwrite silently or die on a misleading clustering error
+    val hashed = "a_b-" + Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash("a/b"))
+    val e0 = intercept[Exception] {
+      Seq((Option("a/b"), 1L), (Option(hashed), 2L))
+        .toDF("grp", "v").coalesce(1).write.format("graft-wrapped")
+        .option("groupCol", "grp").mode("append").save(tempDir("wrapped_clash"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e0).exists(_.contains("sanitization")), msgs(e0))
     // missing groupCol and nested columns are named in the refusal
     val e1 = intercept[Exception] {
       sampleDf.write.format("graft-wrapped").mode("append").save(tempDir("wrapped_e1"))
