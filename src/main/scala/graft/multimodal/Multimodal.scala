@@ -493,25 +493,64 @@ object Multimodal {
     out.toSeq
   }
 
-  /** STUB frame sampling for codecs with no JDK decoder (H.264 etc.):
-    * every `stride`-th fixed-size slice stands in for decoded frames.
-    * MJPEG-in-AVI and uncompressed DIB-in-AVI decode for REAL — see
-    * [[videoFrameStats]]; container metadata is real for MP4 too, see
-    * [[videoMetadata]]. */
-  def sampleFrames(ds: Dataset[MediaRow], frameSize: Int = 16, stride: Int = 4): Dataset[MediaFrame] = {
-    import ds.sparkSession.implicits._
-    ds.flatMap { r =>
-      // ??? real frame decode; deterministic fake: strided byte windows
-      // (media shorter than one frame yields none; plain max() would let
-      // java's toward-zero division produce a bogus empty frame)
-      val n = if (r.media.length < frameSize) 0
-              else (r.media.length - frameSize) / (frameSize * stride) + 1
-      (0 until n).map { i =>
+  /** THE DECODE SEAM (C12): the single point a real codec plugs into.
+    * Everything around it — the MediaFrame schema, the per-partition
+    * open/decode batching, the partition-preserving map-only plan —
+    * is decoder-agnostic; DecoderSeamSpec proves it by injecting a
+    * synthetic decoder and asserting identical schema, zero
+    * exchanges, and one `open()` per partition. A production H.264
+    * implementation allocates its native codec context in `open()`
+    * (once per partition, the expensive part) and demuxes+decodes per
+    * media blob in `decode` — no Spark-side code changes. */
+  trait FrameDecoder extends Serializable {
+    /** once per partition, before any media row — real decoders
+      * allocate codec contexts / native buffers here. */
+    def open(): Unit = ()
+    /** one media blob → its sampled frames as (frame_no, bytes). */
+    def decode(mediaId: Long, media: Array[Byte],
+               format: String): Iterator[(Int, Array[Byte])]
+  }
+
+  /** The default stand-in behind the seam for codecs with no JDK
+    * decoder (H.264 etc.): every `stride`-th fixed-size byte slice
+    * stands in for a decoded frame — deterministic, so specs and
+    * oracles can predict it. MJPEG-in-AVI and uncompressed DIB-in-AVI
+    * decode for REAL — see [[videoFrameStats]]; container metadata is
+    * real for MP4 too, see [[videoMetadata]]. */
+  final case class StridedSliceDecoder(frameSize: Int = 16, stride: Int = 4)
+      extends FrameDecoder {
+    def decode(mediaId: Long, media: Array[Byte],
+               format: String): Iterator[(Int, Array[Byte])] = {
+      // media shorter than one frame yields none; plain max() would let
+      // java's toward-zero division produce a bogus empty frame
+      val n = if (media.length < frameSize) 0
+              else (media.length - frameSize) / (frameSize * stride) + 1
+      (0 until n).iterator.map { i =>
         val off = i * frameSize * stride
-        MediaFrame(r.media_id, i, r.media.slice(off, off + frameSize))
+        (i, media.slice(off, off + frameSize))
       }
     }
   }
+
+  /** Frame sampling through an injected [[FrameDecoder]]. ONE
+    * `mapPartitions` — partition-preserving and shuffle-free by
+    * construction (frames of one media row never leave its
+    * partition), with `open()` amortized across the partition's rows
+    * the way a real codec context must be. */
+  def sampleFramesWith(ds: Dataset[MediaRow],
+                       decoder: FrameDecoder): Dataset[MediaFrame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      decoder.open()
+      it.flatMap(r => decoder.decode(r.media_id, r.media, r.format)
+        .map { case (no, fb) => MediaFrame(r.media_id, no, fb) })
+    }
+  }
+
+  /** [[sampleFramesWith]] over the default [[StridedSliceDecoder]]. */
+  def sampleFrames(ds: Dataset[MediaRow], frameSize: Int = 16,
+                   stride: Int = 4): Dataset[MediaFrame] =
+    sampleFramesWith(ds, StridedSliceDecoder(frameSize, stride))
 
   /** project features next to metadata — the join shape downstream
     * training-data pipelines consume. */

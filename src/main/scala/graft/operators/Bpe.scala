@@ -15,19 +15,26 @@ import org.apache.spark.sql.functions._
   *     training is O(distinct words), the corpus only ever contributes
   *     integer counts. A 100 TB corpus with a 10M-word vocabulary
   *     trains on 10M rows.
-  *  2. Each merge round costs ONE shuffle (the adjacent-pair count
-  *     via array indexing + groupBy); the argmax rule is picked by
-  *     (count desc, pair asc) — a deterministic total order — and the
-  *     greedy left-to-right application of the rule is a map-only
-  *     per-word left fold (see [[applyRule]]): zero shuffles, because
-  *     greedy application never looks outside one word. The DuckDB
-  *     oracle computes the identical semantics with the island-trick
+  *  2. The merge rounds are vocabulary-scale arithmetic with a
+  *     sequential dependency between rounds, so by default they run
+  *     IN THE DRIVER over the collected (word, freq) table — the
+  *     design every production tokenizer trainer uses, because a
+  *     distributed round loop pays nMerges job-scheduling floors for
+  *     sub-second compute. A vocabulary over the collect threshold
+  *     (~2M words) falls back to the per-round distributed loop:
+  *     ONE shuffle per round (adjacent-pair count), argmax by
+  *     (count desc, pair asc) — a deterministic total order — and
+  *     greedy rule application as a map-only per-word left fold
+  *     (see [[applyRule]]): zero shuffles, because greedy
+  *     application never looks outside one word. The DuckDB oracle
+  *     computes the identical semantics with the island-trick
   *     window algebra (runs of overlapping matches keep even offsets
   *     — equivalent to the fold's consume-next flag).
-  *  3. The only driver traffic is ONE RULE ROW per round (the
-  *     dimension-scale collect discipline of the k-means seeds);
-  *     `localCheckpoint` per round cuts the growing lineage exactly
-  *     as [[Dedup.connectedComponents]] does.
+  *  3. Driver traffic is the vocabulary table once (local path,
+  *     bounded by the threshold) or ONE RULE ROW per round
+  *     (distributed path, the dimension-scale collect discipline of
+  *     the k-means seeds, with `localCheckpoint` per round cutting
+  *     lineage exactly as [[Dedup.connectedComponents]] does).
   *
   * Determinism: integer counts, string tie-breaks — bit-exact across
   * engines by construction.
@@ -54,15 +61,162 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] =
     trainWithVocab(docs, textCol, nMerges)._1
 
+  /** Vocabularies at or under this many distinct words train in the
+    * DRIVER after the one corpus-reduction pass (override via the
+    * `spark.graft.bpe.localVocabThreshold` conf; 0 forces the
+    * distributed loop). 2M words × ~100 B of symbol state ≈ 200 MB —
+    * comfortable driver heap; a corpus whose vocabulary exceeds it
+    * falls back to the per-round distributed loop below. */
+  val LocalVocabThresholdKey = "spark.graft.bpe.localVocabThreshold"
+  private val DefaultLocalVocabThreshold = 2000000
+
   /** [[train]], also returning the post-training vocabulary symbol
     * table (word, freq, syms) — every distinct corpus word already
     * segmented by all learned rules. This IS the tokenizer's
     * dictionary: [[encode]] segments the corpus by joining words to
-    * it instead of replaying the merge loop per document. */
+    * it instead of replaying the merge loop per document.
+    *
+    * Two-tier merge loop, picked by vocabulary size:
+    *
+    *  - LOCAL (the default): after the one corpus pass reduces the
+    *    input to (word, freq), the merge rounds are pure
+    *    vocabulary-scale arithmetic with a sequential dependency
+    *    between rounds — exactly the shape a distributed round loop
+    *    is worst at (12 rounds × job-scheduling floor for sub-second
+    *    compute). Every production tokenizer trainer runs this loop
+    *    in memory over the aggregated counts, and so do we: ONE
+    *    `limit(threshold+1).collect()` fetches the word table (the
+    *    limit caps driver exposure — an over-threshold vocabulary
+    *    never ships), then all rounds run in-process, bit-identical
+    *    to the distributed formulation (same overlap-counting pair
+    *    sum, same (count desc, pair asc-by-UTF-8-bytes) argmax, same
+    *    greedy consume-next fold; BpeSpec pins local ≡ distributed).
+    *  - DISTRIBUTED (vocab > threshold): the r8 per-round loop — one
+    *    shuffle per round over the symed word table, one rule row
+    *    collected per round, `localCheckpoint` per round to cut
+    *    lineage. A 100 TB corpus with a >2M-word vocabulary trains
+    *    here; the rounds cost job floors but the state never has to
+    *    fit one machine. */
   def trainWithVocab(docs: DataFrame, textCol: String,
       nMerges: Int): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var words = wordFreq(docs, textCol)
+    val spark = docs.sparkSession
+    val wf = wordFreq(docs, textCol)
+    val threshold = spark.conf.getOption(LocalVocabThresholdKey)
+      .map(_.toInt).getOrElse(DefaultLocalVocabThreshold)
+    val head = if (threshold > 0) wf.limit(threshold + 1).collect()
+               else Array.empty[org.apache.spark.sql.Row]
+    if (threshold > 0 && head.length <= threshold)
+      trainLocal(spark, head, nMerges)
+    else trainDistributed(wf, nMerges)
+  }
+
+  /** The in-driver merge loop over the collected (word, freq) table.
+    * Symbol state starts as the word's code points (matching the
+    * distributed path's character-wise `substring` split); each round
+    * counts every adjacent pair occurrence (overlaps included, as the
+    * posexplode does), picks argmax by (count desc, pair asc in
+    * UTF-8 byte order — UTF8String's comparison, NOT Java's UTF-16
+    * `compareTo`, so non-BMP tie-breaks agree with the engine), and
+    * applies the rule with the same greedy consume-next walk as
+    * [[applyRule]]'s fold. */
+  private def trainLocal(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      nMerges: Int): (Seq[Merge], DataFrame) = {
+    import spark.implicits._
+    val freqs = rows.map(_.getLong(1))
+    val syms = rows.map(r => codePoints(r.getString(0)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var w = 0
+      while (w < syms.length) {
+        val s = syms(w); val f = freqs(w)
+        var i = 0
+        while (i < s.length - 1) {
+          val p = (s(i), s(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+        w += 1
+      }
+      if (counts.isEmpty) exhausted = true // every word is one symbol
+      else {
+        var bestP: (String, String) = null
+        var bestC = Long.MinValue
+        counts.foreach { case (p, c) =>
+          if (bestP == null || c > bestC || (c == bestC && pairLt(p, bestP))) {
+            bestP = p; bestC = c
+          }
+        }
+        val (a, b) = bestP
+        merges += Merge((r + 1).toLong, a, b, bestC)
+        var j = 0
+        while (j < syms.length) { syms(j) = applyRuleLocal(syms(j), a, b); j += 1 }
+        r += 1
+      }
+    }
+    val vocab = rows.indices
+      .map(i => (rows(i).getString(0), freqs(i), syms(i).toSeq))
+      .toDF("word", "freq", "syms")
+    (merges.toSeq, vocab)
+  }
+
+  /** split into per-code-point strings — the driver-side equivalent
+    * of `substring(word, i, 1)`'s character semantics. */
+  private def codePoints(word: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** greedy consume-next application, local form: a match at i emits
+    * `a + b` and skips i+1 — positionally identical to [[applyRule]]'s
+    * skip-flag fold. */
+  private def applyRuleLocal(s: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** (a, b) pair order: a first then b, each compared as unsigned
+    * UTF-8 bytes — the engine's string sort order. */
+  private def pairLt(x: (String, String), y: (String, String)): Boolean = {
+    val c = utf8Compare(x._1, y._1)
+    if (c != 0) c < 0 else utf8Compare(x._2, y._2) < 0
+  }
+
+  private def utf8Compare(x: String, y: String): Int = {
+    val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(xb.length, yb.length)
+    while (i < n) {
+      val d = (xb(i) & 0xff) - (yb(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    xb.length - yb.length
+  }
+
+  /** The per-round distributed loop — the over-threshold path. One
+    * shuffle per round (the adjacent-pair count), one collected rule
+    * row per round, `localCheckpoint` per round to cut the growing
+    * lineage (the [[Dedup.connectedComponents]] discipline). */
+  private def trainDistributed(wf: DataFrame,
+      nMerges: Int): (Seq[Merge], DataFrame) = {
+    var words = wf
       .select(col("word"), col("freq"),
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
       .localCheckpoint()

@@ -343,6 +343,61 @@ object Geocode {
     rows.join(cacheHits.unionByName(freshBest), Seq(idCol), "left")
   }
 
+  /** One external geocode provider in an ordered fallback chain — the
+    * reference's two-provider arm (geocode.js:431,492: OpenCage
+    * primary, `--nominatim` backup consulted only when the primary
+    * misses, each with its own User-Agent and Bottleneck throttle).
+    * Implementations carry their OWN rate budget and retry discipline;
+    * [[providerChain]] gives every provider its own `mapPartitions`
+    * stage, so budgets never share a limiter. Must be Serializable —
+    * the lookup runs on executors. */
+  trait GeoProvider extends Serializable {
+    def name: String
+    /** per-partition minimum interval between lookups (A14 budget);
+      * cluster-wide rate = partitions × 1000/minIntervalMs. */
+    def minIntervalMs: Long
+    def maxRetries: Int = 3
+    def baseDelayMs: Long = 100
+    /** one candidate query → coordinates, None on miss. Throwing
+      * counts against `maxRetries` via [[graft.util.RateLimited]]. */
+    def lookup(candidate: String): Option[(Double, Double)]
+  }
+
+  /** Ordered-provider resolver for [[dailyGeocode]]: provider k+1 is
+    * consulted ONLY for candidates provider k missed (first-hit-wins,
+    * the reference's primary-then-backup ladder). Each provider runs
+    * as its own rate-limited `mapPartitions` stage over the REMAINING
+    * misses — independent budgets by construction — and each stage's
+    * answers are eagerly `localCheckpoint`ed so external calls execute
+    * exactly once even though hits and misses both read them.
+    * Candidates are de-duplicated first (many roster rows can expand
+    * to one query; the reference's per-query cache implies one call
+    * per query). Output: (candidate, lat, lng, provider) — the extra
+    * provider tag is dropped harmlessly by [[dailyGeocode]]'s
+    * defensive re-aggregation, and kept for direct callers.
+    *
+    * Scale shape: the chain runs at DELTA scale (dailyGeocode already
+    * reduced the roster to cache misses), and each stage shrinks the
+    * remainder — the backup provider sees only the primary's misses,
+    * exactly the quota-preserving behavior the reference's
+    * USE_NOMINATIM arm encodes. */
+  def providerChain(providers: Seq[GeoProvider])(cands: DataFrame): DataFrame = {
+    require(providers.nonEmpty, "providerChain needs at least one provider")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    var remaining = cands.select(col("candidate")).distinct().as[String]
+    val hitsPerProvider = providers.map { p =>
+      val answered = remaining.mapPartitions { it =>
+        graft.util.RateLimited.mapRateLimited(it, p.minIntervalMs,
+          p.maxRetries, p.baseDelayMs)(q => (q, p.lookup(q)))
+      }.localCheckpoint(true) // external work: execute once
+      remaining = answered.filter(_._2.isEmpty).map(_._1)
+      answered.flatMap { case (q, r) => r.map(c => (q, c._1, c._2, p.name)) }
+    }
+    hitsPerProvider.reduce(_ union _)
+      .toDF("candidate", "lat", "lng", "provider")
+  }
+
   /** County centroid table (geocode.js:43-68) — proximity-bias
     * anchors, both 臺/台 spellings where the reference lists both. */
   val countyCentroids: Seq[(String, Double, Double)] = Seq(

@@ -103,4 +103,33 @@ class BpeSpec extends SparkSpec {
     assert(merges.length == 2, merges)
     assert(merges.map(m => m._1 + m._2).toSet == Set("ab", "cd"))
   }
+
+  test("C35: driver-local and distributed merge loops are bit-identical") {
+    val rnd = new scala.util.Random(7L)
+    val words = Seq.fill(25)(
+      Seq.fill(1 + rnd.nextInt(7))("abcde"(rnd.nextInt(5))).mkString) :+
+      "héllo世界" // non-ASCII: UTF-8-byte tie-break must agree
+    val docs = Seq.fill(30)(Seq.fill(4)(words(rnd.nextInt(words.size))).mkString(" "))
+      .toDF("text")
+    val (localMerges, localVocab) = Bpe.trainWithVocab(docs, "text", 8)
+    spark.conf.set(Bpe.LocalVocabThresholdKey, "0") // force distributed
+    try {
+      val (distMerges, distVocab) = Bpe.trainWithVocab(docs, "text", 8)
+      assert(localMerges == distMerges)
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getLong(1), r.getSeq[String](2))
+      assert(localVocab.collect().map(key).sortBy(_._1).toSeq ==
+        distVocab.collect().map(key).sortBy(_._1).toSeq)
+    } finally spark.conf.unset(Bpe.LocalVocabThresholdKey)
+  }
+
+  test("C35: a vocabulary over the threshold falls back to the distributed loop") {
+    // threshold 2 with 3 distinct words: the limit(3) probe sees 3 rows
+    // and the local path must decline (results still correct)
+    spark.conf.set(Bpe.LocalVocabThresholdKey, "2")
+    try {
+      val merges = trainOn(Seq("ab ab cd ef"), 10)
+      assert(merges.map(m => m._1 + m._2).toSet == Set("ab", "cd", "ef"))
+    } finally spark.conf.unset(Bpe.LocalVocabThresholdKey)
+  }
 }
