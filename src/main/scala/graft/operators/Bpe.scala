@@ -104,8 +104,18 @@ object Bpe {
     val wf = wordFreq(docs, textCol)
     val threshold = spark.conf.getOption(LocalVocabThresholdKey)
       .map(_.toInt).getOrElse(DefaultLocalVocabThreshold)
-    val head = if (threshold > 0) wf.limit(threshold + 1).collect()
-               else Array.empty[org.apache.spark.sql.Row]
+    val head = if (threshold > 0) {
+      // CollectLimit's incremental partition fetch (1, then 4, then 16…
+      // partitions per job) pays one job floor per escalation when the
+      // limit is never reached — the common case here, since the limit
+      // is a driver-safety cap, not an expected row count. Fetch every
+      // partition in the FIRST job; the cap still bounds shipped rows.
+      val key = "spark.sql.limit.initialNumPartitions"
+      val was = spark.conf.getOption(key)
+      spark.conf.set(key, spark.conf.get("spark.sql.shuffle.partitions"))
+      try wf.limit(threshold + 1).collect()
+      finally was.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    } else Array.empty[org.apache.spark.sql.Row]
     if (threshold > 0 && head.length <= threshold)
       trainLocal(spark, head, nMerges)
     else trainDistributed(wf, nMerges)

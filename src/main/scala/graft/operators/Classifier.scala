@@ -47,8 +47,17 @@ object Classifier {
     * this a task's ~2–5 ms launch cost outweighs its compute, and a
     * 12-round loop pays that floor 12 × stages × partitions times.
     * The AQE-coalesce principle applied to a persisted iteration
-    * table, which AQE itself cannot touch. */
+    * table, which AQE itself cannot touch. Tunable via the
+    * `spark.graft.classifier.rowsPerPartition` conf: the margin fold
+    * is interpreted (HOF) decimal work, so a deployment whose
+    * per-doc feature count is high can buy fold parallelism with
+    * more (smaller) partitions — the task floor × rounds is the
+    * price, measured in tools/RoundFloor. */
   private val RowsPerPartition = 64 * 1024L
+
+  private def rowsPerPartition(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.classifier.rowsPerPartition")
+      .map(_.toLong).getOrElse(RowsPerPartition)
 
   /** Hashed BINARY-presence unigram features (x = 1 for every bucket
     * the doc touches — the bag-of-hashed-words simplification; an
@@ -63,12 +72,18 @@ object Classifier {
     * convention. */
   private def packedTable(docs: DataFrame, idCol: String, textCol: String,
                           label: Column, buckets: Int): DataFrame =
+    // MAP-ONLY packing (r10): per-doc bucket dedup is row-local work,
+    // so hash + dedup run inside the row via transform/array_distinct —
+    // the r9 explode → groupBy(id,y) → collect_set shape paid a
+    // corpus-scale (docs × tokens) exchange to compute the same set
+    // (same multiset of buckets per doc: margin and gradient sums are
+    // order-free decimals, so result bits cannot move). Prep now has
+    // ZERO exchanges at any scale. Tokenless docs keep dropping: the
+    // empty-array filter mirrors explode's no-rows behavior.
     docs.select(col(idCol), label.cast("double").as("_y"),
-        explode(Text.wsTokens(col(textCol))).as("_tok"))
-      .select(col(idCol), col("_y"),
-        pmod(Vec.md5Hash60(col("_tok")), lit(buckets.toLong)).as("_b"))
-      .groupBy(col(idCol), col("_y"))
-      .agg(collect_set(col("_b")).as("_bs0"))
+        array_distinct(transform(Text.wsTokens(col(textCol)),
+          t => pmod(Vec.md5Hash60(t), lit(buckets.toLong)))).as("_bs0"))
+      .filter(size(col("_bs0")) > 0)
       .select(col(idCol), col("_y"),
         concat(col("_bs0"), array(lit(-1L))).as("_bs"))
 
@@ -98,8 +113,9 @@ object Classifier {
     val packed0 = graft.util.CacheRegistry.register(
       packedTable(docs, idCol, textCol, label, buckets).persist())
     val nDocs = packed0.count() // materialize; exact doc count
+    val rpp = rowsPerPartition(spark)
     val npart = math.min(maxPart.toLong,
-      math.max(1L, (nDocs + RowsPerPartition - 1) / RowsPerPartition)).toInt
+      math.max(1L, (nDocs + rpp - 1) / rpp)).toInt
     (packed0.coalesce(npart), nDocs)
   }
 
@@ -157,20 +173,95 @@ object Classifier {
     * run one job per materialized shuffle stage — at 12 rounds those
     * scheduling floors alone were most of r8's 7.4 s). Returns the
     * final weights (bucket −1 = bias). */
+  /** Corpora at or under this many packed docs train IN THE DRIVER
+    * (override via `spark.graft.classifier.localTrainThreshold`; 0
+    * forces the distributed loop). The BPE two-tier rationale
+    * (Bpe.LocalVocabThresholdKey): the GD rounds are sequentially
+    * dependent sub-second arithmetic — the worst shape for a
+    * distributed round loop, which pays `rounds` job barriers — and
+    * 1M packed docs × ~25 bucket longs ≈ 200 MB, comfortable driver
+    * heap. Past the threshold the per-round distributed loop is the
+    * only shape whose state never has to fit one machine. */
+  val LocalTrainThresholdKey = "spark.graft.classifier.localTrainThreshold"
+  private val DefaultLocalTrainThreshold = 1000000L
+
+  /** The in-driver GD loop over the collected packed table —
+    * bit-identical to the distributed rounds by replicating each
+    * arithmetic step at the representation level (ClassifierSpec pins
+    * local ≡ distributed): margins are exact e9-scaled long sums of
+    * round(w,9) (the decimal(27,9) sum), casts to double are the
+    * correctly-rounded quotient the Decimal cast produces, σ and the
+    * gradient term use the same BigDecimal.valueOf half-up rounding
+    * as Spark's `round`, and the weight update is the identical
+    * driver code the distributed loop runs. */
+  private def trainLocal(packed: DataFrame, nDocs: Long,
+                         rounds: Int, lr: Double): Map[Long, Double] = {
+    val rows = packed.select(col("_y"), col("_bs")).collect()
+    val ys = rows.map(_.getDouble(0))
+    val bss = rows.map(_.getSeq[Long](1).toArray)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def e9(x: Double, scale: Int): Long =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.movePointRight(9).longValueExact
+    var weights: Map[Long, Double] = Map.empty
+    for (_ <- 1 to rounds) {
+      // round(w, 9) as exact e9 longs — the margin fold's term
+      val w9 = weights.map { case (b, w) => b -> e9(w, 9) }
+      val gsum = scala.collection.mutable.HashMap.empty[Long, Long]
+      var d = 0
+      while (d < bss.length) {
+        val bs = bss(d)
+        var m9 = 0L
+        var i = 0
+        while (i < bs.length) { m9 += w9.getOrElse(bs(i), 0L); i += 1 }
+        // decimal(27,9) → double cast = correctly-rounded a·10⁻⁹,
+        // which IEEE division by the exact 1e9 also produces
+        val m = m9.toDouble / 1e9
+        val sigma = r6(1.0 / (1.0 + math.exp(-m)))
+        val t9 = e9(ys(d) - sigma, 9) // round(y − σ, 9), e9-scaled
+        i = 0
+        while (i < bs.length) {
+          val b = bs(i)
+          gsum.update(b, gsum.getOrElse(b, 0L) + t9)
+          i += 1
+        }
+        d += 1
+      }
+      // (Σt).cast(double) / nDocs — exact long sum, two rounded ops
+      weights = gsum.map { case (b, s) =>
+        b -> BigDecimal(weights.getOrElse(b, 0.0) +
+            lr * (s.toDouble / 1e9 / nDocs.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    weights
+  }
+
   private def trainOn(packed: DataFrame, buckets: Int, nDocs: Long,
                       rounds: Int, lr: Double): Map[Long, Double] = {
+    require(rounds >= 1, s"logreg: rounds must be >= 1, got $rounds")
     val spark = packed.sparkSession
-    // weight support = the buckets that occur (matches the oracle's
-    // DISTINCT-from-tf w0); absent buckets never receive gradient
-    var weights: Map[Long, Double] =
-      packed.select(explode(col("_bs")).as("_b")).distinct().collect()
-        .map(_.getLong(0) -> 0.0).toMap
+    val threshold = spark.conf.getOption(LocalTrainThresholdKey)
+      .map(_.toLong).getOrElse(DefaultLocalTrainThreshold)
+    if (threshold > 0 && nDocs <= threshold)
+      return trainLocal(packed, nDocs, rounds, lr)
+    // Weight support = the buckets that occur (matches the oracle's
+    // DISTINCT-from-tf w0) — but it needs NO job of its own: every
+    // present bucket appears in every round's gradient key set (the
+    // explode emits it; a zero-sum gradient still yields its row), so
+    // round 1's keys ARE the support. Weights start empty — the
+    // weight-array literal fills absent buckets with 0.0, which is
+    // exactly the all-zeros round-1 margin the pre-populated map
+    // produced — and rekey from the gradient each round (r10: this
+    // replaces a distinct+collect job over the cache).
+    var weights: Map[Long, Double] = Map.empty
     withIterConf(spark, packed.rdd.getNumPartitions) {
       for (_ <- 1 to rounds) {
         val grads = gradientRound(packed, weights, buckets, nDocs)
           .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-        weights = weights.map { case (b, w) =>
-          b -> BigDecimal(w + lr * grads.getOrElse(b, 0.0))
+        weights = grads.map { case (b, g) =>
+          b -> BigDecimal(weights.getOrElse(b, 0.0) + lr * g)
             .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         }
       }

@@ -104,4 +104,25 @@ class ClassifierSpec extends SparkSpec {
     assert(w.contains(-1L))
     assert(w.values.exists(_ != 0.0))
   }
+
+  test("driver-local and distributed GD loops are bit-identical") {
+    val df = corpus.toDF("doc_id", "text", "y")
+    def run(): (Map[Long, Double], Map[Long, Double]) = {
+      val w = Classifier.logregTrain(df, "doc_id", "text", col("y"),
+          buckets = 64, rounds = 6, lr = 8.0)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val s = Classifier.logregScore(df, "doc_id", "text", col("y"),
+          buckets = 64, rounds = 6, lr = 8.0)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      graft.util.CacheRegistry.releaseAll()
+      (w, s)
+    }
+    val (wLocal, sLocal) = run() // corpus ≤ threshold → local path
+    spark.conf.set(Classifier.LocalTrainThresholdKey, "0") // force distributed
+    try {
+      val (wDist, sDist) = run()
+      assert(wLocal == wDist, "weights must match bit-for-bit")
+      assert(sLocal == sDist, "scores must match bit-for-bit")
+    } finally spark.conf.unset(Classifier.LocalTrainThresholdKey)
+  }
 }
