@@ -165,10 +165,11 @@ object ScaleSmoke {
       s"""{"metric":"scale_smoke","unit":"sec","factor":$factor,"passes":$passes,""" +
       s""""base":"$srcDir","synth":"$outDir","method":"${factor}x replication of sf0.1: keys +k*1e9; docs text +' repl<k>'; embeddings +k*1e-3 jitter; events 10x users","queries":$qjson,"superlinear":$superlinear}"""
     println(json)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"${Bench.repoRoot}/BENCH_SF1.json"), json + "\n")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SF1_OUT",
+      s"${Bench.repoRoot}/BENCH_SF1.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Exception =>
-      Console.err.println(s"[scale-smoke] could not write BENCH_SF1.json: ${e.getMessage}") }
+      Console.err.println(s"[scale-smoke] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }
