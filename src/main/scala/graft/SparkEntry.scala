@@ -70,6 +70,7 @@ object SparkEntry {
     "bpe_train"            -> (TextDemos.bpeTrain(_, _)),
     "bpe_encode"           -> (TextDemos.bpeEncode(_, _)),
     "bm25_index"           -> (TextDemos.bm25Index(_, _)),
+    "bm25_index_append"    -> (TextDemos.bm25IndexAppend(_, _)),
     "bm25_topk"            -> (TextDemos.bm25Topk(_, _)),
     "rrf_fusion"           -> (TextDemos.rrfFusion(_, _)),
     "hard_negatives"       -> (TextDemos.hardNegatives(_, _)),
@@ -782,6 +783,9 @@ object SparkEntry {
     "bpe_train"         -> graft.oracle.OracleGen.bpeTrainSql(),
     "bpe_encode"        -> graft.oracle.OracleGen.bpeEncodeSql(),
     "bm25_index"        -> graft.oracle.OracleGen.bm25IndexSql(),
+    // append ≡ from-scratch: the incremental row answers to the SAME
+    // full-corpus index SQL, so DuckDB itself checks the equivalence
+    "bm25_index_append" -> graft.oracle.OracleGen.bm25IndexSql(),
     "bm25_topk"         -> graft.oracle.OracleGen.bm25TopkSql(),
     "rrf_fusion"        -> graft.oracle.OracleGen.rrfFusionSql(),
     "hard_negatives"    -> graft.oracle.OracleGen.hardNegativesSql(),

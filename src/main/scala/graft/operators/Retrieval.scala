@@ -147,15 +147,54 @@ object Bm25 {
     * the build, then releases). */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
                  path: String): Unit = {
-    val tf = postingTable(docs, idCol, textCol)
+    val spark = docs.sparkSession
+    // land the raw tf posting table FIRST (overwrite = fresh build):
+    // it is the re-tokenize-free substrate incremental growth
+    // ([[appendIndex]]) recomputes impacts from
+    postingTable(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/tf")
+    // n counts ALL documents (wordless ones dilute avgdl — the
+    // standard collection-size semantics); landed so appends can
+    // extend it without recounting the old corpus
+    docs.agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    refreshImpacts(spark, path)
+  }
+
+  /** Grow a landed index by `newDocs` WITHOUT re-tokenizing the old
+    * corpus (the ivfAppend / pq-index incremental precedent): the new
+    * docs' postings append to `tf/`, the doc count extends in
+    * `meta/`, and impacts recompute from the merged tf — they MUST
+    * recompute, because every posting's weight bakes in corpus-wide
+    * df/avgdl/n, but that recompute is index-scale joins over the
+    * landed postings, never a corpus re-scan. Bit-identical to a
+    * from-scratch [[buildIndex]] over the union (Bm25IndexSpec pins
+    * it, and the bm25_index_append oracle row answers to the
+    * full-corpus SQL). Ids must be disjoint from the existing corpus
+    * — re-adding a doc double-counts it, same as ivfAppend. */
+  def appendIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                  path: String): Unit = {
+    val spark = newDocs.sparkSession
+    postingTable(newDocs, idCol, textCol)
+      .write.mode("append").parquet(s"$path/tf")
+    val n = spark.read.parquet(s"$path/meta").collect()(0).getLong(0) +
+      newDocs.count()
+    spark.range(1).select(lit(n).as("n"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    refreshImpacts(spark, path)
+  }
+
+  /** (re)derive the impact table from the landed `tf/` + `meta/`:
+    * dl/df/avgdl are index-scale aggregations of the posting table —
+    * the corpus itself is never touched. */
+  private def refreshImpacts(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Unit = {
+    val tf = spark.read.parquet(s"$path/tf")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      // n counts ALL documents (wordless ones dilute avgdl — the
-      // standard collection-size semantics), folded over dl, not a
-      // second corpus scan
-      val consts = docs.agg(count(lit(1)).as("n"))
+      val consts = spark.read.parquet(s"$path/meta")
         .crossJoin(dl.agg(sum(col("dl")).as("_tot")))
         .select(col("n"), (col("_tot").cast("double") / col("n")).as("avgdl"))
       tf.join(df, Seq("term")).join(dl, Seq("doc_id"))

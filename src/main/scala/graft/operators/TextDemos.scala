@@ -440,6 +440,25 @@ object TextDemos {
       .orderBy("term")
   }
 
+  /** C37'' — INCREMENTAL index growth: build from the even-id half of
+    * the corpus, [[Bm25.appendIndex]] the odd half (tokenizing ONLY
+    * it), and emit the same per-term summary as [[bm25Index]]. The
+    * oracle is the FULL-corpus index SQL, so the driver's DuckDB gate
+    * itself proves append ≡ from-scratch — impacts recompute from the
+    * landed postings (they bake in corpus-wide df/avgdl/n) but the old
+    * half is never re-tokenized. */
+  def bm25IndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Fixtures
+      .dir(s"bm25_append_${new java.io.File(dir).getName}").toString
+    val docs = Tables.documents(spark, dir)
+    Bm25.buildIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", out)
+    Bm25.appendIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", out)
+    spark.read.parquet(s"$out/impacts")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("w_e6")).as("sum_w_e6"))
+      .orderBy("term")
+  }
+
   /** C55 — URL canonicalization: messy source URLs synthesized onto
     * the docs (the C23 convention — the table has no URL column, so
     * both engines see identical inputs) covering every rule: mixed

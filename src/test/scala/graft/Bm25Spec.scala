@@ -82,6 +82,32 @@ class Bm25Spec extends SparkSpec {
     assert(imp.count() > 0)
   }
 
+  test("C37'': appendIndex equals a from-scratch build over the union") {
+    val rnd = new scala.util.Random(7L)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val mk = (n: Int, off: Int) => Seq.tabulate(n)(i =>
+      ((off + i).toLong, Seq.fill(2 + rnd.nextInt(9))(words(rnd.nextInt(words.size))).mkString(" ")))
+    val oldHalf = mk(30, 0) :+ (900L, "") // a wordless doc still counts in n
+    val newHalf = mk(25, 100) :+ (901L, "")
+    val scratch = graft.util.Fixtures.dir("spec_bm25_scratch").toString
+    val grown = graft.util.Fixtures.dir("spec_bm25_grown").toString
+    Bm25.buildIndex((oldHalf ++ newHalf).toDF("doc_id", "text"), "doc_id", "text", scratch)
+    Bm25.buildIndex(oldHalf.toDF("doc_id", "text"), "doc_id", "text", grown)
+    Bm25.appendIndex(newHalf.toDF("doc_id", "text"), "doc_id", "text", grown)
+    val key = (d: String) => spark.read.parquet(s"$d/impacts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(key(grown) == key(scratch),
+      "impacts must be bit-identical: weights bake in corpus-wide stats")
+    // and search over the grown index matches the one-shot union scorer
+    val qDf = Seq((1L, Seq("alpha", "beta"))).toDF("query_id", "terms")
+    val viaGrown = Bm25.searchIndex(spark, grown, qDf, k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val oneShot = Bm25.topK((oldHalf ++ newHalf).toDF("doc_id", "text"),
+        "doc_id", "text", qDf, k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaGrown == oneShot)
+  }
+
   test("C37: a doc repeating the query term outranks one mentioning it once") {
     val corpus = Seq(
       (1L, "cat cat cat dog"),
