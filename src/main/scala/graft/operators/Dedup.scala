@@ -45,6 +45,52 @@ object Dedup {
     * parallelize across partitions (a per-row array fold would be
     * interpreted, ~40× slower, and skew-bound). The verify step is a
     * bucket-local self-join, never a global cross product. */
+  /** S-curve: probability a pair at Jaccard `s` becomes an LSH
+    * candidate under (bands, rows) banding — 1 − (1 − s^rows)^bands. */
+  def lshCandidateProb(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** Pick the banding for a `k`-hash signature that best separates at
+    * `threshold` (the MMDS ch.3 construction): over every band count
+    * dividing k, minimize
+    * `fpWeight·∫₀ᵗ P(s) ds + fnWeight·∫ₜ¹ (1 − P(s)) ds`
+    * — the false-positive mass below the threshold plus the
+    * false-negative mass above it, with the weights encoding their
+    * relative cost (candidate verification is cheap ⇒ tolerate FPs;
+    * a missed near-dup poisons training ⇒ weight FNs up). Integrals
+    * by Simpson's rule at 1e-4 resolution; deterministic driver-side
+    * arithmetic, ties break toward fewer bands (cheaper: one shuffled
+    * row per band per doc). Returns (bands, rowsPerBand).
+    *
+    * At 100 TB this is THE knob that sizes the dedup shuffle: bands ×
+    * corpus rows is the exploded bucket-key volume, and the S-curve's
+    * slack is pure wasted verification I/O — tune it, don't guess it. */
+  def lshTune(k: Int, threshold: Double, fpWeight: Double = 1.0,
+              fnWeight: Double = 1.0): (Int, Int) = {
+    require(k >= 1, s"lshTune: k must be >= 1, got $k")
+    require(threshold > 0 && threshold < 1,
+      s"lshTune: threshold must be in (0,1), got $threshold")
+    def simpson(lo: Double, hi: Double)(f: Double => Double): Double = {
+      val n = 10000 // even
+      val h = (hi - lo) / n
+      var acc = f(lo) + f(hi)
+      var i = 1
+      while (i < n) {
+        acc += f(lo + i * h) * (if (i % 2 == 1) 4.0 else 2.0)
+        i += 1
+      }
+      acc * h / 3.0
+    }
+    val candidates = (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      val cost = fpWeight * simpson(0.0, threshold)(lshCandidateProb(_, b, r)) +
+        fnWeight * simpson(threshold, 1.0)(s => 1.0 - lshCandidateProb(s, b, r))
+      (cost, b, r)
+    }
+    val best = candidates.minBy { case (c, b, _) => (c, b) }
+    (best._2, best._3)
+  }
+
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                  minEstSim: Double = 0.5,

@@ -421,4 +421,40 @@ class TextVecSpec extends SparkSpec {
     val b = graft.operators.Sampling.stratified(docs, "lang", f, seed = 7).count()
     assert(a == b && a > 0 && a < docs.count())
   }
+
+  test("C2 lshTune matches an independent brute-force over the S-curve cost") {
+    // independent reference: trapezoid rule at a different resolution
+    def refCost(k: Int, t: Double, b: Int, fpW: Double, fnW: Double): Double = {
+      val r = k / b
+      def p(s: Double) = Dedup.lshCandidateProb(s, b, r)
+      def trap(lo: Double, hi: Double)(f: Double => Double): Double = {
+        val n = 40000
+        val h = (hi - lo) / n
+        (0 until n).map(i => (f(lo + i * h) + f(lo + (i + 1) * h)) / 2 * h).sum
+      }
+      fpW * trap(0, t)(p) + fnW * trap(t, 1)(s => 1 - p(s))
+    }
+    for ((k, t) <- Seq((128, 0.8), (64, 0.5), (32, 0.9), (120, 0.7))) {
+      val (b, r) = Dedup.lshTune(k, t)
+      assert(b * r == k)
+      val want = (1 to k).filter(k % _ == 0)
+        .minBy(bb => (refCost(k, t, bb, 1, 1), bb))
+      assert(b == want, s"k=$k t=$t: got bands=$b want $want")
+    }
+  }
+
+  test("C2 lshTune properties: thresholds and weights move the banding the right way") {
+    // higher threshold -> more selective buckets (rows per band up)
+    val rPerThreshold = Seq(0.3, 0.5, 0.7, 0.9)
+      .map(t => Dedup.lshTune(128, t)._2)
+    assert(rPerThreshold == rPerThreshold.sorted, rPerThreshold.toString)
+    // weighting false negatives up -> more bands (catch more pairs)
+    val (bBal, _) = Dedup.lshTune(128, 0.8)
+    val (bFn, _) = Dedup.lshTune(128, 0.8, fpWeight = 1.0, fnWeight = 10.0)
+    assert(bFn >= bBal, s"fn-heavy $bFn vs balanced $bBal")
+    // the tuned S-curve's 50% point sits near the threshold
+    val (b, r) = Dedup.lshTune(128, 0.8)
+    val mid = math.pow(1.0 / b, 1.0 / r) // the (1/b)^(1/r) rule of thumb
+    assert(math.abs(mid - 0.8) < 0.15, s"midpoint $mid far from 0.8 (b=$b r=$r)")
+  }
 }
