@@ -65,6 +65,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.expressions.ZhStreetArabic].getName, "graft_street_arabic_ornull"),
       (children: Seq[Expression]) =>
         graft.expressions.ZhStreetArabic(children(0), nullIfUnchanged = true)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_gram"),
+      new ExpressionInfo(classOf[graft.expressions.VecGram].getName, "graft_gram"),
+      (children: Seq[Expression]) =>
+        graft.expressions.VecGram(children(0), children(1))))
     ext.injectOptimizerRule(_ => graft.optimizer.FuseCosine)
     ext.injectPlannerStrategy(_ => graft.plans.BroadcastAsofStrategy)
   }

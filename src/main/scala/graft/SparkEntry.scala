@@ -58,6 +58,12 @@ object SparkEntry {
     "ann_lsh_topk"         -> (TextDemos.annLshTopk(_, _)),
     "dedup_minhash_lsh"    -> (TextDemos.dedupMinhashLsh(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
+    "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
+    "topk_ngrams"          -> (TextDemos.topkNgrams(_, _)),
+    "pmi_bigrams"          -> (TextDemos.pmiBigrams(_, _)),
+    "dataset_card"         -> (TextDemos.datasetCard(_, _)),
+    "rand_proj_reduce"     -> (TextDemos.randProjReduce(_, _)),
+    "pca_reduce"           -> (TextDemos.pcaReduce(_, _)),
     "dedup_simhash"        -> (TextDemos.dedupSimhash(_, _)),
     "image_phash_dedup"    -> (graft.multimodal.ImageHash.imagePhashDedup(_, _)),
     "embed_near_dup"       -> (TextDemos.embedNearDup(_, _)),
@@ -126,6 +132,7 @@ object SparkEntry {
     "stream_dedup_state_parity"  -> (graft.streaming.StreamParity.streamDedupStateParity(_, _)),
     "stream_interval_join_parity" -> (graft.streaming.StreamParity.streamIntervalJoinParity(_, _)),
     "stream_session_parity" -> (graft.streaming.StreamParity.streamSessionParity(_, _)),
+    "stream_topk_ngrams_parity" -> (graft.streaming.StreamParity.streamTopkNgramsParity(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -176,6 +183,8 @@ object SparkEntry {
       "stream_window_parity" -> m("time_window_agg"),
       "stream_upsert_parity" -> m("wrapped_export"),
       "stream_dedup_parity"  -> m("dedup_minhash_lsh"),
+      // D7: incremental heavy hitters land on the batch answer
+      "stream_topk_ngrams_parity" -> m("topk_ngrams"),
       // D2: the doubled stream dedups back to the table itself
       "stream_dedup_state_parity" ->
         """SELECT event_id, ts, user_id, event_type, value
@@ -797,6 +806,65 @@ object SparkEntry {
         |    '[^\pL\pN\s]+', ' ', 'g'), '\s+', ' ', 'g'))) AS canon_key
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mmr_rerank"        -> graft.oracle.OracleGen.mmrRerankSql(),
+    "cluster_representative" -> graft.oracle.OracleGen.clusterRepresentativeSql(),
+    "rand_proj_reduce"  -> graft.oracle.OracleGen.randProjSql(),
+    // pca_reduce: no SQL oracle (eigendecomposition is not
+    // SQL-expressible) — PcaSpec proves the contract; the driver
+    // records the rows-only check
+    "topk_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ngram
+        |  FROM t WHERE len(toks) >= 3
+        |)
+        |SELECT ngram, COUNT(*) AS n_occurrences,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM g GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram
+        |LIMIT 25""".stripMargin,
+    "pmi_bigrams" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), bg AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM t WHERE len(toks) >= 2
+        |), pc AS (
+        |  SELECT bigram, COUNT(*) AS c_ab FROM bg GROUP BY bigram HAVING COUNT(*) >= 5
+        |), pairs AS (
+        |  SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2, c_ab
+        |  FROM pc
+        |), wc AS (
+        |  SELECT w, COUNT(*) AS c_w FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+        |), tot AS (
+        |  SELECT CAST(SUM(c_w) AS BIGINT) AS n_total FROM wc
+        |)
+        |SELECT p.w1, p.w2, p.c_ab,
+        |       CAST(p.c_ab * tt.n_total AS DOUBLE) / CAST(a.c_w * b.c_w AS DOUBLE) AS pmi_ratio
+        |FROM pairs p
+        |JOIN wc a ON a.w = p.w1
+        |JOIN wc b ON b.w = p.w2
+        |CROSS JOIN tot tt
+        |ORDER BY pmi_ratio DESC, w1, w2
+        |LIMIT 25""".stripMargin,
+    "dataset_card" ->
+      """WITH per AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS sum_tokens,
+        |    MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |    CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |  FROM documents GROUP BY source, lang
+        |), tot AS (
+        |  SELECT CAST(SUM(sum_tokens) AS BIGINT) AS corpus_tokens FROM per
+        |)
+        |SELECT source, lang, n_docs, sum_tokens, min_chars, max_chars, avg_chars,
+        |       CAST(sum_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE) AS token_share
+        |FROM per CROSS JOIN tot
+        |ORDER BY source, lang""".stripMargin,
     "source_quality_gate" -> graft.oracle.OracleGen.sourceQualityGateSql(),
     "url_canonicalize"  -> graft.oracle.OracleGen.urlCanonicalizeSql(),
     "group_sample"      -> graft.oracle.OracleGen.groupSampleSql(),

@@ -341,6 +341,39 @@ object Dedup {
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster"))
   }
 
+  /** Per-cluster representative selection (SURVEY §2 C58): given the
+    * connected-component labels from [[connectedComponents]] and a
+    * per-document quality score, keep the BEST document of every
+    * near-dup cluster — argmax score, ties to the smallest id, so the
+    * choice is deterministic and a re-run is idempotent. This is the
+    * "keep-best" refinement of first-wins dedup: when a crawl carries
+    * five near-copies of an article, first-wins keeps an arbitrary
+    * one; keep-best keeps the cleanest.
+    *
+    * Relational shape: one hash join of the (id, cluster) label table
+    * against the (id, score) table — both are 16-byte-row tables, the
+    * corpus text never moves — then ONE aggregation keyed by cluster.
+    * The argmax rides a `max(struct(score, -id))` struct-ordering
+    * aggregate instead of a `row_number` window: a window moves every
+    * member of a cluster to one task and sorts it; the struct max is
+    * map-side-combinable, so each input partition reduces to one
+    * candidate row per cluster before the shuffle. At 100 TB the
+    * shuffle carries at most (clusters × partitions) 24-byte rows.
+    *
+    * Returns (cluster, rep_id, rep_score, n_members), one row per
+    * cluster (singletons included — their sole member represents). */
+  def clusterRepresentatives(clusters: DataFrame, scored: DataFrame,
+                             idCol: String, scoreCol: String): DataFrame =
+    clusters.join(scored, Seq(idCol))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid"))).as("_best"))
+      .select(col("cluster"),
+        (-col("_best.nid")).as("rep_id"),
+        col("_best.s").as("rep_score"),
+        col("n_members"))
+
   /** Benchmark-contamination check: per corpus document, the fraction
     * of its distinct n-gram shingles that also occur anywhere in a
     * benchmark/eval document set (the train-test-overlap scan every

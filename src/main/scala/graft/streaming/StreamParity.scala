@@ -114,6 +114,35 @@ object StreamParity {
       .orderBy("hour_start", "event_type")
   }
 
+  /** D7 ↔ C60: the documents table streamed through
+    * [[EventStream.ngramDocCounts]] (the incremental heavy-hitter
+    * profile), final (ngram, doc) counter state read via a
+    * complete-mode memory sink, then the C60 top-25 derived from
+    * state by a BATCH finishing aggregation — Σ n_in_doc is the
+    * occurrence count, the key count is the document frequency. The
+    * incremental counts must land on the exact batch answer no matter
+    * how the replay splits documents into micro-batches (counting is
+    * order-free), so the row answers to the topk_ngrams oracle
+    * VERBATIM. */
+  def streamTopkNgramsParity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val src = fileStream(docs, s"stkn_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
+    val view = s"graft_stkn_${Fixtures.runId}"
+    spark.catalog.dropTempView(view) // re-invocation reuses the name
+    withStateParallelism(spark, 8) {
+      val q = EventStream.ngramDocCounts(src, "doc_id", "text", n = 3)
+        .writeStream.format("memory").queryName(view)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(view)
+      .groupBy(col("ngram"))
+      .agg(sum(col("n_in_doc")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(25)
+  }
+
   /** D5 ↔ A12: orders streamed through an update-mode aggregate into
     * the [[EventStream.upsertBatch]] snapshot sink; the final committed
     * snapshot ([[EventStream.readLatestState]]) must render the exact

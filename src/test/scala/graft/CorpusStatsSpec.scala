@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextDemos}
+
+/** C58/C60/C61/C62: each demo checked against an independent Scala
+  * reference computation over the collected sf0.001 corpus (50 docs —
+  * driver-trivial), plus unit semantics for the representative
+  * selection. */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs: Array[(Long, String, String, String, Long)] =
+    graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+
+  private def toks(t: String): Array[String] = t.split(" ").filter(_.nonEmpty)
+
+  test("C58 clusterRepresentatives: argmax score, ties to smallest id, members counted") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)).toDF("doc_id", "cluster")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (9L, 0.1)).toDF("doc_id", "score")
+    val got = Dedup.clusterRepresentatives(clusters, scores, "doc_id", "score")
+      .orderBy("cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // cluster 1: docs 2 and 3 tie at 0.9 → smallest id (2) wins; 3 members
+    // cluster 9: singleton represents itself
+    assert(got.toSeq == Seq((1L, 2L, 0.9, 3L), (9L, 9L, 0.1, 1L)))
+  }
+
+  test("C58 demo: every rep belongs to its cluster and maximizes quality within it") {
+    val reps = TextDemos.clusterRepresentative(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val membership = TextDemos.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = membership.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val score = TextDemos.qualityScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(reps.length == byCluster.size, "one row per cluster")
+    reps.foreach { case (cluster, rep, repScore, n) =>
+      val members = byCluster(cluster)
+      assert(members.contains(rep))
+      assert(n == members.size)
+      assert(repScore == score(rep))
+      assert(members.forall(m => score(m) < repScore ||
+        (score(m) == repScore && m >= rep)), s"cluster $cluster rep $rep not argmax")
+    }
+  }
+
+  test("C60 topkNgrams matches a driver reference count") {
+    val counts = scala.collection.mutable.Map.empty[String, (Long, Set[Long])]
+    docs.foreach { case (id, text, _, _, _) =>
+      val t = toks(text)
+      t.indices.dropRight(2).foreach { i =>
+        val g = s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
+        val (c, d) = counts.getOrElse(g, (0L, Set.empty[Long]))
+        counts(g) = (c + 1, d + id)
+      }
+    }
+    val want = counts.toSeq
+      .map { case (g, (c, d)) => (g, c, d.size.toLong) }
+      .sortBy { case (g, c, _) => (-c, g) }
+      .take(25)
+    val got = TextDemos.topkNgrams(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("C61 pmiBigrams matches a driver reference (exact integer ratio arithmetic)") {
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, text, _, _, _) =>
+      val t = toks(text)
+      t.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      t.indices.dropRight(1).foreach { i =>
+        val k = (t(i), t(i + 1)); bi(k) = bi.getOrElse(k, 0L) + 1
+      }
+    }
+    val n = uni.values.sum
+    val want = bi.toSeq.filter(_._2 >= 5)
+      .map { case ((a, b), c) =>
+        (a, b, c, (c * n).toDouble / (uni(a) * uni(b)).toDouble) }
+      .sortBy { case (a, b, _, r) => (-r, a, b) }
+      .take(25)
+    val got = TextDemos.pmiBigrams(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+
+  test("C62 datasetCard matches a driver reference; shares sum to 1") {
+    val groups = docs.groupBy { case (_, _, lang, source, _) => (source, lang) }
+    val totalTokens = docs.map { case (_, t, _, _, _) => toks(t).length.toLong }.sum
+    val got = TextDemos.datasetCard(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(got.size == groups.size)
+    groups.foreach { case (key, rows) =>
+      val sumTok = rows.map { case (_, t, _, _, _) => toks(t).length.toLong }.sum
+      val chars = rows.map(_._5)
+      val want = (rows.length.toLong, sumTok, chars.min, chars.max,
+        chars.sum.toDouble / rows.length, sumTok.toDouble / totalTokens.toDouble)
+      assert(got(key) == want, s"$key: ${got(key)} vs $want")
+    }
+    assert(math.abs(got.values.map(_._6).sum - 1.0) < 1e-9)
+  }
+}

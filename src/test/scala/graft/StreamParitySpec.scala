@@ -20,6 +20,13 @@ class StreamParitySpec extends SparkSpec {
       s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
   }
 
+  test("D7 parity: incremental ngram counters derive the exact batch top-25") {
+    val streamed = rows(StreamParity.streamTopkNgramsParity(spark, sfDir))
+    val batch = rows(TextDemos.topkNgrams(spark, sfDir))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
+  }
+
   test("D5 parity: upsert sink's final snapshot renders A12's wrapped export") {
     val streamed = rows(StreamParity.streamUpsertParity(spark, sfDir))
     val batch = rows(RefDemos.wrappedExport(spark, sfDir))
