@@ -73,6 +73,7 @@ object SparkEntry {
     "pq_encode"            -> (TextDemos.pqEncodeDemo(_, _)),
     "pq_train"             -> (TextDemos.pqTrainDemo(_, _)),
     "pq_topk"              -> (TextDemos.pqTopkDemo(_, _)),
+    "ivfpq_topk"           -> (TextDemos.ivfPqTopkDemo(_, _)),
     "bpe_train"            -> (TextDemos.bpeTrain(_, _)),
     "bpe_encode"           -> (TextDemos.bpeEncode(_, _)),
     "bm25_index"           -> (TextDemos.bm25Index(_, _)),
@@ -789,6 +790,7 @@ object SparkEntry {
     "pq_encode"         -> graft.oracle.OracleGen.pqEncodeSql(),
     "pq_train"          -> graft.oracle.OracleGen.pqTrainSql(),
     "pq_topk"           -> graft.oracle.OracleGen.pqTopkSql(),
+    "ivfpq_topk"        -> graft.oracle.OracleGen.ivfPqTopkSql(),
     "bpe_train"         -> graft.oracle.OracleGen.bpeTrainSql(),
     "bpe_encode"        -> graft.oracle.OracleGen.bpeEncodeSql(),
     "bm25_index"        -> graft.oracle.OracleGen.bm25IndexSql(),

@@ -292,6 +292,100 @@ object Similarity {
         round(negate(col("sim")), 6).as("dist"), col("rank"))
   }
 
+  /** IVF-PQ residual table (C64, the index-build half): every corpus
+    * vector minus its coarse-cluster centroid, long form
+    * (id, label, subspace, subpos, rv) — the representation both the
+    * residual codebooks and the encoder consume. Residuals round to 9
+    * places at creation so every downstream decimal fold is
+    * cross-engine exact (the l2Term discipline applied one level
+    * earlier). Centroids broadcast (dimension-scale); the corpus
+    * explodes once and never reshuffles here. */
+  def ivfPqResiduals(corpus: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, centroidsLong: DataFrame,
+                     m: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    corpus.select(col(idCol), col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .join(broadcast(centroidsLong.select(col(labelCol), col("pos"), col("centroid"))),
+        Seq(labelCol, "pos"))
+      .select(col(idCol), col(labelCol),
+        (col("pos") / lit(sub)).cast("int").as("subspace"),
+        (col("pos") % lit(sub)).as("subpos"),
+        round(col("v").cast("double") - col("centroid"), 9).as("rv"))
+  }
+
+  /** IVF-PQ residual codebooks, bootstrap-trained: code assignment is
+    * `id % codesMod` (the deterministic, oracle-reproducible bootstrap
+    * — the label-column trick pqCodebooks uses, except labels already
+    * explain the coarse term, so a label bootstrap would train the
+    * residual books on ~zero vectors); decimal-exact means per
+    * (subspace, code, subpos). kmeansFit over the residuals is the
+    * self-trained upgrade, same as everywhere else. */
+  def ivfPqBooks(resid: DataFrame, idCol: String, codesMod: Int): DataFrame =
+    resid
+      .withColumn("code", pmod(col(idCol), lit(codesMod)).cast("int"))
+      .groupBy(col("subspace"), col("code"), col("subpos"))
+      .agg((sum(col("rv").cast("decimal(27,20)")).cast("double") / count(col("rv"))).as("centroid"))
+
+  /** IVF-PQ encoding: each residual compresses to m codes (argmin
+    * squared-L2 per subspace, ties to the lowest code), carrying its
+    * coarse label — the (label, subspace, code) rows ARE the inverted
+    * lists [[ivfPqTopK]] scans. Same map-side-combinable shape as
+    * [[pqEncode]]. */
+  def ivfPqEncode(resid: DataFrame, idCol: String, labelCol: String,
+                  books: DataFrame): DataFrame =
+    resid.join(broadcast(books), Seq("subspace", "subpos"))
+      .groupBy(col(idCol), col(labelCol), col("subspace"), col("code"))
+      .agg(sum(l2Term(col("rv"), col("centroid"))).as("_l2"))
+      .groupBy(col(idCol), col(labelCol), col("subspace"))
+      .agg(min(struct(col("_l2"), col("code"))).as("_best"))
+      .select(col(idCol), col(labelCol), col("subspace"), col("_best.code").as("code"))
+
+  /** IVF-PQ search (C64): the billion-scale ANN layout — coarse
+    * quantizer prunes the corpus to `nprobe` inverted lists, PQ codes
+    * compress what remains, asymmetric distance reads only the codes.
+    * Per query: (1) nearest `nprobe` centroids by cosine
+    * ([[ivfAssignN]] — broadcast centroids); (2) the query's RESIDUAL
+    * against each probed centroid builds a per-(query, cluster) m×codes
+    * distance table (dimension-scale, broadcast); (3) the codes table —
+    * the ONLY corpus-scale input, 32× smaller than the vectors — joins
+    * the table on (label, subspace, code), which restricts the scan to
+    * probed clusters structurally (unprobed labels have no table
+    * entries to join); (4) per-candidate distances sum map-side and
+    * [[graft.expressions.BoundedTopK]] ranks with ≤k survivors per
+    * partition. At 100 TB: codes bucketed by label make the probe a
+    * partition-pruned read, exactly the ivf_topk posting-list
+    * discipline with 32× less I/O. */
+  def ivfPqTopK(queries: DataFrame, codes: DataFrame, books: DataFrame,
+                centroidsLong: DataFrame, k: Int, m: Int, dim: Int,
+                nprobe: Int = 2,
+                queryId: String = "query_id", queryVec: String = "qv",
+                candId: String = "cand_id", labelCol: String = "label"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val probed = ivfAssignN(queries, centroidsLong, nprobe, queryId, queryVec, labelCol)
+      .select(col(queryId), col(labelCol))
+    val qr = queries.join(probed, Seq(queryId))
+      .select(col(queryId), col(labelCol), posexplode(col(queryVec)).as(Seq("pos", "v")))
+      .join(broadcast(centroidsLong.select(col(labelCol), col("pos"), col("centroid"))),
+        Seq(labelCol, "pos"))
+      .select(col(queryId), col(labelCol),
+        (col("pos") / lit(sub)).cast("int").as("subspace"),
+        (col("pos") % lit(sub)).as("subpos"),
+        round(col("v").cast("double") - col("centroid"), 9).as("rv"))
+    val dtable = qr.join(broadcast(books), Seq("subspace", "subpos"))
+      .groupBy(col(queryId), col(labelCol), col("subspace"), col("code"))
+      .agg(sum(l2Term(col("rv"), col("centroid"))).as("_dpart"))
+    val scored = codes.join(broadcast(dtable), Seq(labelCol, "subspace", "code"))
+      .groupBy(col(queryId), col(candId))
+      .agg(sum(col("_dpart")).as("_dist"))
+      .select(col(queryId), col(candId),
+        negate(col("_dist").cast("double")).as("sim"))
+    topK(scored, k, queryId, candId)
+      .select(col(queryId), col(candId),
+        round(negate(col("sim")), 6).as("dist"), col("rank"))
+  }
+
   /** IVF centroids, relationally: explode vector components, decimal-
     * deterministic mean per (cluster label, dimension). One shuffle,
     * map-side combinable — giant clusters parallelize (a per-group

@@ -1100,6 +1100,79 @@ object OracleGen {
        |SELECT query_id, cand_id, round(sim, 6) AS sim, rank
        |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** mirror of TextDemos.ivfPqTopkDemo — the full IVF-PQ chain:
+    * coarse centroids (centroidsCore), 9-place residuals, id-mod
+    * bootstrap residual books (the double→decimal VARCHAR hop, as
+    * centroidsCore), PQ encoding of residuals, nprobe coarse probe by
+    * cosine, per-(query, probed-cluster) ADC tables, distance sums
+    * over the label-restricted codes, rank ties to the lowest
+    * cand_id. */
+  def ivfPqTopkSql(k: Int = 5, m: Int = 8, dim: Int = 64,
+                   codesMod: Int = 10, nprobe: Int = 2): String = {
+    val sub = dim / m
+    s"""$centroidsCore, res AS (
+       |  SELECT eb.vec_id, eb.label,
+       |         CAST((u.i - 1) // $sub AS INT) AS subspace,
+       |         CAST((u.i - 1) % $sub AS INT) AS subpos,
+       |         round(CAST(eb.embedding[u.i] AS DOUBLE) - c.centroid, 9) AS rv
+       |  FROM embeddings eb CROSS JOIN UNNEST(range(1, ${dim + 1})) AS u(i)
+       |  JOIN cent c ON c.label = eb.label AND c.pos = u.i - 1
+       |  WHERE eb.vec_id >= 5
+       |), books AS (
+       |  SELECT subspace, CAST(vec_id % $codesMod AS INT) AS code, subpos,
+       |         CAST(SUM(CAST(CAST(rv AS VARCHAR) AS DECIMAL(27,20))) AS DOUBLE) / COUNT(rv) AS centroid
+       |  FROM res GROUP BY subspace, CAST(vec_id % $codesMod AS INT), subpos
+       |), enc0 AS (
+       |  SELECT r.vec_id, r.label, r.subspace, b.code,
+       |         SUM(CAST(round((r.rv - b.centroid) * (r.rv - b.centroid), 6) AS DECIMAL(27,6))) AS l2
+       |  FROM res r JOIN books b ON r.subspace = b.subspace AND r.subpos = b.subpos
+       |  GROUP BY r.vec_id, r.label, r.subspace, b.code
+       |), enc AS (
+       |  SELECT vec_id, label, subspace, code FROM (
+       |    SELECT vec_id, label, subspace, code,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id, subspace ORDER BY l2, code) AS rn
+       |    FROM enc0) WHERE rn = 1
+       |), c2 AS (
+       |  SELECT label, list(centroid ORDER BY pos) AS cv FROM cent GROUP BY label
+       |), q AS (
+       |  SELECT vec_id AS query_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvd
+       |  FROM embeddings WHERE vec_id < 5
+       |), x AS (
+       |  SELECT query_id, label, ${cosineExpr("qvd", "cv")} AS sim
+       |  FROM q CROSS JOIN c2
+       |), pr AS (
+       |  SELECT query_id, label FROM (
+       |    SELECT query_id, label,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, label) AS rn
+       |    FROM x) WHERE rn <= $nprobe
+       |), qr AS (
+       |  SELECT qe.vec_id AS query_id, p.label,
+       |         CAST((u.i - 1) // $sub AS INT) AS subspace,
+       |         CAST((u.i - 1) % $sub AS INT) AS subpos,
+       |         round(CAST(qe.embedding[u.i] AS DOUBLE) - c.centroid, 9) AS rv
+       |  FROM embeddings qe
+       |  JOIN pr p ON p.query_id = qe.vec_id
+       |  CROSS JOIN UNNEST(range(1, ${dim + 1})) AS u(i)
+       |  JOIN cent c ON c.label = p.label AND c.pos = u.i - 1
+       |  WHERE qe.vec_id < 5
+       |), dt AS (
+       |  SELECT qr.query_id, qr.label, qr.subspace, b.code,
+       |         SUM(CAST(round((qr.rv - b.centroid) * (qr.rv - b.centroid), 6) AS DECIMAL(27,6))) AS dpart
+       |  FROM qr JOIN books b ON qr.subspace = b.subspace AND qr.subpos = b.subpos
+       |  GROUP BY qr.query_id, qr.label, qr.subspace, b.code
+       |), sc AS (
+       |  SELECT dt.query_id, e.vec_id AS cand_id, CAST(SUM(dt.dpart) AS DOUBLE) AS dist
+       |  FROM enc e JOIN dt ON e.label = dt.label AND e.subspace = dt.subspace AND e.code = dt.code
+       |  GROUP BY dt.query_id, e.vec_id
+       |), r2 AS (
+       |  SELECT query_id, cand_id, dist,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT query_id, cand_id, round(dist, 6) AS dist, rank
+       |FROM r2 WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   // --- synthesized geocode demo input (must match
   // RefDemos.synthAddrCorpus) + the Norm.* mirrors shared by the
   // geocode oracles ---

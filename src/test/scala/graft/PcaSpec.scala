@@ -105,7 +105,8 @@ class PcaSpec extends SparkSpec {
       // replicate Spark's round(x, 0): BigDecimal HALF_UP (half away
       // from zero — embeddings straddle 0, so the mode matters)
       val q = v.map { x =>
-        new java.math.BigDecimal(x.toDouble * 1000.0)
+        // valueOf (shortest-string), matching Spark's round()
+        java.math.BigDecimal.valueOf(x.toDouble * 1000.0)
           .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
       }.toArray
       val want = (0 until 16).map(j =>
