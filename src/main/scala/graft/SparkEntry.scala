@@ -63,7 +63,6 @@ object SparkEntry {
     "pmi_bigrams"          -> (TextDemos.pmiBigrams(_, _)),
     "dataset_card"         -> (TextDemos.datasetCard(_, _)),
     "rand_proj_reduce"     -> (TextDemos.randProjReduce(_, _)),
-    "pca_reduce"           -> (TextDemos.pcaReduce(_, _)),
     "dedup_simhash"        -> (TextDemos.dedupSimhash(_, _)),
     "image_phash_dedup"    -> (graft.multimodal.ImageHash.imagePhashDedup(_, _)),
     "embed_near_dup"       -> (TextDemos.embedNearDup(_, _)),
@@ -141,6 +140,10 @@ object SparkEntry {
     * alongside their oracle-portable twins. */
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_prod" -> (TextDemos.dedupMinhashProd(_, _)),
+    // C63 PCA: eigendecomposition is not SQL-expressible, so the gate
+    // is PcaSpec (moments vs hand math, known eigenpairs, projection
+    // == naive driver arithmetic), not a DuckDB row
+    "pca_reduce"       -> (TextDemos.pcaReduce(_, _)),
     // the skew stress pair: same dominant-key fixture, with and
     // without salting — BENCH records both so the delta is on file
     "skew_join_plain"  -> (Analytics.skewJoinPlain(_, _)),
@@ -810,9 +813,6 @@ object SparkEntry {
     "mmr_rerank"        -> graft.oracle.OracleGen.mmrRerankSql(),
     "cluster_representative" -> graft.oracle.OracleGen.clusterRepresentativeSql(),
     "rand_proj_reduce"  -> graft.oracle.OracleGen.randProjSql(),
-    // pca_reduce: no SQL oracle (eigendecomposition is not
-    // SQL-expressible) — PcaSpec proves the contract; the driver
-    // records the rows-only check
     "topk_ngrams" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

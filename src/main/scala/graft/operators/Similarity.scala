@@ -314,18 +314,71 @@ object Similarity {
         round(col("v").cast("double") - col("centroid"), 9).as("rv"))
   }
 
-  /** IVF-PQ residual codebooks, bootstrap-trained: code assignment is
-    * `id % codesMod` (the deterministic, oracle-reproducible bootstrap
-    * — the label-column trick pqCodebooks uses, except labels already
-    * explain the coarse term, so a label bootstrap would train the
-    * residual books on ~zero vectors); decimal-exact means per
-    * (subspace, code, subpos). kmeansFit over the residuals is the
-    * self-trained upgrade, same as everywhere else. */
-  def ivfPqBooks(resid: DataFrame, idCol: String, codesMod: Int): DataFrame =
+  /** Sign-orthant bootstrap code per (vector, subspace): the first
+    * `bits` residual components' signs, packed — a DATA-DEPENDENT
+    * deterministic quantizer (each code's training set is one orthant
+    * of the residual subspace, so the learned centroids genuinely
+    * differ). An id-mod bootstrap here would average a random slice of
+    * residuals per code — 2^bits near-copies of the global mean, an
+    * ADC table with no signal; the recall spec caught exactly that.
+    * Oracle-expressible: a CASE sum over the first `bits` subpos
+    * rows. */
+  private def signOrthantCodes(resid: DataFrame, idCol: String, bits: Int): DataFrame =
+    resid.filter(col("subpos") < bits)
+      .groupBy(col(idCol), col("subspace"))
+      .agg(sum(when(col("rv") > 0,
+          when(col("subpos") === 0, 1)
+            .when(col("subpos") === 1, 2)
+            .when(col("subpos") === 2, 4)
+            .otherwise(8)).otherwise(0)).cast("int").as("code"))
+
+  /** IVF-PQ residual codebooks, bootstrap-trained on sign orthants
+    * ([[signOrthantCodes]], `bits` sign bits → 2^bits codes);
+    * decimal-exact means per (subspace, code, subpos). kmeansFit over
+    * the residual subvectors is the self-trained upgrade, same as
+    * everywhere else. */
+  def ivfPqBooks(resid: DataFrame, idCol: String, bits: Int = 3): DataFrame = {
+    require(bits >= 1 && bits <= 4, s"bits must be in [1, 4], got $bits")
     resid
-      .withColumn("code", pmod(col(idCol), lit(codesMod)).cast("int"))
+      .join(signOrthantCodes(resid, idCol, bits), Seq(idCol, "subspace"))
       .groupBy(col("subspace"), col("code"), col("subpos"))
       .agg((sum(col("rv").cast("decimal(27,20)")).cast("double") / count(col("rv"))).as("centroid"))
+  }
+
+  /** IVF-PQ residual codebooks, SELF-TRAINED: Lloyd's iterations in
+    * exact L2 — the metric the ADC search actually serves — SEEDED
+    * FROM the sign-orthant bootstrap books. Each round reassigns every
+    * residual subvector to its nearest current centroid (the same
+    * argmin [[ivfPqEncode]] runs) and recomputes decimal-exact means;
+    * both steps can only lower the mean quantization distortion
+    * (standard Lloyd monotonicity), so the trained books weakly
+    * dominate the bootstrap on the training objective BY CONSTRUCTION
+    * — a cosine-objective k-means here trains the wrong geometry and
+    * measured WORSE than the bootstrap (IvfPqSpec r10 note). Lower
+    * distortion does not guarantee better top-k recall on isotropic
+    * data (the spec measures and documents both). Every
+    * round is one broadcast join + two map-side-combinable aggs over
+    * the (id, subspace, subpos) rows; the books stay dimension-scale
+    * throughout. */
+  def ivfPqBooksFit(resid: DataFrame, idCol: String, m: Int,
+                    bits: Int = 4, rounds: Int = 3): DataFrame = {
+    var books = ivfPqBooks(resid, idCol, bits).localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val assigned = resid.join(broadcast(books), Seq("subspace", "subpos"))
+        .groupBy(col(idCol), col("subspace"), col("code"))
+        .agg(sum(l2Term(col("rv"), col("centroid"))).as("_l2"))
+        .groupBy(col(idCol), col("subspace"))
+        .agg(min(struct(col("_l2"), col("code"))).as("_best"))
+        .select(col(idCol), col("subspace"), col("_best.code").as("code"))
+      books = resid.join(assigned, Seq(idCol, "subspace"))
+        .groupBy(col("subspace"), col("code"), col("subpos"))
+        .agg((sum(col("rv").cast("decimal(27,20)")).cast("double") / count(col("rv"))).as("centroid"))
+        .localCheckpoint(true) // cut the per-round lineage growth
+      i += 1
+    }
+    books
+  }
 
   /** IVF-PQ encoding: each residual compresses to m codes (argmin
     * squared-L2 per subspace, ties to the lowest code), carrying its

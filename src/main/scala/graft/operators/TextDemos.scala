@@ -396,7 +396,7 @@ object TextDemos {
         "cand_id", "embedding", "label", cents, m = 8, dim = 64)
       val residC = graft.util.CacheRegistry.register(resid.persist())
       val books = graft.util.CacheRegistry.register(
-        Similarity.ivfPqBooks(residC, "cand_id", codesMod = 10).persist())
+        Similarity.ivfPqBooks(residC, "cand_id", bits = 4).persist())
       books.write.mode("overwrite").parquet(s"$p/books")
       Similarity.ivfPqEncode(residC, "cand_id", "label", books)
         .write.mode("overwrite").parquet(s"$p/codes")

@@ -1101,14 +1101,14 @@ object OracleGen {
        |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** mirror of TextDemos.ivfPqTopkDemo — the full IVF-PQ chain:
-    * coarse centroids (centroidsCore), 9-place residuals, id-mod
+    * coarse centroids (centroidsCore), 9-place residuals, sign-orthant
     * bootstrap residual books (the double→decimal VARCHAR hop, as
     * centroidsCore), PQ encoding of residuals, nprobe coarse probe by
     * cosine, per-(query, probed-cluster) ADC tables, distance sums
     * over the label-restricted codes, rank ties to the lowest
     * cand_id. */
   def ivfPqTopkSql(k: Int = 5, m: Int = 8, dim: Int = 64,
-                   codesMod: Int = 10, nprobe: Int = 2): String = {
+                   bootstrapBits: Int = 4, nprobe: Int = 2): String = {
     val sub = dim / m
     s"""$centroidsCore, res AS (
        |  SELECT eb.vec_id, eb.label,
@@ -1118,10 +1118,18 @@ object OracleGen {
        |  FROM embeddings eb CROSS JOIN UNNEST(range(1, ${dim + 1})) AS u(i)
        |  JOIN cent c ON c.label = eb.label AND c.pos = u.i - 1
        |  WHERE eb.vec_id >= 5
+       |), oc AS (
+       |  SELECT vec_id, subspace,
+       |         CAST(SUM(CASE WHEN rv > 0 THEN
+       |                    (CASE WHEN subpos = 0 THEN 1 WHEN subpos = 1 THEN 2
+       |                          WHEN subpos = 2 THEN 4 ELSE 8 END)
+       |                  ELSE 0 END) AS INT) AS code
+       |  FROM res WHERE subpos < $bootstrapBits GROUP BY vec_id, subspace
        |), books AS (
-       |  SELECT subspace, CAST(vec_id % $codesMod AS INT) AS code, subpos,
-       |         CAST(SUM(CAST(CAST(rv AS VARCHAR) AS DECIMAL(27,20))) AS DOUBLE) / COUNT(rv) AS centroid
-       |  FROM res GROUP BY subspace, CAST(vec_id % $codesMod AS INT), subpos
+       |  SELECT r.subspace, o.code, r.subpos,
+       |         CAST(SUM(CAST(CAST(r.rv AS VARCHAR) AS DECIMAL(27,20))) AS DOUBLE) / COUNT(r.rv) AS centroid
+       |  FROM res r JOIN oc o ON o.vec_id = r.vec_id AND o.subspace = r.subspace
+       |  GROUP BY r.subspace, o.code, r.subpos
        |), enc0 AS (
        |  SELECT r.vec_id, r.label, r.subspace, b.code,
        |         SUM(CAST(round((r.rv - b.centroid) * (r.rv - b.centroid), 6) AS DECIMAL(27,6))) AS l2

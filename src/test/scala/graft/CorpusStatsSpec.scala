@@ -89,6 +89,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("C60 sketch path: count-min estimates dominate exact counts within eps*N") {
+    // the documented 100 TB swap-in for the heavy-hitter scan: a CMS
+    // keeps the counts in eps-bounded sublinear space. Proof of the
+    // guarantee pair on the real corpus: est >= true (never
+    // undercounts) and est <= true + eps*N (w.h.p.).
+    val ngrams = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(call_function("graft_shingles",
+        col("text"), lit(3), lit(false))).as("ngram"))
+    val eps = 0.001
+    val bytes = ngrams
+      .agg(count_min_sketch(col("ngram"), lit(eps), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val n = ngrams.count()
+    val exact = TextDemos.topkNgrams(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.nonEmpty)
+    exact.foreach { case (g, c) =>
+      // binary estimate: the SQL aggregate added UTF8String BYTES
+      val est = cms.estimateCount(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(est >= c, s"CMS undercounted '$g': $est < $c")
+      assert(est <= c + (eps * n).toLong + 1, s"CMS for '$g': $est vs $c + eps*N")
+    }
+  }
+
   test("C62 datasetCard matches a driver reference; shares sum to 1") {
     val groups = docs.groupBy { case (_, _, lang, source, _) => (source, lang) }
     val totalTokens = docs.map { case (_, t, _, _, _) => toks(t).length.toLong }.sum
