@@ -62,6 +62,7 @@ object SparkEntry {
     "topk_ngrams"          -> (TextDemos.topkNgrams(_, _)),
     "pmi_bigrams"          -> (TextDemos.pmiBigrams(_, _)),
     "dataset_card"         -> (TextDemos.datasetCard(_, _)),
+    "html_main_content"    -> (TextDemos.htmlMainContent(_, _)),
     "rand_proj_reduce"     -> (TextDemos.randProjReduce(_, _)),
     "dedup_simhash"        -> (TextDemos.dedupSimhash(_, _)),
     "image_phash_dedup"    -> (graft.multimodal.ImageHash.imagePhashDedup(_, _)),
@@ -853,6 +854,46 @@ object SparkEntry {
         |CROSS JOIN tot tt
         |ORDER BY pmi_ratio DESC, w1, w2
         |LIMIT 25""".stripMargin,
+    // C65: rebuild the same synthetic page, split on the same
+    // RE2-safe block pattern, score with the same exact-int metrics.
+    // The corpus carries no <, >, & characters (checked), so the
+    // unescape chain is the identity on both sides and the mirror
+    // omits it.
+    "html_main_content" -> {
+      val split = graft.functions.Html.BlockSplit
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '<div><a href="/">Start here</a> <a href="/a">About us</a> <a href="/c">Contact page</a> <a href="/l">Member login</a></div>'
+        |    || '<p>' || substr(text, 1, CAST(n_chars // 2 AS INT))
+        |    || '</p><p>' || substr(text, CAST(n_chars // 2 AS INT) + 1)
+        |    || '</p>'
+        |    || '<div><a href="/p">Privacy policy</a> <a href="/t">Terms of use</a></div>' AS page
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, list_filter(list_transform(
+        |    string_split_regex(page, 'SPLITRE'), x -> trim(x)), x -> x <> '') AS segs
+        |  FROM d
+        |), m AS (
+        |  SELECT doc_id, list_transform(segs, s -> struct_pack(
+        |    t := trim(regexp_replace(s, '<[^>]*>', '', 'g')),
+        |    len := CAST(length(trim(regexp_replace(s, '<[^>]*>', '', 'g'))) AS BIGINT),
+        |    lc := CAST(coalesce(list_sum(list_transform(
+        |            regexp_extract_all(s, '<a[^>]*>(.*?)</a>', 1),
+        |            a -> length(regexp_replace(a, '<[^>]*>', '', 'g')))), 0) AS BIGINT)
+        |  )) AS blocks
+        |  FROM b
+        |), k AS (
+        |  SELECT doc_id, blocks, list_filter(blocks, x ->
+        |    x.len >= 25 AND CAST(x.lc AS DOUBLE) / greatest(CAST(x.len AS DOUBLE), 1.0) <= 0.33) AS kept
+        |  FROM m
+        |)
+        |SELECT doc_id,
+        |       -- empty kept-list: DuckDB array_to_string -> NULL, Spark array_join -> ''
+        |       coalesce(array_to_string(list_transform(kept, x -> x.t), chr(10)), '') AS main_text,
+        |       CAST(len(blocks) AS BIGINT) AS n_blocks,
+        |       CAST(len(kept) AS BIGINT) AS n_kept
+        |FROM k ORDER BY doc_id""".stripMargin.replace("SPLITRE", split)
+    },
     "dataset_card" ->
       """WITH per AS (
         |  SELECT source, lang, COUNT(*) AS n_docs,

@@ -40,4 +40,49 @@ object Html {
   /** the reference maps sentinel '無' (or a supplied sentinel) to null */
   def sentinelToNull(c: Column, sentinel: String): Column =
     when(c === sentinel, lit(null)).otherwise(c)
+
+  /** block-element boundary for [[mainContentBlocks]] — the tag set
+    * jusText/trafilatura treat as block-level; RE2-compatible so the
+    * DuckDB oracle splits on the same pattern. */
+  val BlockSplit: String =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|td|tr|table|article|section|header|footer|nav|aside|br)[^>]*>"
+
+  /** Per-block content metrics (SURVEY §2 C65): split an HTML page on
+    * block-element boundaries and score every block with the two
+    * numbers the jusText/trafilatura family keys on — visible text
+    * length and LINK DENSITY (fraction of the visible characters that
+    * live inside anchors; navigation and footers are anchor-dense,
+    * article text is not). Returns array<struct<text, len,
+    * link_chars>>; everything is codegen'd Column algebra over one
+    * value — map-only at any scale, and each step has an exact DuckDB
+    * mirror (same RE2-safe regexes, exact-int divisions). */
+  def mainContentBlocks(c: Column): Column = {
+    val segs = filter(transform(split(c, BlockSplit), b => trim(b)), b => b =!= "")
+    transform(segs, b => {
+      val text = trim(stripTags(unescapeEntities(b)))
+      val linkChars = aggregate(
+        regexp_extract_all(b, lit("<a[^>]*>(.*?)</a>"), lit(1)),
+        lit(0L), (acc, a) => acc + length(stripTags(a)))
+      struct(text.as("text"), length(text).cast("long").as("len"),
+        linkChars.as("link_chars"))
+    })
+  }
+
+  /** Main-content extraction: keep blocks with at least `minChars` of
+    * visible text and link density ≤ `maxLinkDensity`, join survivors
+    * with newlines — the standard boilerplate-removal gate (jusText's
+    * short/link-dense heuristic without the language model). Returns
+    * (main_text, n_blocks, n_kept) as a struct. */
+  def mainContent(c: Column, minChars: Int = 25,
+                  maxLinkDensity: Double = 0.33): Column = {
+    val blocks = mainContentBlocks(c)
+    val kept = filter(blocks, b =>
+      b.getField("len") >= minChars &&
+        (b.getField("link_chars").cast("double") /
+          greatest(b.getField("len").cast("double"), lit(1.0))) <= maxLinkDensity)
+    struct(
+      array_join(transform(kept, _.getField("text")), "\n").as("main_text"),
+      size(blocks).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"))
+  }
 }

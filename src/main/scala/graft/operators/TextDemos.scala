@@ -1087,6 +1087,31 @@ object TextDemos {
       .orderBy("source", "lang")
   }
 
+  /** C65 — main-content extraction (boilerplate removal): each doc
+    * wrapped into a synthetic page — anchor-dense nav, two content
+    * paragraphs, anchor-dense footer (the C23/C55 synthesis
+    * convention) — then the jusText-style block gate recovers the
+    * article text: block split, visible-length + link-density
+    * scoring, short/link-heavy blocks dropped (see
+    * [[graft.functions.Html.mainContent]]). Map-only Column algebra;
+    * the oracle rebuilds the same page and applies the same regex
+    * algebra. */
+  def htmlMainContent(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      lit("<div><a href=\"/\">Start here</a> <a href=\"/a\">About us</a> " +
+        "<a href=\"/c\">Contact page</a> <a href=\"/l\">Member login</a></div>"),
+      lit("<p>"), expr("substr(text, 1, CAST(n_chars div 2 AS INT))"),
+      lit("</p><p>"), expr("substr(text, CAST(n_chars div 2 AS INT) + 1)"),
+      lit("</p>"),
+      lit("<div><a href=\"/p\">Privacy policy</a> <a href=\"/t\">Terms of use</a></div>"))
+    val mc = graft.functions.Html.mainContent(page)
+    Tables.documents(spark, dir).select(
+        col("doc_id"), mc.getField("main_text").as("main_text"),
+        mc.getField("n_blocks").as("n_blocks"),
+        mc.getField("n_kept").as("n_kept"))
+      .orderBy("doc_id")
+  }
+
   /** C59 — integer-exact JL sign projection of the embeddings table:
     * 64 floats → 16 longs, map-only (see
     * [[Similarity.randProjectInt]]). */
