@@ -57,6 +57,7 @@ object SparkEntry {
     "embed_cosine_topk"    -> (TextDemos.embedCosineTopk(_, _)),
     "ann_lsh_topk"         -> (TextDemos.annLshTopk(_, _)),
     "dedup_minhash_lsh"    -> (TextDemos.dedupMinhashLsh(_, _)),
+    "minhash_lsh_eval"     -> (TextDemos.minhashLshEval(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
     "topk_ngrams"          -> (TextDemos.topkNgrams(_, _)),
@@ -813,6 +814,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mmr_rerank"        -> graft.oracle.OracleGen.mmrRerankSql(),
     "cluster_representative" -> graft.oracle.OracleGen.clusterRepresentativeSql(),
+    "minhash_lsh_eval"  -> graft.oracle.OracleGen.minhashLshEvalSql(),
     "rand_proj_reduce"  -> graft.oracle.OracleGen.randProjSql(),
     "topk_ngrams" ->
       """WITH t AS (

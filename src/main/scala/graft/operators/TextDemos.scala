@@ -1087,6 +1087,49 @@ object TextDemos {
       .orderBy("source", "lang")
   }
 
+  /** C66 — LSH quality evaluation: measured precision/recall of the
+    * C2 minhash-LSH configuration against EXACT shingle Jaccard
+    * ground truth — the "measure, don't guess" companion to
+    * [[Dedup.lshTune]]'s analytic S-curve (the tuner predicts the
+    * banding's selectivity; this row measures it on the corpus).
+    * Ground truth is relational, not quadratic: only pairs SHARING a
+    * shingle can have Jaccard > 0, so the candidate universe is the
+    * shingle self-join (at 100 TB: hash the shingles to 8 bytes first
+    * and cap hot shingles by document frequency — a stopword-shingle
+    * cap, noted not silent). One summary row: pair counts, precision,
+    * recall as exact-int IEEE divisions. */
+  def minhashLshEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"), explode(call_function("graft_shingles",
+      col("text"), lit(3), lit(true))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("doc_id").as("id_a"), col("sh"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), Seq("id_b"))
+      .filter(col("i").cast("double") /
+        (col("sza") + col("szb") - col("i")).cast("double") >= 0.25)
+      .select(col("id_a"), col("id_b"))
+    val pred = Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 8, minEstSim = 0.25,
+        tokenHash = graft.functions.Vec.md5Hash60, hashBandKeys = false)
+      .select(col("id_a"), col("id_b"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nPred = pred.agg(count(lit(1)).as("n_pred"))
+    val nHit = pred.join(truth, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hit"))
+    nTruth.crossJoin(nPred).crossJoin(nHit).select(
+      col("n_truth"), col("n_pred"), col("n_hit"),
+      when(col("n_pred") > 0,
+        col("n_hit").cast("double") / col("n_pred").cast("double"))
+        .otherwise(0.0).as("precision"),
+      when(col("n_truth") > 0,
+        col("n_hit").cast("double") / col("n_truth").cast("double"))
+        .otherwise(0.0).as("recall"))
+  }
+
   /** C65 — main-content extraction (boilerplate removal): each doc
     * wrapped into a synthetic page — anchor-dense nav, two content
     * paragraphs, anchor-dense footer (the C23/C55 synthesis

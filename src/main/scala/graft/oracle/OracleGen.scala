@@ -55,6 +55,55 @@ object OracleGen {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** mirror of TextDemos.minhashLshEval: the C2 prediction CTE joined
+    * against exact shingle-Jaccard ground truth (shingle self-join —
+    * only pairs sharing a shingle can exceed 0), one summary row. */
+  def minhashLshEvalSql(k: Int = 32, bands: Int = 8, minEst: Double = 0.25,
+                        jacT: Double = 0.25): String = {
+    // keep only the CTE chain (t .. cand/sig); the prediction SELECT
+    // is re-stated below as its own `pred` CTE
+    val chain = minhashLshSql(k, bands, minEst)
+      .replaceAll("(?s)\\nSELECT c\\.id_a.*$", "")
+      .replaceFirst("^WITH ", "")
+    val matches = (0 until k)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $chain, tt AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+       |), ss AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh2
+       |  FROM tt
+       |), ex2 AS (
+       |  SELECT doc_id, unnest(sh2) AS g FROM ss WHERE len(sh2) > 0
+       |), sz AS (
+       |  SELECT doc_id, CAST(len(sh2) AS BIGINT) AS sz FROM ss
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  FROM ex2 a JOIN ex2 b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |), truth AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= $jacT
+       |), pred AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b
+       |  WHERE CAST($matches AS DOUBLE) / $k >= $minEst
+       |), counts AS (
+       |  SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       |         CAST((SELECT COUNT(*) FROM pred) AS BIGINT) AS n_pred,
+       |         CAST((SELECT COUNT(*) FROM pred p JOIN truth t
+       |                 ON p.id_a = t.id_a AND p.id_b = t.id_b) AS BIGINT) AS n_hit
+       |)
+       |SELECT n_truth, n_pred, n_hit,
+       |       CASE WHEN n_pred > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE) ELSE 0.0 END AS precision,
+       |       CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) ELSE 0.0 END AS recall
+       |FROM counts""".stripMargin
+  }
+
   /** mirror of TextDemos.clusterRepresentative: argmax quality score
     * per minhash-LSH cluster, ties to the smallest doc_id (the quality
     * expression is the quality_score oracle's, verbatim). */

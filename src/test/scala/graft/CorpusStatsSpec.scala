@@ -115,6 +115,29 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("C66 minhashLshEval matches a driver-computed exact-Jaccard reference") {
+    val shingles = docs.map { case (id, text, _, _, _) =>
+      id -> toks(text).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val ids = shingles.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = shingles(ids(i)); b = shingles(ids(j))
+      inter = (a & b).size
+      if inter > 0 && inter.toDouble / (a.size + b.size - inter) >= 0.25
+    } yield (ids(i), ids(j))).toSet
+    val pred = TextDemos.dedupMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = TextDemos.minhashLshEval(spark, sfDir).head()
+    assert(r.getLong(0) == truth.size, s"n_truth ${r.getLong(0)} vs ${truth.size}")
+    assert(r.getLong(1) == pred.size)
+    assert(r.getLong(2) == (pred & truth).size)
+    assert(r.getDouble(3) == (if (pred.isEmpty) 0.0 else (pred & truth).size.toDouble / pred.size))
+    assert(r.getDouble(4) == (if (truth.isEmpty) 0.0 else (pred & truth).size.toDouble / truth.size))
+    info(s"LSH k=32 b=8 t=0.25 on sf0.001: truth=${truth.size} pred=${pred.size} " +
+      f"hit=${(pred & truth).size} P=${r.getDouble(3)}%.3f R=${r.getDouble(4)}%.3f")
+  }
+
   test("C62 datasetCard matches a driver reference; shares sum to 1") {
     val groups = docs.groupBy { case (_, _, lang, source, _) => (source, lang) }
     val totalTokens = docs.map { case (_, t, _, _, _) => toks(t).length.toLong }.sum
