@@ -413,11 +413,23 @@ object Similarity {
                 centroidsLong: DataFrame, k: Int, m: Int, dim: Int,
                 nprobe: Int = 2,
                 queryId: String = "query_id", queryVec: String = "qv",
-                candId: String = "cand_id", labelCol: String = "label"): DataFrame = {
+                candId: String = "cand_id", labelCol: String = "label",
+                pruneScan: Boolean = false): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val sub = dim / m
-    val probed = ivfAssignN(queries, centroidsLong, nprobe, queryId, queryVec, labelCol)
+    val probedPlan = ivfAssignN(queries, centroidsLong, nprobe, queryId, queryVec, labelCol)
       .select(col(queryId), col(labelCol))
+    // pruneScan (the ivfTopK discipline verbatim): probed labels are
+    // dimension-scale, so collecting them and filtering the codes
+    // table by LITERALS turns a label-partitioned codes layout into a
+    // statically partition-pruned read — Spark's dynamic partition
+    // pruning declines this broadcast-join shape. Results identical
+    // either way; IvfPqSpec proves the plan.
+    val probed = if (pruneScan) probedPlan.localCheckpoint(true) else probedPlan
+    val codesSide = if (pruneScan) {
+      val labels = probed.select(col(labelCol)).distinct().collect().map(_.get(0))
+      codes.filter(col(labelCol).isInCollection(labels))
+    } else codes
     val qr = queries.join(probed, Seq(queryId))
       .select(col(queryId), col(labelCol), posexplode(col(queryVec)).as(Seq("pos", "v")))
       .join(broadcast(centroidsLong.select(col(labelCol), col("pos"), col("centroid"))),
@@ -429,7 +441,7 @@ object Similarity {
     val dtable = qr.join(broadcast(books), Seq("subspace", "subpos"))
       .groupBy(col(queryId), col(labelCol), col("subspace"), col("code"))
       .agg(sum(l2Term(col("rv"), col("centroid"))).as("_dpart"))
-    val scored = codes.join(broadcast(dtable), Seq(labelCol, "subspace", "code"))
+    val scored = codesSide.join(broadcast(dtable), Seq(labelCol, "subspace", "code"))
       .groupBy(col(queryId), col(candId))
       .agg(sum(col("_dpart")).as("_dist"))
       .select(col(queryId), col(candId),

@@ -181,6 +181,30 @@ class IvfPqSpec extends SparkSpec {
     assert(rt >= 2 * chance, s"trained recall $rt not above chance $chance")
   }
 
+  test("pruneScan: a label-partitioned codes layout reads only probed partitions") {
+    val dir = tempDir("graft_ivfpq_part")
+    codes.write.partitionBy("label").parquet(s"$dir/codes")
+    val codesP = spark.read.parquet(s"$dir/codes")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val plain = Similarity.ivfPqTopK(queries, codesP, books, cents,
+      k = 5, m = 8, dim = 64, nprobe = 2).collect().map(_.toString).sorted
+    val pruned = Similarity.ivfPqTopK(queries, codesP, books, cents,
+      k = 5, m = 8, dim = 64, nprobe = 2, pruneScan = true)
+    val prunedRows = pruned.collect().map(_.toString).sorted
+    assert(prunedRows.nonEmpty && prunedRows.sameElements(plain),
+      "pruned search must return exactly the unpruned rows")
+    // the codes FileScan must carry a LITERAL partition filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    val codeScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("codes")).toSeq
+    assert(codeScans.nonEmpty, plan.linesIterator.take(20).mkString("\n"))
+    assert(codeScans.exists(l => l.contains("PartitionFilters: [") &&
+      !l.contains("PartitionFilters: []") &&
+      (l.contains(" IN (") || l.contains("label#"))),
+      s"no literal partition filter on the codes scan:\n${codeScans.mkString("\n")}")
+  }
+
   test("demo: persisted-index search answers like the inline chain") {
     val inline = {
       val queries = emb.filter(col("vec_id") < 5)
