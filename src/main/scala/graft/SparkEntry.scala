@@ -880,7 +880,7 @@ object SparkEntry {
         |    t := trim(regexp_replace(s, '<[^>]*>', '', 'g')),
         |    len := CAST(length(trim(regexp_replace(s, '<[^>]*>', '', 'g'))) AS BIGINT),
         |    lc := CAST(coalesce(list_sum(list_transform(
-        |            regexp_extract_all(s, '<a[^>]*>(.*?)</a>', 1),
+        |            regexp_extract_all(s, '(?is)<a[^>]*>(.*?)</a>', 1),
         |            a -> length(regexp_replace(a, '<[^>]*>', '', 'g')))), 0) AS BIGINT)
         |  )) AS blocks
         |  FROM b

@@ -117,8 +117,13 @@ case class GreedyMmr(
     val m = buf.length
     if (m == 0) return new GenericArrayData(Array.empty[Any])
     val cands = buf.toArray
-    val selected = new mutable.ArrayBuffer[Int](k)
     val taken = new Array[Boolean](m)
+    // per-candidate running max of the ROUNDED sims to the selected
+    // set, updated once per pick against the newest selection — max is
+    // order-insensitive, so the incremental fold is bit-equal to
+    // re-scanning the whole selected set each round while cutting the
+    // cosine count from O(k²·m) to O(k·m)
+    val maxsim = new Array[Double](m)
     val oneMinus = 1 - lambda
     val out = new mutable.ArrayBuffer[Any](math.min(k, m))
     var t = 1
@@ -128,18 +133,9 @@ case class GreedyMmr(
       var i = 0
       while (i < m) {
         if (!taken(i)) {
-          // maxsim over the selected set of the ROUNDED pairwise sims —
-          // max is order-insensitive, so folding in selection order
-          // matches the relational max-aggregate exactly
-          var maxsim = 0.0
-          if (t > 1) {
-            var first = true
-            selected.foreach { s =>
-              val ps = round6(cosine(cands(i)._3, cands(s)._3))
-              if (first || ps > maxsim) { maxsim = ps; first = false }
-            }
-          }
-          val score = lambda * cands(i)._2 - oneMinus * maxsim
+          // round 1 has no selected set: maxsim contributes 0
+          val ms = if (t > 1) maxsim(i) else 0.0
+          val score = lambda * cands(i)._2 - oneMinus * ms
           // argmax by (score desc, doc_id asc) — the unroll's window order
           if (bestIdx < 0 || score > bestScore ||
               (score == bestScore && cands(i)._1 < cands(bestIdx)._1)) {
@@ -149,8 +145,17 @@ case class GreedyMmr(
         i += 1
       }
       taken(bestIdx) = true
-      selected += bestIdx
       out += InternalRow(cands(bestIdx)._1, t, bestScore)
+      // fold the new pick into every survivor's running max (true max,
+      // negatives included: the first pairwise sim SETS the value)
+      i = 0
+      while (i < m) {
+        if (!taken(i)) {
+          val ps = round6(cosine(cands(i)._3, cands(bestIdx)._3))
+          if (t == 1 || ps > maxsim(i)) maxsim(i) = ps
+        }
+        i += 1
+      }
       t += 1
     }
     new GenericArrayData(out.toArray)

@@ -62,6 +62,11 @@ case class VecGram(
     val x = new Array[Double](dim)
     var i = 0
     while (i < dim) {
+      // a null COMPONENT would silently read as 0.0 from unsafe array
+      // data, corrupting every moment — same fail-loudly discipline as
+      // the ragged-vector check
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_gram: vector component $i is null (dense vectors required)")
       x(i) = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }

@@ -60,8 +60,12 @@ object Html {
     val segs = filter(transform(split(c, BlockSplit), b => trim(b)), b => b =!= "")
     transform(segs, b => {
       val text = trim(stripTags(unescapeEntities(b)))
+      // (?is): BlockSplit is case-insensitive, so anchors must be too
+      // — a case-sensitive pattern would score '<A HREF>' navs as
+      // zero link chars and wave them through; s-flag covers anchor
+      // text spanning newlines
       val linkChars = aggregate(
-        regexp_extract_all(b, lit("<a[^>]*>(.*?)</a>"), lit(1)),
+        regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
         lit(0L), (acc, a) => acc + length(stripTags(a)))
       struct(text.as("text"), length(text).cast("long").as("len"),
         linkChars.as("link_chars"))

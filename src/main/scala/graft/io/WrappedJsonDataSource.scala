@@ -39,7 +39,13 @@ import org.apache.spark.util.SerializableConfiguration
   * layout, and a commit killed at ANY point leaves the prior publish
   * intact — the classic v1-committer mutate-in-place window does not
   * exist here. Streaming epochs name snapshots `ep<batchId>`; batch
-  * runs name them `b<millis>-<queryId>` (monotonic per writer).
+  * runs take the NEXT free slot in the same zero-padded numeric
+  * namespace (`ep<maxSlot+1>-<queryId>`), so lexicographic name order
+  * IS commit order on any path regardless of which modes have
+  * published there — retention and the newest-committed pointer
+  * fallback both sort names, and a clock-based batch name (the first
+  * design) sorted before every `ep` snapshot, which made retention
+  * evict the newest batch publish on a previously-streamed path.
   *
   * Three pieces make this Spark-first rather than a foreachPartition:
   *
@@ -284,6 +290,22 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
     * drop (crash debris is the operator's to inspect, not ours to
     * delete); the pointed snapshot is always within the newest
     * `retain` because the pointer only moves forward. */
+  /** next free numeric slot across ALL existing snapshot dirs (both
+    * modes share the `ep<19 digits>` prefix): max parsed slot + 1, 0
+    * on a fresh path. Committed or not — a crashed attempt's dir
+    * still reserves its number, so a retry never collides with
+    * debris. */
+  private def nextSlot(f: FileSystem): Long = {
+    val snapRoot = new Path(path, "snapshots")
+    val slots =
+      (try Option(f.listStatus(snapRoot)).getOrElse(Array.empty)
+       catch { case _: java.io.FileNotFoundException =>
+         Array.empty[org.apache.hadoop.fs.FileStatus] })
+        .map(_.getPath.getName)
+        .flatMap(n => "^ep(\\d{19})".r.findFirstMatchIn(n).map(_.group(1).toLong))
+    if (slots.isEmpty) 0L else slots.max + 1L
+  }
+
   private def applyRetention(f: FileSystem): Unit = if (retain != Int.MaxValue) {
     val snapRoot = new Path(path, "snapshots")
     Option(f.listStatus(snapRoot)).getOrElse(Array.empty)
@@ -332,8 +354,13 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
         if (truncate) unchangedVs(f, p, files) else files.isEmpty
       }
       if (!unchanged) {
+        // next free slot in the shared zero-padded namespace: sorts
+        // after every existing snapshot of EITHER mode (a wall-clock
+        // name sorted before 'ep…' and broke retention order); the
+        // query-id suffix keeps the dir distinct from a streaming
+        // epoch that later lands on the same slot number
         val snapDir = new Path(path,
-          f"snapshots/b${System.currentTimeMillis()}%013d-${queryId.take(8)}")
+          f"snapshots/ep${nextSlot(f)}%019d-${queryId.take(8)}")
         publishSnapshot(f, hconf.value, snapDir, files, carried)
       }
       cleanupTemp(f)

@@ -101,7 +101,11 @@ object Bpe {
       nMerges: Int): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = docs.sparkSession
-    val wf = wordFreq(docs, textCol)
+    // persisted: the probe's all-partition limit computes the FULL
+    // word table (only the shipped rows are capped), so an
+    // over-threshold vocabulary would otherwise pay the corpus
+    // tokenize+shuffle a second time inside trainDistributed
+    val wf = wordFreq(docs, textCol).persist()
     val threshold = spark.conf.getOption(LocalVocabThresholdKey)
       .map(_.toInt).getOrElse(DefaultLocalVocabThreshold)
     val head = if (threshold > 0) {
@@ -116,9 +120,13 @@ object Bpe {
       try wf.limit(threshold + 1).collect()
       finally was.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     } else Array.empty[org.apache.spark.sql.Row]
-    if (threshold > 0 && head.length <= threshold)
-      trainLocal(spark, head, nMerges)
-    else trainDistributed(wf, nMerges)
+    try {
+      if (threshold > 0 && head.length <= threshold)
+        trainLocal(spark, head, nMerges)
+      else trainDistributed(wf, nMerges)
+    } finally wf.unpersist() // both paths are done with the plan:
+    // local trains from the collected rows; distributed checkpoints
+    // its working copy before its first round
   }
 
   /** The in-driver merge loop over the collected (word, freq) table.

@@ -148,53 +148,90 @@ object Bm25 {
   def buildIndex(docs: DataFrame, idCol: String, textCol: String,
                  path: String): Unit = {
     val spark = docs.sparkSession
-    // land the raw tf posting table FIRST (overwrite = fresh build):
-    // it is the re-tokenize-free substrate incremental growth
-    // ([[appendIndex]]) recomputes impacts from
-    postingTable(docs, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/tf")
-    // n counts ALL documents (wordless ones dilute avgdl — the
-    // standard collection-size semantics); landed so appends can
-    // extend it without recounting the old corpus
-    docs.agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+    // land the raw tf posting table FIRST (overwrite = fresh build),
+    // as batch dir b00000 — the re-tokenize-free substrate incremental
+    // growth ([[appendIndex]]) recomputes impacts from. The doc count
+    // rides the SAME pass as an observe metric (wordless docs leave no
+    // posting but do flow through the metric node, and n must count
+    // them — they dilute avgdl, the standard collection-size
+    // semantics), so the corpus is scanned exactly once.
+    val obs = org.apache.spark.sql.Observation(
+      "bm25_n_" + java.util.UUID.randomUUID().toString.take(8))
+    postingTable(docs.observe(obs, count(lit(1)).as("n")), idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/tf/b00000")
+    writeMeta(spark, path, obs.get("n").asInstanceOf[Long], batches = 1L)
     refreshImpacts(spark, path)
   }
 
   /** Grow a landed index by `newDocs` WITHOUT re-tokenizing the old
     * corpus (the ivfAppend / pq-index incremental precedent): the new
-    * docs' postings append to `tf/`, the doc count extends in
-    * `meta/`, and impacts recompute from the merged tf — they MUST
-    * recompute, because every posting's weight bakes in corpus-wide
-    * df/avgdl/n, but that recompute is index-scale joins over the
-    * landed postings, never a corpus re-scan. Bit-identical to a
-    * from-scratch [[buildIndex]] over the union (Bm25IndexSpec pins
-    * it, and the bm25_index_append oracle row answers to the
-    * full-corpus SQL). Ids must be disjoint from the existing corpus
-    * — re-adding a doc double-counts it, same as ivfAppend. */
+    * docs' postings land as the next committed BATCH DIR under `tf/`,
+    * the doc count extends in `meta/`, and impacts recompute from the
+    * committed batches — they MUST recompute, because every posting's
+    * weight bakes in corpus-wide df/avgdl/n, but that recompute is
+    * index-scale joins over the landed postings, never a corpus
+    * re-scan. Bit-identical to a from-scratch [[buildIndex]] over the
+    * union (Bm25IndexSpec pins it, and the bm25_index_append oracle
+    * row answers to the full-corpus SQL).
+    *
+    * Crash/replay discipline (the streaming-sink epoch shape):
+    * `batchId` names the append — the FIRST append after a fresh
+    * build is batch 1, the next 2, and a RETRY of a failed or
+    * interrupted append passes the same id. A batch is committed by
+    * the meta overwrite, which happens only after its postings are
+    * fully landed; a retry of an UNcommitted batch overwrites the
+    * partial dir (never `mode("append")` — that is what made the old
+    * shape double-count on retry), and a replay of a COMMITTED batch
+    * skips the write and just re-derives impacts (idempotent).
+    * Ids must be disjoint from the existing corpus — re-adding a doc
+    * double-counts it, same as ivfAppend. */
   def appendIndex(newDocs: DataFrame, idCol: String, textCol: String,
-                  path: String): Unit = {
+                  path: String, batchId: Long = 1L): Unit = {
     val spark = newDocs.sparkSession
-    postingTable(newDocs, idCol, textCol)
-      .write.mode("append").parquet(s"$path/tf")
-    val n = spark.read.parquet(s"$path/meta").collect()(0).getLong(0) +
-      newDocs.count()
-    spark.range(1).select(lit(n).as("n"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+    val (n0, batches) = readMeta(spark, path)
+    require(batchId >= 1 && batchId <= batches,
+      s"Bm25.appendIndex: batch $batchId skips ahead of the next slot $batches " +
+        s"(batches commit in order; pass batchId = $batches)")
+    if (batchId < batches) {
+      // replayed committed batch: postings + meta already landed; the
+      // impact table is the only possibly-stale artifact — re-derive
+      refreshImpacts(spark, path)
+      return
+    }
+    val obs = org.apache.spark.sql.Observation(
+      "bm25_n_" + java.util.UUID.randomUUID().toString.take(8))
+    postingTable(newDocs.observe(obs, count(lit(1)).as("n")), idCol, textCol)
+      .write.mode("overwrite").parquet(f"$path%s/tf/b$batchId%05d")
+    writeMeta(spark, path, n0 + obs.get("n").asInstanceOf[Long], batches + 1L)
     refreshImpacts(spark, path)
   }
 
-  /** (re)derive the impact table from the landed `tf/` + `meta/`:
-    * dl/df/avgdl are index-scale aggregations of the posting table —
-    * the corpus itself is never touched. */
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+                        path: String, n: Long, batches: Long): Unit =
+    spark.range(1).select(lit(n).as("n"), lit(batches).as("batches"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (Long, Long) = {
+    val r = spark.read.parquet(s"$path/meta").collect()(0)
+    (r.getAs[Long]("n"), r.getAs[Long]("batches"))
+  }
+
+  /** (re)derive the impact table from the landed committed tf batches
+    * + `meta/`: dl/df/avgdl are index-scale aggregations of the
+    * posting table — the corpus itself is never touched. Only
+    * COMMITTED batch dirs (< meta.batches) are read, so a crashed
+    * append's partial dir is invisible until its retry commits it. */
   private def refreshImpacts(spark: org.apache.spark.sql.SparkSession,
                              path: String): Unit = {
-    val tf = spark.read.parquet(s"$path/tf")
+    val (n0, batches) = readMeta(spark, path)
+    val dirs = (0L until batches).map(b => f"$path%s/tf/b$b%05d")
+    val tf = spark.read.parquet(dirs: _*)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val consts = spark.read.parquet(s"$path/meta")
+      val consts = spark.range(1).select(lit(n0).as("n"))
         .crossJoin(dl.agg(sum(col("dl")).as("_tot")))
         .select(col("n"), (col("_tot").cast("double") / col("n")).as("avgdl"))
       tf.join(df, Seq("term")).join(dl, Seq("doc_id"))

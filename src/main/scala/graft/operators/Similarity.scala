@@ -360,7 +360,7 @@ object Similarity {
     * round is one broadcast join + two map-side-combinable aggs over
     * the (id, subspace, subpos) rows; the books stay dimension-scale
     * throughout. */
-  def ivfPqBooksFit(resid: DataFrame, idCol: String, m: Int,
+  def ivfPqBooksFit(resid: DataFrame, idCol: String,
                     bits: Int = 4, rounds: Int = 3): DataFrame = {
     var books = ivfPqBooks(resid, idCol, bits).localCheckpoint(true)
     var i = 0

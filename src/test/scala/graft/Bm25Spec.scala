@@ -108,6 +108,40 @@ class Bm25Spec extends SparkSpec {
     assert(viaGrown == oneShot)
   }
 
+  test("C37'': append replay and crash-retry are exactly-once") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha alpha"))
+    val add = Seq((10L, "alpha delta"), (11L, "delta delta"))
+    val dir = graft.util.Fixtures.dir("spec_bm25_replay").toString
+    Bm25.buildIndex(docs.toDF("doc_id", "text"), "doc_id", "text", dir)
+    // crash simulation: a FAILED first append attempt left a partial
+    // uncommitted batch dir (meta still says batches=1)
+    Seq(("zzz", 99L, 123L)).toDF("term", "doc_id", "tf")
+      .write.mode("overwrite").parquet(s"$dir/tf/b00001")
+    // the retry overwrites the partial dir and commits cleanly
+    Bm25.appendIndex(add.toDF("doc_id", "text"), "doc_id", "text", dir, batchId = 1)
+    val committed = spark.read.parquet(s"$dir/impacts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(!committed.exists(_._1 == "zzz"), "partial batch debris leaked into impacts")
+    // replay of the COMMITTED batch: byte-identical index, n unchanged
+    Bm25.appendIndex(add.toDF("doc_id", "text"), "doc_id", "text", dir, batchId = 1)
+    val replayed = spark.read.parquet(s"$dir/impacts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(replayed == committed, "a replayed committed append must be a no-op")
+    val meta = spark.read.parquet(s"$dir/meta").collect()(0)
+    assert(meta.getAs[Long]("n") == 5 && meta.getAs[Long]("batches") == 2)
+    // and equals the from-scratch union (no double-counted postings)
+    val scratch = graft.util.Fixtures.dir("spec_bm25_replay_scratch").toString
+    Bm25.buildIndex((docs ++ add).toDF("doc_id", "text"), "doc_id", "text", scratch)
+    val fresh = spark.read.parquet(s"$scratch/impacts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(replayed == fresh)
+    // a gap in the batch sequence is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Bm25.appendIndex(add.toDF("doc_id", "text"), "doc_id", "text", dir, batchId = 5)
+    }
+    assert(e.getMessage.contains("skips ahead"))
+  }
+
   test("C37: a doc repeating the query term outranks one mentioning it once") {
     val corpus = Seq(
       (1L, "cat cat cat dog"),

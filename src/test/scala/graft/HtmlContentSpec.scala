@@ -37,6 +37,16 @@ class HtmlContentSpec extends SparkSpec {
     assert(nBlocks == 2 && nKept == 1)
   }
 
+  test("uppercase and multiline anchors still count as link chars (case/DOTALL)") {
+    // regression: a case-sensitive anchor pattern scored '<A HREF>'
+    // navs as zero link chars and waved them through the density gate
+    val upper = "<DIV><A HREF=\"/\">Start here now</A> <A HREF=\"/x\">About this site</A></DIV>"
+    val multi = "<div><a href=\"/y\">line one\nline two of the anchor</a></div>"
+    val (text, nBlocks, nKept) = mc(upper + multi)
+    assert(nBlocks == 2 && nKept == 0, s"'$text' ($nBlocks blocks, $nKept kept)")
+    assert(text == "")
+  }
+
   test("the 25-char length gate is inclusive") {
     val at = "x" * 25
     val under = "y" * 24

@@ -157,7 +157,7 @@ class IvfPqSpec extends SparkSpec {
     // orthant books — distortion can only fall (monotonicity), so the
     // trained books must dominate the bootstrap on reconstruction and
     // must not trail it on recall
-    val trained = Similarity.ivfPqBooksFit(resid, "cand_id", m = 8,
+    val trained = Similarity.ivfPqBooksFit(resid, "cand_id",
       bits = 4, rounds = 3)
     def distortion(bks: org.apache.spark.sql.DataFrame): Double =
       resid.join(broadcast(bks), Seq("subspace", "subpos"))

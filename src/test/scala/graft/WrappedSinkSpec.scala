@@ -221,6 +221,45 @@ class WrappedSinkSpec extends SparkSpec {
     assert(!new java.io.File(dir, "_temporary").exists())
   }
 
+  test("A12 DSv2 sink: batch-after-streaming publishes take later-sorting slots (retention keeps the batch publish)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tempDir("wrapped_mixed")
+    val ckpt = tempDir("wrapped_mixed_ckpt")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val agg = ms.toDF.toDF("county", "v").groupBy("county")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("graft-wrapped")
+      .option("groupCol", "county").option("checkpointLocation", ckpt)
+      .outputMode("complete").start(dir)
+    try {
+      ms.addData(("north", 1L)); q.processAllAvailable()
+      ms.addData(("south", 2L)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = snapshotNames(dir)
+    assert(streamed.nonEmpty)
+    // a BATCH overwrite on the same (now-quiet) path, with retention:
+    // the old clock-based name ('b<millis>…') sorted BEFORE every 'ep'
+    // snapshot, so retention evicted the just-published batch snapshot
+    // and the pointer fallback preferred stale streaming state — the
+    // slot-numbered name must sort AFTER everything already there
+    sampleDf.write.format("graft-wrapped")
+      .option("groupCol", "county").option("retain", "1")
+      .mode("overwrite").save(dir)
+    val after = snapshotNames(dir)
+    assert(after.size == 1, s"retain=1 must keep exactly the batch publish: $after")
+    assert(streamed.forall(_ < after.head),
+      s"batch snapshot ${after.head} must sort after streamed $streamed")
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "current")), "UTF-8").trim
+    assert(ptr == after.head, s"pointer $ptr must name the batch publish")
+    // and the published content is the batch data, resolvable by a reader
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val resolved = graft.io.WrappedPublish.resolveCurrent(
+      root.getFileSystem(spark.sessionState.newHadoopConf()), root)
+    assert(resolved.exists(_.getName == after.head), resolved.toString)
+  }
+
   test("A12 DSv2 sink streaming: change-gated epochs — unchanged state mints no snapshot, replay of a skipped epoch is a no-op") {
     import org.apache.spark.sql.types._
     val dir = tempDir("wrapped_stream_gate")
