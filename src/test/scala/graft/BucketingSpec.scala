@@ -6,7 +6,30 @@ import graft.sources.Tables
 
 class BucketingSpec extends SparkSpec {
 
-  test("B16 bucketed tables join with no exchange (co-located join)") {
+  /** Flake forensics: this suite intermittently failed under FULL-suite
+    * load in r10 (2 of 4 runs; always green in isolation and in the
+    * other full runs) and the truncated CI logs never captured WHICH
+    * assertion tripped. Until it reproduces, every failure here lands
+    * its full exception + executed-plan context in
+    * `target/bucketing_flake_<test>.txt` so the next occurrence
+    * self-documents instead of vanishing into a tail-truncated log.
+    * No assertion is weakened — the wrapper only records and
+    * rethrows. */
+  private def recorded(name: String)(body: => Unit): Unit =
+    try body catch {
+      case e: Throwable =>
+        try {
+          val dir = java.nio.file.Paths.get("target")
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.writeString(
+            dir.resolve(s"bucketing_flake_$name.txt"),
+            s"${java.time.Instant.now()}\n${e.getClass.getName}: ${e.getMessage}\n" +
+              e.getStackTrace.take(25).mkString("", "\n", "\n"))
+        } catch { case _: Exception => () }
+        throw e
+    }
+
+  test("B16 bucketed tables join with no exchange (co-located join)") { recorded("colocated") {
     Bucketing.writeBucketed(
       Tables.orders(spark, sfDir), "b_orders", Seq("o_custkey"), 8, Seq("o_custkey"))
     Bucketing.writeBucketed(
@@ -24,9 +47,9 @@ class BucketingSpec extends SparkSpec {
       // and the result is still correct
       assert(joined.count() == Tables.orders(spark, sfDir).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-  }
+  } }
 
-  test("B16 failed overwrite leaves the previous table fully queryable (swap contract)") {
+  test("B16 failed overwrite leaves the previous table fully queryable (swap contract)") { recorded("swap") {
     val table = graft.util.Fixtures.tableName("swap_test")
     import spark.implicits._
     Bucketing.writeBucketed(
@@ -54,9 +77,9 @@ class BucketingSpec extends SparkSpec {
       .filter(col("col_name") === "Num Buckets").select("data_type")
       .collect().map(_.getString(0))
     assert(buckets.sameElements(Array("4")), s"bucket spec must survive the swap: ${buckets.toSeq}")
-  }
+  } }
 
-  test("B16 oracle demo joins with no exchange on the join keys") {
+  test("B16 oracle demo joins with no exchange on the join keys") { recorded("oracle_demo") {
     // the driver-checked query (Analytics.bucketedColocatedJoin) must
     // itself take the co-located path: zero exchange on the JOIN keys —
     // the only exchanges left are the downstream groupBy/orderBy on
@@ -69,5 +92,5 @@ class BucketingSpec extends SparkSpec {
       assert(!plan.contains(s"Exchange hashpartitioning($k"),
         s"bucketed demo must not shuffle on $k:\n" +
           plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
-  }
+  } }
 }
