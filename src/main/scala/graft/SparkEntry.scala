@@ -135,6 +135,7 @@ object SparkEntry {
     "stream_interval_join_parity" -> (graft.streaming.StreamParity.streamIntervalJoinParity(_, _)),
     "stream_session_parity" -> (graft.streaming.StreamParity.streamSessionParity(_, _)),
     "stream_topk_ngrams_parity" -> (graft.streaming.StreamParity.streamTopkNgramsParity(_, _)),
+    "stream_contamination_parity" -> (graft.streaming.StreamParity.streamContaminationParity(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -191,6 +192,8 @@ object SparkEntry {
       "stream_dedup_parity"  -> m("dedup_minhash_lsh"),
       // D7: incremental heavy hitters land on the batch answer
       "stream_topk_ngrams_parity" -> m("topk_ngrams"),
+      // D8: the streaming decontamination gate lands on C21's answer
+      "stream_contamination_parity" -> m("contamination_check"),
       // D2: the doubled stream dedups back to the table itself
       "stream_dedup_state_parity" ->
         """SELECT event_id, ts, user_id, event_type, value

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -52,6 +52,34 @@ object EventStream {
         col(textCol), lit(n), lit(false))).as("ngram"))
       .groupBy(col("ngram"), col(idCol))
       .agg(count(lit(1)).as("n_in_doc"))
+
+  /** D8: streaming decontamination gate — C21's streaming twin, the
+    * production direction of the train-test-overlap scan: benchmark
+    * shingle hashes are a STATIC dimension table (eval sets are
+    * bounded), arriving documents hash their distinct shingles IN-ROW
+    * (each doc is one row, so per-doc distinctness needs no state),
+    * stream-static left join marks the hits, and one streaming
+    * aggregation keyed by doc id folds them into the contamination
+    * ratio — new crawl data is gated before it ever lands. State is
+    * one counter pair per in-flight doc; the parity row proves the
+    * incremental fold lands on C21's exact batch answer. */
+  def contaminationGate(docs: DataFrame, benchHashes: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleN: Int = 3, flagThreshold: Double = 0.2,
+                        tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    docs.select(col(idCol),
+        explode(array_distinct(transform(
+          call_function("graft_shingles", col(textCol), lit(shingleN), lit(true)),
+          s => tokenHash(s)))).as("_h"))
+      .join(benchHashes.select(col("_h")).distinct().withColumn("_hit", lit(1L)),
+        Seq("_h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          col("n_contaminated").cast("double") / col("n_shingles")).otherwise(0.0))
+      .withColumn("flagged", col("contamination") >= flagThreshold)
 
   /** D2: streaming dedup with watermark-bounded key state. */
   def dedupWithinWatermark(events: DataFrame, idCol: String,

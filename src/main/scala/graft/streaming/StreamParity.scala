@@ -143,6 +143,35 @@ object StreamParity {
       .limit(25)
   }
 
+  /** D8 ↔ C21: the documents table streamed through
+    * [[EventStream.contaminationGate]] against the static benchmark
+    * slice (doc_id % 20, the C21 fixture), final per-doc counter
+    * state read via a complete-mode memory sink. The benchmark hash
+    * table is computed ONCE as a batch table (eval sets are static);
+    * the per-doc ratios must land on C21's exact batch answer no
+    * matter how the replay splits documents into micro-batches (each
+    * doc's shingles arrive in one row, so its counters are complete
+    * the moment it is processed) — answers to the
+    * contamination_check oracle verbatim. */
+  def streamContaminationParity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+      .select(explode(graft.functions.Text.shingles(col("text"), 3)).as("_sh"))
+      .select(graft.functions.Vec.md5Hash60(col("_sh")).as("_h"))
+    val src = fileStream(docs, s"scontam_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
+    val view = s"graft_scontam_${Fixtures.runId}"
+    spark.catalog.dropTempView(view) // re-invocation reuses the name
+    withStateParallelism(spark, 8) {
+      val q = EventStream.contaminationGate(src, bench, "doc_id", "text",
+          shingleN = 3, flagThreshold = 0.2,
+          tokenHash = graft.functions.Vec.md5Hash60)
+        .writeStream.format("memory").queryName(view)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(view).orderBy("doc_id")
+  }
+
   /** D5 ↔ A12: orders streamed through an update-mode aggregate into
     * the [[EventStream.upsertBatch]] snapshot sink; the final committed
     * snapshot ([[EventStream.readLatestState]]) must render the exact

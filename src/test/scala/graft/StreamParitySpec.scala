@@ -27,6 +27,13 @@ class StreamParitySpec extends SparkSpec {
       s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
   }
 
+  test("D8 parity: streaming decontamination gate lands on the batch contamination check") {
+    val streamed = rows(StreamParity.streamContaminationParity(spark, sfDir))
+    val batch = rows(TextDemos.contaminationCheck(spark, sfDir))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
+  }
+
   test("D5 parity: upsert sink's final snapshot renders A12's wrapped export") {
     val streamed = rows(StreamParity.streamUpsertParity(spark, sfDir))
     val batch = rows(RefDemos.wrappedExport(spark, sfDir))
