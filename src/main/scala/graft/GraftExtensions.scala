@@ -66,6 +66,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.expressions.ZhStreetArabic(children(0), nullIfUnchanged = true)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[graft.expressions.KmvSketch].getName, "graft_kmv"),
+      (children: Seq[Expression]) =>
+        graft.expressions.KmvSketch(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_gram"),
       new ExpressionInfo(classOf[graft.expressions.VecGram].getName, "graft_gram"),
       (children: Seq[Expression]) =>

@@ -94,6 +94,7 @@ object SparkEntry {
     "hash_split"           -> (TextDemos.hashSplit(_, _)),
     "pii_scrub"            -> (TextDemos.piiScrub(_, _)),
     "contamination_check"  -> (TextDemos.contaminationCheck(_, _)),
+    "corpus_overlap_kmv"   -> (TextDemos.corpusOverlapKmv(_, _)),
     "sequence_pack"        -> (TextDemos.sequencePack(_, _)),
     "url_blocklist_filter" -> (TextDemos.urlBlocklistFilter(_, _)),
     "outlier_bounds_filter" -> (TextDemos.outlierBoundsFilter(_, _)),
@@ -734,6 +735,7 @@ object SparkEntry {
     "geocode_candidates" -> graft.oracle.OracleGen.geocodeCandidatesSql(),
     "geocode_street_centroid" -> graft.oracle.OracleGen.streetCentroidSql(),
     "contamination_check" -> graft.oracle.OracleGen.contaminationCheckSql(),
+    "corpus_overlap_kmv" -> graft.oracle.OracleGen.corpusOverlapKmvSql(),
     "sequence_pack"      -> graft.oracle.OracleGen.sequencePackSql(),
     "geocode_validate"   -> graft.oracle.OracleGen.geocodeValidateSql(),
 

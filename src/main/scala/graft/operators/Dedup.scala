@@ -411,6 +411,68 @@ object Dedup {
       .withColumn("flagged", col("contamination") >= flagThreshold)
   }
 
+  /** C58 — KMV corpus-overlap triage: estimate two corpora's distinct
+    * shingle cardinalities and Jaccard overlap from two k-long
+    * [[graft.expressions.KmvSketch]] sketches, WITHOUT joining them.
+    *
+    * This is the scale gate in front of [[contaminationCheck]]: the
+    * exact scan shuffle-joins every distinct corpus shingle hash
+    * against the benchmark; at 100 TB that is the corpus's whole
+    * distinct-hash set through the network, even when the answer is
+    * "no overlap". The KMV form reduces EACH corpus map-side to ≤ k
+    * longs per partition (ObjectHashAggregate partial), ships two
+    * k-long arrays to one combiner, and estimates
+    *
+    *   D̂(X)    = (k-1) / U_(k)                 (kth smallest, normalized)
+    *   Ĵ(A,B)  = |KMV_k(A ∪ B) ∩ A ∩ B| / |KMV_k(A ∪ B)|
+    *   |A ∩ B|̂ = Ĵ · D̂(A ∪ B)
+    *
+    * (Beyer et al., SIGMOD 2007). Every number is a deterministic
+    * function of exact order statistics — below k distinct values the
+    * sketch IS the set and the "estimates" are exact — so the driver's
+    * DuckDB gate verifies this row value-for-value.
+    *
+    * `hashLo`/`hashSpan` describe the hash's output interval for the
+    * normalization (md5-60: [0, 2^60); xxhash64: [-2^63, 2^63)).
+    * Returns ONE row: sketch sizes, the three distinct-count
+    * estimates, the match count, Ĵ, and the intersection estimate. */
+  def corpusOverlapKmv(corpusA: DataFrame, corpusB: DataFrame,
+                       textCol: String, shingleN: Int = 3, k: Int = 1024,
+                       tokenHash: Column => Column = xxhash64(_),
+                       hashLo: Double = -9.223372036854775808E18,
+                       hashSpan: Double = 1.8446744073709551616E19,
+                       shingler: (Column, Int) => Column = Text.shingles): DataFrame = {
+    def sketch(df: DataFrame, as: String): DataFrame =
+      df.select(explode(shingler(col(textCol), shingleN)).as("_sh"))
+        .select(tokenHash(col("_sh")).as("_h"))
+        .agg(call_function("graft_kmv", col("_h"), lit(k)).as(as))
+    // (k-1)/U_(k) with U_(k) = (max - lo)/span; exact below k. The
+    // arithmetic shape ((k-1)*span, then one divide) is mirrored
+    // verbatim in the oracle SQL — IEEE ops are exactly rounded, so
+    // identical shapes give identical doubles in any engine.
+    def estDistinct(arr: Column): Column =
+      when(size(arr) < k, size(arr).cast("double"))
+        .otherwise(lit((k - 1).toDouble * hashSpan) /
+          (element_at(arr, k).cast("double") - lit(hashLo)))
+    sketch(corpusA, "ka").crossJoin(sketch(corpusB, "kb")) // 1 row × 1 row
+      .withColumn("u", slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+      .withColumn("n_match",
+        size(array_intersect(col("u"), array_intersect(col("ka"), col("kb")))).cast("long"))
+      .withColumn("est_jaccard",
+        when(size(col("u")) > 0,
+          col("n_match").cast("double") / size(col("u"))).otherwise(0.0))
+      .select(
+        lit(k.toLong).as("k"),
+        size(col("ka")).cast("long").as("ka_size"),
+        size(col("kb")).cast("long").as("kb_size"),
+        estDistinct(col("ka")).as("est_distinct_a"),
+        estDistinct(col("kb")).as("est_distinct_b"),
+        estDistinct(col("u")).as("est_distinct_union"),
+        col("n_match"),
+        col("est_jaccard"),
+        (col("est_jaccard") * estDistinct(col("u"))).as("est_intersection"))
+  }
+
   /** Cross-document repeated-chunk removal — the "line dedup" /
     * boilerplate scrub of web-corpus cleaning (CCNet/RefinedWeb drop
     * lines repeated across many pages: headers, footers, cookie

@@ -635,6 +635,21 @@ object TextDemos {
       .orderBy("doc_id")
   }
 
+  /** C58 — KMV corpus-overlap triage over the C21 fixture: the
+    * non-benchmark corpus vs the benchmark slice (doc_id % 20), k=1024
+    * sketches of their 3-shingle md5-60 hash sets, one summary row of
+    * cardinality/Jaccard/intersection estimates. The scale gate that
+    * decides whether the exact contamination scan is worth its
+    * shuffle. md5-60 for oracle parity (production: xxhash64). */
+  def corpusOverlapKmv(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.corpusOverlapKmv(
+      docs.filter(col("doc_id") % 20 =!= 0), docs.filter(col("doc_id") % 20 === 0),
+      "text", shingleN = 3, k = 1024,
+      tokenHash = graft.functions.Vec.md5Hash60,
+      hashLo = 0.0, hashSpan = 1.152921504606846976E18)
+  }
+
   /** C22 — concat-and-chunk sequence packing into 2048-token context
     * windows, independently per shard (doc_id % 4 stands in for the
     * hash-split shard key). */

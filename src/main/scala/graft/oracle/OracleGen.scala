@@ -1594,6 +1594,50 @@ object OracleGen {
        |  (CASE WHEN n_shingles > 0 THEN CAST(n_contaminated AS DOUBLE) / n_shingles ELSE 0.0 END) >= $threshold AS flagged
        |FROM j ORDER BY doc_id""".stripMargin
 
+  /** mirror of TextDemos.corpusOverlapKmv: per-corpus KMV sketch =
+    * `SELECT DISTINCT h ORDER BY h LIMIT k` (the sketch is a pure
+    * order statistic, so SQL reproduces it exactly); estimator
+    * arithmetic mirrors Dedup.corpusOverlapKmv shape-for-shape —
+    * (k-1)*span as one folded product, then one divide — so the IEEE
+    * doubles match bit-for-bit. md5-60 hash, span 2^60, lo 0. */
+  def corpusOverlapKmvSql(k: Int = 1024): String = {
+    // CASE WHEN size < k THEN exact ELSE (k-1)*2^60 / (max - 0.0)
+    def est(sizeCol: String, maxCol: String) =
+      s"""CASE WHEN $sizeCol < $k THEN CAST($sizeCol AS DOUBLE)
+         |       ELSE ${k - 1}.0 * 1152921504606846976.0 / (CAST($maxCol AS DOUBLE) - 0.0) END""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t
+       |), ex AS (
+       |  SELECT doc_id, ${md560("tok")} AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS tok FROM s WHERE len(sh) > 0)
+       |), ka AS (SELECT DISTINCT h FROM ex WHERE doc_id % 20 <> 0 ORDER BY h LIMIT $k
+       |), kb AS (SELECT DISTINCT h FROM ex WHERE doc_id % 20 = 0 ORDER BY h LIMIT $k
+       |), u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT $k
+       |), z AS (SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ka) AS ka_size,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM kb) AS kb_size,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS u_size,
+       |  (SELECT MAX(h) FROM ka) AS ka_max,
+       |  (SELECT MAX(h) FROM kb) AS kb_max,
+       |  (SELECT MAX(h) FROM u) AS u_max,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM u
+       |     WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)) AS n_match
+       |), e AS (SELECT *,
+       |  CASE WHEN u_size > 0 THEN CAST(n_match AS DOUBLE) / u_size ELSE 0.0 END AS est_jaccard,
+       |  ${est("ka_size", "ka_max")} AS est_distinct_a,
+       |  ${est("kb_size", "kb_max")} AS est_distinct_b,
+       |  ${est("u_size", "u_max")} AS est_distinct_union
+       |  FROM z)
+       |SELECT CAST($k AS BIGINT) AS k, ka_size, kb_size,
+       |  est_distinct_a, est_distinct_b, est_distinct_union, n_match, est_jaccard,
+       |  est_jaccard * est_distinct_union AS est_intersection
+       |FROM e""".stripMargin
+  }
+
   /** mirror of TextDemos.sequencePack (capacity 2048, shard = doc_id % 4) */
   def sequencePackSql(capacity: Int = 2048): String =
     s"""WITH d AS (
