@@ -114,6 +114,7 @@ object SparkEntry {
     "temperature_mix"      -> (TextDemos.temperatureMix(_, _)),
     "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
     "knn_graph"            -> (TextDemos.knnGraphDemo(_, _)),
+    "pagerank_centrality"  -> (TextDemos.pagerankCentrality(_, _)),
     "chunk_overlap"        -> (TextDemos.chunkOverlapDemo(_, _)),
     "cdc_chunk_dedup"      -> (TextDemos.cdcChunkDedup(_, _)),
     "phrase_blocklist_scan" -> (TextDemos.phraseBlocklistScan(_, _)),
@@ -924,6 +925,7 @@ object SparkEntry {
     "winnow_fingerprint" -> graft.oracle.OracleGen.winnowFingerprintSql(),
     "quality_classifier" -> graft.oracle.OracleGen.logregScoreSql(),
     "knn_graph"          -> graft.oracle.OracleGen.knnGraphSql(),
+    "pagerank_centrality" -> graft.oracle.OracleGen.pagerankCentralitySql(),
 
     // sliding-window chunking: starts = range(0, n, stride); chunk_idx
     // = start/stride (starts are exact multiples, so the integer

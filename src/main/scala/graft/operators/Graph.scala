@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality for corpus curation.
+  *
+  * Web-pipeline lineage: CCNet/RefinedWeb-class curation weights
+  * sources by link-graph centrality (Common Crawl publishes harmonic
+  * centrality for exactly this); inside a corpus, the same signal
+  * over the document similarity graph (C46's mutual-kNN edges) scores
+  * how "central" each document is to its corpus — hubs are
+  * representative, isolated nodes are outliers — feeding
+  * centrality-weighted sampling the way [[Sampling.sourceQualityGate]]
+  * consumes quality scores.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over a directed edge list, in EXACT
+    * scaled-integer arithmetic.
+    *
+    * Two design decisions carry this to 100 TB:
+    *
+    *  1. **One lazy DAG, zero per-iteration job barriers.** The
+    *     iteration count is fixed up front (the standard production
+    *     form — convergence checks cost a driver action per round),
+    *     so the whole unrolled recurrence is ONE declarative plan:
+    *     rank_i joins edges, aggregates, and feeds rank_{i+1} with no
+    *     driver decision between rounds — Spark schedules the full
+    *     pipeline as one job (contrast the classifier/BPE round loops,
+    *     whose argmax IS a per-round driver decision). Each round's
+    *     rank table takes a LAZY localCheckpoint: it feeds two
+    *     consumers in round i+1 (contributions and dangling mass), so
+    *     a plain plan would double per round — 2^iters copies of the
+    *     upstream lineage at analysis time — while the checkpoint
+    *     truncates the logical plan and the underlying RDD DAG shares
+    *     rounds by reference.
+    *
+    *  2. **Scaled-integer ranks (`scale` = 10^15), not doubles.**
+    *     Float PageRank ties the result to an unguaranteed summation
+    *     order; here rank mass is a BIGINT in units of 10^-15, every
+    *     contribution is an integer `DIV`, and sums of longs are
+    *     order-free — any engine, any partitioning, any fold order
+    *     produces identical bits (the rand_proj_reduce discipline).
+    *     The floor losses are the DEFINED semantics, mirrored
+    *     verbatim by the DuckDB oracle's `//`. Max intermediate is
+    *     dampNum · 2·scale ≈ 1.7e17 ≪ 2^63.
+    *
+    * Per iteration: r'(v) = ((dampDen-dampNum)·S DIV n
+    *                         + dampNum · (Σ_{u→v} r(u) DIV outdeg(u)
+    *                                      + dangling DIV n)) DIV dampDen
+    * where dangling = Σ r(u) over nodes with no out-edges (their mass
+    * redistributes uniformly — the standard dangling-node treatment).
+    *
+    * Shuffle shape: edges persist once with out-degrees attached
+    * (8-byte ids — document text never moves); each round shuffles
+    * (id, long) pairs on the node key, map-side combinable. At 100 TB
+    * pre-partition `edges` by src so every round's join is
+    * co-partitioned.
+    *
+    * `edges` must be DIRECTED (src, dst) — pass both directions for an
+    * undirected graph. `nodes` fixes the vertex set (isolated nodes
+    * keep teleport mass). Returns (id, rank_e15, rank). */
+  def pageRank(nodes0: DataFrame, edges: DataFrame, idCol: String,
+               srcCol: String = "src", dstCol: String = "dst",
+               iters: Int = 6, dampNum: Long = 85L, dampDen: Long = 100L,
+               scale: Long = 1000000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen out of [0, 1]")
+    val nodes = graft.util.CacheRegistry.register(
+      nodes0.select(col(idCol).as("id")).persist())
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty node set")
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val odeg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // edges with out-degree attached, persisted once, reused per round
+    val eo = graft.util.CacheRegistry.register(ed.join(odeg, "src").persist())
+    val odegOnly = eo.select(col("src")).distinct()
+    var r = nodes.withColumn("r", lit(scale / n))
+    for (_ <- 1 to iters) {
+      // rank lineage contains the edge table after round 1 — alias
+      // both sides so the re-join's attributes stay unambiguous
+      val contrib = r.as("rr").join(eo.as("ee"), col("rr.id") === col("ee.src"))
+        .select(col("ee.dst").as("id"), expr("rr.r DIV ee.outdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("contrib"))
+      val dang = r.as("rr")
+        .join(odegOnly.as("oo"), col("rr.id") === col("oo.src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      // LAZY localCheckpoint, not persist: rank_{i-1} appears twice in
+      // rank_i's plan, so a pure-persist formulation doubles the
+      // LOGICAL plan per round (2^iters copies of the upstream
+      // lineage — analysis and plan rendering blow up long before
+      // execution). localCheckpoint truncates the logical plan to the
+      // round's RDD; the RDD DAG underneath is shared by reference
+      // (a DAG, not a tree) and eager=false keeps the whole
+      // recurrence a single job.
+      r = nodes.crossJoin(dang) // one-row broadcast
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"), expr(
+          s"(${(dampDen - dampNum) * scale} DIV $n + $dampNum * " +
+            s"(coalesce(contrib, CAST(0 AS BIGINT)) + dang DIV $n)) DIV $dampDen")
+          .as("r"))
+        .localCheckpoint(false)
+    }
+    r.select(col("id"), col("r").as("rank_e15"),
+      (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
+  }
+}

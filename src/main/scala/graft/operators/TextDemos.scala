@@ -808,6 +808,25 @@ object TextDemos {
       .withColumn("sim", round(col("sim"), 6))
       .orderBy("id_a", "id_b")
 
+  /** C68 — PageRank centrality over the C46 mutual-kNN document graph
+    * (the in-corpus analog of CCNet-class link-centrality source
+    * weighting): undirected edges walked both ways, 6 fixed rounds of
+    * [[Graph.pageRank]]'s exact scaled-integer recurrence — one lazy
+    * DAG, no per-round driver barrier. Hubs score high (corpus-
+    * representative), isolated vectors keep only teleport mass. */
+  def pagerankCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val mut = graft.util.CacheRegistry.register(
+      Similarity.mutualKnnEdges(
+        Similarity.knnGraph(Tables.embeddings(spark, dir),
+          "vec_id", "embedding", k = 5, nPlanes = 8, dim = 64))
+        .select(col("id_a"), col("id_b")).persist())
+    val directed = mut.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(mut.select(col("id_b").as("src"), col("id_a").as("dst")))
+    Graph.pageRank(Tables.embeddings(spark, dir).select(col("vec_id")),
+        directed, "vec_id", iters = 6)
+      .orderBy("id")
+  }
+
   /** C45 — in-engine quality classifier: logistic regression on 1024
     * hashed binary unigram buckets, trained by 12 relational
     * full-batch GD rounds at lr 20, then every doc scored by the

@@ -590,11 +590,20 @@ object OracleGen {
     * corpus on both sides, self-pairs excluded before ranking, then
     * the mutual (both-directions top-k) symmetrization. */
   def knnGraphSql(nPlanes: Int = 8, dim: Int = 64, k: Int = 5,
-                  probeBits: Int = 1): String = {
+                  probeBits: Int = 1): String =
+    s"""WITH ${knnTopCtes(nPlanes, dim, k, probeBits)}
+       |SELECT a.query_id AS id_a, a.cand_id AS id_b, round(a.sim, 6) AS sim
+       |FROM t a JOIN t b ON a.query_id = b.cand_id AND a.cand_id = b.query_id
+       |WHERE a.query_id < a.cand_id
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** the LSH-probed top-k chain (through CTE `t`) shared by
+    * knnGraphSql and pagerankCentralitySql */
+  private def knnTopCtes(nPlanes: Int, dim: Int, k: Int, probeBits: Int): String = {
     val planes = Vec.hyperplanes(nPlanes, dim)
     val flips = graft.operators.Similarity.hammingBallMasks(nPlanes, probeBits)
       .mkString("[", ", ", "]")
-    s"""WITH c0 AS (SELECT vec_id, embedding FROM embeddings),
+    s"""c0 AS (SELECT vec_id, embedding FROM embeddings),
        |cb AS MATERIALIZED (SELECT vec_id AS cand_id, embedding AS cv,
        |       ${bucketExpr("embedding", planes)} AS bucket FROM c0),
        |qb AS (SELECT cand_id AS query_id, cv AS qv, xor(bucket, u.f) AS bucket
@@ -605,11 +614,44 @@ object OracleGen {
        |      SELECT query_id, cand_id, sim,
        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
        |      FROM x),
-       |t AS (SELECT query_id, cand_id, sim FROM r WHERE rank <= $k)
-       |SELECT a.query_id AS id_a, a.cand_id AS id_b, round(a.sim, 6) AS sim
-       |FROM t a JOIN t b ON a.query_id = b.cand_id AND a.cand_id = b.query_id
-       |WHERE a.query_id < a.cand_id
-       |ORDER BY id_a, id_b""".stripMargin
+       |t AS (SELECT query_id, cand_id, sim FROM r WHERE rank <= $k)""".stripMargin
+  }
+
+  /** mirror of TextDemos.pagerankCentrality: the C46 mutual-kNN edge
+    * chain, both directions, then `iters` unrolled PageRank rounds in
+    * the SAME scaled-integer arithmetic as Graph.pageRank — BIGINT
+    * ranks in units of 10^-15, `//` mirroring Spark's `DIV`, sums
+    * CAST back from HUGEINT. Every value is exact integer math, so
+    * the match is bit-for-bit (the rank double is one mirrored IEEE
+    * divide at the end). */
+  def pagerankCentralitySql(iters: Int = 6, nPlanes: Int = 8, dim: Int = 64,
+                            k: Int = 5, probeBits: Int = 1,
+                            dampNum: Long = 85L, dampDen: Long = 100L,
+                            scale: Long = 1000000000000000L): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, CAST(SUM(r.r // o.outdeg) AS BIGINT) AS contrib
+         |      FROM r${i - 1} r JOIN ed e ON r.id = e.src JOIN odeg o ON e.src = o.src
+         |      GROUP BY e.dst),
+         |d$i AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dang
+         |      FROM r${i - 1} r WHERE r.id NOT IN (SELECT src FROM odeg)),
+         |r$i AS (SELECT n0.id,
+         |        ((${(dampDen - dampNum) * scale} // nn.n) + $dampNum *
+         |         (COALESCE(c.contrib, CAST(0 AS BIGINT)) + d.dang // nn.n)) // $dampDen AS r
+         |      FROM nodes n0 CROSS JOIN nn CROSS JOIN d$i d LEFT JOIN c$i c ON n0.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnTopCtes(nPlanes, dim, k, probeBits)},
+       |mut AS (SELECT a.query_id AS id_a, a.cand_id AS id_b
+       |        FROM t a JOIN t b ON a.query_id = b.cand_id AND a.cand_id = b.query_id
+       |        WHERE a.query_id < a.cand_id),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM mut
+       |       UNION ALL SELECT id_b AS src, id_a AS dst FROM mut),
+       |nodes AS (SELECT vec_id AS id FROM embeddings),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |odeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM ed GROUP BY src),
+       |r0 AS (SELECT id, CAST($scale AS BIGINT) // (SELECT n FROM nn) AS r FROM nodes),
+       |$rounds
+       |SELECT id, r AS rank_e15, CAST(r AS DOUBLE) / $scale.0 AS rank
+       |FROM r$iters ORDER BY id""".stripMargin
   }
 
   private val centroidsCore =
