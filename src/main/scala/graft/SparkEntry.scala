@@ -123,6 +123,7 @@ object SparkEntry {
     "salted_skew_join"     -> (Analytics.saltedSkewJoinDemo(_, _)),
     "bucketed_colocated_join" -> (Analytics.bucketedColocatedJoin(_, _)),
     "paged_ingest"         -> (RefDemos.pagedIngest(_, _)),
+    "warc_ingest"          -> (RefDemos.warcIngest(_, _)),
     "wrapped_export"       -> (RefDemos.wrappedExport(_, _)),
     "gopher_quality"       -> (TextDemos.gopherQuality(_, _)),
     "llm_pipeline_e2e"     -> (TextDemos.llmPipelineE2e(_, _)),
@@ -1349,6 +1350,16 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment,
         |       CAST((ROW_NUMBER() OVER (ORDER BY c_custkey) - 1) // 200 AS INT) AS _page
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // C69: the WARC envelope is deterministic, so the oracle recomputes
+    // every surfaced column from the table (the Spark side goes through
+    // real .warc shards + header parse + Content-Length framing)
+    "warc_ingest" ->
+      """SELECT 'urn:graft:doc-' || doc_id AS record_id,
+        |       'https://graft.example/doc/' || doc_id AS target_uri,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        |       text, doc_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "scd2_history" ->
       """WITH log AS (

@@ -420,4 +420,34 @@ object RefDemos {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("_page"))
       .orderBy("c_custkey")
   }
+
+  /** C69 — WARC ingest (the Common Crawl container) through the
+    * `graft-warc` DataSource V2 format: the documents table lands as
+    * 4 real .warc shards (distributed [[graft.sources.WarcIO]] write,
+    * run-scoped fixture), then the registered format reads them back
+    * with the `warc_type = 'resource'` predicate PUSHED INTO the
+    * source — each shard's warcinfo head record is skipped at the
+    * header, its payload bytes never materialize. The oracle
+    * recomputes every surfaced column straight from the table, so the
+    * row gates the whole envelope chain: header parse →
+    * Content-Length framing (byte-exact, non-ASCII included) →
+    * payload → UTF-8 round-trip. */
+  def warcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val warcDir = graft.util.Fixtures.dir(s"warc_${new java.io.File(dir).getName}")
+    graft.util.Fixtures.buildOnce(warcDir) {
+      graft.sources.WarcIO.writeShards(
+        docs.select(
+          concat(lit("urn:graft:doc-"), col("doc_id").cast("string")).as("record_id"),
+          concat(lit("https://graft.example/doc/"), col("doc_id").cast("string")).as("target_uri"),
+          encode(col("text"), "UTF-8").as("payload")),
+        warcDir.toString, nShards = 4)
+    }
+    spark.read.format("graft-warc").load(warcDir.toString)
+      .filter(col("warc_type") === "resource") // pushed: warcinfo skipped at the header
+      .select(col("record_id"), col("target_uri"), col("content_length"),
+        col("payload").cast("string").as("text"))
+      .withColumn("doc_id", regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long"))
+      .orderBy("doc_id")
+  }
 }

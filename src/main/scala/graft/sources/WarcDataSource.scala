@@ -1,0 +1,274 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException, InputStream}
+import java.util
+import java.util.zip.GZIPInputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** WARC (ISO 28500) ingest as a DataSource V2 batch format — the
+  * container Common Crawl and every web-archive pipeline ships, i.e.
+  * the first file a 100 TB pretraining corpus actually arrives in:
+  *
+  * {{{
+  * spark.read.format("graft-warc").load("/crawl/segment/")
+  *   .filter($"warc_type" === "response")
+  *   .select($"target_uri", $"payload")
+  * }}}
+  *
+  * **Partitioning.** One input partition per .warc/.warc.gz file:
+  * WARC gzip is member-per-record but member boundaries are not
+  * indexed, so the format is treated as non-splittable — the industry
+  * posture (Common Crawl ships ~1 GB segment files precisely so that
+  * file-level parallelism saturates a cluster; at 100 TB that is
+  * ~100k files across executors).
+  *
+  * **Pushdown that matters for this format.** The record header
+  * carries `Content-Length`, so a record can be SKIPPED without ever
+  * materializing its payload:
+  *
+  *  - `SupportsPushDownFilters`: `warc_type = '<v>'` evaluates on the
+  *    parsed header alone — filtered-out records cost a header parse
+  *    plus an InputStream.skip, no payload bytes are allocated or
+  *    copied. (The standard crawl read keeps only `response` /
+  *    `resource` records and drops `warcinfo`/`request`/`metadata`
+  *    siblings — typically half the records.)
+  *  - `SupportsPushDownRequiredColumns`: a projection without
+  *    `payload` (URL inventories, type histograms) skips EVERY
+  *    payload — the scan touches headers only.
+  *
+  * Both show in `.explain` (`PushedFilters`, pruned read schema), and
+  * leftover predicates stay post-scan — Catalyst semantics unchanged.
+  *
+  * **Parsing** is strict on the envelope (version line, blank-line
+  * separator, mandatory Content-Length — a malformed envelope
+  * desynchronizes every later record, so it fails loudly with file +
+  * offset context) and lenient between records (any number of CRLFs).
+  * Multi-member gzip decodes through JDK GZIPInputStream, which
+  * consumes concatenated members natively.
+  *
+  * Writing WARC back out is fixture/test tooling ([[WarcIO]]) — the
+  * production direction is ingest. A first-class WARC SINK would
+  * follow the graft-wrapped commit protocol (temp shards + driver
+  * manifest) if a use case appears.
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.SCHEMA
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    require(schema == WarcDataSource.SCHEMA,
+      s"graft-warc serves the fixed WARC record schema; got $schema")
+    val opts = properties.asScala.toMap
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val path = opts.getOrElse("path", throw new IllegalArgumentException(
+      "graft-warc: missing path (pass it to .load(path))"))
+    new WarcTable(path)
+  }
+}
+
+object WarcDataSource {
+  val SCHEMA: StructType = new StructType()
+    .add("warc_type", StringType, nullable = false)
+    .add("record_id", StringType, nullable = false)
+    .add("target_uri", StringType, nullable = true)
+    .add("warc_date", StringType, nullable = true)
+    .add("content_type", StringType, nullable = true)
+    .add("content_length", LongType, nullable = false)
+    .add("payload", BinaryType, nullable = false)
+    .add("source_file", StringType, nullable = false)
+}
+
+private[sources] class WarcTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-warc($path)"
+  override def schema(): StructType = WarcDataSource.SCHEMA
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(path)
+}
+
+private[sources] class WarcScanBuilder(path: String)
+  extends ScanBuilder with Scan with Batch
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = WarcDataSource.SCHEMA
+  private var typeEq: Option[String] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("warc_type", v: String) => typeEq = Some(v); true
+      case _ => false
+    }
+    pushed = accepted
+    rest // leftover predicates evaluate post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-warc($path) pushedType=${typeEq.getOrElse("-")}"
+
+  // driver-captured session conf, shipped to readers (object-store creds)
+  private val hconf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf.value)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".warc") || p.getName.endsWith(".warc.gz"))
+          .sortBy(_.toString)
+      else Array(root)
+    require(files.nonEmpty, s"graft-warc: no .warc/.warc.gz files under $path")
+    files.map(f => WarcPartition(f.toString): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val schema = required
+    val pushedType = typeEq
+    val conf = hconf
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new WarcReader(partition.asInstanceOf[WarcPartition].file, schema,
+          pushedType, conf)
+    }
+  }
+}
+
+private[sources] case class WarcPartition(file: String) extends InputPartition
+
+/** Streams one WARC file record by record. `needPayload`=false (the
+  * column pruned away, so also when only counting/inventorying) turns
+  * every payload into an InputStream.skip. */
+private[sources] class WarcReader(file: String, schema: StructType,
+                                  pushedType: Option[String],
+                                  hconf: SerializableConfiguration)
+  extends PartitionReader[InternalRow] {
+
+  private val fieldNames = schema.fieldNames
+  private val needPayload = fieldNames.contains("payload")
+
+  private val in: InputStream = {
+    val p = new Path(file)
+    val raw = p.getFileSystem(hconf.value).open(p)
+    new BufferedInputStream(
+      if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw, 1 << 16)
+  }
+  private var nRecords = 0L
+  private var current: InternalRow = _
+
+  /** one CRLF/LF-terminated header line; None at EOF */
+  private def readLine(): Option[String] = {
+    val buf = new ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b < 0) return None
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1
+            else bytes.length
+    Some(new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def fail(msg: String): Nothing = throw new java.io.IOException(
+    s"graft-warc: $msg (file=$file, after record $nRecords)")
+
+  private def readFully(n: Long): Array[Byte] = {
+    if (n > Int.MaxValue) fail(s"payload of $n bytes exceeds 2 GiB record cap")
+    val out = new Array[Byte](n.toInt)
+    var off = 0
+    while (off < out.length) {
+      val r = in.read(out, off, out.length - off)
+      if (r < 0) throw new EOFException(
+        s"graft-warc: truncated payload at $off/$n bytes (file=$file)")
+      off += r
+    }
+    out
+  }
+
+  private def skipFully(n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() < 0) throw new EOFException(
+        s"graft-warc: truncated payload while skipping (file=$file)")
+      else left -= 1
+    }
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      // lenient between records: swallow blank separator lines
+      var line = readLine()
+      while (line.contains("")) line = readLine()
+      line match {
+        case None => return false
+        case Some(v) if !v.startsWith("WARC/") =>
+          fail(s"expected WARC version line, got '${v.take(60)}'")
+        case Some(_) =>
+          val headers = scala.collection.mutable.Map.empty[String, String]
+          var h = readLine().getOrElse(fail("EOF inside record headers"))
+          while (h.nonEmpty) {
+            val i = h.indexOf(':')
+            if (i <= 0) fail(s"malformed header line '${h.take(60)}'")
+            headers += h.substring(0, i).trim.toLowerCase(
+              java.util.Locale.ROOT) -> h.substring(i + 1).trim
+            h = readLine().getOrElse(fail("EOF inside record headers"))
+          }
+          val len = headers.getOrElse("content-length",
+            fail("record missing mandatory Content-Length")).toLong
+          val wtype = headers.getOrElse("warc-type", fail("record missing WARC-Type"))
+          nRecords += 1
+          if (pushedType.exists(_ != wtype)) {
+            skipFully(len) // filtered out: headers only, payload skipped
+          } else {
+            val payload: Array[Byte] =
+              if (needPayload) readFully(len) else { skipFully(len); null }
+            def str(k: String): Any =
+              headers.get(k).map(UTF8String.fromString).orNull
+            current = InternalRow.fromSeq(fieldNames.map {
+              case "warc_type" => UTF8String.fromString(wtype)
+              case "record_id" => headers.get("warc-record-id")
+                .map(UTF8String.fromString)
+                .getOrElse(fail("record missing WARC-Record-ID"))
+              case "target_uri" => str("warc-target-uri")
+              case "warc_date" => str("warc-date")
+              case "content_type" => str("content-type")
+              case "content_length" => len
+              case "payload" => payload
+              case "source_file" => UTF8String.fromString(file)
+              case other => fail(s"unknown required column '$other'")
+            }.toIndexedSeq)
+            return true
+          }
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}
