@@ -95,6 +95,8 @@ object SparkEntry {
     "pii_scrub"            -> (TextDemos.piiScrub(_, _)),
     "contamination_check"  -> (TextDemos.contaminationCheck(_, _)),
     "corpus_overlap_kmv"   -> (TextDemos.corpusOverlapKmv(_, _)),
+    "corpus_diff"          -> (TextDemos.corpusDiff(_, _)),
+    "c4_filters"           -> (TextDemos.c4FiltersDemo(_, _)),
     "sequence_pack"        -> (TextDemos.sequencePack(_, _)),
     "url_blocklist_filter" -> (TextDemos.urlBlocklistFilter(_, _)),
     "outlier_bounds_filter" -> (TextDemos.outlierBoundsFilter(_, _)),
@@ -738,6 +740,28 @@ object SparkEntry {
     "geocode_street_centroid" -> graft.oracle.OracleGen.streetCentroidSql(),
     "contamination_check" -> graft.oracle.OracleGen.contaminationCheckSql(),
     "corpus_overlap_kmv" -> graft.oracle.OracleGen.corpusOverlapKmvSql(),
+    "c4_filters" -> graft.oracle.OracleGen.c4FiltersSql(),
+
+    // C71: the diff states are pure presence/equality logic, so the
+    // oracle recomputes them with a FULL OUTER JOIN on the raw text
+    // (the Spark side compares 128-bit content hashes - equivalent)
+    "corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2-edit' ELSE text END AS text
+        |       FROM documents WHERE doc_id % 5 <> 0),
+        |d AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |        CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |             WHEN v2.doc_id IS NULL THEN 'removed'
+        |             WHEN v1.text = v2.text THEN 'unchanged'
+        |             ELSE 'changed' END AS status
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id, status FROM d
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS doc_id,
+        |       'total:' || status || '=' || COUNT(*) AS status
+        |FROM d GROUP BY status
+        |ORDER BY doc_id, status""".stripMargin,
     "sequence_pack"      -> graft.oracle.OracleGen.sequencePackSql(),
     "geocode_validate"   -> graft.oracle.OracleGen.geocodeValidateSql(),
 

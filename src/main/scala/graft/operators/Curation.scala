@@ -14,6 +14,37 @@ import graft.functions.{Text, Vec}
   */
 object Curation {
 
+  /** C71 — corpus version diff: per document id, how version 2 of a
+    * corpus differs from version 1 (`added` / `removed` / `changed` /
+    * `unchanged`) — the release-audit step behind every dated corpus
+    * snapshot ("what moved between v2024-10 and v2024-12?"), and the
+    * input a change-gated republish ([[graft.io.WrappedJsonDataSource]]'s
+    * publishIfChanged) generalizes from.
+    *
+    * Scale shape: each side reduces to (id, 128-bit content hash)
+    * BEFORE the join — the shuffle carries 24-byte rows, never text —
+    * then one full-outer join on the id resolves all four states. At
+    * 100 TB write both versions bucketed by id and the join is
+    * co-located (io/Bucketing); the diff is then a zero-shuffle
+    * zip of bucket pairs. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame,
+                 idCol: String, textCol: String): DataFrame =
+    v1.select(col(idCol), md5(col(textCol)).as("_h1"))
+      .join(v2.select(col(idCol), md5(col(textCol)).as("_h2")),
+        Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_h1").isNull, "added")
+          .when(col("_h2").isNull, "removed")
+          .when(col("_h1") === col("_h2"), "unchanged")
+          .otherwise("changed").as("status"))
+
+  /** [[corpusDiff]] rolled up to the release-note summary (one row per
+    * status, map-side combinable). */
+  def corpusDiffSummary(v1: DataFrame, v2: DataFrame,
+                        idCol: String, textCol: String): DataFrame =
+    corpusDiff(v1, v2, idCol, textCol)
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
   /** DSIR importance weight (C41) — Data Selection via Importance
     * Resampling (Xie et al. 2023, arXiv:2302.03169): score every raw
     * document by how much more likely its hashed-feature bag is under

@@ -27,6 +27,42 @@ object Filtering {
         Seq("_dom"), "left_anti")
       .drop("_dom")
 
+  /** C70 — the C4 cleaning rules (Raffel et al. 2020, §2.2), the most
+    * widely replicated web-corpus line/page filter set:
+    *
+    *  - keep a LINE only if it ends in terminal punctuation, has at
+    *    least `minWordsPerLine` whitespace words, and does not mention
+    *    "javascript" (case-insensitive);
+    *  - keep the PAGE only if at least `minLines` lines survive and
+    *    the page contains neither "lorem ipsum" nor "{" (code);
+    *  - a kept page's text is its surviving lines re-joined.
+    *
+    * Pure higher-order Column algebra over the split line array —
+    * map-only whole-stage codegen at any scale, no shuffle, no UDF.
+    * Returns (id, n_lines, n_lines_kept, kept, clean_text) — the
+    * audit-friendly form (the drop REASON is reconstructible); filter
+    * on `kept` to materialize the cleaned corpus. */
+  def c4Filters(df: DataFrame, idCol: String, pageCol: String,
+                minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame = {
+    val lines = split(col(pageCol), "\n")
+    val keptLines = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, " "), w => w =!= "")) >= minWordsPerLine &&
+        !lower(l).contains("javascript"))
+    df.select(col(idCol), lines.as("_lines"), keptLines.as("_kept"),
+        col(pageCol).as("_page"))
+      .select(col(idCol),
+        size(col("_lines")).as("n_lines"),
+        size(col("_kept")).as("n_lines_kept"),
+        (size(col("_kept")) >= minLines &&
+          !lower(col("_page")).contains("lorem ipsum") &&
+          !col("_page").contains("{")).as("kept"),
+        col("_kept").as("_keptl"))
+      .withColumn("clean_text",
+        when(col("kept"), array_join(col("_keptl"), "\n")).otherwise(lit("")))
+      .drop("_keptl")
+  }
+
   /** Exact token-phrase matching against a blocklist (C50) — the
     * policy-filter primitive (banned phrases, boilerplate sentences,
     * canary strings): every occurrence of every listed phrase in

@@ -650,6 +650,56 @@ object TextDemos {
       hashLo = 0.0, hashSpan = 1.152921504606846976E18)
   }
 
+  /** C71 — corpus version diff: v1 = docs without the %7 slice
+    * (later re-added), v2 = docs without the %5 slice (removed) with
+    * the %11 slice's text edited — all four states exercised
+    * deterministically; per-doc status + the summary counts appended
+    * (status='total:<s>' rows), one oracle gating both shapes. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2-edit")))
+          .otherwise(col("text")))
+    Curation.corpusDiff(v1, v2, "doc_id", "text")
+      .unionAll(
+        Curation.corpusDiffSummary(v1, v2, "doc_id", "text")
+          .select(lit(-1L).as("doc_id"),
+            concat(lit("total:"), col("status"), lit("="), col("n")).as("status")))
+      .orderBy("doc_id", "status")
+  }
+
+  /** C70 — the C4 cleaning rules over synthesized pages (the C23/C55
+    * convention — the corpus has no line structure, so both engines
+    * see identical built pages): 7-word lines with a deterministic
+    * punctuation cycle (every third line unterminated → line-dropped),
+    * a "javascript" mention on the %13 docs' first line (punctuated
+    * but still line-dropped), a lorem-ipsum tail line on the %17 docs
+    * and a code-brace tail on the %19 docs (both pass the LINE rules —
+    * only the PAGE rules can kill them). */
+  def c4FiltersDemo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = Text.wsTokens(col("text"))
+    val nLines = ceil(size(toks) / lit(7.0)).cast("int")
+    val lines = when(size(toks) >= 1,
+      transform(sequence(lit(0), nLines - 1), i =>
+        concat(
+          concat_ws(" ", slice(toks, i * 7 + 1, lit(7))),
+          when(i === 0 && col("doc_id") % 13 === 0, " javascript").otherwise(""),
+          when(i % 3 === 0, ".").when(i % 3 === 1, "!").otherwise(""))))
+      .otherwise(array().cast("array<string>"))
+    val page = concat(
+      array_join(lines, "\n"),
+      when(col("doc_id") % 17 === 0, "\nlorem ipsum dolor sit amet.").otherwise(""),
+      when(col("doc_id") % 19 === 0, "\n{ \"config\": 1 }.").otherwise(""))
+    Filtering.c4Filters(docs.select(col("doc_id"), page.as("page")), "doc_id", "page")
+      .select(col("doc_id"), col("n_lines").cast("long").as("n_lines"),
+        col("n_lines_kept").cast("long").as("n_lines_kept"),
+        col("kept"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** C22 — concat-and-chunk sequence packing into 2048-token context
     * windows, independently per shard (doc_id % 4 stands in for the
     * hash-split shard key). */

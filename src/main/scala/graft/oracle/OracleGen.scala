@@ -1680,6 +1680,49 @@ object OracleGen {
        |FROM e""".stripMargin
   }
 
+  /** mirror of TextDemos.c4FiltersDemo: the same page synthesis
+    * (7-word lines, punctuation cycle, javascript/lorem/brace
+    * injections), then the same line and page rules over the re-split
+    * page. */
+  def c4FiltersSql(minWordsPerLine: Int = 5, minLines: Int = 3): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+       |), l AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 1 THEN
+       |      list_transform(range(0, CAST(ceil(len(toks) / 7.0) AS BIGINT)), i ->
+       |        array_to_string(toks[(i*7+1):(i*7+7)], ' ')
+       |        || CASE WHEN i = 0 AND doc_id % 13 = 0 THEN ' javascript' ELSE '' END
+       |        || CASE WHEN i % 3 = 0 THEN '.' WHEN i % 3 = 1 THEN '!' ELSE '' END)
+       |    ELSE CAST([] AS VARCHAR[]) END AS lines
+       |  FROM t
+       |), p AS (
+       |  SELECT doc_id,
+       |    array_to_string(lines, chr(10))
+       |    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+       |    || CASE WHEN doc_id % 19 = 0 THEN chr(10) || '{ "config": 1 }.' ELSE '' END AS page
+       |  FROM l
+       |), k AS (
+       |  SELECT doc_id, page,
+       |    string_split(page, chr(10)) AS plines,
+       |    list_filter(string_split(page, chr(10)), ln ->
+       |      regexp_matches(ln, '[.!?"]${"$"}')
+       |      AND len(list_filter(string_split(ln, ' '), w -> w <> '')) >= $minWordsPerLine
+       |      AND NOT contains(lower(ln), 'javascript')) AS keptl
+       |  FROM p
+       |)
+       |SELECT doc_id,
+       |  CAST(len(plines) AS BIGINT) AS n_lines,
+       |  CAST(len(keptl) AS BIGINT) AS n_lines_kept,
+       |  (len(keptl) >= $minLines
+       |   AND NOT contains(lower(page), 'lorem ipsum')
+       |   AND NOT contains(page, '{')) AS kept,
+       |  CASE WHEN len(keptl) >= $minLines
+       |        AND NOT contains(lower(page), 'lorem ipsum')
+       |        AND NOT contains(page, '{')
+       |       THEN array_to_string(keptl, chr(10)) ELSE '' END AS clean_text
+       |FROM k ORDER BY doc_id""".stripMargin
+
   /** mirror of TextDemos.sequencePack (capacity 2048, shard = doc_id % 4) */
   def sequencePackSql(capacity: Int = 2048): String =
     s"""WITH d AS (

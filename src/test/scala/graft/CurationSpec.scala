@@ -381,4 +381,43 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(got == want)
   }
+
+  test("C71 corpusDiff resolves all four states against a set reference") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c-edited"), (4L, "d"), (5L, "e")).toDF("id", "text")
+    val got = Curation.corpusDiff(v1, v2, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added"))
+    val sums = Curation.corpusDiffSummary(v1, v2, "id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(sums == Map("removed" -> 1L, "unchanged" -> 2L, "changed" -> 1L,
+      "added" -> 1L))
+  }
+
+  test("C71 demo row: statuses recompute from the two synthesized versions") {
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val v1 = docs.filter { case (id, _) => id % 7 != 0 }
+    val v2 = docs.filter { case (id, _) => id % 5 != 0 }
+      .map { case (id, t) => id -> (if (id % 11 == 0) t + " v2-edit" else t) }
+    val want = (v1.keySet ++ v2.keySet).map { id =>
+      id -> ((v1.get(id), v2.get(id)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case _ => "changed"
+      })
+    }.toMap
+    val rows = operators.TextDemos.corpusDiff(spark, sfDir)
+      .as[(Long, String)].collect()
+    val (totals, perDoc) = rows.partition(_._1 == -1L)
+    assert(perDoc.toMap == want)
+    val wantTotals = want.values.groupBy(identity).map { case (s, xs) =>
+      s"total:$s=${xs.size}"
+    }.toSet
+    assert(totals.map(_._2).toSet == wantTotals)
+  }
 }

@@ -242,4 +242,42 @@ class FilteringSpec extends SparkSpec {
       (1L, "A", 40L, -1L, true),   // flip back opens a NEW interval
       (2L, "X", 15L, -1L, true)))
   }
+
+  test("C70 c4Filters: every line and page rule on hand-written pages") {
+    val pages = Seq(
+      // 3 good lines -> kept, cleaned text = the good lines
+      (1L, "one two three four five.\nsix seven eight nine ten!\na b c d e f?\nno punct here at all"),
+      // only 2 good lines -> page dropped (minLines)
+      (2L, "one two three four five.\nsix seven eight nine ten!"),
+      // javascript kills an otherwise-good line -> below minLines
+      (3L, "one two three four five.\nuses JavaScript for menus ok.\na b c d e f?\nshort one."),
+      // lorem ipsum kills the page despite enough good lines
+      (4L, "one two three four five.\nsix seven eight nine ten!\na b c d e f?\nlorem ipsum dolor sit amet."),
+      // a brace kills the page despite enough good lines
+      (5L, "one two three four five.\nsix seven eight nine ten!\na b c d e f?\nvar x = { 1 }."),
+      // 4-word line drops (minWordsPerLine), leaving 2 -> dropped
+      (6L, "one two three four.\nsix seven eight nine ten!\na b c d e f?"))
+      .toDF("id", "page")
+    val got = Filtering.c4Filters(pages, "id", "page")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getBoolean(3), r.getString(4)))).toMap
+    assert(got(1L) == ((4, 3, true,
+      "one two three four five.\nsix seven eight nine ten!\na b c d e f?")))
+    assert(got(2L) == ((2, 2, false, "")))
+    assert(got(3L) == ((4, 2, false, ""))) // "short one." also fails word count
+    assert(got(4L)._3 == false && got(4L)._2 >= 3, "page rule, not line rule")
+    assert(got(5L)._3 == false && got(5L)._2 >= 3, "page rule, not line rule")
+    assert(got(6L) == ((3, 2, false, "")))
+  }
+
+  test("C70 demo: kept pages exist, dropped pages exist, injections do their job") {
+    val rows = operators.TextDemos.c4FiltersDemo(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._3) && rows.exists(!_._3),
+      "filter must differentiate at this SF")
+    // every %17 and %19 doc is page-killed regardless of its line count
+    rows.filter(r => r._1 % 17 == 0 || r._1 % 19 == 0)
+      .foreach { case (id, _, kept) => assert(!kept, s"doc $id must drop") }
+  }
 }
