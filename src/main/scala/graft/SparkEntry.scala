@@ -141,6 +141,7 @@ object SparkEntry {
     "stream_session_parity" -> (graft.streaming.StreamParity.streamSessionParity(_, _)),
     "stream_topk_ngrams_parity" -> (graft.streaming.StreamParity.streamTopkNgramsParity(_, _)),
     "stream_contamination_parity" -> (graft.streaming.StreamParity.streamContaminationParity(_, _)),
+    "stream_quality_gate_parity" -> (graft.streaming.StreamParity.streamQualityGateParity(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -199,6 +200,9 @@ object SparkEntry {
       "stream_topk_ngrams_parity" -> m("topk_ngrams"),
       // D8: the streaming decontamination gate lands on C21's answer
       "stream_contamination_parity" -> m("contamination_check"),
+      // D9: the streaming quality gate's final counters equal the
+      // batch aggregate of the C70 rules over the same pages
+      "stream_quality_gate_parity" -> graft.oracle.OracleGen.c4GateAggSql(),
       // D2: the doubled stream dedups back to the table itself
       "stream_dedup_state_parity" ->
         """SELECT event_id, ts, user_id, event_type, value

@@ -43,21 +43,23 @@ object Filtering {
     * audit-friendly form (the drop REASON is reconstructible); filter
     * on `kept` to materialize the cleaned corpus. */
   def c4Filters(df: DataFrame, idCol: String, pageCol: String,
-                minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame = {
+                minWordsPerLine: Int = 5, minLines: Int = 3,
+                keepCols: Seq[String] = Nil): DataFrame = {
     val lines = split(col(pageCol), "\n")
     val keptLines = filter(lines, l =>
       l.rlike("[.!?\"]$") &&
         size(filter(split(l, " "), w => w =!= "")) >= minWordsPerLine &&
         !lower(l).contains("javascript"))
-    df.select(col(idCol), lines.as("_lines"), keptLines.as("_kept"),
-        col(pageCol).as("_page"))
-      .select(col(idCol),
-        size(col("_lines")).as("n_lines"),
-        size(col("_kept")).as("n_lines_kept"),
+    val carried = keepCols.map(col)
+    df.select(col(idCol) +: carried :+ lines.as("_lines") :+ keptLines.as("_kept")
+        :+ col(pageCol).as("_page"): _*)
+      .select(col(idCol) +: carried :+
+        size(col("_lines")).as("n_lines") :+
+        size(col("_kept")).as("n_lines_kept") :+
         (size(col("_kept")) >= minLines &&
           !lower(col("_page")).contains("lorem ipsum") &&
-          !col("_page").contains("{")).as("kept"),
-        col("_kept").as("_keptl"))
+          !col("_page").contains("{")).as("kept") :+
+        col("_kept").as("_keptl"): _*)
       .withColumn("clean_text",
         when(col("kept"), array_join(col("_keptl"), "\n")).otherwise(lit("")))
       .drop("_keptl")

@@ -678,8 +678,10 @@ object TextDemos {
     * but still line-dropped), a lorem-ipsum tail line on the %17 docs
     * and a code-brace tail on the %19 docs (both pass the LINE rules —
     * only the PAGE rules can kill them). */
-  def c4FiltersDemo(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** the C70/D9 page synthesis: (doc_id, source, page) — shared by the
+    * batch demo and the D9 streaming gate so both answer to mirrored
+    * oracles over identical built pages. */
+  private[graft] def c4SynthPages(docs: DataFrame): DataFrame = {
     val toks = Text.wsTokens(col("text"))
     val nLines = ceil(size(toks) / lit(7.0)).cast("int")
     val lines = when(size(toks) >= 1,
@@ -693,12 +695,16 @@ object TextDemos {
       array_join(lines, "\n"),
       when(col("doc_id") % 17 === 0, "\nlorem ipsum dolor sit amet.").otherwise(""),
       when(col("doc_id") % 19 === 0, "\n{ \"config\": 1 }.").otherwise(""))
-    Filtering.c4Filters(docs.select(col("doc_id"), page.as("page")), "doc_id", "page")
+    docs.select(col("doc_id"), col("source"), page.as("page"))
+  }
+
+  def c4FiltersDemo(spark: SparkSession, dir: String): DataFrame =
+    Filtering.c4Filters(c4SynthPages(Tables.documents(spark, dir)),
+        "doc_id", "page")
       .select(col("doc_id"), col("n_lines").cast("long").as("n_lines"),
         col("n_lines_kept").cast("long").as("n_lines_kept"),
         col("kept"), col("clean_text"))
       .orderBy("doc_id")
-  }
 
   /** C22 — concat-and-chunk sequence packing into 2048-token context
     * windows, independently per shard (doc_id % 4 stands in for the

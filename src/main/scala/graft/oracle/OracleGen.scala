@@ -1723,6 +1723,20 @@ object OracleGen {
        |       THEN array_to_string(keptl, chr(10)) ELSE '' END AS clean_text
        |FROM k ORDER BY doc_id""".stripMargin
 
+  /** D9's batch-aggregate oracle: the c4FiltersSql chain rolled up to
+    * per-(source, kept) counters — what the streaming gate's final
+    * state must equal. */
+  def c4GateAggSql(minWordsPerLine: Int = 5, minLines: Int = 3): String =
+    // plain concatenation: an outer stripMargin would eat the embedded
+    // SQL's leading `||` concat operators (margin char collision)
+    "WITH base AS (\n" + c4FiltersSql(minWordsPerLine, minLines) + "\n)\n" +
+      """SELECT d.source, b.kept,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(b.n_lines_kept) AS BIGINT) AS kept_lines
+        |FROM base b JOIN documents d USING (doc_id)
+        |GROUP BY d.source, b.kept
+        |ORDER BY d.source, b.kept""".stripMargin
+
   /** mirror of TextDemos.sequencePack (capacity 2048, shard = doc_id % 4) */
   def sequencePackSql(capacity: Int = 2048): String =
     s"""WITH d AS (

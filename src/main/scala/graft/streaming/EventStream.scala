@@ -81,6 +81,25 @@ object EventStream {
           col("n_contaminated").cast("double") / col("n_shingles")).otherwise(0.0))
       .withColumn("flagged", col("contamination") >= flagThreshold)
 
+  /** D9: streaming quality gate — C70's streaming twin, and the
+    * gate's production direction (score crawl pages as they ARRIVE,
+    * before they land): each page is one row, so the C4 line/page
+    * rules evaluate stateless IN-ROW (map-only codegen on the
+    * stream), and ONE streaming aggregation keyed by (group, kept)
+    * folds the accept/reject counters — state is one counter pair per
+    * (source, verdict), bounded by source cardinality. Because every
+    * page's verdict is complete the moment its row is processed,
+    * micro-batch splits cannot shift the counts — the parity row
+    * answers a batch aggregate oracle verbatim. */
+  def qualityGateCounts(pages: DataFrame, idCol: String, pageCol: String,
+                        groupCol: String,
+                        minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame =
+    graft.operators.Filtering.c4Filters(pages, idCol, pageCol,
+        minWordsPerLine, minLines, keepCols = Seq(groupCol))
+      .groupBy(col(groupCol), col("kept"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_lines_kept").cast("long")).as("kept_lines"))
+
   /** D2: streaming dedup with watermark-bounded key state. */
   def dedupWithinWatermark(events: DataFrame, idCol: String,
                            watermark: String = "30 minutes"): DataFrame =

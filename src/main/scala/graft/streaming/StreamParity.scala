@@ -172,6 +172,26 @@ object StreamParity {
     spark.table(view).orderBy("doc_id")
   }
 
+  /** D9 ↔ C70: the synthesized C4 pages streamed through
+    * [[EventStream.qualityGateCounts]], final (source, kept) counter
+    * state read via a complete-mode memory sink — must land on the
+    * batch aggregate of the same gate over the same pages (each
+    * page's verdict is in-row, so micro-batch splits cannot shift
+    * counts). */
+  def streamQualityGateParity(spark: SparkSession, dir: String): DataFrame = {
+    val pages = graft.operators.TextDemos.c4SynthPages(Tables.documents(spark, dir))
+    val src = fileStream(pages, s"squal_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
+    val view = s"graft_squal_${Fixtures.runId}"
+    spark.catalog.dropTempView(view) // re-invocation reuses the name
+    withStateParallelism(spark, 8) {
+      val q = EventStream.qualityGateCounts(src, "doc_id", "page", "source")
+        .writeStream.format("memory").queryName(view)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(view).orderBy("source", "kept")
+  }
+
   /** D5 ↔ A12: orders streamed through an update-mode aggregate into
     * the [[EventStream.upsertBatch]] snapshot sink; the final committed
     * snapshot ([[EventStream.readLatestState]]) must render the exact

@@ -34,6 +34,17 @@ class StreamParitySpec extends SparkSpec {
       s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
   }
 
+  test("D9 parity: streaming quality gate lands on the batch C4 aggregate") {
+    val streamed = rows(StreamParity.streamQualityGateParity(spark, sfDir))
+    val batch = rows(
+      graft.streaming.EventStream.qualityGateCounts(
+          TextDemos.c4SynthPages(sources.Tables.documents(spark, sfDir)),
+          "doc_id", "page", "source")
+        .orderBy("source", "kept"))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
+  }
+
   test("D5 parity: upsert sink's final snapshot renders A12's wrapped export") {
     val streamed = rows(StreamParity.streamUpsertParity(spark, sfDir))
     val batch = rows(RefDemos.wrappedExport(spark, sfDir))
