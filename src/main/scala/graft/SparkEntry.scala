@@ -142,6 +142,7 @@ object SparkEntry {
     "stream_topk_ngrams_parity" -> (graft.streaming.StreamParity.streamTopkNgramsParity(_, _)),
     "stream_contamination_parity" -> (graft.streaming.StreamParity.streamContaminationParity(_, _)),
     "stream_quality_gate_parity" -> (graft.streaming.StreamParity.streamQualityGateParity(_, _)),
+    "stream_kmv_sketch_parity" -> (graft.streaming.StreamParity.streamKmvSketchParity(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -203,6 +204,9 @@ object SparkEntry {
       // D9: the streaming quality gate's final counters equal the
       // batch aggregate of the C70 rules over the same pages
       "stream_quality_gate_parity" -> graft.oracle.OracleGen.c4GateAggSql(),
+      // D10: the streamed KMV sketch is an order statistic — it must
+      // equal the batch distinct-sort-limit of the same corpus
+      "stream_kmv_sketch_parity" -> graft.oracle.OracleGen.streamKmvSketchSql(),
       // D2: the doubled stream dedups back to the table itself
       "stream_dedup_state_parity" ->
         """SELECT event_id, ts, user_id, event_type, value

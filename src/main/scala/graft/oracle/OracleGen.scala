@@ -1737,6 +1737,23 @@ object OracleGen {
         |GROUP BY d.source, b.kept
         |ORDER BY d.source, b.kept""".stripMargin
 
+  /** D10's batch oracle: the corpus KMV sketch is a pure order
+    * statistic, so the streamed sketch must equal
+    * `SELECT DISTINCT h ORDER BY h LIMIT k`, posexploded. */
+  def streamKmvSketchSql(k: Int = 1024): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t
+       |), ex AS (
+       |  SELECT ${md560("tok")} AS h
+       |  FROM (SELECT unnest(sh) AS tok FROM s WHERE len(sh) > 0)
+       |), kk AS (SELECT DISTINCT h FROM ex ORDER BY h LIMIT $k)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS BIGINT) AS pos, h
+       |FROM kk ORDER BY pos""".stripMargin
+
   /** mirror of TextDemos.sequencePack (capacity 2048, shard = doc_id % 4) */
   def sequencePackSql(capacity: Int = 2048): String =
     s"""WITH d AS (

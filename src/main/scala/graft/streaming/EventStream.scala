@@ -100,6 +100,23 @@ object EventStream {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_lines_kept").cast("long")).as("kept_lines"))
 
+  /** D10: incremental corpus KMV sketch — C67's streaming twin:
+    * maintain the k-minimum-values distinct-shingle sketch AS DATA
+    * ARRIVES, so corpus-overlap triage (est. cardinality / Jaccard vs
+    * any other corpus's sketch) is answerable at every instant without
+    * rescanning what already landed. The [[graft.expressions.KmvSketch]]
+    * aggregate is mergeable and order-free, so it runs NATIVELY inside
+    * the streaming global aggregation — its bounded buffer (≤ k longs)
+    * IS the query state, and the final sketch provably equals the
+    * batch sketch of the same corpus regardless of micro-batch splits
+    * (the parity row's claim). */
+  def corpusSketch(docs: DataFrame, textCol: String, k: Int, shingleN: Int = 3,
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    docs.select(explode(call_function("graft_shingles",
+        col(textCol), lit(shingleN), lit(true))).as("_sh"))
+      .select(tokenHash(col("_sh")).as("_h"))
+      .agg(call_function("graft_kmv", col("_h"), lit(k)).as("kmv"))
+
   /** D2: streaming dedup with watermark-bounded key state. */
   def dedupWithinWatermark(events: DataFrame, idCol: String,
                            watermark: String = "30 minutes"): DataFrame =

@@ -192,6 +192,31 @@ object StreamParity {
     spark.table(view).orderBy("source", "kept")
   }
 
+  /** D10 ↔ C67: the documents table streamed through
+    * [[EventStream.corpusSketch]] (the KmvSketch native aggregate
+    * running INSIDE streaming state), final sketch posexploded to
+    * (pos, h) rows — must equal the batch KMV of the same corpus
+    * (`SELECT DISTINCT h ORDER BY h LIMIT k` in the oracle) no matter
+    * how the replay splits documents: the sketch is mergeable and
+    * order-free by construction. */
+  def streamKmvSketchParity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val src = fileStream(docs, s"skmv_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
+    val view = s"graft_skmv_${Fixtures.runId}"
+    spark.catalog.dropTempView(view) // re-invocation reuses the name
+    withStateParallelism(spark, 8) {
+      val q = EventStream.corpusSketch(src, "text", k = 1024,
+          tokenHash = graft.functions.Vec.md5Hash60)
+        .writeStream.format("memory").queryName(view)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(view)
+      .select(posexplode(col("kmv")).as(Seq("pos", "h")))
+      .select(col("pos").cast("long").as("pos"), col("h"))
+      .orderBy("pos")
+  }
+
   /** D5 ↔ A12: orders streamed through an update-mode aggregate into
     * the [[EventStream.upsertBatch]] snapshot sink; the final committed
     * snapshot ([[EventStream.readLatestState]]) must render the exact

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, posexplode}
+
 import graft.streaming.StreamParity
 import graft.operators.{Analytics, RefDemos, TextDemos}
 
@@ -41,6 +43,19 @@ class StreamParitySpec extends SparkSpec {
           TextDemos.c4SynthPages(sources.Tables.documents(spark, sfDir)),
           "doc_id", "page", "source")
         .orderBy("source", "kept"))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
+  }
+
+  test("D10 parity: streamed KMV sketch equals the batch sketch of the corpus") {
+    val streamed = rows(StreamParity.streamKmvSketchParity(spark, sfDir))
+    val batch = rows(
+      graft.streaming.EventStream.corpusSketch(
+          sources.Tables.documents(spark, sfDir), "text", k = 1024,
+          tokenHash = graft.functions.Vec.md5Hash60)
+        .select(posexplode(col("kmv")).as(Seq("pos", "h")))
+        .select(col("pos").cast("long").as("pos"), col("h"))
+        .orderBy("pos"))
     assert(streamed.nonEmpty && streamed == batch,
       s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
   }
