@@ -662,9 +662,13 @@ object TextDemos {
       .withColumn("text",
         when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2-edit")))
           .otherwise(col("text")))
-    Curation.corpusDiff(v1, v2, "doc_id", "text")
-      .unionAll(
-        Curation.corpusDiffSummary(v1, v2, "doc_id", "text")
+    // ONE diff plan feeds both branches (the summary aggregates the
+    // per-doc result rather than re-hashing and re-joining both
+    // corpora — review finding; the identical subplans also collapse
+    // under exchange reuse)
+    val d = Curation.corpusDiff(v1, v2, "doc_id", "text")
+    d.unionAll(
+        d.groupBy(col("status")).agg(count(lit(1)).as("n"))
           .select(lit(-1L).as("doc_id"),
             concat(lit("total:"), col("status"), lit("="), col("n")).as("status")))
       .orderBy("doc_id", "status")
@@ -694,7 +698,11 @@ object TextDemos {
     val page = concat(
       array_join(lines, "\n"),
       when(col("doc_id") % 17 === 0, "\nlorem ipsum dolor sit amet.").otherwise(""),
-      when(col("doc_id") % 19 === 0, "\n{ \"config\": 1 }.").otherwise(""))
+      // 5 words + terminal punctuation: the brace tail must PASS the
+      // line rules so only the page-level "{" check can kill the page
+      // (4 words would die at the word-count line rule and never
+      // exercise the page rule — review finding)
+      when(col("doc_id") % 19 === 0, "\n{ \"config\": 1 } end.").otherwise(""))
     docs.select(col("doc_id"), col("source"), page.as("page"))
   }
 

@@ -1700,7 +1700,7 @@ object OracleGen {
        |  SELECT doc_id,
        |    array_to_string(lines, chr(10))
        |    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
-       |    || CASE WHEN doc_id % 19 = 0 THEN chr(10) || '{ "config": 1 }.' ELSE '' END AS page
+       |    || CASE WHEN doc_id % 19 = 0 THEN chr(10) || '{ "config": 1 } end.' ELSE '' END AS page
        |  FROM l
        |), k AS (
        |  SELECT doc_id, page,

@@ -111,8 +111,13 @@ private[sources] class WarcScanBuilder(path: String)
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // accept ONE warc_type equality only: a conjunction of different
+    // warc_type equalities must not collapse to "whichever bound
+    // last" — the extras stay post-scan, where Catalyst evaluates
+    // them correctly (to empty, for contradictions)
     val (accepted, rest) = filters.partition {
-      case EqualTo("warc_type", v: String) => typeEq = Some(v); true
+      case EqualTo("warc_type", v: String) if typeEq.forall(_ == v) =>
+        typeEq = Some(v); true
       case _ => false
     }
     pushed = accepted
@@ -174,8 +179,13 @@ private[sources] class WarcReader(file: String, schema: StructType,
   private val in: InputStream = {
     val p = new Path(file)
     val raw = p.getFileSystem(hconf.value).open(p)
+    // buffer BELOW the decompressor too: GZIPInputStream reads the
+    // raw stream in 512-byte slurps, each a remote call on an
+    // object-store filesystem
     new BufferedInputStream(
-      if (file.endsWith(".gz")) new GZIPInputStream(raw) else raw, 1 << 16)
+      if (file.endsWith(".gz"))
+        new GZIPInputStream(new BufferedInputStream(raw, 1 << 16))
+      else raw, 1 << 16)
   }
   private var nRecords = 0L
   private var current: InternalRow = _

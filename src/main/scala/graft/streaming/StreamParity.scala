@@ -155,9 +155,14 @@ object StreamParity {
     * contamination_check oracle verbatim. */
   def streamContaminationParity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val bench = docs.filter(col("doc_id") % 20 === 0)
-      .select(explode(graft.functions.Text.shingles(col("text"), 3)).as("_sh"))
-      .select(graft.functions.Vec.md5Hash60(col("_sh")).as("_h"))
+    // persisted: the static side of a stream-static join re-evaluates
+    // per micro-batch otherwise — 4 triggers would re-shingle and
+    // re-hash the benchmark 4 times (review finding)
+    val bench = graft.util.CacheRegistry.register(
+      docs.filter(col("doc_id") % 20 === 0)
+        .select(explode(graft.functions.Text.shingles(col("text"), 3)).as("_sh"))
+        .select(graft.functions.Vec.md5Hash60(col("_sh")).as("_h"))
+        .persist())
     val src = fileStream(docs, s"scontam_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val view = s"graft_scontam_${Fixtures.runId}"
     spark.catalog.dropTempView(view) // re-invocation reuses the name
