@@ -172,9 +172,22 @@ object ScaleSmoke {
     println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SF1_OUT",
       s"${Bench.repoRoot}/BENCH_SF1.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
-    catch { case e: Exception =>
-      Console.err.println(s"[scale-smoke] could not write $outPath: ${e.getMessage}") }
+    // a SPARK_GRAFT_ONLY iteration must never CLOBBER the committed
+    // full-set artifact (it did once): refuse to overwrite a file with
+    // more queries than this restricted run measured
+    val restrictedClobber = only.isDefined && {
+      try {
+        val prior = java.nio.file.Files.readString(java.nio.file.Paths.get(outPath))
+        "\"sf0_1\"".r.findAllIn(prior).size > rows.size
+      } catch { case _: Exception => false }
+    }
+    if (restrictedClobber)
+      Console.err.println(s"[scale-smoke] SPARK_GRAFT_ONLY run measured fewer " +
+        s"queries than $outPath holds - NOT overwriting (stdout has the JSON)")
+    else
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+      catch { case e: Exception =>
+        Console.err.println(s"[scale-smoke] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }
