@@ -153,6 +153,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Scan parquet") || p.contains("FileScan"), p)
   }
 
+  test("kmv sketch aggregates object-hash with map-side partials; only buffers shuffle") {
+    val hashes = docs.select(functions.Vec.md5Hash60(col("text")).as("h"))
+    val df = hashes.agg(call_function("graft_kmv", col("h"), lit(8)))
+    val p = plan(df)
+    // TypedImperativeAggregate → ObjectHashAggregate, partial mode
+    // below the exchange: each partition reduces to ≤ k longs BEFORE
+    // anything crosses the wire
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).length == 2, // partial + final
+      s"expected partial+final aggregate pair:\n$p")
+    assert(exchanges(df) == exchanges(hashes) + 1, p) // the single buffer exchange
+  }
+
+  test("pagerank: edges-with-outdegree persist once; a round adds no cartesian join") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id").repartition(4)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst").repartition(4)
+    val df = graft.operators.Graph.pageRank(nodes, edges, "id", iters = 2)
+    try {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"),
+        s"the one-row dangling-mass join must broadcast, never cartesian:\n$p")
+    } finally graft.util.CacheRegistry.releaseAll()
+  }
+
   test("mutual_knn symmetrization reads ONE cached ranking on both join sides") {
     val df = graft.operators.Similarity.mutualKnnEdges(
       Similarity.knnGraph(vecs, "vec_id", "embedding",

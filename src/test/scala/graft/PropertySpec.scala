@@ -191,6 +191,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kmv sketch == distinct-sort-take-k on random multisets, any k, any partitioning") {
+    val cases = samples(for {
+      n <- Gen.choose(0, 400)
+      k <- Gen.choose(1, 64)
+      parts <- Gen.choose(1, 7)
+      vals <- Gen.listOfN(n, Gen.choose(-50L, 50L)) // dense range → many dups
+    } yield (vals, k, parts), 12)
+    cases.foreach { case (vals, k, parts) =>
+      val df = if (vals.isEmpty) spark.range(0).select(col("id").as("h"))
+               else vals.toDF("h").repartition(parts)
+      val got = df.agg(call_function("graft_kmv", col("h"), lit(k)))
+        .as[Seq[Long]].head()
+      val want = vals.distinct.sorted.take(k)
+      assert(got == want, s"k=$k parts=$parts n=${vals.size}: $got vs $want")
+    }
+  }
+
   test("round2 is exact half-up to 2 decimals for positive doubles") {
     import graft.functions.Agg
     val vals = Seq(52724.244999999995, 52724.245000000004, 1.005, 0.0, 2.675, 99.994999)
