@@ -126,6 +126,7 @@ object SparkEntry {
     "bucketed_colocated_join" -> (Analytics.bucketedColocatedJoin(_, _)),
     "paged_ingest"         -> (RefDemos.pagedIngest(_, _)),
     "warc_ingest"          -> (RefDemos.warcIngest(_, _)),
+    "wrapped_roundtrip"    -> (RefDemos.wrappedRoundtrip(_, _)),
     "wrapped_export"       -> (RefDemos.wrappedExport(_, _)),
     "gopher_quality"       -> (TextDemos.gopherQuality(_, _)),
     "llm_pipeline_e2e"     -> (TextDemos.llmPipelineE2e(_, _)),
@@ -1392,6 +1393,15 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
         |       text, doc_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // A12c: the publish round trip is deterministic, so the oracle
+    // recomputes group + wrapper total + payload from the table (the
+    // Spark side goes through the sink's snapshot layout and back)
+    "wrapped_roundtrip" ->
+      """SELECT o_orderpriority,
+        |       CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS total,
+        |       o_orderkey, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "scd2_history" ->
       """WITH log AS (

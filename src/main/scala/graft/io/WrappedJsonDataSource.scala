@@ -137,6 +137,32 @@ object WrappedPublish {
       .split("\n").toSeq.filter(_.nonEmpty)
     finally in.close()
   }
+
+  /** READ the current publish back as rows: resolve the pointer, take
+    * the manifest's group files, and parse them with Spark's own
+    * multiLine JSON source (schema inference, pruning, distribution
+    * for free — composing the built-in source beats a hand-rolled
+    * DSv2 JSON reader), then unwrap `{group, total, rows:[...]}` to
+    * one row per payload element with the group value and wrapper
+    * total attached. Group files are bounded by the sink's contract,
+    * so whole-file JSON parse is the right unit of parallelism (one
+    * task per group file). Reads only manifest-listed files of a
+    * COMMITTED snapshot — never in-flight temps or crash debris. */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val snap = resolveCurrent(fs, root).getOrElse(throw new IllegalStateException(
+      s"graft-wrapped: no committed snapshot under $path"))
+    val files = manifest(fs, snap).map(n => new Path(snap, n).toString)
+    require(files.nonEmpty, s"graft-wrapped: snapshot $snap has an empty manifest")
+    val raw = spark.read.option("multiLine", "true").json(files: _*)
+    val groupCols = raw.columns.filterNot(Set("total", "rows"))
+    require(groupCols.length == 1,
+      s"graft-wrapped: expected one group key beside total/rows, got ${raw.columns.mkString(", ")}")
+    raw.select(col(groupCols.head), col("total"), explode(col("rows")).as("_r"))
+      .select(col(groupCols.head), col("total"), col("_r.*"))
+  }
 }
 
 private[io] class WrappedJsonTable(schema0: StructType, props: Map[String, String])

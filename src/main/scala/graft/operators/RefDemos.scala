@@ -421,6 +421,26 @@ object RefDemos {
       .orderBy("c_custkey")
   }
 
+  /** A12c — wrapped publish ROUND TRIP: orders written through the
+    * `graft-wrapped` DataSource V2 sink (declared clustering, driver
+    * commit, snapshot + pointer), read back via
+    * [[graft.io.WrappedPublish.read]] (pointer → manifest → Spark's
+    * multiLine JSON source → unwrap). The oracle recomputes every
+    * column straight from the table, so the row gates the WHOLE
+    * publish→resolve→parse chain — including double round-tripping
+    * through JSON text (shortest-roundtrip serialization on the way
+    * out, exact parse on the way back). */
+  def wrappedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Fixtures.dir(s"wrapped_rt_${new java.io.File(dir).getName}")
+    graft.util.Fixtures.buildOnce(out) {
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .write.format("graft-wrapped").option("groupCol", "o_orderpriority")
+        .mode("overwrite").save(out.toString)
+    }
+    graft.io.WrappedPublish.read(spark, out.toString).orderBy("o_orderkey")
+  }
+
   /** C69 — WARC ingest (the Common Crawl container) through the
     * `graft-warc` DataSource V2 format: the documents table lands as
     * 4 real .warc shards (distributed [[graft.sources.WarcIO]] write,

@@ -373,4 +373,32 @@ class WrappedSinkSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("nested"), e2.getMessage)
   }
+
+  test("A12c: WrappedPublish.read round-trips the sink's publish, typed") {
+    val dir = tempDir("wrapped_read")
+    val in = Seq(
+      ("north", 1L, 10.5, true), ("north", 2L, -0.25, false),
+      ("south", 3L, 3.0, true))
+      .toDF("county", "id", "score", "ok")
+    in.write.format("graft-wrapped").option("groupCol", "county")
+      .mode("overwrite").save(dir)
+    val back = WrappedPublish.read(spark, dir)
+    // wrapper total attached per group, payload typed by inference
+    val got = back.select("county", "total", "id", "score", "ok")
+      .as[(String, Long, Long, Double, Boolean)].collect().toSet
+    assert(got == Set(
+      ("north", 2L, 1L, 10.5, true), ("north", 2L, 2L, -0.25, false),
+      ("south", 1L, 3L, 3.0, true)))
+    // a second publish is what read resolves after overwrite
+    in.filter($"county" === "south").write.format("graft-wrapped")
+      .option("groupCol", "county").mode("overwrite").save(dir)
+    assert(WrappedPublish.read(spark, dir).count() == 1)
+  }
+
+  test("A12c: read refuses a path with no committed snapshot") {
+    val e = intercept[IllegalStateException] {
+      WrappedPublish.read(spark, tempDir("wrapped_read_none"))
+    }
+    assert(e.getMessage.contains("no committed snapshot"), e.getMessage)
+  }
 }
