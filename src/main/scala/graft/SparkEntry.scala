@@ -52,6 +52,7 @@ object SparkEntry {
     "token_count"          -> (TextDemos.tokenCount(_, _)),
     "quality_score"        -> (TextDemos.qualityScore(_, _)),
     "lang_id"              -> (TextDemos.langId(_, _)),
+    "token_stats_by_lang"  -> (TextDemos.tokenStatsByLang(_, _)),
     "doc_fingerprint"      -> (TextDemos.docFingerprint(_, _)),
     "ngram_jaccard"        -> (TextDemos.ngramJaccard(_, _)),
     "embed_cosine_topk"    -> (TextDemos.embedCosineTopk(_, _)),
@@ -695,6 +696,42 @@ object SparkEntry {
          |  CASE WHEN mx = 0 THEN 'und' $cases END AS pred_lang,
          |  mx AS profile_hits
          |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "token_stats_by_lang" -> {
+      // the lang_id CTE chain, rolled up per (pred_lang, source)
+      val profiles = graft.functions.Text.LangProfiles
+      val hitCols = profiles.map { case (lang, stops) =>
+        val list = stops.map(s => s"'$s'").mkString("[", ",", "]")
+        s"CAST(len(list_filter(toks, x -> list_contains($list, x))) AS BIGINT) AS h_$lang"
+      }.mkString(",\n    ")
+      val great = profiles.map(p => s"h_${p._1}").mkString("greatest(", ", ", ")")
+      val cases = profiles.map { case (lang, _) => s"WHEN h_$lang = mx THEN '$lang'" }.mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, source, text,
+         |    $hitCols
+         |  FROM t
+         |), g AS (SELECT *, $great AS mx FROM h
+         |), lbl AS (
+         |  SELECT source,
+         |    CASE WHEN mx = 0 THEN 'und' $cases END AS pred_lang,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS toks,
+         |    CAST(length(text) AS BIGINT) AS chars
+         |  FROM g
+         |), agg AS (
+         |  SELECT pred_lang, source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(chars) AS BIGINT) AS total_chars
+         |  FROM lbl GROUP BY pred_lang, source
+         |)
+         |SELECT *, CASE WHEN total_tokens > 0
+         |  THEN CAST(total_chars AS DOUBLE) / total_tokens ELSE 0.0 END AS chars_per_token
+         |FROM agg ORDER BY pred_lang, source""".stripMargin
     },
 
     "doc_fingerprint" ->

@@ -95,6 +95,29 @@ object TextDemos {
       .orderBy("doc_id")
   }
 
+  /** C72 — the dataset-card mixture table keyed by DETECTED language
+    * (C62 keys on the metadata lang column; this is the honest
+    * version — crawl metadata lies, detection doesn't): per
+    * (pred_lang, source), doc count, whitespace-token mass, char
+    * mass, and chars-per-token (the fertility proxy tokenizer teams
+    * read per language — CJK ≪ latin). One map-side-combined
+    * aggregation; the ratio is an exact-int IEEE division. */
+  def tokenStatsByLang(spark: SparkSession, dir: String): DataFrame = {
+    val (pred, _) = Text.langId(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("source"), pred.as("pred_lang"),
+        Text.tokenCount(col("text")).as("toks"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("pred_lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("chars")).as("total_chars"))
+      .withColumn("chars_per_token",
+        when(col("total_tokens") > 0,
+          col("total_chars").cast("double") / col("total_tokens")).otherwise(0.0))
+      .orderBy("pred_lang", "source")
+  }
+
   /** C11 — rolling-hash document fingerprint. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

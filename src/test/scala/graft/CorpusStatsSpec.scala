@@ -155,4 +155,28 @@ class CorpusStatsSpec extends SparkSpec {
     }
     assert(math.abs(got.values.map(_._6).sum - 1.0) < 1e-9)
   }
+
+  test("C72 token_stats_by_lang recomputes from a driver reference") {
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect()
+    val profiles = functions.Text.LangProfiles
+    def predLang(text: String): String = {
+      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val hits = profiles.map { case (l, stops) => l -> toks.count(stops.contains) }
+      val mx = hits.map(_._2).max
+      if (mx == 0) "und" else hits.find(_._2 == mx).get._1
+    }
+    val want = docs.groupBy(d => (predLang(d._3), d._2)).map { case (k, ds) =>
+      val toks = ds.map(_._3.split(" ").count(_.nonEmpty).toLong).sum
+      val chars = ds.map(_._3.length.toLong).sum
+      k -> ((ds.length.toLong, toks, chars,
+        if (toks > 0) chars.toDouble / toks else 0.0))
+    }
+    val got = TextDemos.tokenStatsByLang(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got == want)
+  }
 }
