@@ -148,12 +148,32 @@ object WrappedPublish {
     * so whole-file JSON parse is the right unit of parallelism (one
     * task per group file). Reads only manifest-listed files of a
     * COMMITTED snapshot — never in-flight temps or crash debris. */
-  def read(spark: org.apache.spark.sql.SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+  /** committed snapshot names under `root`, oldest→newest (name order
+    * IS commit order in the shared zero-padded namespace) — the
+    * time-travel catalog for [[read]]'s `snapshot` parameter. */
+  def snapshots(fs: FileSystem, root: Path): Seq[String] = {
+    val snapRoot = new Path(root, "snapshots")
+    Option(fs.globStatus(new Path(snapRoot, "*"))).getOrElse(Array.empty)
+      .map(_.getPath.getName)
+      .filter(n => fs.exists(new Path(snapRoot, s"$n/_SUCCESS")))
+      .sorted.toSeq
+  }
+
+  def read(spark: org.apache.spark.sql.SparkSession, path: String,
+           snapshot: Option[String] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, explode}
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val snap = resolveCurrent(fs, root).getOrElse(throw new IllegalStateException(
-      s"graft-wrapped: no committed snapshot under $path"))
+    val snap = snapshot match {
+      case Some(name) => // time travel: any COMMITTED snapshot by name
+        val dir = new Path(root, s"snapshots/$name")
+        require(fs.exists(new Path(dir, "_SUCCESS")),
+          s"graft-wrapped: no committed snapshot '$name' under $path " +
+            s"(have: ${snapshots(fs, root).mkString(", ")})")
+        dir
+      case None => resolveCurrent(fs, root).getOrElse(throw new IllegalStateException(
+        s"graft-wrapped: no committed snapshot under $path"))
+    }
     val files = manifest(fs, snap).map(n => new Path(snap, n).toString)
     require(files.nonEmpty, s"graft-wrapped: snapshot $snap has an empty manifest")
     val raw = spark.read.option("multiLine", "true").json(files: _*)

@@ -395,6 +395,26 @@ class WrappedSinkSpec extends SparkSpec {
     assert(WrappedPublish.read(spark, dir).count() == 1)
   }
 
+  test("A12c: time travel — any committed snapshot reads back by name") {
+    val dir = tempDir("wrapped_tt")
+    def publish(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("county", "id").write.format("graft-wrapped")
+        .option("groupCol", "county").mode("overwrite").save(dir)
+    publish(Seq(("a", 1L), ("a", 2L)))
+    publish(Seq(("b", 9L)))
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val names = WrappedPublish.snapshots(fs, new Path(dir))
+    assert(names.length == 2 && names == names.sorted)
+    // current resolves to the newest; the OLD publish stays readable by name
+    assert(WrappedPublish.read(spark, dir).select("id").as[Long].collect().toSet == Set(9L))
+    assert(WrappedPublish.read(spark, dir, Some(names.head))
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    val e = intercept[IllegalArgumentException] {
+      WrappedPublish.read(spark, dir, Some("ep-nope"))
+    }
+    assert(e.getMessage.contains("no committed snapshot 'ep-nope'"), e.getMessage)
+  }
+
   test("A12c: read refuses a path with no committed snapshot") {
     val e = intercept[IllegalStateException] {
       WrappedPublish.read(spark, tempDir("wrapped_read_none"))
