@@ -76,6 +76,7 @@ object SparkEntry {
     "pq_train"             -> (TextDemos.pqTrainDemo(_, _)),
     "pq_topk"              -> (TextDemos.pqTopkDemo(_, _)),
     "ivfpq_topk"           -> (TextDemos.ivfPqTopkDemo(_, _)),
+    "ivfpq_rerank"         -> (TextDemos.ivfPqRerankDemo(_, _)),
     "bpe_train"            -> (TextDemos.bpeTrain(_, _)),
     "bpe_encode"           -> (TextDemos.bpeEncode(_, _)),
     "bm25_index"           -> (TextDemos.bm25Index(_, _)),
@@ -873,6 +874,7 @@ object SparkEntry {
     "pq_train"          -> graft.oracle.OracleGen.pqTrainSql(),
     "pq_topk"           -> graft.oracle.OracleGen.pqTopkSql(),
     "ivfpq_topk"        -> graft.oracle.OracleGen.ivfPqTopkSql(),
+    "ivfpq_rerank"      -> graft.oracle.OracleGen.ivfPqRerankSql(),
     "bpe_train"         -> graft.oracle.OracleGen.bpeTrainSql(),
     "bpe_encode"        -> graft.oracle.OracleGen.bpeEncodeSql(),
     "bm25_index"        -> graft.oracle.OracleGen.bm25IndexSql(),

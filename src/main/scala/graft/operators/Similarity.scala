@@ -460,6 +460,33 @@ object Similarity {
       .groupBy(col(labelCol), col("pos"))
       .agg((sum(col("v").cast("decimal(27,20)")).cast("double") / count(col("v"))).as("centroid"))
 
+  /** C73 — exact rerank over IVF-PQ candidates: the standard
+    * compressed-candidate recall repair (take the ADC top-kCand —
+    * cheap, 32×-compressed, slightly lossy — then rescore ONLY those
+    * kCand rows against their raw vectors and re-rank to top-k). The
+    * expensive exact cosine touches queries×kCand rows, never the
+    * corpus: the candidate set is dimension-scale, so the vector join
+    * is a pinpoint lookup into the (id-keyed, at 100 TB bucketed)
+    * embedding table and the final ranking is BoundedTopK. Ranks on
+    * the UNROUNDED cosine (the knnGraph discipline) so tie-breaks
+    * agree with the oracle bit-for-bit. */
+  def ivfPqRerank(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
+                  books: DataFrame, centroidsLong: DataFrame,
+                  k: Int, kCand: Int, m: Int, dim: Int, nprobe: Int = 2,
+                  queryId: String = "query_id", queryVec: String = "qv",
+                  candId: String = "cand_id", candVec: String = "cv",
+                  labelCol: String = "label"): DataFrame = {
+    require(kCand >= k, s"kCand=$kCand must be >= k=$k")
+    val cand = ivfPqTopK(queries, codes, books, centroidsLong, kCand, m, dim,
+        nprobe, queryId, queryVec, candId, labelCol)
+      .select(col(queryId), col(candId))
+    val scored = cand
+      .join(queries, Seq(queryId))
+      .join(corpus.select(col(candId), col(candVec)), Seq(candId))
+      .withColumn("sim", Vec.cosineFast(col(queryVec), col(candVec)))
+    topK(scored, k, queryId, candId)
+  }
+
   /** IVF assignment: each query vector goes to its nearest centroid by
     * cosine (the coarse-quantization step of IVF search: probe only
     * that cluster's posting list instead of the whole corpus). */

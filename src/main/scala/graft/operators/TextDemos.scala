@@ -441,6 +441,25 @@ object TextDemos {
       .orderBy("query_id", "rank")
   }
 
+  /** C73 — exact rerank over the C64 IVF-PQ candidates: ADC top-20
+    * per query, exact-cosine rescored and cut to top-5 (see
+    * [[Similarity.ivfPqRerank]]). Same run-scoped landed index as
+    * ivfpq_topk — the row times rerank, not index build. */
+  def ivfPqRerankDemo(spark: SparkSession, dir: String): DataFrame = {
+    val (centsDir, booksDir, codesDir) = ivfPqIndexDirs(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    Similarity.ivfPqRerank(queries,
+        emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+        spark.read.parquet(codesDir), spark.read.parquet(booksDir),
+        spark.read.parquet(centsDir),
+        k = 5, kCand = 20, m = 8, dim = 64, nprobe = 2)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   /** C35 — BPE vocabulary training: 12 merge rules learned from the
     * corpus' distinct-word frequency table (one corpus pass, then
     * vocabulary-scale rounds — see [[Bpe]] for the 100 TB posture).

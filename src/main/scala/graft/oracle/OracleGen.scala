@@ -1199,7 +1199,36 @@ object OracleGen {
     * over the label-restricted codes, rank ties to the lowest
     * cand_id. */
   def ivfPqTopkSql(k: Int = 5, m: Int = 8, dim: Int = 64,
-                   bootstrapBits: Int = 4, nprobe: Int = 2): String = {
+                   bootstrapBits: Int = 4, nprobe: Int = 2): String =
+    // plain concatenation past the chain: the chain is already
+    // margin-stripped (the c4GateAggSql lesson)
+    ivfPqChain(m, dim, bootstrapBits, nprobe) + "\n" +
+      s"""SELECT query_id, cand_id, round(dist, 6) AS dist, rank
+         |FROM r2 WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** mirror of TextDemos.ivfPqRerankDemo: the same chain's ADC
+    * ranking truncated at kCand, exact-cosine rescored against the
+    * raw candidate vectors, re-ranked — the standard
+    * compressed-candidate recall repair. Ranks on the UNROUNDED
+    * cosine (the knnGraph discipline) so ties agree cross-engine. */
+  def ivfPqRerankSql(k: Int = 5, kCand: Int = 20, m: Int = 8, dim: Int = 64,
+                     bootstrapBits: Int = 4, nprobe: Int = 2): String =
+    ivfPqChain(m, dim, bootstrapBits, nprobe) + ",\n" +
+      s"""e2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvd
+         |        FROM embeddings WHERE vec_id >= 5),
+         |cand AS (SELECT query_id, cand_id FROM r2 WHERE rank <= $kCand),
+         |ex AS (SELECT c.query_id, c.cand_id, ${cosineExpr("q.qvd", "e2.cvd")} AS sim
+         |       FROM cand c JOIN q ON q.query_id = c.query_id
+         |       JOIN e2 ON e2.vec_id = c.cand_id),
+         |rr AS (SELECT query_id, cand_id, sim,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rank
+         |       FROM ex)
+         |SELECT query_id, cand_id, round(sim, 6) AS sim, rank
+         |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** the IVF-PQ CTE chain through `r2` (ADC distance ranking over the
+    * probed labels) — shared by ivfPqTopkSql and ivfPqRerankSql. */
+  private def ivfPqChain(m: Int, dim: Int, bootstrapBits: Int, nprobe: Int): String = {
     val sub = dim / m
     s"""$centroidsCore, res AS (
        |  SELECT eb.vec_id, eb.label,
@@ -1267,9 +1296,7 @@ object OracleGen {
        |), r2 AS (
        |  SELECT query_id, cand_id, dist,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, cand_id) AS BIGINT) AS rank
-       |  FROM sc)
-       |SELECT query_id, cand_id, round(dist, 6) AS dist, rank
-       |FROM r2 WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+       |  FROM sc)""".stripMargin
   }
 
   // --- synthesized geocode demo input (must match

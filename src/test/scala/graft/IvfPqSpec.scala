@@ -216,4 +216,51 @@ class IvfPqSpec extends SparkSpec {
     val demo = TextDemos.ivfPqTopkDemo(spark, sfDir).collect().map(_.toString).toSeq
     assert(demo == inline)
   }
+
+  test("C73 rerank: picks ⊆ ADC candidates, scored by exact cosine, recall ≥ ADC") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpusV = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val kCand = 20
+    val adc = Similarity.ivfPqTopK(queries, codes, books, cents,
+        k = kCand, m = 8, dim = 64, nprobe = 2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rr = Similarity.ivfPqRerank(queries, corpusV, codes, books, cents,
+        k = 5, kCand = kCand, m = 8, dim = 64, nprobe = 2)
+      .select("query_id", "cand_id", "sim").as[(Long, Long, Double)].collect()
+    assert(rr.nonEmpty)
+    // membership: every rerank pick came from that query's ADC top-kCand
+    rr.foreach { case (q, c, _) => assert(adc(q).contains(c), s"$c not ADC cand of $q") }
+    // exactness: sims are the true cosines of the raw vectors
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rr.foreach { case (q, c, s) =>
+      assert(math.abs(s - cos(vecs(q), vecs(c))) < 1e-9, s"sim drift for ($q,$c)") }
+    // recall repair: exact-rescored top-5 recalls ground truth at least
+    // as well as the ADC top-5 it replaces
+    val truth = Similarity.bruteTopK(queries, corpusV, k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val adc5 = Similarity.ivfPqTopK(queries, codes, books, cents,
+        k = 5, m = 8, dim = 64, nprobe = 2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rr5 = rr.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (hitRr, hitAdc) = truth.keys.map(q =>
+      ((rr5(q) intersect truth(q)).size, (adc5(q) intersect truth(q)).size))
+      .foldLeft((0, 0)) { case ((a, b), (x, y)) => (a + x, b + y) }
+    assert(hitRr >= hitAdc, s"rerank recall $hitRr < adc recall $hitAdc")
+  }
 }
