@@ -123,11 +123,7 @@ object WrappedPublish {
           committed(name)
         }
       } catch { case _: java.io.IOException => None }
-    viaPtr.orElse {
-      Option(fs.globStatus(new Path(snapRoot, "*")))
-        .getOrElse(Array.empty).map(_.getPath.getName).sorted.reverse
-        .iterator.flatMap(committed).nextOption()
-    }
+    viaPtr.orElse(snapshots(fs, root).lastOption.map(n => new Path(snapRoot, n)))
   }
 
   /** group-file names listed in a committed snapshot's manifest. */
@@ -138,19 +134,12 @@ object WrappedPublish {
     finally in.close()
   }
 
-  /** READ the current publish back as rows: resolve the pointer, take
-    * the manifest's group files, and parse them with Spark's own
-    * multiLine JSON source (schema inference, pruning, distribution
-    * for free — composing the built-in source beats a hand-rolled
-    * DSv2 JSON reader), then unwrap `{group, total, rows:[...]}` to
-    * one row per payload element with the group value and wrapper
-    * total attached. Group files are bounded by the sink's contract,
-    * so whole-file JSON parse is the right unit of parallelism (one
-    * task per group file). Reads only manifest-listed files of a
-    * COMMITTED snapshot — never in-flight temps or crash debris. */
   /** committed snapshot names under `root`, oldest→newest (name order
     * IS commit order in the shared zero-padded namespace) — the
-    * time-travel catalog for [[read]]'s `snapshot` parameter. */
+    * time-travel catalog for [[read]]'s `snapshot` parameter, and the
+    * ONE committed-snapshot enumeration the pointer fallback and
+    * retention also use (three hand-rolled copies would silently
+    * diverge on a marker-convention change — review finding). */
   def snapshots(fs: FileSystem, root: Path): Seq[String] = {
     val snapRoot = new Path(root, "snapshots")
     Option(fs.globStatus(new Path(snapRoot, "*"))).getOrElse(Array.empty)
@@ -159,8 +148,29 @@ object WrappedPublish {
       .sorted.toSeq
   }
 
+  /** READ a publish back as rows: resolve the pointer (or a named
+    * committed snapshot — time travel), take the manifest's group
+    * files, and parse them with Spark's own multiLine JSON source
+    * (pruning, distribution for free — composing the built-in source
+    * beats a hand-rolled DSv2 JSON reader), then unwrap
+    * `{group, total, rows:[...]}` to one row per payload element with
+    * the group value and wrapper total attached. Group files are
+    * bounded by the sink's contract, so whole-file JSON parse is the
+    * right unit of parallelism (one task per group file). Reads only
+    * manifest-listed files of a COMMITTED snapshot — never in-flight
+    * temps or crash debris.
+    *
+    * Without `payloadSchema`, column types come from JSON inference —
+    * exact for strings/longs/finite doubles/booleans, but a quoted
+    * non-finite double ("NaN"/"Infinity", the writer's JSON-strict
+    * form) unifies its column to STRING, and DecimalType payloads
+    * come back as lossy doubles. Pass `payloadSchema` (the payload
+    * row's struct, sans group/total) to parse with declared types
+    * instead: Spark's JSON parser reads the quoted non-finite tokens
+    * into double/float fields, and decimals parse exactly. */
   def read(spark: org.apache.spark.sql.SparkSession, path: String,
-           snapshot: Option[String] = None): org.apache.spark.sql.DataFrame = {
+           snapshot: Option[String] = None,
+           payloadSchema: Option[StructType] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, explode}
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -176,12 +186,27 @@ object WrappedPublish {
     }
     val files = manifest(fs, snap).map(n => new Path(snap, n).toString)
     require(files.nonEmpty, s"graft-wrapped: snapshot $snap has an empty manifest")
-    val raw = spark.read.option("multiLine", "true").json(files: _*)
-    val groupCols = raw.columns.filterNot(Set("total", "rows"))
+    def load(reader: org.apache.spark.sql.DataFrameReader) =
+      reader.option("multiLine", "true").json(files: _*)
+    val inferred = load(spark.read)
+    val groupCols = inferred.columns.filterNot(Set("total", "rows"))
     require(groupCols.length == 1,
-      s"graft-wrapped: expected one group key beside total/rows, got ${raw.columns.mkString(", ")}")
-    raw.select(col(groupCols.head), col("total"), explode(col("rows")).as("_r"))
-      .select(col(groupCols.head), col("total"), col("_r.*"))
+      s"graft-wrapped: expected one group key beside total/rows, got ${inferred.columns.mkString(", ")}")
+    val g = groupCols.head
+    val raw = payloadSchema match {
+      case None => inferred
+      case Some(ps) => // re-read with declared payload types (the
+        // group key's name comes from the cheap inference pass above;
+        // its type from the inferred schema unless the caller also
+        // declared it in ps — they shouldn't)
+        val groupField = inferred.schema(g)
+        load(spark.read.schema(new StructType()
+          .add(groupField)
+          .add("total", org.apache.spark.sql.types.LongType, nullable = false)
+          .add("rows", org.apache.spark.sql.types.ArrayType(ps), nullable = false)))
+    }
+    raw.select(col(g), col("total"), explode(col("rows")).as("_r"))
+      .select(col(g), col("total"), col("_r.*"))
   }
 }
 
@@ -206,6 +231,17 @@ private[io] class WrappedJsonTable(schema0: StructType, props: Map[String, Strin
         val schema = info.schema()
         require(schema.fieldNames.contains(groupCol),
           s"graft-wrapped: groupCol '$groupCol' not in ${schema.fieldNames.mkString(", ")}")
+        // the wrapper's own top-level keys: a group column named
+        // "total"/"rows" would write duplicate JSON keys, and a
+        // payload column by either name reads back ambiguous — reject
+        // at WRITE time, where the fix (rename) is obvious
+        require(groupCol != "total" && groupCol != "rows",
+          s"graft-wrapped: groupCol '$groupCol' collides with the wrapper's own keys; rename it")
+        val reserved = schema.fieldNames.filter(n =>
+          n != groupCol && (n == "total" || n == "rows"))
+        require(reserved.isEmpty,
+          s"graft-wrapped: payload column(s) ${reserved.mkString(", ")} collide with " +
+            "the wrapper's total/rows keys and would read back ambiguous; rename them")
         val bad = schema.fields.filterNot(f => WrappedJsonWrite.atomic(f.dataType))
         require(bad.isEmpty,
           s"graft-wrapped serializes atomic columns only; to_json these first: " +
@@ -354,10 +390,7 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
 
   private def applyRetention(f: FileSystem): Unit = if (retain != Int.MaxValue) {
     val snapRoot = new Path(path, "snapshots")
-    Option(f.listStatus(snapRoot)).getOrElse(Array.empty)
-      .map(_.getPath.getName)
-      .filter(n => f.exists(new Path(snapRoot, s"$n/_SUCCESS")))
-      .sorted.dropRight(retain)
+    WrappedPublish.snapshots(f, root).dropRight(retain)
       .foreach(n => f.delete(new Path(snapRoot, n), true))
   }
 

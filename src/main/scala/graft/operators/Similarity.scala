@@ -480,8 +480,12 @@ object Similarity {
     val cand = ivfPqTopK(queries, codes, books, centroidsLong, kCand, m, dim,
         nprobe, queryId, queryVec, candId, labelCol)
       .select(col(queryId), col(candId))
-    val scored = cand
-      .join(queries, Seq(queryId))
+    // FORCED broadcast of the (queries × kCand) candidate side: the
+    // corpus-scale vector table must stream map-side through this
+    // join, never shuffle (auto-broadcast is off exactly when it
+    // matters — stats unavailable, or the operator runs under a
+    // disabled threshold; review finding, plan-shape-pinned)
+    val scored = broadcast(cand.join(queries, Seq(queryId)))
       .join(corpus.select(col(candId), col(candVec)), Seq(candId))
       .withColumn("sim", Vec.cosineFast(col(queryVec), col(candVec)))
     topK(scored, k, queryId, candId)

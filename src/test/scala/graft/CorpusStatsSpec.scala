@@ -163,7 +163,9 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(Long, String, String)].collect()
     val profiles = functions.Text.LangProfiles
     def predLang(text: String): String = {
-      val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      // Locale.ROOT: Spark's lower() is locale-independent; the default
+      // locale (e.g. Turkish dotless-i) would diverge (review finding)
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
       val hits = profiles.map { case (l, stops) => l -> toks.count(stops.contains) }
       val mx = hits.map(_._2).max
       if (mx == 0) "und" else hits.find(_._2 == mx).get._1

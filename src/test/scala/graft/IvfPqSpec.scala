@@ -263,4 +263,21 @@ class IvfPqSpec extends SparkSpec {
       .foldLeft((0, 0)) { case ((a, b), (x, y)) => (a + x, b + y) }
     assert(hitRr >= hitAdc, s"rerank recall $hitRr < adc recall $hitAdc")
   }
+
+  test("C73 rerank plan: the corpus-side vector join broadcasts even with stats off") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpusV = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val df = Similarity.ivfPqRerank(queries, corpusV, codes, books, cents,
+        k = 5, kCand = 20, m = 8, dim = 64, nprobe = 2)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"candidate side must FORCE broadcast into the corpus join:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
 }

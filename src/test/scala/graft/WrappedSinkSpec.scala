@@ -415,6 +415,40 @@ class WrappedSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("no committed snapshot 'ep-nope'"), e.getMessage)
   }
 
+  test("A12c: payloadSchema restores declared types incl. quoted NaN doubles") {
+    import org.apache.spark.sql.types._
+    val dir = tempDir("wrapped_nan")
+    Seq(("a", 1L, 1.5), ("a", 2L, Double.NaN), ("b", 3L, -0.25))
+      .toDF("county", "id", "score")
+      .write.format("graft-wrapped").option("groupCol", "county")
+      .mode("overwrite").save(dir)
+    // inference alone: the quoted "NaN" unifies score to string
+    val inferred = WrappedPublish.read(spark, dir)
+    assert(inferred.schema("score").dataType == StringType, inferred.schema.treeString)
+    // declared payload schema: doubles stay doubles, NaN included
+    val typed = WrappedPublish.read(spark, dir, payloadSchema = Some(
+      new StructType().add("id", LongType).add("score", DoubleType)))
+    assert(typed.schema("score").dataType == DoubleType, typed.schema.treeString)
+    val got = typed.select("id", "score").as[(Long, Double)].collect()
+      .map { case (i, s) => i -> (if (s.isNaN) "nan" else s.toString) }.toSet
+    assert(got == Set(1L -> "1.5", 2L -> "nan", 3L -> "-0.25"))
+  }
+
+  test("A12c: total/rows name collisions refuse at WRITE time") {
+    val e1 = intercept[Exception] {
+      Seq(("a", 1L)).toDF("total", "id")
+        .write.format("graft-wrapped").option("groupCol", "total")
+        .mode("overwrite").save(tempDir("wrapped_res1"))
+    }
+    assert(e1.getMessage.contains("collides with the wrapper"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Seq(("a", 1L)).toDF("county", "total")
+        .write.format("graft-wrapped").option("groupCol", "county")
+        .mode("overwrite").save(tempDir("wrapped_res2"))
+    }
+    assert(e2.getMessage.contains("total/rows"), e2.getMessage)
+  }
+
   test("A12c: read refuses a path with no committed snapshot") {
     val e = intercept[IllegalStateException] {
       WrappedPublish.read(spark, tempDir("wrapped_read_none"))
