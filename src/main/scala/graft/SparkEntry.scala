@@ -99,6 +99,7 @@ object SparkEntry {
     "corpus_overlap_kmv"   -> (TextDemos.corpusOverlapKmv(_, _)),
     "corpus_diff"          -> (TextDemos.corpusDiff(_, _)),
     "c4_filters"           -> (TextDemos.c4FiltersDemo(_, _)),
+    "crawl_ingest_e2e"     -> (TextDemos.crawlIngestE2e(_, _)),
     "sequence_pack"        -> (TextDemos.sequencePack(_, _)),
     "url_blocklist_filter" -> (TextDemos.urlBlocklistFilter(_, _)),
     "outlier_bounds_filter" -> (TextDemos.outlierBoundsFilter(_, _)),
@@ -788,6 +789,7 @@ object SparkEntry {
     "contamination_check" -> graft.oracle.OracleGen.contaminationCheckSql(),
     "corpus_overlap_kmv" -> graft.oracle.OracleGen.corpusOverlapKmvSql(),
     "c4_filters" -> graft.oracle.OracleGen.c4FiltersSql(),
+    "crawl_ingest_e2e" -> graft.oracle.OracleGen.crawlIngestE2eSql(),
 
     // C71: the diff states are pure presence/equality logic, so the
     // oracle recomputes them with a FULL OUTER JOIN on the raw text

@@ -452,7 +452,9 @@ object RefDemos {
     * row gates the whole envelope chain: header parse →
     * Content-Length framing (byte-exact, non-ASCII included) →
     * payload → UTF-8 round-trip. */
-  def warcIngest(spark: SparkSession, dir: String): DataFrame = {
+  /** the run-scoped WARC fixture shared by the C69 ingest row and the
+    * C74 crawl e2e: the documents table landed as 4 real shards. */
+  private[operators] def warcFixtureDir(spark: SparkSession, dir: String): String = {
     val docs = Tables.documents(spark, dir)
     val warcDir = graft.util.Fixtures.dir(s"warc_${new java.io.File(dir).getName}")
     graft.util.Fixtures.buildOnce(warcDir) {
@@ -463,7 +465,12 @@ object RefDemos {
           encode(col("text"), "UTF-8").as("payload")),
         warcDir.toString, nShards = 4)
     }
-    spark.read.format("graft-warc").load(warcDir.toString)
+    warcDir.toString
+  }
+
+  def warcIngest(spark: SparkSession, dir: String): DataFrame = {
+    val warcDir = warcFixtureDir(spark, dir)
+    spark.read.format("graft-warc").load(warcDir)
       .filter(col("warc_type") === "resource") // pushed: warcinfo skipped at the header
       .select(col("record_id"), col("target_uri"), col("content_length"),
         col("payload").cast("string").as("text"))

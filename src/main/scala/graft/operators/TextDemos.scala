@@ -118,6 +118,48 @@ object TextDemos {
       .orderBy("pred_lang", "source")
   }
 
+  /** C74 — the crawl ingest ladder end-to-end, as an auditable
+    * funnel: real WARC shards (the C69 fixture) → language gate (C8,
+    * keep detected-en) → exact dedup (C1, min-id per content hash) →
+    * decontamination gate (C21, vs the %20 benchmark slice of the
+    * full crawl). Output = one (stage, n_docs) row per funnel stage —
+    * the drop accounting every corpus release publishes. Each stage
+    * composes the existing operator; no stage rescans what a prior
+    * stage computed beyond its own inputs (dedup shuffles 16-byte
+    * hashes, contamination shuffles 8-byte shingle hashes). */
+  def crawlIngestE2e(spark: SparkSession, dir: String): DataFrame = {
+    val warcDir = RefDemos.warcFixtureDir(spark, dir)
+    val ingested = graft.util.CacheRegistry.register(
+      spark.read.format("graft-warc").load(warcDir)
+        .filter(col("warc_type") === "resource")
+        .select(
+          regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("long").as("doc_id"),
+          col("payload").cast("string").as("text"))
+        .persist())
+    val (pred, _) = Text.langId(col("text"))
+    val en = graft.util.CacheRegistry.register(
+      ingested.withColumn("pred_lang", pred)
+        .filter(col("pred_lang") === "en").drop("pred_lang").persist())
+    val survivors = Dedup.exactByHash(en, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    // contamination is computed over the FULL ingested crawl (the
+    // benchmark slice is defined corpus-wide), then gates survivors
+    val cont = Dedup.contaminationCheck(ingested,
+        ingested.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+        shingleN = 3, flagThreshold = 0.2,
+        tokenHash = graft.functions.Vec.md5Hash60)
+      .select(col("doc_id"), col("contamination"))
+    val clean = survivors.join(cont, Seq("doc_id"), "left")
+      .filter(coalesce(col("contamination"), lit(0.0)) < 0.2)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"), col("n_docs"))
+    stage("f0_ingested", ingested)
+      .unionAll(stage("f1_lang_en", en))
+      .unionAll(stage("f2_deduped", survivors))
+      .unionAll(stage("f3_decontaminated", clean))
+      .orderBy("stage")
+  }
+
   /** C11 — rolling-hash document fingerprint. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

@@ -1781,6 +1781,62 @@ object OracleGen {
        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS BIGINT) AS pos, h
        |FROM kk ORDER BY pos""".stripMargin
 
+  /** mirror of TextDemos.crawlIngestE2e: the WARC round trip is
+    * identity on (doc_id, text), so the funnel recomputes from the
+    * table — language gate (the lang_id CTE), exact dedup (min id per
+    * md5), decontamination (the C21 chain, benchmark = the %20 slice
+    * of the full crawl), one count row per stage. */
+  def crawlIngestE2eSql(flagThreshold: Double = 0.2): String = {
+    val profiles = graft.functions.Text.LangProfiles
+    val hitCols = profiles.map { case (lang, stops) =>
+      val list = stops.map(s => s"'$s'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(ltoks, x -> list_contains($list, x))) AS BIGINT) AS h_$lang"
+    }.mkString(",\n    ")
+    val great = profiles.map(p => s"h_${p._1}").mkString("greatest(", ", ", ")")
+    val cases = profiles.map { case (lang, _) => s"WHEN h_$lang = mx THEN '$lang'" }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text FROM documents
+       |), lt AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks
+       |  FROM t
+       |), h AS (
+       |  SELECT doc_id, text,
+       |    $hitCols
+       |  FROM lt
+       |), g AS (SELECT *, $great AS mx FROM h
+       |), en AS (
+       |  SELECT doc_id, text FROM g
+       |  WHERE (CASE WHEN mx = 0 THEN 'und' $cases END) = 'en'
+       |), ded AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM en GROUP BY md5(text)
+       |), tt AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM t
+       |), ss AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM tt
+       |), ex AS (
+       |  SELECT DISTINCT doc_id, ${md560("tok")} AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS tok FROM ss WHERE len(sh) > 0)
+       |), bm AS (
+       |  SELECT DISTINCT h FROM ex WHERE doc_id % 20 = 0
+       |), cont AS (
+       |  SELECT ex.doc_id,
+       |    CAST(SUM(CASE WHEN bm.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS c
+       |  FROM ex LEFT JOIN bm ON ex.h = bm.h GROUP BY ex.doc_id
+       |), clean AS (
+       |  SELECT d.doc_id FROM ded d LEFT JOIN cont ON d.doc_id = cont.doc_id
+       |  WHERE COALESCE(cont.c, 0.0) < $flagThreshold
+       |)
+       |SELECT * FROM (
+       |  SELECT 'f0_ingested' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM t
+       |  UNION ALL SELECT 'f1_lang_en', CAST(COUNT(*) AS BIGINT) FROM en
+       |  UNION ALL SELECT 'f2_deduped', CAST(COUNT(*) AS BIGINT) FROM ded
+       |  UNION ALL SELECT 'f3_decontaminated', CAST(COUNT(*) AS BIGINT) FROM clean
+       |) ORDER BY stage""".stripMargin
+  }
+
   /** mirror of TextDemos.sequencePack (capacity 2048, shard = doc_id % 4) */
   def sequencePackSql(capacity: Int = 2048): String =
     s"""WITH d AS (

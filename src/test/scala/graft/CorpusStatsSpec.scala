@@ -156,6 +156,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._6).sum - 1.0) < 1e-9)
   }
 
+  test("C74 crawl funnel: monotone, stage counts recompute from a driver reference") {
+    import spark.implicits._
+    val funnel = TextDemos.crawlIngestE2e(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    assert(funnel.keySet == Set("f0_ingested", "f1_lang_en", "f2_deduped",
+      "f3_decontaminated"))
+    assert(funnel("f0_ingested") >= funnel("f1_lang_en"))
+    assert(funnel("f1_lang_en") >= funnel("f2_deduped"))
+    assert(funnel("f2_deduped") >= funnel("f3_decontaminated"))
+    // driver recompute of the first two stages (dedup/contamination
+    // recompute is the oracle's job; here pin the gate semantics)
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(funnel("f0_ingested") == docs.length)
+    val profiles = functions.Text.LangProfiles
+    val en = docs.count { case (_, text) =>
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+      val hits = profiles.map { case (l, stops) => l -> toks.count(stops.contains) }
+      val mx = hits.map(_._2).max
+      mx > 0 && hits.find(_._2 == mx).get._1 == "en"
+    }
+    assert(funnel("f1_lang_en") == en)
+    // the %20 benchmark docs read fully contaminated, so any surviving
+    // benchmark doc must have been dropped by the decontamination gate
+    assert(funnel("f3_decontaminated") < funnel("f2_deduped"),
+      "the benchmark slice must cost the funnel something at this SF")
+  }
+
   test("C72 token_stats_by_lang recomputes from a driver reference") {
     import spark.implicits._
     val docs = sources.Tables.documents(spark, sfDir)
