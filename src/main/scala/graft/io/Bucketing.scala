@@ -43,14 +43,33 @@ object Bucketing {
       (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
         .saveAsTable(name)
     }
+    // a CTAS that dies MID-WRITE leaves its managed location on disk
+    // with NO catalog entry; DROP TABLE can't clear what was never
+    // cataloged, and the next CTAS on the name then refuses with
+    // LOCATION_ALREADY_EXISTS. This was the r10 intermittent
+    // full-suite BucketingSpec flake: under load, the failed write's
+    // task-abort cleanup sometimes loses the race and strands the
+    // directory. Sweep the orphan location explicitly whenever the
+    // name is uncataloged.
+    def clearOrphanLocation(name: String): Unit = {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+      if (!spark.sessionState.catalog.tableExists(ident)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.defaultTablePath(ident))
+        val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+    }
     if (path.isDefined) {
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
       write(table)
     } else {
       val swap = s"${table}__swap"
       spark.sql(s"DROP TABLE IF EXISTS `$swap`") // a crashed prior attempt
+      clearOrphanLocation(swap) // ...and its stranded managed dir
       write(swap) // failure HERE leaves the existing `table` untouched
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      clearOrphanLocation(table)
       spark.sql(s"ALTER TABLE `$swap` RENAME TO `$table`")
     }
   }

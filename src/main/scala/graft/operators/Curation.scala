@@ -38,6 +38,35 @@ object Curation {
           .when(col("_h1") === col("_h2"), "unchanged")
           .otherwise("changed").as("status"))
 
+  /** The 100 TB form of [[corpusDiff]]: both versions land as
+    * (id, content-hash) tables BUCKETED on the id (io.Bucketing — the
+    * B16 discipline), so the full-outer join is bucket-to-bucket with
+    * ZERO exchanges: corpus versions are exactly the recurring-join
+    * case bucketing exists for (every release diffs against the
+    * last), and the hash projection means the landed tables are
+    * 24-byte rows, not corpora. `tablePrefix` must be run-unique
+    * (Fixtures.tableName). BucketingSpec-proven shuffle-free. */
+  def corpusDiffBucketed(v1: DataFrame, v2: DataFrame,
+                         idCol: String, textCol: String,
+                         tablePrefix: String, numBuckets: Int = 8): DataFrame = {
+    val spark = v1.sparkSession
+    def land(df: DataFrame, side: String, hCol: String): DataFrame = {
+      val name = s"${tablePrefix}_$side"
+      graft.io.Bucketing.writeBucketed(
+        df.select(col(idCol), md5(col(textCol)).as(hCol)),
+        name, bucketCols = Seq(idCol), numBuckets = numBuckets,
+        sortCols = Seq(idCol))
+      spark.table(name)
+    }
+    land(v1, "v1", "_h1")
+      .join(land(v2, "v2", "_h2"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_h1").isNull, "added")
+          .when(col("_h2").isNull, "removed")
+          .when(col("_h1") === col("_h2"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** [[corpusDiff]] rolled up to the release-note summary (one row per
     * status, map-side combinable). */
   def corpusDiffSummary(v1: DataFrame, v2: DataFrame,

@@ -6,15 +6,19 @@ import graft.sources.Tables
 
 class BucketingSpec extends SparkSpec {
 
-  /** Flake forensics: this suite intermittently failed under FULL-suite
-    * load in r10 (2 of 4 runs; always green in isolation and in the
-    * other full runs) and the truncated CI logs never captured WHICH
-    * assertion tripped. Until it reproduces, every failure here lands
-    * its full exception + executed-plan context in
-    * `target/bucketing_flake_<test>.txt` so the next occurrence
-    * self-documents instead of vanishing into a tail-truncated log.
-    * No assertion is weakened — the wrapper only records and
-    * rethrows. */
+  /** Flake forensics — ROOT CAUSE FOUND (r10, via this recorder): the
+    * intermittent full-suite failures were LOCATION_ALREADY_EXISTS on
+    * the swap table: a CTAS that dies mid-write (the poisoned-write
+    * test, by design) leaves its MANAGED location on disk with no
+    * catalog entry when task-abort cleanup loses a race under load;
+    * DROP TABLE can't clear what was never cataloged, so the next
+    * CTAS on the name refuses. Fixed in Bucketing.writeBucketed
+    * (clearOrphanLocation sweeps uncataloged leftover dirs before
+    * every managed CTAS). The recorder stays: any NEW failure mode
+    * here should land its full context in
+    * `target/bucketing_flake_<test>.txt` rather than vanish into a
+    * tail-truncated log. No assertion is weakened — the wrapper only
+    * records and rethrows. */
   private def recorded(name: String)(body: => Unit): Unit =
     try body catch {
       case e: Throwable =>
@@ -92,5 +96,25 @@ class BucketingSpec extends SparkSpec {
       assert(!plan.contains(s"Exchange hashpartitioning($k"),
         s"bucketed demo must not shuffle on $k:\n" +
           plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  } }
+
+  test("C71 bucketed corpus diff: zero-exchange full-outer, same statuses") { recorded("corpus_diff") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c-edited"), (4L, "d"), (5L, "e")).toDF("id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.Curation.corpusDiffBucketed(v1, v2, "id", "text",
+        graft.util.Fixtures.tableName("diff_bkt"), numBuckets = 4)
+      val got = df.as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+        4L -> "unchanged", 5L -> "added"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.linesIterator.take(8).mkString("\n"))
+      assert(!plan.contains("Exchange"),
+        "bucketed version tables must diff without a shuffle:\n" +
+          plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   } }
 }
