@@ -120,6 +120,7 @@ object SparkEntry {
     "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
     "knn_graph"            -> (TextDemos.knnGraphDemo(_, _)),
     "pagerank_centrality"  -> (TextDemos.pagerankCentrality(_, _)),
+    "centrality_gate"      -> (TextDemos.centralityGate(_, _)),
     "chunk_overlap"        -> (TextDemos.chunkOverlapDemo(_, _)),
     "cdc_chunk_dedup"      -> (TextDemos.cdcChunkDedup(_, _)),
     "phrase_blocklist_scan" -> (TextDemos.phraseBlocklistScan(_, _)),
@@ -1001,6 +1002,7 @@ object SparkEntry {
     "quality_classifier" -> graft.oracle.OracleGen.logregScoreSql(),
     "knn_graph"          -> graft.oracle.OracleGen.knnGraphSql(),
     "pagerank_centrality" -> graft.oracle.OracleGen.pagerankCentralitySql(),
+    "centrality_gate" -> graft.oracle.OracleGen.centralityGateSql(),
 
     // sliding-window chunking: starts = range(0, n, stride); chunk_idx
     // = start/stride (starts are exact multiples, so the integer

@@ -160,6 +160,24 @@ object TextDemos {
       .orderBy("stage")
   }
 
+  /** C75 — centrality-weighted curation gate: the composition C68's
+    * doc promises — PageRank centrality over the document graph fed
+    * into C54's per-source quantile-gate machinery ("keep each
+    * source's most corpus-central half", each source its own bar; the
+    * graph analog of FineWeb's per-source quality gating). Pure
+    * composition: the centrality table is (id, long) rows, the
+    * per-source thresholds broadcast, the corpus never shuffles.
+    * rank_e15 ≤ 10^15 < 2^53 casts to double exactly, so the
+    * interpolated quantile is engine-bit-exact. */
+  def centralityGate(spark: SparkSession, dir: String): DataFrame = {
+    val pr = pagerankCentrality(spark, dir)
+      .select(col("id").as("doc_id"), col("rank_e15").cast("double").as("centrality"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    Sampling.sourceQuantileFilter(
+        docs.join(pr, Seq("doc_id")), "doc_id", "centrality", "source", q = 0.5)
+      .orderBy("doc_id")
+  }
+
   /** C11 — rolling-hash document fingerprint. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(

@@ -1837,6 +1837,23 @@ object OracleGen {
        |) ORDER BY stage""".stripMargin
   }
 
+  /** mirror of TextDemos.centralityGate: the full pagerank chain as a
+    * nested CTE (plain concatenation — the c4GateAggSql margin
+    * lesson), joined to sources, gated by the shared bit-exact
+    * interpolated per-source median. */
+  def centralityGateSql(q: Double = 0.5): String =
+    "WITH pr AS (\n" + pagerankCentralitySql() + "\n), " +
+      s"""j AS (
+         |  SELECT d.doc_id, d.source, CAST(pr.rank_e15 AS DOUBLE) AS centrality
+         |  FROM documents d JOIN pr ON pr.id = d.doc_id
+         |), thr AS (
+         |${interpolatedPercentilesSql("j", "source", "centrality", Seq("threshold" -> q))}
+         |)
+         |SELECT doc_id, source, centrality, threshold
+         |FROM j JOIN thr USING (source)
+         |WHERE centrality >= threshold
+         |ORDER BY doc_id""".stripMargin
+
   /** mirror of TextDemos.sequencePack (capacity 2048, shard = doc_id % 4) */
   def sequencePackSql(capacity: Int = 2048): String =
     s"""WITH d AS (

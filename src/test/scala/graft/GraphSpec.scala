@@ -66,6 +66,33 @@ class GraphSpec extends SparkSpec {
       "an isolated node and a spoke receive identical (teleport+dangling) mass here")
   }
 
+  test("C75 centrality gate: per-source bar and keep set recompute from driver math") {
+    val kept = TextDemos.centralityGate(spark, sfDir)
+      .select("doc_id", "source", "centrality", "threshold")
+      .as[(Long, String, Double, Double)].collect()
+    assert(kept.nonEmpty)
+    val pr = TextDemos.pagerankCentrality(spark, sfDir)
+      .select("id", "rank_e15").as[(Long, Long)].collect()
+      .map { case (id, r) => id -> r.toDouble }.toMap
+    val srcOf = sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val bySrc = pr.toSeq.map { case (id, c) => (srcOf(id), id, c) }.groupBy(_._1)
+    val want = bySrc.flatMap { case (_, rows) =>
+      val vs = rows.map(_._3).sorted
+      val pos = (vs.length - 1) * 0.5
+      val lo = vs(pos.toInt)
+      val hi = vs(math.min(pos.toInt + 1, vs.length - 1))
+      val thr = lo + (hi - lo) * (pos - math.floor(pos))
+      rows.filter(_._3 >= thr).map(r => r._2 -> thr)
+    }
+    assert(kept.map(k => k._1 -> k._4).toMap == want)
+    // each source keeps roughly its top half, never everything
+    kept.groupBy(_._2).foreach { case (s, ks) =>
+      val n = bySrc(s).size
+      assert(ks.length <= n && ks.length >= n / 2, s"$s keeps ${ks.length}/$n")
+    }
+  }
+
   test("C68 demo row: mass conserved within floor loss, hubs outrank isolated") {
     val rows = TextDemos.pagerankCentrality(spark, sfDir)
       .select("id", "rank_e15").as[(Long, Long)].collect()
