@@ -153,6 +153,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Scan parquet") || p.contains("FileScan"), p)
   }
 
+  test("c4_filters is map-only: adds zero exchanges over its input") {
+    val pages = docs.select(col("doc_id"), col("text").as("page"))
+    val df = graft.operators.Filtering.c4Filters(pages, "doc_id", "page")
+    assert(exchanges(df) == exchanges(pages), plan(df))
+  }
+
   test("kmv sketch aggregates object-hash with map-side partials; only buffers shuffle") {
     val hashes = docs.select(functions.Vec.md5Hash60(col("text")).as("h"))
     val df = hashes.agg(call_function("graft_kmv", col("h"), lit(8)))
