@@ -57,6 +57,7 @@ object SparkEntry {
     "ngram_jaccard"        -> (TextDemos.ngramJaccard(_, _)),
     "embed_cosine_topk"    -> (TextDemos.embedCosineTopk(_, _)),
     "ann_lsh_topk"         -> (TextDemos.annLshTopk(_, _)),
+    "retrieval_eval"       -> (TextDemos.retrievalEval(_, _)),
     "dedup_minhash_lsh"    -> (TextDemos.dedupMinhashLsh(_, _)),
     "minhash_lsh_eval"     -> (TextDemos.minhashLshEval(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
@@ -869,6 +870,7 @@ object SparkEntry {
     "dedup_simhash"     -> graft.oracle.OracleGen.simhashSql(),
     "image_phash_dedup" -> graft.oracle.OracleGen.imagePhashSql(),
     "ann_lsh_topk"      -> graft.oracle.OracleGen.annLshSql(),
+    "retrieval_eval"    -> graft.oracle.OracleGen.retrievalEvalSql(),
     "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),

@@ -252,6 +252,36 @@ object TextDemos {
       .orderBy("query_id", "rank")
   }
 
+  /** C76 — retrieval evaluation as the A/B gate it exists for: the
+    * exact dense baseline and the C6 approximate run, both graded
+    * against exact ground truth (brute-force top-10, gain 11 − rank) —
+    * recall@5, MRR@5, nDCG@5 per (run, query). The exact arm scores
+    * 0.5/1/1 by construction (it IS the truth's head); the lsh arm's
+    * near-zeros are the honest verdict on an 8-plane single-probe
+    * index at this scale — exactly the regression the gate is built
+    * to catch before an index config ships. Metric-scale joins only;
+    * the corpus appears once per run, never in the eval algebra. */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val exact = Similarity.bruteTopK(queries, corpus, k = 10)
+      .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+    val qrels = exact.select(col("query_id"), col("doc_id"),
+      (lit(11L) - col("rank")).as("rel"))
+    val lsh = Similarity.lshTopK(queries, corpus, k = 5,
+        nPlanes = 8, dim = 64, probeBits = 1)
+      .select(col("query_id"), col("cand_id").as("doc_id"), col("rank"))
+    val arms = Seq("exact" -> exact.filter(col("rank") <= 5), "lsh" -> lsh)
+    arms.map { case (name, run) =>
+      RankEval.rankMetrics(run, qrels, k = 5)
+        .select(lit(name).as("run_name"), col("query_id"),
+          col("recall_at_k"), col("mrr"), col("ndcg_at_k"))
+    }.reduce(_ unionByName _).orderBy("run_name", "query_id")
+  }
+
   /** C20 — deterministic hash-based train/val/test split: per-split
     * document counts (membership is a pure function of doc_id). */
   def hashSplit(spark: SparkSession, dir: String): DataFrame =

@@ -586,6 +586,70 @@ object OracleGen {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** mirror of TextDemos.retrievalEval: the annLshSql run chain and
+    * the exact-cosine qrels chain (gain 11 − rank over the brute
+    * top-10), then the TREC algebra — discounted gains rounded to 6
+    * into decimal sums (partial-agg-order-proof), ideal DCG from the
+    * qrels window, final ratios divided as doubles and rounded 6. */
+  def retrievalEvalSql(nPlanes: Int = 8, dim: Int = 64, k: Int = 5,
+                       kRel: Int = 10, probeBits: Int = 1): String = {
+    val planes = Vec.hyperplanes(nPlanes, dim)
+    val flips = graft.operators.Similarity.hammingBallMasks(nPlanes, probeBits)
+      .mkString("[", ", ", "]")
+    def gain(rel: String, pos: String) =
+      s"CAST(round((pow(2.0, $rel) - 1.0) / log2($pos + 1.0), 6) AS DECIMAL(27,6))"
+    // the TREC algebra applied to one arm's run CTE
+    def arm(name: String, runCte: String) =
+      s"""SELECT '$name' AS run_name, got.query_id,
+         |  CASE WHEN n_rel IS NULL OR n_rel = 0 THEN 0.0
+         |       ELSE round(CAST(hits AS DOUBLE) / n_rel, 6) END AS recall_at_k,
+         |  CASE WHEN first_rel IS NULL THEN 0.0
+         |       ELSE round(1.0 / first_rel, 6) END AS mrr,
+         |  CASE WHEN idcg IS NULL OR idcg = 0 THEN 0.0
+         |       ELSE round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) END AS ndcg_at_k
+         |FROM (
+         |  SELECT query_id,
+         |    SUM(${gain("rel", "rank")}) AS dcg,
+         |    SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+         |    MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel
+         |  FROM (SELECT r.query_id, r.rank, COALESCE(qr.rel, 0) AS rel
+         |        FROM $runCte r
+         |        LEFT JOIN qr ON r.query_id = qr.query_id AND r.doc_id = qr.doc_id)
+         |  GROUP BY query_id) got
+         |LEFT JOIN ideal USING (query_id)""".stripMargin
+    s"""WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |c0 AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+       |ex AS (SELECT query_id, cand_id, ${cosineExpr("qv", "cv")} AS sim FROM q0, c0),
+       |exr AS MATERIALIZED (SELECT query_id, cand_id,
+       |          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+       |        FROM ex),
+       |qr AS (SELECT query_id, cand_id AS doc_id, CAST(${kRel + 1} - rnk AS BIGINT) AS rel
+       |       FROM exr WHERE rnk <= $kRel),
+       |exact_run AS (SELECT query_id, cand_id AS doc_id, rnk AS rank
+       |              FROM exr WHERE rnk <= $k),
+       |cb AS (SELECT cand_id, cv, ${bucketExpr("cv", planes)} AS bucket FROM c0),
+       |qb0 AS (SELECT query_id, qv, ${bucketExpr("qv", planes)} AS bucket0 FROM q0),
+       |qb AS (SELECT query_id, qv, xor(bucket0, u.f) AS bucket
+       |       FROM qb0 CROSS JOIN (SELECT unnest($flips) AS f) u),
+       |lx AS (SELECT query_id, cand_id, ${cosineExpr("qv", "cv")} AS sim
+       |       FROM qb JOIN cb USING (bucket)),
+       |lsh_run AS (SELECT query_id, cand_id AS doc_id, rnk AS rank FROM (
+       |          SELECT query_id, cand_id,
+       |            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rnk
+       |          FROM lx) WHERE rnk <= $k),
+       |ideal AS (SELECT query_id,
+       |            SUM(CASE WHEN pos <= $k THEN ${gain("rel", "pos")} END) AS idcg,
+       |            SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel
+       |          FROM (SELECT query_id, rel, doc_id,
+       |                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS pos
+       |                FROM qr)
+       |          GROUP BY query_id)
+       |${arm("exact", "exact_run")}
+       |UNION ALL
+       |${arm("lsh", "lsh_run")}
+       |ORDER BY run_name, query_id""".stripMargin
+  }
+
   /** mirror of TextDemos.knnGraphDemo: the annLshSql shape with the
     * corpus on both sides, self-pairs excluded before ranking, then
     * the mutual (both-directions top-k) symmetrization. */
