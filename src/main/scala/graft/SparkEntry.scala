@@ -116,6 +116,7 @@ object SparkEntry {
     "scd2_history"         -> (Analytics.scd2History(_, _)),
     "bloom_semi_join"      -> (Analytics.bloomSemiJoinDemo(_, _)),
     "lm_score"             -> (TextDemos.lmScore(_, _)),
+    "mixture_reweight"     -> (TextDemos.mixtureReweightDemo(_, _)),
     "source_mix"           -> (TextDemos.sourceMix(_, _)),
     "temperature_mix"      -> (TextDemos.temperatureMix(_, _)),
     "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
@@ -871,6 +872,7 @@ object SparkEntry {
     "image_phash_dedup" -> graft.oracle.OracleGen.imagePhashSql(),
     "ann_lsh_topk"      -> graft.oracle.OracleGen.annLshSql(),
     "retrieval_eval"    -> graft.oracle.OracleGen.retrievalEvalSql(),
+    "mixture_reweight"  -> graft.oracle.OracleGen.mixtureReweightSql(),
     "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),

@@ -144,6 +144,58 @@ object Sampling {
     * per-source quantiles sort within source partitions; the
     * approx_percentile sketch is the documented escape hatch when a
     * single source outgrows a sort (B18's machinery). */
+  /** C77 — DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * one exponentiated-gradient update of per-domain mixture weights
+    * from per-domain excess loss. Domains where the proxy loss exceeds
+    * the reference loss — intrinsically hard, under-learned domains —
+    * are upweighted; the uniform-smoothing term keeps every domain's
+    * weight bounded away from zero so no domain starves.
+    *
+    *   excess_i = max(0, proxy_i − ref_i)            (rounded 6)
+    *   w_i      ∝ exp(η · (excess_i − max_j excess_j))  (rounded 9 → decimal)
+    *   weight_i = (1−s) · w_i / Σw + s / n           (rounded 6)
+    *
+    * The softmax is max-stabilized (the ratio is unchanged; every term
+    * lands in (0,1]) so no η·excess can overflow the exact-decimal
+    * normalizer — terms below 5e-10 round to zero and the smoothing
+    * floor is all that keeps such a domain alive, exactly the
+    * semantics DoReMi's smoothing exists for.
+    *
+    * Scale shape: the input is the per-DOMAIN loss table — dimension-
+    * scale by construction (domains number in the hundreds, not the
+    * billions) — so the normalizer is a one-row aggregate broadcast
+    * back by crossJoin; no driver traffic, no corpus access. The
+    * rounded-exp terms sum through decimal (the lm_score discipline)
+    * so the normalizer is partial-agg-order-proof.
+    *
+    * Determinism: excess subtracts two already-deterministic doubles;
+    * exp is the only transcendental and rounds to 9 before the exact
+    * decimal sum; the final weight divides two identical doubles in
+    * both engines, then rounds 6.
+    */
+  def mixtureReweight(perDomain: DataFrame, sourceCol: String,
+                      proxyCol: String, refCol: String,
+                      eta: Double, smoothing: Double): DataFrame = {
+    require(eta > 0, s"mixtureReweight: eta=$eta must be positive")
+    require(smoothing >= 0 && smoothing < 1,
+      s"mixtureReweight: smoothing=$smoothing outside [0,1)")
+    val excess = perDomain.select(
+      col(sourceCol), col(proxyCol),
+      round(greatest(col(proxyCol) - col(refCol), lit(0.0)), 6).as("excess"))
+    val peak = excess.agg(max(col("excess")).as("_mx"))
+    val scored = excess.crossJoin(broadcast(peak))
+      .withColumn("_w", round(exp(lit(eta) * (col("excess") - col("_mx"))), 9)
+        .cast("decimal(27,9)"))
+    val norm = scored.agg(
+      sum(col("_w")).as("_denom"), count(lit(1)).as("_n"))
+    scored.crossJoin(broadcast(norm))
+      .select(col(sourceCol), col(proxyCol), col("excess"),
+        round(lit(1.0 - smoothing)
+            * (col("_w").cast("double") / col("_denom").cast("double"))
+          + lit(smoothing) / col("_n"), 6).as("weight"))
+  }
+
   def sourceQuantileFilter(df: DataFrame, idCol: String, scoreCol: String,
                            sourceCol: String, q: Double): DataFrame = {
     require(q > 0 && q < 1, s"sourceQuantileFilter: q=$q outside (0,1)")

@@ -892,6 +892,34 @@ object TextDemos {
       .orderBy("doc_id")
   }
 
+  /** C77 — DoReMi-style mixture reweighting over the corpus sources:
+    * per-source cross-entropy proxy loss = −mean of the C26 unigram
+    * avg_logprob across the source's docs; reference loss = the same
+    * over the whole corpus (a global scalar, broadcast). Sources the
+    * corpus-wide unigram model finds surprising — the hard domains —
+    * earn excess loss and upweight; η = 50 (one EG step sized to
+    * express a visible tilt on the demo corpus), 20% uniform smoothing.
+    * The per-doc LM table joins documents on doc_id for the source
+    * column (id-keyed; bucketed at 100 TB); per-source means go
+    * through rounded-decimal sums so the dimension-scale loss table
+    * is deterministic, and the reweight itself never touches the
+    * corpus. */
+  def mixtureReweightDemo(spark: SparkSession, dir: String): DataFrame = {
+    val lm = lmScore(spark, dir).select(col("doc_id"), col("avg_logprob"))
+    val bySource = lm
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .withColumn("_nl", round(-col("avg_logprob"), 6).cast("decimal(27,6)"))
+    val perSource = bySource.groupBy(col("source")).agg(
+      round(sum(col("_nl")).cast("double") / count(lit(1)), 6).as("proxy_loss"))
+    val ref = bySource.agg(
+      round(sum(col("_nl")).cast("double") / count(lit(1)), 6).as("ref_loss"))
+    Sampling.mixtureReweight(
+        perSource.crossJoin(broadcast(ref)),
+        "source", "proxy_loss", "ref_loss", eta = 50.0, smoothing = 0.2)
+      .orderBy("source")
+  }
+
   /** C39 — bigram LM quality score (the KenLM-perplexity-proxy filter
     * one order up from [[lmScore]]): per doc, mean log P(w_i | w_{i-1})
     * under corpus bigram counts with add-0.5 smoothing over the

@@ -773,6 +773,50 @@ object OracleGen {
        |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** mirror of TextDemos.mixtureReweightDemo: the C26 unigram-LM CTE
+    * chain joined to documents for `source`, per-source and global
+    * cross-entropy means through rounded-decimal sums, then the
+    * DoReMi exponentiated-gradient step — excess rounded 6,
+    * exp(η·excess) rounded 9 into an exact decimal normalizer,
+    * smoothed weight rounded 6. Literals interpolate from the SAME
+    * Scala doubles the operator uses. */
+  def mixtureReweightSql(eta: Double = 50.0, smoothing: Double = 0.2): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+       |), ctf AS (
+       |  SELECT tok, SUM(tf) AS ctf FROM tf GROUP BY tok
+       |), tot AS (SELECT SUM(ctf) AS n_total FROM ctf),
+       |lp AS (
+       |  SELECT t.doc_id, t.tf,
+       |         CAST(round(ln(CAST(c.ctf AS DOUBLE) / tot.n_total), 6)
+       |              AS DECIMAL(27,6)) AS lp
+       |  FROM tf t JOIN ctf c ON t.tok = c.tok CROSS JOIN tot
+       |),
+       |lm AS (SELECT doc_id, CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf) AS avg_logprob
+       |       FROM lp GROUP BY doc_id),
+       |j AS (SELECT d.source,
+       |        CAST(round(-lm.avg_logprob, 6) AS DECIMAL(27,6)) AS nl
+       |      FROM lm JOIN documents d USING (doc_id)),
+       |ps AS (SELECT source,
+       |         round(CAST(SUM(nl) AS DOUBLE) / COUNT(*), 6) AS proxy_loss
+       |       FROM j GROUP BY source),
+       |g AS (SELECT round(CAST(SUM(nl) AS DOUBLE) / COUNT(*), 6) AS ref_loss FROM j),
+       |e AS (SELECT source, proxy_loss,
+       |        round(greatest(proxy_loss - ref_loss, 0.0), 6) AS excess
+       |      FROM ps CROSS JOIN g),
+       |mx AS (SELECT MAX(excess) AS m FROM e),
+       |s AS (SELECT source, proxy_loss, excess,
+       |        CAST(round(exp($eta * (excess - m)), 9) AS DECIMAL(27,9)) AS w
+       |      FROM e CROSS JOIN mx),
+       |nrm AS (SELECT CAST(SUM(w) AS DOUBLE) AS denom, COUNT(*) AS n FROM s)
+       |SELECT source, proxy_loss, excess,
+       |  round(${1.0 - smoothing} * (CAST(w AS DOUBLE) / denom)
+       |        + $smoothing / n, 6) AS weight
+       |FROM s CROSS JOIN nrm ORDER BY source""".stripMargin
+
   /** mirror of TextDemos.groupSampleDemo: per-source ROW_NUMBER over
     * the same seed-keyed md5-60 priority (ties to doc_id — the
     * BoundedTopK (priority, id) tie-break), keep rank <= k. */
