@@ -117,6 +117,7 @@ object SparkEntry {
     "bloom_semi_join"      -> (Analytics.bloomSemiJoinDemo(_, _)),
     "lm_score"             -> (TextDemos.lmScore(_, _)),
     "mixture_reweight"     -> (TextDemos.mixtureReweightDemo(_, _)),
+    "ccnet_buckets"        -> (TextDemos.ccnetBuckets(_, _)),
     "source_mix"           -> (TextDemos.sourceMix(_, _)),
     "temperature_mix"      -> (TextDemos.temperatureMix(_, _)),
     "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
@@ -873,6 +874,7 @@ object SparkEntry {
     "ann_lsh_topk"      -> graft.oracle.OracleGen.annLshSql(),
     "retrieval_eval"    -> graft.oracle.OracleGen.retrievalEvalSql(),
     "mixture_reweight"  -> graft.oracle.OracleGen.mixtureReweightSql(),
+    "ccnet_buckets"     -> graft.oracle.OracleGen.ccnetBucketsSql(),
     "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),

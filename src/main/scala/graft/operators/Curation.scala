@@ -102,6 +102,39 @@ object Curation {
     * outlier_bounds_filter discipline), so selection adds no
     * corpus-scale shuffle; at 100 TB swap in approx_percentile for
     * the exact order statistic, same plan shape. */
+  /** C78 — CCNet perplexity bucketing (Wenzek et al. 2020 §4.3, the
+    * head/middle/tail split behind CCNet and most LLaMA-era web
+    * corpora): within each LANGUAGE, split documents at the 1/3 and
+    * 2/3 perplexity quantiles — `head` (cleanest third, lowest
+    * perplexity under the reference LM), `middle`, `tail` (usually
+    * dropped). Per-language bars, never global: perplexity scales are
+    * not comparable across languages, which is the paper's own reason
+    * for bucketing per language.
+    *
+    * Scale shape: the input is the already-scored (id, lang, ppl)
+    * table; bars reduce to one row PER LANGUAGE
+    * ([[graft.functions.Agg.interpolatedPercentiles]] — exact order
+    * statistics, sorting within language partitions, the C54
+    * discipline) and broadcast into a map-side bucket assignment — the
+    * corpus never shuffles. A single language at 100 TB outgrows an
+    * exact sort; approx_percentile (B18) swaps in with the same plan
+    * shape, the documented escape hatch.
+    *
+    * Bucket edges use `<=` (a doc exactly on a bar stays in the lower
+    * bucket) so ties resolve identically in both engines on the
+    * engine-bit-exact interpolated bars. */
+  def perplexityBuckets(scored: DataFrame, idCol: String, langCol: String,
+                        pplCol: String): DataFrame = {
+    val bars = graft.functions.Agg.interpolatedPercentiles(
+      scored.select(col(langCol), col(pplCol)), langCol, pplCol,
+      Seq("b_head" -> (1.0 / 3), "b_middle" -> (2.0 / 3)))
+    scored.join(broadcast(bars), Seq(langCol))
+      .select(col(idCol), col(langCol), col(pplCol),
+        when(col(pplCol) <= col("b_head"), "head")
+          .when(col(pplCol) <= col("b_middle"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
                 isTarget: Column, buckets: Int = 1024,
                 selectQ: Double = 0.8): DataFrame = {

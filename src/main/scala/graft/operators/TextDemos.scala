@@ -920,6 +920,24 @@ object TextDemos {
       .orderBy("source")
   }
 
+  /** C78 — CCNet head/middle/tail: per detected language, bucket docs
+    * at the 1/3 and 2/3 quantiles of their LM cross-entropy (the
+    * monotone log of perplexity — bucket membership is identical, and
+    * the rounded-decimal C26 machinery already makes it
+    * engine-deterministic). Composes the C26 scorer, the C8 detector
+    * and the shared per-key quantile bars; the bucket assignment
+    * itself is a broadcast-join map-side CASE. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val lm = lmScore(spark, dir)
+      .select(col("doc_id"), round(-col("avg_logprob"), 6).as("ppl"))
+    val (pred, _) = Text.langId(col("text"))
+    val lang = Tables.documents(spark, dir)
+      .select(col("doc_id"), pred.as("pred_lang"))
+    Curation.perplexityBuckets(lm.join(lang, Seq("doc_id")),
+        "doc_id", "pred_lang", "ppl")
+      .orderBy("doc_id")
+  }
+
   /** C39 — bigram LM quality score (the KenLM-perplexity-proxy filter
     * one order up from [[lmScore]]): per doc, mean log P(w_i | w_{i-1})
     * under corpus bigram counts with add-0.5 smoothing over the

@@ -817,6 +817,62 @@ object OracleGen {
        |        + $smoothing / n, 6) AS weight
        |FROM s CROSS JOIN nrm ORDER BY source""".stripMargin
 
+  /** mirror of TextDemos.ccnetBuckets: the C26 LM chain for ppl, the
+    * C8 language chain for pred_lang, the shared per-key interpolated
+    * quantile bars at the SAME Scala doubles 1/3 and 2/3, `<=` bucket
+    * edges. */
+  def ccnetBucketsSql(): String = {
+    val profiles = graft.functions.Text.LangProfiles
+    val hitCols = profiles.map { case (lang, stops) =>
+      val list = stops.map(s => s"'$s'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(ltoks, x -> list_contains($list, x))) AS BIGINT) AS h_$lang"
+    }.mkString(",\n    ")
+    val great = profiles.map(p => s"h_${p._1}").mkString("greatest(", ", ", ")")
+    val cases = profiles.map { case (lang, _) =>
+      s"WHEN h_$lang = mx THEN '$lang'" }.mkString(" ")
+    val bars = interpolatedPercentilesSql("scored", "pred_lang", "ppl",
+      Seq("b_head" -> (1.0 / 3), "b_middle" -> (2.0 / 3)))
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+       |), ctf AS (
+       |  SELECT tok, SUM(tf) AS ctf FROM tf GROUP BY tok
+       |), tot AS (SELECT SUM(ctf) AS n_total FROM ctf),
+       |lp AS (
+       |  SELECT t.doc_id, t.tf,
+       |         CAST(round(ln(CAST(c.ctf AS DOUBLE) / tot.n_total), 6)
+       |              AS DECIMAL(27,6)) AS lp
+       |  FROM tf t JOIN ctf c ON t.tok = c.tok CROSS JOIN tot
+       |),
+       |lm AS (SELECT doc_id,
+       |         round(-(CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf)), 6) AS ppl
+       |       FROM lp GROUP BY doc_id),
+       |lt AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    $hitCols
+       |  FROM lt
+       |), g AS (SELECT *, $great AS mx FROM h),
+       |lang AS (SELECT doc_id,
+       |           CASE WHEN mx = 0 THEN 'und' $cases END AS pred_lang
+       |         FROM g),
+       |scored AS (SELECT lm.doc_id, lang.pred_lang, lm.ppl
+       |           FROM lm JOIN lang USING (doc_id)),
+       |bars AS (
+       |$bars
+       |)
+       |SELECT doc_id, pred_lang, ppl,
+       |  CASE WHEN ppl <= b_head THEN 'head'
+       |       WHEN ppl <= b_middle THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored JOIN bars USING (pred_lang)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** mirror of TextDemos.groupSampleDemo: per-source ROW_NUMBER over
     * the same seed-keyed md5-60 priority (ties to doc_id — the
     * BoundedTopK (priority, id) tie-break), keep rank <= k. */
