@@ -118,6 +118,7 @@ object SparkEntry {
     "lm_score"             -> (TextDemos.lmScore(_, _)),
     "mixture_reweight"     -> (TextDemos.mixtureReweightDemo(_, _)),
     "ccnet_buckets"        -> (TextDemos.ccnetBuckets(_, _)),
+    "cluster_balance"      -> (TextDemos.clusterBalance(_, _)),
     "source_mix"           -> (TextDemos.sourceMix(_, _)),
     "temperature_mix"      -> (TextDemos.temperatureMix(_, _)),
     "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
@@ -875,6 +876,7 @@ object SparkEntry {
     "retrieval_eval"    -> graft.oracle.OracleGen.retrievalEvalSql(),
     "mixture_reweight"  -> graft.oracle.OracleGen.mixtureReweightSql(),
     "ccnet_buckets"     -> graft.oracle.OracleGen.ccnetBucketsSql(),
+    "cluster_balance"   -> graft.oracle.OracleGen.clusterBalanceSql(),
     "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),

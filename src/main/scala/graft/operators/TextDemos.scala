@@ -938,6 +938,36 @@ object TextDemos {
       .orderBy("doc_id")
   }
 
+  /** C79 — cluster-balanced sampling (the DINOv2/SemDeDup-era curation
+    * move): flatten TOPIC skew by temperature-resampling over LEARNED
+    * embedding clusters instead of metadata sources — crawl metadata
+    * lies about topical balance the same way it lies about language
+    * (C72's argument); the cluster assignment doesn't. Every vector
+    * assigns to its nearest centroid (broadcast dimension-scale
+    * centroid table, map-side argmax — the C15 path over the full
+    * corpus), then the C44 keep rule runs per cluster: keep_frac =
+    * (n_c/n_min)^(α−1), membership a pure hash of the id —
+    * deterministic, rerun-stable, no corpus shuffle beyond the
+    * cluster-count aggregate. Output is the release-note view: per
+    * cluster, size before, size kept, keep fraction. */
+  def clusterBalance(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = Similarity.ivfCentroids(emb, "embedding", "label")
+    val assigned = Similarity.ivfAssign(
+        emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        centroids)
+      .select(col("query_id").as("vec_id"), col("label").as("cluster"))
+    val kept = Sampling.temperatureMix(assigned, "cluster", "vec_id", alpha = 0.5)
+    val before = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = kept.groupBy(col("cluster"), col("keep_frac"))
+      .agg(count(lit(1)).as("n_kept"))
+    before.join(after, Seq("cluster"))
+      .select(col("cluster"), col("n_before"), col("n_kept"),
+        round(col("keep_frac"), 6).as("keep_frac"))
+      .orderBy("cluster")
+  }
+
   /** C39 — bigram LM quality score (the KenLM-perplexity-proxy filter
     * one order up from [[lmScore]]): per doc, mean log P(w_i | w_{i-1})
     * under corpus bigram counts with add-0.5 smoothing over the

@@ -731,6 +731,40 @@ object OracleGen {
       |  FROM e GROUP BY label, pos
       |)""".stripMargin
 
+  /** mirror of TextDemos.clusterBalance: the centroidsCore + full-
+    * corpus nearest-centroid assignment (the ivfAssign chain without
+    * the query filter), then the C44 temperature keep rule per
+    * cluster and the per-cluster before/kept summary. */
+  def clusterBalanceSql(alpha: Double = 0.5): String =
+    s"""$centroidsCore, c2 AS (
+       |  SELECT label, list(centroid ORDER BY pos) AS cv FROM cent GROUP BY label
+       |), q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvd
+       |  FROM embeddings
+       |), x AS (
+       |  SELECT vec_id, label, ${cosineExpr("qvd", "cv")} AS sim
+       |  FROM q CROSS JOIN c2
+       |), asg AS (
+       |  SELECT vec_id, label AS cluster FROM (
+       |    SELECT vec_id, label,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, label) AS rn
+       |    FROM x) WHERE rn = 1
+       |), c AS (
+       |  SELECT cluster, COUNT(*) AS n_before FROM asg GROUP BY cluster
+       |), m AS (SELECT MIN(n_before) AS nmin FROM c),
+       |f AS (
+       |  SELECT cluster, n_before,
+       |         pow(CAST(n_before AS DOUBLE) / CAST(m.nmin AS DOUBLE), ${alpha - 1.0}) AS keep_frac
+       |  FROM c CROSS JOIN m
+       |)
+       |SELECT a.cluster, f.n_before, COUNT(*) AS n_kept, round(f.keep_frac, 6) AS keep_frac
+       |FROM asg a JOIN f USING (cluster)
+       |WHERE CAST(${md560("CAST(a.vec_id AS VARCHAR)")}
+       |           % 1000000 AS DOUBLE) < f.keep_frac * 1000000.0
+       |GROUP BY a.cluster, f.n_before, f.keep_frac
+       |ORDER BY a.cluster""".stripMargin
+
   /** mirror of TextDemos.bpeTrain: `n` unrolled merge rounds, each a
     * mechanical copy of one template — adjacent-pair counts over the
     * previous round's symbol arrays, the (count desc, pair asc) argmax
