@@ -119,6 +119,7 @@ object SparkEntry {
     "mixture_reweight"     -> (TextDemos.mixtureReweightDemo(_, _)),
     "ccnet_buckets"        -> (TextDemos.ccnetBuckets(_, _)),
     "cluster_balance"      -> (TextDemos.clusterBalance(_, _)),
+    "corpus_drift"         -> (TextDemos.corpusDrift(_, _)),
     "source_mix"           -> (TextDemos.sourceMix(_, _)),
     "temperature_mix"      -> (TextDemos.temperatureMix(_, _)),
     "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
@@ -877,6 +878,7 @@ object SparkEntry {
     "mixture_reweight"  -> graft.oracle.OracleGen.mixtureReweightSql(),
     "ccnet_buckets"     -> graft.oracle.OracleGen.ccnetBucketsSql(),
     "cluster_balance"   -> graft.oracle.OracleGen.clusterBalanceSql(),
+    "corpus_drift"      -> graft.oracle.OracleGen.corpusDriftSql(),
     "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),

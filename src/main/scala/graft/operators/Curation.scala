@@ -135,6 +135,55 @@ object Curation {
           .otherwise("tail").as("bucket"))
   }
 
+  /** C80 — distribution drift between two corpus versions: the
+    * Population Stability Index over fixed score buckets, the drift
+    * gate a release pipeline runs NEXT TO the id-level diff (C71 says
+    * WHICH docs moved; this says whether the corpus's score
+    * DISTRIBUTION moved — a release can change zero ids and still
+    * shift quality mass, or change half its ids and stay
+    * distributionally identical).
+    *
+    *   psi_b = (p_b − q_b) · ln(p_b / q_b),  summed over buckets
+    *
+    * with Laplace-smoothed proportions p = (n+1)/(N+B) so an empty
+    * bucket contributes a finite, deterministic term instead of ±∞
+    * (the standard PSI smoothing). Fixed caller-supplied edges, not
+    * version-derived quantiles: the bucketing must not itself drift
+    * between releases, or the gate measures its own edges.
+    *
+    * Scale shape: each version reduces map-side to a B-row bucket
+    * histogram (one pass, map-side combine, B ≈ tens); the spine
+    * join, totals and PSI algebra are all bucket-scale. Nothing
+    * corpus-sized survives the first aggregation.
+    *
+    * Output: one row per bucket (bucket, n_v1, n_v2, psi) — the
+    * summary Σpsi is the sum of the psi column (rounded terms, so the
+    * sum is reproducible in any engine). */
+  def distributionDrift(v1: DataFrame, v2: DataFrame, valueCol: String,
+                        edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty, "distributionDrift: need at least one edge")
+    require(edges == edges.sorted && edges.distinct == edges,
+      s"distributionDrift: edges must be strictly increasing: $edges")
+    val nBuckets = edges.size + 1
+    def bucketOf =
+      edges.map(e => when(col(valueCol) >= lit(e), 1).otherwise(0))
+        .reduce(_ + _).cast("long").as("bucket")
+    def hist(v: DataFrame, n: String) =
+      v.select(bucketOf).groupBy("bucket").agg(count(lit(1)).as(n))
+    val spine = v1.sparkSession.range(0, nBuckets)
+      .select(col("id").as("bucket"))
+    val j = spine
+      .join(hist(v1, "n_v1"), Seq("bucket"), "left")
+      .join(hist(v2, "n_v2"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_v1", "n_v2"))
+    val totals = j.agg(sum(col("n_v1")).as("_t1"), sum(col("n_v2")).as("_t2"))
+    val p = (col("n_v1") + lit(1.0)) / (col("_t1") + lit(nBuckets.toDouble))
+    val q = (col("n_v2") + lit(1.0)) / (col("_t2") + lit(nBuckets.toDouble))
+    j.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_v1"), col("n_v2"),
+        round((p - q) * log(p / q), 6).as("psi"))
+  }
+
   def dsirScore(docs: DataFrame, idCol: String, textCol: String,
                 isTarget: Column, buckets: Int = 1024,
                 selectQ: Double = 0.8): DataFrame = {

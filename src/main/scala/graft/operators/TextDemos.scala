@@ -806,6 +806,25 @@ object TextDemos {
       .orderBy("doc_id", "status")
   }
 
+  /** C80 — PSI drift gate over the C71 version fixture: v1/v2 under
+    * the same synthesis the id-diff uses, scored by the C9 quality
+    * score, bucketed at fixed 0.1-wide edges. The %11 text edits and
+    * the %5/%7 slices shift a little quality mass between buckets —
+    * exactly the distribution-level movement the id-level diff cannot
+    * see. */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2-edit")))
+          .otherwise(col("text")))
+    def scored(df: DataFrame) = df.select(Text.qualityScore(col("text")).as("q"))
+    Curation.distributionDrift(scored(v1), scored(v2), "q",
+        edges = (1 to 9).map(_ / 10.0))
+      .orderBy("bucket")
+  }
+
   /** C70 — the C4 cleaning rules over synthesized pages (the C23/C55
     * convention — the corpus has no line structure, so both engines
     * see identical built pages): 7-word lines with a deterministic

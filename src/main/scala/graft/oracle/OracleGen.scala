@@ -765,6 +765,43 @@ object OracleGen {
        |GROUP BY a.cluster, f.n_before, f.keep_frac
        |ORDER BY a.cluster""".stripMargin
 
+  /** mirror of TextDemos.corpusDrift: the C71 v1/v2 synthesis, the C9
+    * quality score per version, fixed-edge bucketing from the SAME
+    * Scala doubles, Laplace-smoothed PSI terms rounded 6. */
+  def corpusDriftSql(edges: Seq[Double] = (1 to 9).map(_ / 10.0)): String = {
+    val nB = edges.size + 1
+    val bucket = edges.map(e =>
+        s"(CASE WHEN q >= CAST($e AS DOUBLE) THEN 1 ELSE 0 END)")
+      .mkString("CAST((", " + ", ") AS BIGINT)")
+    def qcte(src: String, name: String) =
+      s"""$name AS (
+         |  SELECT
+         |    0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+         |    + 0.3 * (CASE WHEN CAST(len(toks) AS DOUBLE) > 0 THEN CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END)
+         |    + 0.3 * (CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END) AS q
+         |  FROM (SELECT text, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM $src)
+         |)""".stripMargin
+    s"""WITH v1 AS (SELECT text FROM documents WHERE doc_id % 7 <> 0),
+       |v2 AS (SELECT CASE WHEN doc_id % 11 = 0 THEN text || ' v2-edit' ELSE text END AS text
+       |       FROM documents WHERE doc_id % 5 <> 0),
+       |${qcte("v1", "q1")},
+       |${qcte("v2", "q2")},
+       |b1 AS (SELECT $bucket AS bucket, COUNT(*) AS n FROM q1 GROUP BY 1),
+       |b2 AS (SELECT $bucket AS bucket, COUNT(*) AS n FROM q2 GROUP BY 1),
+       |spine AS (SELECT CAST(unnest(range(0, $nB)) AS BIGINT) AS bucket),
+       |j AS (SELECT s.bucket,
+       |        CAST(COALESCE(b1.n, 0) AS BIGINT) AS n_v1,
+       |        CAST(COALESCE(b2.n, 0) AS BIGINT) AS n_v2
+       |      FROM spine s
+       |      LEFT JOIN b1 ON s.bucket = b1.bucket
+       |      LEFT JOIN b2 ON s.bucket = b2.bucket),
+       |t AS (SELECT CAST(SUM(n_v1) AS BIGINT) AS t1, CAST(SUM(n_v2) AS BIGINT) AS t2 FROM j)
+       |SELECT bucket, n_v1, n_v2,
+       |  round(((n_v1 + 1.0) / (t1 + $nB.0) - (n_v2 + 1.0) / (t2 + $nB.0))
+       |        * ln(((n_v1 + 1.0) / (t1 + $nB.0)) / ((n_v2 + 1.0) / (t2 + $nB.0))), 6) AS psi
+       |FROM j CROSS JOIN t ORDER BY bucket""".stripMargin
+  }
+
   /** mirror of TextDemos.bpeTrain: `n` unrolled merge rounds, each a
     * mechanical copy of one template — adjacent-pair counts over the
     * previous round's symbol arrays, the (count desc, pair asc) argmax
