@@ -153,6 +153,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Scan parquet") || p.contains("FileScan"), p)
   }
 
+  test("corpus_drift reduces each version map-side before anything joins") {
+    // the 100 TB claim: nothing corpus-sized survives the first
+    // aggregation — both version histograms must partial-aggregate
+    // (map-side combine) on bucket before their exchange
+    val v1 = docs.select((col("doc_id") % 3).cast("double").as("v"))
+    val v2 = docs.select((col("doc_id") % 5).cast("double").as("v"))
+    val df = Curation.distributionDrift(v1, v2, "v", Seq(1.0, 2.0))
+    val p = plan(df)
+    val partials = "partial_count".r.findAllIn(p).length
+    assert(partials >= 2, p)
+  }
+
+  test("ccnet bucket assignment broadcasts the bars: no sort-merge join") {
+    withoutAutoBroadcast {
+      val scored = docs.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, "en").otherwise("fr").as("lang"),
+        (col("doc_id") % 7).cast("double").as("ppl"))
+      val df = Curation.perplexityBuckets(scored, "doc_id", "lang", "ppl")
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
   test("c4_filters is map-only: adds zero exchanges over its input") {
     val pages = docs.select(col("doc_id"), col("text").as("page"))
     val df = graft.operators.Filtering.c4Filters(pages, "doc_id", "page")
