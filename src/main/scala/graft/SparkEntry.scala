@@ -152,6 +152,7 @@ object SparkEntry {
     "stream_topk_ngrams_parity" -> (graft.streaming.StreamParity.streamTopkNgramsParity(_, _)),
     "stream_contamination_parity" -> (graft.streaming.StreamParity.streamContaminationParity(_, _)),
     "stream_quality_gate_parity" -> (graft.streaming.StreamParity.streamQualityGateParity(_, _)),
+    "stream_drift_parity"  -> (graft.streaming.StreamParity.streamDriftParity(_, _)),
     "stream_kmv_sketch_parity" -> (graft.streaming.StreamParity.streamKmvSketchParity(_, _)),
   )
 
@@ -214,6 +215,9 @@ object SparkEntry {
       // D9: the streaming quality gate's final counters equal the
       // batch aggregate of the C70 rules over the same pages
       "stream_quality_gate_parity" -> graft.oracle.OracleGen.c4GateAggSql(),
+      // D11: the streamed histogram + batch reference lands on C80's
+      // batch PSI answer
+      "stream_drift_parity" -> graft.oracle.OracleGen.corpusDriftSql(),
       // D10: the streamed KMV sketch is an order statistic — it must
       // equal the batch distinct-sort-limit of the same corpus
       "stream_kmv_sketch_parity" -> graft.oracle.OracleGen.streamKmvSketchSql(),

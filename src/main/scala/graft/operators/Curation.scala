@@ -160,21 +160,35 @@ object Curation {
     * summary Σpsi is the sum of the psi column (rounded terms, so the
     * sum is reproducible in any engine). */
   def distributionDrift(v1: DataFrame, v2: DataFrame, valueCol: String,
-                        edges: Seq[Double]): DataFrame = {
-    require(edges.nonEmpty, "distributionDrift: need at least one edge")
+                        edges: Seq[Double]): DataFrame =
+    driftFromHistograms(
+      driftHistogram(v1, valueCol, edges),
+      driftHistogram(v2, valueCol, edges), edges.size + 1)
+
+  /** the map-side half: fixed-edge bucket assignment + a B-row count
+    * histogram. Stateless per row, so it runs unchanged as a STREAMING
+    * aggregation (D11 maintains it as data arrives — state is B
+    * counters). */
+  def driftHistogram(v: DataFrame, valueCol: String,
+                     edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty, "driftHistogram: need at least one edge")
     require(edges == edges.sorted && edges.distinct == edges,
-      s"distributionDrift: edges must be strictly increasing: $edges")
-    val nBuckets = edges.size + 1
-    def bucketOf =
+      s"driftHistogram: edges must be strictly increasing: $edges")
+    val bucketOf =
       edges.map(e => when(col(valueCol) >= lit(e), 1).otherwise(0))
         .reduce(_ + _).cast("long").as("bucket")
-    def hist(v: DataFrame, n: String) =
-      v.select(bucketOf).groupBy("bucket").agg(count(lit(1)).as(n))
-    val spine = v1.sparkSession.range(0, nBuckets)
+    v.select(bucketOf).groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** the bucket-scale half: spine + totals + the Laplace-smoothed PSI
+    * terms, over two (bucket, n) histograms. */
+  def driftFromHistograms(h1: DataFrame, h2: DataFrame,
+                          nBuckets: Int): DataFrame = {
+    val spine = h1.sparkSession.range(0, nBuckets)
       .select(col("id").as("bucket"))
     val j = spine
-      .join(hist(v1, "n_v1"), Seq("bucket"), "left")
-      .join(hist(v2, "n_v2"), Seq("bucket"), "left")
+      .join(h1.withColumnRenamed("n", "n_v1"), Seq("bucket"), "left")
+      .join(h2.withColumnRenamed("n", "n_v2"), Seq("bucket"), "left")
       .na.fill(0L, Seq("n_v1", "n_v2"))
     val totals = j.agg(sum(col("n_v1")).as("_t1"), sum(col("n_v2")).as("_t2"))
     val p = (col("n_v1") + lit(1.0)) / (col("_t1") + lit(nBuckets.toDouble))

@@ -117,6 +117,24 @@ object EventStream {
       .select(tokenHash(col("_sh")).as("_h"))
       .agg(call_function("graft_kmv", col("_h"), lit(k)).as("kmv"))
 
+  /** D11: streaming drift monitor — C80's streaming twin: maintain
+    * the live corpus's fixed-edge score histogram AS DATA ARRIVES.
+    * The bucket assignment is stateless per row (map-only codegen on
+    * the stream, like D9's in-row verdicts), so the whole operator is
+    * ONE streaming aggregation whose state is B counters — bounded
+    * regardless of stream length — and distribution drift against any
+    * released reference histogram is answerable at every instant
+    * without rescanning what already landed. The PSI algebra itself
+    * is bucket-scale batch work over the maintained counters
+    * ([[graft.operators.Curation.driftFromHistograms]]); the parity
+    * row proves the maintained histogram lands on the batch histogram
+    * of the same corpus regardless of micro-batch splits (count is
+    * mergeable and order-free), so the final PSI answers C80's batch
+    * oracle verbatim. */
+  def driftHistogram(live: DataFrame, valueCol: String,
+                     edges: Seq[Double]): DataFrame =
+    graft.operators.Curation.driftHistogram(live, valueCol, edges)
+
   /** D2: streaming dedup with watermark-bounded key state. */
   def dedupWithinWatermark(events: DataFrame, idCol: String,
                            watermark: String = "30 minutes"): DataFrame =

@@ -197,6 +197,39 @@ object StreamParity {
     spark.table(view).orderBy("source", "kept")
   }
 
+  /** D11 ↔ C80: the C71 v2 fixture streamed through the maintained
+    * drift histogram (quality scored IN-ROW as pages arrive — the D9
+    * discipline), the reference (v1) histogram computed batch-side,
+    * PSI over (batch ref, streamed live) — must land on corpus_drift's
+    * batch answer verbatim (the histogram count is mergeable, so
+    * micro-batch splits cannot shift it). */
+  def streamDriftParity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, dir)
+    val edges = (1 to 9).map(_ / 10.0)
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(graft.functions.Text.qualityScore(col("text")).as("q"))
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2-edit")))
+          .otherwise(col("text")))
+    val src = fileStream(v2, s"sdrift_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
+    val view = s"graft_sdrift_${Fixtures.runId}"
+    spark.catalog.dropTempView(view) // re-invocation reuses the name
+    withStateParallelism(spark, 8) {
+      val q = EventStream.driftHistogram(
+          src.select(graft.functions.Text.qualityScore(col("text")).as("q")),
+          "q", edges)
+        .writeStream.format("memory").queryName(view)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Curation.driftFromHistograms(
+        Curation.driftHistogram(v1, "q", edges),
+        spark.table(view), edges.size + 1)
+      .orderBy("bucket")
+  }
+
   /** D10 ↔ C67: the documents table streamed through
     * [[EventStream.corpusSketch]] (the KmvSketch native aggregate
     * running INSIDE streaming state), final sketch posexploded to

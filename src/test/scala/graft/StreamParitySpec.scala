@@ -47,6 +47,13 @@ class StreamParitySpec extends SparkSpec {
       s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
   }
 
+  test("D11 parity: streamed drift histogram lands on the batch PSI verbatim") {
+    val streamed = rows(StreamParity.streamDriftParity(spark, sfDir))
+    val batch = rows(TextDemos.corpusDrift(spark, sfDir))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
+  }
+
   test("D10 parity: streamed KMV sketch equals the batch sketch of the corpus") {
     val streamed = rows(StreamParity.streamKmvSketchParity(spark, sfDir))
     val batch = rows(
