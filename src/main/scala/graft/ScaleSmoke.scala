@@ -46,14 +46,18 @@ object ScaleSmoke {
   /** the judge's 10 most-expensive-operator set, by registry name,
     * plus the r10 additions whose cost is corpus-scale (the ngram
     * explode, the IVF-PQ index+search chain, the iterative PageRank
-    * over the kNN graph, the two-corpus KMV sketch scan, and the
-    * WARC land-and-ingest round trip). */
+    * over the kNN graph, the two-corpus KMV sketch scan, the WARC
+    * land-and-ingest round trip, and the late-r10 curation set: the
+    * CCNet LM+quantile split, the DoReMi per-source LM means, the
+    * full-corpus cluster assignment, and the two-version PSI scan). */
   val SmokeQueries: Seq[String] = Seq(
     "dedup_minhash_prod", "dup_span_detect", "semantic_dedup",
     "bm25_topk", "quality_classifier", "image_phash_dedup",
     "geocode_candidates", "cdc_chunk_dedup", "knn_graph",
     "stream_dedup_parity", "topk_ngrams", "ivfpq_topk",
-    "pagerank_centrality", "corpus_overlap_kmv", "warc_ingest")
+    "pagerank_centrality", "corpus_overlap_kmv", "warc_ingest",
+    "ccnet_buckets", "mixture_reweight", "cluster_balance",
+    "corpus_drift")
 
   private def replicate(factor: Int)(one: Int => DataFrame): DataFrame =
     (0 until factor).map(one).reduce(_ unionByName _)

@@ -210,9 +210,8 @@ object StreamParity {
     val v1 = docs.filter(col("doc_id") % 7 =!= 0)
       .select(graft.functions.Text.qualityScore(col("text")).as("q"))
     val v2 = docs.filter(col("doc_id") % 5 =!= 0)
-      .withColumn("text",
-        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2-edit")))
-          .otherwise(col("text")))
+      .select(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2-edit")))
+        .otherwise(col("text")).as("text")) // only text is scored — don't ship the rest
     val src = fileStream(v2, s"sdrift_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val view = s"graft_sdrift_${Fixtures.runId}"
     spark.catalog.dropTempView(view) // re-invocation reuses the name
