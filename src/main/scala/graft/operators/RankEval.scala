@@ -29,7 +29,11 @@ object RankEval {
   /** (2^rel − 1) / log2(pos + 1), the graded discounted gain, rounded
     * to 6 places into exact decimal. 2^rel − 1 is an exact small
     * integer for judgment grades; log2 is the only transcendental and
-    * both engines agree at 6 decimals (the bm25/lm precedent). */
+    * both engines agree at 6 decimals (the bm25/lm precedent).
+    * Judgment grades are small integers by convention (TREC uses 0–4;
+    * the demo's rank-derived grades reach 10); the exact-decimal(27,6)
+    * sum holds gains up to rel ≈ 69 — beyond that the exponential
+    * gain has outgrown nDCG itself, not just the decimal. */
   private def gainTerm(rel: Column, pos: Column): Column =
     round((pow(lit(2.0), rel.cast("double")) - 1.0) /
         log2(pos.cast("double") + 1.0), 6)
