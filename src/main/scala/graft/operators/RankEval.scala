@@ -55,21 +55,36 @@ object RankEval {
     *    tie-break), 0 when the query has no positive judgments.
     *
     * Queries present in the run but absent from the qrels score 0 on
-    * all three (an unjudged query is a miss, never a crash); queries
-    * only in the qrels are not emitted — the metric evaluates what
-    * actually ran.
+    * all three (an unjudged query is a miss, never a crash), and a
+    * query whose retrieved rows ALL sit beyond rank k still emits a
+    * zero row — every query that ran is accounted for, so a macro
+    * average over the output can never silently shrink its
+    * denominator. Queries only in the qrels are not emitted — the
+    * metric evaluates what actually ran.
+    *
+    * Malformed inputs resolve deterministically instead of producing
+    * impossible metrics: a doc retrieved twice by one query counts
+    * once at its BEST rank (recall can never exceed 1), and multiple
+    * judgments for one (query, doc) resolve to the most generous
+    * grade (the TREC multi-assessor convention).
     */
   def rankMetrics(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"rankMetrics: k=$k must be positive")
-    val judged = qrels.select(col("query_id"), col("doc_id"), col("rel"))
-    val graded = run.filter(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("rank"))
+    val judged = qrels.groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("rel")).as("rel"))
+    val dedupedRun = run.groupBy(col("query_id"), col("doc_id"))
+      .agg(min(col("rank")).as("rank"))
+    val graded = dedupedRun.filter(col("rank") <= k)
       .join(judged, Seq("query_id", "doc_id"), "left")
       .na.fill(0L, Seq("rel"))
-    val got = graded.groupBy("query_id").agg(
-      sum(gainTerm(col("rel"), col("rank"))).as("_dcg"),
-      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("_hits"),
-      min(when(col("rel") > 0, col("rank"))).as("_first_rel"))
+    // the query spine comes from the UNTRUNCATED run: a query whose
+    // every hit landed beyond k scores zero, it does not vanish
+    val got = dedupedRun.select(col("query_id")).distinct()
+      .join(graded.groupBy("query_id").agg(
+        sum(gainTerm(col("rel"), col("rank"))).as("_dcg"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("_hits"),
+        min(when(col("rel") > 0, col("rank"))).as("_first_rel")),
+        Seq("query_id"), "left")
     // ideal ranking: a per-query-local window over the qrels only;
     // total-relevant counts come from the same pass (pre-truncation).
     val byGrade = Window.partitionBy("query_id")
@@ -81,6 +96,9 @@ object RankEval {
           .otherwise(lit(null).cast("decimal(27,6)"))).as("_idcg"),
         sum(when(col("rel") > 0, 1L).otherwise(0L)).as("_n_rel"))
     got.join(ideal, Seq("query_id"), "left")
+      // an all-beyond-k query has NULL aggregates: it scored nothing
+      .withColumn("_hits", coalesce(col("_hits"), lit(0L)))
+      .withColumn("_dcg", coalesce(col("_dcg"), lit(0).cast("decimal(27,6)")))
       .select(col("query_id"),
         when(col("_n_rel").isNull || col("_n_rel") === 0, 0.0)
           .otherwise(round(col("_hits").cast("double") / col("_n_rel"), 6))

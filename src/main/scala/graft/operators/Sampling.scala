@@ -85,18 +85,43 @@ object Sampling {
     * shuffles. Adds `keep_frac` to surviving rows. */
   def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
                      alpha: Double,
-                     hash: Column => Column = Vec.md5Hash60): DataFrame = {
+                     hash: Column => Column = Vec.md5Hash60): DataFrame =
+    df.join(broadcast(temperatureFracs(df, sourceCol, alpha).drop("_n")), sourceCol)
+      .filter(pmod(hash(col(keyCol).cast("string")), lit(1000000)).cast("double") <
+        col("keep_frac") * 1000000.0)
+
+  /** per-source release-note accounting for [[temperatureMix]]:
+    * (source, n_before, n_kept, keep_frac). The spine is the frac
+    * table, so a source whose sample kept ZERO rows still reports
+    * (source, n, 0, frac) instead of vanishing — a release note that
+    * omits its most aggressively downsampled sources is unreadable
+    * exactly where it matters. */
+  def temperatureMixSummary(df: DataFrame, sourceCol: String, keyCol: String,
+                            alpha: Double,
+                            hash: Column => Column = Vec.md5Hash60): DataFrame = {
+    val fracs = temperatureFracs(df, sourceCol, alpha)
+    val after = temperatureMix(df, sourceCol, keyCol, alpha, hash)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_kept"))
+    fracs.join(after, Seq(sourceCol), "left")
+      .select(col(sourceCol), col("_n").as("n_before"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(col("keep_frac"), 6).as("keep_frac"))
+  }
+
+  /** the per-source (n, keep_frac) table behind [[temperatureMix]] —
+    * exposed so summary views (C79's release-note accounting) can
+    * report sources whose sample kept ZERO rows instead of dropping
+    * them. */
+  def temperatureFracs(df: DataFrame, sourceCol: String,
+                       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1,
       s"temperatureMix: alpha must be in (0, 1], got $alpha")
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
     val nMin = counts.agg(min(col("_n")).as("_nmin"))
-    val fracs = counts.crossJoin(broadcast(nMin))
-      .select(col(sourceCol),
+    counts.crossJoin(broadcast(nMin))
+      .select(col(sourceCol), col("_n"),
         pow(col("_n").cast("double") / col("_nmin").cast("double"),
           lit(alpha - 1.0)).as("keep_frac"))
-    df.join(broadcast(fracs), sourceCol)
-      .filter(pmod(hash(col(keyCol).cast("string")), lit(1000000)).cast("double") <
-        col("keep_frac") * 1000000.0)
   }
 
   /** Mixture rebalancing for training-data composition: given target

@@ -976,14 +976,7 @@ object TextDemos {
         emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
         centroids)
       .select(col("query_id").as("vec_id"), col("label").as("cluster"))
-    val kept = Sampling.temperatureMix(assigned, "cluster", "vec_id", alpha = 0.5)
-    val before = assigned.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_before"))
-    val after = kept.groupBy(col("cluster"), col("keep_frac"))
-      .agg(count(lit(1)).as("n_kept"))
-    before.join(after, Seq("cluster"))
-      .select(col("cluster"), col("n_before"), col("n_kept"),
-        round(col("keep_frac"), 6).as("keep_frac"))
+    Sampling.temperatureMixSummary(assigned, "cluster", "vec_id", alpha = 0.5)
       .orderBy("cluster")
   }
 

@@ -758,12 +758,17 @@ object OracleGen {
        |         pow(CAST(n_before AS DOUBLE) / CAST(m.nmin AS DOUBLE), ${alpha - 1.0}) AS keep_frac
        |  FROM c CROSS JOIN m
        |)
-       |SELECT a.cluster, f.n_before, COUNT(*) AS n_kept, round(f.keep_frac, 6) AS keep_frac
-       |FROM asg a JOIN f USING (cluster)
-       |WHERE CAST(${md560("CAST(a.vec_id AS VARCHAR)")}
-       |           % 1000000 AS DOUBLE) < f.keep_frac * 1000000.0
-       |GROUP BY a.cluster, f.n_before, f.keep_frac
-       |ORDER BY a.cluster""".stripMargin
+       |, kept AS (
+       |  SELECT a.cluster, COUNT(*) AS n_kept
+       |  FROM asg a JOIN f USING (cluster)
+       |  WHERE CAST(${md560("CAST(a.vec_id AS VARCHAR)")}
+       |             % 1000000 AS DOUBLE) < f.keep_frac * 1000000.0
+       |  GROUP BY a.cluster
+       |)
+       |SELECT f.cluster, f.n_before, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |       round(f.keep_frac, 6) AS keep_frac
+       |FROM f LEFT JOIN kept k USING (cluster)
+       |ORDER BY f.cluster""".stripMargin
 
   /** mirror of TextDemos.corpusDrift: the C71 v1/v2 synthesis, the C9
     * quality score per version, fixed-edge bucketing from the SAME
@@ -844,30 +849,68 @@ object OracleGen {
        |FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
-  /** mirror of TextDemos.mixtureReweightDemo: the C26 unigram-LM CTE
-    * chain joined to documents for `source`, per-source and global
+  /** the C26 unigram-LM CTE chain over `documents`, ending in
+    * `lm(doc_id, avg_logprob)` — the single source of the LM oracle
+    * algebra (whitespace tokens, tf-weighted rounded-decimal log-prob
+    * sums, double mean) every LM-composing oracle shares; a change to
+    * the LM discipline edits this once or the oracles diverge from
+    * TextDemos.lmScore. */
+  private val lmCoreCtes: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+      |), ctf AS (
+      |  SELECT tok, SUM(tf) AS ctf FROM tf GROUP BY tok
+      |), tot AS (SELECT SUM(ctf) AS n_total FROM ctf),
+      |lp AS (
+      |  SELECT t.doc_id, t.tf,
+      |         CAST(round(ln(CAST(c.ctf AS DOUBLE) / tot.n_total), 6)
+      |              AS DECIMAL(27,6)) AS lp
+      |  FROM tf t JOIN ctf c ON t.tok = c.tok CROSS JOIN tot
+      |),
+      |lm AS (SELECT doc_id, CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf) AS avg_logprob
+      |       FROM lp GROUP BY doc_id)""".stripMargin
+
+  /** the C8 language-ID CTE chain over `src` — `lt`/`h`/`g` plus the
+    * detected-language CASE (tie-break = LangProfiles declaration
+    * order, 'und' on zero hits); `carry` columns ride alongside
+    * doc_id. The single source of the LangProfiles scaffolding every
+    * language-composing oracle shares. */
+  private def langIdCtes(src: String,
+                         carry: Seq[String] = Seq.empty): (String, String) = {
+    val profiles = graft.functions.Text.LangProfiles
+    val carryCols = ("doc_id" +: carry).mkString(", ")
+    val hitCols = profiles.map { case (lang, stops) =>
+      val list = stops.map(s => s"'$s'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(ltoks, x -> list_contains($list, x))) AS BIGINT) AS h_$lang"
+    }.mkString(",\n    ")
+    val great = profiles.map(p => s"h_${p._1}").mkString("greatest(", ", ", ")")
+    val cases = profiles.map { case (lang, _) =>
+      s"WHEN h_$lang = mx THEN '$lang'" }.mkString(" ")
+    val ctes =
+      s"""lt AS (
+         |  SELECT $carryCols,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks
+         |  FROM $src
+         |), h AS (
+         |  SELECT $carryCols,
+         |    $hitCols
+         |  FROM lt
+         |), g AS (SELECT *, $great AS mx FROM h)""".stripMargin
+    (ctes, s"CASE WHEN mx = 0 THEN 'und' $cases END")
+  }
+
+  /** mirror of TextDemos.mixtureReweightDemo: the shared LM chain
+    * joined to documents for `source`, per-source and global
     * cross-entropy means through rounded-decimal sums, then the
     * DoReMi exponentiated-gradient step — excess rounded 6,
     * exp(η·excess) rounded 9 into an exact decimal normalizer,
     * smoothed weight rounded 6. Literals interpolate from the SAME
     * Scala doubles the operator uses. */
   def mixtureReweightSql(eta: Double = 50.0, smoothing: Double = 0.2): String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-       |  FROM documents
-       |), tf AS (
-       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
-       |), ctf AS (
-       |  SELECT tok, SUM(tf) AS ctf FROM tf GROUP BY tok
-       |), tot AS (SELECT SUM(ctf) AS n_total FROM ctf),
-       |lp AS (
-       |  SELECT t.doc_id, t.tf,
-       |         CAST(round(ln(CAST(c.ctf AS DOUBLE) / tot.n_total), 6)
-       |              AS DECIMAL(27,6)) AS lp
-       |  FROM tf t JOIN ctf c ON t.tok = c.tok CROSS JOIN tot
-       |),
-       |lm AS (SELECT doc_id, CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf) AS avg_logprob
-       |       FROM lp GROUP BY doc_id),
+    s"""WITH $lmCoreCtes,
        |j AS (SELECT d.source,
        |        CAST(round(-lm.avg_logprob, 6) AS DECIMAL(27,6)) AS nl
        |      FROM lm JOIN documents d USING (doc_id)),
@@ -888,50 +931,19 @@ object OracleGen {
        |        + $smoothing / n, 6) AS weight
        |FROM s CROSS JOIN nrm ORDER BY source""".stripMargin
 
-  /** mirror of TextDemos.ccnetBuckets: the C26 LM chain for ppl, the
-    * C8 language chain for pred_lang, the shared per-key interpolated
-    * quantile bars at the SAME Scala doubles 1/3 and 2/3, `<=` bucket
-    * edges. */
+  /** mirror of TextDemos.ccnetBuckets: the shared LM chain for ppl,
+    * the shared language chain for pred_lang, the shared per-key
+    * interpolated quantile bars at the SAME Scala doubles 1/3 and
+    * 2/3, `<=` bucket edges. */
   def ccnetBucketsSql(): String = {
-    val profiles = graft.functions.Text.LangProfiles
-    val hitCols = profiles.map { case (lang, stops) =>
-      val list = stops.map(s => s"'$s'").mkString("[", ",", "]")
-      s"CAST(len(list_filter(ltoks, x -> list_contains($list, x))) AS BIGINT) AS h_$lang"
-    }.mkString(",\n    ")
-    val great = profiles.map(p => s"h_${p._1}").mkString("greatest(", ", ", ")")
-    val cases = profiles.map { case (lang, _) =>
-      s"WHEN h_$lang = mx THEN '$lang'" }.mkString(" ")
+    val (langCtes, langCase) = langIdCtes("documents")
     val bars = interpolatedPercentilesSql("scored", "pred_lang", "ppl",
       Seq("b_head" -> (1.0 / 3), "b_middle" -> (2.0 / 3)))
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-       |  FROM documents
-       |), tf AS (
-       |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
-       |), ctf AS (
-       |  SELECT tok, SUM(tf) AS ctf FROM tf GROUP BY tok
-       |), tot AS (SELECT SUM(ctf) AS n_total FROM ctf),
-       |lp AS (
-       |  SELECT t.doc_id, t.tf,
-       |         CAST(round(ln(CAST(c.ctf AS DOUBLE) / tot.n_total), 6)
-       |              AS DECIMAL(27,6)) AS lp
-       |  FROM tf t JOIN ctf c ON t.tok = c.tok CROSS JOIN tot
-       |),
-       |lm AS (SELECT doc_id,
-       |         round(-(CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf)), 6) AS ppl
-       |       FROM lp GROUP BY doc_id),
-       |lt AS (
-       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks
-       |  FROM documents
-       |), h AS (
-       |  SELECT doc_id,
-       |    $hitCols
-       |  FROM lt
-       |), g AS (SELECT *, $great AS mx FROM h),
-       |lang AS (SELECT doc_id,
-       |           CASE WHEN mx = 0 THEN 'und' $cases END AS pred_lang
-       |         FROM g),
-       |scored AS (SELECT lm.doc_id, lang.pred_lang, lm.ppl
+    s"""WITH $lmCoreCtes,
+       |$langCtes,
+       |lang AS (SELECT doc_id, $langCase AS pred_lang FROM g),
+       |scored AS (SELECT lm.doc_id, lang.pred_lang,
+       |             round(-lm.avg_logprob, 6) AS ppl
        |           FROM lm JOIN lang USING (doc_id)),
        |bars AS (
        |$bars
@@ -2022,27 +2034,13 @@ object OracleGen {
     * md5), decontamination (the C21 chain, benchmark = the %20 slice
     * of the full crawl), one count row per stage. */
   def crawlIngestE2eSql(flagThreshold: Double = 0.2): String = {
-    val profiles = graft.functions.Text.LangProfiles
-    val hitCols = profiles.map { case (lang, stops) =>
-      val list = stops.map(s => s"'$s'").mkString("[", ",", "]")
-      s"CAST(len(list_filter(ltoks, x -> list_contains($list, x))) AS BIGINT) AS h_$lang"
-    }.mkString(",\n    ")
-    val great = profiles.map(p => s"h_${p._1}").mkString("greatest(", ", ", ")")
-    val cases = profiles.map { case (lang, _) => s"WHEN h_$lang = mx THEN '$lang'" }.mkString(" ")
+    val (langCtes, langCase) = langIdCtes("t", carry = Seq("text"))
     s"""WITH t AS (
        |  SELECT doc_id, text FROM documents
-       |), lt AS (
-       |  SELECT doc_id, text,
-       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ltoks
-       |  FROM t
-       |), h AS (
-       |  SELECT doc_id, text,
-       |    $hitCols
-       |  FROM lt
-       |), g AS (SELECT *, $great AS mx FROM h
-       |), en AS (
+       |), $langCtes,
+       |en AS (
        |  SELECT doc_id, text FROM g
-       |  WHERE (CASE WHEN mx = 0 THEN 'und' $cases END) = 'en'
+       |  WHERE ($langCase) = 'en'
        |), ded AS (
        |  SELECT MIN(doc_id) AS doc_id FROM en GROUP BY md5(text)
        |), tt AS (

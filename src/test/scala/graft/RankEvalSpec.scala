@@ -84,6 +84,31 @@ class RankEvalSpec extends SparkSpec {
     assert(ndcg === math.rint(t / 1.0 * 1e6) / 1e6)
   }
 
+  test("a query whose hits all sit beyond k still emits a zero row") {
+    val m = metrics(
+      run((1L, 10L, 6L), (1L, 11L, 7L), (2L, 10L, 1L)),
+      qrels((1L, 10L, 2L), (2L, 10L, 2L)), k = 5)
+    val byQ = m.map(x => x._1 -> x).toMap
+    assert(byQ(1L) === ((1L, 0.0, 0.0, 0.0))) // accounted for, not vanished
+    assert(byQ(2L)._2 === 1.0)
+  }
+
+  test("a doc retrieved twice counts once at its best rank: recall never exceeds 1") {
+    val m = metrics(
+      run((1L, 10L, 1L), (1L, 10L, 2L)),
+      qrels((1L, 10L, 1L)), k = 5)
+    val (_, recall, mrr, ndcg) = m.head
+    assert(recall === 1.0 && mrr === 1.0 && ndcg === 1.0)
+  }
+
+  test("duplicate judgments resolve to the most generous grade") {
+    val m = metrics(
+      run((1L, 10L, 1L)),
+      qrels((1L, 10L, 0L), (1L, 10L, 2L)), k = 5)
+    val (_, recall, mrr, ndcg) = m.head
+    assert(recall === 1.0 && mrr === 1.0 && ndcg === 1.0)
+  }
+
   test("randomized: equals a sequential driver reference") {
     val rnd = new scala.util.Random(20260815L)
     val queries = (0L until 12L).toSeq
