@@ -120,6 +120,7 @@ object SparkEntry {
     "ccnet_buckets"        -> (TextDemos.ccnetBuckets(_, _)),
     "cluster_balance"      -> (TextDemos.clusterBalance(_, _)),
     "corpus_drift"         -> (TextDemos.corpusDrift(_, _)),
+    "quality_calibration"  -> (TextDemos.qualityCalibration(_, _)),
     "source_mix"           -> (TextDemos.sourceMix(_, _)),
     "temperature_mix"      -> (TextDemos.temperatureMix(_, _)),
     "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
@@ -883,6 +884,7 @@ object SparkEntry {
     "ccnet_buckets"     -> graft.oracle.OracleGen.ccnetBucketsSql(),
     "cluster_balance"   -> graft.oracle.OracleGen.clusterBalanceSql(),
     "corpus_drift"      -> graft.oracle.OracleGen.corpusDriftSql(),
+    "quality_calibration" -> graft.oracle.OracleGen.qualityCalibrationSql(),
     "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),

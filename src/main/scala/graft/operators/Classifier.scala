@@ -321,4 +321,35 @@ object Classifier {
           exp(-marginCol(weightArrayLit(w, buckets)))), 6).as("score"))
       .withColumn("predicted", col("score") >= 0.5)
   }
+
+  /** C81 — reliability diagram (calibration curve) of a probabilistic
+    * classifier: fixed-width score bins over [0,1], per occupied bin
+    * the doc count, the mean predicted probability, and the empirical
+    * positive rate. A curation classifier whose 0.9-bin is only 60%
+    * positive is systematically overconfident and its keep threshold
+    * means something other than it claims — this is the artifact
+    * (FineWeb-Edu-style pipelines publish it) that catches that before
+    * the threshold ships. |mean_score − frac_pos| per bin is the
+    * bin's calibration gap; the n-weighted sum is ECE.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the scored
+    * table — bin assignment is per-row arithmetic, the exchange
+    * carries ≤ nBins rows. Mean scores go through rounded-decimal
+    * sums (partial-agg-order-proof); empty bins are omitted (a
+    * reliability diagram has no empirical rate where nothing landed).
+    * Bin edges are fixed-width on principle — quantile edges would
+    * make every diagram its own coordinate system. */
+  def calibration(scored: DataFrame, scoreCol: String, isPosCol: String,
+                  nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"calibration: nBins=$nBins must be >= 2")
+    // score exactly 1.0 folds into the top bin
+    val bin = least(floor(col(scoreCol) * nBins), lit(nBins - 1))
+      .cast("long").as("bin")
+    scored.select(bin, col(scoreCol).as("_s"), col(isPosCol).cast("int").as("_y"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        round(sum(round(col("_s"), 6).cast("decimal(27,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_score"),
+        round(sum(col("_y")).cast("double") / count(lit(1)), 6).as("frac_pos"))
+  }
 }

@@ -1126,6 +1126,20 @@ object TextDemos {
         label = array_contains(Text.wsTokens(col("text")), "key"))
       .orderBy("doc_id")
 
+  /** C81 — calibration curve of the C45 classifier: the trained
+    * scores binned at fixed width 0.1, per occupied bin the mean
+    * predicted probability vs the empirical positive rate. The demo
+    * classifier separates its text-derived class almost perfectly, so
+    * the diagram shows exactly two occupied extreme bins with tiny
+    * calibration gaps — the shape a threshold-based keep rule wants
+    * to see before it trusts the threshold. */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame =
+    Classifier.calibration(
+        Classifier.logregScore(Tables.documents(spark, dir), "doc_id", "text",
+          label = array_contains(Text.wsTokens(col("text")), "key")),
+        "score", "is_target", nBins = 10)
+      .orderBy("bin")
+
   /** C44 — temperature-scaled source mixing at α = 0.5: large groups
     * flatten toward the smallest (f_s = (n_s/n_min)^−0.5), the
     * smallest survives whole — the GPT-3/PaLM multinomial recipe as a

@@ -1158,6 +1158,25 @@ object OracleGen {
     * decimal (the lm_score discipline) → decimal sum → dense top-k by
     * (score desc, doc_id). Constants interpolate from Bm25 so both
     * engines parse the SAME shortest-round-trip double literals. */
+  /** mirror of TextDemos.qualityCalibration: the full logregScoreSql
+    * chain as a subquery, fixed-width bins (score 1.0 folds into the
+    * top bin), rounded-decimal mean scores, empirical positive rates.
+    */
+  def qualityCalibrationSql(nBins: Int = 10): String = {
+    val scores = logregScoreSql()
+    s"""WITH sc AS (
+       |  SELECT least(CAST(floor(score * $nBins) AS BIGINT), ${nBins - 1}) AS bin,
+       |         score,
+       |         CASE WHEN is_target THEN 1 ELSE 0 END AS ypos
+       |  FROM ($scores)
+       |)
+       |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  round(CAST(SUM(CAST(round(score, 6) AS DECIMAL(27,6))) AS DOUBLE)
+       |        / COUNT(*), 6) AS mean_score,
+       |  round(CAST(SUM(ypos) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+       |FROM sc GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   /** mirror of TextDemos.bm25Index: per-term summary (df + exact
     * integer impact mass) of the precomputed-impact index — pins the
     * whole tokenize → posting → impact-precompute build. */
