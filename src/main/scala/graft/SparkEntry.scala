@@ -121,6 +121,7 @@ object SparkEntry {
     "cluster_balance"      -> (TextDemos.clusterBalance(_, _)),
     "corpus_drift"         -> (TextDemos.corpusDrift(_, _)),
     "quality_calibration"  -> (TextDemos.qualityCalibration(_, _)),
+    "ann_filtered_topk"    -> (TextDemos.annFilteredTopk(_, _)),
     "source_mix"           -> (TextDemos.sourceMix(_, _)),
     "temperature_mix"      -> (TextDemos.temperatureMix(_, _)),
     "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
@@ -885,6 +886,8 @@ object SparkEntry {
     "cluster_balance"   -> graft.oracle.OracleGen.clusterBalanceSql(),
     "corpus_drift"      -> graft.oracle.OracleGen.corpusDriftSql(),
     "quality_calibration" -> graft.oracle.OracleGen.qualityCalibrationSql(),
+    "ann_filtered_topk" -> graft.oracle.OracleGen.ivfTopkSql(
+      candWhere = " AND vec_id % 3 <> 0"),
     "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),

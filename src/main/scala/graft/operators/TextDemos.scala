@@ -416,6 +416,28 @@ object TextDemos {
       .orderBy("query_id", "rank")
   }
 
+  /** C82 — filtered vector search (the pre-filter semantics every
+    * production vector store leads with): an IVF query restricted to
+    * a metadata predicate, with the predicate applied to the
+    * CANDIDATE side before scoring — the index and centroids stay
+    * built over the full corpus, the filter costs only the scan it
+    * prunes, and every query still gets its full k from the surviving
+    * candidates (post-filtering an unfiltered top-k instead silently
+    * returns fewer than k — the deficit FilteredAnnSpec demonstrates).
+    * On a label-partitioned landed index the predicate reaches the
+    * parquet scan as a pushed filter (spec-pinned). */
+  def annFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5 && col("vec_id") % 3 =!= 0)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("label"))
+    Similarity.ivfTopK(queries, corpus,
+        Similarity.ivfCentroids(emb, "embedding", "label"), k = 5)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("query_id", "rank")
+  }
+
   /** C34a — PQ corpus compression: 64-dim embeddings encoded to m=8
     * one-byte codes each (32× smaller than the floats), codebooks
     * bootstrap-trained by the table's label column (the oracle-exact

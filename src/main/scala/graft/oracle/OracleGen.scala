@@ -1427,7 +1427,10 @@ object OracleGen {
   /** mirror of TextDemos.ivfTopk — C14+C15 closed into an end-to-end
     * posting-list search: nearest centroid per query, then exact cosine
     * top-k within that cluster's posting list only. */
-  def ivfTopkSql(k: Int = 5): String =
+  /** `candWhere`: extra predicate ANDed onto the candidate side — the
+    * C82 filtered-search mirror (the index/centroids stay built over
+    * the FULL corpus; the filter applies at query time). */
+  def ivfTopkSql(k: Int = 5, candWhere: String = ""): String =
     s"""$centroidsCore, c2 AS (
        |  SELECT label, list(centroid ORDER BY pos) AS cv FROM cent GROUP BY label
        |), q AS (
@@ -1446,7 +1449,7 @@ object OracleGen {
        |  FROM q JOIN r ON q.query_id = r.query_id AND r.rn = 1
        |), c AS (
        |  SELECT vec_id AS cand_id, embedding AS cv2, label
-       |  FROM embeddings WHERE vec_id >= 5
+       |  FROM embeddings WHERE vec_id >= 5$candWhere
        |), s AS (
        |  SELECT a.query_id, c.cand_id, ${cosineExpr("a.qv", "c.cv2")} AS sim
        |  FROM a JOIN c ON a.label = c.label
