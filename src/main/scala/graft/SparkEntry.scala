@@ -122,6 +122,8 @@ object SparkEntry {
     "corpus_drift"         -> (TextDemos.corpusDrift(_, _)),
     "quality_calibration"  -> (TextDemos.qualityCalibration(_, _)),
     "ann_filtered_topk"    -> (TextDemos.annFilteredTopk(_, _)),
+    "contamination_spans"  -> (TextDemos.contaminationSpansDemo(_, _)),
+    "contamination_scrub"  -> (TextDemos.contaminationScrubDemo(_, _)),
     "source_mix"           -> (TextDemos.sourceMix(_, _)),
     "temperature_mix"      -> (TextDemos.temperatureMix(_, _)),
     "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
@@ -888,6 +890,8 @@ object SparkEntry {
     "quality_calibration" -> graft.oracle.OracleGen.qualityCalibrationSql(),
     "ann_filtered_topk" -> graft.oracle.OracleGen.ivfTopkSql(
       candWhere = " AND vec_id % 3 <> 0"),
+    "contamination_spans" -> graft.oracle.OracleGen.contamSpansSql(),
+    "contamination_scrub" -> graft.oracle.OracleGen.contamScrubSql(),
     "embed_near_dup"    -> graft.oracle.OracleGen.embedNearDupSql(),
     "ivf_centroids"     -> graft.oracle.OracleGen.ivfCentroidsSql(),
     "ivf_assign"        -> graft.oracle.OracleGen.ivfAssignSql(),

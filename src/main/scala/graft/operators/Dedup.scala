@@ -623,8 +623,18 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("_nd"))
       .filter(col("_nd") >= minDocs)
       .select(col("h"))
+    spanIslands(win, dup, idCol, k)
+  }
+
+  /** the island half of span detection: windows whose hash is in
+    * `dirtyHashes` coalesce per document into maximal token intervals
+    * (the running max-end window trick). Shared by [[duplicateSpans]]
+    * (dirty = within-corpus repeats) and [[contaminationSpans]]
+    * (dirty = a benchmark's window set). */
+  private def spanIslands(win: DataFrame, dirtyHashes: DataFrame,
+                          idCol: String, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    win.join(dup, "h")
+    win.join(dirtyHashes, "h")
       .select(col(idCol), col("pos"))
       .withColumn("_prev_end", max(col("pos") + lit(k - 1)).over(
         byDoc.rowsBetween(Window.unboundedPreceding, -1)))
@@ -639,6 +649,46 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** C83 — surgical decontamination, the span-level form of C21: every
+    * verbatim k-token overlap between a training document and the
+    * benchmark corpus, located as maximal token intervals. C21 FLAGS
+    * documents whose shingle-overlap ratio crosses a threshold (drop-
+    * the-doc posture, the GPT-3 recipe); this finds the overlapping
+    * islands themselves so [[scrubContamination]] can remove JUST the
+    * leaked benchmark text and keep the rest of the document — at web
+    * scale, whole-doc drops over one embedded eval question throw away
+    * good tokens by the billions.
+    *
+    * Scale shape is [[duplicateSpans]]'s: the benchmark side reduces to
+    * its DISTINCT window-hash set (benchmark-scale, ≪ corpus; AQE may
+    * broadcast it), training windows shuffle as (id, pos, 8-byte hash)
+    * rows, never text, and the interval merge partitions by document. */
+  def contaminationSpans(train: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         k: Int = 8,
+                         tokenHash: Column => Column = xxhash64(_),
+                         shingler: (Column, Int) => Column = Text.shinglesWithDuplicates): DataFrame = {
+    val win = train
+      .select(col(idCol), posexplode(shingler(col(textCol), k)).as(Seq("pos", "w")))
+      .select(col(idCol), col("pos"), tokenHash(col("w")).as("h"))
+    val dirty = bench
+      .select(explode(shingler(col(benchTextCol), k)).as("_w"))
+      .select(tokenHash(col("_w")).as("h")).distinct()
+    spanIslands(win, dirty, idCol, k)
+  }
+
+  /** C83b — remove the [[contaminationSpans]] intervals from each
+    * training document (the scrub half; every doc survives, the
+    * keep-the-row posture of [[scrubDuplicateSpans]]). */
+  def scrubContamination(train: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         k: Int = 8,
+                         tokenHash: Column => Column = xxhash64(_),
+                         shingler: (Column, Int) => Column = Text.shinglesWithDuplicates): DataFrame =
+    scrubWithSpans(train, idCol, textCol,
+      contaminationSpans(train, idCol, textCol, bench, benchTextCol,
+        k, tokenHash, shingler))
+
   /** C30b: remove the [[duplicateSpans]] intervals from each document —
     * the scrub half of substring dedup. Tokens join their document's
     * span list on (doc equi-key + position range); the anti join keeps
@@ -649,8 +699,18 @@ object Dedup {
   def scrubDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                           k: Int = 8, minDocs: Int = 2,
                           tokenHash: Column => Column = xxhash64(_),
-                          shingler: (Column, Int) => Column = Text.shinglesWithDuplicates): DataFrame = {
-    val spans = duplicateSpans(df, idCol, textCol, k, minDocs, tokenHash, shingler)
+                          shingler: (Column, Int) => Column = Text.shinglesWithDuplicates): DataFrame =
+    scrubWithSpans(df, idCol, textCol,
+      duplicateSpans(df, idCol, textCol, k, minDocs, tokenHash, shingler))
+
+  /** the rebuild half shared by [[scrubDuplicateSpans]] and
+    * [[scrubContamination]]: tokens join their document's span list on
+    * (doc equi-key + position range); the anti join keeps uncovered
+    * tokens, and the order-preserving rebuild is the sorted-collect
+    * discipline of [[chunkDedup]]. Every input document survives. */
+  private def scrubWithSpans(df: DataFrame, idCol: String, textCol: String,
+                             spansDf: DataFrame): DataFrame = {
+    val spans = spansDf
       .select(col(idCol).as("_sid"), col("span_start"), col("span_end"))
     val toks = df.select(col(idCol),
       posexplode(Text.wsTokens(col(textCol))).as(Seq("pos", "tok")))

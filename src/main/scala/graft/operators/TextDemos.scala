@@ -1315,6 +1315,30 @@ object TextDemos {
         k = 8, minDocs = 2, tokenHash = graft.functions.Vec.md5Hash60)
       .orderBy("doc_id")
 
+  /** C83 — surgical decontamination over the C21 fixture: the %20
+    * slice is the benchmark, the rest is training; every verbatim
+    * 8-gram overlap with the benchmark located per training doc as
+    * maximal token intervals. */
+  def contaminationSpansDemo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.contaminationSpans(
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 20 === 0), "text",
+        k = 8, tokenHash = graft.functions.Vec.md5Hash60)
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** C83b — the scrub half: the leaked benchmark text removed, the
+    * rest of every training doc kept (vs C21's drop-the-doc flag). */
+  def contaminationScrubDemo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.scrubContamination(
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 20 === 0), "text",
+        k = 8, tokenHash = graft.functions.Vec.md5Hash60)
+      .orderBy("doc_id")
+  }
+
   /** C40 — SemDeDup semantic deduplication over the embeddings table:
     * label-bootstrap clusters (the oracle-exact configuration, as
     * C14/C34; kmeansFit is the self-trained path), within-cluster

@@ -201,19 +201,21 @@ object OracleGen {
     * per-doc island merge into [span_start, span_end] intervals —
     * mirroring Dedup.duplicateSpans step by step (md5-60 window hash,
     * same overlap-or-adjacent merge rule). */
-  private def dupSpanCore(k: Int, minDocs: Int): String = {
+  /** the span-detection CTE chain parameterized by the training-side
+    * WHERE and the dirty-hash-set CTE — shared by the within-corpus
+    * (C30) and benchmark-overlap (C83) forms. */
+  private def spanCore(k: Int, trainWhere: String, dirtyCtes: String): String = {
     val gram = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
     s"""t AS (
-       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents$trainWhere
        |), g AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - $k + 2),
        |    i -> struct_pack(pos := i - 1, h := ${md560(s"($gram)")}))) AS u
        |  FROM t WHERE len(toks) >= $k
        |), w AS (
        |  SELECT doc_id, u.pos AS pos, u.h AS h FROM g
-       |), dup AS (
-       |  SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= $minDocs
-       |), hits AS (
+       |), $dirtyCtes, hits AS (
        |  SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)
        |), marked AS (
        |  SELECT doc_id, pos,
@@ -233,16 +235,33 @@ object OracleGen {
        |)""".stripMargin
   }
 
-  /** mirror of TextDemos.dupSpanDetect */
-  def dupSpansSql(k: Int = 8, minDocs: Int = 2): String =
-    s"""WITH ${dupSpanCore(k, minDocs)}
-       |SELECT doc_id, span_start, span_end, n_windows
-       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+  private def dupSpanCore(k: Int, minDocs: Int): String =
+    spanCore(k, "",
+      s"""dup AS (
+         |  SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= $minDocs
+         |)""".stripMargin)
 
-  /** mirror of TextDemos.dupSpanScrub: tokens not covered by any span
-    * rebuild the document order-preserving; every doc survives. */
-  def dupSpanScrubSql(k: Int = 8, minDocs: Int = 2): String =
-    s"""WITH ${dupSpanCore(k, minDocs)}, tokpos AS (
+  /** the C83 form: the dirty set is the %20 benchmark slice's distinct
+    * window hashes; the training side excludes the benchmark. */
+  private def contamSpanCore(k: Int): String = {
+    val gram = (0 until k).map(j => s"btoks[i+$j]").mkString(" || ' ' || ")
+    spanCore(k, " WHERE doc_id % 20 <> 0",
+      s"""bt AS (
+         |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS btoks
+         |  FROM documents WHERE doc_id % 20 = 0
+         |), bg AS (
+         |  SELECT unnest(list_transform(range(1, len(btoks) - $k + 2),
+         |    i -> ${md560(s"($gram)")})) AS h
+         |  FROM bt WHERE len(btoks) >= $k
+         |), dup AS (
+         |  SELECT DISTINCT h FROM bg
+         |)""".stripMargin)
+  }
+
+  /** the order-preserving rebuild tail shared by the two scrub
+    * mirrors; `docWhere` restricts the surviving-document spine. */
+  private def scrubTail(docWhere: String): String =
+    s""", tokpos AS (
        |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
        |      i -> struct_pack(pos := i - 1, tok := toks[i]))) AS u
@@ -255,8 +274,30 @@ object OracleGen {
        |)
        |SELECT d.doc_id,
        |       coalesce(string_agg(sv.tok, ' ' ORDER BY sv.pos), '') AS scrubbed_text
-       |FROM documents d LEFT JOIN surviving sv ON sv.doc_id = d.doc_id
+       |FROM (SELECT doc_id FROM documents$docWhere) d
+       |LEFT JOIN surviving sv ON sv.doc_id = d.doc_id
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** mirror of TextDemos.dupSpanDetect */
+  def dupSpansSql(k: Int = 8, minDocs: Int = 2): String =
+    s"""WITH ${dupSpanCore(k, minDocs)}
+       |SELECT doc_id, span_start, span_end, n_windows
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** mirror of TextDemos.dupSpanScrub: tokens not covered by any span
+    * rebuild the document order-preserving; every doc survives. */
+  def dupSpanScrubSql(k: Int = 8, minDocs: Int = 2): String =
+    s"WITH ${dupSpanCore(k, minDocs)}${scrubTail("")}"
+
+  /** mirror of TextDemos.contaminationSpansDemo */
+  def contamSpansSql(k: Int = 8): String =
+    s"""WITH ${contamSpanCore(k)}
+       |SELECT doc_id, span_start, span_end, n_windows
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** mirror of TextDemos.contaminationScrubDemo */
+  def contamScrubSql(k: Int = 8): String =
+    s"WITH ${contamSpanCore(k)}${scrubTail(" WHERE doc_id % 20 <> 0")}"
 
   /** mirror of TextDemos.dedupClusters: connected components over the
     * minhash pairs, as a recursive CTE computing per-node min reachable
