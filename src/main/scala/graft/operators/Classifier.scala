@@ -342,8 +342,15 @@ object Classifier {
   def calibration(scored: DataFrame, scoreCol: String, isPosCol: String,
                   nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"calibration: nBins=$nBins must be >= 2")
-    // score exactly 1.0 folds into the top bin
-    val bin = least(floor(col(scoreCol) * nBins), lit(nBins - 1))
+    // the diagram is only meaningful over probabilities: a caller
+    // feeding raw margins/logits must fail loudly, not get a
+    // plausible-looking curve with out-of-range mass silently folded
+    // into the edge bins. (score exactly 1.0 folds into the top bin.)
+    val bin = when(col(scoreCol) >= 0.0 && col(scoreCol) <= 1.0,
+        least(floor(col(scoreCol) * nBins), lit(nBins - 1)))
+      .otherwise(raise_error(concat(
+        lit(s"calibration: $scoreCol outside [0,1] — probabilities required, got "),
+        col(scoreCol).cast("string"))))
       .cast("long").as("bin")
     scored.select(bin, col(scoreCol).as("_s"), col(isPosCol).cast("int").as("_y"))
       .groupBy("bin").agg(

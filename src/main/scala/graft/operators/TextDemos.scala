@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -404,11 +404,18 @@ object TextDemos {
   /** C14+C15 closed loop — IVF end-to-end top-k: each query probes its
     * assigned centroid's posting list only (the actual point of IVF),
     * ranked by the bounded top-k aggregate. */
-  def ivfTopk(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopk(spark: SparkSession, dir: String): DataFrame =
+    ivfTopkOver(spark, dir, lit(true))
+
+  /** the shared C15b/C82 demo body: IVF top-5 over the embeddings
+    * split, with `candFilter` restricting the candidate side (C82's
+    * query-time predicate; `lit(true)` = the unfiltered C15b row). */
+  private def ivfTopkOver(spark: SparkSession, dir: String,
+                          candFilter: Column): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val corpus = emb.filter(col("vec_id") >= 5)
+    val corpus = emb.filter(col("vec_id") >= 5 && candFilter)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("label"))
     Similarity.ivfTopK(queries, corpus,
         Similarity.ivfCentroids(emb, "embedding", "label"), k = 5)
@@ -420,23 +427,19 @@ object TextDemos {
     * production vector store leads with): an IVF query restricted to
     * a metadata predicate, with the predicate applied to the
     * CANDIDATE side before scoring — the index and centroids stay
-    * built over the full corpus, the filter costs only the scan it
-    * prunes, and every query still gets its full k from the surviving
-    * candidates (post-filtering an unfiltered top-k instead silently
-    * returns fewer than k — the deficit FilteredAnnSpec demonstrates).
-    * On a label-partitioned landed index the predicate reaches the
-    * parquet scan as a pushed filter (spec-pinned). */
-  def annFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val corpus = emb.filter(col("vec_id") >= 5 && col("vec_id") % 3 =!= 0)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("label"))
-    Similarity.ivfTopK(queries, corpus,
-        Similarity.ivfCentroids(emb, "embedding", "label"), k = 5)
-      .withColumn("sim", round(col("sim"), 6))
-      .orderBy("query_id", "rank")
-  }
+    * built over the full corpus and the filter costs only the scan it
+    * prunes. Within the PROBED clusters the query draws its full k
+    * from surviving candidates, where post-filtering an unfiltered
+    * top-k silently returns fewer (the deficit FilteredAnnSpec
+    * demonstrates). The guarantee is nprobe-bounded — the caveat every
+    * IVF store documents: a highly selective filter can starve the
+    * probed cluster even when other clusters hold matches, and the
+    * remedy is raising nprobe with filter selectivity (ivfTopK's knob;
+    * FilteredAnnSpec pins both the starvation and the nprobe=2
+    * recovery). On a label-partitioned landed index the predicate
+    * reaches the parquet scan as a pushed filter (spec-pinned). */
+  def annFilteredTopk(spark: SparkSession, dir: String): DataFrame =
+    ivfTopkOver(spark, dir, col("vec_id") % 3 =!= 0)
 
   /** C34a — PQ corpus compression: 64-dim embeddings encoded to m=8
     * one-byte codes each (32× smaller than the floats), codebooks

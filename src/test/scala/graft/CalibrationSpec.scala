@@ -32,6 +32,14 @@ class CalibrationSpec extends SparkSpec {
     assert(got.last === ((9L, 1L, 1.0, 1.0)))
   }
 
+  test("scores outside [0,1] fail loudly instead of folding into edge bins") {
+    val e = intercept[Exception] { calib(Seq((3.7, true), (0.5, false))) }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("probabilities required")), e.toString)
+  }
+
   test("nBins must be at least 2") {
     intercept[IllegalArgumentException] {
       Classifier.calibration(Seq((0.5, true)).toDF("score", "is_target"),

@@ -57,6 +57,25 @@ class FilteredAnnSpec extends SparkSpec {
     assert(df.count() === 5)
   }
 
+  test("a selective filter can starve the probed cluster; raising nprobe recovers") {
+    // cluster 0 is the query's nearest centroid but holds only meta=0
+    // candidates; cluster 1 holds the meta=1 matches — the documented
+    // nprobe-bounded limit of pre-filtered IVF search
+    val emb = (
+      (0 until 4).map(i => (i.toLong, Seq(1.0f, 0.01f * i), 0)) ++
+      (0 until 4).map(i => (10L + i, Seq(0.2f, 1.0f + 0.01f * i), 1))
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.ivfCentroids(emb, "embedding", "label")
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("query_id", "qv")
+    val meta1 = emb.filter(col("label") === 1)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("label"))
+    val starved = Similarity.ivfTopK(queries, meta1, cents, k = 3, nprobe = 1)
+    assert(starved.count() === 0, "nprobe=1 should starve: matches live off-probe")
+    val recovered = Similarity.ivfTopK(queries, meta1, cents, k = 3, nprobe = 2)
+    assert(recovered.count() === 3)
+    assert(recovered.collect().forall(_.getLong(1) >= 10L))
+  }
+
   test("C82 demo row: every result honors the predicate, ranks contiguous") {
     val rows = graft.operators.TextDemos.annFilteredTopk(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
