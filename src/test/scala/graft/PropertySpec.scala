@@ -208,6 +208,80 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rankMetrics: metrics bounded in [0,1], every run query emitted once") {
+    // adversarial runs: duplicate (query, doc) pairs, ranks beyond k,
+    // unjudged queries, duplicate judgments
+    val rnd = new scala.util.Random(211L)
+    (0 until 3).foreach { round =>
+      val run = Seq.fill(60)((rnd.nextInt(6).toLong,
+        rnd.nextInt(12).toLong, (rnd.nextInt(9) + 1).toLong))
+      val qr = Seq.fill(40)((rnd.nextInt(6).toLong,
+        rnd.nextInt(12).toLong, rnd.nextInt(4).toLong))
+      val got = graft.operators.RankEval.rankMetrics(
+          run.toDF("query_id", "doc_id", "rank"),
+          qr.toDF("query_id", "doc_id", "rel"), k = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      val queries = run.map(_._1).distinct.sorted
+      assert(got.map(_._1).sorted.toSeq === queries, s"round $round")
+      got.foreach { case (q, recall, mrr, ndcg) =>
+        Seq(recall, mrr, ndcg).foreach(m =>
+          assert(m >= 0.0 && m <= 1.0, s"round $round query $q: $m"))
+      }
+    }
+  }
+
+  test("PSI terms are non-negative and finite on arbitrary histograms") {
+    val rnd = new scala.util.Random(212L)
+    (0 until 3).foreach { round =>
+      val v1 = Seq.fill(rnd.nextInt(80) + 1)(rnd.nextDouble() * 2 - 0.5)
+      val v2 = Seq.fill(rnd.nextInt(80) + 1)(rnd.nextDouble() * 2 - 0.5)
+      val rows = graft.operators.Curation.distributionDrift(
+          v1.toDF("v"), v2.toDF("v"), "v", Seq(0.0, 0.5, 1.0))
+        .collect().map(_.getDouble(3))
+      rows.foreach(p => assert(p >= 0.0 && !p.isNaN && !p.isInfinite,
+        s"round $round: $p"))
+    }
+  }
+
+  test("mixture weights: a proper distribution, monotone in loss, stable at extremes") {
+    // losses spanning hundreds exercise the softmax max-stabilization
+    val rnd = new scala.util.Random(213L)
+    val rows = (0 until 25).map(i => (f"d$i%02d", rnd.nextDouble() * 300, 10.0))
+    val got = graft.operators.Sampling.mixtureReweight(
+        rows.toDF("source", "proxy_loss", "ref_loss"),
+        "source", "proxy_loss", "ref_loss", eta = 50.0, smoothing = 0.1)
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(math.abs(got.map(_._3).sum - 1.0) < got.length * 5e-7)
+    got.foreach { case (_, _, w) => assert(w > 0.0 && w <= 1.0) }
+    val byExcess = got.sortBy(_._2)
+    byExcess.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 <= b._3, s"${a._1} vs ${b._1}")
+      case _ => ()
+    }
+  }
+
+  test("contamination spans are disjoint, in-bounds, at least k tokens wide") {
+    val rnd = new scala.util.Random(214L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val bench = (900L until 903L).map(i => (i, doc(12))).toDF("doc_id", "text")
+    val train = (0L until 30L).map(i => (i, doc(rnd.nextInt(25) + 1)))
+    val k = 3
+    val spans = graft.operators.Dedup.contaminationSpans(
+        train.toDF("doc_id", "text"), "doc_id", "text", bench, "text", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lens = train.toMap.view.mapValues(_.split(" ").length).toMap
+    spans.foreach { case (id, s, e) =>
+      assert(s >= 0 && e < lens(id) && e - s + 1 >= k, s"doc $id [$s,$e]")
+    }
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + 1 < b._2, s"doc $id: touching islands")
+        case _ => ()
+      }
+    }
+  }
+
   test("round2 is exact half-up to 2 decimals for positive doubles") {
     import graft.functions.Agg
     val vals = Seq(52724.244999999995, 52724.245000000004, 1.005, 0.0, 2.675, 99.994999)
