@@ -157,6 +157,7 @@ object SparkEntry {
     "stream_contamination_parity" -> (graft.streaming.StreamParity.streamContaminationParity(_, _)),
     "stream_quality_gate_parity" -> (graft.streaming.StreamParity.streamQualityGateParity(_, _)),
     "stream_drift_parity"  -> (graft.streaming.StreamParity.streamDriftParity(_, _)),
+    "stream_calibration_parity" -> (graft.streaming.StreamParity.streamCalibrationParity(_, _)),
     "stream_kmv_sketch_parity" -> (graft.streaming.StreamParity.streamKmvSketchParity(_, _)),
   )
 
@@ -222,6 +223,9 @@ object SparkEntry {
       // D11: the streamed histogram + batch reference lands on C80's
       // batch PSI answer
       "stream_drift_parity" -> graft.oracle.OracleGen.corpusDriftSql(),
+      // D12: the streamed reliability counters land on C81's batch
+      // calibration answer
+      "stream_calibration_parity" -> graft.oracle.OracleGen.qualityCalibrationSql(),
       // D10: the streamed KMV sketch is an order statistic — it must
       // equal the batch distinct-sort-limit of the same corpus
       "stream_kmv_sketch_parity" -> graft.oracle.OracleGen.streamKmvSketchSql(),

@@ -316,11 +316,28 @@ object Classifier {
                   lr: Double = 20.0): DataFrame = {
     val (packed, nDocs) = preparePacked(docs, idCol, textCol, label, buckets)
     val w = trainOn(packed, buckets, nDocs, rounds, lr)
-    packed.select(col(idCol), (col("_y") === 1.0).as("is_target"),
-        round(lit(1.0) / (lit(1.0) +
-          exp(-marginCol(weightArrayLit(w, buckets)))), 6).as("score"))
+    sigmoidSelect(packed, idCol, w, buckets)
       .withColumn("predicted", col("score") >= 0.5)
   }
+
+  /** Score documents with ALREADY-TRAINED weights — the deployment
+    * half of [[logregScore]], split out because it is MAP-ONLY (the
+    * packing and the margin fold are per-row work against a broadcast
+    * weight literal), so it runs unchanged on a STREAM: D12 scores
+    * pages as they arrive with the shipped model. Tokenless docs drop,
+    * exactly as in training. */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+                label: Column, weights: Map[Long, Double],
+                buckets: Int = 1024): DataFrame =
+    sigmoidSelect(packedTable(docs, idCol, textCol, label, buckets),
+      idCol, weights, buckets)
+
+  /** the shared sigmoid projection over a packed feature table. */
+  private def sigmoidSelect(packed: DataFrame, idCol: String,
+                            w: Map[Long, Double], buckets: Int): DataFrame =
+    packed.select(col(idCol), (col("_y") === 1.0).as("is_target"),
+      round(lit(1.0) / (lit(1.0) +
+        exp(-marginCol(weightArrayLit(w, buckets)))), 6).as("score"))
 
   /** C81 — reliability diagram (calibration curve) of a probabilistic
     * classifier: fixed-width score bins over [0,1], per occupied bin

@@ -135,6 +135,22 @@ object EventStream {
                      edges: Seq[Double]): DataFrame =
     graft.operators.Curation.driftHistogram(live, valueCol, edges)
 
+  /** D12: streaming calibration monitor — C81's streaming twin, and
+    * the diagram's production direction: a TRAINED classifier (its
+    * weights shipped as a broadcast array literal) scores pages
+    * IN-ROW as they arrive ([[graft.operators.Classifier.scoreWith]]
+    * is map-only), and ONE streaming aggregation keyed by score bin
+    * maintains the reliability counters — state is ≤ nBins rows of
+    * (count, decimal mean parts, positives), bounded regardless of
+    * stream length, so the deployed model's calibration curve (and
+    * its drift toward overconfidence) is answerable at every instant.
+    * Counts and decimal sums are mergeable and order-free, so the
+    * parity row lands on C81's batch answer verbatim regardless of
+    * micro-batch splits. */
+  def calibrationMonitor(scored: DataFrame, scoreCol: String,
+                         isPosCol: String, nBins: Int): DataFrame =
+    graft.operators.Classifier.calibration(scored, scoreCol, isPosCol, nBins)
+
   /** D2: streaming dedup with watermark-bounded key state. */
   def dedupWithinWatermark(events: DataFrame, idCol: String,
                            watermark: String = "30 minutes"): DataFrame =

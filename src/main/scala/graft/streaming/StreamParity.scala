@@ -229,6 +229,35 @@ object StreamParity {
       .orderBy("bucket")
   }
 
+  /** D12 ↔ C81: the classifier trains batch-side on the landed corpus
+    * (the deployment split — the model ships as a weight literal),
+    * then the SAME corpus streams through the in-row scorer into the
+    * maintained reliability counters; the final diagram must equal the
+    * batch calibration of the same scores verbatim. */
+  def streamCalibrationParity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Classifier
+    val docs = Tables.documents(spark, dir)
+    def label = array_contains(
+      graft.functions.Text.wsTokens(col("text")), "key")
+    // bucket-scale collect: the trained weight vector IS the artifact
+    // a deployment ships (1025 rows here)
+    val w = Classifier.logregTrain(docs, "doc_id", "text", label)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val src = fileStream(docs.select(col("doc_id"), col("text")),
+      s"scalib_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
+    val view = s"graft_scalib_${Fixtures.runId}"
+    spark.catalog.dropTempView(view) // re-invocation reuses the name
+    withStateParallelism(spark, 8) {
+      val q = EventStream.calibrationMonitor(
+          Classifier.scoreWith(src, "doc_id", "text", label, w),
+          "score", "is_target", nBins = 10)
+        .writeStream.format("memory").queryName(view)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(view).orderBy("bin")
+  }
+
   /** D10 ↔ C67: the documents table streamed through
     * [[EventStream.corpusSketch]] (the KmvSketch native aggregate
     * running INSIDE streaming state), final sketch posexploded to

@@ -54,6 +54,13 @@ class StreamParitySpec extends SparkSpec {
       s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
   }
 
+  test("D12 parity: streamed reliability counters land on the batch calibration") {
+    val streamed = rows(StreamParity.streamCalibrationParity(spark, sfDir))
+    val batch = rows(TextDemos.qualityCalibration(spark, sfDir))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
+  }
+
   test("D10 parity: streamed KMV sketch equals the batch sketch of the corpus") {
     val streamed = rows(StreamParity.streamKmvSketchParity(spark, sfDir))
     val batch = rows(
