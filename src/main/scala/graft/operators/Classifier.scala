@@ -325,7 +325,17 @@ object Classifier {
     * packing and the margin fold are per-row work against a broadcast
     * weight literal), so it runs unchanged on a STREAM: D12 scores
     * pages as they arrive with the shipped model. Tokenless docs drop,
-    * exactly as in training. */
+    * exactly as in training. Deployed data has no ground truth, so
+    * this emits (id, score) only; the labeled overload below echoes a
+    * known label as `is_target` for evaluation/parity use. */
+  def scoreWith(docs: DataFrame, idCol: String, textCol: String,
+                weights: Map[Long, Double]): DataFrame =
+    scoreWith(docs, idCol, textCol, lit(false), weights)
+      .drop("is_target")
+
+  /** [[scoreWith]] with a known label echoed as `is_target` — the
+    * evaluation form (calibration curves, the D12 parity row need the
+    * truth next to the score). */
   def scoreWith(docs: DataFrame, idCol: String, textCol: String,
                 label: Column, weights: Map[Long, Double],
                 buckets: Int = 1024): DataFrame =

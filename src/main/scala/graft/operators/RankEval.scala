@@ -64,16 +64,32 @@ object RankEval {
     *
     * Malformed inputs resolve deterministically instead of producing
     * impossible metrics: a doc retrieved twice by one query counts
-    * once at its BEST rank (recall can never exceed 1), and multiple
+    * once at its BEST rank (recall can never exceed 1); multiple
     * judgments for one (query, doc) resolve to the most generous
-    * grade (the TREC multi-assessor convention).
+    * grade (the TREC multi-assessor convention); and a query whose
+    * run claims the SAME rank for distinct docs — a malformed
+    * encoding of an ordering, which would let two gains share one
+    * discount position and push nDCG past 1 — falls back to ordinal
+    * positions for that query (row_number over (rank, doc_id), the
+    * trec_eval re-sort). Well-formed queries keep their claimed
+    * ranks verbatim, gaps included.
     */
   def rankMetrics(run: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"rankMetrics: k=$k must be positive")
     val judged = qrels.groupBy(col("query_id"), col("doc_id"))
       .agg(max(col("rel")).as("rel"))
+    val byQuery = Window.partitionBy("query_id")
     val dedupedRun = run.groupBy(col("query_id"), col("doc_id"))
       .agg(min(col("rank")).as("rank"))
+      // distinct positions are what bound nDCG at 1: if any two docs
+      // share a claimed rank, renumber THAT query ordinally
+      .withColumn("_dup", count(lit(1))
+        .over(Window.partitionBy("query_id", "rank")))
+      .withColumn("_tied", max(col("_dup") > 1).over(byQuery))
+      .withColumn("rank", when(col("_tied"),
+          row_number().over(byQuery.orderBy(col("rank"), col("doc_id"))).cast("long"))
+        .otherwise(col("rank")))
+      .drop("_dup", "_tied")
     val graded = dedupedRun.filter(col("rank") <= k)
       .join(judged, Seq("query_id", "doc_id"), "left")
       .na.fill(0L, Seq("rel"))

@@ -101,6 +101,29 @@ class RankEvalSpec extends SparkSpec {
     assert(recall === 1.0 && mrr === 1.0 && ndcg === 1.0)
   }
 
+  test("distinct docs tied at one rank renumber ordinally: ndcg stays at most 1") {
+    // two rel-3 docs both claiming rank 1 would double-count the
+    // position-1 gain (ndcg 1.23) if the tie were honored
+    val m = metrics(
+      run((1L, 10L, 1L), (1L, 11L, 1L)),
+      qrels((1L, 10L, 3L), (1L, 11L, 3L)), k = 5)
+    val (_, recall, mrr, ndcg) = m.head
+    assert(recall === 1.0 && mrr === 1.0)
+    assert(ndcg === 1.0) // ordinal positions 1,2 = exactly the ideal
+  }
+
+  test("well-formed sparse ranks keep their claimed positions") {
+    // ranks 3 and 5 with no ties: the claimed discounts stand — the
+    // tie fallback must not silently compact legitimate gaps
+    val m = metrics(
+      run((1L, 10L, 3L), (1L, 11L, 5L)),
+      qrels((1L, 10L, 1L), (1L, 11L, 1L)), k = 5)
+    val (_, recall, mrr, ndcg) = m.head
+    assert(recall === 1.0)
+    assert(mrr === math.rint(1.0 / 3.0 * 1e6) / 1e6)
+    assert(ndcg < 1.0, s"gaps must keep their discount: $ndcg")
+  }
+
   test("duplicate judgments resolve to the most generous grade") {
     val m = metrics(
       run((1L, 10L, 1L)),
