@@ -38,14 +38,18 @@ import org.apache.spark.util.SerializableConfiguration
   * polling during a publish therefore always observes a complete
   * layout, and a commit killed at ANY point leaves the prior publish
   * intact — the classic v1-committer mutate-in-place window does not
-  * exist here. Streaming epochs name snapshots `ep<batchId>`; batch
-  * runs take the NEXT free slot in the same zero-padded numeric
-  * namespace (`ep<maxSlot+1>-<queryId>`), so lexicographic name order
-  * IS commit order on any path regardless of which modes have
-  * published there — retention and the newest-committed pointer
-  * fallback both sort names, and a clock-based batch name (the first
-  * design) sorted before every `ep` snapshot, which made retention
-  * evict the newest batch publish on a previously-streamed path.
+  * exist here. Streaming epochs name snapshots `ep<base+batchId>`
+  * where `base` is the max existing slot at the query's first commit
+  * (persisted per query id, so replays and restarts keep their
+  * names); batch runs take the NEXT free slot in the same zero-padded
+  * numeric namespace (`ep<maxSlot+1>-<queryId>`). Lexicographic name
+  * order therefore IS commit order on any path regardless of which
+  * modes have published there, in either order — retention and the
+  * newest-committed pointer fallback both sort names; a clock-based
+  * batch name (the first design) sorted before every `ep` snapshot,
+  * and a fresh streaming query's un-based `ep0` (the second design)
+  * sorted before previously committed batch slots — both made
+  * retention evict the newest publish on a mode-mixed path.
   *
   * Three pieces make this Spark-first rather than a foreachPartition:
   *
@@ -479,6 +483,38 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
       org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     private def fs = root.getFileSystem(hconf.value)
 
+    /** this query's slot base: max existing slot at its FIRST commit,
+      * persisted as `_epochs/base-<queryId>` so restarts and epoch
+      * replays resolve the SAME snapshot names. Epochs land at slot
+      * base+epochId — a fresh streaming query on a previously-batched
+      * path therefore sorts AFTER the batch snapshots instead of its
+      * ep0 sorting before them (which let retention's name-ordered
+      * dropRight evict the newest streaming snapshots while keeping
+      * older batch ones). The streaming queryId is the checkpoint's
+      * stable query id, so the base survives restarts of the same
+      * checkpoint; a NEW checkpoint gets a new id and re-bases past
+      * everything already published. (A batch publish interleaved
+      * mid-lifetime of a live streaming checkpoint can still tie a
+      * future epoch's slot number — name-distinct via its query
+      * suffix, but order-ambiguous at that slot; that interleaving is
+      * outside the single-writer-per-path contract.) */
+    private def baseSlot(f: FileSystem): Long = {
+      val bp = new Path(path, s"_epochs/base-$queryId")
+      if (f.exists(bp)) {
+        val in = f.open(bp)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      } else {
+        val b = nextSlot(f)
+        f.mkdirs(bp.getParent)
+        val out = f.create(bp, true)
+        try out.write(b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        b
+      }
+    }
+
     /** drop the epoch's temp dir and any now-empty temp ancestors
       * (`_temporary/<queryId>`, `_temporary`) — a shared parent stays
       * while a concurrent writer still owns a subdir. */
@@ -497,9 +533,14 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
 
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
       val f = fs
-      val snapDir = new Path(path, f"snapshots/ep$epochId%019d")
+      // the base is read-or-created BEFORE anything publishes: a crash
+      // after the base lands but before the snapshot does replays to
+      // the same slot; a crash before the base lands recomputes the
+      // same value (nothing was published to move nextSlot)
+      val slot = baseSlot(f) + epochId
+      val snapDir = new Path(path, f"snapshots/ep$slot%019d")
       val marker = new Path(snapDir, "_SUCCESS")
-      val skipMarker = new Path(path, f"_epochs/ep$epochId%019d.unchanged")
+      val skipMarker = new Path(path, f"_epochs/ep$slot%019d.unchanged")
       if (f.exists(marker)) {
         // replayed epoch: the first commit won — but finish its
         // half-done pointer swap if the crash landed between marker
@@ -536,9 +577,12 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
         f.mkdirs(skipMarker.getParent)
         f.create(skipMarker, true).close()
         // skip markers are tiny but unbounded over years: keep only
-        // the newest few beyond any epoch the checkpoint could replay
+        // the newest few beyond any epoch the checkpoint could replay.
+        // (`.unchanged` only — `_epochs/` also holds base-<queryId>
+        // slot files, which must outlive every marker)
         Option(f.listStatus(skipMarker.getParent)).getOrElse(Array.empty)
-          .map(_.getPath.getName).sorted.dropRight(math.max(retain, 16))
+          .map(_.getPath.getName).filter(_.endsWith(".unchanged"))
+          .sorted.dropRight(math.max(retain, 16))
           .foreach(n => f.delete(new Path(skipMarker.getParent, n), false))
         sweepEpochTemp(f, epochId)
         return

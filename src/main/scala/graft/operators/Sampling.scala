@@ -86,7 +86,14 @@ object Sampling {
   def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
                      alpha: Double,
                      hash: Column => Column = Vec.md5Hash60): DataFrame =
-    df.join(broadcast(temperatureFracs(df, sourceCol, alpha).drop("_n")), sourceCol)
+    mixWithFracs(df, temperatureFracs(df, sourceCol, alpha), sourceCol, keyCol, hash)
+
+  /** the sampling half of [[temperatureMix]] against an already-computed
+    * fracs table, so summary views don't pay the corpus-scale count
+    * aggregation twice. */
+  private def mixWithFracs(df: DataFrame, fracs: DataFrame, sourceCol: String,
+                           keyCol: String, hash: Column => Column): DataFrame =
+    df.join(broadcast(fracs.drop("_n")), sourceCol)
       .filter(pmod(hash(col(keyCol).cast("string")), lit(1000000)).cast("double") <
         col("keep_frac") * 1000000.0)
 
@@ -99,8 +106,11 @@ object Sampling {
   def temperatureMixSummary(df: DataFrame, sourceCol: String, keyCol: String,
                             alpha: Double,
                             hash: Column => Column = Vec.md5Hash60): DataFrame = {
+    // One fracs plan feeds both the spine and the sample: persist it so
+    // the corpus-scale count aggregation runs once, not twice.
     val fracs = temperatureFracs(df, sourceCol, alpha)
-    val after = temperatureMix(df, sourceCol, keyCol, alpha, hash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val after = mixWithFracs(df, fracs, sourceCol, keyCol, hash)
       .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_kept"))
     fracs.join(after, Seq(sourceCol), "left")
       .select(col(sourceCol), col("_n").as("n_before"),

@@ -141,13 +141,23 @@ private[sources] class WarcScanBuilder(path: String)
   override def planInputPartitions(): Array[InputPartition] = {
     val root = new Path(path)
     val fs = root.getFileSystem(hconf.value)
+    // Recursive walk: Common-Crawl-style layouts nest shards under
+    // segment directories (crawl/segments/<seg>/warc/*.warc.gz), so a
+    // flat listStatus would silently plan zero splits for exactly the
+    // layout the format exists to read.
     val files =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).map(_.getPath)
-          .filter(p => p.getName.endsWith(".warc") || p.getName.endsWith(".warc.gz"))
-          .sortBy(_.toString)
-      else Array(root)
-    require(files.nonEmpty, s"graft-warc: no .warc/.warc.gz files under $path")
+      if (fs.getFileStatus(root).isDirectory) {
+        val it = fs.listFiles(root, /* recursive = */ true)
+        val acc = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val p = it.next().getPath
+          if (p.getName.endsWith(".warc") || p.getName.endsWith(".warc.gz")) acc += p
+        }
+        acc.sortBy(_.toString).toArray
+      } else Array(root)
+    require(files.nonEmpty,
+      s"graft-warc: no .warc/.warc.gz files under $path (searched recursively; " +
+        "glob patterns are not supported — pass a directory or a single file)")
     files.map(f => WarcPartition(f.toString): InputPartition)
   }
 

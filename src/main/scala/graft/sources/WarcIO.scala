@@ -52,9 +52,18 @@ object WarcIO {
             "Content-Type" -> "application/warc-fields"),
             s"software: graft$CRLF".getBytes(utf8))
           rows.foreach { r =>
+            // A null URI would string-append as the literal "null" into the
+            // header and a null payload would NPE with no row context —
+            // fail loudly with the offending record instead.
+            require(!r.isNullAt(0), "WarcIO.writeShards: null record_id")
+            val rid = r.getString(0)
+            require(!r.isNullAt(1),
+              s"WarcIO.writeShards: null target_uri for record_id=$rid")
+            require(!r.isNullAt(2),
+              s"WarcIO.writeShards: null payload for record_id=$rid")
             record(Seq(
               "WARC-Type" -> "resource",
-              "WARC-Record-ID" -> r.getString(0),
+              "WARC-Record-ID" -> rid,
               "WARC-Date" -> Date,
               "WARC-Target-URI" -> r.getString(1),
               "Content-Type" -> "text/plain"),

@@ -87,6 +87,38 @@ class WarcSpec extends SparkSpec {
     assert(msgs.contains("truncated payload"), msgs)
   }
 
+  test("nested segment layouts list recursively (Common-Crawl shape)") {
+    val root = tempDir("warc_nested")
+    // crawl/segments/<seg>/warc/*.warc — shards two directories deep
+    val seg = new java.io.File(root, "segments/seg-00001/warc")
+    assert(seg.mkdirs())
+    writeFixture(seg.toString, gzip = false)
+    val got = spark.read.format("graft-warc").load(root)
+      .filter(col("warc_type") === "resource").count()
+    assert(got == 3, "nested shards must be discovered recursively")
+    // an empty tree still refuses with a self-explanatory message
+    val empty = tempDir("warc_empty")
+    assert(new java.io.File(empty, "segments/nothing").mkdirs())
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-warc").load(empty).count()
+    }
+    assert(e.getMessage.contains("recursively"), e.getMessage)
+  }
+
+  test("writeShards refuses null record_id/target_uri/payload with row context") {
+    val dir = tempDir("warc_nulls")
+    val df = Seq((Option("urn:t:1"), Option("https://t/1")),
+      (Option("urn:t:2"), Option.empty[String]))
+      .toDF("record_id", "target_uri")
+      .withColumn("payload", encode(lit("x"), "UTF-8"))
+    val e = intercept[org.apache.spark.SparkException] {
+      WarcIO.writeShards(df, dir, nShards = 1)
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("null target_uri") && msgs.contains("urn:t:2"), msgs)
+  }
+
   test("C69 demo row equals the straight-from-table reconstruction") {
     val got = RefDemos.warcIngest(spark, sfDir)
       .select("doc_id", "text", "content_length")

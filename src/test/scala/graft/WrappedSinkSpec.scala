@@ -260,6 +260,52 @@ class WrappedSinkSpec extends SparkSpec {
     assert(resolved.exists(_.getName == after.head), resolved.toString)
   }
 
+  test("A12 DSv2 sink: streaming-after-batch epochs take later-sorting slots (retention keeps the newest streaming publish)") {
+    import org.apache.spark.sql.types._
+    val dir = tempDir("wrapped_mixed_rev")
+    // two BATCH publishes land first (slots 0 and 1)
+    sampleDf.write.format("graft-wrapped")
+      .option("groupCol", "county").mode("overwrite").save(dir)
+    sampleDf.write.format("graft-wrapped")
+      .option("groupCol", "county").mode("overwrite").save(dir)
+    val batched = snapshotNames(dir)
+    assert(batched.size == 2)
+    // a FRESH streaming query restarts epochs at 0: an un-based ep0
+    // name sorted BEFORE the batch slots, so retention's name-ordered
+    // dropRight evicted the newest streaming snapshots while keeping
+    // stale batch ones — the per-query base slot must push epoch 0
+    // past everything already committed
+    val schema = new StructType().add("grp", StringType).add("v", LongType)
+    val w = new graft.io.WrappedJsonWrite(dir, schema, "grp", "qS", false, retain = 2)
+    val sw = w.toStreaming
+    def stageTemp(ep: Long, content: String): String = {
+      val t = java.nio.file.Paths.get(dir, s"_temporary/qS/ep$ep/p0-t0-g.json")
+      java.nio.file.Files.createDirectories(t.getParent)
+      java.nio.file.Files.write(t, content.getBytes("UTF-8"))
+      t.toString
+    }
+    sw.commit(0L, Array(graft.io.WrappedCommit(Seq(
+      stageTemp(0, """{"grp": "g", "total": 1, "rows": [{"v": 1}]}""") -> "g.json"))))
+    val after0 = snapshotNames(dir)
+    assert(batched.forall(b => b < after0.last),
+      s"streaming ep0 ${after0.last} must sort after batch $batched")
+    sw.commit(1L, Array(graft.io.WrappedCommit(Seq(
+      stageTemp(1, """{"grp": "g", "total": 2, "rows": [{"v": 1}, {"v": 2}]}""") -> "g.json"))))
+    // retain=2: the two STREAMING snapshots survive, both batch ones evicted
+    val kept = snapshotNames(dir)
+    assert(kept.size == 2 && kept.forall(n => batched.forall(_ < n)), kept)
+    val ptr = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "current")), "UTF-8").trim
+    assert(ptr == kept.last, s"pointer $ptr must name the newest streaming publish")
+    // a REPLAY of epoch 1 (same query id, fresh Write instance — a
+    // restart) resolves the SAME slot via the persisted base: no-op
+    val sw2 = new graft.io.WrappedJsonWrite(dir, schema, "grp", "qS", false,
+      retain = 2).toStreaming
+    sw2.commit(1L, Array(graft.io.WrappedCommit(Seq(
+      stageTemp(1, """{"grp": "g", "total": 99, "rows": []}""") -> "g.json"))))
+    assert(snapshotNames(dir) == kept, "replayed epoch after restart minted a snapshot")
+  }
+
   test("A12 DSv2 sink streaming: change-gated epochs — unchanged state mints no snapshot, replay of a skipped epoch is a no-op") {
     import org.apache.spark.sql.types._
     val dir = tempDir("wrapped_stream_gate")
@@ -282,7 +328,7 @@ class WrappedSinkSpec extends SparkSpec {
     sw.commit(2L, Array(graft.io.WrappedCommit(Seq(stageTemp(2, body) -> "g.json"))))
     assert(snapshotNames(dir).size == 1, "unchanged epoch minted a snapshot")
     assert(new java.io.File(dir, "_epochs").list()
-      .count(!_.startsWith(".")) == 1) // ignore local-FS .crc shadows
+      .count(_.endsWith(".unchanged")) == 1) // beside the base-<qid> slot file
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_temporary/q1/ep2")))
     // replaying the SKIPPED epoch after a crash: still a no-op
     sw.commit(2L, Array(graft.io.WrappedCommit(Seq(stageTemp(2, body) -> "g.json"))))
