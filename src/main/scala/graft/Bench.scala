@@ -52,6 +52,48 @@ object Bench {
   private[graft] def robustMedian(xs: Seq[Double], keep: Int): Double =
     median(xs.sorted.take(keep))
 
+  /** Trailing per-query medians from the append-only history: the
+    * newest `window` numeric entries per query across full runs at the
+    * SAME sf dir (error entries and malformed lines skip silently —
+    * the guard is advisory, never a reason to fail a bench). Feeds the
+    * CROSS-WINDOW contamination guard: the in-run spread check catches
+    * a noisy window (some samples slow), but a window where ALL of a
+    * query's samples are slow together passes it — r10 committed
+    * cdc_chunk_dedup at 6.07 s (min 4.14) against 1.26 s on identical
+    * code hours earlier. History is the only same-code witness that
+    * can tell that apart. */
+  private[graft] def trailingMedians(historyLines: Seq[String], sfDir: String,
+                                     window: Int = 5): Map[String, Double] = {
+    val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+    val num = """"([A-Za-z0-9_]+)":([-+0-9.eE]+)[,}]""".r
+    historyLines.foreach { line =>
+      try {
+        val tag = "\"sf\":\"" + sfDir + "\""
+        val qKey = "\"queries\":{"
+        val qStart = line.indexOf(qKey)
+        // the queries object nests no braces (numbers / "error:…" strings)
+        if (line.contains(tag) && qStart >= 0) {
+          val body = line.substring(qStart + qKey.length,
+            line.indexOf('}', qStart) + 1)
+          num.findAllMatchIn(body).foreach { m =>
+            val v = m.group(2).toDouble
+            perQuery.updateWith(m.group(1))(l => Some(v :: l.getOrElse(Nil)))
+          }
+        }
+      } catch { case _: Exception => () }
+    }
+    // lines iterate oldest→newest and prepend, so head = newest
+    perQuery.view.mapValues(l => median(l.take(window))).toMap
+  }
+
+  /** Is a fresh median a cross-window contamination suspect? Only
+    * multi-second rows qualify (the perf taxonomy's unit of concern —
+    * a 0.1 s job-floor row tripping 2.5× on absolute jitter would make
+    * the guard cry wolf) and only when the trailing history median
+    * disagrees by >2.5×. */
+  private[graft] def crossWindowSuspect(freshMedian: Double, trailing: Double): Boolean =
+    freshMedian >= 1.0 && freshMedian > trailing * 2.5
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -74,6 +116,16 @@ object Bench {
       }
       spark.sharedState.cacheManager.clearCache() // no data-cache carryover
     }
+    // cross-window guard input: what this suite historically costs at
+    // this sf dir (empty on a fresh repo or unreadable history)
+    val trailing: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(s"$repoRoot/BENCH_HISTORY.jsonl")
+      if (java.nio.file.Files.exists(p))
+        trailingMedians(
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(p)).asScala.toSeq, sfDir)
+      else Map.empty
+    } catch { case _: Exception => Map.empty }
     // Right(pass times) on success, Left(exception class) on failure — a
     // broken query must surface as "error", never bench as a fast success.
     val results = all.map { case (name, fn) =>
@@ -90,6 +142,16 @@ object Bench {
         // until the spread settles or the extra budget (2×passes) runs out
         while (samples.max / samples.min > 2.0 && samples.size < passes * 3)
           samples += sample()
+        // cross-window contamination retry: a CONSISTENTLY slow window
+        // (all samples slow together) passes the spread check — compare
+        // against the trailing history median and keep resampling; if
+        // the slowness persists through the extra budget it is reported
+        // as measured, flagged loudly in `suspect`
+        trailing.get(name).foreach { hist =>
+          while (crossWindowSuspect(robustMedian(samples.toSeq, passes), hist) &&
+              samples.size < passes * 5)
+            samples += sample()
+        }
         Right(samples.toSeq)
       } catch {
         case e: Throwable =>
@@ -97,6 +159,17 @@ object Bench {
           Left(e.getClass.getSimpleName)
       }
       name -> r
+    }
+    val suspects = results.collect {
+      case (k, Right(ts))
+        if trailing.get(k).exists(h => crossWindowSuspect(robustMedian(ts, passes), h)) =>
+        k -> (robustMedian(ts, passes), trailing(k))
+    }
+    suspects.foreach { case (k, (fresh, hist)) =>
+      Console.err.println(f"[bench] SUSPECT WINDOW: $k%s median $fresh%.2f s is " +
+        f">2.5x its trailing history median $hist%.2f s and persisted through " +
+        "resampling - treat this row's record as contaminated until a quiet " +
+        "window reproduces it")
     }
     val qs = results.map {
       case (k, Right(ts)) => "\"" + k + "\":" + robustMedian(ts, passes)
@@ -108,8 +181,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val suspectJson = suspects.map { case (k, (fresh, hist)) =>
+      "\"" + k + "\":{\"median\":" + fresh + ",\"trailing\":" + hist + "}"
+    }.mkString("{", ",", "}")
     val total = results.values.collect { case Right(ts) => robustMedian(ts, passes) }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"errors":$errs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"errors":$errs,"suspect":$suspectJson,"sf":"$sfDir"}"""
     println(json)
     // a SPARK_GRAFT_ONLY run is a local probe: never let it overwrite
     // the committed full-suite artifact or pollute the history record

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's two noise guards, unit-tested pure: the contention-
+  * robust median (in-run spread) and the cross-window contamination
+  * guard (r10 verdict: a window where ALL samples are slow together
+  * passes the spread check — cdc_chunk_dedup committed 6.07 s with
+  * min 4.14 against 1.26 s on identical code hours earlier; only the
+  * trailing history can tell that apart). */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("robustMedian keeps the lowest samples (additive-noise model)") {
+    assert(Bench.robustMedian(Seq(1.0, 1.1, 1.2, 9.0, 8.0, 7.0), 3) == 1.1)
+    assert(Bench.robustMedian(Seq(2.0), 3) == 2.0) // fewer samples than keep
+  }
+
+  private def histLine(sf: String, qs: (String, Any)*): String = {
+    val body = qs.map {
+      case (k, v: Double) => "\"" + k + "\":" + v
+      case (k, v) => "\"" + k + "\":\"" + v + "\""
+    }.mkString(",")
+    s"""{"metric":"total","value":1.0,"unit":"sec","queries":{$body},"spread":{"a":{"median":99.0,"min":0.1,"max":99.9,"samples":3}},"passes":3,"errors":[],"sf":"$sf"}"""
+  }
+
+  test("trailingMedians: newest-window median per query, same-sf lines only") {
+    val lines = Seq(
+      histLine("/sf", "a" -> 10.0, "b" -> 1.0), // oldest — outside a's window
+      histLine("/other", "a" -> 500.0),         // different sf dir: ignored
+      histLine("/sf", "a" -> 1.0),
+      histLine("/sf", "a" -> 2.0, "b" -> 3.0),
+      histLine("/sf", "a" -> 3.0),
+      histLine("/sf", "a" -> 4.0),
+      histLine("/sf", "a" -> 5.0))              // newest
+    val t = Bench.trailingMedians(lines, "/sf", window = 5)
+    assert(t("a") == 3.0, t) // median of newest five: 1..5
+    assert(t("b") == 2.0, t) // only two entries: mean of 1 and 3
+    assert(Bench.trailingMedians(lines, "/nowhere").isEmpty)
+  }
+
+  test("trailingMedians: error entries and malformed lines skip; spread medians never leak in") {
+    val lines = Seq(
+      "not json at all",
+      """{"queries":{"a":1.0}""", // no sf tag: ignored
+      histLine("/sf", "a" -> 2.0, "bad" -> "error:SparkException"),
+      histLine("/sf", "a" -> 4.0))
+    val t = Bench.trailingMedians(lines, "/sf")
+    assert(t == Map("a" -> 3.0), t) // the error row contributes nothing
+    // the spread object in histLine carries "median":99.0 under query
+    // key "a" context — it must NOT be parsed as a query sample
+    assert(!t.values.exists(_ == 99.0))
+  }
+
+  test("crossWindowSuspect: >2.5x trailing AND multi-second") {
+    assert(Bench.crossWindowSuspect(6.07, 1.26))   // the r10 cdc artifact
+    assert(!Bench.crossWindowSuspect(2.70, 1.20))  // 2.25x: inside tolerance
+    assert(Bench.crossWindowSuspect(2.70, 0.56))   // the r10 ivf artifact
+    assert(!Bench.crossWindowSuspect(0.9, 0.1))    // sub-second job floor: never
+    assert(!Bench.crossWindowSuspect(1.0, 0.5))    // 2x: fine
+  }
+}
