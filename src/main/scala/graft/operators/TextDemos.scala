@@ -1475,40 +1475,80 @@ object TextDemos {
     * banding's selectivity; this row measures it on the corpus).
     * Ground truth is relational, not quadratic: only pairs SHARING a
     * shingle can have Jaccard > 0, so the candidate universe is the
-    * shingle self-join (at 100 TB: hash the shingles to 8 bytes first
-    * and cap hot shingles by document frequency — a stopword-shingle
-    * cap, noted not silent). One summary row: pair counts, precision,
-    * recall as exact-int IEEE divisions. */
+    * shingle self-join.
+    *
+    * **Hot-shingle df cap (the 100 TB guard, measured not prose).** A
+    * boilerplate shingle with document frequency d mints d·(d−1)/2
+    * candidate pairs — THE quadratic blowup of the truth self-join at
+    * scale — while certifying almost nothing: sizes stay exact under
+    * the cap and intersections only lose hot shingles, so the capped
+    * Jaccard ĵ of a pair sharing h hot shingles with union u obeys
+    * j − h/u ≤ ĵ ≤ j. Every true pair whose similarity is carried by
+    * ≥ t·u non-hot shingles survives; a missed pair must owe more
+    * than (j−t)·u of its intersection to shingles hot across the
+    * whole corpus — boilerplate glue, which dedup exists to ignore.
+    * The row measures BOTH truths in one self-join (df rides the left
+    * side; the capped intersection is a conditional count, so the cap
+    * costs one df aggregation, not a second join): `df_cap` =
+    * max(5, n_docs/100), `n_hot` shingles capped, and
+    * precision/recall against each truth. At production scale the
+    * capped universe joins only kept shingles — the hot rows never
+    * enter the shuffle. One summary row; exact-int IEEE divisions. */
   def minhashLshEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val sh = docs.select(col("doc_id"), explode(call_function("graft_shingles",
       col("text"), lit(3), lit(true))).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val nD = docs.agg(count(lit(1)).as("n_docs"))
+      .select(greatest(lit(5L), expr("n_docs div 100")).as("df_cap"))
+    val dfTab = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val inter = sh.select(col("doc_id").as("id_a"), col("sh"))
+      .join(dfTab, Seq("sh"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
-    val truth = inter
+      .crossJoin(broadcast(nD))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("i"),
+        sum(when(col("df") <= col("df_cap"), 1L).otherwise(0L)).as("ic"))
+    val both = inter
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sza")), Seq("id_a"))
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("szb")), Seq("id_b"))
-      .filter(col("i").cast("double") /
-        (col("sza") + col("szb") - col("i")).cast("double") >= 0.25)
-      .select(col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") /
+          (col("sza") + col("szb") - col("i")).cast("double") >= 0.25).as("t_u"),
+        (col("ic").cast("double") /
+          (col("sza") + col("szb") - col("ic")).cast("double") >= 0.25).as("t_c"))
+    val truth = both.filter(col("t_u")).select(col("id_a"), col("id_b"))
+    val truthC = both.filter(col("t_c")).select(col("id_a"), col("id_b"))
     val pred = Dedup.minhashLsh(docs, "doc_id", "text",
         shingleN = 3, k = 32, bands = 8, minEstSim = 0.25,
         tokenHash = graft.functions.Vec.md5Hash60, hashBandKeys = false)
       .select(col("id_a"), col("id_b"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nTruthC = truthC.agg(count(lit(1)).as("n_truth_capped"))
     val nPred = pred.agg(count(lit(1)).as("n_pred"))
     val nHit = pred.join(truth, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hit"))
-    nTruth.crossJoin(nPred).crossJoin(nHit).select(
-      col("n_truth"), col("n_pred"), col("n_hit"),
-      when(col("n_pred") > 0,
-        col("n_hit").cast("double") / col("n_pred").cast("double"))
-        .otherwise(0.0).as("precision"),
-      when(col("n_truth") > 0,
-        col("n_hit").cast("double") / col("n_truth").cast("double"))
-        .otherwise(0.0).as("recall"))
+    val nHitC = pred.join(truthC, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit_capped"))
+    val nHot = dfTab.crossJoin(broadcast(nD)).filter(col("df") > col("df_cap"))
+      .agg(count(lit(1)).as("n_hot"))
+    nTruth.crossJoin(nPred).crossJoin(nHit)
+      .crossJoin(nTruthC).crossJoin(nHitC).crossJoin(nHot).crossJoin(nD)
+      .select(
+        col("n_truth"), col("n_pred"), col("n_hit"),
+        when(col("n_pred") > 0,
+          col("n_hit").cast("double") / col("n_pred").cast("double"))
+          .otherwise(0.0).as("precision"),
+        when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth").cast("double"))
+          .otherwise(0.0).as("recall"),
+        col("df_cap"), col("n_hot"), col("n_truth_capped"), col("n_hit_capped"),
+        when(col("n_pred") > 0,
+          col("n_hit_capped").cast("double") / col("n_pred").cast("double"))
+          .otherwise(0.0).as("precision_capped"),
+        when(col("n_truth_capped") > 0,
+          col("n_hit_capped").cast("double") / col("n_truth_capped").cast("double"))
+          .otherwise(0.0).as("recall_capped"))
   }
 
   /** C65 — main-content extraction (boilerplate removal): each doc

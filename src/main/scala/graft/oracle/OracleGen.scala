@@ -77,15 +77,29 @@ object OracleGen {
        |  SELECT doc_id, unnest(sh2) AS g FROM ss WHERE len(sh2) > 0
        |), sz AS (
        |  SELECT doc_id, CAST(len(sh2) AS BIGINT) AS sz FROM ss
+       |), cap AS (
+       |  SELECT GREATEST(CAST(5 AS BIGINT), CAST(COUNT(*) AS BIGINT) // 100) AS df_cap
+       |  FROM documents
+       |), dfq AS (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS d FROM ex2 GROUP BY g
        |), inter AS (
-       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-       |  FROM ex2 a JOIN ex2 b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i,
+       |         CAST(COALESCE(SUM(CASE WHEN f.d <= (SELECT df_cap FROM cap)
+       |                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS ic
+       |  FROM ex2 a
+       |  JOIN dfq f ON f.g = a.g
+       |  JOIN ex2 b ON a.g = b.g AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id
        |), truth AS (
        |  SELECT id_a, id_b FROM inter
        |  JOIN sz sa ON sa.doc_id = id_a
        |  JOIN sz sb ON sb.doc_id = id_b
        |  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= $jacT
+       |), truthc AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sz sa ON sa.doc_id = id_a
+       |  JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE CAST(ic AS DOUBLE) / CAST(sa.sz + sb.sz - ic AS DOUBLE) >= $jacT
        |), pred AS (
        |  SELECT c.id_a, c.id_b
        |  FROM cand c
@@ -96,11 +110,19 @@ object OracleGen {
        |  SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
        |         CAST((SELECT COUNT(*) FROM pred) AS BIGINT) AS n_pred,
        |         CAST((SELECT COUNT(*) FROM pred p JOIN truth t
-       |                 ON p.id_a = t.id_a AND p.id_b = t.id_b) AS BIGINT) AS n_hit
+       |                 ON p.id_a = t.id_a AND p.id_b = t.id_b) AS BIGINT) AS n_hit,
+       |         (SELECT df_cap FROM cap) AS df_cap,
+       |         CAST((SELECT COUNT(*) FROM dfq WHERE d > (SELECT df_cap FROM cap)) AS BIGINT) AS n_hot,
+       |         CAST((SELECT COUNT(*) FROM truthc) AS BIGINT) AS n_truth_capped,
+       |         CAST((SELECT COUNT(*) FROM pred p JOIN truthc t
+       |                 ON p.id_a = t.id_a AND p.id_b = t.id_b) AS BIGINT) AS n_hit_capped
        |)
        |SELECT n_truth, n_pred, n_hit,
        |       CASE WHEN n_pred > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE) ELSE 0.0 END AS precision,
-       |       CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) ELSE 0.0 END AS recall
+       |       CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) ELSE 0.0 END AS recall,
+       |       df_cap, n_hot, n_truth_capped, n_hit_capped,
+       |       CASE WHEN n_pred > 0 THEN CAST(n_hit_capped AS DOUBLE) / CAST(n_pred AS DOUBLE) ELSE 0.0 END AS precision_capped,
+       |       CASE WHEN n_truth_capped > 0 THEN CAST(n_hit_capped AS DOUBLE) / CAST(n_truth_capped AS DOUBLE) ELSE 0.0 END AS recall_capped
        |FROM counts""".stripMargin
   }
 

@@ -134,8 +134,58 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getLong(2) == (pred & truth).size)
     assert(r.getDouble(3) == (if (pred.isEmpty) 0.0 else (pred & truth).size.toDouble / pred.size))
     assert(r.getDouble(4) == (if (truth.isEmpty) 0.0 else (pred & truth).size.toDouble / truth.size))
+    // hot-shingle df cap: driver reference of the capped truth — sizes
+    // stay FULL, intersections count only shingles with df <= cap
+    val dfCap = math.max(5L, docs.size / 100L)
+    val dfm = shingles.values.toSeq.flatten.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val hot = dfm.filter(_._2 > dfCap).keySet
+    val truthC = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = shingles(ids(i)); b = shingles(ids(j))
+      ic = ((a & b) -- hot).size
+      if ic > 0 && ic.toDouble / (a.size + b.size - ic) >= 0.25
+    } yield (ids(i), ids(j))).toSet
+    assert(r.getLong(5) == dfCap, s"df_cap ${r.getLong(5)} vs $dfCap")
+    assert(r.getLong(6) == hot.size, s"n_hot ${r.getLong(6)} vs ${hot.size}")
+    assert(r.getLong(7) == truthC.size, s"n_truth_capped ${r.getLong(7)} vs ${truthC.size}")
+    assert(r.getLong(8) == (pred & truthC).size)
+    assert(r.getDouble(9) == (if (pred.isEmpty) 0.0 else (pred & truthC).size.toDouble / pred.size))
+    assert(r.getDouble(10) == (if (truthC.isEmpty) 0.0 else (pred & truthC).size.toDouble / truthC.size))
+    // the cap only ever SHRINKS the truth (sizes exact, intersections
+    // lose hot shingles — capped Jaccard <= true Jaccard, pairwise)
+    assert(truthC.subsetOf(truth), (truthC -- truth).take(3).toString)
     info(s"LSH k=32 b=8 t=0.25 on sf0.001: truth=${truth.size} pred=${pred.size} " +
-      f"hit=${(pred & truth).size} P=${r.getDouble(3)}%.3f R=${r.getDouble(4)}%.3f")
+      f"hit=${(pred & truth).size} P=${r.getDouble(3)}%.3f R=${r.getDouble(4)}%.3f " +
+      s"| cap=$dfCap hot=${hot.size} truth_capped=${truthC.size}")
+  }
+
+  test("C66 df cap bound: boilerplate-glued pairs exit the capped truth, organic pairs survive") {
+    import spark.implicits._
+    // 12 docs share one boilerplate trigram (hot: df 12 > cap 5 with
+    // a forced corpus of >=500? — cap is max(5, n/100), n=14 -> 5);
+    // two docs are organic near-dups sharing many RARE shingles
+    // each boiler doc: 4 shared tokens -> 2 shared (hot) trigrams out
+    // of 5 total => pairwise J = 2/8 = 0.25, carried ONLY by boilerplate
+    val boiler = "copyright acme corp legal"
+    val rows =
+      (1L to 12L).map(i => (i, s"$boiler filler$i tail$i content$i")) ++
+      Seq((13L, "alpha beta gamma delta epsilon zeta"),
+          (14L, "alpha beta gamma delta epsilon eta"))
+    val dir = tempDir("lsh_cap_bound")
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    // embeddings table unused by this row but Tables may not need it
+    val r = TextDemos.minhashLshEval(spark, dir).head()
+    val (nTruth, nTruthC) = (r.getLong(0), r.getLong(7))
+    // the boilerplate-glued pairs qualify UNCAPPED only through the
+    // hot shingle; organic pair (13,14) stays in both truths
+    assert(r.getLong(5) == 5L, s"df_cap ${r.getLong(5)}")
+    assert(r.getLong(6) >= 1L, "the boilerplate shingle must be hot")
+    assert(nTruthC < nTruth, s"cap must shrink this truth: $nTruth -> $nTruthC")
+    assert(nTruthC >= 1L, "the organic near-dup pair must survive the cap")
   }
 
   test("C62 datasetCard matches a driver reference; shares sum to 1") {
