@@ -67,6 +67,7 @@ object SparkEntry {
     "dataset_card"         -> (TextDemos.datasetCard(_, _)),
     "html_main_content"    -> (TextDemos.htmlMainContent(_, _)),
     "rand_proj_reduce"     -> (TextDemos.randProjReduce(_, _)),
+    "pca_project"          -> (TextDemos.pcaProjectOracle(_, _)),
     "dedup_simhash"        -> (TextDemos.dedupSimhash(_, _)),
     "image_phash_dedup"    -> (graft.multimodal.ImageHash.imagePhashDedup(_, _)),
     "embed_near_dup"       -> (TextDemos.embedNearDup(_, _)),
@@ -166,9 +167,10 @@ object SparkEntry {
     * alongside their oracle-portable twins. */
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_prod" -> (TextDemos.dedupMinhashProd(_, _)),
-    // C63 PCA: eigendecomposition is not SQL-expressible, so the gate
-    // is PcaSpec (moments vs hand math, known eigenpairs, projection
-    // == naive driver arithmetic), not a DuckDB row
+    // C63 PCA fit+project e2e: the eigendecomposition is not
+    // SQL-expressible (PcaSpec gates it: moments vs hand math, known
+    // eigenpairs); the PROJECTION half is oracle-gated via the
+    // `pca_project` queries row, which interpolates the fitted basis
     "pca_reduce"       -> (TextDemos.pcaReduce(_, _)),
     // the skew stress pair: same dominant-key fixture, with and
     // without salting — BENCH records both so the delta is on file
@@ -925,6 +927,10 @@ object SparkEntry {
     "cluster_representative" -> graft.oracle.OracleGen.clusterRepresentativeSql(),
     "minhash_lsh_eval"  -> graft.oracle.OracleGen.minhashLshEvalSql(),
     "rand_proj_reduce"  -> graft.oracle.OracleGen.randProjSql(),
+    // projection-only mirror against the demo-recorded fit (the fit
+    // itself is PcaSpec-gated; Verify dumps oracle SQL after queries
+    // run, so the interpolated basis is the one the parquet used)
+    "pca_project"       -> graft.oracle.OracleGen.pcaProjectSql(),
     "topk_ngrams" ->
       """WITH t AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -363,6 +363,35 @@ object Geocode {
     def lookup(candidate: String): Option[(Double, Double)]
   }
 
+  /** JVM twin of [[graft.functions.Vec.md5Hash60]]'s Column form (and
+    * of the oracle's `('0x'||substr(md5(q),1,15))::BIGINT`): the first
+    * 60 bits of md5 over UTF-8 bytes as a non-negative long. Providers
+    * run inside mapPartitions on plain strings, where no Column exists. */
+  private[graft] def md560(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Deterministic hash-formula provider for demos and the DuckDB
+    * oracle: answers iff md5-60(q) % `mod` < `keep`, with coordinates
+    * pure integer algebra on the same hash. A REAL provider is
+    * external I/O (the OpenCage/Nominatim arm); the chain's
+    * first-hit-wins remainder algebra is the operator under test, and
+    * a formula provider is one a SQL oracle can mirror term for term
+    * — same role as the injected decoders behind the C12 seam. */
+  final case class HashProvider(name: String, mod: Long, keep: Long,
+      latBase: Double, lngBase: Double) extends GeoProvider {
+    def minIntervalMs: Long = 0L
+    def lookup(q: String): Option[(Double, Double)] = {
+      val h = md560(q)
+      if (h % mod < keep)
+        Some((latBase + (h % 4000L).toDouble / 1000.0,
+              lngBase + (h % 6000L).toDouble / 1000.0))
+      else None
+    }
+  }
+
   /** Ordered-provider resolver for [[dailyGeocode]]: provider k+1 is
     * consulted ONLY for candidates provider k missed (first-hit-wins,
     * the reference's primary-then-backup ladder). Each provider runs

@@ -325,6 +325,28 @@ object RefDemos {
         "c_custkey", "addr", orgCol = Some("org"))
       .orderBy("c_custkey", "try_order")
 
+  /** A15d — the ordered provider chain under the DuckDB gate
+    * (geocode.js:431,492: OpenCage primary, `--nominatim` backup
+    * consulted only on primary miss). Two deterministic hash-formula
+    * providers stand in for the external services — the chain treats
+    * providers as black boxes, and a formula provider is one the SQL
+    * oracle can mirror term for term — over the A15 candidate corpus.
+    * The REAL [[Geocode.providerChain]] runs (mapPartitions stages,
+    * per-provider budgets, localCheckpointed remainders): what the
+    * oracle gates is its first-hit-wins remainder algebra — the
+    * backup's rows are exactly the primary's misses. The external-I/O
+    * half (retries, rate budgets) stays spec-gated in
+    * GeoProviderChainSpec. */
+  def geocodeProviderChain(spark: SparkSession, dir: String): DataFrame = {
+    val cands = Geocode.expand(synthAddrCorpus(spark, dir),
+        "c_custkey", "addr", orgCol = Some("org"))
+      .select(col("candidate"))
+    Geocode.providerChain(Seq(
+        Geocode.HashProvider("opencage-sim", 10L, 6L, 21.0, 119.0),
+        Geocode.HashProvider("nominatim-sim", 7L, 4L, 20.0, 118.0)))(cands)
+      .orderBy("candidate")
+  }
+
   /** A15b — post-resolve county validation + proximity ranking
     * (countyMatches / getExpectedCounty / resolveOneRow best-hit,
     * geocode.js:297-314, 471-515): three synthetic hits per row — the

@@ -1598,4 +1598,26 @@ object TextDemos {
         (0 until 8).map(j => round(col(s"p$j"), 6).as(s"p$j")): _*)
       .orderBy("vec_id")
   }
+
+  /** C63's SQL-expressible half under the DuckDB gate: the FIT stays
+    * spec-gated (eigendecomposition has no SQL mirror — PcaSpec pins
+    * it against hand math and known eigenpairs), but the PROJECTION
+    * against a fitted basis is literal algebra, so the fitted
+    * components interpolate into the oracle exactly as
+    * [[randProjReduce]] interpolates its ±1 matrix. The demo records
+    * the model for [[graft.oracle.OracleGen.pcaProjectSql]];
+    * `Verify` dumps oracle SQL AFTER queries run, so the recorded
+    * basis is the one this row's parquet was computed with. The
+    * oracle then verifies bit-for-bit what production relies on: the
+    * centered codegen'd float-dot projection (ordered double fold,
+    * exact float→double widening, round 6). */
+  def pcaProjectOracle(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val model = Similarity.pcaFit(emb, "embedding", dim = 64, k = 8)
+    graft.oracle.OracleGen.recordPcaModel(model)
+    Similarity.pcaProject(emb, "vec_id", "embedding", model)
+      .select(col("vec_id") +:
+        (0 until 8).map(j => round(col(s"p$j"), 6).as(s"p$j")): _*)
+      .orderBy("vec_id")
+  }
 }

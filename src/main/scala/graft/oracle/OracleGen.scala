@@ -170,6 +170,41 @@ object OracleGen {
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 
+  /** the basis TextDemos.pcaProjectOracle fitted in this process; the
+    * projection oracle interpolates its literals. Verify runs queries
+    * BEFORE dumping oracle SQL, so the recorded model is the one the
+    * committed parquet used. */
+  @volatile private var pcaModel: Option[graft.operators.Similarity.PcaModel] = None
+  def recordPcaModel(m: graft.operators.Similarity.PcaModel): Unit =
+    pcaModel = Some(m)
+
+  /** mirror of TextDemos.pcaProjectOracle — PROJECTION only, against
+    * the recorded fit (eigendecomposition is spec-gated, not mirrored).
+    * Determinism: the Spark side projects with float components
+    * (graft_dot: ordered double fold of float×float widened products),
+    * and float→double widening is exact, so each component interpolates
+    * as the double values of its floats; the centering offset is the
+    * driver's scalar verbatim (same arrays, same fold order). Shortest
+    * double repr round-trips through DuckDB's parser bit-exactly. */
+  def pcaProjectSql(dim: Int = 64, k: Int = 8): String = pcaModel match {
+    case None =>
+      // evaluated without the demo having run in this process — only
+      // possible outside the Verify contract; fail this row loudly
+      // rather than comparing against nothing
+      "SELECT 'pca_project oracle requested before the demo fitted a model' AS err"
+    case Some(m) =>
+      val cols = m.components.take(k).zipWithIndex.map { case (comp, j) =>
+        val cf = comp.map(_.toFloat)
+        val lits = cf.map(f => f.toDouble.toString).mkString("[", ", ", "]")
+        val offset = cf.zip(m.mean).map { case (c, mm) => c.toDouble * mm }.sum
+        s"round(${lsum(s"list_transform(range(1, ${dim + 1}), i -> " +
+          s"CAST(embedding[i] AS DOUBLE) * ($lits)[i])")} - ($offset), 6) AS p$j"
+      }.mkString(",\n  ")
+      s"""SELECT vec_id,
+         |  $cols
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   /** mirror of TextDemos.trainingShuffle (md5-60 seed-keyed order) */
   def trainingShuffleSql(seed: String = "42", nShards: Int = 8): String =
     s"""WITH keyed AS (
