@@ -48,6 +48,7 @@ object SparkEntry {
     "geocode_candidates"   -> (RefDemos.geocodeCandidates(_, _)),
     "geocode_street_centroid" -> (RefDemos.geocodeStreetCentroid(_, _)),
     "geocode_validate"     -> (RefDemos.geocodeValidate(_, _)),
+    "geocode_provider_chain" -> (RefDemos.geocodeProviderChain(_, _)),
     "ref_pipeline_e2e"     -> (RefDemos.refPipelineE2e(_, _)),
     "token_count"          -> (TextDemos.tokenCount(_, _)),
     "quality_score"        -> (TextDemos.qualityScore(_, _)),
@@ -833,6 +834,7 @@ object SparkEntry {
         |ORDER BY doc_id, status""".stripMargin,
     "sequence_pack"      -> graft.oracle.OracleGen.sequencePackSql(),
     "geocode_validate"   -> graft.oracle.OracleGen.geocodeValidateSql(),
+    "geocode_provider_chain" -> graft.oracle.OracleGen.geocodeProviderChainSql(),
 
     "ref_pipeline_e2e" ->
       """WITH h AS (

@@ -1848,6 +1848,36 @@ object OracleGen {
        |GROUP BY c_custkey, candidate ORDER BY c_custkey, rank""".stripMargin
   }
 
+  /** Mirror of RefDemos.geocodeProviderChain (A15d — geocode.js:431,492
+    * primary-then-backup ladder) over the SAME candidate universe as
+    * [[geocodeCandidatesSql]], reused verbatim as a subquery so the two
+    * mirrors can never drift. The chain's algebra: distinct candidates;
+    * the primary (mod 10, keep 6) answers iff md5-60(q) % 10 < 6; the
+    * backup (mod 7, keep 4) is consulted ONLY on primary miss —
+    * first-hit-wins, so a candidate both could answer carries the
+    * primary's coordinates and tag. Coordinates are pure integer
+    * algebra on the same 60-bit hash (base + (h % k)/1000), all-DOUBLE
+    * arithmetic on identical inputs — both engines agree bitwise (no
+    * transcendentals). */
+  def geocodeProviderChainSql(): String = {
+    val lat = (base: String) =>
+      s"CAST($base AS DOUBLE) + CAST(h % 4000 AS DOUBLE) / CAST(1000.0 AS DOUBLE)"
+    val lng = (base: String) =>
+      s"CAST($base AS DOUBLE) + CAST(h % 6000 AS DOUBLE) / CAST(1000.0 AS DOUBLE)"
+    s"""WITH cand AS MATERIALIZED (
+       |  SELECT DISTINCT candidate FROM (${geocodeCandidatesSql()})
+       |), hh AS (
+       |  SELECT candidate, ${md560("candidate")} AS h FROM cand
+       |)
+       |SELECT candidate,
+       |  CASE WHEN h % 10 < 6 THEN ${lat("21.0")} ELSE ${lat("20.0")} END AS lat,
+       |  CASE WHEN h % 10 < 6 THEN ${lng("119.0")} ELSE ${lng("118.0")} END AS lng,
+       |  CASE WHEN h % 10 < 6 THEN 'opencage-sim' ELSE 'nominatim-sim' END AS provider
+       |FROM hh
+       |WHERE h % 10 < 6 OR h % 7 < 4
+       |ORDER BY candidate""".stripMargin
+  }
+
   /** Mirror of Geocode.streetCentroidCandidates over the same
     * synthesized corpus (buildStreetCentroidCandidates,
     * geocode.js:398-425): last road token in both 臺/台 spellings ×

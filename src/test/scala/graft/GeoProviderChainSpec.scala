@@ -58,6 +58,39 @@ class GeoProviderChainSpec extends SparkSpec {
     assert(attempts == 3, s"2 failures + 1 success: $attempts")
   }
 
+  test("A15d: md560 is the JVM twin of Vec.md5Hash60's Column form") {
+    // cross-engine pin: the mapPartitions-side hash must agree with the
+    // codegen'd conv(substr(md5,1,15),16,10) the oracle SQL mirrors
+    val qs = Seq("", "q1", "台北市大安區和平東路12巷34號",
+      "opencage-sim", "臺中市中山北路3段99號", "a" * 300)
+    val sparkSide = qs.toDF("q")
+      .select(col("q"), graft.functions.Vec.md5Hash60(col("q")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    qs.foreach { q =>
+      assert(Geocode.md560(q) == sparkSide(q), s"md560 mismatch for '$q'")
+      assert(Geocode.md560(q) >= 0L, "60-bit hash is non-negative")
+    }
+  }
+
+  test("A15d: HashProvider is deterministic and mirrors the hash formula") {
+    val p = Geocode.HashProvider("sim", 10L, 6L, 21.0, 119.0)
+    val qs = Seq("q1", "q2", "台北市信義路5號", "臺南市安平區1號", "x") ++
+      (1 to 50).map(i => s"cand-$i")
+    qs.foreach { q =>
+      val h = Geocode.md560(q)
+      val expected =
+        if (h % 10L < 6L) Some((21.0 + (h % 4000L).toDouble / 1000.0,
+                                119.0 + (h % 6000L).toDouble / 1000.0))
+        else None
+      assert(p.lookup(q) == expected, s"formula mismatch for '$q'")
+      assert(p.lookup(q) == p.lookup(q), s"non-deterministic for '$q'")
+    }
+    // keep/mod gates roughly keep/mod of a varied universe (sanity that
+    // both hit and miss branches are exercised above)
+    val hits = qs.count(p.lookup(_).isDefined)
+    assert(hits > 0 && hits < qs.size, s"degenerate provider: $hits/${qs.size}")
+  }
+
   test("A15d: the chain composes with dailyGeocode (delta-only, tags dropped)") {
     calls.clear()
     val dir = tempDir("graft_daily_chain")
