@@ -66,6 +66,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.expressions.ZhStreetArabic(children(0), nullIfUnchanged = true)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_md5_prefix"),
+      new ExpressionInfo(classOf[graft.expressions.Md5Prefix].getName, "graft_md5_prefix"),
+      (children: Seq[Expression]) => children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int,
+            org.apache.spark.sql.types.IntegerType) =>
+          graft.expressions.Md5Prefix(children(0), i)
+        case other => throw new IllegalArgumentException(
+          s"graft_md5_prefix: hexChars must be an int literal, got $other")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[graft.expressions.KmvSketch].getName, "graft_kmv"),
       (children: Seq[Expression]) =>

@@ -40,10 +40,13 @@ object Vec {
   val MinhashPrime = 2038074743L // large prime < 2^31 so a*h+b stays in i64
 
   /** 60-bit token hash reproducible across engines (md5 hex prefix as
-    * int). Slower than xxhash64 — use for cross-engine verification;
-    * production paths default to xxhash64. */
+    * int), equal to `conv(substring(md5(c), 1, 15), 16, 10)` — served
+    * by the native [[graft.expressions.Md5Prefix]] (thread-local
+    * digest, no hex/conv round-trip; requires a GraftSession, the
+    * dotFast convention). Slower than xxhash64 — use for cross-engine
+    * verification; production paths default to xxhash64. */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    call_function("graft_md5_prefix", c, lit(15))
 
   /** base hashes for minhashing: xxhash64 mod p per token. Materialize
     * this as its own projected column BEFORE calling

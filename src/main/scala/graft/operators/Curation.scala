@@ -265,22 +265,40 @@ object Curation {
     * (md5 prefix), which only makes fingerprints slightly denser on
     * collision — winnowing is sampling, not identity.
     *
-    * Scale shape: map-only gram hashing; ONE shuffle on hash(doc) for
-    * the per-doc ordered window (the sessionize discipline); distinct
-    * is per-doc and map-side combinable. Docs shorter than k + w − 1
+    * Scale shape: ONE shuffle on hash(doc) carrying (doc, pos, token)
+    * rows; grams assemble AFTER it via `lead(tok, j)` over the per-doc
+    * ordered window, so the md5 runs in a codegen'd projection between
+    * the two WindowExecs (same partitioning + ordering — the lead pass
+    * and the min pass share one exchange and one sort). The original
+    * map-side formulation (per-gram `slice`+`concat_ws`+`md5` inside a
+    * `transform` lambda) evaluates INTERPRETED — Spark doesn't codegen
+    * higher-order functions — and stage-split measurement at sf0.1 put
+    * it at 0.81 s of the row's 1.04 s wall (78%); the lead form hashes
+    * the same gram strings codegen'd at ~⅓ that cost. The shuffle
+    * carries ~8-byte tokens instead of 8-byte gram hashes — same order
+    * of bytes, gram count ≈ token count either way. Distinct is
+    * per-doc and map-side combinable. Docs shorter than k + w − 1
     * tokens have no full window and emit nothing (documented MOSS
     * behavior — whole-doc matching below that is C1's job). */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 4, w: Int = 5): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    val grams = docs
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val toks = docs
       .select(col(idCol), Text.wsTokens(col(textCol)).as("_toks"))
       .filter(size(col("_toks")) >= k)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), size(col("_toks")) - k),
-          i => conv(substring(md5(concat_ws(" ",
-            slice(col("_toks"), i + 1, lit(k)))), 1, 10), 16, 10).cast("long"))
-      ).as(Seq("_pos", "_h40")))
+      .select(col(idCol), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+    // gram at p = tok_p .. tok_{p+k-1}; lead(k-1) is null past the last
+    // full gram, which is exactly the "positions 0..n-k" bound
+    val gramParts = (0 until k).map(j =>
+      if (j == 0) col("_tok") else lead(col("_tok"), j).over(byDoc))
+    val grams = toks
+      .withColumn("_gram", concat_ws(" ", gramParts: _*))
+      .withColumn("_last", if (k == 1) col("_tok") else
+        lead(col("_tok"), k - 1).over(byDoc))
+      .filter(col("_last").isNotNull)
+      .withColumn("_h40",
+        call_function("graft_md5_prefix", col("_gram"), lit(10)))
     val guarded = grams.select(col(idCol), col("_pos"),
       when(col("_pos") < PosCap,
         col("_h40") * PosCap + (lit(PosCap - 1) - col("_pos")))

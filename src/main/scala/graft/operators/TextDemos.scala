@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -1074,19 +1075,28 @@ object TextDemos {
     * (see [[Dedup.cdcChunks]]). md5-60 hashing for oracle parity
     * (production default: xxhash64). */
   def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: the chunking subtree is map-only but its boundary
-    // lambdas evaluate interpreted (Spark doesn't codegen higher-order
-    // functions), and BOTH the frequency table and the join side read
-    // it — without the persist the whole chunking pass runs twice
-    val chunks = graft.util.CacheRegistry.register(
-      Dedup.cdcChunks(Tables.documents(spark, dir), "doc_id", "text",
+    // is_dup = "this chunk's hash occurs in ≥ 2 DISTINCT docs", which
+    // is exactly min(doc_id) ≠ max(doc_id) over the chunk_hash window
+    // — so the dedup half is ONE exchange on the 8-byte hash with a
+    // single consumer of the chunking subtree. The previous
+    // distinct → groupBy → join formulation read the chunk table twice
+    // (a corpus-scale persist) across THREE exchanges; stage-split
+    // measurement at sf0.1 priced that half at 0.60 s of the row's
+    // 1.34 s wall — the window form removes the persist and two of the
+    // exchanges. Skew boundary (documented, not silent): a chunk hash
+    // shared by a large fraction of the corpus concentrates its rows
+    // in one window group, which AQE cannot split the way it splits a
+    // skewed join; at that skew swap back to the agg+join form (whose
+    // min/max pre-aggregate map-side) and accept the second chunking
+    // pass — boilerplate that hot should be killed by the df-capped
+    // chunkDedup path first anyway.
+    val byHash = Window.partitionBy(col("chunk_hash"))
+    Dedup.cdcChunks(Tables.documents(spark, dir), "doc_id", "text",
         divisor = 8, tokenHash = graft.functions.Vec.md5Hash60)
-        .drop("chunk_text").persist())
-    val dfc = chunks.select(col("chunk_hash"), col("doc_id")).distinct()
-      .groupBy(col("chunk_hash")).agg(count(lit(1)).as("_ndocs"))
-    chunks.join(dfc, "chunk_hash")
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
-        col("n_tokens"), col("chunk_hash"), (col("_ndocs") >= 2).as("is_dup"))
+        col("n_tokens"), col("chunk_hash"),
+        (min(col("doc_id")).over(byHash) =!=
+          max(col("doc_id")).over(byHash)).as("is_dup"))
       .orderBy("doc_id", "chunk_idx")
   }
 
