@@ -62,6 +62,30 @@ object Bench {
     * cdc_chunk_dedup at 6.07 s (min 4.14) against 1.26 s on identical
     * code hours earlier. History is the only same-code witness that
     * can tell that apart. */
+  /** keys of a run line's `suspect` object — rows the run itself flagged
+    * as cross-window contaminated. Excluded from trailing medians so a
+    * few consecutive contaminated runs cannot ratchet the reference
+    * upward until the guard goes blind to the very pattern it watches
+    * (the self-poisoning-baseline advisory). The object nests one brace
+    * level per entry, so this scans with a depth counter rather than a
+    * regex-to-first-brace. */
+  private[graft] def suspectKeys(line: String): Set[String] = {
+    val sKey = "\"suspect\":{"
+    val start = line.indexOf(sKey)
+    if (start < 0) return Set.empty
+    var i = start + sKey.length - 1 // at the opening brace
+    var depth = 0
+    val from = i
+    while (i < line.length && { // find the matching close brace
+      val c = line.charAt(i)
+      if (c == '{') depth += 1 else if (c == '}') depth -= 1
+      depth != 0
+    }) i += 1
+    if (i >= line.length) return Set.empty
+    val body = line.substring(from, i + 1)
+    """"([A-Za-z0-9_]+)":\{""".r.findAllMatchIn(body).map(_.group(1)).toSet
+  }
+
   private[graft] def trailingMedians(historyLines: Seq[String], sfDir: String,
                                      window: Int = 5): Map[String, Double] = {
     val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -73,17 +97,47 @@ object Bench {
         val qStart = line.indexOf(qKey)
         // the queries object nests no braces (numbers / "error:…" strings)
         if (line.contains(tag) && qStart >= 0) {
+          val tainted = suspectKeys(line)
           val body = line.substring(qStart + qKey.length,
             line.indexOf('}', qStart) + 1)
           num.findAllMatchIn(body).foreach { m =>
-            val v = m.group(2).toDouble
-            perQuery.updateWith(m.group(1))(l => Some(v :: l.getOrElse(Nil)))
+            if (!tainted.contains(m.group(1))) {
+              val v = m.group(2).toDouble
+              perQuery.updateWith(m.group(1))(l => Some(v :: l.getOrElse(Nil)))
+            }
           }
         }
       } catch { case _: Exception => () }
     }
     // lines iterate oldest→newest and prepend, so head = newest
     perQuery.view.mapValues(l => median(l.take(window))).toMap
+  }
+
+  /** WHOLE-SUITE drift verdict — the guard the per-row 2.5× check is
+    * blind to: r11's window ran uniformly ~10–30 % slow on untouched
+    * code and nothing flagged it, because no single row tripped 2.5×.
+    * Compares the fresh run against trailing history over the SHARED
+    * query set (suite composition changes across rounds): the
+    * shared-total ratio is the headline (>15 % = drifted), and the
+    * count of rows individually >1.25× their trailing median (among
+    * rows ≥ 0.3 s, below which absolute jitter dominates) records how
+    * broad the drift is. Advisory: the verdict is WRITTEN into
+    * BENCH_FULL/BENCH_HISTORY so a contaminated-but-not-spiky window
+    * is visible at commit time — re-run the window before treating
+    * per-row deltas from a `drifted` run as real. Returns None below
+    * 10 shared rows (a SPARK_GRAFT_ONLY probe can't judge a suite). */
+  private[graft] def driftVerdict(fresh: Map[String, Double],
+                                  trailing: Map[String, Double])
+      : Option[(Double, Double, Double, Int)] = {
+    val shared = fresh.keySet.intersect(trailing.keySet).toSeq
+      .filter(k => trailing(k) > 0)
+    if (shared.size < 10) None
+    else {
+      val f = shared.map(fresh).sum
+      val t = shared.map(trailing).sum
+      val over = shared.count(k => fresh(k) >= 0.3 && fresh(k) > trailing(k) * 1.25)
+      Some((f, t, f / t, over))
+    }
   }
 
   /** Is a fresh median a cross-window contamination suspect? Only
@@ -185,7 +239,21 @@ object Bench {
       "\"" + k + "\":{\"median\":" + fresh + ",\"trailing\":" + hist + "}"
     }.mkString("{", ",", "}")
     val total = results.values.collect { case Right(ts) => robustMedian(ts, passes) }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"errors":$errs,"suspect":$suspectJson,"sf":"$sfDir"}"""
+    val freshMedians = results.collect {
+      case (k, Right(ts)) => k -> robustMedian(ts, passes)
+    }.toMap
+    val driftJson = driftVerdict(freshMedians, trailing) match {
+      case Some((f, t, ratio, over)) =>
+        val verdict = if (ratio > 1.15) "drifted" else "ok"
+        if (verdict == "drifted")
+          Console.err.println(f"[bench] DRIFTED WINDOW: shared-suite total $f%.1f s is " +
+            f"${(ratio - 1) * 100}%.0f%% over its trailing history $t%.1f s " +
+            f"($over%d rows individually >1.25x) - this window is uniformly slow; " +
+            "re-run it before treating per-row deltas as real")
+        f"""{"fresh_shared":$f%.2f,"trailing_shared":$t%.2f,"ratio":$ratio%.3f,"rows_over_1p25":$over,"verdict":"$verdict"}"""
+      case None => """{"verdict":"insufficient-history"}"""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"errors":$errs,"suspect":$suspectJson,"drift":$driftJson,"sf":"$sfDir"}"""
     println(json)
     // a SPARK_GRAFT_ONLY run is a local probe: never let it overwrite
     // the committed full-suite artifact or pollute the history record

@@ -107,9 +107,12 @@ object Sampling {
                             alpha: Double,
                             hash: Column => Column = Vec.md5Hash60): DataFrame = {
     // One fracs plan feeds both the spine and the sample: persist it so
-    // the corpus-scale count aggregation runs once, not twice.
-    val fracs = temperatureFracs(df, sourceCol, alpha)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the corpus-scale count aggregation runs once, not twice. Registered
+    // so Verify/Bench's per-query releaseAll() frees it (the contract for
+    // operator persists consumed after return).
+    val fracs = graft.util.CacheRegistry.register(
+      temperatureFracs(df, sourceCol, alpha)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val after = mixWithFracs(df, fracs, sourceCol, keyCol, hash)
       .groupBy(col(sourceCol)).agg(count(lit(1)).as("n_kept"))
     fracs.join(after, Seq(sourceCol), "left")

@@ -58,4 +58,51 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.crossWindowSuspect(0.9, 0.1))    // sub-second job floor: never
     assert(!Bench.crossWindowSuspect(1.0, 0.5))    // 2x: fine
   }
+
+  private def suspectLine(sf: String, qVal: Double, suspects: String*): String = {
+    val s = suspects.map(k => "\"" + k + "\":{\"median\":9.0,\"trailing\":1.0}")
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":1.0,"unit":"sec","queries":{"a":$qVal,"b":1.0},"spread":{},"passes":3,"errors":[],"suspect":$s,"sf":"$sf"}"""
+  }
+
+  test("suspectKeys: nested suspect entries parse; absent/empty objects are empty") {
+    assert(Bench.suspectKeys(suspectLine("/sf", 1.0, "a", "cdc_x")) == Set("a", "cdc_x"))
+    assert(Bench.suspectKeys(suspectLine("/sf", 1.0)).isEmpty)
+    assert(Bench.suspectKeys(histLine("/sf", "a" -> 1.0)).isEmpty) // pre-r11 line
+    assert(Bench.suspectKeys("garbage").isEmpty)
+  }
+
+  test("trailingMedians excludes suspect-flagged values (no self-poisoning baseline)") {
+    // three contaminated runs flag 'a' at 9.0; the clean runs say 1.0 —
+    // the trailing median must stay at the clean value
+    val lines = Seq(
+      suspectLine("/sf", 1.0),
+      suspectLine("/sf", 9.0, "a"),
+      suspectLine("/sf", 9.0, "a"),
+      suspectLine("/sf", 9.0, "a"),
+      suspectLine("/sf", 1.2))
+    val t = Bench.trailingMedians(lines, "/sf")
+    assert(t("a") == 1.1, t)  // median of the two clean samples only
+    assert(t("b") == 1.0, t)  // unflagged query keeps every line
+  }
+
+  test("driftVerdict: uniform slow window flags; quiet window passes; probes abstain") {
+    val trailing = (1 to 12).map(i => s"q$i" -> 1.0).toMap
+    // uniformly 1.3x slow — no row trips the 2.5x suspect guard, but the
+    // suite total is 30% over: exactly the r11 blind spot
+    val slow = trailing.map { case (k, v) => k -> v * 1.3 }
+    val Some((f, t, ratio, over)) = Bench.driftVerdict(slow, trailing)
+    assert(math.abs(ratio - 1.3) < 1e-9 && ratio > 1.15, (f, t, ratio))
+    assert(over == 12, "every >=0.3s row is individually over 1.25x")
+    // same-speed window: ratio ~1, not drifted
+    val Some((_, _, r2, o2)) = Bench.driftVerdict(trailing, trailing)
+    assert(r2 == 1.0 && o2 == 0)
+    // a 5-row SPARK_GRAFT_ONLY probe can't judge the suite
+    assert(Bench.driftVerdict(slow.take(5), trailing).isEmpty)
+    // sub-0.3s rows never count toward the breadth count (absolute jitter)
+    val tiny = (1 to 12).map(i => s"q$i" -> 0.1).toMap
+    val Some((_, _, r3, o3)) = Bench.driftVerdict(
+      tiny.map { case (k, v) => k -> v * 2.0 }, tiny)
+    assert(r3 == 2.0 && o3 == 0, (r3, o3))
+  }
 }
