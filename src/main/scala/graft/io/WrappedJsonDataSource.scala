@@ -493,24 +493,44 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
       * older batch ones). The streaming queryId is the checkpoint's
       * stable query id, so the base survives restarts of the same
       * checkpoint; a NEW checkpoint gets a new id and re-bases past
-      * everything already published. (A batch publish interleaved
-      * mid-lifetime of a live streaming checkpoint can still tie a
-      * future epoch's slot number — name-distinct via its query
-      * suffix, but order-ambiguous at that slot; that interleaving is
-      * outside the single-writer-per-path contract.) */
+      * everything already published. A batch publish interleaved
+      * mid-lifetime of a live streaming checkpoint can tie a future
+      * epoch's slot number — name-distinct via the batch dir's query
+      * suffix, but order-ambiguous at that slot (retention and the
+      * newest-committed fallback order by NAME); that interleaving
+      * violates the single-writer-per-path contract, and the epoch
+      * commit REFUSES it loudly at the tie instead of publishing an
+      * ambiguously-ordered snapshot (see [[commit]]).
+      *
+      * The base file is written temp-then-rename (the swapPointer
+      * discipline): a crash between create and close must not leave a
+      * half-written file that every later commit re-reads as the base.
+      * An empty/unparsable base file (older-version crash debris) is
+      * treated as ABSENT and recomputed — safe because no epoch can
+      * have published under a base that never finished writing. */
     private def baseSlot(f: FileSystem): Long = {
       val bp = new Path(path, s"_epochs/base-$queryId")
-      if (f.exists(bp)) {
-        val in = f.open(bp)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-        finally in.close()
-      } else {
+      val existing: Option[Long] =
+        if (!f.exists(bp)) None
+        else {
+          val in = f.open(bp)
+          val s = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+          scala.util.Try(s.toLong).toOption
+        }
+      existing.getOrElse {
         val b = nextSlot(f)
         f.mkdirs(bp.getParent)
-        val out = f.create(bp, true)
+        val tmp = new Path(path, s"_epochs/base-$queryId.tmp")
+        val out = f.create(tmp, true)
         try out.write(b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        f.delete(bp, false) // crash debris (empty/unparsable) yields to the rename
+        if (!f.rename(tmp, bp))
+          throw new IllegalStateException(
+            s"graft-wrapped: could not persist slot base $bp — a concurrent " +
+              "writer owns it (single writer per path is the supported contract)")
         b
       }
     }
@@ -568,6 +588,31 @@ private[graft] class WrappedJsonWrite(path: String, schema: StructType,
         sweepEpochTemp(f, epochId)
         return
       }
+      // slot-tie refusal (after the replay no-ops — a change-gated epoch
+      // leaves no dir, so a batch can land on its number and that
+      // epoch's replay must still no-op): a batch publish interleaved
+      // mid-lifetime of this checkpoint has already taken this slot.
+      // Its dir carries a query suffix, so the names differ — but
+      // retention and the newest-committed fallback order by NAME, and
+      // at a tied slot name order no longer reflects publish order.
+      // That interleaving violates the single-writer-per-path contract;
+      // fail loud at the tie rather than publish an ambiguously-ordered
+      // snapshot.
+      val tiedBatch =
+        (try Option(f.listStatus(new Path(path, "snapshots")))
+           .getOrElse(Array.empty)
+         catch { case _: java.io.FileNotFoundException =>
+           Array.empty[org.apache.hadoop.fs.FileStatus] })
+          .map(_.getPath.getName)
+          .filter(_.startsWith(f"ep$slot%019d-"))
+      if (tiedBatch.nonEmpty)
+        throw new IllegalStateException(
+          s"graft-wrapped: epoch $epochId resolves to slot $slot, already " +
+            s"taken by batch publish ${tiedBatch.sorted.mkString(", ")} — a " +
+            "batch write interleaved with this live streaming checkpoint " +
+            "(single writer per path is the supported contract). Restart " +
+            "from a fresh checkpoint (which re-bases past all published " +
+            "snapshots) or stop the batch writer.")
       val files = messages.collect { case m: WrappedCommit => m.files }.flatten.toSeq
       requireNoDuplicates(files.map(_._2))
       if (publishIfChanged &&

@@ -306,6 +306,68 @@ class WrappedSinkSpec extends SparkSpec {
     assert(snapshotNames(dir) == kept, "replayed epoch after restart minted a snapshot")
   }
 
+  test("A12 DSv2 sink streaming: a half-written (empty) base file recovers instead of wedging") {
+    import org.apache.spark.sql.types._
+    val dir = tempDir("wrapped_base_crash")
+    spark.range(1).count()
+    // a crash between create and close leaves an existing EMPTY base
+    // file; every later commit used to throw NumberFormatException from
+    // .trim.toLong, permanently wedging the stream
+    val bp = java.nio.file.Paths.get(dir, "_epochs/base-qC")
+    java.nio.file.Files.createDirectories(bp.getParent)
+    java.nio.file.Files.write(bp, Array.empty[Byte])
+    val schema = new StructType().add("grp", StringType).add("v", LongType)
+    val sw = new graft.io.WrappedJsonWrite(dir, schema, "grp", "qC", false,
+      retain = Int.MaxValue).toStreaming
+    def stageTemp(ep: Long, content: String): String = {
+      val t = java.nio.file.Paths.get(dir, s"_temporary/qC/ep$ep/p0-t0-g.json")
+      java.nio.file.Files.createDirectories(t.getParent)
+      java.nio.file.Files.write(t, content.getBytes("UTF-8"))
+      t.toString
+    }
+    sw.commit(0L, Array(graft.io.WrappedCommit(Seq(
+      stageTemp(0, """{"grp": "g", "total": 1, "rows": [{"v": 1}]}""") -> "g.json"))))
+    assert(snapshotNames(dir) == Seq(f"ep${0L}%019d"),
+      "empty base must be treated as absent and recomputed")
+    // and the recovered base file is now durable + parseable
+    assert(new String(java.nio.file.Files.readAllBytes(bp), "UTF-8").trim == "0")
+    // a replay still resolves the same slot through the recovered base
+    sw.commit(0L, Array(graft.io.WrappedCommit(Seq(
+      stageTemp(0, """{"grp": "g", "total": 9, "rows": []}""") -> "g.json"))))
+    assert(snapshotNames(dir).size == 1)
+  }
+
+  test("A12 DSv2 sink streaming: a batch publish interleaved at a tied slot refuses loudly") {
+    import org.apache.spark.sql.types._
+    val dir = tempDir("wrapped_slot_tie")
+    spark.range(1).count()
+    val schema = new StructType().add("grp", StringType).add("v", LongType)
+    val sw = new graft.io.WrappedJsonWrite(dir, schema, "grp", "qT", false,
+      retain = Int.MaxValue).toStreaming
+    def stageTemp(ep: Long, content: String): String = {
+      val t = java.nio.file.Paths.get(dir, s"_temporary/qT/ep$ep/p0-t0-g.json")
+      java.nio.file.Files.createDirectories(t.getParent)
+      java.nio.file.Files.write(t, content.getBytes("UTF-8"))
+      t.toString
+    }
+    // stream bases at 0 and publishes epoch 0 → slot 0
+    sw.commit(0L, Array(graft.io.WrappedCommit(Seq(
+      stageTemp(0, """{"grp": "g", "total": 1, "rows": [{"v": 1}]}""") -> "g.json"))))
+    // a batch publish interleaves mid-lifetime: takes slot 1 (ep…1-<qid>)
+    sampleDf.write.format("graft-wrapped")
+      .option("groupCol", "county").mode("overwrite").save(dir)
+    assert(snapshotNames(dir).exists(_.startsWith(f"ep${1L}%019d-")))
+    // streaming epoch 1 resolves to the SAME slot number: the commit
+    // must refuse (order at a tied slot is name-ambiguous), not publish
+    val e = intercept[IllegalStateException] {
+      sw.commit(1L, Array(graft.io.WrappedCommit(Seq(
+        stageTemp(1, """{"grp": "g", "total": 2, "rows": [{"v": 2}]}""") -> "g.json"))))
+    }
+    assert(e.getMessage.contains("interleaved"), e.getMessage)
+    assert(!snapshotNames(dir).contains(f"ep${1L}%019d"),
+      "the refused epoch must not publish")
+  }
+
   test("A12 DSv2 sink streaming: change-gated epochs — unchanged state mints no snapshot, replay of a skipped epoch is a no-op") {
     import org.apache.spark.sql.types._
     val dir = tempDir("wrapped_stream_gate")
