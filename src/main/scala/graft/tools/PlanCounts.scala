@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints the physical-plan shape counts (shuffle exchanges, broadcast
+  * exchanges, joins) for the expensive bench rows, as measured from
+  * each demo's pre-execution executedPlan at a given sf dir. Feeds the
+  * PlanShapeSpec regression gate: run this after an intentional plan
+  * change, read the new counts, update the pinned map — a count that
+  * moved WITHOUT an intentional change is a plan regression that
+  * should fail `sbt test` instead of surfacing as an unexplained bench
+  * delta.
+  *
+  * Run: `sbt "runMain graft.tools.PlanCounts [sfDir]"`. */
+object PlanCounts {
+  /** rows the gate pins: the r11 verdict's top-10 bench rows */
+  val Gated: Seq[String] = Seq(
+    "pagerank_centrality", "centrality_gate", "cdc_chunk_dedup",
+    "bm25_index", "bm25_index_append", "bm25_topk",
+    "dedup_canonicalize", "cluster_representative",
+    "dup_span_detect", "minhash_lsh_eval", "winnow_fingerprint")
+
+  def shuffles(plan: String): Int =
+    "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+  def broadcasts(plan: String): Int =
+    "BroadcastExchange".r.findAllIn(plan).length
+  def joins(plan: String): Int =
+    ("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|" +
+      "BroadcastNestedLoopJoin|CartesianProduct").r.findAllIn(plan).length
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
+    val spark = graft.GraftSession.tune(SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Gated.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val p = df.queryExecution.executedPlan.toString
+      println(s"""PLANCOUNT {"query":"$name","shuffles":${shuffles(p)},""" +
+        s""""broadcasts":${broadcasts(p)},"joins":${joins(p)}}""")
+      graft.util.CacheRegistry.releaseAll()
+    }
+    spark.stop()
+  }
+}

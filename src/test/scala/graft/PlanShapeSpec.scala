@@ -219,4 +219,40 @@ class PlanShapeSpec extends SparkSpec {
       assert("InMemoryTableScan".r.findAllIn(p).length >= 2, p)
     } finally graft.util.CacheRegistry.releaseAll()
   }
+
+  test("plan-shape regression gate: the top bench rows' exchange/join counts are pinned") {
+    // The r11 lesson: a plan regression on an expensive row surfaces as
+    // an unexplained bench delta a round later. This pins each gated
+    // demo's (shuffle, broadcast, join) counts as measured from its
+    // pre-execution plan at sf0.001 — a count that moves WITHOUT an
+    // intentional plan change fails here instead. After an intentional
+    // change: `sbt "runMain graft.tools.PlanCounts"` prints the fresh
+    // counts; update this map in the same commit as the plan change.
+    val expected = Map(
+      "pagerank_centrality"    -> ((1, 0, 0)),  // checkpointed rounds truncate the tail plan
+      "centrality_gate"        -> ((2, 3, 3)),  // bars broadcast; corpus never shuffle-joins
+      "cdc_chunk_dedup"        -> ((3, 0, 0)),  // token window + hash window + orderBy, NO join
+      "bm25_index"             -> ((2, 0, 0)),
+      "bm25_index_append"      -> ((2, 0, 0)),
+      "bm25_topk"              -> ((4, 1, 1)),  // the ONE join is the broadcast term join
+      "dedup_canonicalize"     -> ((4, 1, 2)),
+      "cluster_representative" -> ((4, 1, 2)),
+      "dup_span_detect"        -> ((4, 1, 1)),
+      "minhash_lsh_eval"       -> ((38, 30, 32)), // dual-truth composite; big but bounded
+      "winnow_fingerprint"     -> ((2, 0, 0)))  // doc window + orderBy; distinct reuses
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    graft.tools.PlanCounts.Gated.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      try {
+        val p = plan(df)
+        val actual = (graft.tools.PlanCounts.shuffles(p),
+          graft.tools.PlanCounts.broadcasts(p), graft.tools.PlanCounts.joins(p))
+        assert(actual == expected(name),
+          s"$name plan shape moved: expected ${expected(name)} " +
+            s"(shuffles, broadcasts, joins), got $actual — if intentional, " +
+            s"re-run graft.tools.PlanCounts and update the gate in the same commit")
+      } finally graft.util.CacheRegistry.releaseAll()
+    }
+  }
 }
