@@ -57,7 +57,34 @@ object ScaleSmoke {
     "stream_dedup_parity", "topk_ngrams", "ivfpq_topk",
     "pagerank_centrality", "corpus_overlap_kmv", "warc_ingest",
     "ccnet_buckets", "mixture_reweight", "cluster_balance",
-    "corpus_drift")
+    "corpus_drift",
+    // r12 additions (r10 verdict task 6): the contamination scan pair,
+    // the retrieval-eval join ladder, the boilerplate extractor, the
+    // crawl funnel e2e, rank fusion, the index append path, and
+    // PageRank at DOUBLE the demo's rounds — lineage-checkpoint cost
+    // scales with rounds, the one knob the 10× replication alone
+    // doesn't stress
+    "contamination_spans", "contamination_scrub", "retrieval_eval",
+    "html_main_content", "crawl_ingest_e2e", "rrf_fusion",
+    "bm25_index_append", "pagerank_2x_iters")
+
+  /** smoke-only variants that exist to stress a knob the registry
+    * demos fix (SparkEntry rows must stay oracle-stable): PageRank at
+    * 12 rounds = 2× the C68 demo, same mutual-kNN graph. */
+  val SmokeExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pagerank_2x_iters" -> ((s: SparkSession, dir: String) => {
+      val mut = graft.util.CacheRegistry.register(
+        graft.operators.Similarity.mutualKnnEdges(
+          graft.operators.Similarity.knnGraph(
+            graft.sources.Tables.embeddings(s, dir),
+            "vec_id", "embedding", k = 5, nPlanes = 8, dim = 64))
+          .select(col("id_a"), col("id_b")).persist())
+      val directed = mut.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(mut.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.Graph.pageRank(
+        graft.sources.Tables.embeddings(s, dir).select(col("vec_id")),
+        directed, "vec_id", iters = 12)
+    }))
 
   private def replicate(factor: Int)(one: Int => DataFrame): DataFrame =
     (0 until factor).map(one).reduce(_ unionByName _)
@@ -149,7 +176,7 @@ object ScaleSmoke {
 
     synthesize(spark, srcDir, outDir, factor)
 
-    val registry = SparkEntry.queries ++ SparkEntry.benchExtras
+    val registry = SparkEntry.queries ++ SparkEntry.benchExtras ++ SmokeExtras
     val rows = SmokeQueries.filter(q => only.forall(_.contains(q))).map { name =>
       val fn = registry(name)
       Console.err.println(s"[scale-smoke] $name @ sf0.1 ...")
