@@ -86,9 +86,24 @@ object Bench {
     """"([A-Za-z0-9_]+)":\{""".r.findAllMatchIn(body).map(_.group(1)).toSet
   }
 
+  /** consecutive suspect runs needed (at a stable level) before a
+    * persistent slowdown is ACCEPTED as the new baseline rather than
+    * excluded as contamination — without this escape hatch a real
+    * committed ≥2.5× change would be flagged "contaminated" forever
+    * and the trailing reference could never converge to the new cost
+    * (every future run would also pay the 5×-passes resample budget). */
+  private val SuspectAcceptRuns = 3
+  private val SuspectAcceptSpread = 1.3
+
   private[graft] def trailingMedians(historyLines: Seq[String], sfDir: String,
                                      window: Int = 5): Map[String, Double] = {
-    val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+    // per query, (value, wasSuspectInItsOwnRun) — suspect values are
+    // normally excluded (a contaminated run must not ratchet the
+    // baseline), UNLESS the newest SuspectAcceptRuns entries are ALL
+    // suspect at a tight mutual spread: slow-and-stable across runs is
+    // a real committed change, not window noise, and the baseline
+    // re-converges to it
+    val perQuery = scala.collection.mutable.Map.empty[String, List[(Double, Boolean)]]
     val num = """"([A-Za-z0-9_]+)":([-+0-9.eE]+)[,}]""".r
     historyLines.foreach { line =>
       try {
@@ -101,16 +116,25 @@ object Bench {
           val body = line.substring(qStart + qKey.length,
             line.indexOf('}', qStart) + 1)
           num.findAllMatchIn(body).foreach { m =>
-            if (!tainted.contains(m.group(1))) {
-              val v = m.group(2).toDouble
-              perQuery.updateWith(m.group(1))(l => Some(v :: l.getOrElse(Nil)))
-            }
+            val v = m.group(2).toDouble
+            perQuery.updateWith(m.group(1))(l =>
+              Some((v, tainted.contains(m.group(1))) :: l.getOrElse(Nil)))
           }
         }
       } catch { case _: Exception => () }
     }
     // lines iterate oldest→newest and prepend, so head = newest
-    perQuery.view.mapValues(l => median(l.take(window))).toMap
+    perQuery.view.mapValues { l =>
+      val newest = l.take(SuspectAcceptRuns)
+      val accepted = newest.size == SuspectAcceptRuns &&
+        newest.forall(_._2) && {
+          val vs = newest.map(_._1)
+          vs.max / vs.min <= SuspectAcceptSpread
+        }
+      val usable = if (accepted) l else l.filterNot(_._2)
+      if (usable.isEmpty) Double.NaN
+      else median(usable.take(window).map(_._1))
+    }.toMap.filterNot(_._2.isNaN)
   }
 
   /** WHOLE-SUITE drift verdict — the guard the per-row 2.5× check is
@@ -239,8 +263,13 @@ object Bench {
       "\"" + k + "\":{\"median\":" + fresh + ",\"trailing\":" + hist + "}"
     }.mkString("{", ",", "}")
     val total = results.values.collect { case Right(ts) => robustMedian(ts, passes) }.sum
+    // suspect rows are judged by the PER-ROW guard; including them in
+    // the suite total would let one contaminated heavy row flip the
+    // whole-suite verdict to "drifted" when nothing is uniformly slow
+    val suspectNames = suspects.map(_._1).toSet
     val freshMedians = results.collect {
-      case (k, Right(ts)) => k -> robustMedian(ts, passes)
+      case (k, Right(ts)) if !suspectNames.contains(k) =>
+        k -> robustMedian(ts, passes)
     }.toMap
     val driftJson = driftVerdict(freshMedians, trailing) match {
       case Some((f, t, ratio, over)) =>

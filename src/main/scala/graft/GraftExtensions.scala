@@ -68,12 +68,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_md5_prefix"),
       new ExpressionInfo(classOf[graft.expressions.Md5Prefix].getName, "graft_md5_prefix"),
-      (children: Seq[Expression]) => children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int,
-            org.apache.spark.sql.types.IntegerType) =>
-          graft.expressions.Md5Prefix(children(0), i)
-        case other => throw new IllegalArgumentException(
-          s"graft_md5_prefix: hexChars must be an int literal, got $other")
+      (children: Seq[Expression]) => {
+        if (children.length != 2) throw new IllegalArgumentException(
+          s"graft_md5_prefix expects (string, hexChars int literal), " +
+            s"got ${children.length} argument(s)")
+        children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(i: Int,
+              org.apache.spark.sql.types.IntegerType) =>
+            graft.expressions.Md5Prefix(children(0), i)
+          case other => throw new IllegalArgumentException(
+            s"graft_md5_prefix: hexChars must be an int literal, got $other")
+        }
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_kmv"),

@@ -72,19 +72,8 @@ object ScaleSmoke {
     * demos fix (SparkEntry rows must stay oracle-stable): PageRank at
     * 12 rounds = 2× the C68 demo, same mutual-kNN graph. */
   val SmokeExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pagerank_2x_iters" -> ((s: SparkSession, dir: String) => {
-      val mut = graft.util.CacheRegistry.register(
-        graft.operators.Similarity.mutualKnnEdges(
-          graft.operators.Similarity.knnGraph(
-            graft.sources.Tables.embeddings(s, dir),
-            "vec_id", "embedding", k = 5, nPlanes = 8, dim = 64))
-          .select(col("id_a"), col("id_b")).persist())
-      val directed = mut.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(mut.select(col("id_b").as("src"), col("id_a").as("dst")))
-      graft.operators.Graph.pageRank(
-        graft.sources.Tables.embeddings(s, dir).select(col("vec_id")),
-        directed, "vec_id", iters = 12)
-    }))
+    "pagerank_2x_iters" -> ((s: SparkSession, dir: String) =>
+      graft.operators.TextDemos.pagerankOverKnn(s, dir, iters = 12)))
 
   private def replicate(factor: Int)(one: Int => DataFrame): DataFrame =
     (0 until factor).map(one).reduce(_ unionByName _)

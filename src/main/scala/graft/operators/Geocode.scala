@@ -366,12 +366,14 @@ object Geocode {
   /** JVM twin of [[graft.functions.Vec.md5Hash60]]'s Column form (and
     * of the oracle's `('0x'||substr(md5(q),1,15))::BIGINT`): the first
     * 60 bits of md5 over UTF-8 bytes as a non-negative long. Providers
-    * run inside mapPartitions on plain strings, where no Column exists. */
-  private[graft] def md560(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
-  }
+    * run inside mapPartitions on plain strings, where no Column exists.
+    * Delegates to the SAME kernel the Column form runs
+    * ([[graft.expressions.Md5Prefix]]) — one implementation, so the
+    * md560 ≡ md5Hash60 ≡ oracle equivalence the provider-chain gate
+    * depends on can't drift. */
+  private[graft] def md560(s: String): Long =
+    graft.expressions.Md5Prefix.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), 15)
 
   /** Deterministic hash-formula provider for demos and the DuckDB
     * oracle: answers iff md5-60(q) % `mod` < `keep`, with coordinates

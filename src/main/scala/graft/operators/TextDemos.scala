@@ -1133,7 +1133,15 @@ object TextDemos {
     * [[Graph.pageRank]]'s exact scaled-integer recurrence — one lazy
     * DAG, no per-round driver barrier. Hubs score high (corpus-
     * representative), isolated vectors keep only teleport mass. */
-  def pagerankCentrality(spark: SparkSession, dir: String): DataFrame = {
+  def pagerankCentrality(spark: SparkSession, dir: String): DataFrame =
+    pagerankOverKnn(spark, dir, iters = 6).orderBy("id")
+
+  /** the C68 graph construction + rank recurrence with the round count
+    * as the one knob — shared by the demo (6 rounds) and ScaleSmoke's
+    * 2×-iterations variant, so the smoke can never silently measure a
+    * DIFFERENT graph than the demo it claims to double. */
+  private[graft] def pagerankOverKnn(spark: SparkSession, dir: String,
+                                     iters: Int): DataFrame = {
     val mut = graft.util.CacheRegistry.register(
       Similarity.mutualKnnEdges(
         Similarity.knnGraph(Tables.embeddings(spark, dir),
@@ -1142,8 +1150,7 @@ object TextDemos {
     val directed = mut.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(mut.select(col("id_b").as("src"), col("id_a").as("dst")))
     Graph.pageRank(Tables.embeddings(spark, dir).select(col("vec_id")),
-        directed, "vec_id", iters = 6)
-      .orderBy("id")
+      directed, "vec_id", iters = iters)
   }
 
   /** C45 — in-engine quality classifier: logistic regression on 1024

@@ -20,8 +20,12 @@ object PlanCounts {
     "dedup_canonicalize", "cluster_representative",
     "dup_span_detect", "minhash_lsh_eval", "winnow_fingerprint")
 
+  // ReusedExchange nodes are excluded from BOTH counts: reuse of an
+  // existing exchange changes no shuffle/broadcast work, and counting
+  // it would fail the gate on an optimizer reuse decision while
+  // blaming shuffle shape
   def shuffles(plan: String): Int =
-    "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    "(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(plan).length
   def broadcasts(plan: String): Int =
     "BroadcastExchange".r.findAllIn(plan).length
   def joins(plan: String): Int =
@@ -30,12 +34,13 @@ object PlanCounts {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
-    val spark = graft.GraftSession.tune(SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
-      .getOrCreate()
+    // session confs MUST match the PlanShapeSpec gate's session
+    // (GraftSession.local): a threshold mismatch would make this tool
+    // print counts the gate then rejects — notably the 64MB
+    // autoBroadcastJoinThreshold, which flips joins between broadcast
+    // and sort-merge for sides estimated between 10MB and 64MB
+    val spark = graft.GraftSession.local("plan-counts",
+      cores = "4", shufflePartitions = 4)
     spark.sparkContext.setLogLevel("WARN")
     Gated.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)

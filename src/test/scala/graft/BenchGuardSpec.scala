@@ -86,6 +86,32 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(t("b") == 1.0, t)  // unflagged query keeps every line
   }
 
+  test("trailingMedians accepts a persistent stable slowdown as the new baseline") {
+    // a REAL committed >=2.5x change: every new run flags suspect at a
+    // tight mutual spread — after 3 consecutive such runs the values
+    // are accepted, so the baseline re-converges instead of latching
+    // the row as 'contaminated' forever
+    val lines = Seq(
+      suspectLine("/sf", 1.0),
+      suspectLine("/sf", 9.0, "a"),
+      suspectLine("/sf", 9.2, "a"),
+      suspectLine("/sf", 8.8, "a")) // newest three: all suspect, spread 9.2/8.8
+    val t = Bench.trailingMedians(lines, "/sf")
+    assert(t("a") == (8.8 + 9.0) / 2, t) // median of 1.0, 9.0, 9.2, 8.8
+    // WIDE spread across the suspect runs = still contamination: excluded
+    val noisy = Seq(
+      suspectLine("/sf", 1.0),
+      suspectLine("/sf", 4.0, "a"),
+      suspectLine("/sf", 9.0, "a"),
+      suspectLine("/sf", 13.0, "a"))
+    assert(Bench.trailingMedians(noisy, "/sf")("a") == 1.0)
+    // all-suspect history with no stable tail: the query drops out
+    // entirely rather than reporting a poisoned median
+    val allSus = Seq(suspectLine("/sf", 9.0, "a"), suspectLine("/sf", 2.0, "a"))
+    assert(!Bench.trailingMedians(allSus, "/sf").contains("a"))
+    assert(Bench.trailingMedians(allSus, "/sf")("b") == 1.0)
+  }
+
   test("driftVerdict: uniform slow window flags; quiet window passes; probes abstain") {
     val trailing = (1 to 12).map(i => s"q$i" -> 1.0).toMap
     // uniformly 1.3x slow — no row trips the 2.5x suspect guard, but the
