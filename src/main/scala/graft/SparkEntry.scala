@@ -60,6 +60,7 @@ object SparkEntry {
     "ann_lsh_topk"         -> (TextDemos.annLshTopk(_, _)),
     "retrieval_eval"       -> (TextDemos.retrievalEval(_, _)),
     "dedup_minhash_lsh"    -> (TextDemos.dedupMinhashLsh(_, _)),
+    "setsim_join"          -> (TextDemos.setsimJoin(_, _)),
     "minhash_lsh_eval"     -> (TextDemos.minhashLshEval(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
@@ -881,6 +882,7 @@ object SparkEntry {
         |FROM carried GROUP BY has_quota, matched_by
         |ORDER BY has_quota DESC, matched_by""".stripMargin,
     "dedup_minhash_lsh" -> graft.oracle.OracleGen.minhashLshSql(),
+    "setsim_join"       -> graft.oracle.OracleGen.setSimJoinSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),

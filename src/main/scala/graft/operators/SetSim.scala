@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Text, Vec}
+
+/** Exact set-similarity self-join via prefix filtering (the
+  * AllPairs/PPJoin family; distributed formulation after Vernica,
+  * Carey & Li, SIGMOD 2010).
+  *
+  * Complements the sketch-based near-dup family: MinHash-LSH (C2)
+  * trades recall for cost, while this operator returns EVERY pair at
+  * Jaccard >= t, exactly — the verification tool you run over a
+  * candidate slice, or the primary join when the threshold is high
+  * enough that prefixes prune hard.
+  *
+  * Why it scales: order every document's distinct shingle-hash set by
+  * global rarity (document frequency asc, hash asc). A pair at
+  * Jaccard >= t must share an element inside each side's first
+  * `s - ceil(t*s) + 1` elements under ANY shared total order (the
+  * prefix-filtering lemma), so only PREFIX tokens are exploded into
+  * the candidate join — rare tokens almost everywhere, so posting
+  * lists stay short and the quadratic blowup concentrates exactly
+  * where real near-dups are. Two further exact prunes run inside the
+  * join before any pair materializes:
+  *
+  *  - length filter: J(A,B) >= t forces min(|A|,|B|) >= t*max(|A|,|B|);
+  *  - positional filter (PPJoin): a token at 1-based rarity positions
+  *    (pa, pb) bounds the remaining overlap by 1 + min(sa-pa, sb-pb),
+  *    which must reach ceil(t/(1+t) * (sa+sb)) — this is what kills
+  *    candidates that share only a HOT token late in their prefixes.
+  *
+  * Shuffle economics at 100 TB: shingles ride as md5-60 longs (8-byte
+  * keys, engine-portable so the DuckDB oracle reproduces them; swap in
+  * xxhash64 for production), the df count and the candidate join both
+  * hash-partition on the token hash, and verification joins full sets
+  * back by doc id — pair-local array intersection, never a global
+  * cross product. Every stage is a plain shuffle-on-key aggregate or
+  * join that AQE can re-plan; nothing is driver-side.
+  */
+object SetSim {
+
+  /** All pairs (id_a < id_b) with exact Jaccard(shingleSets) >= t.
+    * Output: (id_a, id_b, overlap, union_size, jaccard round-6),
+    * one row per qualifying pair.
+    *
+    * @param threshold  Jaccard threshold in (0, 1); higher prunes harder
+    * @param shingleN   word-shingle width for the set elements
+    * @param tokenHash  string->int64 column hash (default md5-60 for
+    *                   oracle parity; production: xxhash64)
+    */
+  def prefixJaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleN: Int = 3,
+                        tokenHash: Column => Column = Vec.md5Hash60): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"prefixJaccardJoin: threshold must be in (0,1), got $threshold")
+
+    // distinct hashed shingle set per doc (order inside the array is
+    // irrelevant: every consumer below is order-free)
+    val sets = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        array_distinct(transform(Text.shingles(col(textCol), shingleN), tokenHash))
+          .as("hset"))
+      .filter(size(col("hset")) > 0)
+
+    val ex = sets.select(col("doc_id"), explode(col("hset")).as("h"))
+    val dfCounts = ex.groupBy("h").agg(count(lit(1)).as("df"))
+
+    // per-doc token array in global rarity order (df asc, hash asc) —
+    // a deterministic total order shared with the oracle
+    val ordered = ex.join(dfCounts, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), e => e.getField("h")).as("otoks"),
+        size(col("ord")).cast("long").as("s"))
+
+    // probing prefix: p = s - ceil(t*s) + 1, exploded with 1-based pos
+    val p = (col("s") - ceil(col("s").cast("double") * threshold).cast("long") + 1)
+      .cast("int")
+    val prefix = ordered
+      .select(col("doc_id"), col("s"),
+        posexplode(slice(col("otoks"), lit(1), p)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), col("s"),
+        (col("pos0") + 1).cast("long").as("pos"), col("h"))
+
+    // candidate pairs: shared prefix token, then the two exact prunes.
+    // The positional filter is valid for a pair's EARLIEST shared
+    // token; later shared tokens only shrink the bound, so keeping a
+    // pair if ANY of its shared-token rows passes is a safe superset.
+    val ratio = threshold / (1.0 + threshold)
+    val lhs = prefix.select(col("doc_id").as("id_a"), col("s").as("s_a"),
+      col("pos").as("p_a"), col("h"))
+    val rhs = prefix.select(col("doc_id").as("id_b"), col("s").as("s_b"),
+      col("pos").as("p_b"), col("h"))
+    val cands = lhs.join(rhs, "h")
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("s_a"), col("s_b")).cast("double") >=
+        greatest(col("s_a"), col("s_b")).cast("double") * threshold)
+      .filter((lit(1L) + least(col("s_a") - col("p_a"), col("s_b") - col("p_b")))
+        .cast("double") >= ceil((col("s_a") + col("s_b")).cast("double") * ratio))
+      .select("id_a", "id_b")
+      .distinct()
+
+    // verify: exact Jaccard over the full hashed sets, pair-local
+    val setsA = sets.select(col("doc_id").as("id_a"), col("hset").as("set_a"),
+      size(col("hset")).cast("long").as("sz_a"))
+    val setsB = sets.select(col("doc_id").as("id_b"), col("hset").as("set_b"),
+      size(col("hset")).cast("long").as("sz_b"))
+    cands.join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("overlap", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("union_size", col("sz_a") + col("sz_b") - col("overlap"))
+      .withColumn("jaccard", round(col("overlap").cast("double") / col("union_size"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "overlap", "union_size", "jaccard")
+  }
+}

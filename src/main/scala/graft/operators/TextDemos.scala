@@ -1616,6 +1616,17 @@ object TextDemos {
       .orderBy("vec_id")
   }
 
+  /** C84 — exact set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family, [[SetSim.prefixJaccardJoin]]): EVERY pair
+    * of documents whose distinct 3-shingle sets meet Jaccard >= 0.5,
+    * exactly — the guaranteed-recall complement to the MinHash sketch
+    * (C2), priced by rarity-ordered prefixes instead of banding.
+    * md5-60 shingle hashes for oracle parity (production: xxhash64). */
+  def setsimJoin(spark: SparkSession, dir: String): DataFrame =
+    SetSim.prefixJaccardJoin(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.5, shingleN = 3)
+      .orderBy("id_a", "id_b")
+
   /** C63's SQL-expressible half under the DuckDB gate: the FIT stays
     * spec-gated (eigendecomposition has no SQL mirror — PcaSpec pins
     * it against hand math and known eigenpairs), but the PROJECTION

@@ -418,6 +418,63 @@ object OracleGen {
        |ORDER BY c.id_a, c.id_b""".stripMargin
   }
 
+  /** mirror of TextDemos.setsimJoin (SetSim.prefixJaccardJoin): the
+    * prefix/length/positional filters are exact prunes, so the oracle
+    * reproduces them literally — same rarity order (df asc, md5-60
+    * hash asc), same probing prefix `s - ceil(t*s) + 1`, same
+    * PPJoin positional bound — and verifies the survivors with the
+    * identical exact-Jaccard algebra. */
+  def setSimJoinSql(threshold: Double = 0.5, n: Int = 3): String = {
+    val t = threshold
+    val ratio = threshold / (1.0 + threshold)
+    val gram = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), s0 AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+       |    i -> ($gram))) AS sh
+       |  FROM t0 WHERE len(toks) >= $n
+       |), hs AS (
+       |  SELECT doc_id, list_distinct(list_transform(sh, g -> ${md560("g")})) AS hset
+       |  FROM s0 WHERE len(sh) > 0
+       |), ex AS (
+       |  SELECT doc_id, unnest(hset) AS h FROM hs
+       |), dfc AS (
+       |  SELECT h, COUNT(*) AS df FROM ex GROUP BY h
+       |), ord AS (
+       |  SELECT e.doc_id, list(e.h ORDER BY d.df, e.h) AS otoks,
+       |         CAST(COUNT(*) AS BIGINT) AS s
+       |  FROM ex e JOIN dfc d USING (h) GROUP BY e.doc_id
+       |), pre AS (
+       |  SELECT doc_id, s, u.pos AS pos, u.h AS h
+       |  FROM (SELECT doc_id, s,
+       |          unnest(list_transform(
+       |            range(1, s - CAST(ceil(CAST(s AS DOUBLE) * $t) AS BIGINT) + 2),
+       |            i -> struct_pack(pos := CAST(i AS BIGINT), h := otoks[i]))) AS u
+       |        FROM ord)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pre a JOIN pre b ON b.h = a.h AND a.doc_id < b.doc_id
+       |  WHERE CAST(least(a.s, b.s) AS DOUBLE) >= CAST(greatest(a.s, b.s) AS DOUBLE) * $t
+       |    AND CAST(1 + least(a.s - a.pos, b.s - b.pos) AS DOUBLE)
+       |        >= ceil(CAST(a.s + b.s AS DOUBLE) * $ratio)
+       |), v AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_filter(x.hset, e -> list_contains(y.hset, e))) AS BIGINT) AS overlap,
+       |    CAST(len(x.hset) AS BIGINT) AS sz_a, CAST(len(y.hset) AS BIGINT) AS sz_b
+       |  FROM cand c
+       |  JOIN hs x ON x.doc_id = c.id_a
+       |  JOIN hs y ON y.doc_id = c.id_b
+       |)
+       |SELECT id_a, id_b, overlap,
+       |  sz_a + sz_b - overlap AS union_size,
+       |  round(CAST(overlap AS DOUBLE) / (sz_a + sz_b - overlap), 6) AS jaccard
+       |FROM v
+       |WHERE round(CAST(overlap AS DOUBLE) / (sz_a + sz_b - overlap), 6) >= $t
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** mirror of TextDemos.dedupSimhash (md5-60 hash, 60 bits, 4 bands) */
   def simhashSql(bits: Int = 60, maxHamming: Int = 16): String = {
     val w = bits / 4

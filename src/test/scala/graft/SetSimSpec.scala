@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.SetSim
+
+/** Specs for the prefix-filtered exact set-similarity join (C84),
+  * checked against a plain-Scala all-pairs reference — the property
+  * that matters is COMPLETENESS: the prefix/length/positional prunes
+  * must never drop a qualifying pair.
+  */
+class SetSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def md560(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+
+  /** distinct hashed trigram-shingle set, mirroring the operator's input */
+  private def refSet(text: String, n: Int = 3): Set[Long] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) Set.empty
+    else toks.sliding(n).map(g => md560(g.mkString(" "))).toSet
+  }
+
+  /** all-pairs exact Jaccard at threshold t — no pruning at all */
+  private def refJoin(docs: Seq[(Long, String)], t: Double): Map[(Long, Long), (Long, Long, Double)] = {
+    val sets = docs.map { case (id, txt) => id -> refSet(txt) }.filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      ov = (sa & sb).size.toLong
+      un = sa.size + sb.size - ov
+      jac = java.math.BigDecimal.valueOf(ov.toDouble / un)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      if jac >= t
+    } yield (ia, ib) -> (ov, un, jac)).toMap
+  }
+
+  private def runOp(docs: Seq[(Long, String)], t: Double): Map[(Long, Long), (Long, Long, Double)] =
+    SetSim.prefixJaccardJoin(docs.toDF("doc_id", "text"), "doc_id", "text", threshold = t)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+
+  test("closed form: planted near-dup found, sub-threshold pair dropped, short docs ignored") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      1L -> base,                                   // 8 trigrams
+      2L -> (base + " lambda"),                     // 9 trigrams, 8 shared -> J = 8/9
+      3L -> "alpha beta gamma nine ten eleven twelve thirteen", // small overlap
+      4L -> "two words")                            // no trigram: excluded
+    val got = runOp(docs, 0.5)
+    assert(got.keySet == Set((1L, 2L)))
+    val (ov, un, jac) = got((1L, 2L))
+    assert(ov == 8L && un == 9L)
+    assert(jac == java.math.BigDecimal.valueOf(8.0 / 9.0)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+  }
+
+  test("completeness + exactness vs all-pairs reference on randomized docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    // near-dup-rich corpus: half the docs are mutations of a shared base
+    val bases = Vector.fill(5)(IndexedSeq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))))
+    val docs: Seq[(Long, String)] = (1L to 60L).map { id =>
+      val toks =
+        if (id % 2 == 0) {
+          val b = bases(rnd.nextInt(bases.size))
+          // mutate one token (or append) to create high-but-not-1 Jaccard
+          val i = rnd.nextInt(b.size)
+          b.updated(i, vocab(rnd.nextInt(vocab.size))) :+ vocab(rnd.nextInt(vocab.size))
+        } else IndexedSeq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      (id, toks.mkString(" "))
+    }
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val want = refJoin(docs, t)
+      val got = runOp(docs, t)
+      assert(got == want, s"threshold $t: got ${got.size} pairs, want ${want.size}")
+      assert(want.nonEmpty, s"threshold $t: degenerate fixture, no qualifying pairs")
+    }
+  }
+
+  test("threshold bounds rejected") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      SetSim.prefixJaccardJoin(df, "doc_id", "text", threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      SetSim.prefixJaccardJoin(df, "doc_id", "text", threshold = 1.0)
+    }
+  }
+}
