@@ -61,6 +61,7 @@ object SparkEntry {
     "retrieval_eval"       -> (TextDemos.retrievalEval(_, _)),
     "dedup_minhash_lsh"    -> (TextDemos.dedupMinhashLsh(_, _)),
     "setsim_join"          -> (TextDemos.setsimJoin(_, _)),
+    "budget_select"        -> (TextDemos.budgetSelectDemo(_, _)),
     "minhash_lsh_eval"     -> (TextDemos.minhashLshEval(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
@@ -883,6 +884,7 @@ object SparkEntry {
         |ORDER BY has_quota DESC, matched_by""".stripMargin,
     "dedup_minhash_lsh" -> graft.oracle.OracleGen.minhashLshSql(),
     "setsim_join"       -> graft.oracle.OracleGen.setSimJoinSql(),
+    "budget_select"     -> graft.oracle.OracleGen.budgetSelectSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vec
@@ -243,5 +244,72 @@ object Sampling {
     df.join(broadcast(thr), Seq(sourceCol))
       .filter(col(scoreCol) >= col("threshold"))
       .select(col(idCol), col(sourceCol), col(scoreCol), col("threshold"))
+  }
+
+  /** C85 — token-budget greedy selection: keep the best-scoring
+    * documents, in (score desc, id asc) order, until the cumulative
+    * token count reaches `floor(budgetFrac * total_tokens)` — the
+    * "fill the training run's token budget with the best data"
+    * primitive every curation pipeline ends with.
+    *
+    * The semantics are a running sum over a GLOBAL total order, which
+    * a naive window (`ORDER BY score DESC` with no PARTITION BY)
+    * computes on ONE task — a guaranteed straggler at corpus scale.
+    * This runs it as the classic two-phase scan instead:
+    *
+    *  1. range-repartition on the order key, so partition i holds a
+    *     contiguous, disjoint key range and partition order = global
+    *     order (persisted: the range boundaries come from sampling,
+    *     and both downstream jobs must see the SAME partitioning);
+    *  2. one tiny job aggregates per-partition token subtotals —
+    *     numPartitions rows to the driver, a prefix scan over them
+    *     yields each partition's global offset;
+    *  3. a per-partition window (partitionBy the partition id) adds
+    *     the local running sum to the broadcast offset — every
+    *     partition computes its slice of the global cumsum in
+    *     parallel, bit-identically to the single-task form.
+    *
+    * Output: (idCol, score, toks, cum_tokens) for the selected rows.
+    * Exact at any scale: token counts are integers, so the running sum
+    * is order-free arithmetic once the total order is fixed; score
+    * ties break on id. */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
+                   tokCol: Column, budgetFrac: Double,
+                   partitions: Int = 0): DataFrame = {
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0,
+      s"budgetSelect: budgetFrac must be in (0,1], got $budgetFrac")
+    val spark = df.sparkSession
+    val scored = df.select(col(idCol), scoreCol.as("score"),
+      tokCol.cast("long").as("toks"))
+    val totalRow = scored.agg(sum("toks")).head()
+    if (totalRow.isNullAt(0)) {
+      return scored.withColumn("cum_tokens", lit(0L)).limit(0)
+    }
+    val budget = math.floor(totalRow.getLong(0) * budgetFrac).toLong
+
+    val nPart = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = graft.util.CacheRegistry.register(
+      scored.repartitionByRange(nPart, col("score").desc, col(idCol))
+        .withColumn("_pid", spark_partition_id())
+        .persist())
+
+    // numPartitions-scale driver work: subtotals -> prefix offsets
+    val partTotals = ranged.groupBy("_pid").agg(sum("toks").as("pt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = partTotals.map { case (pid, pt) =>
+      val o = (pid, acc); acc += pt; o
+    }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+
+    val w = Window.partitionBy("_pid")
+      .orderBy(col("score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offDf), "_pid")
+      .withColumn("cum_tokens", sum("toks").over(w) + col("_off"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("score"), col("toks"), col("cum_tokens"))
   }
 }

@@ -1627,6 +1627,17 @@ object TextDemos {
         threshold = 0.5, shingleN = 3)
       .orderBy("id_a", "id_b")
 
+  /** C85 — token-budget greedy selection
+    * ([[Sampling.budgetSelect]]): the best-quality documents, in
+    * (score desc, doc_id) order, until 25% of the corpus's tokens are
+    * spent. The cumulative sum runs as the scalable two-phase
+    * range-partitioned scan, not a single-task global window. */
+  def budgetSelectDemo(spark: SparkSession, dir: String): DataFrame =
+    Sampling.budgetSelect(Tables.documents(spark, dir), "doc_id",
+        Text.qualityScore(col("text")), Text.tokenCount(col("text")),
+        budgetFrac = 0.25)
+      .orderBy("cum_tokens")
+
   /** C63's SQL-expressible half under the DuckDB gate: the FIT stays
     * spec-gated (eigendecomposition has no SQL mirror — PcaSpec pins
     * it against hand math and known eigenpairs), but the PROJECTION

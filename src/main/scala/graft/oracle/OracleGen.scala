@@ -475,6 +475,42 @@ object OracleGen {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** mirror of TextDemos.budgetSelectDemo (Sampling.budgetSelect):
+    * DuckDB states the semantics as the single global window the
+    * Spark side decomposes into the two-phase range-partitioned scan —
+    * integer running sums over the same (score desc, doc_id) total
+    * order, so the decomposition must be bit-identical. The score is
+    * the C9 quality formula (same expression as the quality_score
+    * row). */
+  def budgetSelectSql(budgetFrac: Double = 0.25): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, text, CAST(len(toks) AS DOUBLE) AS n_tok,
+       |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS DOUBLE) AS stop_hits,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha_hits
+       |  FROM t
+       |), sc AS (
+       |  SELECT doc_id,
+       |    0.4 * least(n_tok / 100.0, 1.0)
+       |    + 0.3 * (CASE WHEN n_tok > 0 THEN stop_hits / n_tok ELSE 0.0 END)
+       |    + 0.3 * (CASE WHEN length(text) > 0 THEN alpha_hits / CAST(length(text) AS DOUBLE) ELSE 0.0 END) AS score,
+       |    CAST(n_tok AS BIGINT) AS toks
+       |  FROM m
+       |), b AS (
+       |  SELECT CAST(floor($budgetFrac * SUM(toks)) AS BIGINT) AS budget FROM sc
+       |), c AS (
+       |  SELECT doc_id, score, toks,
+       |    CAST(SUM(toks) OVER (ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM sc
+       |)
+       |SELECT doc_id, score, toks, cum_tokens
+       |FROM c, b WHERE cum_tokens <= budget
+       |ORDER BY cum_tokens""".stripMargin
+
   /** mirror of TextDemos.dedupSimhash (md5-60 hash, 60 bits, 4 bands) */
   def simhashSql(bits: Int = 60, maxHamming: Int = 16): String = {
     val w = bits / 4
