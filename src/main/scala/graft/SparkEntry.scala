@@ -62,6 +62,7 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> (TextDemos.dedupMinhashLsh(_, _)),
     "setsim_join"          -> (TextDemos.setsimJoin(_, _)),
     "budget_select"        -> (TextDemos.budgetSelectDemo(_, _)),
+    "bitext_mine"          -> (TextDemos.bitextMineDemo(_, _)),
     "minhash_lsh_eval"     -> (TextDemos.minhashLshEval(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
@@ -885,6 +886,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> graft.oracle.OracleGen.minhashLshSql(),
     "setsim_join"       -> graft.oracle.OracleGen.setSimJoinSql(),
     "budget_select"     -> graft.oracle.OracleGen.budgetSelectSql(),
+    "bitext_mine"       -> graft.oracle.OracleGen.bitextMineSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),

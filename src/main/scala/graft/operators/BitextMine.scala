@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vec
+
+/** Margin-based bitext mining: align documents across two corpora
+  * (typically two languages embedded in one multilingual space) by the
+  * RATIO-MARGIN criterion of Artetxe & Schwenk, "Margin-based Parallel
+  * Corpus Mining with Multilingual Sentence Embeddings" (ACL 2019):
+  * raw cosine is miscalibrated across queries (some regions of the
+  * embedding space are uniformly hotter), so each candidate pair is
+  * scored relative to its neighborhoods —
+  *
+  *   margin(x, y) = cos(x, y) / ((avgF(x) + avgB(y)) / 2)
+  *
+  * where avgF(x) is the mean similarity of x to its k nearest
+  * targets and avgB(y) the mean of y to its k nearest sources. A pair
+  * only survives if it stands OUT of both neighborhoods
+  * (margin >= threshold), which kills hub vectors that are merely
+  * near everything.
+  *
+  * Shape: one similarity table feeds everything — the forward top-k
+  * averages (window per src), the backward top-k averages (window per
+  * tgt), and the final best-target-per-source pick, so the pair scan
+  * runs ONCE and is persisted across its three consumers.
+  *
+  * Scale: this form scores src × tgt exhaustively — right for a
+  * candidate slice (a shard pair, a date partition, a pre-filtered
+  * bucket). At corpus scale swap the exhaustive `sims` stage for an
+  * ANN candidate generator (IVF probes, Similarity.ivfTopk, or the
+  * LSH bucket join) emitting the same (src_id, tgt_id, sim) shape —
+  * the margin algebra downstream is unchanged, and both windows
+  * shuffle only candidate rows, never the cross product.
+  *
+  * Determinism: cosines round to 6 before any aggregate, and the k-NN
+  * neighborhood sums stay EXACT decimals all the way into one final
+  * cross-multiplied division —
+  *
+  *   margin = 2k * sim / (sumF + sumB)
+  *
+  * (algebraically identical to sim / ((sumF/k + sumB/k) / 2)). Never
+  * round the /k means: a mean of round-6 terms over k=4 has exactly
+  * 8 decimal digits, so its 7th digit lands on a decimal .5 boundary
+  * STRUCTURALLY, where JVM shortest-repr HALF_UP and C-side binary
+  * rounding disagree on the tie. The fixed divisor k also means sides
+  * smaller than k dilute toward zero rather than renormalizing —
+  * deterministic and oracle-reproducible either way.
+  */
+object BitextMine {
+
+  /** Best target per source at margin >= `marginThreshold`.
+    * Output: (src_id, tgt_id, sim, margin), one row per mined source.
+    */
+  def mine(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
+           k: Int = 4, marginThreshold: Double = 1.1): DataFrame = {
+    require(k >= 1, s"BitextMine.mine: k must be >= 1, got $k")
+    val a = src.select(col(idCol).cast("long").as("src_id"), col(vecCol).as("qv"))
+    val b = tgt.select(col(idCol).cast("long").as("tgt_id"), col(vecCol).as("cv"))
+
+    val sims = graft.util.CacheRegistry.register(
+      a.crossJoin(b)
+        .select(col("src_id"), col("tgt_id"),
+          round(Vec.cosineFast(col("qv"), col("cv")), 6).as("sim"))
+        .persist())
+
+    def topkSum(keyCol: String, tieCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy(keyCol).orderBy(col("sim").desc, col(tieCol))
+      sims.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k)
+        .groupBy(keyCol)
+        .agg(sum(col("sim").cast("decimal(18,6)")).as(outCol))
+    }
+    val fwd = topkSum("src_id", "tgt_id", "sum_f")
+    val bwd = topkSum("tgt_id", "src_id", "sum_b")
+
+    val margins = sims.join(fwd, "src_id").join(bwd, "tgt_id")
+      .withColumn("margin",
+        round((col("sim") * (2 * k)) /
+          (col("sum_f") + col("sum_b")).cast("double"), 6))
+    val wBest = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id"))
+    margins.withColumn("_rn", row_number().over(wBest))
+      .filter(col("_rn") === 1 && col("margin") >= marginThreshold)
+      .select("src_id", "tgt_id", "sim", "margin")
+  }
+}

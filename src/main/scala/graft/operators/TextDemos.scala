@@ -1638,6 +1638,22 @@ object TextDemos {
         budgetFrac = 0.25)
       .orderBy("cum_tokens")
 
+  /** C86 — margin-based bitext mining ([[BitextMine.mine]], the
+    * Artetxe & Schwenk ratio margin): English documents as the source
+    * side, every other language as the target side, best target per
+    * source where the pair stands out of BOTH k=4 cosine
+    * neighborhoods at margin >= 1.1. */
+  def bitextMineDemo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), docs("lang"), emb("embedding"))
+    BitextMine.mine(joined.filter(col("lang") === "en"),
+        joined.filter(col("lang") =!= "en"), "doc_id", "embedding",
+        k = 4, marginThreshold = 1.1)
+      .orderBy("src_id")
+  }
+
   /** C63's SQL-expressible half under the DuckDB gate: the FIT stays
     * spec-gated (eigendecomposition has no SQL mirror — PcaSpec pins
     * it against hand math and known eigenpairs), but the PROJECTION

@@ -511,6 +511,48 @@ object OracleGen {
        |FROM c, b WHERE cum_tokens <= budget
        |ORDER BY cum_tokens""".stripMargin
 
+  /** mirror of TextDemos.bitextMineDemo (BitextMine.mine): same
+    * round-6 cosines, exact decimal neighborhood sums feeding the
+    * cross-multiplied ratio margin `2k*sim / (sumF+sumB)` (never
+    * round the /k means — they land on decimal .5 boundaries
+    * structurally), and the (margin desc, tgt_id) best-per-source
+    * pick. */
+  def bitextMineSql(k: Int = 4, threshold: Double = 1.1): String =
+    s"""WITH a AS (
+       |  SELECT d.doc_id AS src_id, e.embedding AS qv
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+       |  WHERE d.lang = 'en'
+       |), b AS (
+       |  SELECT d.doc_id AS tgt_id, e.embedding AS cv
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+       |  WHERE d.lang <> 'en'
+       |), x AS (
+       |  SELECT src_id, tgt_id, round(${cosineExpr("qv", "cv")}, 6) AS sim
+       |  FROM a, b
+       |), f AS (
+       |  SELECT src_id, SUM(CAST(sim AS DECIMAL(18,6))) AS sum_f
+       |  FROM (SELECT src_id, sim,
+       |          row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rn
+       |        FROM x)
+       |  WHERE rn <= $k GROUP BY src_id
+       |), g AS (
+       |  SELECT tgt_id, SUM(CAST(sim AS DECIMAL(18,6))) AS sum_b
+       |  FROM (SELECT tgt_id, sim,
+       |          row_number() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rn
+       |        FROM x)
+       |  WHERE rn <= $k GROUP BY tgt_id
+       |), m AS (
+       |  SELECT x.src_id, x.tgt_id, x.sim,
+       |    round((x.sim * ${2 * k}) / CAST(f.sum_f + g.sum_b AS DOUBLE), 6) AS margin
+       |  FROM x JOIN f USING (src_id) JOIN g USING (tgt_id)
+       |), best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
+       |  FROM m
+       |)
+       |SELECT src_id, tgt_id, sim, margin
+       |FROM best WHERE rn = 1 AND margin >= $threshold
+       |ORDER BY src_id""".stripMargin
+
   /** mirror of TextDemos.dedupSimhash (md5-60 hash, 60 bits, 4 bands) */
   def simhashSql(bits: Int = 60, maxHamming: Int = 16): String = {
     val w = bits / 4
