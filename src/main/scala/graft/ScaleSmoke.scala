@@ -66,14 +66,22 @@ object ScaleSmoke {
     // doesn't stress
     "contamination_spans", "contamination_scrub", "retrieval_eval",
     "html_main_content", "crawl_ingest_e2e", "rrf_fusion",
-    "bm25_index_append", "pagerank_2x_iters")
+    "bm25_index_append", "pagerank_2x_iters",
+    // r12 additions: the prefix-filtered exact similarity join, the
+    // two-phase budget cumsum, and bitext mining in its LSH-candidate
+    // form — the exhaustive bitext_mine demo is quadratic BY DESIGN
+    // (a candidate-slice operator; its doc says swap in ANN at scale),
+    // so the smoke stresses the form that is claimed to scale
+    "setsim_join", "budget_select", "bitext_mine_ann")
 
   /** smoke-only variants that exist to stress a knob the registry
     * demos fix (SparkEntry rows must stay oracle-stable): PageRank at
     * 12 rounds = 2× the C68 demo, same mutual-kNN graph. */
   val SmokeExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pagerank_2x_iters" -> ((s: SparkSession, dir: String) =>
-      graft.operators.TextDemos.pagerankOverKnn(s, dir, iters = 12)))
+      graft.operators.TextDemos.pagerankOverKnn(s, dir, iters = 12)),
+    "bitext_mine_ann" -> ((s: SparkSession, dir: String) =>
+      graft.operators.TextDemos.bitextMineAnn(s, dir)))
 
   private def replicate(factor: Int)(one: Int => DataFrame): DataFrame =
     (0 until factor).map(one).reduce(_ unionByName _)

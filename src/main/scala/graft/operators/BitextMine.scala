@@ -51,20 +51,58 @@ import graft.functions.Vec
   */
 object BitextMine {
 
-  /** Best target per source at margin >= `marginThreshold`.
+  /** Best target per source at margin >= `marginThreshold`, scored
+    * exhaustively (the candidate-slice form).
     * Output: (src_id, tgt_id, sim, margin), one row per mined source.
     */
   def mine(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
            k: Int = 4, marginThreshold: Double = 1.1): DataFrame = {
-    require(k >= 1, s"BitextMine.mine: k must be >= 1, got $k")
     val a = src.select(col(idCol).cast("long").as("src_id"), col(vecCol).as("qv"))
     val b = tgt.select(col(idCol).cast("long").as("tgt_id"), col(vecCol).as("cv"))
-
-    val sims = graft.util.CacheRegistry.register(
+    marginPick(
       a.crossJoin(b)
         .select(col("src_id"), col("tgt_id"),
-          round(Vec.cosineFast(col("qv"), col("cv")), 6).as("sim"))
-        .persist())
+          round(Vec.cosineFast(col("qv"), col("cv")), 6).as("sim")),
+      k, marginThreshold)
+  }
+
+  /** The corpus-scale form: candidate pairs come from a shared-
+    * hyperplane LSH bucket join (multi-probed on the source side, the
+    * C6 discipline) instead of the cross product, and the SAME margin
+    * algebra runs over the candidate sims — neighborhood sums are
+    * taken over each id's retrieved candidates, exactly how
+    * approximate margin mining runs over FAISS shortlists in practice.
+    * Pair volume is bucket-local; nothing scales with |src| × |tgt|.
+    */
+  def mineAnn(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
+              k: Int = 4, marginThreshold: Double = 1.1,
+              nPlanes: Int = 8, dim: Int = 64, probeBits: Int = 1): DataFrame = {
+    val planes = Vec.hyperplanes(nPlanes, dim)
+    val flips = Similarity.hammingBallMasks(nPlanes, probeBits)
+    val probes = array(flips.map(lit): _*)
+    val a = src.select(col(idCol).cast("long").as("src_id"), col(vecCol).as("qv"))
+      .withColumn("bucket0", Vec.lshBucket(col("qv"), planes))
+      .withColumn("bucket", explode(transform(probes, f => col("bucket0").bitwiseXOR(f))))
+      .drop("bucket0")
+    val b = tgt.select(col(idCol).cast("long").as("tgt_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", Vec.lshBucket(col("cv"), planes))
+    val sims = a.join(b, "bucket")
+      // multi-probe can surface one pair via several buckets; the pair's
+      // vectors (hence sim) are identical on every copy
+      .dropDuplicates("src_id", "tgt_id")
+      .select(col("src_id"), col("tgt_id"),
+        round(Vec.cosineFast(col("qv"), col("cv")), 6).as("sim"))
+    marginPick(sims, k, marginThreshold)
+  }
+
+  /** The margin algebra over any (src_id, tgt_id, sim round-6)
+    * candidate table — shared by [[mine]] (exhaustive) and [[mineAnn]]
+    * (LSH candidates); the input scan is persisted across its three
+    * consumers. */
+  def marginPick(candidateSims: DataFrame, k: Int,
+                 marginThreshold: Double): DataFrame = {
+    require(k >= 1, s"BitextMine: k must be >= 1, got $k")
+    val sims = graft.util.CacheRegistry.register(candidateSims.persist())
 
     def topkSum(keyCol: String, tieCol: String, outCol: String): DataFrame = {
       val w = Window.partitionBy(keyCol).orderBy(col("sim").desc, col(tieCol))

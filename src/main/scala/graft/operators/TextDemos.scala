@@ -1654,6 +1654,22 @@ object TextDemos {
       .orderBy("src_id")
   }
 
+  /** C86's corpus-scale form ([[BitextMine.mineAnn]]): the same
+    * margin algebra over LSH-bucketed candidates instead of the cross
+    * product — bench/smoke surface (LSH buckets have no SQL mirror;
+    * the exhaustive demo above carries the oracle row, and
+    * BitextMineSpec pins mineAnn ≡ mine at full probe width). */
+  def bitextMineAnn(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), docs("lang"), emb("embedding"))
+    BitextMine.mineAnn(joined.filter(col("lang") === "en"),
+        joined.filter(col("lang") =!= "en"), "doc_id", "embedding",
+        k = 4, marginThreshold = 1.1, nPlanes = 8, dim = 64, probeBits = 2)
+      .orderBy("src_id")
+  }
+
   /** C63's SQL-expressible half under the DuckDB gate: the FIT stays
     * spec-gated (eigendecomposition has no SQL mirror — PcaSpec pins
     * it against hand math and known eigenpairs), but the PROJECTION

@@ -93,6 +93,39 @@ class BitextMineSpec extends SparkSpec {
     assert(refMine(src, tgt, 4, 1.1).nonEmpty, "degenerate fixture")
   }
 
+  test("mineAnn at full probe width is exactly mine: the candidate set is the cross product") {
+    val rnd = new scala.util.Random(31)
+    def vec(): Array[Float] = Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)
+    val src = (1L to 25L).map(id => id -> vec())
+    val tgt = (101L to 130L).map(id => id -> vec())
+    val exact = runOp(src, tgt, k = 4, thr = 1.0)
+    val ann = BitextMine.mineAnn(src.toDF("doc_id", "embedding"),
+        tgt.toDF("doc_id", "embedding"), "doc_id", "embedding",
+        k = 4, marginThreshold = 1.0, nPlanes = 5, dim = 8, probeBits = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(ann == exact)
+    assert(exact.nonEmpty, "degenerate fixture")
+  }
+
+  test("mineAnn at probeBits=1 still mines planted strong pairs") {
+    val rnd = new scala.util.Random(37)
+    def vec(): Array[Float] = Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
+    val src = (1L to 30L).map(id => id -> vec())
+    // every source gets a near-identical target: same bucket by
+    // construction (tiny perturbation), so probeBits=1 must see it
+    val tgt = src.map { case (id, v) =>
+      (id + 100L) -> v.map(x => x + (rnd.nextDouble() * 0.01).toFloat)
+    }
+    val got = BitextMine.mineAnn(src.toDF("doc_id", "embedding"),
+        tgt.toDF("doc_id", "embedding"), "doc_id", "embedding",
+        k = 4, marginThreshold = 1.1, nPlanes = 6, dim = 16, probeBits = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mined = src.count { case (id, _) => got.get(id).contains(id + 100L) }
+    assert(mined >= 25, s"only $mined/30 planted pairs mined: $got")
+  }
+
   test("k bound rejected") {
     val df = Seq((1L, Array(1f, 0f))).toDF("doc_id", "embedding")
     intercept[IllegalArgumentException] {
