@@ -63,6 +63,7 @@ object SparkEntry {
     "setsim_join"          -> (TextDemos.setsimJoin(_, _)),
     "budget_select"        -> (TextDemos.budgetSelectDemo(_, _)),
     "bitext_mine"          -> (TextDemos.bitextMineDemo(_, _)),
+    "anchor_text_agg"      -> (TextDemos.anchorAggDemo(_, _)),
     "minhash_lsh_eval"     -> (TextDemos.minhashLshEval(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
@@ -887,6 +888,7 @@ object SparkEntry {
     "setsim_join"       -> graft.oracle.OracleGen.setSimJoinSql(),
     "budget_select"     -> graft.oracle.OracleGen.budgetSelectSql(),
     "bitext_mine"       -> graft.oracle.OracleGen.bitextMineSql(),
+    "anchor_text_agg"   -> graft.oracle.OracleGen.anchorAggSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),

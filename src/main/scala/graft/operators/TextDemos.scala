@@ -1670,6 +1670,27 @@ object TextDemos {
       .orderBy("src_id")
   }
 
+  /** C87 — anchor-text aggregation ([[Anchors.anchorAgg]]): pages
+    * synthesized onto the docs (the C55 convention) with THREE anchors
+    * each — a tracking-params/mixed-case form, a trailing-slash form,
+    * and a fragment form that canonicalizes INTO the first's target —
+    * inverted into per-canonical-target anchor profiles (total
+    * anchors, distinct texts, top-3 texts by count). */
+  def anchorAggDemo(spark: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val firstTok = coalesce(element_at(Text.wsTokens(col("text")), 1), lit("x"))
+    val html = concat(
+      lit("<div><a href='HTTP://Example.COM/t/"), (i % 97).cast("string"),
+      lit("?utm_source=x&q=1'>link &amp; "), col("source"), lit("</a> "),
+      lit("<a href=\"https://example.com/t/"), ((i * 7) % 97).cast("string"),
+      lit("/\">"), firstTok, lit("</a> "),
+      lit("<a href='https://example.com/t/"), (i % 97).cast("string"),
+      lit("#frag'>read more</a></div>"))
+    Anchors.anchorAgg(
+        Tables.documents(spark, dir).select(html.as("html")), "html", m = 3)
+      .orderBy("target_url")
+  }
+
   /** C63's SQL-expressible half under the DuckDB gate: the FIT stays
     * spec-gated (eigendecomposition has no SQL mirror — PcaSpec pins
     * it against hand math and known eigenpairs), but the PROJECTION

@@ -640,6 +640,83 @@ object OracleGen {
     * URLs, the same canonicalization algebra (lowercase scheme/host,
     * default-port drop, trailing-slash strip, tracking-param drop +
     * sort, fragment drop) in DuckDB string/regex/list functions. */
+  /** the Norm.canonicalizeUrl mirror as reusable CTE bodies: given a
+    * source relation with a `url` column (plus `carry` columns to
+    * thread through), emits `<prefix>_parts` / `<prefix>_norm` CTEs
+    * and a final SELECT-able canon expression via [[urlCanonExpr]].
+    * Shared by the C55 row and the C87 anchor aggregation so the two
+    * mirrors can never drift. */
+  private def urlCanonCtes(src: String, carry: Seq[String], prefix: String): String = {
+    val c = carry.map(_ + ",\n    ").mkString
+    s"""${prefix}_parts AS (
+       |  SELECT ${c}url,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+       |    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
+       |  FROM $src
+       |), ${prefix}_norm AS (
+       |  SELECT ${c}url, scheme,
+       |    lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+       |    regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+       |    CASE WHEN regexp_replace(path0, '/+$$', '') = '' THEN '/'
+       |         ELSE regexp_replace(path0, '/+$$', '') END AS path_c,
+       |    array_to_string(list_sort(list_filter(string_split(query, '&'),
+       |      p -> p <> '' AND NOT (p LIKE 'utm_%' OR p LIKE 'gclid=%' OR p LIKE 'fbclid=%'))), '&') AS query_c
+       |  FROM ${prefix}_parts
+       |)""".stripMargin
+  }
+
+  /** the canon_url expression over a [[urlCanonCtes]] `<prefix>_norm`
+    * row — single-line: callers embed it inside stripMargin templates,
+    * where a line-leading `||` would lose a pipe to the margin strip */
+  private val urlCanonExpr: String =
+    "scheme || '://' || host || (CASE WHEN port <> '' AND NOT " +
+      "((scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')) " +
+      "THEN ':' || port ELSE '' END) || path_c || " +
+      "(CASE WHEN query_c <> '' THEN '?' || query_c ELSE '' END)"
+
+  /** mirror of TextDemos.anchorAggDemo (Anchors.anchorAgg): same page
+    * synthesis, same two-group regexp anchor extraction, the SHARED
+    * [[urlCanonCtes]] canonicalization, and the same
+    * (count desc, text) top-m pick per canonical target. */
+  def anchorAggSql(m: Int = 3): String = {
+    val pat = """<a[^>]*href=[''"]([^''"]+)[''"][^>]*>([^<]*)</a>"""
+    s"""WITH pages AS (
+       |  SELECT '<div><a href=''HTTP://Example.COM/t/' || CAST(doc_id % 97 AS VARCHAR)
+       |      || '?utm_source=x&q=1''>link &amp; ' || source || '</a> '
+       |      || '<a href="https://example.com/t/' || CAST((doc_id * 7) % 97 AS VARCHAR)
+       |      || '/">' || COALESCE(list_filter(string_split(text, ' '), x -> x <> '')[1], 'x') || '</a> '
+       |      || '<a href=''https://example.com/t/' || CAST(doc_id % 97 AS VARCHAR)
+       |      || '#frag''>read more</a></div>' AS html
+       |  FROM documents
+       |), ax AS (
+       |  SELECT regexp_extract_all(html, '$pat', 1) AS hrefs,
+       |         regexp_extract_all(html, '$pat', 2) AS texts
+       |  FROM pages
+       |), pr AS (
+       |  SELECT u.h AS url, trim(replace(u.t, '&amp;', '&')) AS text
+       |  FROM (SELECT unnest(list_transform(range(1, len(hrefs) + 1),
+       |          j -> struct_pack(h := hrefs[j], t := texts[j]))) AS u
+       |        FROM ax)
+       |), ${urlCanonCtes("pr", Seq("text"), "a")}, canon AS (
+       |  SELECT $urlCanonExpr AS target_url, text
+       |  FROM a_norm
+       |  WHERE ($urlCanonExpr) <> '' AND text <> ''
+       |), cnts AS (
+       |  SELECT target_url, text, COUNT(*) AS cnt FROM canon GROUP BY 1, 2
+       |), rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY target_url
+       |    ORDER BY cnt DESC, text) AS rnk
+       |  FROM cnts
+       |)
+       |SELECT target_url,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_anchors,
+       |  CAST(COUNT(*) AS BIGINT) AS n_texts,
+       |  array_to_string(list(text ORDER BY rnk) FILTER (WHERE rnk <= $m), '|') AS top_texts
+       |FROM rk GROUP BY target_url ORDER BY target_url""".stripMargin
+  }
+
   def urlCanonicalizeSql(): String =
     s"""WITH raw AS (
        |  SELECT doc_id,
@@ -655,32 +732,11 @@ object OracleGen {
        |    || (CASE WHEN doc_id % 3 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END)
        |    AS url
        |  FROM documents
-       |), parts AS (
-       |  SELECT doc_id, url,
-       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
-       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-       |    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
-       |  FROM raw
-       |), norm AS (
-       |  SELECT doc_id, url, scheme,
-       |    lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
-       |    regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
-       |    CASE WHEN regexp_replace(path0, '/+$$', '') = '' THEN '/'
-       |         ELSE regexp_replace(path0, '/+$$', '') END AS path_c,
-       |    array_to_string(list_sort(list_filter(string_split(query, '&'),
-       |      p -> p <> '' AND NOT (p LIKE 'utm_%' OR p LIKE 'gclid=%' OR p LIKE 'fbclid=%'))), '&') AS query_c
-       |  FROM parts
-       |)
+       |), ${urlCanonCtes("raw", Seq("doc_id"), "u")}
        |SELECT doc_id, url,
-       |  scheme || '://' || host
-       |  || (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
-       |                                 OR (scheme = 'https' AND port = '443'))
-       |       THEN ':' || port ELSE '' END)
-       |  || path_c
-       |  || (CASE WHEN query_c <> '' THEN '?' || query_c ELSE '' END) AS canon_url,
+       |  $urlCanonExpr AS canon_url,
        |  host
-       |FROM norm ORDER BY doc_id""".stripMargin
+       |FROM u_norm ORDER BY doc_id""".stripMargin
 
   /** mirror of TextDemos.sourceQualityGate: the C9 quality score with
     * `source` riding along, per-source exact interpolated median via
