@@ -1143,4 +1143,45 @@ object Similarity {
       .filter(col("sim") > threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** C88 — Matryoshka truncation evaluation (after Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022): how much
+    * retrieval quality survives serving only the first `d` dimensions
+    * of each embedding? For every d in `dims`, run the SAME brute
+    * cosine top-k over prefix-truncated vectors and score recall@k
+    * against the full-dimension truth — the measurement that decides
+    * a serving-dim/cost tradeoff (half the dims = half the ANN index
+    * RAM and I/O) BEFORE committing an index build to it.
+    *
+    * Cost shape: queries broadcast (query slices are small by the same
+    * bound every brute row relies on); the corpus scan reruns per
+    * probed dim over the persisted projected pair, all dims' hit
+    * counting rides one union + one join against the persisted truth
+    * pairs. Truth-set and query-count scalars are query-scale, never
+    * corpus-scale. Output: (dim, n_hits, recall) per probed dim;
+    * dims includes fullDim as the recall=1 sanity row. */
+  def matryoshkaEval(vecs: DataFrame, idCol: String, vecCol: String,
+                     dims: Seq[Int], fullDim: Int, k: Int,
+                     queryPred: Column): DataFrame = {
+    require(dims.nonEmpty && dims.forall(d => d >= 1 && d <= fullDim),
+      s"matryoshkaEval: dims must be within [1, $fullDim], got $dims")
+    val q = graft.util.CacheRegistry.register(
+      vecs.filter(queryPred)
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv")).persist())
+    val c = graft.util.CacheRegistry.register(
+      vecs.filter(!queryPred)
+        .select(col(idCol).as("cand_id"), col(vecCol).as("cv")).persist())
+    def pairsAt(d: Int): DataFrame = bruteTopK(
+      q.select(col("query_id"), slice(col("qv"), 1, d).as("qv")),
+      c.select(col("cand_id"), slice(col("cv"), 1, d).as("cv")), k)
+      .select("query_id", "cand_id")
+    val truth = graft.util.CacheRegistry.register(pairsAt(fullDim).persist())
+    val denom = k * q.count()
+    val variants = dims.map(d => pairsAt(d).withColumn("dim", lit(d)))
+      .reduce(_ unionByName _)
+    variants.join(truth, Seq("query_id", "cand_id"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / denom, 6))
+  }
 }

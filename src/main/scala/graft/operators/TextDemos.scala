@@ -1691,6 +1691,17 @@ object TextDemos {
       .orderBy("target_url")
   }
 
+  /** C88 — Matryoshka truncation evaluation
+    * ([[Similarity.matryoshkaEval]]): recall@5 of serving only the
+    * first 16/32 dims of the 64-dim embeddings, against the full-dim
+    * truth (the %97 query slice, the retrieval_eval convention);
+    * dim=64 rides along as the recall=1 sanity row. */
+  def matryoshkaEvalDemo(spark: SparkSession, dir: String): DataFrame =
+    Similarity.matryoshkaEval(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", dims = Seq(16, 32, 64), fullDim = 64,
+        k = 5, queryPred = col("vec_id") % 97 === 0)
+      .orderBy("dim")
+
   /** C63's SQL-expressible half under the DuckDB gate: the FIT stays
     * spec-gated (eigendecomposition has no SQL mirror — PcaSpec pins
     * it against hand math and known eigenpairs), but the PROJECTION

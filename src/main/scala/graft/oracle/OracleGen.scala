@@ -511,6 +511,44 @@ object OracleGen {
        |FROM c, b WHERE cum_tokens <= budget
        |ORDER BY cum_tokens""".stripMargin
 
+  /** mirror of TextDemos.matryoshkaEvalDemo (Similarity
+    * .matryoshkaEval): same prefix-sliced brute top-k per probed dim
+    * — UNROUNDED cosine ordering with cand_id tie-break, the
+    * embed_cosine_topk discipline (identical left-fold arithmetic on
+    * both engines) — unioned and hit-counted against the full-dim
+    * truth. */
+  def matryoshkaEvalSql(dims: Seq[Int] = Seq(16, 32, 64),
+                        fullDim: Int = 64, k: Int = 5): String = {
+    def top(d: Int, name: String): String =
+      s"""$name AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ${cosineExpr(s"(qv[1:$d])", s"(cv[1:$d])")} DESC, cand_id) AS rn
+         |    FROM q, c)
+         |  WHERE rn <= $k
+         |)""".stripMargin
+    val variantCtes = dims.map(d => top(d, s"t$d")).mkString(",\n")
+    val union = dims.map(d => s"SELECT $d AS dim, query_id, cand_id FROM t$d")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0
+       |), c AS (
+       |  SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id % 97 <> 0
+       |), $variantCtes,
+       |truth AS (SELECT query_id, cand_id FROM t$fullDim),
+       |variants AS (
+       |  $union
+       |), hits AS (
+       |  SELECT dim, COUNT(*) AS n_hits
+       |  FROM variants JOIN truth USING (query_id, cand_id)
+       |  GROUP BY dim
+       |)
+       |SELECT dim, CAST(n_hits AS BIGINT) AS n_hits,
+       |  round(CAST(n_hits AS DOUBLE) / ($k * (SELECT COUNT(*) FROM q)), 6) AS recall
+       |FROM hits ORDER BY dim""".stripMargin
+  }
+
   /** mirror of TextDemos.bitextMineDemo (BitextMine.mine): same
     * round-6 cosines, exact decimal neighborhood sums feeding the
     * cross-multiplied ratio margin `2k*sim / (sumF+sumB)` (never
