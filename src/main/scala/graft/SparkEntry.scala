@@ -65,6 +65,7 @@ object SparkEntry {
     "bitext_mine"          -> (TextDemos.bitextMineDemo(_, _)),
     "anchor_text_agg"      -> (TextDemos.anchorAggDemo(_, _)),
     "matryoshka_eval"      -> (TextDemos.matryoshkaEvalDemo(_, _)),
+    "robots_gate"          -> (TextDemos.robotsGateDemo(_, _)),
     "minhash_lsh_eval"     -> (TextDemos.minhashLshEval(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
@@ -891,6 +892,7 @@ object SparkEntry {
     "bitext_mine"       -> graft.oracle.OracleGen.bitextMineSql(),
     "anchor_text_agg"   -> graft.oracle.OracleGen.anchorAggSql(),
     "matryoshka_eval"   -> graft.oracle.OracleGen.matryoshkaEvalSql(),
+    "robots_gate"       -> graft.oracle.OracleGen.robotsGateSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),

@@ -1702,6 +1702,34 @@ object TextDemos {
         k = 5, queryPred = col("vec_id") % 97 === 0)
       .orderBy("dim")
 
+  /** C89 — robots.txt gating ([[Robots.gate]]): per-source robots
+    * bodies synthesized onto the doc corpus (even-numbered sources
+    * publish a plain private/tmp policy, odd ones add a short
+    * `Disallow: /p` that outranks nothing but catches /pub), URLs
+    * spread over four path families so every precedence rule fires:
+    * longest-match Disallow, the longer Allow carve-out winning over
+    * it, the no-rule default, and non-rule lines (Crawl-delay, empty
+    * Allow) dropping in the parse. */
+  def robotsGateDemo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val even = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 2 === 0
+    val content = concat(lit("User-agent: *\nDisallow: /private\n" +
+        "Allow: /private/ok\nDisallow: /tmp\nAllow:\nCrawl-delay: 5"),
+      when(even, lit("")).otherwise(lit("\nDisallow: /p")))
+    val robots = docs.select(col("source")).distinct()
+      .select(concat(col("source"), lit(".example.com")).as("domain"),
+        content.as("content"))
+    val i = col("doc_id")
+    val path = when(i % 4 === 0, concat(lit("/private/doc"), i.cast("string")))
+      .when(i % 4 === 1, concat(lit("/private/ok/doc"), i.cast("string")))
+      .when(i % 4 === 2, concat(lit("/pub/doc"), i.cast("string")))
+      .otherwise(concat(lit("/tmp/x"), i.cast("string")))
+    val urls = docs.select(
+      concat(lit("https://"), col("source"), lit(".example.com"), path).as("url"))
+    Robots.gate(urls, Robots.parseRules(robots, "domain", "content"), "url")
+      .orderBy("url")
+  }
+
   /** C63's SQL-expressible half under the DuckDB gate: the FIT stays
     * spec-gated (eigendecomposition has no SQL mirror — PcaSpec pins
     * it against hand math and known eigenpairs), but the PROJECTION

@@ -549,6 +549,59 @@ object OracleGen {
        |FROM hits ORDER BY dim""".stripMargin
   }
 
+  /** mirror of TextDemos.robotsGateDemo (Robots.parseRules + gate):
+    * same synthesis, same two-group line regexp, same
+    * longest-match / Allow-wins-tie pick via an identical window. */
+  def robotsGateSql(): String = {
+    // raw triple-quote: single backslashes and a bare $ anchor — this
+    // val is spliced into the s-string below, not re-interpolated
+    val linePat = """^(Allow|Disallow):\s*(\S+)\s*$"""
+    s"""WITH rb AS (
+       |  SELECT DISTINCT source || '.example.com' AS domain,
+       |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+       |    || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp' || chr(10)
+       |    || 'Allow:' || chr(10) || 'Crawl-delay: 5'
+       |    || (CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INTEGER) % 2 = 0
+       |        THEN '' ELSE chr(10) || 'Disallow: /p' END) AS content
+       |  FROM documents
+       |), lines AS (
+       |  SELECT domain, unnest(string_split(content, chr(10))) AS line FROM rb
+       |), rules AS (
+       |  SELECT domain,
+       |    regexp_extract(line, '$linePat', 1) AS r_type,
+       |    regexp_extract(line, '$linePat', 2) AS r_path
+       |  FROM lines
+       |  WHERE regexp_extract(line, '$linePat', 1) <> ''
+       |    AND regexp_extract(line, '$linePat', 2) <> ''
+       |), urls AS (
+       |  SELECT 'https://' || source || '.example.com'
+       |    || (CASE WHEN doc_id % 4 = 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+       |             WHEN doc_id % 4 = 1 THEN '/private/ok/doc' || CAST(doc_id AS VARCHAR)
+       |             WHEN doc_id % 4 = 2 THEN '/pub/doc' || CAST(doc_id AS VARCHAR)
+       |             ELSE '/tmp/x' || CAST(doc_id AS VARCHAR) END) AS url
+       |  FROM documents
+       |), parsed AS (
+       |  SELECT url,
+       |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS domain,
+       |    CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+       |         THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END AS path
+       |  FROM urls
+       |), j AS (
+       |  SELECT p.url, p.domain, p.path, r.r_type, r.r_path
+       |  FROM parsed p LEFT JOIN rules r
+       |    ON r.domain = p.domain AND starts_with(p.path, r.r_path)
+       |), rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY url
+       |    ORDER BY length(r_path) DESC, r_type, r_path) AS rn
+       |  FROM j
+       |)
+       |SELECT url, domain, path,
+       |  COALESCE(r_type, '') AS rule_type,
+       |  COALESCE(r_path, '') AS rule_path,
+       |  (COALESCE(r_type, '') <> 'Disallow') AS allowed
+       |FROM rk WHERE rn = 1 ORDER BY url""".stripMargin
+  }
+
   /** mirror of TextDemos.bitextMineDemo (BitextMine.mine): same
     * round-6 cosines, exact decimal neighborhood sums feeding the
     * cross-multiplied ratio margin `2k*sim / (sumF+sumB)` (never
