@@ -61,6 +61,7 @@ object SparkEntry {
     "retrieval_eval"       -> (TextDemos.retrievalEval(_, _)),
     "dedup_minhash_lsh"    -> (TextDemos.dedupMinhashLsh(_, _)),
     "setsim_join"          -> (TextDemos.setsimJoin(_, _)),
+    "setsim_join_rs"       -> (TextDemos.setsimJoinRs(_, _)),
     "budget_select"        -> (TextDemos.budgetSelectDemo(_, _)),
     "bitext_mine"          -> (TextDemos.bitextMineDemo(_, _)),
     "anchor_text_agg"      -> (TextDemos.anchorAggDemo(_, _)),
@@ -888,6 +889,7 @@ object SparkEntry {
         |ORDER BY has_quota DESC, matched_by""".stripMargin,
     "dedup_minhash_lsh" -> graft.oracle.OracleGen.minhashLshSql(),
     "setsim_join"       -> graft.oracle.OracleGen.setSimJoinSql(),
+    "setsim_join_rs"    -> graft.oracle.OracleGen.setSimJoinRsSql(),
     "budget_select"     -> graft.oracle.OracleGen.budgetSelectSql(),
     "bitext_mine"       -> graft.oracle.OracleGen.bitextMineSql(),
     "anchor_text_agg"   -> graft.oracle.OracleGen.anchorAggSql(),

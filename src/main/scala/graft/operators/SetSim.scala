@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Text, Vec}
 
-/** Exact set-similarity self-join via prefix filtering (the
+/** Exact set-similarity joins via prefix filtering (the
   * AllPairs/PPJoin family; distributed formulation after Vernica,
   * Carey & Li, SIGMOD 2010).
   *
   * Complements the sketch-based near-dup family: MinHash-LSH (C2)
-  * trades recall for cost, while this operator returns EVERY pair at
+  * trades recall for cost, while these operators return EVERY pair at
   * Jaccard >= t, exactly — the verification tool you run over a
   * candidate slice, or the primary join when the threshold is high
   * enough that prefixes prune hard.
@@ -41,6 +41,79 @@ import graft.functions.{Text, Vec}
   */
 object SetSim {
 
+  /** distinct hashed shingle set per doc; order inside the array is
+    * irrelevant (every consumer is order-free) */
+  private def hashedSets(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int, tokenHash: Column => Column): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        array_distinct(transform(Text.shingles(col(textCol), shingleN), tokenHash))
+          .as("hset"))
+      .filter(size(col("hset")) > 0)
+
+  /** per-doc token array in the shared total order (df asc, hash asc)
+    * plus its probing prefix exploded with 1-based positions. Tokens
+    * absent from `dfCounts` order FIRST (df 0 — "rarest"): for the
+    * R-S form the index side's frequencies are the shared dictionary
+    * and a probe-only token is by definition rare there. */
+  private def prefixExploded(sets: DataFrame, dfCounts: DataFrame,
+                             threshold: Double): DataFrame = {
+    val ex = sets.select(col("doc_id"), explode(col("hset")).as("h"))
+    val ordered = ex.join(dfCounts, Seq("h"), "left")
+      .select(col("doc_id"), col("h"), coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), e => e.getField("h")).as("otoks"),
+        size(col("ord")).cast("long").as("s"))
+    val p = (col("s") - ceil(col("s").cast("double") * threshold).cast("long") + 1)
+      .cast("int")
+    ordered
+      .select(col("doc_id"), col("s"),
+        posexplode(slice(col("otoks"), lit(1), p)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), col("s"),
+        (col("pos0") + 1).cast("long").as("pos"), col("h"))
+  }
+
+  /** candidate pairs from two prefix tables: shared prefix token, then
+    * the two exact prunes. The positional filter is valid for a pair's
+    * EARLIEST shared token; later shared tokens only shrink the bound,
+    * so keeping a pair if ANY of its shared-token rows passes is a
+    * safe superset. `pairPred` restricts the pairing (id_a < id_b for
+    * the self-join; everything for R-S). */
+  private def candidates(lhsPrefix: DataFrame, rhsPrefix: DataFrame,
+                         threshold: Double, pairPred: Column): DataFrame = {
+    val ratio = threshold / (1.0 + threshold)
+    val lhs = lhsPrefix.select(col("doc_id").as("id_a"), col("s").as("s_a"),
+      col("pos").as("p_a"), col("h"))
+    val rhs = rhsPrefix.select(col("doc_id").as("id_b"), col("s").as("s_b"),
+      col("pos").as("p_b"), col("h"))
+    lhs.join(rhs, "h")
+      .filter(pairPred)
+      .filter(least(col("s_a"), col("s_b")).cast("double") >=
+        greatest(col("s_a"), col("s_b")).cast("double") * threshold)
+      .filter((lit(1L) + least(col("s_a") - col("p_a"), col("s_b") - col("p_b")))
+        .cast("double") >= ceil((col("s_a") + col("s_b")).cast("double") * ratio))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** verify candidates with exact Jaccard over the full hashed sets —
+    * pair-local array intersection */
+  private def verified(cands: DataFrame, setsA: DataFrame, setsB: DataFrame,
+                       threshold: Double): DataFrame = {
+    val a = setsA.select(col("doc_id").as("id_a"), col("hset").as("set_a"),
+      size(col("hset")).cast("long").as("sz_a"))
+    val b = setsB.select(col("doc_id").as("id_b"), col("hset").as("set_b"),
+      size(col("hset")).cast("long").as("sz_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("overlap", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("union_size", col("sz_a") + col("sz_b") - col("overlap"))
+      .withColumn("jaccard", round(col("overlap").cast("double") / col("union_size"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "overlap", "union_size", "jaccard")
+  }
+
   /** All pairs (id_a < id_b) with exact Jaccard(shingleSets) >= t.
     * Output: (id_a, id_b, overlap, union_size, jaccard round-6),
     * one row per qualifying pair.
@@ -55,64 +128,37 @@ object SetSim {
                         tokenHash: Column => Column = Vec.md5Hash60): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0,
       s"prefixJaccardJoin: threshold must be in (0,1), got $threshold")
-
-    // distinct hashed shingle set per doc (order inside the array is
-    // irrelevant: every consumer below is order-free)
-    val sets = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        array_distinct(transform(Text.shingles(col(textCol), shingleN), tokenHash))
-          .as("hset"))
-      .filter(size(col("hset")) > 0)
-
+    val sets = hashedSets(docs, idCol, textCol, shingleN, tokenHash)
     val ex = sets.select(col("doc_id"), explode(col("hset")).as("h"))
     val dfCounts = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = prefixExploded(sets, dfCounts, threshold)
+    val cands = candidates(prefix, prefix, threshold, col("id_a") < col("id_b"))
+    verified(cands, sets, sets, threshold)
+  }
 
-    // per-doc token array in global rarity order (df asc, hash asc) —
-    // a deterministic total order shared with the oracle
-    val ordered = ex.join(dfCounts, "h")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-      .select(col("doc_id"),
-        transform(col("ord"), e => e.getField("h")).as("otoks"),
-        size(col("ord")).cast("long").as("s"))
-
-    // probing prefix: p = s - ceil(t*s) + 1, exploded with 1-based pos
-    val p = (col("s") - ceil(col("s").cast("double") * threshold).cast("long") + 1)
-      .cast("int")
-    val prefix = ordered
-      .select(col("doc_id"), col("s"),
-        posexplode(slice(col("otoks"), lit(1), p)).as(Seq("pos0", "h")))
-      .select(col("doc_id"), col("s"),
-        (col("pos0") + 1).cast("long").as("pos"), col("h"))
-
-    // candidate pairs: shared prefix token, then the two exact prunes.
-    // The positional filter is valid for a pair's EARLIEST shared
-    // token; later shared tokens only shrink the bound, so keeping a
-    // pair if ANY of its shared-token rows passes is a safe superset.
-    val ratio = threshold / (1.0 + threshold)
-    val lhs = prefix.select(col("doc_id").as("id_a"), col("s").as("s_a"),
-      col("pos").as("p_a"), col("h"))
-    val rhs = prefix.select(col("doc_id").as("id_b"), col("s").as("s_b"),
-      col("pos").as("p_b"), col("h"))
-    val cands = lhs.join(rhs, "h")
-      .filter(col("id_a") < col("id_b"))
-      .filter(least(col("s_a"), col("s_b")).cast("double") >=
-        greatest(col("s_a"), col("s_b")).cast("double") * threshold)
-      .filter((lit(1L) + least(col("s_a") - col("p_a"), col("s_b") - col("p_b")))
-        .cast("double") >= ceil((col("s_a") + col("s_b")).cast("double") * ratio))
-      .select("id_a", "id_b")
-      .distinct()
-
-    // verify: exact Jaccard over the full hashed sets, pair-local
-    val setsA = sets.select(col("doc_id").as("id_a"), col("hset").as("set_a"),
-      size(col("hset")).cast("long").as("sz_a"))
-    val setsB = sets.select(col("doc_id").as("id_b"), col("hset").as("set_b"),
-      size(col("hset")).cast("long").as("sz_b"))
-    cands.join(setsA, "id_a").join(setsB, "id_b")
-      .withColumn("overlap", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-      .withColumn("union_size", col("sz_a") + col("sz_b") - col("overlap"))
-      .withColumn("jaccard", round(col("overlap").cast("double") / col("union_size"), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "overlap", "union_size", "jaccard")
+  /** The R-S (probe-vs-index) form — the INCREMENTAL shape: today's
+    * batch against the landed corpus, pairs (probe id_a, index id_b)
+    * only, never probe×probe or index×index. The shared total order
+    * is the INDEX side's token frequencies (the stable dictionary a
+    * landed corpus maintains anyway); probe-only tokens order first
+    * as df-0 — rare by definition there, which is exactly where the
+    * prefix filter wants them. At 100 TB this is the join you run
+    * per ingest batch: cost scales with the DELTA's candidates, and
+    * the index-side prefix table is computed once per dictionary
+    * version, not per batch. */
+  def prefixJaccardJoinRS(probe: DataFrame, index: DataFrame,
+                          idCol: String, textCol: String,
+                          threshold: Double, shingleN: Int = 3,
+                          tokenHash: Column => Column = Vec.md5Hash60): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"prefixJaccardJoinRS: threshold must be in (0,1), got $threshold")
+    val probeSets = hashedSets(probe, idCol, textCol, shingleN, tokenHash)
+    val indexSets = hashedSets(index, idCol, textCol, shingleN, tokenHash)
+    val dfCounts = indexSets.select(col("doc_id"), explode(col("hset")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val probePrefix = prefixExploded(probeSets, dfCounts, threshold)
+    val indexPrefix = prefixExploded(indexSets, dfCounts, threshold)
+    val cands = candidates(probePrefix, indexPrefix, threshold, lit(true))
+    verified(cands, probeSets, indexSets, threshold)
   }
 }

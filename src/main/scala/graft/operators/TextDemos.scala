@@ -1730,6 +1730,18 @@ object TextDemos {
       .orderBy("url")
   }
 
+  /** C84's incremental R-S form ([[SetSim.prefixJaccardJoinRS]]): the
+    * %7 slice as today's ingest batch probed against the rest as the
+    * landed corpus — pairs (batch, corpus) only, index-side token
+    * frequencies as the shared rarity dictionary. */
+  def setsimJoinRs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    SetSim.prefixJaccardJoinRS(docs.filter(col("doc_id") % 7 === 0),
+        docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+        threshold = 0.5, shingleN = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** C63's SQL-expressible half under the DuckDB gate: the FIT stays
     * spec-gated (eigendecomposition has no SQL mirror — PcaSpec pins
     * it against hand math and known eigenpairs), but the PROJECTION

@@ -475,6 +475,69 @@ object OracleGen {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** mirror of TextDemos.setsimJoinRs (SetSim.prefixJaccardJoinRS):
+    * the two-sided form — probe = %7 batch, index = the rest, df
+    * dictionary from the INDEX side only (probe-only tokens order
+    * first as df 0), same prefix/length/positional prunes, pairs
+    * (batch, corpus) only. */
+  def setSimJoinRsSql(threshold: Double = 0.5, n: Int = 3): String = {
+    val t = threshold
+    val ratio = threshold / (1.0 + threshold)
+    val gram = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    def preCte(name: String, ordRel: String) =
+      s"""$name AS (
+         |  SELECT doc_id, s, u.pos AS pos, u.h AS h
+         |  FROM (SELECT doc_id, s,
+         |          unnest(list_transform(
+         |            range(1, s - CAST(ceil(CAST(s AS DOUBLE) * $t) AS BIGINT) + 2),
+         |            i -> struct_pack(pos := CAST(i AS BIGINT), h := otoks[i]))) AS u
+         |        FROM $ordRel)
+         |)""".stripMargin
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), s0 AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+       |    i -> ($gram))) AS sh
+       |  FROM t0 WHERE len(toks) >= $n
+       |), hs AS (
+       |  SELECT doc_id, list_distinct(list_transform(sh, g -> ${md560("g")})) AS hset
+       |  FROM s0 WHERE len(sh) > 0
+       |), hsA AS (SELECT * FROM hs WHERE doc_id % 7 = 0
+       |), hsB AS (SELECT * FROM hs WHERE doc_id % 7 <> 0
+       |), exA AS (SELECT doc_id, unnest(hset) AS h FROM hsA
+       |), exB AS (SELECT doc_id, unnest(hset) AS h FROM hsB
+       |), dfc AS (SELECT h, COUNT(*) AS df FROM exB GROUP BY h
+       |), ordA AS (
+       |  SELECT e.doc_id, list(e.h ORDER BY COALESCE(d.df, 0), e.h) AS otoks,
+       |         CAST(COUNT(*) AS BIGINT) AS s
+       |  FROM exA e LEFT JOIN dfc d USING (h) GROUP BY e.doc_id
+       |), ordB AS (
+       |  SELECT e.doc_id, list(e.h ORDER BY d.df, e.h) AS otoks,
+       |         CAST(COUNT(*) AS BIGINT) AS s
+       |  FROM exB e JOIN dfc d USING (h) GROUP BY e.doc_id
+       |), ${preCte("preA", "ordA")}, ${preCte("preB", "ordB")}, cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM preA a JOIN preB b ON b.h = a.h
+       |  WHERE CAST(least(a.s, b.s) AS DOUBLE) >= CAST(greatest(a.s, b.s) AS DOUBLE) * $t
+       |    AND CAST(1 + least(a.s - a.pos, b.s - b.pos) AS DOUBLE)
+       |        >= ceil(CAST(a.s + b.s AS DOUBLE) * $ratio)
+       |), v AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_filter(x.hset, e -> list_contains(y.hset, e))) AS BIGINT) AS overlap,
+       |    CAST(len(x.hset) AS BIGINT) AS sz_a, CAST(len(y.hset) AS BIGINT) AS sz_b
+       |  FROM cand c
+       |  JOIN hsA x ON x.doc_id = c.id_a
+       |  JOIN hsB y ON y.doc_id = c.id_b
+       |)
+       |SELECT id_a, id_b, overlap,
+       |  sz_a + sz_b - overlap AS union_size,
+       |  round(CAST(overlap AS DOUBLE) / (sz_a + sz_b - overlap), 6) AS jaccard
+       |FROM v
+       |WHERE round(CAST(overlap AS DOUBLE) / (sz_a + sz_b - overlap), 6) >= $t
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** mirror of TextDemos.budgetSelectDemo (Sampling.budgetSelect):
     * DuckDB states the semantics as the single global window the
     * Spark side decomposes into the two-phase range-partitioned scan —

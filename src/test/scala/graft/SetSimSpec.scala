@@ -80,6 +80,59 @@ class SetSimSpec extends SparkSpec {
     }
   }
 
+  private def runRs(probe: Seq[(Long, String)], index: Seq[(Long, String)],
+                    t: Double): Map[(Long, Long), (Long, Long, Double)] =
+    SetSim.prefixJaccardJoinRS(probe.toDF("doc_id", "text"),
+        index.toDF("doc_id", "text"), "doc_id", "text", threshold = t)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+
+  test("R-S form: completeness vs cross-relation reference; no within-side pairs") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val bases = Vector.fill(4)(IndexedSeq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))))
+    def doc(id: Long): (Long, String) = {
+      val toks =
+        if (id % 2 == 0) {
+          val b = bases(rnd.nextInt(bases.size))
+          b.updated(rnd.nextInt(b.size), vocab(rnd.nextInt(vocab.size))) :+ vocab(rnd.nextInt(vocab.size))
+        } else IndexedSeq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      (id, toks.mkString(" "))
+    }
+    val probe = (1L to 20L).map(doc)
+    val index = (101L to 160L).map(doc)
+    for (t <- Seq(0.3, 0.5)) {
+      // reference: unpruned cross-relation all-pairs (probe x index only)
+      val ps = probe.map { case (id, txt) => id -> refSet(txt) }.filter(_._2.nonEmpty)
+      val is = index.map { case (id, txt) => id -> refSet(txt) }.filter(_._2.nonEmpty)
+      val want = (for {
+        (ia, sa) <- ps; (ib, sb) <- is
+        ov = (sa & sb).size.toLong
+        un = sa.size + sb.size - ov
+        jac = java.math.BigDecimal.valueOf(ov.toDouble / un)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+        if jac >= t
+      } yield (ia, ib) -> (ov, un, jac)).toMap
+      val got = runRs(probe, index, t)
+      assert(got == want, s"threshold $t: got ${got.size} pairs, want ${want.size}")
+      assert(want.nonEmpty, s"threshold $t: degenerate fixture")
+      assert(got.keys.forall { case (a, b) => a <= 20L && b >= 101L },
+        "pair leaked from within one side")
+    }
+  }
+
+  test("R-S probe-only tokens (absent from the index dictionary) still pair correctly") {
+    // probe doc shares its RARE half with one index doc; its other
+    // tokens never occur in the index at all (df 0 ordering path)
+    val probe = Seq(1L -> "q1 q2 q3 shared1 shared2 shared3 shared4 shared5 shared6")
+    val index = Seq(
+      101L -> "shared1 shared2 shared3 shared4 shared5 shared6 z1",
+      102L -> "x1 x2 x3 x4 x5 x6 x7 x8")
+    val got = runRs(probe, index, 0.3)
+    assert(got.keySet == Set((1L, 101L)), got.toString)
+  }
+
   test("threshold bounds rejected") {
     val df = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
