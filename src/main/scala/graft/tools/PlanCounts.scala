@@ -13,12 +13,15 @@ import org.apache.spark.sql.SparkSession
   *
   * Run: `sbt "runMain graft.tools.PlanCounts [sfDir]"`. */
 object PlanCounts {
-  /** rows the gate pins: the r11 verdict's top-10 bench rows */
+  /** rows the gate pins: the r11 verdict's top-10 bench rows, plus
+    * the r12 multi-second additions (bitext_mine ~4 s, setsim_join
+    * ~2 s at sf0.1) */
   val Gated: Seq[String] = Seq(
     "pagerank_centrality", "centrality_gate", "cdc_chunk_dedup",
     "bm25_index", "bm25_index_append", "bm25_topk",
     "dedup_canonicalize", "cluster_representative",
-    "dup_span_detect", "minhash_lsh_eval", "winnow_fingerprint")
+    "dup_span_detect", "minhash_lsh_eval", "winnow_fingerprint",
+    "bitext_mine", "setsim_join")
 
   // ReusedExchange nodes are excluded from BOTH counts: reuse of an
   // existing exchange changes no shuffle/broadcast work, and counting

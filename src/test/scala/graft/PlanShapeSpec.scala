@@ -239,7 +239,9 @@ class PlanShapeSpec extends SparkSpec {
       "cluster_representative" -> ((4, 1, 2)),
       "dup_span_detect"        -> ((4, 1, 1)),
       "minhash_lsh_eval"       -> ((38, 30, 32)), // dual-truth composite; big but bounded
-      "winnow_fingerprint"     -> ((2, 0, 0)))  // doc window + orderBy; distinct reuses
+      "winnow_fingerprint"     -> ((2, 0, 0)),  // doc window + orderBy; distinct reuses
+      "bitext_mine"            -> ((6, 6, 11)), // docs⋈emb prep ×2 sides + the pair scan's three consumers
+      "setsim_join"            -> ((5, 5, 5))) // df count + order + prefix self-join + verify rejoins
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     graft.tools.PlanCounts.Gated.foreach { name =>
