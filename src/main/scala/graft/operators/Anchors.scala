@@ -28,11 +28,17 @@ object Anchors {
 
   private val AnchorPat = "<a[^>]*href=['\"]([^'\"]+)['\"][^>]*>([^<]*)</a>"
 
-  /** all (href, text) pairs of a page as a zipped array column */
-  def anchorPairs(html: Column): Column =
+  /** all (href, text) pairs of a page as a zipped array column.
+    * Entities unescape BEFORE extraction (the A2 anchorHref order):
+    * an HTML-correct href like `?a=1&amp;b=2` must canonicalize to
+    * the same target as its raw `?a=1&b=2` form — unescaping only
+    * the text would split one target's anchor profile. */
+  def anchorPairs(html: Column): Column = {
+    val u = Html.unescapeEntities(html)
     arrays_zip(
-      regexp_extract_all(html, lit(AnchorPat), lit(1)).as("href"),
-      regexp_extract_all(html, lit(AnchorPat), lit(2)).as("text"))
+      regexp_extract_all(u, lit(AnchorPat), lit(1)).as("href"),
+      regexp_extract_all(u, lit(AnchorPat), lit(2)).as("text"))
+  }
 
   /** Per canonical target: total incoming anchors, distinct anchor
     * texts, and the top-`m` texts by (count desc, text asc) joined
@@ -43,7 +49,7 @@ object Anchors {
       .select(explode(anchorPairs(col(htmlCol))).as("a"))
       .select(
         Norm.canonicalizeUrl(col("a.href")).as("target_url"),
-        trim(Html.unescapeEntities(col("a.text"))).as("text"))
+        trim(col("a.text")).as("text")) // already unescaped page-level
       .filter(col("target_url") =!= "" && col("text") =!= "")
     val counted = pairs.groupBy("target_url", "text")
       .agg(count(lit(1)).as("cnt"))

@@ -114,7 +114,14 @@ object BitextMine {
     val fwd = topkSum("src_id", "tgt_id", "sum_f")
     val bwd = topkSum("tgt_id", "src_id", "sum_b")
 
+    // the ratio margin is only meaningful over POSITIVE neighborhood
+    // mass: with sumF+sumB <= 0 (anti-correlated regions, or all-zero
+    // sims) the division inverts the ranking — the most dissimilar
+    // target would win — and at exactly 0 the two engines diverge
+    // (Spark Divide -> null, IEEE -> inf). Such pairs are unminable
+    // by construction and drop here.
     val margins = sims.join(fwd, "src_id").join(bwd, "tgt_id")
+      .filter((col("sum_f") + col("sum_b")).cast("double") > 0.0)
       .withColumn("margin",
         round((col("sim") * (2 * k)) /
           (col("sum_f") + col("sum_b")).cast("double"), 6))

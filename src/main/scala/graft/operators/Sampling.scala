@@ -281,12 +281,6 @@ object Sampling {
     val spark = df.sparkSession
     val scored = df.select(col(idCol), scoreCol.as("score"),
       tokCol.cast("long").as("toks"))
-    val totalRow = scored.agg(sum("toks")).head()
-    if (totalRow.isNullAt(0)) {
-      return scored.withColumn("cum_tokens", lit(0L)).limit(0)
-    }
-    val budget = math.floor(totalRow.getLong(0) * budgetFrac).toLong
-
     val nPart = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val ranged = graft.util.CacheRegistry.register(
@@ -294,9 +288,15 @@ object Sampling {
         .withColumn("_pid", spark_partition_id())
         .persist())
 
-    // numPartitions-scale driver work: subtotals -> prefix offsets
+    // numPartitions-scale driver work: subtotals -> prefix offsets;
+    // the corpus total (for the budget) is their sum — no separate
+    // whole-input aggregation pass
     val partTotals = ranged.groupBy("_pid").agg(sum("toks").as("pt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    if (partTotals.isEmpty) {
+      return scored.withColumn("cum_tokens", lit(0L)).limit(0)
+    }
+    val budget = math.floor(partTotals.map(_._2).sum * budgetFrac).toLong
     var acc = 0L
     val offsets = partTotals.map { case (pid, pt) =>
       val o = (pid, acc); acc += pt; o

@@ -128,10 +128,16 @@ object SetSim {
                         tokenHash: Column => Column = Vec.md5Hash60): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0,
       s"prefixJaccardJoin: threshold must be in (0,1), got $threshold")
-    val sets = hashedSets(docs, idCol, textCol, shingleN, tokenHash)
+    // sets feeds four subtrees (df count, the prefix ordering, both
+    // verify sides) and is a map-only subtree Spark has no exchange to
+    // reuse — without the persist the corpus re-tokenizes/re-hashes
+    // per consumer; prefix likewise feeds both candidate-join sides
+    val sets = graft.util.CacheRegistry.register(
+      hashedSets(docs, idCol, textCol, shingleN, tokenHash).persist())
     val ex = sets.select(col("doc_id"), explode(col("hset")).as("h"))
     val dfCounts = ex.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = prefixExploded(sets, dfCounts, threshold)
+    val prefix = graft.util.CacheRegistry.register(
+      prefixExploded(sets, dfCounts, threshold).persist())
     val cands = candidates(prefix, prefix, threshold, col("id_a") < col("id_b"))
     verified(cands, sets, sets, threshold)
   }
@@ -152,8 +158,11 @@ object SetSim {
                           tokenHash: Column => Column = Vec.md5Hash60): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0,
       s"prefixJaccardJoinRS: threshold must be in (0,1), got $threshold")
-    val probeSets = hashedSets(probe, idCol, textCol, shingleN, tokenHash)
-    val indexSets = hashedSets(index, idCol, textCol, shingleN, tokenHash)
+    // each side's hashed sets feed 2-3 subtrees (df / prefix / verify)
+    val probeSets = graft.util.CacheRegistry.register(
+      hashedSets(probe, idCol, textCol, shingleN, tokenHash).persist())
+    val indexSets = graft.util.CacheRegistry.register(
+      hashedSets(index, idCol, textCol, shingleN, tokenHash).persist())
     val dfCounts = indexSets.select(col("doc_id"), explode(col("hset")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
     val probePrefix = prefixExploded(probeSets, dfCounts, threshold)

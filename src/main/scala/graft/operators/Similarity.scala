@@ -1177,11 +1177,22 @@ object Similarity {
       .select("query_id", "cand_id")
     val truth = graft.util.CacheRegistry.register(pairsAt(fullDim).persist())
     val denom = k * q.count()
-    val variants = dims.map(d => pairsAt(d).withColumn("dim", lit(d)))
-      .reduce(_ unionByName _)
-    variants.join(truth, Seq("query_id", "cand_id"))
+    // fullDim's variant IS the truth (don't rerun the widest, most
+    // expensive scan); every other dim runs truncated
+    val variants = dims.map { d =>
+      val pairs = if (d == fullDim) truth else pairsAt(d)
+      pairs.withColumn("dim", lit(d))
+    }.reduce(_ unionByName _)
+    val hits = variants.join(truth, Seq("query_id", "cand_id"))
       .groupBy("dim")
       .agg(count(lit(1)).as("n_hits"))
+    // a dim whose truncated top-k shares NOTHING with the truth must
+    // still report (dim, 0, 0.0) — the inner join drops its group
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    dims.toDF("dim").join(hits, Seq("dim"), "left")
+      .select(col("dim"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("recall", round(col("n_hits").cast("double") / denom, 6))
   }
 }

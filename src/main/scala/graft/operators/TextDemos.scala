@@ -1673,9 +1673,10 @@ object TextDemos {
   /** C87 — anchor-text aggregation ([[Anchors.anchorAgg]]): pages
     * synthesized onto the docs (the C55 convention) with THREE anchors
     * each — a tracking-params/mixed-case form, a trailing-slash form,
-    * and a fragment form that canonicalizes INTO the first's target —
-    * inverted into per-canonical-target anchor profiles (total
-    * anchors, distinct texts, top-3 texts by count). */
+    * and a fragment form (fragment stripped; its target differs from
+    * the first's by scheme and the kept q param) — inverted into
+    * per-canonical-target anchor profiles (total anchors, distinct
+    * texts, top-3 texts by count). */
   def anchorAggDemo(spark: SparkSession, dir: String): DataFrame = {
     val i = col("doc_id")
     val firstTok = coalesce(element_at(Text.wsTokens(col("text")), 1), lit("x"))
@@ -1704,26 +1705,30 @@ object TextDemos {
 
   /** C89 — robots.txt gating ([[Robots.gate]]): per-source robots
     * bodies synthesized onto the doc corpus (even-numbered sources
-    * publish a plain private/tmp policy, odd ones add a short
+    * publish a plain private/tmp/search policy, odd ones add a short
     * `Disallow: /p` that outranks nothing but catches /pub), URLs
-    * spread over four path families so every precedence rule fires:
+    * spread over five path families so every precedence rule fires:
     * longest-match Disallow, the longer Allow carve-out winning over
-    * it, the no-rule default, and non-rule lines (Crawl-delay, empty
+    * it, the no-rule default, a `Disallow: /search?` rule that only
+    * matches because rules see path+QUERY, a lowercase+inline-comment
+    * directive parsing anyway, and non-rule lines (Crawl-delay, empty
     * Allow) dropping in the parse. */
   def robotsGateDemo(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val even = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 2 === 0
     val content = concat(lit("User-agent: *\nDisallow: /private\n" +
-        "Allow: /private/ok\nDisallow: /tmp\nAllow:\nCrawl-delay: 5"),
+        "Allow: /private/ok\ndisallow: /tmp # scratch space\n" +
+        "Disallow: /search?\nAllow:\nCrawl-delay: 5"),
       when(even, lit("")).otherwise(lit("\nDisallow: /p")))
     val robots = docs.select(col("source")).distinct()
       .select(concat(col("source"), lit(".example.com")).as("domain"),
         content.as("content"))
     val i = col("doc_id")
-    val path = when(i % 4 === 0, concat(lit("/private/doc"), i.cast("string")))
-      .when(i % 4 === 1, concat(lit("/private/ok/doc"), i.cast("string")))
-      .when(i % 4 === 2, concat(lit("/pub/doc"), i.cast("string")))
-      .otherwise(concat(lit("/tmp/x"), i.cast("string")))
+    val path = when(i % 5 === 0, concat(lit("/private/doc"), i.cast("string")))
+      .when(i % 5 === 1, concat(lit("/private/ok/doc"), i.cast("string")))
+      .when(i % 5 === 2, concat(lit("/pub/doc"), i.cast("string")))
+      .when(i % 5 === 3, concat(lit("/tmp/x"), i.cast("string")))
+      .otherwise(concat(lit("/search?q="), i.cast("string")))
     val urls = docs.select(
       concat(lit("https://"), col("source"), lit(".example.com"), path).as("url"))
     Robots.gate(urls, Robots.parseRules(robots, "domain", "content"), "url")

@@ -594,6 +594,7 @@ object OracleGen {
     val variantCtes = dims.map(d => top(d, s"t$d")).mkString(",\n")
     val union = dims.map(d => s"SELECT $d AS dim, query_id, cand_id FROM t$d")
       .mkString("\n  UNION ALL\n  ")
+    val dimValues = dims.map(d => s"($d)").mkString(", ")
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0
        |), c AS (
@@ -607,9 +608,10 @@ object OracleGen {
        |  FROM variants JOIN truth USING (query_id, cand_id)
        |  GROUP BY dim
        |)
-       |SELECT dim, CAST(n_hits AS BIGINT) AS n_hits,
-       |  round(CAST(n_hits AS DOUBLE) / ($k * (SELECT COUNT(*) FROM q)), 6) AS recall
-       |FROM hits ORDER BY dim""".stripMargin
+       |SELECT d.dim, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ($k * (SELECT COUNT(*) FROM q)), 6) AS recall
+       |FROM (VALUES $dimValues) d(dim) LEFT JOIN hits h ON h.dim = d.dim
+       |ORDER BY d.dim""".stripMargin
   }
 
   /** mirror of TextDemos.robotsGateDemo (Robots.parseRules + gate):
@@ -617,37 +619,42 @@ object OracleGen {
     * longest-match / Allow-wins-tie pick via an identical window. */
   def robotsGateSql(): String = {
     // raw triple-quote: single backslashes and a bare $ anchor — this
-    // val is spliced into the s-string below, not re-interpolated
-    val linePat = """^(Allow|Disallow):\s*(\S+)\s*$"""
+    // val is spliced into the s-string below, not re-interpolated;
+    // (?i) = RFC 9309 case-insensitive field names, comments stripped
+    // before the match
+    val linePat = """(?i)^(allow|disallow):\s*(\S+)\s*$"""
     s"""WITH rb AS (
        |  SELECT DISTINCT source || '.example.com' AS domain,
        |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
-       |    || 'Allow: /private/ok' || chr(10) || 'Disallow: /tmp' || chr(10)
-       |    || 'Allow:' || chr(10) || 'Crawl-delay: 5'
+       |    || 'Allow: /private/ok' || chr(10) || 'disallow: /tmp # scratch space' || chr(10)
+       |    || 'Disallow: /search?' || chr(10) || 'Allow:' || chr(10) || 'Crawl-delay: 5'
        |    || (CASE WHEN CAST(regexp_extract(source, '([0-9]+)$$', 1) AS INTEGER) % 2 = 0
        |        THEN '' ELSE chr(10) || 'Disallow: /p' END) AS content
        |  FROM documents
        |), lines AS (
-       |  SELECT domain, unnest(string_split(content, chr(10))) AS line FROM rb
+       |  SELECT domain, regexp_replace(unnest(string_split(content, chr(10))), '#.*$$', '') AS line
+       |  FROM rb
        |), rules AS (
        |  SELECT domain,
-       |    regexp_extract(line, '$linePat', 1) AS r_type,
+       |    CASE WHEN lower(regexp_extract(line, '$linePat', 1)) = 'allow'
+       |         THEN 'Allow' ELSE 'Disallow' END AS r_type,
        |    regexp_extract(line, '$linePat', 2) AS r_path
        |  FROM lines
        |  WHERE regexp_extract(line, '$linePat', 1) <> ''
        |    AND regexp_extract(line, '$linePat', 2) <> ''
        |), urls AS (
        |  SELECT 'https://' || source || '.example.com'
-       |    || (CASE WHEN doc_id % 4 = 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
-       |             WHEN doc_id % 4 = 1 THEN '/private/ok/doc' || CAST(doc_id AS VARCHAR)
-       |             WHEN doc_id % 4 = 2 THEN '/pub/doc' || CAST(doc_id AS VARCHAR)
-       |             ELSE '/tmp/x' || CAST(doc_id AS VARCHAR) END) AS url
+       |    || (CASE WHEN doc_id % 5 = 0 THEN '/private/doc' || CAST(doc_id AS VARCHAR)
+       |             WHEN doc_id % 5 = 1 THEN '/private/ok/doc' || CAST(doc_id AS VARCHAR)
+       |             WHEN doc_id % 5 = 2 THEN '/pub/doc' || CAST(doc_id AS VARCHAR)
+       |             WHEN doc_id % 5 = 3 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+       |             ELSE '/search?q=' || CAST(doc_id AS VARCHAR) END) AS url
        |  FROM documents
        |), parsed AS (
        |  SELECT url,
        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS domain,
-       |    CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
-       |         THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) END AS path
+       |    CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
+       |         THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) END AS path
        |  FROM urls
        |), j AS (
        |  SELECT p.url, p.domain, p.path, r.r_type, r.r_path
@@ -699,6 +706,7 @@ object OracleGen {
        |  SELECT x.src_id, x.tgt_id, x.sim,
        |    round((x.sim * ${2 * k}) / CAST(f.sum_f + g.sum_b AS DOUBLE), 6) AS margin
        |  FROM x JOIN f USING (src_id) JOIN g USING (tgt_id)
+       |  WHERE CAST(f.sum_f + g.sum_b AS DOUBLE) > 0.0
        |), best AS (
        |  SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rn
        |  FROM m
@@ -810,9 +818,9 @@ object OracleGen {
        |    regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
        |  FROM $src
        |), ${prefix}_norm AS (
-       |  SELECT ${c}url, scheme,
-       |    lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
-       |    regexp_extract(auth, ':([0-9]+)$$', 1) AS port,
+       |  SELECT ${c}url, scheme, auth,
+       |    lower(regexp_extract(string_split(auth, '@')[-1], '^([^:]*)', 1)) AS host,
+       |    regexp_extract(string_split(auth, '@')[-1], ':([0-9]+)$$', 1) AS port,
        |    CASE WHEN regexp_replace(path0, '/+$$', '') = '' THEN '/'
        |         ELSE regexp_replace(path0, '/+$$', '') END AS path_c,
        |    array_to_string(list_sort(list_filter(string_split(query, '&'),
@@ -823,12 +831,16 @@ object OracleGen {
 
   /** the canon_url expression over a [[urlCanonCtes]] `<prefix>_norm`
     * row — single-line: callers embed it inside stripMargin templates,
-    * where a line-leading `||` would lose a pipe to the margin strip */
+    * where a line-leading `||` would lose a pipe to the margin strip.
+    * Mirrors Norm.canonicalizeUrl exactly: credentials drop
+    * (user:pass@host -> host via the '@' split in the norm CTE) and
+    * schemeless / bracketed-IPv6 inputs pass through untouched. */
   private val urlCanonExpr: String =
-    "scheme || '://' || host || (CASE WHEN port <> '' AND NOT " +
+    "(CASE WHEN scheme = '' OR contains(auth, '[') THEN url ELSE " +
+      "scheme || '://' || host || (CASE WHEN port <> '' AND NOT " +
       "((scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')) " +
       "THEN ':' || port ELSE '' END) || path_c || " +
-      "(CASE WHEN query_c <> '' THEN '?' || query_c ELSE '' END)"
+      "(CASE WHEN query_c <> '' THEN '?' || query_c ELSE '' END) END)"
 
   /** mirror of TextDemos.anchorAggDemo (Anchors.anchorAgg): same page
     * synthesis, same two-group regexp anchor extraction, the SHARED
@@ -845,11 +857,11 @@ object OracleGen {
        |      || '#frag''>read more</a></div>' AS html
        |  FROM documents
        |), ax AS (
-       |  SELECT regexp_extract_all(html, '$pat', 1) AS hrefs,
-       |         regexp_extract_all(html, '$pat', 2) AS texts
+       |  SELECT regexp_extract_all(replace(html, '&amp;', '&'), '$pat', 1) AS hrefs,
+       |         regexp_extract_all(replace(html, '&amp;', '&'), '$pat', 2) AS texts
        |  FROM pages
        |), pr AS (
-       |  SELECT u.h AS url, trim(replace(u.t, '&amp;', '&')) AS text
+       |  SELECT u.h AS url, trim(u.t) AS text
        |  FROM (SELECT unnest(list_transform(range(1, len(hrefs) + 1),
        |          j -> struct_pack(h := hrefs[j], t := texts[j]))) AS u
        |        FROM ax)

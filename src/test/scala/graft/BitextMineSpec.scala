@@ -39,9 +39,10 @@ class BitextMineSpec extends SparkSpec {
       si -> topkSum(sims.collect { case (`si`, ti, s) => (ti, s) }) }.toMap
     val sumB = tgt.map { case (ti, _) =>
       ti -> topkSum(sims.collect { case (si, `ti`, s) => (si, s) }) }.toMap
-    val margins = sims.map { case (si, ti, s) =>
+    val margins = sims.flatMap { case (si, ti, s) =>
       val denom = sumF(si).add(sumB(ti)).doubleValue
-      (si, ti, s, round6(s * 2 * k / denom))
+      // non-positive neighborhood mass is unminable (the operator drops it)
+      if (denom > 0.0) Some((si, ti, s, round6(s * 2 * k / denom))) else None
     }
     margins.groupBy(_._1).flatMap { case (si, rows) =>
       val best = rows.minBy { case (_, ti, _, m) => (-m, ti) }
@@ -124,6 +125,16 @@ class BitextMineSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val mined = src.count { case (id, _) => got.get(id).contains(id + 100L) }
     assert(mined >= 25, s"only $mined/30 planted pairs mined: $got")
+  }
+
+  test("anti-correlated region mines nothing: negative neighborhood mass cannot invert the ranking") {
+    // every src-tgt cosine is negative -> sumF+sumB < 0 everywhere;
+    // an unguarded ratio would hand the MOST dissimilar target the
+    // biggest margin and mine it
+    val src = Seq(1L -> Array(1f, 0f), 2L -> Array(0.9f, 0.1f))
+    val tgt = Seq(10L -> Array(-1f, -0.1f), 20L -> Array(-0.8f, -0.3f))
+    val got = runOp(src, tgt, k = 2, thr = 1.0)
+    assert(got.isEmpty, got.toString)
   }
 
   test("k bound rejected") {

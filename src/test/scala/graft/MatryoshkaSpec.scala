@@ -72,6 +72,19 @@ class MatryoshkaSpec extends SparkSpec {
     assert(got(4)._2 == 1.0, s"prefix holds all signal, got ${got(4)}")
   }
 
+  test("a dim with zero hits still reports (dim, 0, 0.0)") {
+    // d=1: every candidate ties at cosine 1 (identical first dim), so
+    // the lowest ids win the tie-break; the full-dim truth lives at
+    // the HIGH ids -> zero overlap at d=1, and the row must not vanish
+    val vecs = Seq(
+      5L -> Array(1f, 10f),   // the query (vec_id % 5 == 0)
+      1L -> Array(1f, -10f), 2L -> Array(1f, -10f),
+      6L -> Array(1f, 10f), 7L -> Array(1f, 10f))
+    val got = runOp(vecs, Seq(1, 2), 2, k = 2)
+    assert(got(1) == (0L, 0.0), got.toString)
+    assert(got(2) == (2L, 1.0), got.toString)
+  }
+
   test("dims bounds rejected") {
     val df = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

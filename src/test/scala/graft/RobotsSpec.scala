@@ -15,13 +15,31 @@ class RobotsSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getString(3), r.getString(4), r.getBoolean(5)))
       .toMap
 
-  test("parse keeps only non-empty Allow/Disallow lines") {
+  test("parse keeps only non-empty Allow/Disallow lines; case-insensitive, comments stripped") {
     val content = "User-agent: *\nDisallow: /a\nCrawl-delay: 5\nAllow:\n" +
-      "Sitemap: https://x/s.xml\nAllow: /a/b\n# comment\nDisallow: /c"
+      "Sitemap: https://x/s.xml\nallow: /a/b\n# comment\nDISALLOW: /c # staff only"
     val rules = Robots.parseRules(Seq(("d.com", content)).toDF("domain", "content"),
         "domain", "content")
       .collect().map(r => (r.getString(1), r.getString(2))).toSet
     assert(rules == Set(("Disallow", "/a"), ("Allow", "/a/b"), ("Disallow", "/c")))
+  }
+
+  test("rules match against path+query: a 'Disallow: /search?' rule fires") {
+    val got = runGate(Seq("d.com" -> "Disallow: /search?"),
+      Seq("https://d.com/search?q=x", "https://d.com/search", "https://d.com/search#frag?x"))
+    assert(got("https://d.com/search?q=x") == ("Disallow", "/search?", false))
+    assert(got("https://d.com/search") == ("", "", true))
+    // '?' inside the fragment is not a query
+    assert(got("https://d.com/search#frag?x") == ("", "", true))
+  }
+
+  test("duplicate input URLs keep their multiplicity") {
+    val out = Robots.gate(
+      Seq("https://d.com/a", "https://d.com/a", "https://d.com/b").toDF("url"),
+      Robots.parseRules(Seq(("d.com", "Disallow: /a")).toDF("domain", "content"),
+        "domain", "content"), "url")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(out == Seq("https://d.com/a", "https://d.com/a", "https://d.com/b"))
   }
 
   test("precedence: longest match wins, Allow beats Disallow on a length tie") {
@@ -62,7 +80,8 @@ class RobotsSpec extends SparkSpec {
     val urls = (1 to 60).map(i => s"https://${domains(i % 2)}${randPath(1 + rnd.nextInt(4))}?q=$i")
     def ref(url: String): (String, String, Boolean) = {
       val d = url.drop("https://".length).takeWhile(c => c != '/' && c != '?')
-      val rest = url.drop("https://".length + d.length).takeWhile(_ != '?')
+      // rules see path+query (fragment-free); these URLs have no fragment
+      val rest = url.drop("https://".length + d.length)
       val path = if (rest.isEmpty) "/" else rest
       val ms = rules.filter(r => r._1 == d && path.startsWith(r._3))
       if (ms.isEmpty) ("", "", true)
