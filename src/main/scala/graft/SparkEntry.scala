@@ -68,6 +68,7 @@ object SparkEntry {
     "matryoshka_eval"      -> (TextDemos.matryoshkaEvalDemo(_, _)),
     "robots_gate"          -> (TextDemos.robotsGateDemo(_, _)),
     "minhash_lsh_eval"     -> (TextDemos.minhashLshEval(_, _)),
+    "simhash_eval"         -> (TextDemos.simhashEval(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
     "topk_ngrams"          -> (TextDemos.topkNgrams(_, _)),
@@ -895,6 +896,7 @@ object SparkEntry {
     "anchor_text_agg"   -> graft.oracle.OracleGen.anchorAggSql(),
     "matryoshka_eval"   -> graft.oracle.OracleGen.matryoshkaEvalSql(),
     "robots_gate"       -> graft.oracle.OracleGen.robotsGateSql(),
+    "simhash_eval"      -> graft.oracle.OracleGen.simhashEvalSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),

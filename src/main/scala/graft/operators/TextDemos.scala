@@ -1768,4 +1768,70 @@ object TextDemos {
         (0 until 8).map(j => round(col(s"p$j"), 6).as(s"p$j")): _*)
       .orderBy("vec_id")
   }
+
+  /** C90 — measured precision/recall of the C3 simhash banding, the
+    * Hamming-space companion to [[minhashLshEval]] (C66): the 4×15-bit
+    * production banding evaluated against an EXACT hamming ≤ 6 truth.
+    * The truth is not a second heuristic: seven DISJOINT bands (6×8
+    * bits + one 12-bit remainder) cover all 60 signature bits, so any
+    * pair within hamming 6 has at least one clean band by pigeonhole —
+    * the 7-band candidate join followed by the exact hamming filter IS
+    * the exact truth set, relationally, with no quadratic all-pairs
+    * scan. The same theorem says the 4-band production config is
+    * lossless through hamming 3, so the row reports the ≤3 split too:
+    * `n_hit_le3 == n_truth_le3` is a measured invariant, and recall
+    * loss can only live in the 4..6 ring. Precision here prices the
+    * verify stage: candidates the banding surfaces that exact hamming
+    * then rejects are the wasted bucket-join work.
+    *
+    * Scale posture: truth-band keys are 8 bits wide, so truth buckets
+    * grow as n/2⁸ — at 100 TB this measurement runs on a uniform
+    * doc_id-hash sample (P/R is a statistic; sampling is the honest
+    * estimator), while the 15-bit production banding being measured
+    * runs corpus-wide. One summary row; exact-int IEEE divisions. */
+  def simhashEval(spark: SparkSession, dir: String): DataFrame = {
+    val maxH = 6
+    val docs = Tables.documents(spark, dir)
+    val banded = graft.util.CacheRegistry.register(
+      Dedup.simhashBandedSignatures(docs, "doc_id", "text",
+        graft.functions.Vec.md5Hash60, bits = 60).persist())
+    val sigs = banded.filter(col("band") === 0).select(col("doc_id"), col("sh"))
+    // 7 disjoint truth bands: j<6 → bits [8j, 8j+8), j=6 → bits [48, 60)
+    val truthKeys = (0 until 6).map(j =>
+      shiftright(col("sh"), j * 8).bitwiseAND(lit(255L))) :+
+      shiftright(col("sh"), 48).bitwiseAND(lit((1L << 12) - 1L))
+    val tb = sigs.select(col("doc_id"), col("sh"),
+      posexplode(array(truthKeys: _*)).as(Seq("band", "key")))
+    val truth = tb.select(col("band"), col("key"),
+        col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      .join(tb.select(col("band"), col("key"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.Vec.hamming(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxH)
+    // production candidates BEFORE the verify filter (maxHamming=60 is
+    // a no-op on a 60-bit signature): what the 4-band join surfaces
+    val cand = Dedup.simhashCandidates(banded, banded, "doc_id",
+      maxHamming = 60, symmetric = true)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"),
+      coalesce(sum(when(col("hamming") <= 3, 1L).otherwise(0L)), lit(0L))
+        .as("n_truth_le3"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"),
+      coalesce(sum(when(col("hamming") <= maxH, 1L).otherwise(0L)), lit(0L))
+        .as("n_hit"),
+      coalesce(sum(when(col("hamming") <= 3, 1L).otherwise(0L)), lit(0L))
+        .as("n_hit_le3"))
+    nDocs.crossJoin(nTruth).crossJoin(nCand)
+      .select(col("n_docs"), col("n_truth"), col("n_cand"), col("n_hit"),
+        col("n_truth_le3"), col("n_hit_le3"),
+        when(col("n_cand") > 0,
+          col("n_hit").cast("double") / col("n_cand").cast("double"))
+          .otherwise(0.0).as("precision"),
+        when(col("n_truth") > 0,
+          col("n_hit").cast("double") / col("n_truth").cast("double"))
+          .otherwise(0.0).as("recall"))
+  }
 }

@@ -750,6 +750,46 @@ object OracleGen {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** mirror of TextDemos.simhashEval: the simhashSql CTE chain up to
+    * the (unfiltered) 4-band candidate set, plus a 7-disjoint-band
+    * pigeonhole truth (exact for hamming ≤ 6 on 60 bits), one summary
+    * row of counts and exact-int IEEE P/R divisions. */
+  def simhashEvalSql(bits: Int = 60, maxHamming: Int = 6): String = {
+    // keep the t..cand CTE chain; the final verify SELECT is replaced
+    // by the eval counts below
+    val chain = simhashSql(bits, maxHamming)
+      .replaceAll("(?s)\\nSELECT id_a.*$", "")
+      .replaceFirst("^WITH ", "")
+    s"""WITH $chain, tb AS (
+       |  SELECT doc_id, s, b.band,
+       |    CASE WHEN b.band < 6 THEN (s >> (b.band * 8)) & 255
+       |         ELSE (s >> 48) & 4095 END AS key
+       |  FROM sh, (VALUES (0), (1), (2), (3), (4), (5), (6)) b(band)
+       |), tcand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+       |  FROM tb a JOIN tb b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), truth AS (
+       |  SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |  FROM tcand WHERE bit_count(xor(sa, sb)) <= $maxHamming
+       |), pcand AS (
+       |  SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming FROM cand
+       |), nt AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |         CAST(COALESCE(SUM(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_truth_le3
+       |  FROM truth
+       |), nc AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |         CAST(COALESCE(SUM(CASE WHEN hamming <= $maxHamming THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+       |         CAST(COALESCE(SUM(CASE WHEN hamming <= 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit_le3
+       |  FROM pcand
+       |)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       |       n_truth, n_cand, n_hit, n_truth_le3, n_hit_le3,
+       |       CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) ELSE 0.0 END AS precision,
+       |       CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) ELSE 0.0 END AS recall
+       |FROM nt, nc""".stripMargin
+  }
+
   /** mirror of ImageHash.imagePhashDedup: regenerate the synthetic
     * gray values relationally (same integer arithmetic as synthGray —
     * the Spark side must survive a REAL PNG encode→decode roundtrip to
