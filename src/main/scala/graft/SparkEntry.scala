@@ -69,6 +69,10 @@ object SparkEntry {
     "robots_gate"          -> (TextDemos.robotsGateDemo(_, _)),
     "minhash_lsh_eval"     -> (TextDemos.minhashLshEval(_, _)),
     "simhash_eval"         -> (TextDemos.simhashEval(_, _)),
+    "kcenter_select"       -> (TextDemos.kcenterSelectDemo(_, _)),
+    "char_entropy"         -> (TextDemos.charEntropy(_, _)),
+    "bpe_fertility"        -> (TextDemos.bpeFertility(_, _)),
+    "sft_validate"         -> (TextDemos.sftValidateDemo(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
     "topk_ngrams"          -> (TextDemos.topkNgrams(_, _)),
@@ -897,6 +901,10 @@ object SparkEntry {
     "matryoshka_eval"   -> graft.oracle.OracleGen.matryoshkaEvalSql(),
     "robots_gate"       -> graft.oracle.OracleGen.robotsGateSql(),
     "simhash_eval"      -> graft.oracle.OracleGen.simhashEvalSql(),
+    "kcenter_select"    -> graft.oracle.OracleGen.kcenterSelectSql(),
+    "char_entropy"      -> graft.oracle.OracleGen.charEntropySql(),
+    "bpe_fertility"     -> graft.oracle.OracleGen.bpeFertilitySql(),
+    "sft_validate"      -> graft.oracle.OracleGen.sftValidateSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),

@@ -522,6 +522,58 @@ object Similarity {
         col("rn").cast("long").as("probe_rank"))
   }
 
+  /** Greedy k-center selection (Gonzalez farthest-point traversal) —
+    * the classic coreset / diverse-data-selection primitive: pick the
+    * point farthest (squared L2) from everything selected so far, k
+    * times, seeded at the smallest id for determinism. Each round is
+    * ONE map-only corpus scan — the chosen centers ride the plan as
+    * broadcast literals, no join, no shuffle — topped by a TakeOrdered
+    * argmax on (dist desc, id asc); nothing corpus-scale concentrates
+    * on the driver, and the k-row result IS dimension-scale.
+    * Recomputing every center distance per round keeps the plan
+    * stateless (the [[kppSeeds]] discipline); total work is k²/2
+    * distance evals per point — right for selection-sized k. For k in
+    * the thousands, carry a persisted running min-distance column
+    * instead (`least(prev, new)` — identical values, min is
+    * order-free), trading k localCheckpoints for the quadratic term.
+    *
+    * Returns (rank, vec_id, dist): dist = the point's squared-L2
+    * distance to the already-selected set at selection time (round 6)
+    * — the coverage-radius curve that shows when selection saturates
+    * (rank 0 is the seed, dist 0). */
+  def kcenterSelect(vecs: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val qd = vecs.select(col(idCol).cast("long").as("_id"),
+      transform(col(vecCol), x => x.cast("double")).as("_v"))
+    def sq(v: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(v, array(c.map(lit): _*),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val centers = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    qd.orderBy(col("_id")).limit(1).collect().foreach { r =>
+      sel += ((0, r.getLong(0), 0.0))
+      centers += r.getSeq[Double](1)
+    }
+    var exhausted = sel.isEmpty
+    while (!exhausted && sel.size < k) {
+      val dmin = array_min(array(centers.map(c => sq(col("_v"), c)).toSeq: _*))
+      val next = qd.filter(!col("_id").isin(sel.map(_._2).toSeq: _*))
+        .select(col("_id"), col("_v"), dmin.as("_d"))
+        .orderBy(col("_d").desc, col("_id")).limit(1).collect()
+      next.headOption match {
+        case Some(r) =>
+          sel += ((sel.size, r.getLong(0), r.getDouble(2)))
+          centers += r.getSeq[Double](1)
+        case None => exhausted = true // k > n: all points selected
+      }
+    }
+    sel.toSeq.toDF("rank", "vec_id", "dist")
+      .select(col("rank"), col("vec_id"), round(col("dist"), 6).as("dist"))
+  }
+
   /** k-means++ seeding, deterministic and distributed. Seed 1 is a
     * uniform hash draw (max u over the corpus); each next seed is the
     * Efraimidis–Spirakis weighted draw: the vector maximizing

@@ -1769,6 +1769,120 @@ object TextDemos {
       .orderBy("vec_id")
   }
 
+  /** C94 — SFT chat-format validation ([[Sft.validateConversations]]):
+    * conversations synthesized onto the doc corpus (the C55/C87
+    * convention) with PLANTED violations so every check fires — docs
+    * group into 40 conversations ordered by doc_id, roles alternate
+    * user/assistant by turn parity EXCEPT every %17 doc is forced
+    * 'user' (consecutive-role violations wherever that lands on an odd
+    * turn), every %23 doc's content is blanked (empty-turn violations),
+    * and odd-length conversations naturally end on 'user' (ends-check
+    * violations) — then each conversation gets its four verdicts and
+    * the conjunction. */
+  def sftValidateDemo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wOrd = Window.partitionBy(col("conv_id")).orderBy(col("doc_id"))
+    val turns = docs.select((col("doc_id") % 40).as("conv_id"),
+        col("doc_id"), col("text"))
+      .withColumn("turn_idx", row_number().over(wOrd).cast("long") - 1)
+      .select(col("conv_id"), col("turn_idx"),
+        when(col("doc_id") % 17 === 0, lit("user"))
+          .when(col("turn_idx") % 2 === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        when(col("doc_id") % 23 === 0, lit("")).otherwise(col("text")).as("content"))
+    Sft.validateConversations(turns, "conv_id", "turn_idx", "role", "content")
+      .orderBy("conv_id")
+  }
+
+  /** C93 — subword fertility by language: BPE tokens per whitespace
+    * word and characters per BPE token, per metadata lang — THE
+    * numbers a tokenizer team reads before fixing a vocabulary (high
+    * fertility on a language = that language pays more sequence
+    * positions per word = effectively less context and more compute;
+    * cf. C72, which proxies fertility with chars-per-WHITESPACE-token
+    * and needs no trained vocab). Uses the C35/C36 pipeline: train the
+    * 12-merge vocabulary on the corpus ([[Bpe.trainDf]] pricing
+    * discipline — train at vocab scale, encode via ONE dictionary
+    * join), then one groupBy(lang) whose partial aggs collapse to
+    * lang-cardinality rows map-side. Exact-int sums; IEEE divisions on
+    * the exact totals. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val enc = Bpe.encode(docs, "doc_id", "text", nMerges = 12)
+    docs.select(col("doc_id"), col("lang"),
+        Text.tokenCount(col("text")).as("words"),
+        length(col("text")).cast("long").as("chars"))
+      .join(enc.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).as("total_words"),
+        sum(col("n_tokens")).as("total_bpe_tokens"),
+        sum(col("chars")).as("total_chars"))
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        col("total_bpe_tokens"), col("total_chars"),
+        when(col("total_words") > 0,
+          col("total_bpe_tokens").cast("double") / col("total_words").cast("double"))
+          .otherwise(0.0).as("fertility"),
+        when(col("total_bpe_tokens") > 0,
+          col("total_chars").cast("double") / col("total_bpe_tokens").cast("double"))
+          .otherwise(0.0).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  /** C92 — per-document character-distribution Shannon entropy (bits)
+    * — the junk filter the length/stopword heuristics (C9/C28) can't
+    * express: repeated-character spam and single-symbol padding score
+    * near 0 bits regardless of length, natural prose sits ~4–4.5, and
+    * random-symbol noise pushes toward log₂|alphabet|. The gate keeps
+    * entropy ≥ 2 (low side only: large-alphabet scripts like CJK
+    * legitimately run HIGH, so a high-side cut would gate languages,
+    * not junk — pair with C8's lang_id if encoded-binary detection is
+    * needed). Characters are code points ([[Text.charTokens]],
+    * surrogate-safe — an astral emoji is one symbol, matching the
+    * oracle's split), per-doc counts fold in sorted-character order so
+    * the double sum is deterministic and engine-identical, and the
+    * shuffle carries at most |alphabet| rows per doc (the per-partition
+    * partial agg collapses to distinct (doc, char) first) — map-side
+    * bounded at any corpus size. Empty docs survive with (0, 0, 0.0,
+    * false) through the left join back. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cnt = docs.select(col("doc_id"),
+        explode(Text.charTokens(col("text"))).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val agg = cnt.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_total"),
+      count(lit(1)).as("n_distinct"),
+      sort_array(collect_list(struct(col("ch"), col("c")))).as("cs"))
+    val ent = round(-aggregate(col("cs"), lit(0.0), (acc, s) => {
+      val pr = s.getField("c").cast("double") / col("n_total").cast("double")
+      acc + pr * log2(pr)
+    }), 6)
+    val scored = agg.select(col("doc_id"), col("n_total"),
+      col("n_distinct"), ent.as("entropy"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_total"), lit(0L)).as("n_total"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"),
+        (coalesce(col("entropy"), lit(0.0)) >= 2.0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** C91 — greedy k-center coreset selection over the embeddings
+    * table ([[Similarity.kcenterSelect]]): the 8 most mutually-distant
+    * vectors, seeded at the smallest id — the diverse-subset primitive
+    * behind coreset curation and annotation budgeting (k-center picks
+    * the points that COVER the space; contrast C85's budget_select,
+    * which picks the points that SCORE best). The oracle replays the
+    * same greedy argmax as a materialized CTE chain, one step per
+    * center. */
+  def kcenterSelectDemo(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kcenterSelect(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", k = 8)
+      .orderBy("rank")
+
   /** C90 — measured precision/recall of the C3 simhash banding, the
     * Hamming-space companion to [[minhashLshEval]] (C66): the 4×15-bit
     * production banding evaluated against an EXACT hamming ≤ 6 truth.

@@ -750,6 +750,126 @@ object OracleGen {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** mirror of TextDemos.sftValidateDemo: same synthesized turn table
+    * (row_number by doc_id within doc_id % 40, %17 forced-user and %23
+    * blanked-content plants), same four per-conversation checks via a
+    * lag window. */
+  def sftValidateSql(): String =
+    s"""WITH turns AS (
+       |  SELECT doc_id % 40 AS conv_id,
+       |         (ROW_NUMBER() OVER (PARTITION BY doc_id % 40 ORDER BY doc_id) - 1) AS turn_idx,
+       |         CASE WHEN doc_id % 17 = 0 THEN 'user'
+       |              WHEN (ROW_NUMBER() OVER (PARTITION BY doc_id % 40 ORDER BY doc_id) - 1) % 2 = 0 THEN 'user'
+       |              ELSE 'assistant' END AS role,
+       |         CASE WHEN doc_id % 23 = 0 THEN '' ELSE text END AS content
+       |  FROM documents
+       |), lagged AS (
+       |  SELECT conv_id, turn_idx, role, content,
+       |         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+       |  FROM turns
+       |), checks AS (
+       |  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       |         min_by(role, turn_idx) = 'user' AS first_role_ok,
+       |         CAST(COALESCE(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END), 0) AS BIGINT) = 0 AS alternation_ok,
+       |         CAST(SUM(CASE WHEN content IS NULL OR content = '' THEN 1 ELSE 0 END) AS BIGINT) = 0 AS no_empty_ok,
+       |         max_by(role, turn_idx) = 'assistant' AS ends_assistant_ok
+       |  FROM lagged GROUP BY conv_id
+       |)
+       |SELECT conv_id, n_turns, first_role_ok, alternation_ok, no_empty_ok,
+       |       ends_assistant_ok,
+       |       first_role_ok AND alternation_ok AND no_empty_ok AND ends_assistant_ok AS valid
+       |FROM checks ORDER BY conv_id""".stripMargin
+
+  /** mirror of TextDemos.bpeFertility: the bpeEncodeSql CTE chain up
+    * to `enc`, left-joined back to documents (wordless docs count 0
+    * tokens), grouped by lang with exact-int sums and IEEE divisions
+    * on the totals. */
+  def bpeFertilitySql(n: Int = 12): String = {
+    val chain = bpeEncodeSql(n)
+      .replaceAll("(?s)\\nSELECT d\\.doc_id.*$", "")
+      .replaceFirst("^WITH ", "")
+    s"""WITH $chain, base AS (
+       |  SELECT d.lang,
+       |         CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS words,
+       |         CAST(length(d.text) AS BIGINT) AS chars,
+       |         CAST(COALESCE(e.n_tokens, 0) AS BIGINT) AS n_tokens
+       |  FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+       |)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(words) AS BIGINT) AS total_words,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS total_bpe_tokens,
+       |       CAST(SUM(chars) AS BIGINT) AS total_chars,
+       |       CASE WHEN SUM(words) > 0
+       |            THEN CAST(SUM(n_tokens) AS DOUBLE) / CAST(SUM(words) AS DOUBLE)
+       |            ELSE 0.0 END AS fertility,
+       |       CASE WHEN SUM(n_tokens) > 0
+       |            THEN CAST(SUM(chars) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE)
+       |            ELSE 0.0 END AS chars_per_token
+       |FROM base GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** mirror of TextDemos.charEntropy: codepoint split (string_split
+    * with '' splits per character, matching the surrogate-safe
+    * charTokens), counts folded in sorted-character order so the
+    * entropy double-sum is engine-identical, left join back for empty
+    * docs. */
+  def charEntropySql(): String = {
+    val terms = "list_transform(cs, c -> (c / CAST(n_total AS DOUBLE)) " +
+      "* log2(c / CAST(n_total AS DOUBLE)))"
+    s"""WITH ch AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ''), x -> x <> '')) AS ch
+       |  FROM documents
+       |), cnt AS (
+       |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM ch GROUP BY doc_id, ch
+       |), agg AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_total,
+       |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |         list(CAST(c AS DOUBLE) ORDER BY ch) AS cs
+       |  FROM cnt GROUP BY doc_id
+       |), ent AS (
+       |  SELECT doc_id, n_total, n_distinct,
+       |         round(-(${lsum(terms)}), 6) AS entropy
+       |  FROM agg
+       |)
+       |SELECT d.doc_id,
+       |       CAST(COALESCE(e.n_total, 0) AS BIGINT) AS n_total,
+       |       CAST(COALESCE(e.n_distinct, 0) AS BIGINT) AS n_distinct,
+       |       COALESCE(e.entropy, 0.0) AS entropy,
+       |       COALESCE(e.entropy, 0.0) >= 2.0 AS keep
+       |FROM documents d LEFT JOIN ent e ON e.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** mirror of Similarity.kcenterSelect (k=8 over embeddings): the
+    * greedy farthest-point argmax unrolled as one MATERIALIZED CTE per
+    * step — sᵢ references every s₀..sᵢ₋₁, so without materialization
+    * the chain re-evaluates its whole prefix per reference
+    * (exponentially); same seed (smallest id), same squared-L2 fold,
+    * same (d DESC, vec_id) tie-break. */
+  def kcenterSelectSql(k: Int = 8): String = {
+    def dist(v: String, c: String) = {
+      val diff = s"(CAST($v[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))"
+      lsum(s"list_transform(range(1, len($v)+1), i -> $diff * $diff)")
+    }
+    val ctes = new StringBuilder(
+      "e AS MATERIALIZED (SELECT vec_id, embedding AS v FROM embeddings),\n" +
+      "s0 AS MATERIALIZED (SELECT vec_id, v, CAST(0.0 AS DOUBLE) AS d, 0 AS rank FROM e ORDER BY vec_id LIMIT 1)")
+    for (i <- 1 until k) {
+      val centers = (0 until i).map(j => s"SELECT vec_id, v FROM s$j").mkString(" UNION ALL ")
+      ctes ++= s""",
+m$i AS (
+  SELECT e.vec_id, e.v, MIN(${dist("e.v", "c.v")}) AS d
+  FROM e CROSS JOIN ($centers) c
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM ($centers) x)
+  GROUP BY e.vec_id, e.v
+),
+s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, vec_id LIMIT 1)"""
+    }
+    val union = (0 until k).map(j =>
+      s"SELECT rank, vec_id, round(d, 6) AS dist FROM s$j").mkString("\nUNION ALL ")
+    s"WITH $ctes\n$union\nORDER BY rank"
+  }
+
   /** mirror of TextDemos.simhashEval: the simhashSql CTE chain up to
     * the (unfiltered) 4-band candidate set, plus a 7-disjoint-band
     * pigeonhole truth (exact for hamming ≤ 6 on 60 bits), one summary
