@@ -72,7 +72,10 @@ object ScaleSmoke {
     // form — the exhaustive bitext_mine demo is quadratic BY DESIGN
     // (a candidate-slice operator; its doc says swap in ANN at scale),
     // so the smoke stresses the form that is claimed to scale
-    "setsim_join", "budget_select", "bitext_mine_ann")
+    "setsim_join", "budget_select", "bitext_mine_ann",
+    // the asymmetric containment join stresses the full-token B side
+    // (the one prefix-filtered join whose posting lists are unpruned)
+    "contain_join")
 
   /** smoke-only variants that exist to stress a knob the registry
     * demos fix (SparkEntry rows must stay oracle-stable): PageRank at

@@ -73,6 +73,9 @@ object SparkEntry {
     "char_entropy"         -> (TextDemos.charEntropy(_, _)),
     "bpe_fertility"        -> (TextDemos.bpeFertility(_, _)),
     "sft_validate"         -> (TextDemos.sftValidateDemo(_, _)),
+    "contain_join"         -> (TextDemos.containJoinDemo(_, _)),
+    "tokenizer_entropy"    -> (TextDemos.tokenizerEntropy(_, _)),
+    "ivf_recall_curve"     -> (TextDemos.ivfRecallCurve(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
     "topk_ngrams"          -> (TextDemos.topkNgrams(_, _)),
@@ -905,6 +908,9 @@ object SparkEntry {
     "char_entropy"      -> graft.oracle.OracleGen.charEntropySql(),
     "bpe_fertility"     -> graft.oracle.OracleGen.bpeFertilitySql(),
     "sft_validate"      -> graft.oracle.OracleGen.sftValidateSql(),
+    "contain_join"      -> graft.oracle.OracleGen.containJoinSql(),
+    "tokenizer_entropy" -> graft.oracle.OracleGen.tokenizerEntropySql(),
+    "ivf_recall_curve"  -> graft.oracle.OracleGen.ivfRecallCurveSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),

@@ -51,29 +51,39 @@ object SetSim {
           .as("hset"))
       .filter(size(col("hset")) > 0)
 
-  /** per-doc token array in the shared total order (df asc, hash asc)
-    * plus its probing prefix exploded with 1-based positions. Tokens
-    * absent from `dfCounts` order FIRST (df 0 — "rarest"): for the
-    * R-S form the index side's frequencies are the shared dictionary
-    * and a probe-only token is by definition rare there. */
-  private def prefixExploded(sets: DataFrame, dfCounts: DataFrame,
-                             threshold: Double): DataFrame = {
+  /** per-doc token array in the shared total order (df asc, hash
+    * asc). Tokens absent from `dfCounts` order FIRST (df 0 —
+    * "rarest"): for the R-S form the index side's frequencies are the
+    * shared dictionary and a probe-only token is by definition rare
+    * there. Returns (doc_id, otoks, s). */
+  private def orderedTokens(sets: DataFrame, dfCounts: DataFrame): DataFrame = {
     val ex = sets.select(col("doc_id"), explode(col("hset")).as("h"))
-    val ordered = ex.join(dfCounts, Seq("h"), "left")
+    ex.join(dfCounts, Seq("h"), "left")
       .select(col("doc_id"), col("h"), coalesce(col("df"), lit(0L)).as("df"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
       .select(col("doc_id"),
         transform(col("ord"), e => e.getField("h")).as("otoks"),
         size(col("ord")).cast("long").as("s"))
-    val p = (col("s") - ceil(col("s").cast("double") * threshold).cast("long") + 1)
-      .cast("int")
-    ordered
+  }
+
+  /** the first `prefixLen(s)` ordered tokens exploded with 1-based
+    * positions — the probing prefix of the filtering lemma */
+  private def prefixExploded(sets: DataFrame, dfCounts: DataFrame,
+                             prefixLen: Column => Column): DataFrame =
+    orderedTokens(sets, dfCounts)
       .select(col("doc_id"), col("s"),
-        posexplode(slice(col("otoks"), lit(1), p)).as(Seq("pos0", "h")))
+        posexplode(slice(col("otoks"), lit(1), prefixLen(col("s")).cast("int")))
+          .as(Seq("pos0", "h")))
       .select(col("doc_id"), col("s"),
         (col("pos0") + 1).cast("long").as("pos"), col("h"))
-  }
+
+  /** a set needing overlap >= ceil(t*s) can miss at most
+    * s - ceil(t*s) tokens, so its first s - ceil(t*s) + 1 ordered
+    * tokens must contain a shared one (the prefix-filtering lemma) —
+    * the formula BOTH the Jaccard and the containment probe sides use */
+  private def lemmaPrefix(threshold: Double)(s: Column): Column =
+    s - ceil(s.cast("double") * threshold).cast("long") + 1
 
   /** candidate pairs from two prefix tables: shared prefix token, then
     * the two exact prunes. The positional filter is valid for a pair's
@@ -137,7 +147,7 @@ object SetSim {
     val ex = sets.select(col("doc_id"), explode(col("hset")).as("h"))
     val dfCounts = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val prefix = graft.util.CacheRegistry.register(
-      prefixExploded(sets, dfCounts, threshold).persist())
+      prefixExploded(sets, dfCounts, lemmaPrefix(threshold)).persist())
     val cands = candidates(prefix, prefix, threshold, col("id_a") < col("id_b"))
     verified(cands, sets, sets, threshold)
   }
@@ -165,9 +175,69 @@ object SetSim {
       hashedSets(index, idCol, textCol, shingleN, tokenHash).persist())
     val dfCounts = indexSets.select(col("doc_id"), explode(col("hset")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("df"))
-    val probePrefix = prefixExploded(probeSets, dfCounts, threshold)
-    val indexPrefix = prefixExploded(indexSets, dfCounts, threshold)
+    val probePrefix = prefixExploded(probeSets, dfCounts, lemmaPrefix(threshold))
+    val indexPrefix = prefixExploded(indexSets, dfCounts, lemmaPrefix(threshold))
     val cands = candidates(probePrefix, indexPrefix, threshold, lit(true))
     verified(cands, probeSets, indexSets, threshold)
+  }
+
+  /** All ORDERED pairs (id_a, id_b), id_a ≠ id_b, with containment
+    * |A∩B| / |A| >= t — the ASYMMETRIC complement of
+    * [[prefixJaccardJoin]]: a short doc quoted whole inside a 10×
+    * longer one has Jaccard ~0.1 (invisible to every symmetric dedup
+    * in the library) but containment 1.0, and subset duplication —
+    * quote expansions, page-of-pages aggregators, shingled excerpts —
+    * is exactly what this join surfaces.
+    *
+    * Filtering math (overlap requirement α = ceil(t·|A|), which
+    * depends only on the CONTAINED side): A probes with the standard
+    * lemma prefix |A| − α + 1; B cannot be prefix-pruned (the shared
+    * token pigeonholed into A's prefix can sit ANYWHERE in B), so the
+    * B side explodes in full — the same (token, doc) table the df
+    * count already shuffles, joined only against A's RARE prefix
+    * tokens, so posting lists stay short where it matters. Exact
+    * prunes inside the join: |B| >= α (length), and the positional
+    * bound 1 + min(|A|−p_a, |B|−p_b) >= α for the earliest shared
+    * token (any-row-passes is a safe superset). Survivors verify with
+    * pair-local exact intersection.
+    *
+    * Output: (id_a, id_b, overlap, sz_a, sz_b, containment round-6),
+    * one row per ordered qualifying pair (an exact dup qualifies in
+    * both directions). threshold may be 1.0: exact subset — the
+    * probing prefix degenerates to the single rarest token. */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleN: Int = 3,
+                      tokenHash: Column => Column = Vec.md5Hash60): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentJoin: threshold must be in (0,1], got $threshold")
+    val sets = graft.util.CacheRegistry.register(
+      hashedSets(docs, idCol, textCol, shingleN, tokenHash).persist())
+    val ex = sets.select(col("doc_id"), explode(col("hset")).as("h"))
+    val dfCounts = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val lhs = prefixExploded(sets, dfCounts, lemmaPrefix(threshold))
+      .select(col("doc_id").as("id_a"), col("s").as("s_a"),
+        col("pos").as("p_a"), col("h"))
+    val rhs = prefixExploded(sets, dfCounts, s => s) // full: no B-side prefix
+      .select(col("doc_id").as("id_b"), col("s").as("s_b"),
+        col("pos").as("p_b"), col("h"))
+    val need = ceil(col("s_a").cast("double") * threshold)
+    val cands = lhs.join(rhs, "h")
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("s_b").cast("double") >= need)
+      .filter((lit(1L) + least(col("s_a") - col("p_a"), col("s_b") - col("p_b")))
+        .cast("double") >= need)
+      .select("id_a", "id_b")
+      .distinct()
+    val a = sets.select(col("doc_id").as("id_a"), col("hset").as("set_a"),
+      size(col("hset")).cast("long").as("sz_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("hset").as("set_b"),
+      size(col("hset")).cast("long").as("sz_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("overlap",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("containment",
+        round(col("overlap").cast("double") / col("sz_a").cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "overlap", "sz_a", "sz_b", "containment")
   }
 }

@@ -1769,6 +1769,117 @@ object TextDemos {
       .orderBy("vec_id")
   }
 
+  /** C97 — the IVF recall/cost curve: recall@5 against the brute
+    * exact truth AND the exact fraction of the corpus scanned, per
+    * nprobe ∈ {1, 2, 4, 10} — the measurement that picks the nprobe
+    * knob (C15b fixes nprobe=1; C82's starvation remedy says "raise
+    * nprobe" — this row prices that advice), completing the eval
+    * family: C66/C90 measure the dedup sketches, C88 the serving
+    * dims, this the posting-list probe width. nprobe=10 probes every
+    * cluster and rides as the sanity row: recall and scan_frac both
+    * exactly 1.0 — IVF at full probe width IS brute force, measured.
+    * Truth computes ONCE (brute top-5, persisted); each probe width
+    * reuses the persisted query/corpus splits; scan cost is exact
+    * relational algebra (assigned clusters ⋈ posting sizes), never a
+    * plan guess. One row per nprobe; exact-int IEEE divisions. */
+  def ivfRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = graft.util.CacheRegistry.register(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")).persist())
+    val corpus = graft.util.CacheRegistry.register(emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("label"))
+      .persist())
+    val cents = graft.util.CacheRegistry.register(
+      Similarity.ivfCentroids(emb, "embedding", "label").persist())
+    val truth = graft.util.CacheRegistry.register(
+      Similarity.bruteTopK(queries, corpus, k = 5)
+        .select(col("query_id"), col("cand_id")).persist())
+    val labelSizes = corpus.groupBy(col("label")).agg(count(lit(1)).as("n_cand"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nQ = queries.agg(count(lit(1)).as("n_q"))
+    val nC = corpus.agg(count(lit(1)).as("n_c"))
+    Seq(1, 2, 4, 10).map { np =>
+      val ivf = Similarity.ivfTopK(queries, corpus, cents, k = 5, nprobe = np)
+        .select(col("query_id"), col("cand_id"))
+      val nHits = ivf.join(truth, Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val scanned = Similarity.ivfAssignN(queries, cents, np)
+        .select(col("query_id"), col("label"))
+        .join(labelSizes, "label")
+        .agg(coalesce(sum(col("n_cand")), lit(0L)).as("scanned"))
+      nTruth.crossJoin(nHits).crossJoin(scanned).crossJoin(nQ).crossJoin(nC)
+        .select(lit(np).as("nprobe"), col("n_truth"), col("n_hits"),
+          when(col("n_truth") > 0,
+            col("n_hits").cast("double") / col("n_truth").cast("double"))
+            .otherwise(0.0).as("recall"),
+          (col("scanned").cast("double") /
+            (col("n_q") * col("n_c")).cast("double")).as("scan_frac"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
+  /** C96 — tokenizer distribution quality: Shannon and Rényi (α=2.5)
+    * entropy of the corpus token-frequency distribution, per tokenizer
+    * (whitespace words vs the C35 12-merge BPE), plus the Rényi
+    * EFFICIENCY H₂.₅/log₂V — the "Tokenization and the Noiseless
+    * Channel" (Zouhar et al., ACL 2023) measure that predicts
+    * downstream quality better than vocab size or fertility: a
+    * tokenizer whose token mass concentrates on few types wastes its
+    * vocabulary (efficiency → 0), one that spreads uniformly uses it
+    * fully (→ 1). Complements C93: fertility prices the SEQUENCE cost,
+    * this scores the DISTRIBUTION.
+    *
+    * Determinism at scale: the Σp·log₂p and Σp^α sums run over the
+    * vocabulary in arbitrary partition order, so each term is
+    * quantized to DECIMAL(38,12) and summed EXACTLY (the Agg.dsum
+    * discipline, scale chosen so a 1-ulp libm pow/log2 difference
+    * cannot flip a quantization boundary: the grid step is ~1e6 ulps
+    * at these magnitudes, and terms below 5e-13 truncate to a defined
+    * zero). Frequency tables are one shuffle each; the totals join
+    * broadcasts two rows. */
+  def tokenizerEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ws = docs.select(explode(Text.wsTokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .select(lit("ws").as("tokenizer"), col("c"))
+    val bpe = Bpe.encode(docs, "doc_id", "text", nMerges = 12)
+      .select(explode(split(col("bpe_text"), Bpe.Sep)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .select(lit("bpe12").as("tokenizer"), col("c"))
+    val freq = ws.unionByName(bpe)
+    val tot = freq.groupBy("tokenizer").agg(
+      count(lit(1)).as("vocab_size"), sum(col("c")).as("total_tokens"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val p = col("c").cast("double") / col("total_tokens").cast("double")
+    val sums = freq.join(broadcast(tot), "tokenizer")
+      .select(col("tokenizer"),
+        (p * log2(p)).cast(dec).as("tsh"),
+        pow(p, lit(2.5)).cast(dec).as("tr"))
+      .groupBy("tokenizer")
+      .agg(sum(col("tsh")).cast("double").as("ssh"),
+        sum(col("tr")).cast("double").as("sr"))
+    val renyi = log2(col("sr")) / lit(-1.5)
+    tot.join(sums, "tokenizer")
+      .select(col("tokenizer"), col("vocab_size"), col("total_tokens"),
+        round(-col("ssh"), 6).as("shannon_bits"),
+        round(renyi, 6).as("renyi25_bits"),
+        when(col("vocab_size") > 1,
+          round(renyi / log2(col("vocab_size").cast("double")), 6))
+          .otherwise(0.0).as("renyi_efficiency"))
+      .orderBy("tokenizer")
+  }
+
+  /** C95 — containment join ([[SetSim.containmentJoin]]): every
+    * ORDERED pair where ≥ 80 % of the left doc's distinct 3-shingles
+    * sit inside the right doc — subset duplication (quotes swallowed
+    * whole, excerpt pages, expanded revisions) that symmetric Jaccard
+    * structurally misses when the containing side is much larger.
+    * md5-60 shingle hashes for oracle parity (production: xxhash64). */
+  def containJoinDemo(spark: SparkSession, dir: String): DataFrame =
+    SetSim.containmentJoin(Tables.documents(spark, dir), "doc_id", "text",
+        threshold = 0.8, shingleN = 3)
+      .orderBy("id_a", "id_b")
+
   /** C94 — SFT chat-format validation ([[Sft.validateConversations]]):
     * conversations synthesized onto the doc corpus (the C55/C87
     * convention) with PLANTED violations so every check fires — docs

@@ -475,6 +475,67 @@ object OracleGen {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** mirror of TextDemos.containJoinDemo (SetSim.containmentJoin):
+    * same shingle/rarity CTEs as setSimJoinSql, probe prefix with the
+    * same lemma formula, the B side exploded IN FULL (containment
+    * admits no B-prefix), the asymmetric length/positional prunes
+    * (both against ceil(t*s_a)), exact-intersection verify on
+    * |A∩B| / |A|. */
+  def containJoinSql(threshold: Double = 0.8, n: Int = 3): String = {
+    val t = threshold
+    val gram = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), s0 AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+       |    i -> ($gram))) AS sh
+       |  FROM t0 WHERE len(toks) >= $n
+       |), hs AS (
+       |  SELECT doc_id, list_distinct(list_transform(sh, g -> ${md560("g")})) AS hset
+       |  FROM s0 WHERE len(sh) > 0
+       |), ex AS (
+       |  SELECT doc_id, unnest(hset) AS h FROM hs
+       |), dfc AS (
+       |  SELECT h, COUNT(*) AS df FROM ex GROUP BY h
+       |), ord AS (
+       |  SELECT e.doc_id, list(e.h ORDER BY d.df, e.h) AS otoks,
+       |         CAST(COUNT(*) AS BIGINT) AS s
+       |  FROM ex e JOIN dfc d USING (h) GROUP BY e.doc_id
+       |), pre AS (
+       |  SELECT doc_id, s, u.pos AS pos, u.h AS h
+       |  FROM (SELECT doc_id, s,
+       |          unnest(list_transform(
+       |            range(1, s - CAST(ceil(CAST(s AS DOUBLE) * $t) AS BIGINT) + 2),
+       |            i -> struct_pack(pos := CAST(i AS BIGINT), h := otoks[i]))) AS u
+       |        FROM ord)
+       |), bfull AS (
+       |  SELECT doc_id, s, u.pos AS pos, u.h AS h
+       |  FROM (SELECT doc_id, s,
+       |          unnest(list_transform(range(1, s + 1),
+       |            i -> struct_pack(pos := CAST(i AS BIGINT), h := otoks[i]))) AS u
+       |        FROM ord)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pre a JOIN bfull b ON b.h = a.h AND a.doc_id <> b.doc_id
+       |  WHERE CAST(b.s AS DOUBLE) >= ceil(CAST(a.s AS DOUBLE) * $t)
+       |    AND CAST(1 + least(a.s - a.pos, b.s - b.pos) AS DOUBLE)
+       |        >= ceil(CAST(a.s AS DOUBLE) * $t)
+       |), v AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_filter(x.hset, e -> list_contains(y.hset, e))) AS BIGINT) AS overlap,
+       |    CAST(len(x.hset) AS BIGINT) AS sz_a, CAST(len(y.hset) AS BIGINT) AS sz_b
+       |  FROM cand c
+       |  JOIN hs x ON x.doc_id = c.id_a
+       |  JOIN hs y ON y.doc_id = c.id_b
+       |)
+       |SELECT id_a, id_b, overlap, sz_a, sz_b,
+       |  round(CAST(overlap AS DOUBLE) / CAST(sz_a AS DOUBLE), 6) AS containment
+       |FROM v
+       |WHERE round(CAST(overlap AS DOUBLE) / CAST(sz_a AS DOUBLE), 6) >= $t
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** mirror of TextDemos.setsimJoinRs (SetSim.prefixJaccardJoinRS):
     * the two-sided form — probe = %7 batch, index = the rest, df
     * dictionary from the INDEX side only (probe-only tokens order
@@ -779,6 +840,50 @@ object OracleGen {
        |       ends_assistant_ok,
        |       first_role_ok AND alternation_ok AND no_empty_ok AND ends_assistant_ok AS valid
        |FROM checks ORDER BY conv_id""".stripMargin
+
+  /** mirror of TextDemos.tokenizerEntropy: the bpeEncodeSql CTE chain
+    * feeds the bpe12 frequency table, whitespace words the other; each
+    * entropy term quantized to DECIMAL(38,12) before the exact sum
+    * (the order-free discipline — see the demo doc for the ulp
+    * analysis), IEEE divisions and log2 on the exact decimal-sum
+    * doubles. */
+  def tokenizerEntropySql(n: Int = 12): String = {
+    val chain = bpeEncodeSql(n)
+      .replaceAll("(?s)\\nSELECT d\\.doc_id.*$", "")
+      .replaceFirst("^WITH ", "")
+    val pExpr = "(CAST(f.c AS DOUBLE) / CAST(t.total_tokens AS DOUBLE))"
+    s"""WITH $chain, wsf AS (
+       |  SELECT 'ws' AS tokenizer, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+       |        FROM documents)
+       |  GROUP BY tok
+       |), bpef AS (
+       |  SELECT 'bpe12' AS tokenizer, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(list_filter(string_split(bpe_text, chr(1)), x -> x <> '')) AS tok
+       |        FROM enc)
+       |  GROUP BY tok
+       |), freq AS (
+       |  SELECT * FROM wsf UNION ALL SELECT * FROM bpef
+       |), tot AS (
+       |  SELECT tokenizer, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       |         CAST(SUM(c) AS BIGINT) AS total_tokens
+       |  FROM freq GROUP BY tokenizer
+       |), s AS (
+       |  SELECT f.tokenizer,
+       |         CAST(SUM(CAST($pExpr * log2($pExpr) AS DECIMAL(38,12))) AS DOUBLE) AS ssh,
+       |         CAST(SUM(CAST(pow($pExpr, 2.5) AS DECIMAL(38,12))) AS DOUBLE) AS sr
+       |  FROM freq f JOIN tot t USING (tokenizer)
+       |  GROUP BY f.tokenizer
+       |)
+       |SELECT t.tokenizer, t.vocab_size, t.total_tokens,
+       |       round(-s.ssh, 6) AS shannon_bits,
+       |       round(log2(s.sr) / (-1.5), 6) AS renyi25_bits,
+       |       CASE WHEN t.vocab_size > 1
+       |            THEN round((log2(s.sr) / (-1.5)) / log2(CAST(t.vocab_size AS DOUBLE)), 6)
+       |            ELSE 0.0 END AS renyi_efficiency
+       |FROM tot t JOIN s USING (tokenizer)
+       |ORDER BY t.tokenizer""".stripMargin
+  }
 
   /** mirror of TextDemos.bpeFertility: the bpeEncodeSql CTE chain up
     * to `enc`, left-joined back to documents (wordless docs count 0
@@ -2074,6 +2179,67 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |  FROM s)
        |SELECT query_id, cand_id, round(sim, 6) AS sim, rank
        |FROM rr WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** mirror of TextDemos.ivfRecallCurve: the ivfTopkSql machinery per
+    * probe width (rn <= nprobe), one brute-truth CTE shared by every
+    * block, posting sizes joined for the exact scan fraction, one
+    * summary row per nprobe. */
+  def ivfRecallCurveSql(k: Int = 5, probes: Seq[Int] = Seq(1, 2, 4, 10)): String = {
+    val blocks = probes.map { np =>
+      s""",
+         |a$np AS (
+         |  SELECT q.query_id, q.qv, r.label
+         |  FROM q JOIN r ON q.query_id = r.query_id AND r.rn <= $np
+         |), s$np AS (
+         |  SELECT a.query_id, c.cand_id, ${cosineExpr("a.qv", "c.cv2")} AS sim
+         |  FROM a$np a JOIN c ON a.label = c.label
+         |), iv$np AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+         |    FROM s$np) WHERE rank <= $k
+         |), row$np AS (
+         |  SELECT $np AS nprobe,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM bt) AS n_truth,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM iv$np i JOIN bt t
+         |            ON i.query_id = t.query_id AND i.cand_id = t.cand_id) AS n_hits,
+         |         (SELECT CAST(COALESCE(SUM(ls.n_cand), 0) AS BIGINT)
+         |          FROM a$np a2 JOIN ls ON ls.label = a2.label) AS scanned
+         |)""".stripMargin
+    }.mkString
+    val union = probes.map(np =>
+      s"""SELECT nprobe, n_truth, n_hits,
+         |  CASE WHEN n_truth > 0 THEN CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) ELSE 0.0 END AS recall,
+         |  CAST(scanned AS DOUBLE) / CAST((SELECT COUNT(*) FROM q) * (SELECT COUNT(*) FROM c) AS DOUBLE) AS scan_frac
+         |FROM row$np""".stripMargin).mkString("\nUNION ALL\n")
+    s"""$centroidsCore, c2 AS (
+       |  SELECT label, list(centroid ORDER BY pos) AS cv FROM cent GROUP BY label
+       |), q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qvd
+       |  FROM embeddings WHERE vec_id < 5
+       |), x AS (
+       |  SELECT query_id, label, ${cosineExpr("qvd", "cv")} AS sim
+       |  FROM q CROSS JOIN c2
+       |), r AS (
+       |  SELECT query_id, label,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, label) AS rn
+       |  FROM x
+       |), c AS (
+       |  SELECT vec_id AS cand_id, embedding AS cv2, label
+       |  FROM embeddings WHERE vec_id >= 5
+       |), ls AS (
+       |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_cand FROM c GROUP BY label
+       |), bt AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q.query_id, c.cand_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY ${cosineExpr("q.qv", "c.cv2")} DESC, c.cand_id) AS rank
+       |    FROM q CROSS JOIN c) WHERE rank <= $k
+       |)$blocks
+       |$union
+       |ORDER BY nprobe""".stripMargin
+  }
 
   /** mirror of TextDemos.ivfPqTopkDemo — the full IVF-PQ chain:
     * coarse centroids (centroidsCore), 9-place residuals, sign-orthant

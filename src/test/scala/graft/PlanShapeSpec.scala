@@ -241,7 +241,8 @@ class PlanShapeSpec extends SparkSpec {
       "minhash_lsh_eval"       -> ((38, 30, 32)), // dual-truth composite; big but bounded
       "winnow_fingerprint"     -> ((2, 0, 0)),  // doc window + orderBy; distinct reuses
       "bitext_mine"            -> ((6, 6, 11)), // docs⋈emb prep ×2 sides + the pair scan's three consumers
-      "setsim_join"            -> ((6, 5, 5))) // df count + order + prefix self-join + verify rejoins; +1 from the r12 sets/prefix persist
+      "setsim_join"            -> ((6, 5, 5)), // df count + order + prefix self-join + verify rejoins; +1 from the r12 sets/prefix persist
+      "contain_join"           -> ((5, 5, 5))) // same family, one fewer exchange: the full B side reuses the ordering shuffle the prefix slice repartitions
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     graft.tools.PlanCounts.Gated.foreach { name =>
