@@ -76,6 +76,7 @@ object SparkEntry {
     "contain_join"         -> (TextDemos.containJoinDemo(_, _)),
     "tokenizer_entropy"    -> (TextDemos.tokenizerEntropy(_, _)),
     "ivf_recall_curve"     -> (TextDemos.ivfRecallCurve(_, _)),
+    "shard_balance"        -> (TextDemos.shardBalanceDemo(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
     "topk_ngrams"          -> (TextDemos.topkNgrams(_, _)),
@@ -173,6 +174,7 @@ object SparkEntry {
     "stream_topk_ngrams_parity" -> (graft.streaming.StreamParity.streamTopkNgramsParity(_, _)),
     "stream_contamination_parity" -> (graft.streaming.StreamParity.streamContaminationParity(_, _)),
     "stream_quality_gate_parity" -> (graft.streaming.StreamParity.streamQualityGateParity(_, _)),
+    "stream_sft_gate_parity" -> (graft.streaming.StreamParity.streamSftGateParity(_, _)),
     "stream_drift_parity"  -> (graft.streaming.StreamParity.streamDriftParity(_, _)),
     "stream_calibration_parity" -> (graft.streaming.StreamParity.streamCalibrationParity(_, _)),
     "stream_kmv_sketch_parity" -> (graft.streaming.StreamParity.streamKmvSketchParity(_, _)),
@@ -238,6 +240,9 @@ object SparkEntry {
       // D9: the streaming quality gate's final counters equal the
       // batch aggregate of the C70 rules over the same pages
       "stream_quality_gate_parity" -> graft.oracle.OracleGen.c4GateAggSql(),
+      // D13: the collected turn state finalizes to the batch
+      // validator's answer — C94's oracle verbatim
+      "stream_sft_gate_parity" -> m("sft_validate"),
       // D11: the streamed histogram + batch reference lands on C80's
       // batch PSI answer
       "stream_drift_parity" -> graft.oracle.OracleGen.corpusDriftSql(),
@@ -911,6 +916,7 @@ object SparkEntry {
     "contain_join"      -> graft.oracle.OracleGen.containJoinSql(),
     "tokenizer_entropy" -> graft.oracle.OracleGen.tokenizerEntropySql(),
     "ivf_recall_curve"  -> graft.oracle.OracleGen.ivfRecallCurveSql(),
+    "shard_balance"     -> graft.oracle.OracleGen.shardBalanceSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),

@@ -312,4 +312,69 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
       .select(col(idCol), col("score"), col("toks"), col("cum_tokens"))
   }
+
+  /** Token-balanced training shards: every document lands in one of
+    * `nShards` CONTIGUOUS (in id order) shards of near-equal token
+    * mass — the layout a trainer wants when each worker streams one
+    * shard (equal-token shards equalize step counts; equal-DOC shards
+    * don't, because document lengths are heavy-tailed). Assignment is
+    * by starting offset: shard = ⌊prev_cum · S / total⌋ capped at
+    * S−1, so each shard's mass misses the ideal total/S by at most
+    * one document — and a document LARGER than total/S leaves its
+    * neighbors' shards empty rather than splitting (shard ids may
+    * skip; ≤ S output rows, documented behavior).
+    *
+    * Scale shape: the cumulative sum is [[budgetSelect]]'s two-phase
+    * range-partitioned scan (per-partition window + broadcast prefix
+    * offsets), never a single-task global window; the summary groupBy
+    * collapses to ≤ S rows map-side. Returns one row per non-empty
+    * shard: (shard, n_docs, shard_tokens, min_doc, max_doc, rel_dev)
+    * where rel_dev = shard_tokens·S/total − 1 (round 6), the
+    * imbalance a trainer reads. */
+  def shardBalance(df: DataFrame, idCol: String, tokCol: Column,
+                   nShards: Int, partitions: Int = 0): DataFrame = {
+    require(nShards >= 1, s"shardBalance: nShards must be >= 1, got $nShards")
+    val spark = df.sparkSession
+    val scored = df.select(col(idCol), tokCol.cast("long").as("toks"))
+    val nPart = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = graft.util.CacheRegistry.register(
+      scored.repartitionByRange(nPart, col(idCol))
+        .withColumn("_pid", spark_partition_id())
+        .persist())
+    val partTotals = ranged.groupBy("_pid").agg(sum("toks").as("pt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = partTotals.map(_._2).sum
+    var acc = 0L
+    val offsets = partTotals.map { case (pid, pt) =>
+      val o = (pid, acc); acc += pt; o
+    }
+    import spark.implicits._
+    if (partTotals.isEmpty || total <= 0L) {
+      // empty corpus (or all-empty docs): one degenerate shard 0
+      return scored.agg(count(lit(1)).as("n_docs"), coalesce(sum("toks"), lit(0L)).as("shard_tokens"),
+          min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+        .filter(col("n_docs") > 0)
+        .select(lit(0L).as("shard"), col("n_docs"), col("shard_tokens"),
+          col("min_doc"), col("max_doc"), lit(0.0).as("rel_dev"))
+    }
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val w = Window.partitionBy("_pid").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // total is a driver-known scalar, so the shard boundary rides the
+    // plan as a literal (exact integer algebra — `div`, not fp divide)
+    val assigned = ranged.join(broadcast(offDf), "_pid")
+      .withColumn("cum", sum("toks").over(w) + col("_off"))
+      .withColumn("shard",
+        least(expr(s"((cum - toks) * $nShards) div ${total}L"),
+          lit(nShards - 1L)))
+    assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("shard_tokens"),
+        min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+      .withColumn("rel_dev",
+        round((col("shard_tokens") * nShards).cast("double") /
+          lit(total).cast("double") - 1.0, 6))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        col("min_doc"), col("max_doc"), col("rel_dev"))
+  }
 }

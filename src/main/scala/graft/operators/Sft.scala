@@ -42,4 +42,31 @@ object Sft {
         col("first_role_ok") && col("alternation_ok") &&
           col("no_empty_ok") && col("ends_assistant_ok"))
   }
+
+  /** The same four verdicts computed from COLLECTED per-conversation
+    * turn state — the D13 finalizer: a streaming aggregation maintains
+    * `ts = collect_list(struct(idx, role, empty))` (mergeable and
+    * order-free; turn order restores by sorting on the unique idx, so
+    * micro-batch splits cannot shift any verdict), and this batch-side
+    * pass turns the final state into [[validateConversations]]'s exact
+    * output. Array algebra only — the adjacent-role check is a
+    * zip_with of the role list against its own shift, which is empty
+    * (vacuously true) for single-turn conversations. */
+  def verdictsFromTurnState(state: DataFrame, convCol: String): DataFrame = {
+    val ts = sort_array(col("ts"))
+    val n = size(ts)
+    val roles = transform(ts, t => t.getField("role"))
+    val adjSame = zip_with(
+      slice(roles, lit(1), n - 1), slice(roles, lit(2), n - 1),
+      (a, b) => a === b)
+    state.select(col(convCol),
+        n.cast("long").as("n_turns"),
+        (element_at(ts, 1).getField("role") === "user").as("first_role_ok"),
+        (!exists(adjSame, b => b)).as("alternation_ok"),
+        (!exists(ts, t => t.getField("empty"))).as("no_empty_ok"),
+        (element_at(ts, n).getField("role") === "assistant").as("ends_assistant_ok"))
+      .withColumn("valid",
+        col("first_role_ok") && col("alternation_ok") &&
+          col("no_empty_ok") && col("ends_assistant_ok"))
+  }
 }

@@ -1769,6 +1769,16 @@ object TextDemos {
       .orderBy("vec_id")
   }
 
+  /** C98 — token-balanced shard layout ([[Sampling.shardBalance]]):
+    * the doc corpus split into 8 contiguous shards of near-equal
+    * token mass, with per-shard counts, id ranges, and the relative
+    * deviation from ideal a trainer reads before wiring one worker
+    * per shard. */
+  def shardBalanceDemo(spark: SparkSession, dir: String): DataFrame =
+    Sampling.shardBalance(Tables.documents(spark, dir), "doc_id",
+        Text.tokenCount(col("text")), nShards = 8)
+      .orderBy("shard")
+
   /** C97 — the IVF recall/cost curve: recall@5 against the brute
     * exact truth AND the exact fraction of the corpus scanned, per
     * nprobe ∈ {1, 2, 4, 10} — the measurement that picks the nprobe
@@ -1890,10 +1900,17 @@ object TextDemos {
     * and odd-length conversations naturally end on 'user' (ends-check
     * violations) — then each conversation gets its four verdicts and
     * the conjunction. */
-  def sftValidateDemo(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def sftValidateDemo(spark: SparkSession, dir: String): DataFrame =
+    Sft.validateConversations(sftSynthTurns(Tables.documents(spark, dir)),
+        "conv_id", "turn_idx", "role", "content")
+      .orderBy("conv_id")
+
+  /** the C94/D13 shared fixture: the doc corpus folded into 40
+    * conversations with the planted violations described on
+    * [[sftValidateDemo]] */
+  private[graft] def sftSynthTurns(docs: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("conv_id")).orderBy(col("doc_id"))
-    val turns = docs.select((col("doc_id") % 40).as("conv_id"),
+    docs.select((col("doc_id") % 40).as("conv_id"),
         col("doc_id"), col("text"))
       .withColumn("turn_idx", row_number().over(wOrd).cast("long") - 1)
       .select(col("conv_id"), col("turn_idx"),
@@ -1901,8 +1918,6 @@ object TextDemos {
           .when(col("turn_idx") % 2 === 0, lit("user"))
           .otherwise(lit("assistant")).as("role"),
         when(col("doc_id") % 23 === 0, lit("")).otherwise(col("text")).as("content"))
-    Sft.validateConversations(turns, "conv_id", "turn_idx", "role", "content")
-      .orderBy("conv_id")
   }
 
   /** C93 — subword fertility by language: BPE tokens per whitespace

@@ -841,6 +841,34 @@ object OracleGen {
        |       first_role_ok AND alternation_ok AND no_empty_ok AND ends_assistant_ok AS valid
        |FROM checks ORDER BY conv_id""".stripMargin
 
+  /** mirror of TextDemos.shardBalanceDemo (Sampling.shardBalance):
+    * global cumsum in doc_id order (the oracle may use the one-task
+    * window the Spark side two-phases), starting-offset shard
+    * boundary in exact integer algebra, per-shard summary. */
+  def shardBalanceSql(nShards: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS toks
+       |  FROM documents
+       |), tot AS (
+       |  SELECT CAST(SUM(toks) AS BIGINT) AS total FROM t
+       |), c AS (
+       |  SELECT doc_id, toks,
+       |         SUM(toks) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t
+       |), a AS (
+       |  SELECT doc_id, toks,
+       |         CAST(least(((cum - toks) * $nShards) // tot.total,
+       |                    ${nShards - 1}) AS BIGINT) AS shard
+       |  FROM c, tot
+       |)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(toks) AS BIGINT) AS shard_tokens,
+       |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |       round(CAST(SUM(toks) * $nShards AS DOUBLE) / CAST(tot.total AS DOUBLE) - 1.0, 6) AS rel_dev
+       |FROM a, tot GROUP BY shard, tot.total ORDER BY shard""".stripMargin
+
   /** mirror of TextDemos.tokenizerEntropy: the bpeEncodeSql CTE chain
     * feeds the bpe12 frequency table, whitespace words the other; each
     * entropy term quantized to DECIMAL(38,12) before the exact sum

@@ -91,6 +91,25 @@ object EventStream {
     * page's verdict is complete the moment its row is processed,
     * micro-batch splits cannot shift the counts — the parity row
     * answers a batch aggregate oracle verbatim. */
+  /** D13: streaming SFT format gate — C94's streaming twin, the
+    * direction an instruction-tuning pipeline actually runs (validate
+    * conversations as they land, before the tokenizer sees them). A
+    * turn's contribution to every check is knowable from the row
+    * itself — (idx, role, empty-flag) — so the stream needs NO
+    * content in state and no ordering guarantee: one aggregation
+    * keyed by conversation collects the tiny per-turn triples
+    * (collect_list is mergeable and order-free; order restores by
+    * sorting on the unique idx at read time), state bounded by the
+    * template's turn count per conversation, never by content size.
+    * Finalize the collected state into verdicts with
+    * [[graft.operators.Sft.verdictsFromTurnState]]. */
+  def sftTurnState(turns: DataFrame, convCol: String, turnCol: String,
+                   roleCol: String, contentCol: String): DataFrame =
+    turns.groupBy(col(convCol))
+      .agg(collect_list(struct(
+        col(turnCol).as("idx"), col(roleCol).as("role"),
+        (col(contentCol).isNull || col(contentCol) === "").as("empty"))).as("ts"))
+
   def qualityGateCounts(pages: DataFrame, idCol: String, pageCol: String,
                         groupCol: String,
                         minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame =

@@ -177,6 +177,27 @@ object StreamParity {
     spark.table(view).orderBy("doc_id")
   }
 
+  /** D13 ↔ C94: the C94 synthesized turn table streamed through
+    * [[EventStream.sftTurnState]] (per-conversation (idx, role, empty)
+    * triples collected as mergeable state), final state finalized by
+    * [[graft.operators.Sft.verdictsFromTurnState]] — must equal the
+    * batch validator's oracle verbatim regardless of micro-batch
+    * splits (the collected list is order-free; idx restores order). */
+  def streamSftGateParity(spark: SparkSession, dir: String): DataFrame = {
+    val turns = graft.operators.TextDemos.sftSynthTurns(Tables.documents(spark, dir))
+    val src = fileStream(turns, s"ssft_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
+    val view = s"graft_ssft_${Fixtures.runId}"
+    spark.catalog.dropTempView(view) // re-invocation reuses the name
+    withStateParallelism(spark, 8) {
+      val q = EventStream.sftTurnState(src, "conv_id", "turn_idx", "role", "content")
+        .writeStream.format("memory").queryName(view)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    graft.operators.Sft.verdictsFromTurnState(spark.table(view), "conv_id")
+      .orderBy("conv_id")
+  }
+
   /** D9 ↔ C70: the synthesized C4 pages streamed through
     * [[EventStream.qualityGateCounts]], final (source, kept) counter
     * state read via a complete-mode memory sink — must land on the

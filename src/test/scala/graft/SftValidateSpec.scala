@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Sft
 
 /** C94 sft_validate: each check isolated on a closed-form fixture,
@@ -47,6 +49,27 @@ class SftValidateSpec extends SparkSpec {
     assert(!r.getBoolean(4), "null content is empty")
     assert(!r.getBoolean(5), "ends on user")
     assert(!r.getBoolean(6))
+  }
+
+  test("D13 finalizer equals the batch validator on every fixture, any collection order") {
+    val turns = Seq(
+      (1L, 0L, "user", "hi"), (1L, 1L, "assistant", "hello"),
+      (2L, 0L, "assistant", "hi"), (2L, 1L, "user", "?"),
+      (3L, 0L, "user", "a"), (3L, 1L, "user", "b"), (3L, 2L, "assistant", "c"),
+      (4L, 0L, "user", "a"), (4L, 1L, "assistant", ""), (4L, 2L, "user", "b"),
+      (5L, 0L, "user", null.asInstanceOf[String]))
+    // REVERSED arrival order: the collected state must not care
+    val df = turns.reverse.toDF("conv_id", "turn_idx", "role", "content")
+    val state = df.groupBy(col("conv_id"))
+      .agg(collect_list(struct(col("turn_idx").as("idx"), col("role"),
+        (col("content").isNull || col("content") === "").as("empty"))).as("ts"))
+    val viaState = Sft.verdictsFromTurnState(state, "conv_id")
+      .orderBy("conv_id").collect().map(_.toSeq).toSeq
+    val viaBatch = Sft.validateConversations(
+        turns.toDF("conv_id", "turn_idx", "role", "content"),
+        "conv_id", "turn_idx", "role", "content")
+      .orderBy("conv_id").collect().map(_.toSeq).toSeq
+    assert(viaState == viaBatch)
   }
 
   test("demo plants fire on sf0.001: every check fails somewhere, some conv is valid") {
