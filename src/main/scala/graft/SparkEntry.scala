@@ -76,6 +76,7 @@ object SparkEntry {
     "contain_join"         -> (TextDemos.containJoinDemo(_, _)),
     "tokenizer_entropy"    -> (TextDemos.tokenizerEntropy(_, _)),
     "ivf_recall_curve"     -> (TextDemos.ivfRecallCurve(_, _)),
+    "lsh_recall_curve"     -> (TextDemos.lshRecallCurve(_, _)),
     "shard_balance"        -> (TextDemos.shardBalanceDemo(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
@@ -916,6 +917,7 @@ object SparkEntry {
     "contain_join"      -> graft.oracle.OracleGen.containJoinSql(),
     "tokenizer_entropy" -> graft.oracle.OracleGen.tokenizerEntropySql(),
     "ivf_recall_curve"  -> graft.oracle.OracleGen.ivfRecallCurveSql(),
+    "lsh_recall_curve"  -> graft.oracle.OracleGen.lshRecallCurveSql(),
     "shard_balance"     -> graft.oracle.OracleGen.shardBalanceSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),

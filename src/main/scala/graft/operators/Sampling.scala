@@ -278,39 +278,50 @@ object Sampling {
                    partitions: Int = 0): DataFrame = {
     require(budgetFrac > 0.0 && budgetFrac <= 1.0,
       s"budgetSelect: budgetFrac must be in (0,1], got $budgetFrac")
-    val spark = df.sparkSession
     val scored = df.select(col(idCol), scoreCol.as("score"),
-      tokCol.cast("long").as("toks"))
+      coalesce(tokCol.cast("long"), lit(0L)).as("toks"))
+    cumsumByRange(scored, Seq(col("score").desc, col(idCol)), partitions) match {
+      case None => scored.withColumn("cum_tokens", lit(0L)).limit(0)
+      case Some((cum, total)) =>
+        val budget = math.floor(total * budgetFrac).toLong
+        cum.withColumnRenamed("cum", "cum_tokens")
+          .filter(col("cum_tokens") <= budget)
+          .select(col(idCol), col("score"), col("toks"), col("cum_tokens"))
+    }
+  }
+
+  /** The shared two-phase distributed cumsum (the scale-safe global
+    * running sum): range-partition by `order`, per-partition window,
+    * broadcast prefix offsets — numPartitions-scale driver work, never
+    * a single-task global window. Input must carry a non-null long
+    * `toks` column; returns the input plus `cum` (inclusive running
+    * sum of toks in global `order`) and the driver-known grand total,
+    * or None for an empty input. */
+  private def cumsumByRange(scored: DataFrame, order: Seq[Column],
+                            partitions: Int): Option[(DataFrame, Long)] = {
+    val spark = scored.sparkSession
     val nPart = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val ranged = graft.util.CacheRegistry.register(
-      scored.repartitionByRange(nPart, col("score").desc, col(idCol))
+      scored.repartitionByRange(nPart, order: _*)
         .withColumn("_pid", spark_partition_id())
         .persist())
-
     // numPartitions-scale driver work: subtotals -> prefix offsets;
-    // the corpus total (for the budget) is their sum — no separate
-    // whole-input aggregation pass
+    // the grand total is their sum — no separate whole-input pass
     val partTotals = ranged.groupBy("_pid").agg(sum("toks").as("pt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    if (partTotals.isEmpty) {
-      return scored.withColumn("cum_tokens", lit(0L)).limit(0)
-    }
-    val budget = math.floor(partTotals.map(_._2).sum * budgetFrac).toLong
+    if (partTotals.isEmpty) return None
+    val total = partTotals.map(_._2).sum
     var acc = 0L
     val offsets = partTotals.map { case (pid, pt) =>
       val o = (pid, acc); acc += pt; o
     }
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("_pid", "_off")
-
-    val w = Window.partitionBy("_pid")
-      .orderBy(col("score").desc, col(idCol))
+    val w = Window.partitionBy("_pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offDf), "_pid")
-      .withColumn("cum_tokens", sum("toks").over(w) + col("_off"))
-      .filter(col("cum_tokens") <= budget)
-      .select(col(idCol), col("score"), col("toks"), col("cum_tokens"))
+    Some((ranged.join(broadcast(offDf), "_pid")
+      .withColumn("cum", sum("toks").over(w) + col("_off")), total))
   }
 
   /** Token-balanced training shards: every document lands in one of
@@ -334,47 +345,34 @@ object Sampling {
   def shardBalance(df: DataFrame, idCol: String, tokCol: Column,
                    nShards: Int, partitions: Int = 0): DataFrame = {
     require(nShards >= 1, s"shardBalance: nShards must be >= 1, got $nShards")
-    val spark = df.sparkSession
-    val scored = df.select(col(idCol), tokCol.cast("long").as("toks"))
-    val nPart = if (partitions > 0) partitions
-      else spark.sessionState.conf.numShufflePartitions
-    val ranged = graft.util.CacheRegistry.register(
-      scored.repartitionByRange(nPart, col(idCol))
-        .withColumn("_pid", spark_partition_id())
-        .persist())
-    val partTotals = ranged.groupBy("_pid").agg(sum("toks").as("pt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val total = partTotals.map(_._2).sum
-    var acc = 0L
-    val offsets = partTotals.map { case (pid, pt) =>
-      val o = (pid, acc); acc += pt; o
+    // null token counts coalesce to 0: a null riding into the boundary
+    // algebra would null the shard id and least() would silently park
+    // the doc in the LAST shard, breaking contiguity
+    val scored = df.select(col(idCol),
+      coalesce(tokCol.cast("long"), lit(0L)).as("toks"))
+    cumsumByRange(scored, Seq(col(idCol)), partitions) match {
+      case Some((cum, total)) if total > 0L =>
+        // total is a driver-known scalar, so the shard boundary rides
+        // the plan as a literal (exact integer algebra — `div`, not fp)
+        cum.withColumn("shard",
+            least(expr(s"((cum - toks) * $nShards) div ${total}L"),
+              lit(nShards - 1L)))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("shard_tokens"),
+            min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+          .withColumn("rel_dev",
+            round((col("shard_tokens") * nShards).cast("double") /
+              lit(total).cast("double") - 1.0, 6))
+          .select(col("shard"), col("n_docs"), col("shard_tokens"),
+            col("min_doc"), col("max_doc"), col("rel_dev"))
+      case _ =>
+        // empty corpus (or all-empty docs): one degenerate shard 0
+        scored.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("toks"), lit(0L)).as("shard_tokens"),
+            min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
+          .filter(col("n_docs") > 0)
+          .select(lit(0L).as("shard"), col("n_docs"), col("shard_tokens"),
+            col("min_doc"), col("max_doc"), lit(0.0).as("rel_dev"))
     }
-    import spark.implicits._
-    if (partTotals.isEmpty || total <= 0L) {
-      // empty corpus (or all-empty docs): one degenerate shard 0
-      return scored.agg(count(lit(1)).as("n_docs"), coalesce(sum("toks"), lit(0L)).as("shard_tokens"),
-          min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
-        .filter(col("n_docs") > 0)
-        .select(lit(0L).as("shard"), col("n_docs"), col("shard_tokens"),
-          col("min_doc"), col("max_doc"), lit(0.0).as("rel_dev"))
-    }
-    val offDf = offsets.toSeq.toDF("_pid", "_off")
-    val w = Window.partitionBy("_pid").orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // total is a driver-known scalar, so the shard boundary rides the
-    // plan as a literal (exact integer algebra — `div`, not fp divide)
-    val assigned = ranged.join(broadcast(offDf), "_pid")
-      .withColumn("cum", sum("toks").over(w) + col("_off"))
-      .withColumn("shard",
-        least(expr(s"((cum - toks) * $nShards) div ${total}L"),
-          lit(nShards - 1L)))
-    assigned.groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("shard_tokens"),
-        min(col(idCol)).as("min_doc"), max(col(idCol)).as("max_doc"))
-      .withColumn("rel_dev",
-        round((col("shard_tokens") * nShards).cast("double") /
-          lit(total).cast("double") - 1.0, 6))
-      .select(col("shard"), col("n_docs"), col("shard_tokens"),
-        col("min_doc"), col("max_doc"), col("rel_dev"))
   }
 }

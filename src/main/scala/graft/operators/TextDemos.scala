@@ -1779,6 +1779,58 @@ object TextDemos {
         Text.tokenCount(col("text")), nShards = 8)
       .orderBy("shard")
 
+  /** C99 — the hyperplane-LSH recall/cost curve, C97's twin for the
+    * OTHER ANN index: recall@5 vs the brute truth and the exact
+    * corpus-fraction scanned per probeBits ∈ {0, 1, 2, 8} on the
+    * 8-plane index — the measurement behind C6's probe knob (C76's
+    * eval row showed the 1-probe config near zero recall at this
+    * scale; this row prices the remedy instead of guessing it).
+    * probeBits = nPlanes probes every one of the 2⁸ buckets and rides
+    * as the sanity row — recall and scan_frac both exactly 1.0. The
+    * XOR probe masks are distinct, so probed buckets per query are
+    * distinct by construction and the scan cost is the plain sum of
+    * probed bucket sizes; the bucket index builds ONCE (persisted,
+    * the lshBucketTable serve discipline) and every probe width
+    * reuses it. One row per width; exact-int IEEE divisions. */
+  def lshRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = graft.util.CacheRegistry.register(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv")).persist())
+    val corpus = graft.util.CacheRegistry.register(emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv")).persist())
+    val index = graft.util.CacheRegistry.register(
+      Similarity.lshBucketTable(corpus, nPlanes = 8, dim = 64).persist())
+    val truth = graft.util.CacheRegistry.register(
+      Similarity.bruteTopK(queries, corpus, k = 5)
+        .select(col("query_id"), col("cand_id")).persist())
+    val bSizes = index.groupBy(col("bucket")).agg(count(lit(1)).as("n_cand"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nQ = queries.agg(count(lit(1)).as("n_q"))
+    val nC = corpus.agg(count(lit(1)).as("n_c"))
+    val planes = graft.functions.Vec.hyperplanes(8, 64)
+    Seq(0, 1, 2, 8).map { pb =>
+      val lsh = Similarity.lshTopKWithIndex(queries, index, k = 5,
+          nPlanes = 8, dim = 64, probeBits = pb)
+        .select(col("query_id"), col("cand_id"))
+      val nHits = lsh.join(truth, Seq("query_id", "cand_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      val flips = Similarity.hammingBallMasks(8, pb)
+      val probed = queries.select(col("query_id"),
+          graft.functions.Vec.lshBucket(col("qv"), planes).as("bucket0"))
+        .select(col("query_id"), explode(array(flips.map(m =>
+          col("bucket0").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      val scanned = probed.join(bSizes, "bucket")
+        .agg(coalesce(sum(col("n_cand")), lit(0L)).as("scanned"))
+      nTruth.crossJoin(nHits).crossJoin(scanned).crossJoin(nQ).crossJoin(nC)
+        .select(lit(pb).as("probe_bits"), col("n_truth"), col("n_hits"),
+          when(col("n_truth") > 0,
+            col("n_hits").cast("double") / col("n_truth").cast("double"))
+            .otherwise(0.0).as("recall"),
+          (col("scanned").cast("double") /
+            (col("n_q") * col("n_c")).cast("double")).as("scan_frac"))
+    }.reduce(_ unionByName _).orderBy("probe_bits")
+  }
+
   /** C97 — the IVF recall/cost curve: recall@5 against the brute
     * exact truth AND the exact fraction of the corpus scanned, per
     * nprobe ∈ {1, 2, 4, 10} — the measurement that picks the nprobe

@@ -848,25 +848,31 @@ object OracleGen {
   def shardBalanceSql(nShards: Int = 8): String =
     s"""WITH t AS (
        |  SELECT doc_id,
-       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS toks
+       |    CAST(COALESCE(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) AS BIGINT) AS toks
        |  FROM documents
        |), tot AS (
-       |  SELECT CAST(SUM(toks) AS BIGINT) AS total FROM t
+       |  SELECT CAST(COALESCE(SUM(toks), 0) AS BIGINT) AS total FROM t
        |), c AS (
        |  SELECT doc_id, toks,
        |         SUM(toks) OVER (ORDER BY doc_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM t
        |), a AS (
+       |  -- the total > 0 guard mirrors the Spark side's degenerate
+       |  -- branch: an all-empty-token corpus is one shard-0 row
        |  SELECT doc_id, toks,
-       |         CAST(least(((cum - toks) * $nShards) // tot.total,
-       |                    ${nShards - 1}) AS BIGINT) AS shard
+       |         CAST(CASE WHEN tot.total > 0
+       |                   THEN least(((cum - toks) * $nShards) // tot.total,
+       |                              ${nShards - 1})
+       |                   ELSE 0 END AS BIGINT) AS shard
        |  FROM c, tot
        |)
        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |       CAST(SUM(toks) AS BIGINT) AS shard_tokens,
        |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
-       |       round(CAST(SUM(toks) * $nShards AS DOUBLE) / CAST(tot.total AS DOUBLE) - 1.0, 6) AS rel_dev
+       |       CASE WHEN tot.total > 0
+       |            THEN round(CAST(SUM(toks) * $nShards AS DOUBLE) / CAST(tot.total AS DOUBLE) - 1.0, 6)
+       |            ELSE 0.0 END AS rel_dev
        |FROM a, tot GROUP BY shard, tot.total ORDER BY shard""".stripMargin
 
   /** mirror of TextDemos.tokenizerEntropy: the bpeEncodeSql CTE chain
@@ -1332,6 +1338,61 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |      FROM x)
        |SELECT query_id, cand_id, round(sim, 6) AS sim, rank
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** mirror of TextDemos.lshRecallCurve: the annLshSql probe chain per
+    * probe width, one shared brute-truth CTE, bucket sizes joined for
+    * the exact scan fraction; the corpus bucket table and truth
+    * MATERIALIZE (each is referenced by every width's block). */
+  def lshRecallCurveSql(nPlanes: Int = 8, dim: Int = 64, k: Int = 5,
+                        probes: Seq[Int] = Seq(0, 1, 2, 8)): String = {
+    val planes = Vec.hyperplanes(nPlanes, dim)
+    val blocks = probes.map { pb =>
+      val flips = graft.operators.Similarity.hammingBallMasks(nPlanes, pb)
+        .mkString("[", ", ", "]")
+      s""",
+         |pr$pb AS (
+         |  SELECT query_id, qv, xor(bucket0, u.f) AS bucket
+         |  FROM qb0 CROSS JOIN (SELECT unnest($flips) AS f) u
+         |), sx$pb AS (
+         |  SELECT query_id, cand_id, ${cosineExpr("qv", "cv")} AS sim
+         |  FROM pr$pb JOIN cb USING (bucket)
+         |), iv$pb AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+         |    FROM sx$pb) WHERE rank <= $k
+         |), row$pb AS (
+         |  SELECT $pb AS probe_bits,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM bt) AS n_truth,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM iv$pb i JOIN bt t
+         |            ON i.query_id = t.query_id AND i.cand_id = t.cand_id) AS n_hits,
+         |         (SELECT CAST(COALESCE(SUM(ls.n_cand), 0) AS BIGINT)
+         |          FROM pr$pb a JOIN ls ON ls.bucket = a.bucket) AS scanned
+         |)""".stripMargin
+    }.mkString
+    val union = probes.map(pb =>
+      s"""SELECT probe_bits, n_truth, n_hits,
+         |  CASE WHEN n_truth > 0 THEN CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) ELSE 0.0 END AS recall,
+         |  CAST(scanned AS DOUBLE) / CAST((SELECT COUNT(*) FROM q0) * (SELECT COUNT(*) FROM c0) AS DOUBLE) AS scan_frac
+         |FROM row$pb""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |c0 AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+       |cb AS MATERIALIZED (
+       |  SELECT cand_id, cv, ${bucketExpr("cv", planes)} AS bucket FROM c0
+       |), ls AS MATERIALIZED (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cb GROUP BY bucket
+       |), qb0 AS MATERIALIZED (
+       |  SELECT query_id, qv, ${bucketExpr("qv", planes)} AS bucket0 FROM q0
+       |), bt AS MATERIALIZED (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q0.query_id, c0.cand_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q0.query_id
+       |             ORDER BY ${cosineExpr("q0.qv", "c0.cv")} DESC, c0.cand_id) AS rank
+       |    FROM q0 CROSS JOIN c0) WHERE rank <= $k
+       |)$blocks
+       |$union
+       |ORDER BY probe_bits""".stripMargin
   }
 
   /** mirror of TextDemos.retrievalEval: the annLshSql run chain and

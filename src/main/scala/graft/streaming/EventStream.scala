@@ -81,16 +81,6 @@ object EventStream {
           col("n_contaminated").cast("double") / col("n_shingles")).otherwise(0.0))
       .withColumn("flagged", col("contamination") >= flagThreshold)
 
-  /** D9: streaming quality gate — C70's streaming twin, and the
-    * gate's production direction (score crawl pages as they ARRIVE,
-    * before they land): each page is one row, so the C4 line/page
-    * rules evaluate stateless IN-ROW (map-only codegen on the
-    * stream), and ONE streaming aggregation keyed by (group, kept)
-    * folds the accept/reject counters — state is one counter pair per
-    * (source, verdict), bounded by source cardinality. Because every
-    * page's verdict is complete the moment its row is processed,
-    * micro-batch splits cannot shift the counts — the parity row
-    * answers a batch aggregate oracle verbatim. */
   /** D13: streaming SFT format gate — C94's streaming twin, the
     * direction an instruction-tuning pipeline actually runs (validate
     * conversations as they land, before the tokenizer sees them). A
@@ -110,6 +100,16 @@ object EventStream {
         col(turnCol).as("idx"), col(roleCol).as("role"),
         (col(contentCol).isNull || col(contentCol) === "").as("empty"))).as("ts"))
 
+  /** D9: streaming quality gate — C70's streaming twin, and the
+    * gate's production direction (score crawl pages as they ARRIVE,
+    * before they land): each page is one row, so the C4 line/page
+    * rules evaluate stateless IN-ROW (map-only codegen on the
+    * stream), and ONE streaming aggregation keyed by (group, kept)
+    * folds the accept/reject counters — state is one counter pair per
+    * (source, verdict), bounded by source cardinality. Because every
+    * page's verdict is complete the moment its row is processed,
+    * micro-batch splits cannot shift the counts — the parity row
+    * answers a batch aggregate oracle verbatim. */
   def qualityGateCounts(pages: DataFrame, idCol: String, pageCol: String,
                         groupCol: String,
                         minWordsPerLine: Int = 5, minLines: Int = 3): DataFrame =

@@ -55,6 +55,24 @@ class ShardBalanceSpec extends SparkSpec {
     assert(got.map(_._2).sum == 4L, "every doc lands somewhere")
   }
 
+  test("null token counts coalesce to 0 (contiguity holds); all-zero corpus degenerates to shard 0") {
+    val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(10L)))
+      .toDF("doc_id", "toks")
+    val got = Sampling.shardBalance(withNull, "doc_id",
+        col("toks").cast("long"), 2)
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    graft.util.CacheRegistry.releaseAll()
+    // doc 2 counts as 0 tokens; its starting offset (10 of 20) sits
+    // exactly on the shard-1 boundary, so it opens shard 1 —
+    // contiguity holds (a null would instead null the boundary algebra
+    // and silently park the doc in the LAST shard)
+    assert(got == Seq((0L, 1L, 10L, 1L, 1L), (1L, 2L, 10L, 2L, 3L)), got.toString)
+    val zeros = run(Seq((1L, 0L), (2L, 0L)), 4)
+    assert(zeros == Seq((0L, 2L, 0L, 1L, 2L, 0.0)), zeros.toString)
+  }
+
   test("invariants + driver reference on sf0.001: contiguous, conservative, bounded skew") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"),
