@@ -21,7 +21,8 @@ object PlanCounts {
     "bm25_index", "bm25_index_append", "bm25_topk",
     "dedup_canonicalize", "cluster_representative",
     "dup_span_detect", "minhash_lsh_eval", "winnow_fingerprint",
-    "bitext_mine", "setsim_join", "contain_join")
+    "bitext_mine", "setsim_join", "contain_join",
+    "ivf_recall_curve", "lsh_recall_curve")
 
   // ReusedExchange nodes are excluded from BOTH counts: reuse of an
   // existing exchange changes no shuffle/broadcast work, and counting

@@ -242,7 +242,9 @@ class PlanShapeSpec extends SparkSpec {
       "winnow_fingerprint"     -> ((2, 0, 0)),  // doc window + orderBy; distinct reuses
       "bitext_mine"            -> ((6, 6, 11)), // docs⋈emb prep ×2 sides + the pair scan's three consumers
       "setsim_join"            -> ((6, 5, 5)), // df count + order + prefix self-join + verify rejoins; +1 from the r12 sets/prefix persist
-      "contain_join"           -> ((5, 5, 5))) // same family, one fewer exchange: the full B side reuses the ordering shuffle the prefix slice repartitions
+      "contain_join"           -> ((5, 5, 5)), // same family, one fewer exchange: the full B side reuses the ordering shuffle the prefix slice repartitions
+      "ivf_recall_curve"       -> ((68, 44, 48)), // 4-width sweep: each width re-plans assign+probe+hit against the persisted splits — big but width-bounded
+      "lsh_recall_curve"       -> ((44, 32, 36))) // 4-width sweep over the persisted bucket index; smaller because probes are map-side XORs, not assignment joins
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     graft.tools.PlanCounts.Gated.foreach { name =>
