@@ -77,6 +77,7 @@ object SparkEntry {
     "tokenizer_entropy"    -> (TextDemos.tokenizerEntropy(_, _)),
     "ivf_recall_curve"     -> (TextDemos.ivfRecallCurve(_, _)),
     "lsh_recall_curve"     -> (TextDemos.lshRecallCurve(_, _)),
+    "dup_rate_by_source"   -> (TextDemos.dupRateBySource(_, _)),
     "shard_balance"        -> (TextDemos.shardBalanceDemo(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
@@ -918,6 +919,7 @@ object SparkEntry {
     "tokenizer_entropy" -> graft.oracle.OracleGen.tokenizerEntropySql(),
     "ivf_recall_curve"  -> graft.oracle.OracleGen.ivfRecallCurveSql(),
     "lsh_recall_curve"  -> graft.oracle.OracleGen.lshRecallCurveSql(),
+    "dup_rate_by_source" -> graft.oracle.OracleGen.dupRateBySourceSql(),
     "shard_balance"     -> graft.oracle.OracleGen.shardBalanceSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),

@@ -1779,6 +1779,43 @@ object TextDemos {
         Text.tokenCount(col("text")), nShards = 8)
       .orderBy("shard")
 
+  /** C100 — the per-source duplication scorecard every corpus release
+    * publishes next to its size table: per source, the doc count, how
+    * many docs share an EXACT text hash with another doc (C1's
+    * algebra), how many participate in a NEAR-dup pair (C2's minhash
+    * banding at the library config), and the two rates — the number
+    * that tells you which ingest feed is re-crawling itself before
+    * you pay to train on it (C62's dataset card reports shares and
+    * sizes; this reports redundancy). Dup-id sets are pair-scale, so
+    * the joins back to the corpus carry small broadcastable sides;
+    * the corpus aggregates once by source. Exact-int IEEE rates. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val multi = Dedup.exactByHash(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1).select(col("text_hash"))
+    val exactIds = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .join(multi, Seq("text_hash"))
+      .select(col("doc_id")).withColumn("is_exact", lit(true))
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, minEstSim = 0.25,
+      tokenHash = graft.functions.Vec.md5Hash60, hashBandKeys = false)
+    val nearIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct().withColumn("is_near", lit(true))
+    docs.select(col("doc_id"), col("source"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("is_exact"), 1L)), lit(0L)).as("n_exact_dup"),
+        coalesce(sum(when(col("is_near"), 1L)), lit(0L)).as("n_near_dup"))
+      .select(col("source"), col("n_docs"), col("n_exact_dup"), col("n_near_dup"),
+        (col("n_exact_dup").cast("double") / col("n_docs").cast("double"))
+          .as("exact_rate"),
+        (col("n_near_dup").cast("double") / col("n_docs").cast("double"))
+          .as("near_rate"))
+      .orderBy("source")
+  }
+
   /** C99 — the hyperplane-LSH recall/cost curve, C97's twin for the
     * OTHER ANN index: recall@5 vs the brute truth and the exact
     * corpus-fraction scanned per probeBits ∈ {0, 1, 2, 8} on the

@@ -1340,6 +1340,43 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** mirror of TextDemos.dupRateBySource: the C2 prediction CTE (the
+    * minhashLshEvalSql surgery) for near-dup membership, a windowed
+    * md5 copy count for exact membership, one per-source summary. */
+  def dupRateBySourceSql(k: Int = 32, bands: Int = 8, minEst: Double = 0.25): String = {
+    val chain = minhashLshSql(k, bands, minEst)
+      .replaceAll("(?s)\\nSELECT c\\.id_a.*$", "")
+      .replaceFirst("^WITH ", "")
+    val matches = (0 until k)
+      .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $chain, pred AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.id_a
+       |  JOIN sig sb ON sb.doc_id = c.id_b
+       |  WHERE CAST($matches AS DOUBLE) / $k >= $minEst
+       |), near AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT id_a AS doc_id FROM pred
+       |    UNION ALL SELECT id_b AS doc_id FROM pred)
+       |), exd AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(text)) AS n
+       |    FROM documents) WHERE n > 1
+       |)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(COALESCE(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_exact_dup,
+       |       CAST(COALESCE(SUM(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_near_dup,
+       |       CAST(COALESCE(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE)
+       |         / CAST(COUNT(*) AS DOUBLE) AS exact_rate,
+       |       CAST(COALESCE(SUM(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE)
+       |         / CAST(COUNT(*) AS DOUBLE) AS near_rate
+       |FROM documents d
+       |LEFT JOIN exd e ON e.doc_id = d.doc_id
+       |LEFT JOIN near nr ON nr.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   /** mirror of TextDemos.lshRecallCurve: the annLshSql probe chain per
     * probe width, one shared brute-truth CTE, bucket sizes joined for
     * the exact scan fraction; the corpus bucket table and truth
