@@ -1877,10 +1877,23 @@ object TextDemos {
     * dims, this the posting-list probe width. nprobe=10 probes every
     * cluster and rides as the sanity row: recall and scan_frac both
     * exactly 1.0 — IVF at full probe width IS brute force, measured.
-    * Truth computes ONCE (brute top-5, persisted); each probe width
-    * reuses the persisted query/corpus splits; scan cost is exact
-    * relational algebra (assigned clusters ⋈ posting sizes), never a
-    * plan guess. One row per nprobe; exact-int IEEE divisions. */
+    *
+    * ONE probe pass, not four (the r12 verdict's 12.6× row): the
+    * probed-cluster sets nest across widths, so each truth hit is
+    * tagged with the MIN nprobe that retrieves it — the rank of its
+    * candidate's cluster in the query's centroid ordering. That rank
+    * decides membership exactly because truth IS the global top-5
+    * under the same (sim, cand_id) total order the probe ranking
+    * uses: a truth pair whose cluster is probed ranks at least as
+    * high among the probed subset as globally, so it is ALWAYS in
+    * the probed top-5 (IvfRecallCurveSpec proves the identity
+    * against the literal per-width ivfTopK sweep). All four widths'
+    * hit and scan counts then fall out of one conditional aggregate
+    * over (truth ⋈ cluster rank) and (cluster rank ⋈ posting sizes)
+    * — truth computes once (brute top-5, persisted), the centroid
+    * ranking is queries × clusters (dimension-scale), and no width
+    * ever re-probes the corpus. One row per nprobe (inline of one
+    * aggregated row — a single job); exact-int IEEE divisions. */
   def ivfRecallCurve(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = graft.util.CacheRegistry.register(emb.filter(col("vec_id") < 5)
@@ -1888,32 +1901,41 @@ object TextDemos {
     val corpus = graft.util.CacheRegistry.register(emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("label"))
       .persist())
-    val cents = graft.util.CacheRegistry.register(
-      Similarity.ivfCentroids(emb, "embedding", "label").persist())
-    val truth = graft.util.CacheRegistry.register(
-      Similarity.bruteTopK(queries, corpus, k = 5)
-        .select(col("query_id"), col("cand_id")).persist())
+    val cents = Similarity.ivfCentroids(emb, "embedding", "label")
+    val truth = Similarity.bruteTopK(queries, corpus, k = 5)
+      .select(col("query_id"), col("cand_id"))
+    // every cluster ranked per query (nprobe = MaxValue keeps all ranks;
+    // the table is queries × clusters — dimension-scale, broadcastable)
+    val ranked = graft.util.CacheRegistry.register(
+      Similarity.ivfAssignN(queries, cents, nprobe = Int.MaxValue)
+        .select(col("query_id"), col("label"), col("probe_rank")).persist())
     val labelSizes = corpus.groupBy(col("label")).agg(count(lit(1)).as("n_cand"))
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val probes = Seq(1, 2, 4, 10)
+    // per truth pair: the min nprobe that retrieves it (see scaladoc)
+    val truthRank = truth
+      .join(corpus.select(col("cand_id"), col("label")), "cand_id")
+      .join(broadcast(ranked), Seq("query_id", "label"))
+    val hitCols = count(lit(1)).as("n_truth") +:
+      probes.map(p => sum(when(col("probe_rank") <= p, 1L).otherwise(0L)).as(s"h$p"))
+    val hitAgg = truthRank.agg(hitCols.head, hitCols.tail: _*)
+    // per (query, probed cluster): posting size — scanned(p) is the sum
+    // over ranks <= p, again one aggregate over a dimension-scale table
+    val scanCols = probes.map(p =>
+      coalesce(sum(when(col("probe_rank") <= p, col("n_cand"))), lit(0L)).as(s"s$p"))
+    val scanAgg = ranked.join(labelSizes, "label").agg(scanCols.head, scanCols.tail: _*)
     val nQ = queries.agg(count(lit(1)).as("n_q"))
     val nC = corpus.agg(count(lit(1)).as("n_c"))
-    Seq(1, 2, 4, 10).map { np =>
-      val ivf = Similarity.ivfTopK(queries, corpus, cents, k = 5, nprobe = np)
-        .select(col("query_id"), col("cand_id"))
-      val nHits = ivf.join(truth, Seq("query_id", "cand_id"))
-        .agg(count(lit(1)).as("n_hits"))
-      val scanned = Similarity.ivfAssignN(queries, cents, np)
-        .select(col("query_id"), col("label"))
-        .join(labelSizes, "label")
-        .agg(coalesce(sum(col("n_cand")), lit(0L)).as("scanned"))
-      nTruth.crossJoin(nHits).crossJoin(scanned).crossJoin(nQ).crossJoin(nC)
-        .select(lit(np).as("nprobe"), col("n_truth"), col("n_hits"),
-          when(col("n_truth") > 0,
-            col("n_hits").cast("double") / col("n_truth").cast("double"))
-            .otherwise(0.0).as("recall"),
-          (col("scanned").cast("double") /
-            (col("n_q") * col("n_c")).cast("double")).as("scan_frac"))
-    }.reduce(_ unionByName _).orderBy("nprobe")
+    hitAgg.crossJoin(scanAgg).crossJoin(nQ).crossJoin(nC)
+      .select(inline(array(probes.map(p => struct(
+        lit(p).as("nprobe"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col(s"h$p"), lit(0L)).as("n_hits"),
+        when(col("n_truth") > 0,
+          col(s"h$p").cast("double") / col("n_truth").cast("double"))
+          .otherwise(0.0).as("recall"),
+        (col(s"s$p").cast("double") /
+          (col("n_q") * col("n_c")).cast("double")).as("scan_frac"))): _*)))
+      .orderBy("nprobe")
   }
 
   /** C96 — tokenizer distribution quality: Shannon and Rényi (α=2.5)

@@ -22,7 +22,18 @@ object PlanCounts {
     "dedup_canonicalize", "cluster_representative",
     "dup_span_detect", "minhash_lsh_eval", "winnow_fingerprint",
     "bitext_mine", "setsim_join", "contain_join",
-    "ivf_recall_curve", "lsh_recall_curve")
+    "ivf_recall_curve", "lsh_recall_curve",
+    // r13 additions (r12 verdict task 8): the remaining shuffle-heavy
+    // r12 plans — the two-sided prefix join, the LSH-candidate bitext
+    // path, and the two-phase cumsum shard layout
+    "setsim_join_rs", "bitext_mine_ann", "shard_balance")
+
+  /** gated rows resolve from the full registry: oracle-gated demos,
+    * bench extras, and the smoke-only variants (bitext_mine_ann lives
+    * there — its oracle-stable twin is the exhaustive bitext_mine). */
+  def resolve(name: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (graft.SparkEntry.queries ++ graft.SparkEntry.benchExtras ++
+      graft.ScaleSmoke.SmokeExtras)(name)
 
   // ReusedExchange nodes are excluded from BOTH counts: reuse of an
   // existing exchange changes no shuffle/broadcast work, and counting
@@ -47,7 +58,7 @@ object PlanCounts {
       cores = "4", shufflePartitions = 4)
     spark.sparkContext.setLogLevel("WARN")
     Gated.foreach { name =>
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val df = resolve(name)(spark, sfDir)
       val p = df.queryExecution.executedPlan.toString
       println(s"""PLANCOUNT {"query":"$name","shuffles":${shuffles(p)},""" +
         s""""broadcasts":${broadcasts(p)},"joins":${joins(p)}}""")

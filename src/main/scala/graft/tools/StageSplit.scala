@@ -88,7 +88,24 @@ object StageSplit {
       tokenHash = graft.functions.Vec.md5Hash60)
     def cdcFull = graft.operators.TextDemos.cdcChunkDedup(spark, sfDir)
 
+    // ---- ivf_recall_curve prefixes (the C97 demo, r13 fused form:
+    // brute truth + full centroid ranking + two conditional aggregates) ----
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    def curveQueries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def curveCorpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("label"))
+    def curveTruth = graft.operators.Similarity.bruteTopK(curveQueries, curveCorpus, k = 5)
+    def curveCents = graft.operators.Similarity.ivfCentroids(emb, "embedding", "label")
+    def curveRanked = graft.operators.Similarity.ivfAssignN(
+      curveQueries, curveCents, nprobe = Int.MaxValue)
+    def curveFull = graft.operators.TextDemos.ivfRecallCurve(spark, sfDir)
+
     val probes: Seq[(String, () => Unit)] = Seq(
+      "curve.1_brute_truth" -> (() => force(curveTruth, col("cand_id"))),
+      "curve.2_centroid_fit" -> (() => force(curveCents, col("centroid"))),
+      "curve.3_fit_plus_rank" -> (() => force(curveRanked, col("probe_rank"))),
+      "curve.4_full" -> (() => force(curveFull, col("recall"))),
       "winnow.0_tokenize_explode" -> (() => force(winToks, col("_tok"))),
       "winnow.1a_gram_hash_lambda" -> (() => force(winGramsLambda, col("_h40"))),
       "winnow.1b_gram_hash_lead" -> (() => force(winGramsLead, col("_h40"))),

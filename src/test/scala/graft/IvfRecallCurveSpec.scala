@@ -40,6 +40,38 @@ class IvfRecallCurveSpec extends SparkSpec {
       "nprobe=1 at recall 1.0 with a partial scan would make the sweep degenerate")
   }
 
+  test("the fused single-pass curve equals the literal per-width ivfTopK sweep") {
+    // the r13 restructure's witness: the production curve tags each
+    // truth hit with its cluster's probe rank instead of re-running
+    // ivfTopK per width — valid because probed sets nest and truth is
+    // the global top-5 under the same (sim, cand_id) order. This
+    // recomputes every width the slow literal way and demands identity.
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("label"))
+    val cents = Similarity.ivfCentroids(emb, "embedding", "label")
+    val truth = Similarity.bruteTopK(queries, corpus, k = 5)
+      .select(col("query_id"), col("cand_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sizes = corpus.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val nQ = queries.count(); val nC = corpus.count()
+    val want = Seq(1, 2, 4, 10).map { np =>
+      val ivf = Similarity.ivfTopK(queries, corpus, cents, k = 5, nprobe = np)
+        .select(col("query_id"), col("cand_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val scanned = Similarity.ivfAssignN(queries, cents, np)
+        .select(col("label")).collect().map(r => sizes(r.get(0))).sum
+      (np, truth.size.toLong, (ivf & truth).size.toLong,
+        (ivf & truth).size.toDouble / truth.size.toDouble,
+        scanned.toDouble / (nQ * nC).toDouble)
+    }
+    val got = rows(sfDir)
+    assert(got == want, s"fused curve diverged from the literal sweep:\n$got\n$want")
+  }
+
   test("the nprobe=1 row agrees with the independently-proven C15b and brute demos") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)

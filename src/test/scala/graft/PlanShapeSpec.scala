@@ -243,12 +243,15 @@ class PlanShapeSpec extends SparkSpec {
       "bitext_mine"            -> ((6, 6, 11)), // docs⋈emb prep ×2 sides + the pair scan's three consumers
       "setsim_join"            -> ((6, 5, 5)), // df count + order + prefix self-join + verify rejoins; +1 from the r12 sets/prefix persist
       "contain_join"           -> ((5, 5, 5)), // same family, one fewer exchange: the full B side reuses the ordering shuffle the prefix slice repartitions
-      "ivf_recall_curve"       -> ((68, 44, 48)), // 4-width sweep: each width re-plans assign+probe+hit against the persisted splits — big but width-bounded
-      "lsh_recall_curve"       -> ((44, 32, 36))) // 4-width sweep over the persisted bucket index; smaller because probes are map-side XORs, not assignment joins
+      "ivf_recall_curve"       -> ((12, 9, 9)),  // r13 fused form: ONE probe pass (truth ⋈ cluster rank), 5.6× fewer exchanges than the old 4-width re-plan
+      "lsh_recall_curve"       -> ((44, 32, 36)), // 4-width sweep over the persisted bucket index; smaller because probes are map-side XORs, not assignment joins
+      "setsim_join_rs"         -> ((5, 5, 5)),   // two-sided prefix join: same family as setsim_join minus the self-join's extra persist exchange
+      "bitext_mine_ann"        -> ((15, 6, 11)), // LSH candidates + margin: bucket join both directions + bounded top-k windows over candidates only
+      "shard_balance"          -> ((5, 1, 1)))   // two-phase cumsum: range partition + per-partition window + broadcast offsets + summary agg
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     graft.tools.PlanCounts.Gated.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = graft.tools.PlanCounts.resolve(name)(spark, sfDir)
       try {
         val p = plan(df)
         val actual = (graft.tools.PlanCounts.shuffles(p),
