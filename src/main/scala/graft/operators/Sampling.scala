@@ -272,7 +272,14 @@ object Sampling {
     * Output: (idCol, score, toks, cum_tokens) for the selected rows.
     * Exact at any scale: token counts are integers, so the running sum
     * is order-free arithmetic once the total order is fixed; score
-    * ties break on id. */
+    * ties break on id.
+    *
+    * PRECONDITION: `idCol` must be unique. The order key is
+    * (score desc, id) — duplicate ids with equal scores leave the
+    * running sum's tie order undefined across partitionings, which
+    * makes the cut point (and therefore the selected SET)
+    * nondeterministic across runs. [[shardBalance]] shares the
+    * requirement (it orders by id alone). */
   def budgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
                    tokCol: Column, budgetFrac: Double,
                    partitions: Int = 0): DataFrame = {
@@ -341,7 +348,12 @@ object Sampling {
     * collapses to ≤ S rows map-side. Returns one row per non-empty
     * shard: (shard, n_docs, shard_tokens, min_doc, max_doc, rel_dev)
     * where rel_dev = shard_tokens·S/total − 1 (round 6), the
-    * imbalance a trainer reads. */
+    * imbalance a trainer reads.
+    *
+    * PRECONDITION: `idCol` must be unique — the cumsum's total order
+    * is the id alone, so duplicate ids make shard assignment (and the
+    * contiguity guarantee above) nondeterministic across runs and
+    * partitionings. */
   def shardBalance(df: DataFrame, idCol: String, tokCol: Column,
                    nShards: Int, partitions: Int = 0): DataFrame = {
     require(nShards >= 1, s"shardBalance: nShards must be >= 1, got $nShards")
@@ -353,7 +365,15 @@ object Sampling {
     cumsumByRange(scored, Seq(col(idCol)), partitions) match {
       case Some((cum, total)) if total > 0L =>
         // total is a driver-known scalar, so the shard boundary rides
-        // the plan as a literal (exact integer algebra — `div`, not fp)
+        // the plan as a literal (exact integer algebra — `div`, not fp).
+        // Fail FAST on the boundary product's overflow edge: at
+        // total·nShards >= 2^63 the per-row (cum−toks)·nShards would
+        // abort mid-job under ANSI mode; total is driver-known, so the
+        // plan refuses to build instead
+        require(total <= Long.MaxValue / nShards,
+          s"shardBalance: total_tokens ($total) * nShards ($nShards) " +
+            "overflows the Long boundary algebra; shard in two tiers or " +
+            "rescale the token unit")
         cum.withColumn("shard",
             least(expr(s"((cum - toks) * $nShards) div ${total}L"),
               lit(nShards - 1L)))

@@ -78,12 +78,25 @@ object SetSim {
       .select(col("doc_id"), col("s"),
         (col("pos0") + 1).cast("long").as("pos"), col("h"))
 
+  /** ceil with an epsilon guard — every overlap requirement α in this
+    * family is mathematically ceil(t·s) over EXACT rationals, but t·s
+    * computes in binary doubles: a threshold whose product lands 1 ulp
+    * ABOVE an exact integer (e.g. a t encoding slightly high) would
+    * inflate α by 1 and turn a lossless prune into a completeness
+    * hole the round-6 verify can't repair. Subtracting 1e-9 (≫ the
+    * ~1e-11 worst-case product error at corpus-scale s, ≪ the 1/s gap
+    * to the next rational) restores the exact-arithmetic value; an
+    * error in the OTHER direction only weakens the prune — safe, the
+    * verify step discards the extra candidates. The oracle SQL mirrors
+    * the same guard so both engines prune identically. */
+  private def ceilEps(x: Column): Column = ceil(x - lit(1e-9))
+
   /** a set needing overlap >= ceil(t*s) can miss at most
     * s - ceil(t*s) tokens, so its first s - ceil(t*s) + 1 ordered
     * tokens must contain a shared one (the prefix-filtering lemma) —
     * the formula BOTH the Jaccard and the containment probe sides use */
   private def lemmaPrefix(threshold: Double)(s: Column): Column =
-    s - ceil(s.cast("double") * threshold).cast("long") + 1
+    s - ceilEps(s.cast("double") * threshold).cast("long") + 1
 
   /** candidate pairs from two prefix tables: shared prefix token, then
     * the two exact prunes. The positional filter is valid for a pair's
@@ -103,7 +116,7 @@ object SetSim {
       .filter(least(col("s_a"), col("s_b")).cast("double") >=
         greatest(col("s_a"), col("s_b")).cast("double") * threshold)
       .filter((lit(1L) + least(col("s_a") - col("p_a"), col("s_b") - col("p_b")))
-        .cast("double") >= ceil((col("s_a") + col("s_b")).cast("double") * ratio))
+        .cast("double") >= ceilEps((col("s_a") + col("s_b")).cast("double") * ratio))
       .select("id_a", "id_b")
       .distinct()
   }
@@ -220,7 +233,7 @@ object SetSim {
     val rhs = prefixExploded(sets, dfCounts, s => s) // full: no B-side prefix
       .select(col("doc_id").as("id_b"), col("s").as("s_b"),
         col("pos").as("p_b"), col("h"))
-    val need = ceil(col("s_a").cast("double") * threshold)
+    val need = ceilEps(col("s_a").cast("double") * threshold)
     val cands = lhs.join(rhs, "h")
       .filter(col("id_a") =!= col("id_b"))
       .filter(col("s_b").cast("double") >= need)

@@ -423,7 +423,12 @@ object OracleGen {
     * reproduces them literally — same rarity order (df asc, md5-60
     * hash asc), same probing prefix `s - ceil(t*s) + 1`, same
     * PPJoin positional bound — and verifies the survivors with the
-    * identical exact-Jaccard algebra. */
+    * identical exact-Jaccard algebra. Every ceil carries the same
+    * `- 1e-9` epsilon guard as SetSim.ceilEps (here and in the
+    * containment/R-S mirrors below): t·s in binary doubles can land
+    * 1 ulp above an exact integer and inflate the overlap requirement
+    * by 1 — both engines must round the same way or the prune sets
+    * diverge at exact-boundary thresholds. */
   def setSimJoinSql(threshold: Double = 0.5, n: Int = 3): String = {
     val t = threshold
     val ratio = threshold / (1.0 + threshold)
@@ -450,7 +455,7 @@ object OracleGen {
        |  SELECT doc_id, s, u.pos AS pos, u.h AS h
        |  FROM (SELECT doc_id, s,
        |          unnest(list_transform(
-       |            range(1, s - CAST(ceil(CAST(s AS DOUBLE) * $t) AS BIGINT) + 2),
+       |            range(1, s - CAST(ceil(CAST(s AS DOUBLE) * $t - 1e-9) AS BIGINT) + 2),
        |            i -> struct_pack(pos := CAST(i AS BIGINT), h := otoks[i]))) AS u
        |        FROM ord)
        |), cand AS (
@@ -458,7 +463,7 @@ object OracleGen {
        |  FROM pre a JOIN pre b ON b.h = a.h AND a.doc_id < b.doc_id
        |  WHERE CAST(least(a.s, b.s) AS DOUBLE) >= CAST(greatest(a.s, b.s) AS DOUBLE) * $t
        |    AND CAST(1 + least(a.s - a.pos, b.s - b.pos) AS DOUBLE)
-       |        >= ceil(CAST(a.s + b.s AS DOUBLE) * $ratio)
+       |        >= ceil(CAST(a.s + b.s AS DOUBLE) * $ratio - 1e-9)
        |), v AS (
        |  SELECT c.id_a, c.id_b,
        |    CAST(len(list_filter(x.hset, e -> list_contains(y.hset, e))) AS BIGINT) AS overlap,
@@ -506,7 +511,7 @@ object OracleGen {
        |  SELECT doc_id, s, u.pos AS pos, u.h AS h
        |  FROM (SELECT doc_id, s,
        |          unnest(list_transform(
-       |            range(1, s - CAST(ceil(CAST(s AS DOUBLE) * $t) AS BIGINT) + 2),
+       |            range(1, s - CAST(ceil(CAST(s AS DOUBLE) * $t - 1e-9) AS BIGINT) + 2),
        |            i -> struct_pack(pos := CAST(i AS BIGINT), h := otoks[i]))) AS u
        |        FROM ord)
        |), bfull AS (
@@ -518,9 +523,9 @@ object OracleGen {
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM pre a JOIN bfull b ON b.h = a.h AND a.doc_id <> b.doc_id
-       |  WHERE CAST(b.s AS DOUBLE) >= ceil(CAST(a.s AS DOUBLE) * $t)
+       |  WHERE CAST(b.s AS DOUBLE) >= ceil(CAST(a.s AS DOUBLE) * $t - 1e-9)
        |    AND CAST(1 + least(a.s - a.pos, b.s - b.pos) AS DOUBLE)
-       |        >= ceil(CAST(a.s AS DOUBLE) * $t)
+       |        >= ceil(CAST(a.s AS DOUBLE) * $t - 1e-9)
        |), v AS (
        |  SELECT c.id_a, c.id_b,
        |    CAST(len(list_filter(x.hset, e -> list_contains(y.hset, e))) AS BIGINT) AS overlap,
@@ -550,7 +555,7 @@ object OracleGen {
          |  SELECT doc_id, s, u.pos AS pos, u.h AS h
          |  FROM (SELECT doc_id, s,
          |          unnest(list_transform(
-         |            range(1, s - CAST(ceil(CAST(s AS DOUBLE) * $t) AS BIGINT) + 2),
+         |            range(1, s - CAST(ceil(CAST(s AS DOUBLE) * $t - 1e-9) AS BIGINT) + 2),
          |            i -> struct_pack(pos := CAST(i AS BIGINT), h := otoks[i]))) AS u
          |        FROM $ordRel)
          |)""".stripMargin
@@ -582,7 +587,7 @@ object OracleGen {
        |  FROM preA a JOIN preB b ON b.h = a.h
        |  WHERE CAST(least(a.s, b.s) AS DOUBLE) >= CAST(greatest(a.s, b.s) AS DOUBLE) * $t
        |    AND CAST(1 + least(a.s - a.pos, b.s - b.pos) AS DOUBLE)
-       |        >= ceil(CAST(a.s + b.s AS DOUBLE) * $ratio)
+       |        >= ceil(CAST(a.s + b.s AS DOUBLE) * $ratio - 1e-9)
        |), v AS (
        |  SELECT c.id_a, c.id_b,
        |    CAST(len(list_filter(x.hset, e -> list_contains(y.hset, e))) AS BIGINT) AS overlap,

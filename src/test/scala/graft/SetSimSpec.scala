@@ -80,6 +80,68 @@ class SetSimSpec extends SparkSpec {
     }
   }
 
+  test("property: 1200 random corpora with exact-threshold ties, t in {0.5, 0.7, 0.9}") {
+    // The adversarial battery for the PPJoin prune algebra (the r12
+    // advice's off-by-one trap): per threshold, 400 independently
+    // random small corpora, each given a DISJOINT token space — so one
+    // Spark run evaluates all 400 exactly as 400 separate runs would
+    // (cross-corpus pairs share no shingle, are never candidates, and
+    // within a corpus the global (df, hash) rarity order restricted to
+    // its own tokens IS its standalone order). A third of the corpora
+    // plant a pair at Jaccard EXACTLY t (shared prefix of p tokens +
+    // disjoint suffixes of a/b tokens gives J = (p−2)/(p+a+b−2); p
+    // solved per t), the boundary where a 1-off overlap requirement
+    // or an fp-inflated ceil silently drops a qualifying pair.
+    val tiePlant: Map[Double, (Int, Int, Int)] = Map(
+      0.5 -> ((6, 2, 2)),   // J = 4/8
+      0.7 -> ((9, 1, 2)),   // J = 7/10
+      0.9 -> ((11, 1, 0)))  // J = 9/10 (one side IS the shared prefix)
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val rnd = new scala.util.Random((t * 1000).toInt)
+      val (p, a, b) = tiePlant(t)
+      var planted = 0
+      val docs: Seq[(Long, String)] = (0 until 400).flatMap { ci =>
+        def w(j: Int) = s"c${ci}_w$j"
+        val base = ci * 1000L
+        if (ci % 3 == 0) {
+          // exact-tie pair: ids base+1, base+2 at J == t precisely
+          planted += 1
+          val prefix = (0 until p).map(w)
+          val da = prefix ++ (100 until 100 + a).map(w)
+          val db = prefix ++ (200 until 200 + b).map(w)
+          Seq(base + 1 -> da.mkString(" "), base + 2 -> db.mkString(" "))
+        } else {
+          // random corpus: mutated copies of a base + noise docs, over
+          // a small corpus-local vocab so overlaps land NEAR t often
+          val vocabN = 5 + rnd.nextInt(4)
+          def tok() = w(rnd.nextInt(vocabN))
+          val root = IndexedSeq.fill(8 + rnd.nextInt(10))(tok())
+          (0 until 3 + rnd.nextInt(4)).map { j =>
+            val toks = if (j % 2 == 0)
+              root.updated(rnd.nextInt(root.size), tok()) ++
+                IndexedSeq.fill(rnd.nextInt(3))(tok())
+            else IndexedSeq.fill(3 + rnd.nextInt(12))(tok())
+            (base + 10 + j) -> toks.mkString(" ")
+          }
+        }
+      }
+      val got = runOp(docs, t)
+      // reference per corpus only: disjoint token spaces make every
+      // cross-corpus Jaccard 0, and the operator must agree (asserted)
+      val want = docs.groupBy(_._1 / 1000).values
+        .map(c => refJoin(c, t)).reduce(_ ++ _)
+      assert(got.keys.forall { case (x, y) => x / 1000 == y / 1000 },
+        "a cross-corpus pair leaked through disjoint token spaces")
+      assert(got == want,
+        s"t=$t: ${(want.keySet -- got.keySet).take(5)} missed, " +
+          s"${(got.keySet -- want.keySet).take(5)} extra " +
+          s"(got ${got.size}, want ${want.size})")
+      val ties = got.values.count(_._3 == t)
+      assert(ties >= planted,
+        s"t=$t: only $ties exact-tie pairs survived of $planted planted")
+    }
+  }
+
   private def runRs(probe: Seq[(Long, String)], index: Seq[(Long, String)],
                     t: Double): Map[(Long, Long), (Long, Long, Double)] =
     SetSim.prefixJaccardJoinRS(probe.toDF("doc_id", "text"),
