@@ -89,6 +89,7 @@ object SparkEntry {
     "pca_project"          -> (TextDemos.pcaProjectOracle(_, _)),
     "dedup_simhash"        -> (TextDemos.dedupSimhash(_, _)),
     "image_phash_dedup"    -> (graft.multimodal.ImageHash.imagePhashDedup(_, _)),
+    "image_dims"           -> (graft.multimodal.Multimodal.imageDimsDemo(_, _)),
     "embed_near_dup"       -> (TextDemos.embedNearDup(_, _)),
     "ivf_centroids"        -> (TextDemos.ivfCentroids(_, _)),
     "ivf_assign"           -> (TextDemos.ivfAssign(_, _)),
@@ -929,6 +930,16 @@ object SparkEntry {
     "dedup_clusters"    -> graft.oracle.OracleGen.dedupClustersSql(),
     "dedup_simhash"     -> graft.oracle.OracleGen.simhashSql(),
     "image_phash_dedup" -> graft.oracle.OracleGen.imagePhashSql(),
+    // C12: the fixture derivation (dims/format/corrupt plants from the
+    // id) is SQL-expressible; the byte-level IHDR/SOF parse it gates is
+    // the Spark side's real work (the warc_ingest discipline)
+    "image_dims" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 97 = 0 THEN 'unknown'
+        |            WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS detected,
+        |       CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE 1 + doc_id % 29 END AS INT) AS width,
+        |       CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE 1 + doc_id % 17 END AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
     "ann_lsh_topk"      -> graft.oracle.OracleGen.annLshSql(),
     "retrieval_eval"    -> graft.oracle.OracleGen.retrievalEvalSql(),
     "mixture_reweight"  -> graft.oracle.OracleGen.mixtureReweightSql(),

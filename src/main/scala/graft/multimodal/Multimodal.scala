@@ -89,6 +89,41 @@ object Multimodal {
     }
   }
 
+  /** C12 demo, oracle-gated (r13 — the multimodal tier's driver-checked
+    * row): one REAL encoded image per document — PNG for even ids,
+    * JPEG for odd — with dimensions derived from the id
+    * (1 + id % 29 × 1 + id % 17), plus a planted corrupt header every
+    * 97th id (bytes truncated to 8). [[imageDimensions]] must recover
+    * every width/height from the actual IHDR / SOF byte layout the
+    * JDK encoders emitted, and ("unknown", −1, −1) for the corrupt
+    * plants. The oracle recomputes the deterministic expectations
+    * relationally (the warc_ingest discipline: the fixture derivation
+    * is SQL-expressible, the byte-level parse it gates is not — any
+    * header-parse bug lands as a value mismatch). Encode + parse are
+    * map-only over the id column: no shuffle, corpus-parallel. */
+  def imageDimsDemo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val w = 1 + (id % 29).toInt
+          val h = 1 + (id % 17).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val fmt = if (id % 2 == 0) "png" else "jpg"
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, fmt, bos)
+          val bytes = bos.toByteArray
+          MediaRow(id, if (id % 97 == 0) bytes.take(8) else bytes, fmt)
+        }
+      }
+    imageDimensions(media).toDF()
+      .select(col("media_id"), col("detected"), col("width"), col("height"))
+      .orderBy("media_id")
+  }
+
   /** Decode+feature kernel. Images (PNG/JPEG — anything the JDK's
     * ImageIO reads) decode for REAL and yield pixel statistics:
     * [w/4096, h/4096, meanR, meanG, meanB, meanGray, varGray, aspect]
