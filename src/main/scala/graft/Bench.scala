@@ -29,6 +29,19 @@ import org.apache.spark.sql.SparkSession
   *
   * SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries (fast
   * local iteration on one operator's cost).
+  *
+  * WHOLE-WINDOW DRIFT ENFORCEMENT (r13, after r12 shipped a
+  * `"verdict":"drifted"` BENCH_FULL against its own rule): when the
+  * suite-level drift verdict fires, the ENTIRE window re-runs (up to
+  * SPARK_GRAFT_DRIFT_RETRIES extra windows, default 1) and the
+  * least-drifted window is the one reported — additive noise means
+  * the fastest window is the honest one. If the final window is STILL
+  * drifted, it refuses to overwrite an existing "ok"-verdict
+  * BENCH_FULL and lands in BENCH_FULL_DRIFTED.json instead, keeping
+  * the clean committed record authoritative. The artifact also splits
+  * the headline into `totals.batch` / `totals.streaming`: the 13
+  * parity rows re-run micro-batch replay machinery per pass by
+  * design, a fixed cost that otherwise buries the batch signal.
   */
 object Bench {
   /** nearest ancestor of cwd carrying build.sbt — anchors the
@@ -164,6 +177,24 @@ object Bench {
     }
   }
 
+  /** Should a fresh drifted window refuse to overwrite the committed
+    * BENCH_FULL? Only when the artifact on disk is itself a clean
+    * ("ok"-verdict) window: replacing a clean committed record with a
+    * uniformly-slow one is exactly how r12 shipped per-row "deltas"
+    * that were pure machine noise. A drifted-over-drifted (or
+    * verdict-less pre-r11) artifact may be replaced — the fresh window
+    * is no worse a witness, and refusing would pin a bad record
+    * forever. The drifted window lands in BENCH_FULL_DRIFTED.json
+    * either way, so nothing measured is lost. */
+  private[graft] def refuseOverwrite(existing: Option[String], freshVerdict: String): Boolean =
+    freshVerdict == "drifted" && existing.exists(_.contains("\"verdict\":\"ok\""))
+
+  /** batch/streaming suite split: the 13 `stream_*_parity` rows replay
+    * real micro-batch machinery per pass BY DESIGN (the honest cost of
+    * a streaming correctness gate), which buries the batch engine's
+    * signal in the headline total — report both. */
+  private[graft] def isStreamingRow(name: String): Boolean = name.startsWith("stream_")
+
   /** Is a fresh median a cross-window contamination suspect? Only
     * multi-second rows qualify (the perf taxonomy's unit of concern —
     * a 0.1 s job-floor row tripping 2.5× on absolute jitter would make
@@ -206,7 +237,7 @@ object Bench {
     } catch { case _: Exception => Map.empty }
     // Right(pass times) on success, Left(exception class) on failure — a
     // broken query must surface as "error", never bench as a fast success.
-    val results = all.map { case (name, fn) =>
+    def measureWindow(): Map[String, Either[String, Seq[Double]]] = all.map { case (name, fn) =>
       val r = try {
         def sample(): Double = {
           val t0 = System.nanoTime()
@@ -230,14 +261,44 @@ object Bench {
               samples.size < passes * 5)
             samples += sample()
         }
-        Right(samples.toSeq)
+        Right(samples.toSeq): Either[String, Seq[Double]]
       } catch {
         case e: Throwable =>
           graft.util.CacheRegistry.releaseAll()
-          Left(e.getClass.getSimpleName)
+          Left(e.getClass.getSimpleName): Either[String, Seq[Double]]
       }
       name -> r
     }
+
+    // whole-window drift retry (the r12 verdict's process gap: a
+    // drifted window shipped as the committed artifact against the
+    // round's own rule). A drifted verdict means the MACHINE was
+    // uniformly slow, so the whole window re-runs — bounded by
+    // SPARK_GRAFT_DRIFT_RETRIES (default 1; a real committed slowdown
+    // re-measures the same way twice and is then reported drifted,
+    // where the overwrite refusal below takes over)
+    def windowRatio(results: Map[String, Either[String, Seq[Double]]]): Option[Double] = {
+      val suspectNames = results.collect {
+        case (k, Right(ts))
+          if trailing.get(k).exists(h => crossWindowSuspect(robustMedian(ts, passes), h)) => k
+      }.toSet
+      val fresh = results.collect {
+        case (k, Right(ts)) if !suspectNames.contains(k) => k -> robustMedian(ts, passes)
+      }.toMap
+      driftVerdict(fresh, trailing).map(_._3)
+    }
+    val maxWindows = 1 + sys.env.getOrElse("SPARK_GRAFT_DRIFT_RETRIES", "1").toInt.max(0)
+    var windows = List(measureWindow())
+    while (windowRatio(windows.head).exists(_ > 1.15) && windows.size < maxWindows) {
+      Console.err.println(f"[bench] window ${windows.size}%d drifted " +
+        f"(ratio ${windowRatio(windows.head).get}%.3f > 1.15) - re-running the " +
+        "whole window (noise is additive: the faster window is the honest one)")
+      windows ::= measureWindow()
+    }
+    // keep the least-contended window: noise is strictly additive, so
+    // minimum shared-total ratio = closest to the machine's true cost
+    val results = windows.minBy(w => windowRatio(w).getOrElse(0.0))
+    val rerunCount = windows.size - 1
     val suspects = results.collect {
       case (k, Right(ts))
         if trailing.get(k).exists(h => crossWindowSuspect(robustMedian(ts, passes), h)) =>
@@ -263,6 +324,14 @@ object Bench {
       "\"" + k + "\":{\"median\":" + fresh + ",\"trailing\":" + hist + "}"
     }.mkString("{", ",", "}")
     val total = results.values.collect { case Right(ts) => robustMedian(ts, passes) }.sum
+    // batch vs streaming split (r12 verdict task 6): the parity rows'
+    // replay machinery is a fixed per-pass cost that buries the batch
+    // signal — both suite totals are first-class in the artifact
+    val streamingTotal = results.collect {
+      case (k, Right(ts)) if isStreamingRow(k) => robustMedian(ts, passes)
+    }.sum
+    val totalsJson =
+      s"""{"batch":${total - streamingTotal},"streaming":$streamingTotal}"""
     // suspect rows are judged by the PER-ROW guard; including them in
     // the suite total would let one contaminated heavy row flip the
     // whole-suite verdict to "drifted" when nothing is uniformly slow
@@ -271,26 +340,44 @@ object Bench {
       case (k, Right(ts)) if !suspectNames.contains(k) =>
         k -> robustMedian(ts, passes)
     }.toMap
-    val driftJson = driftVerdict(freshMedians, trailing) match {
+    val (verdict, driftJson) = driftVerdict(freshMedians, trailing) match {
       case Some((f, t, ratio, over)) =>
         val verdict = if (ratio > 1.15) "drifted" else "ok"
         if (verdict == "drifted")
           Console.err.println(f"[bench] DRIFTED WINDOW: shared-suite total $f%.1f s is " +
             f"${(ratio - 1) * 100}%.0f%% over its trailing history $t%.1f s " +
-            f"($over%d rows individually >1.25x) - this window is uniformly slow; " +
-            "re-run it before treating per-row deltas as real")
-        f"""{"fresh_shared":$f%.2f,"trailing_shared":$t%.2f,"ratio":$ratio%.3f,"rows_over_1p25":$over,"verdict":"$verdict"}"""
-      case None => """{"verdict":"insufficient-history"}"""
+            f"($over%d rows individually >1.25x) after $rerunCount%d re-run(s) - " +
+            "this window is uniformly slow; per-row deltas are not real")
+        (verdict,
+          f"""{"fresh_shared":$f%.2f,"trailing_shared":$t%.2f,"ratio":$ratio%.3f,"rows_over_1p25":$over,"reruns":$rerunCount,"verdict":"$verdict"}""")
+      case None => ("ok", s"""{"reruns":$rerunCount,"verdict":"insufficient-history"}""")
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"passes":$passes,"errors":$errs,"suspect":$suspectJson,"drift":$driftJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","totals":$totalsJson,"queries":$qs,"spread":$spread,"passes":$passes,"errors":$errs,"suspect":$suspectJson,"drift":$driftJson,"sf":"$sfDir"}"""
     println(json)
     // a SPARK_GRAFT_ONLY run is a local probe: never let it overwrite
     // the committed full-suite artifact or pollute the history record
     val partial = only.nonEmpty
     // the driver's artifact pipeline has head-truncated long bench lines
     // (BENCH_r03/r04); keep the complete record in the repo as well
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      if (partial) s"$repoRoot/target/BENCH_PARTIAL.json" else s"$repoRoot/BENCH_FULL.json")
+    val defaultOut =
+      if (partial) s"$repoRoot/target/BENCH_PARTIAL.json" else s"$repoRoot/BENCH_FULL.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      // overwrite refusal (r12 verdict task 2): a still-drifted window
+      // must not replace a clean committed BENCH_FULL — it lands in the
+      // side file, the clean record stays, and the round close carries
+      // an "ok"-verdict artifact or a loudly-named cause
+      val existing = try {
+        val p = java.nio.file.Paths.get(defaultOut)
+        if (!partial && java.nio.file.Files.exists(p))
+          Some(java.nio.file.Files.readString(p))
+        else None
+      } catch { case _: Exception => None }
+      if (refuseOverwrite(existing, verdict)) {
+        Console.err.println(s"[bench] REFUSING to overwrite the ok-verdict $defaultOut " +
+          "with a drifted window - writing BENCH_FULL_DRIFTED.json instead")
+        s"$repoRoot/BENCH_FULL_DRIFTED.json"
+      } else defaultOut
+    })
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Exception =>
       Console.err.println(s"[bench] could not write $out: ${e.getMessage}") }

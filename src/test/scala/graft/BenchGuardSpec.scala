@@ -112,6 +112,31 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.trailingMedians(allSus, "/sf")("b") == 1.0)
   }
 
+  test("refuseOverwrite: drifted window never replaces a clean BENCH_FULL") {
+    val okArtifact = Some("""{"metric":"total","drift":{"ratio":1.02,"verdict":"ok"}}""")
+    val driftedArtifact = Some("""{"metric":"total","drift":{"ratio":1.17,"verdict":"drifted"}}""")
+    val preVerdictArtifact = Some("""{"metric":"total","queries":{"a":1.0}}""")
+    // the refusal path: fresh drifted vs committed clean
+    assert(Bench.refuseOverwrite(okArtifact, "drifted"))
+    // a clean fresh window always lands, whatever is on disk
+    assert(!Bench.refuseOverwrite(okArtifact, "ok"))
+    assert(!Bench.refuseOverwrite(driftedArtifact, "ok"))
+    // drifted-over-drifted / drifted-over-legacy / first run: replace —
+    // refusing would pin a bad or missing record forever
+    assert(!Bench.refuseOverwrite(driftedArtifact, "drifted"))
+    assert(!Bench.refuseOverwrite(preVerdictArtifact, "drifted"))
+    assert(!Bench.refuseOverwrite(None, "drifted"))
+    // insufficient-history verdicts are not drifted: never refuse
+    assert(!Bench.refuseOverwrite(okArtifact, "insufficient-history"))
+  }
+
+  test("isStreamingRow splits the parity rows from the batch suite") {
+    assert(Bench.isStreamingRow("stream_window_parity"))
+    assert(Bench.isStreamingRow("stream_sft_gate_parity"))
+    assert(!Bench.isStreamingRow("q1_pricing_summary"))
+    assert(!Bench.isStreamingRow("sessionize")) // batch sessionize, not stream_
+  }
+
   test("driftVerdict: uniform slow window flags; quiet window passes; probes abstain") {
     val trailing = (1 to 12).map(i => s"q$i" -> 1.0).toMap
     // uniformly 1.3x slow — no row trips the 2.5x suspect guard, but the
