@@ -79,6 +79,7 @@ object SparkEntry {
     "lsh_recall_curve"     -> (TextDemos.lshRecallCurve(_, _)),
     "dup_rate_by_source"   -> (TextDemos.dupRateBySource(_, _)),
     "shard_balance"        -> (TextDemos.shardBalanceDemo(_, _)),
+    "weighted_sample"      -> (TextDemos.weightedSampleDemo(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
     "topk_ngrams"          -> (TextDemos.topkNgrams(_, _)),
@@ -922,6 +923,7 @@ object SparkEntry {
     "lsh_recall_curve"  -> graft.oracle.OracleGen.lshRecallCurveSql(),
     "dup_rate_by_source" -> graft.oracle.OracleGen.dupRateBySourceSql(),
     "shard_balance"     -> graft.oracle.OracleGen.shardBalanceSql(),
+    "weighted_sample"   -> graft.oracle.OracleGen.weightedSampleSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),

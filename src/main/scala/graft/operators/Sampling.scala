@@ -395,4 +395,47 @@ object Sampling {
             col("min_doc"), col("max_doc"), lit(0.0).as("rel_dev"))
     }
   }
+
+  /** C101 — deterministic weighted sampling WITHOUT replacement: draw
+    * `m` rows with inclusion proportional to an integer weight — the
+    * selection step DSIR-style importance weighting (C41 scores, this
+    * draws), domain rebalancing, and weighted eval-set construction
+    * all end with. Spark's `sample()` is Bernoulli, unweighted, and
+    * partitioning-dependent; this is the A-Res weighted-reservoir
+    * scheme (Efraimidis & Spirakis, IPL 2006) made exact and
+    * engine-reproducible by discretizing the key race to INTEGER
+    * arithmetic: each row enters the race with `w` deterministic
+    * 60-bit hash tickets (md5 of "id#r", r = 1..w) and its key is the
+    * MINIMUM ticket — P(key_A < key_B) = w_A/(w_A + w_B) exactly (up
+    * to 2⁻⁶⁰ collision mass), the exponential-race order statistic
+    * with no ln/pow libm call to diverge between engines. Global
+    * top-m on (key, id).
+    *
+    * Weights clamp to [1, maxWeight] (null/0/negative → 1): the
+    * ticket array is a per-row EXPRESSION of bounded length, so the
+    * key costs ≤ maxWeight hashes map-side — quantize real-valued
+    * importance weights onto that integer grid (fidelity knob, the
+    * int8-quantization trade C48 makes for vectors). Scale shape: one
+    * map-only pass + TakeOrdered(m); nothing shuffles but the m
+    * winners per partition. Output (rank, id, weight, race_key),
+    * rank 1..m in race order. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     m: Int, maxWeight: Int = 64): DataFrame = {
+    require(m >= 1, s"weightedSample: m must be >= 1, got $m")
+    require(maxWeight >= 1 && maxWeight <= 4096,
+      s"weightedSample: maxWeight must be in [1, 4096], got $maxWeight")
+    val w = least(greatest(coalesce(weightCol.cast("long"), lit(1L)), lit(1L)),
+      lit(maxWeight.toLong))
+    val key = array_min(transform(sequence(lit(1L), w),
+      r => Vec.md5Hash60(concat(col(idCol).cast("string"), lit("#"),
+        r.cast("string")))))
+    val winners = df
+      .select(col(idCol), w.as("weight"), key.as("race_key"))
+      .orderBy(col("race_key"), col(idCol))
+      .limit(m)
+    // rank window runs over the m winners only (post-limit), never the corpus
+    winners.withColumn("rank",
+        row_number().over(Window.orderBy(col("race_key"), col(idCol))).cast("long"))
+      .select(col("rank"), col(idCol), col("weight"), col("race_key"))
+  }
 }

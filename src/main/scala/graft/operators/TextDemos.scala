@@ -1779,6 +1779,14 @@ object TextDemos {
         Text.tokenCount(col("text")), nShards = 8)
       .orderBy("shard")
 
+  /** C101 demo: 200 documents drawn ∝ a length-derived integer weight
+    * (1 + n_chars/100, clamped to the default 64-ticket grid) — the
+    * "sample the corpus toward long documents" draw, determinstic to
+    * the bit (the race keys are md5 tickets both engines recompute). */
+  def weightedSampleDemo(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(Tables.documents(spark, dir), "doc_id",
+      lit(1L) + expr("n_chars div 100"), m = 200)
+
   /** C100 — the per-source duplication scorecard every corpus release
     * publishes next to its size table: per source, the doc count, how
     * many docs share an EXACT text hash with another doc (C1's

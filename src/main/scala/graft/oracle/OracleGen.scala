@@ -880,6 +880,26 @@ object OracleGen {
        |            ELSE 0.0 END AS rel_dev
        |FROM a, tot GROUP BY shard, tot.total ORDER BY shard""".stripMargin
 
+  /** mirror of TextDemos.weightedSampleDemo (Sampling.weightedSample):
+    * same integer ticket race — weight w = clamp(1 + n_chars//100,
+    * 1, 64), race key = min of w md5-60 tickets over "id#r", global
+    * top-m on (key, id). Pure integer arithmetic end to end, so the
+    * sampled SET (not just its size) is bit-identical cross-engine. */
+  def weightedSampleSql(m: Int = 200, maxWeight: Int = 64): String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |         least(greatest(COALESCE(1 + n_chars // 100, 1), 1), $maxWeight) AS weight
+       |  FROM documents
+       |), k AS (
+       |  SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+       |         list_min(list_transform(range(1, CAST(weight AS BIGINT) + 1),
+       |           r -> ${md560("(CAST(doc_id AS VARCHAR) || '#' || CAST(r AS VARCHAR))")})) AS race_key
+       |  FROM w
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY race_key, doc_id) AS BIGINT) AS rank,
+       |       doc_id, weight, race_key
+       |FROM k ORDER BY race_key, doc_id LIMIT $m""".stripMargin
+
   /** mirror of TextDemos.tokenizerEntropy: the bpeEncodeSql CTE chain
     * feeds the bpe12 frequency table, whitespace words the other; each
     * entropy term quantized to DECIMAL(38,12) before the exact sum
