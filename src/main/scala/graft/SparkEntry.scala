@@ -80,6 +80,16 @@ object SparkEntry {
     "dup_rate_by_source"   -> (TextDemos.dupRateBySource(_, _)),
     "shard_balance"        -> (TextDemos.shardBalanceDemo(_, _)),
     "weighted_sample"      -> (TextDemos.weightedSampleDemo(_, _)),
+    "unimax_mix"           -> (TextDemos.unimaxMixDemo(_, _)),
+    "takedown_propagate"   -> (TextDemos.takedownPropagateDemo(_, _)),
+    "stratified_split"     -> (TextDemos.stratifiedSplitDemo(_, _)),
+    "mojibake_score"       -> (TextDemos.mojibakeScoreDemo(_, _)),
+    "kanon_generalize"     -> (TextDemos.kanonGeneralizeDemo(_, _)),
+    "skew_diagnose"        -> (TextDemos.skewDiagnoseDemo(_, _)),
+    "curriculum_order"     -> (TextDemos.curriculumOrderDemo(_, _)),
+    "mojibake_repair"      -> (TextDemos.mojibakeRepairDemo(_, _)),
+    "packing_sweep"        -> (TextDemos.packingSweepDemo(_, _)),
+    "vocab_coverage"       -> (TextDemos.vocabCoverageDemo(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
     "topk_ngrams"          -> (TextDemos.topkNgrams(_, _)),
@@ -924,6 +934,16 @@ object SparkEntry {
     "dup_rate_by_source" -> graft.oracle.OracleGen.dupRateBySourceSql(),
     "shard_balance"     -> graft.oracle.OracleGen.shardBalanceSql(),
     "weighted_sample"   -> graft.oracle.OracleGen.weightedSampleSql(),
+    "unimax_mix"         -> graft.oracle.OracleGen.unimaxSql(),
+    "takedown_propagate" -> graft.oracle.OracleGen.takedownSql(),
+    "stratified_split"   -> graft.oracle.OracleGen.stratifiedSplitSql(),
+    "mojibake_score"     -> graft.oracle.OracleGen.mojibakeSql(),
+    "kanon_generalize"   -> graft.oracle.OracleGen.kanonSql(),
+    "skew_diagnose"      -> graft.oracle.OracleGen.skewDiagnoseSql(),
+    "curriculum_order"   -> graft.oracle.OracleGen.curriculumSql(),
+    "mojibake_repair"    -> graft.oracle.OracleGen.mojibakeRepairSql(),
+    "packing_sweep"      -> graft.oracle.OracleGen.packingSweepSql(),
+    "vocab_coverage"     -> graft.oracle.OracleGen.vocabCoverageSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),

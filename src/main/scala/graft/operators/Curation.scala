@@ -317,4 +317,143 @@ object Curation {
         expr(s"_mkey div ${PosCap}L").as("hash"))
       .distinct()
   }
+
+  /** Tell-tale byte sequences of encoding damage, each a literal string
+    * (NOT a regex): UTF-8 text decoded as Latin-1/cp1252 and re-encoded
+    * ("mojibake") leaves `Ã`+diacritic pairs for Latin letters and
+    * `â€`-prefixed triples for punctuation; U+FFFD is a decoder's
+    * explicit "byte salad" marker. Literal substring counting is
+    * deliberately regex-free — Java regex works on UTF-16, RE2 engines
+    * on UTF-8 bytes, and a character-class over multibyte chars is
+    * where cross-engine counts drift; `replace` + length delta counts
+    * identically everywhere. */
+  val MojibakePatterns: Seq[String] = Seq(
+    "Ã©", // Ã© — é through a Latin-1 round trip
+    "Ã¯", // Ã¯ — ï
+    "Ã¼", // Ã¼ — ü
+    "Ã¤", // Ã¤ — ä
+    "â€", // â€ — prefix of every double-encoded curly quote/dash
+    "�")       // U+FFFD replacement char — a decoder gave up
+
+  /** Deterministic mojibake plant for the C105 demo/oracle: docs with
+    * id % 13 == 0 get a double-encoded suffix, id % 29 == 0 a U+FFFD —
+    * the synthetic corpus is clean ASCII, so the demo must seed the
+    * damage it detects. Shared with OracleGen so the two sides can
+    * never drift. */
+  val MojibakePlant13: String =
+    " cafÃ© â€” naÃ¯ve"
+  val MojibakePlant29: String = " bad�scan"
+
+  /** C105 — encoding-damage (mojibake) score: per document, how many
+    * tell-tale double-encoding sequences it contains, normalized by
+    * length — the filter that catches the crawl segments whose
+    * Content-Type header lied before they poison a tokenizer's
+    * character distribution (a corpus with 0.1 % mojibake docs trains a
+    * vocab with `Ã©` merges). Patterns are counted by
+    * length-delta-after-replace: exact, codegen'd, engine-portable.
+    *
+    * Scale shape: map-only — a handful of `replace`+`length` column
+    * expressions inside one whole-stage-codegen projection; nothing
+    * shuffles, the filter pushes to the scan consumer. Score is one
+    * IEEE division of exact ints (hits / chars), deterministic across
+    * engines. Output: (id, n_chars, hits, mojibake_score, flagged).
+    */
+  def mojibakeScore(df: DataFrame, idCol: String, textCol: String,
+                    patterns: Seq[String] = MojibakePatterns): DataFrame = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "mojibakeScore: patterns must be non-empty strings")
+    val t = col(textCol)
+    val hits = patterns.map { p =>
+      // occurrences of p = (len(text) − len(text with p removed)) / len(p);
+      // string_replace is LITERAL (no regex), division exact by construction
+      ((length(t) - length(call_function("replace", t, lit(p), lit(""))))
+        / lit(p.length)).cast("long")
+    }.reduce(_ + _)
+    df.select(col(idCol), length(t).cast("long").as("n_chars"),
+        hits.as("hits"))
+      .withColumn("mojibake_score",
+        round(col("hits").cast("double") /
+          greatest(col("n_chars"), lit(1L)).cast("double"), 6))
+      .withColumn("flagged", col("hits") >= 1L)
+  }
+
+  /** The C109 repair table: each complete double-encoded sequence and
+    * the character it decodes back to (the cp1252→UTF-8 round trip
+    * inverted), plus U+FFFD → dropped. Keys are pairwise
+    * non-overlapping (full triples for the â€ punctuation family, so
+    * replacement order cannot change the result) and SHARED with
+    * OracleGen — the two sides cannot drift. The bare `â€` prefix is
+    * deliberately NOT repaired: an incomplete artifact stays visible
+    * (and keeps scoring under C105) instead of being guessed at. */
+  val MojibakeRepairs: Seq[(String, String)] = Seq(
+    "Ã©" -> "é", "Ã¯" -> "ï", "Ã¼" -> "ü", "Ã¤" -> "ä",
+    "â€™" -> "’", "â€œ" -> "“", "â€\u009d" -> "”", // third char is the INVISIBLE cp1252-unmapped 0x9D
+    "â€”" -> "—", "â€“" -> "–",
+    "�" -> "")
+
+  /** C109 — mojibake REPAIR (the fix half of C105's detector): invert
+    * the Latin-1/cp1252 round trip for every complete artifact in
+    * [[MojibakeRepairs]] and drop U+FFFD markers — recovering a
+    * salvageable document beats discarding it, and crawl pipelines run
+    * exactly this pass (ftfy's core loop) between language ID and
+    * quality scoring. Counting happens BEFORE repair (replace-delta,
+    * C105's algebra); keys don't overlap, so the sequential replace
+    * chain is order-independent and deterministic.
+    *
+    * Scale shape: map-only — one projection of chained literal
+    * `replace` calls inside whole-stage codegen; nothing shuffles.
+    * Output: (id, text [repaired], n_repairs, repaired flag). */
+  def mojibakeRepair(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val t = col(textCol)
+    val counts = MojibakeRepairs.map { case (p, _) =>
+      ((length(t) - length(call_function("replace", t, lit(p), lit(""))))
+        / lit(p.length)).cast("long")
+    }.reduce(_ + _)
+    val repaired = MojibakeRepairs.foldLeft(t) { case (c, (p, r)) =>
+      call_function("replace", c, lit(p), lit(r))
+    }
+    df.select(col(idCol), repaired.as(textCol), counts.as("n_repairs"))
+      .withColumn("repaired", col("n_repairs") >= 1L)
+  }
+
+  /** C111 — vocabulary coverage by language: fix the top-`v` corpus
+    * words (by occurrence count, ties on the word) as the vocabulary
+    * and report, per language, what fraction of word OCCURRENCES and
+    * word TYPES it covers — the table a tokenizer/vocab decision reads
+    * next to C93's fertility: a language whose occurrence coverage
+    * lags the corpus average is the one the shared vocab is
+    * under-serving (the multilingual-vocab allocation problem UniMax's
+    * budget, C102, only half-solves).
+    *
+    * Scale shape: one (lang, word) count agg with map-side partials
+    * (vocabulary-cardinality output, NOT corpus rows), the top-v
+    * vocab via TakeOrdered(v) re-broadcast as a membership join, then
+    * a lang-cardinality final agg. The corpus text is scanned once;
+    * nothing document-sized ever shuffles. Exact integer sums; the
+    * two rates are single IEEE divisions rounded to 6. */
+  def vocabCoverage(df: DataFrame, langCol: String, textCol: String,
+                    v: Int): DataFrame = {
+    require(v >= 1, s"vocabCoverage: v must be >= 1, got $v")
+    val words = df.select(col(langCol).as("lang"),
+        explode(Text.wsTokens(col(textCol))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("occ"))
+    val vocab = words.groupBy("word").agg(sum("occ").as("tot"))
+      .orderBy(col("tot").desc, col("word")).limit(v)
+      .select(col("word"), lit(true).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("lang")
+      .agg(sum("occ").as("n_occurrences"),
+        count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("in_vocab"), col("occ"))), lit(0L))
+          .as("occ_covered"),
+        coalesce(sum(when(col("in_vocab"), 1L)), lit(0L))
+          .as("types_covered"))
+      .withColumn("occ_coverage",
+        round(col("occ_covered").cast("double") /
+          greatest(col("n_occurrences"), lit(1L)).cast("double"), 6))
+      .withColumn("type_coverage",
+        round(col("types_covered").cast("double") /
+          greatest(col("n_types"), lit(1L)).cast("double"), 6))
+  }
 }

@@ -109,4 +109,49 @@ object Packing {
 
   // functions.size is shadowed by the `size` parameter above
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
+  /** C110 — context-length sweep: the packing-efficiency table read
+    * when choosing a training context length. For each candidate
+    * capacity, the [[sequencePack]] layout is summarized to the four
+    * numbers that trade off against each other: `n_chunks` (= training
+    * steps per epoch), `docs_split`/`boundary_crossings` (documents
+    * broken across context windows — cross-attention contamination a
+    * longer context reduces), `tail_waste` (pad tokens in each shard's
+    * final partial chunk — the only waste in concat-and-chunk packing,
+    * which a SHORTER context reduces), and the resulting `fill_rate`.
+    *
+    * Scale shape: one shard-windowed pass per capacity (sequencePack's
+    * single exchange), each reduced shard-locally to shard-cardinality
+    * rows before a final tiny agg — k capacities cost k passes over
+    * the token-count projection (never the text), by design: the
+    * sweep is a one-off planning query, and fusing the capacities into
+    * one pass would trade k cheap column scans for a k-wide row
+    * explosion. All counts are exact integer algebra; `fill_rate` is
+    * one IEEE division, rounded 6. */
+  def packingSweep(df: DataFrame, shardCol: String, orderCol: String,
+                   tokensCol: String, capacities: Seq[Int]): DataFrame = {
+    require(capacities.nonEmpty && capacities.forall(_ > 0),
+      "packingSweep: capacities must be positive")
+    capacities.map { c =>
+      val packed = sequencePack(df, shardCol, orderCol, tokensCol, c)
+      val perShard = packed.groupBy(col(shardCol))
+        .agg(sum("n_tokens").as("toks"), count(lit(1)).as("docs"),
+          sum(when(col("n_chunks") >= 2, 1L).otherwise(0L)).as("splits"),
+          sum(when(col("n_chunks") >= 2, col("n_chunks") - 1L)
+            .otherwise(0L)).as("crossings"))
+        .withColumn("chunks",
+          when(col("toks") > 0, expr(s"(toks + ${c - 1}) div $c"))
+            .otherwise(lit(0L)))
+      perShard.agg(sum("docs").as("n_docs"), sum("toks").as("total_tokens"),
+          sum("chunks").as("n_chunks"), sum("splits").as("docs_split"),
+          sum("crossings").as("boundary_crossings"))
+        .select(lit(c).as("capacity"), col("n_docs"), col("total_tokens"),
+          col("n_chunks"), col("docs_split"), col("boundary_crossings"),
+          (col("n_chunks") * c - col("total_tokens")).as("tail_waste"),
+          round(when(col("n_chunks") > 0,
+            col("total_tokens").cast("double") /
+              (col("n_chunks") * c).cast("double")).otherwise(0.0), 6)
+            .as("fill_rate"))
+    }.reduce(_ unionByName _).orderBy("capacity")
+  }
 }

@@ -438,4 +438,170 @@ object Sampling {
         row_number().over(Window.orderBy(col("race_key"), col(idCol))).cast("long"))
       .select(col("rank"), col(idCol), col("weight"), col("race_key"))
   }
+
+  /** C102 — UniMax language allocation (Chung et al., "UniMax: Fairer
+    * and More Effective Language Sampling", ICLR 2023): split a token
+    * budget `B` across languages as UNIFORMLY as possible, but never
+    * draw more than `maxEpochs` passes over any language's data — the
+    * mixing policy that replaced temperature sampling (C44) for
+    * massively-multilingual pretraining, because temperature still
+    * over-epochs tail languages while UniMax caps them explicitly.
+    *
+    * The sequential water-fill ("give every remaining language an equal
+    * share; languages whose full cap is below the share take the cap
+    * and leave the rest to the pool") has a closed form over languages
+    * sorted by cap = tokens·maxEpochs ascending: a language caps out
+    * iff cap_i·(n−i+1) ≤ B − cum_{i−1}, the predicate is monotone (once
+    * a language takes the fair share, all larger ones do too), so the
+    * capped set is a prefix and every uncapped language gets
+    * θ = (B − Σ_capped cap) / (n − k). All comparisons run in
+    * DECIMAL(38,0) — exact at any corpus size, no Long-overflow edge in
+    * cap·(n−i+1) — and θ is ONE ieee754 division of driver-independent
+    * exact integers, so the result is bit-reproducible across engines.
+    *
+    * Scale shape: one groupBy(lang) token sum with map-side partials
+    * (the aggregate is language-cardinality — dozens of rows), then
+    * windows over a coalesce(1) single partition of that TINY table;
+    * the corpus itself is scanned once and never shuffles beyond the
+    * lang-keyed partial agg. Output per language: token count, cap,
+    * capped flag, allocated tokens, epochs = alloc/tokens, and the
+    * sampling weight alloc/B a data loader consumes. If B ≥ Σcap every
+    * language caps and Σweight < 1 — the honest "corpus exhausted at
+    * maxEpochs" signal, not an error. */
+  def unimaxMix(df: DataFrame, langCol: String, tokCol: Column,
+                budget: Long, maxEpochs: Int): DataFrame = {
+    require(budget >= 0, s"unimaxMix: budget must be >= 0, got $budget")
+    require(maxEpochs >= 1, s"unimaxMix: maxEpochs must be >= 1, got $maxEpochs")
+    val dec = "decimal(38,0)"
+    val perLang = df.groupBy(col(langCol).as("lang"))
+      .agg(sum(tokCol.cast("long")).as("lang_tokens"))
+      .withColumn("cap",
+        (col("lang_tokens").cast(dec) * lit(maxEpochs)).cast(dec))
+      .coalesce(1) // language-cardinality: global windows on <100 rows
+    val ord = Window.orderBy(col("cap"), col("lang"))
+    val all = Window.partitionBy(lit(0))
+    val b = lit(budget).cast(dec)
+    val staged = perLang
+      .withColumn("_i", row_number().over(ord))
+      .withColumn("_cum", sum(col("cap")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast(dec))
+      .withColumn("_n", count(lit(1)).over(all))
+      // capped iff taking the full cap beats the fair share of what is
+      // left when this language's turn comes (prefix-monotone, so the
+      // flag needs no recurrence)
+      .withColumn("capped",
+        col("cap") * (col("_n") - col("_i") + 1).cast(dec) <=
+          b - (col("_cum") - col("cap")))
+      .withColumn("_k", sum(col("capped").cast("long")).over(all))
+      .withColumn("_cum_capped", coalesce(
+        sum(when(col("capped"), col("cap"))).over(all).cast(dec),
+        lit(0).cast(dec)))
+    val theta = (b - col("_cum_capped")).cast("double") /
+      (col("_n") - col("_k")).cast("double")
+    staged
+      .withColumn("alloc",
+        round(when(col("capped"), col("cap").cast("double"))
+          .otherwise(theta), 6))
+      .withColumn("epochs",
+        round(col("alloc") / col("lang_tokens").cast("double"), 6))
+      .withColumn("weight",
+        when(lit(budget) === 0L, lit(0.0))
+          .otherwise(round(col("alloc") / lit(budget).cast("double"), 6)))
+      .select(col("lang"), col("lang_tokens"), col("cap").cast("long").as("cap"),
+        col("capped"), col("alloc"), col("epochs"), col("weight"))
+  }
+
+  /** C104 — EXACT-count stratified split: within every stratum, order
+    * rows by a seeded engine-portable hash of the id and send the first
+    * ⌊n·testFrac⌋ to `test`, the rest to `train` — the eval-set
+    * constructor. [[hashSplit]] (C20) gives proportions only in
+    * expectation (each row flips an independent 100-sided coin), which
+    * at stratum sizes of hundreds leaves ±10 % wobble — unacceptable
+    * when the contract is "exactly 10 % of EVERY (lang, source) cell is
+    * held out". Membership is deterministic and seed-keyed: re-runs
+    * agree bit-for-bit, a new seed redraws.
+    *
+    * Scale shape: ONE shuffle keyed by the strata (the row_number and
+    * count windows share the same partitioning, so Catalyst plans a
+    * single exchange); no global ordering exists anywhere. Strata are
+    * quasi-identifier-sized groups — if one stratum is a scale hazard
+    * (billions of rows in one cell) the window sort within it pages
+    * through one task; split such a cell on a salt of the id first.
+    * ⌊n·testFrac⌋ carries the house epsilon guard: n·frac in binary
+    * can land 1 ulp under an exact integer and silently shrink the
+    * test cell by one row vs the oracle's algebra. */
+  def stratifiedSplit(df: DataFrame, strataCols: Seq[String], idCol: String,
+                      testFrac: Double, seed: Long): DataFrame = {
+    require(testFrac >= 0.0 && testFrac <= 1.0,
+      s"stratifiedSplit: testFrac must be in [0,1], got $testFrac")
+    val strata = strataCols.map(col)
+    val pri = Vec.md5Hash60(concat(col(idCol).cast("string"), lit("#" + seed)))
+    val w = Window.partitionBy(strata: _*).orderBy(pri, col(idCol))
+    val cnt = Window.partitionBy(strata: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(cnt))
+      .withColumn("split",
+        when(col("_rn") <=
+          floor(col("_n").cast("double") * testFrac + 1e-9), lit("test"))
+          .otherwise(lit("train")))
+      .drop("_rn", "_n")
+  }
+
+  /** C108 — curriculum ordering: assign every document to one of
+    * `nStages` difficulty stages (stage 1 = easiest nth of the corpus,
+    * by (difficulty, id) global rank) and give it a deterministic
+    * shuffled position WITHIN its stage — the read order a
+    * curriculum-learning trainer consumes (easy→hard across stages,
+    * unbiased within each stage; Bengio et al., ICML 2009).
+    *
+    * Stage boundaries are exact NTILE semantics — the first
+    * (n mod k) stages take ⌈n/k⌉ rows — computed WITHOUT a global
+    * window: the global difficulty rank comes from the two-phase
+    * range-partitioned cumsum ([[budgetSelect]]'s machinery with
+    * toks = 1), so stage assignment is
+    * ⌊(rank−1)·k / n⌋ + 1 in pure integer algebra. The within-stage
+    * position reuses the same machinery ordered by
+    * (stage, shuffle-hash, id) and subtracts the stage's known start
+    * offset — again integer algebra on driver-known stage sizes. Two
+    * range shuffles total; no task ever sees more than its range
+    * slice, at any corpus size.
+    *
+    * PRECONDITION: `idCol` unique (shared with [[shardBalance]] — the
+    * cumsum's tie order is the id). Output:
+    * (id, difficulty, stage, stage_order), stage 1..k. */
+  def curriculumOrder(df: DataFrame, idCol: String, difficultyCol: Column,
+                      nStages: Int, seed: Long,
+                      partitions: Int = 0): DataFrame = {
+    require(nStages >= 1, s"curriculumOrder: nStages must be >= 1, got $nStages")
+    val scored = df.select(col(idCol),
+      coalesce(difficultyCol.cast("long"), lit(0L)).as("difficulty"),
+      lit(1L).as("toks"))
+    cumsumByRange(scored, Seq(col("difficulty"), col(idCol)), partitions) match {
+      case None => scored.select(col(idCol), col("difficulty"))
+        .withColumn("stage", lit(0L)).withColumn("stage_order", lit(0L))
+        .limit(0)
+      case Some((ranked, n)) =>
+        val k = nStages.toLong
+        val staged = ranked
+          .withColumn("stage", expr(s"((cum - 1) * ${k}L) div ${n}L") + 1L)
+          .select(col(idCol), col("difficulty"), col("stage"),
+            Vec.md5Hash60(concat(col(idCol).cast("string"),
+              lit("#" + seed))).as("_shuf"),
+            lit(1L).as("toks"))
+        // stage s (1-based) starts after (s-1)·⌊n/k⌋ + min(s-1, n mod k)
+        // rows — exact NTILE prefix sizes, driver-known integer algebra
+        val base = n / k; val extra = n % k
+        cumsumByRange(staged,
+          Seq(col("stage"), col("_shuf"), col(idCol)), partitions) match {
+          case None => staged.select(col(idCol), col("difficulty"),
+            col("stage")).withColumn("stage_order", lit(0L)).limit(0)
+          case Some((pos, _)) =>
+            pos.withColumn("stage_order",
+                col("cum") - ((col("stage") - 1L) * base +
+                  least(col("stage") - 1L, lit(extra))))
+              .select(col(idCol), col("difficulty"), col("stage"),
+                col("stage_order"))
+        }
+    }
+  }
 }

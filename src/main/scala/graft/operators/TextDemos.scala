@@ -2193,4 +2193,113 @@ object TextDemos {
           col("n_hit").cast("double") / col("n_truth").cast("double"))
           .otherwise(0.0).as("recall"))
   }
+
+  /** C102 — UniMax allocation over the document corpus: budget = 1.5×
+    * the corpus's whitespace-token total (3T div 2, exact integer),
+    * maxEpochs = 2 — small languages cap out at two passes, the
+    * dominant ones split the rest evenly. The total is ONE scalar
+    * collected driver-side (the house dimension-scale-collect pattern)
+    * so the budget rides the plan as a literal. */
+  def unimaxMixDemo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val total = docs.agg(coalesce(sum(Text.tokenCount(col("text"))), lit(0L)))
+      .first().getLong(0)
+    Sampling.unimaxMix(docs, "lang", Text.tokenCount(col("text")),
+        budget = 3L * total / 2L, maxEpochs = 2)
+      .orderBy("lang")
+  }
+
+  /** C103 — takedown propagation: the delete list is every doc with
+    * id % 29 == 0 (request-scale, and it hits four real near-dup
+    * clusters at sf0.01 so the sweep half actually fires); clusters are
+    * C13's connected components over the md5-60 MinHash candidate
+    * pairs. Output is the audit trail: every removed doc with its
+    * cluster and whether it was listed itself or swept in as a
+    * near-copy. */
+  def takedownPropagateDemo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, minEstSim = 0.25,
+      tokenHash = graft.functions.Vec.md5Hash60, hashBandKeys = false)
+    val clusters = Dedup.connectedComponents(docs, pairs, "doc_id")
+    val listed = docs.filter(pmod(col("doc_id"), lit(29)) === 0)
+      .select("doc_id")
+    Governance.takedownPropagate(clusters, listed, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** C104 — exact stratified split: hold out ⌊n·0.2⌋ docs of every
+    * (lang, source) cell, membership keyed by seed 7. */
+  def stratifiedSplitDemo(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSplit(Tables.documents(spark, dir),
+        Seq("lang", "source"), "doc_id", testFrac = 0.2, seed = 7)
+      .select("doc_id", "lang", "source", "split")
+      .orderBy("doc_id")
+
+  /** C105 — mojibake scoring over a deterministically damaged corpus:
+    * the synthetic docs are clean ASCII, so the demo plants the
+    * double-encoding artifacts it detects (id % 13 → a Latin-1
+    * round-trip suffix, id % 29 → a U+FFFD) and scores every doc. */
+  def mojibakeScoreDemo(spark: SparkSession, dir: String): DataFrame =
+    Curation.mojibakeScore(mojibakePlanted(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** C106 — k-anonymity generalization at k = 8 over (lang, source):
+    * big cells publish as-is (level 0), thin ones fall back to
+    * (lang, *) (every language holds ≥ 8 docs here), demonstrating the
+    * ladder without suppression. */
+  def kanonGeneralizeDemo(spark: SparkSession, dir: String): DataFrame =
+    Governance.kanonGeneralize(Tables.documents(spark, dir),
+        "doc_id", "lang", "source", k = 8L)
+      .orderBy("doc_id")
+
+  /** C107 — skew diagnosis of events.event_type as a join key: a
+    * handful of values over 10k+ rows, so every hitter overflows a
+    * fair partition and the salt recommendation fires — exactly the
+    * report that says "don't key the shuffle on this, or salt it". */
+  def skewDiagnoseDemo(spark: SparkSession, dir: String): DataFrame =
+    Governance.skewDiagnose(Tables.events(spark, dir), "event_type",
+      topN = 10, partitions = 32, saltFactor = 4)
+
+  /** C108 — curriculum ordering by whitespace-token difficulty into 4
+    * stages, seed-11 shuffle within each stage. */
+  def curriculumOrderDemo(spark: SparkSession, dir: String): DataFrame =
+    Sampling.curriculumOrder(Tables.documents(spark, dir), "doc_id",
+        Text.tokenCount(col("text")), nStages = 4, seed = 11)
+      .orderBy("stage", "stage_order")
+
+  /** the C105/C109 shared fixture: the clean synthetic corpus with
+    * deterministic mojibake planted (id % 13 → a Latin-1 round-trip
+    * suffix, id % 29 → a U+FFFD). */
+  private def mojibakePlanted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).withColumn("text",
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit(Curation.MojibakePlant13)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(29)) === 0,
+          lit(Curation.MojibakePlant29)).otherwise(lit(""))))
+
+  /** C109 — mojibake repair over the same planted corpus C105 scores:
+    * the planted docs come back with their suffix decoded (café — naïve)
+    * and the U+FFFD markers dropped. */
+  def mojibakeRepairDemo(spark: SparkSession, dir: String): DataFrame =
+    Curation.mojibakeRepair(mojibakePlanted(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** C110 — packing-efficiency sweep over candidate context lengths
+    * {512, 1024, 2048, 4096} on the C22 shard layout (doc_id % 4). */
+  def packingSweepDemo(spark: SparkSession, dir: String): DataFrame =
+    Packing.packingSweep(
+      Tables.documents(spark, dir).select(col("doc_id"),
+        (col("doc_id") % 4).as("shard"),
+        Text.tokenCount(col("text")).as("toks")),
+      "shard", "doc_id", "toks", capacities = Seq(512, 1024, 2048, 4096))
+
+  /** C111 — vocabulary coverage per language against the top-500
+    * corpus words: the table that shows which languages a shared vocab
+    * under-serves (en dominates the corpus, so its coverage leads). */
+  def vocabCoverageDemo(spark: SparkSession, dir: String): DataFrame =
+    Curation.vocabCoverage(Tables.documents(spark, dir), "lang", "text",
+        v = 500)
+      .orderBy("lang")
 }

@@ -3106,4 +3106,268 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |SELECT id_a, id_b, round(sim, 6) AS sim
        |FROM p WHERE sim > $threshold ORDER BY id_a, id_b""".stripMargin
   }
+
+  private val wsToks = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+
+  /** mirror of TextDemos.unimaxMixDemo (Sampling.unimaxMix): same
+    * ascending-(cap, lang) water-fill closed form — the capped flag's
+    * product comparison runs in HUGEINT against Spark's DECIMAL(38,0)
+    * (both exact), θ is the identical single IEEE division, and
+    * alloc/epochs/weight derive from the ROUNDED alloc on both sides. */
+  def unimaxSql(maxEpochs: Int = 2): String =
+    s"""WITH tok AS (
+       |  SELECT lang, CAST(SUM($wsToks) AS BIGINT) AS lang_tokens
+       |  FROM documents GROUP BY lang
+       |), b AS (
+       |  SELECT (3 * SUM(lang_tokens)) // 2 AS budget FROM tok
+       |), r AS (
+       |  SELECT lang, lang_tokens,
+       |         CAST(lang_tokens AS HUGEINT) * $maxEpochs AS cap,
+       |         ROW_NUMBER() OVER (ORDER BY lang_tokens * $maxEpochs, lang) AS i,
+       |         SUM(CAST(lang_tokens AS HUGEINT) * $maxEpochs)
+       |           OVER (ORDER BY lang_tokens * $maxEpochs, lang
+       |                 ROWS UNBOUNDED PRECEDING) AS cum,
+       |         COUNT(*) OVER () AS n
+       |  FROM tok
+       |), c AS (
+       |  SELECT *, cap * (n - i + 1) <= (SELECT budget FROM b) - (cum - cap) AS capped
+       |  FROM r
+       |), g AS (
+       |  SELECT *, SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS kk,
+       |            COALESCE(SUM(CASE WHEN capped THEN cap END) OVER (),
+       |                     CAST(0 AS HUGEINT)) AS cumcap
+       |  FROM c
+       |), a AS (
+       |  SELECT lang, lang_tokens, cap, capped,
+       |         ROUND(CASE WHEN capped THEN CAST(cap AS DOUBLE)
+       |               ELSE CAST((SELECT budget FROM b) - cumcap AS DOUBLE)
+       |                    / CAST(n - kk AS DOUBLE) END, 6) AS alloc
+       |  FROM g
+       |)
+       |SELECT lang, lang_tokens, CAST(cap AS BIGINT) AS cap, capped, alloc,
+       |       ROUND(alloc / CAST(lang_tokens AS DOUBLE), 6) AS epochs,
+       |       ROUND(alloc / CAST((SELECT budget FROM b) AS DOUBLE), 6) AS weight
+       |FROM a ORDER BY lang""".stripMargin
+
+  /** mirror of TextDemos.takedownPropagateDemo: the C13 recursive-CTE
+    * cluster fixpoint, then listed ∪ tainted-cluster membership. */
+  def takedownSql(mod: Int = 29): String = {
+    val pairsCore = minhashLshSql()
+      .replaceAll("(?s)\\s*ORDER BY c.id_a, c.id_b\\s*$", "")
+    s"""WITH RECURSIVE pairs AS (
+       |$pairsCore
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM pairs
+       |), walk(src, lbl) AS (
+       |  SELECT doc_id AS src, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.src
+       |), clusters AS (
+       |  SELECT src AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+       |  FROM walk GROUP BY src
+       |), listed AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % $mod = 0
+       |), bad AS (
+       |  SELECT DISTINCT c.cluster FROM clusters c JOIN listed l USING (doc_id)
+       |)
+       |SELECT c.doc_id, c.cluster,
+       |       CASE WHEN l.doc_id IS NOT NULL THEN 'listed' ELSE 'cluster' END AS reason
+       |FROM clusters c JOIN bad USING (cluster) LEFT JOIN listed l USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** mirror of TextDemos.stratifiedSplitDemo: same md5-60 priority,
+    * same ⌊n·frac + ε⌋ cut (the house epsilon-guarded floor). */
+  def stratifiedSplitSql(frac: Double = 0.2, seed: Long = 7): String =
+    s"""SELECT doc_id, lang, source,
+       |  CASE WHEN rn <= FLOOR(CAST(n AS DOUBLE) * $frac + 1e-9)
+       |       THEN 'test' ELSE 'train' END AS split
+       |FROM (
+       |  SELECT doc_id, lang, source,
+       |    ROW_NUMBER() OVER (PARTITION BY lang, source
+       |      ORDER BY ${md560(s"(CAST(doc_id AS VARCHAR) || '#$seed')")}, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang, source) AS n
+       |  FROM documents
+       |) ORDER BY doc_id""".stripMargin
+
+  /** mirror of TextDemos.mojibakeScoreDemo: identical plant (shared
+    * string constants), identical literal-replace hit counting. */
+  def mojibakeSql(): String = {
+    def q(s: String) = s.replace("'", "''")
+    val hits = graft.operators.Curation.MojibakePatterns.map { p =>
+      s"(length(txt) - length(replace(txt, '${q(p)}', ''))) // ${p.length}"
+    }.mkString("\n    + ")
+    s"""WITH $mojibakePlantCte, h AS (
+       |  SELECT doc_id, length(txt) AS n_chars,
+       |    $hits AS hits
+       |  FROM t
+       |)
+       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |       CAST(hits AS BIGINT) AS hits,
+       |       ROUND(CAST(hits AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6)
+       |         AS mojibake_score,
+       |       hits >= 1 AS flagged
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** mirror of TextDemos.kanonGeneralizeDemo (k-anonymity ladder) */
+  def kanonSql(k: Long = 8): String =
+    s"""WITH l0 AS (SELECT lang, source, COUNT(*) AS n0 FROM documents GROUP BY 1, 2),
+       |     l1 AS (SELECT lang, COUNT(*) AS n1 FROM documents GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CASE WHEN n0 >= $k OR n1 >= $k THEN d.lang ELSE '*' END AS anon_lang,
+       |  CASE WHEN n0 >= $k THEN d.source ELSE '*' END AS anon_source,
+       |  CAST(CASE WHEN n0 >= $k THEN 0 WHEN n1 >= $k THEN 1 ELSE 2 END AS INT) AS level
+       |FROM documents d JOIN l0 USING (lang, source) JOIN l1 USING (lang)
+       |ORDER BY doc_id""".stripMargin
+
+  /** mirror of TextDemos.skewDiagnoseDemo: exact-integer salt test,
+    * identical double divisions for share/skew_ratio. */
+  def skewDiagnoseSql(topN: Int = 10, partitions: Int = 32,
+                      saltFactor: Int = 4): String =
+    s"""WITH c AS (
+       |  SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS cnt
+       |  FROM events GROUP BY 1
+       |), t AS (SELECT SUM(cnt) AS total, COUNT(*) AS nkeys FROM c)
+       |SELECT key, cnt,
+       |       ROUND(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+       |       ROUND(CAST(cnt * nkeys AS DOUBLE) / CAST(total AS DOUBLE), 6) AS skew_ratio,
+       |       cnt * $partitions > total * $saltFactor AS salt_recommended
+       |FROM c, t ORDER BY cnt DESC, key LIMIT $topN""".stripMargin
+
+  /** the shared planted-corpus CTE for the C105/C109 mirrors.
+    * NOTE: no line may START with `||` — callers embed this inside
+    * their own stripMargin strings, which would eat the first pipe. */
+  private def mojibakePlantCte: String = {
+    def q(s: String) = s.replace("'", "''")
+    s"""t AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 13 = 0
+       |         THEN '${q(graft.operators.Curation.MojibakePlant13)}' ELSE '' END ||
+       |    CASE WHEN doc_id % 29 = 0
+       |         THEN '${q(graft.operators.Curation.MojibakePlant29)}' ELSE '' END AS txt
+       |  FROM documents
+       |)""".stripMargin
+  }
+
+  /** mirror of TextDemos.mojibakeRepairDemo: counts BEFORE repair
+    * (C105's replace-delta), then the identical literal replace chain
+    * built from the SHARED Curation.MojibakeRepairs constants. */
+  def mojibakeRepairSql(): String = {
+    def q(s: String) = s.replace("'", "''")
+    val repairs = graft.operators.Curation.MojibakeRepairs
+    val counts = repairs.map { case (p, _) =>
+      s"(length(txt) - length(replace(txt, '${q(p)}', ''))) // ${p.length}"
+    }.mkString("\n    + ")
+    val repaired = repairs.foldLeft("txt") { case (e, (p, r)) =>
+      s"replace($e, '${q(p)}', '${q(r)}')"
+    }
+    s"""WITH $mojibakePlantCte, h AS (
+       |  SELECT doc_id,
+       |    $repaired AS text,
+       |    $counts AS n_repairs
+       |  FROM t
+       |)
+       |SELECT doc_id, text, CAST(n_repairs AS BIGINT) AS n_repairs,
+       |       n_repairs >= 1 AS repaired
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** mirror of TextDemos.packingSweepDemo: the C22 cumsum CTE is
+    * capacity-independent, so one chain feeds every capacity's
+    * summary block (UNION ALL). */
+  def packingSweepSql(capacities: Seq[Int] = Seq(512, 1024, 2048, 4096)): String = {
+    val blocks = capacities.map { c =>
+      s"""SELECT CAST($c AS INT) AS capacity,
+         |  CAST(SUM(docs) AS BIGINT) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(chunks) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(splits) AS BIGINT) AS docs_split,
+         |  CAST(SUM(crossings) AS BIGINT) AS boundary_crossings,
+         |  CAST(SUM(chunks) * $c - SUM(toks) AS BIGINT) AS tail_waste,
+         |  ROUND(CASE WHEN SUM(chunks) > 0
+         |        THEN CAST(SUM(toks) AS DOUBLE) / CAST(SUM(chunks) * $c AS DOUBLE)
+         |        ELSE 0.0 END, 6) AS fill_rate
+         |FROM (
+         |  SELECT shard, SUM(n_tokens) AS toks, COUNT(*) AS docs,
+         |    SUM(CASE WHEN nc >= 2 THEN 1 ELSE 0 END) AS splits,
+         |    SUM(CASE WHEN nc >= 2 THEN nc - 1 ELSE 0 END) AS crossings,
+         |    CASE WHEN SUM(n_tokens) > 0 THEN (SUM(n_tokens) + ${c - 1}) // $c
+         |         ELSE 0 END AS chunks
+         |  FROM (
+         |    SELECT shard, n_tokens,
+         |      CASE WHEN n_tokens > 0 THEN (e - 1) // $c - (e - n_tokens) // $c + 1
+         |           ELSE 0 END AS nc
+         |    FROM w
+         |  ) GROUP BY shard
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % 4 AS shard,
+       |    CAST($wsToks AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), w AS (
+       |  SELECT shard, doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+       |  FROM d
+       |)
+       |$blocks
+       |ORDER BY capacity""".stripMargin
+  }
+
+  /** mirror of TextDemos.vocabCoverageDemo (top-v corpus vocabulary,
+    * per-language occurrence/type coverage). */
+  def vocabCoverageSql(v: Int = 500): String =
+    s"""WITH wds AS (
+       |  SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+       |  FROM documents
+       |), lw AS (
+       |  SELECT lang, word, COUNT(*) AS occ FROM wds GROUP BY 1, 2
+       |), vocab AS (
+       |  SELECT word FROM (
+       |    SELECT word, SUM(occ) AS tot FROM lw GROUP BY 1
+       |    ORDER BY tot DESC, word LIMIT $v
+       |  )
+       |), agg AS (
+       |  SELECT lang,
+       |    SUM(occ) AS n_occurrences,
+       |    COUNT(*) AS n_types,
+       |    COALESCE(SUM(CASE WHEN vocab.word IS NOT NULL THEN occ END), 0) AS occ_covered,
+       |    COALESCE(SUM(CASE WHEN vocab.word IS NOT NULL THEN 1 END), 0) AS types_covered
+       |  FROM lw LEFT JOIN vocab USING (word) GROUP BY lang
+       |)
+       |SELECT lang, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       |       CAST(n_types AS BIGINT) AS n_types,
+       |       CAST(occ_covered AS BIGINT) AS occ_covered,
+       |       CAST(types_covered AS BIGINT) AS types_covered,
+       |       ROUND(CAST(occ_covered AS DOUBLE) /
+       |             CAST(GREATEST(n_occurrences, 1) AS DOUBLE), 6) AS occ_coverage,
+       |       ROUND(CAST(types_covered AS DOUBLE) /
+       |             CAST(GREATEST(n_types, 1) AS DOUBLE), 6) AS type_coverage
+       |FROM agg ORDER BY lang""".stripMargin
+
+  /** mirror of TextDemos.curriculumOrderDemo: same exact-NTILE integer
+    * algebra (⌊(rank−1)·k/n⌋ + 1), same md5-60 within-stage shuffle. */
+  def curriculumSql(nStages: Int = 4, seed: Long = 11): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST($wsToks AS BIGINT) AS difficulty FROM documents
+       |), r AS (
+       |  SELECT doc_id, difficulty,
+       |         ROW_NUMBER() OVER (ORDER BY difficulty, doc_id) AS rnk,
+       |         COUNT(*) OVER () AS n
+       |  FROM t
+       |), s AS (
+       |  SELECT doc_id, difficulty,
+       |         CAST((rnk - 1) * $nStages // n + 1 AS BIGINT) AS stage
+       |  FROM r
+       |)
+       |SELECT doc_id, difficulty, stage,
+       |       CAST(ROW_NUMBER() OVER (PARTITION BY stage
+       |         ORDER BY ${md560(s"(CAST(doc_id AS VARCHAR) || '#$seed')")}, doc_id)
+       |         AS BIGINT) AS stage_order
+       |FROM s ORDER BY stage, stage_order""".stripMargin
 }

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Governance}
+
+/** C103/C105/C106/C107: takedown propagation through near-dup clusters,
+  * mojibake scoring, the k-anonymity ladder, and join-key skew
+  * diagnosis — each on closed-form fixtures where the right answer is
+  * computable by hand.
+  */
+class GovernanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- C103 takedown_propagate -------------------------------------
+
+  private val clusters = Seq(
+    // cluster 1: {1,2,3} (2 and 3 are near-copies of 1)
+    (1L, 1L), (2L, 1L), (3L, 1L),
+    // cluster 4: {4} singleton
+    (4L, 4L),
+    // cluster 5: {5,6}
+    (5L, 5L), (6L, 5L)).toDF("doc_id", "cluster")
+
+  test("C103 takedown sweeps the whole cluster, labels listed vs swept") {
+    val listed = Seq(2L, 4L).toDF("doc_id")
+    val got = Governance.takedownPropagate(clusters, listed, "doc_id")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // 2 listed -> cluster 1 entirely removed; 4 listed -> singleton;
+    // cluster 5 untouched
+    assert(got.toSeq == Seq(
+      (1L, 1L, "cluster"), (2L, 1L, "listed"), (3L, 1L, "cluster"),
+      (4L, 4L, "listed")))
+  }
+
+  test("C103 empty delete list removes nothing; full list removes all as listed") {
+    val none = Governance.takedownPropagate(
+      clusters, Seq.empty[Long].toDF("doc_id"), "doc_id")
+    assert(none.count() == 0)
+    val all = Governance.takedownPropagate(
+      clusters, clusters.select("doc_id"), "doc_id")
+    assert(all.count() == 6)
+    assert(all.filter(col("reason") =!= "listed").count() == 0)
+  }
+
+  // ---- C105 mojibake_score -----------------------------------------
+
+  test("C105 counts each pattern by literal replace-delta; clean text scores 0") {
+    val df = Seq(
+      (1L, "clean ascii text"),
+      (2L, "caf" + "Ã©" + " ok"),              // one Ã©
+      (3L, "a" + Curation.MojibakePlant13),              // Ã©, â€, Ã¯
+      (4L, "x�y�z"),                           // two U+FFFD
+      (5L, "")).toDF("doc_id", "text")
+    val out = Curation.mojibakeScore(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, false), (2L, 1L, true), (3L, 3L, true),
+      (4L, 2L, true), (5L, 0L, false)))
+  }
+
+  test("C105 score normalizes by length; exact on a hand case") {
+    // 10 chars, 1 hit of a 2-char pattern
+    val df = Seq((1L, "12345678" + "Ã©")).toDF("doc_id", "text")
+    val r = Curation.mojibakeScore(df, "doc_id", "text").collect()(0)
+    assert(r.getLong(1) == 10L)       // n_chars
+    assert(r.getLong(2) == 1L)        // hits
+    assert(math.abs(r.getDouble(3) - 0.1) < 1e-9)
+  }
+
+  // ---- C106 kanon_generalize ---------------------------------------
+
+  test("C106 ladder picks the finest admitting level per row") {
+    // (en, a): 3 rows -> level 0 at k=3; (en, b): 1 row but lang en has
+    // 4 >= 3 -> level 1; (xx, c): 1 row, lang xx has 1 -> level 2
+    val df = Seq(
+      (1L, "en", "a"), (2L, "en", "a"), (3L, "en", "a"),
+      (4L, "en", "b"),
+      (5L, "xx", "c")).toDF("doc_id", "lang", "source")
+    val got = Governance.kanonGeneralize(df, "doc_id", "lang", "source", k = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (1L, "en", "a", 0), (2L, "en", "a", 0), (3L, "en", "a", 0),
+      (4L, "en", "*", 1),
+      (5L, "*", "*", 2)))
+  }
+
+  test("C106 every published (anon_lang, anon_source) cell holds >= k rows or is level 2") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val k = 5L
+    val out = Governance.kanonGeneralize(docs, "doc_id", "lang", "source", k)
+    val cells = out.groupBy("anon_lang", "anon_source", "level")
+      .count().collect()
+    cells.foreach { r =>
+      val level = r.getInt(2)
+      if (level < 2)
+        assert(r.getLong(3) >= k,
+          s"cell ${r.getString(0)}/${r.getString(1)} level $level has ${r.getLong(3)} < $k")
+    }
+  }
+
+  // ---- C107 skew_diagnose ------------------------------------------
+
+  test("C107 flags a key that overflows saltFactor fair partitions, exact shares") {
+    // 100 rows: key 'hot' 60, 'warm' 30, 'cold' 10; partitions=10,
+    // saltFactor=2 -> fair partition = 10 rows; flag iff cnt*10 > 100*2
+    // i.e. cnt > 20: hot and warm flag, cold doesn't
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      Seq.fill(10)("cold")).zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("id", "key")
+    val got = Governance.skewDiagnose(df, "key", topN = 10,
+        partitions = 10, saltFactor = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("hot", 60L, 0.6, 1.8, true),
+      ("warm", 30L, 0.3, 0.9, true),
+      ("cold", 10L, 0.1, 0.3, false)))
+  }
+
+  test("C107 topN truncates to the heaviest keys") {
+    val df = (1 to 26).flatMap(i => Seq.fill(i)(('a' + i - 1).toChar.toString))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "key")
+    val got = Governance.skewDiagnose(df, "key", topN = 3).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("z", "y", "x"))
+  }
+}

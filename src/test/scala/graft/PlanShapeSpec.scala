@@ -126,6 +126,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(df) == exchanges(packed) + 1, p)
   }
 
+  test("stratified_split shuffles ONCE: row_number and count share the strata exchange") {
+    val df = graft.operators.Sampling.stratifiedSplit(
+      docs.withColumn("s", col("doc_id") % 2), Seq("s"), "doc_id", 0.2, seed = 1)
+    assert(exchanges(df) == exchanges(docs) + 1, plan(df))
+  }
+
+  test("kanon ladder: the fact side joins only by FORCED broadcast, never shuffles") {
+    withoutAutoBroadcast {
+      // keys must VARY: literal lang/source constant-fold the join
+      // condition away and the planner rightly degrades to a
+      // nested-loop — not the shape under test
+      val d = docs.withColumn("lang", (col("doc_id") % 2).cast("string"))
+        .withColumn("source", (col("doc_id") % 3).cast("string"))
+      val df = graft.operators.Governance.kanonGeneralize(
+        d, "doc_id", "lang", "source", k = 2)
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
+  test("takedown propagation: the cluster table joins only by FORCED broadcast") {
+    withoutAutoBroadcast {
+      val clusters = docs.select(col("doc_id"), (col("doc_id") % 2).as("cluster"))
+      val listed = docs.select("doc_id").limit(1)
+      val df = graft.operators.Governance.takedownPropagate(
+        clusters, listed, "doc_id")
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
+  test("unimax allocation: ONE lang-keyed exchange; the tiny-table windows add none") {
+    // the water-fill windows run on a coalesce(1) language-cardinality
+    // aggregate whose SinglePartition satisfies every window
+    // distribution — a second exchange here means the coalesce stopped
+    // covering them and the global windows would hit the corpus path
+    val d = docs.withColumn("lang", (col("doc_id") % 2).cast("string"))
+    val df = graft.operators.Sampling.unimaxMix(
+      d, "lang", length(col("text")).cast("long"), budget = 100L, maxEpochs = 2)
+    assert(exchanges(df) == exchanges(docs) + 1, plan(df))
+  }
+
   test("knn_graph never broadcasts the corpus: the bucket join shuffles both sides") {
     withoutAutoBroadcast {
       val df = Similarity.knnGraph(vecs, "vec_id", "embedding",

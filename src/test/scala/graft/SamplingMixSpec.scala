@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** C102/C104/C108: UniMax water-fill allocation, exact stratified
+  * splitting, and curriculum ordering — each checked against a
+  * plain-Scala reference of the same recurrence/count semantics.
+  */
+class SamplingMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- C102 unimax_mix ----------------------------------------------
+
+  /** the sequential water-fill the closed form must reproduce */
+  private def refUnimax(toks: Map[String, Long], budget: Long,
+                        maxEpochs: Int): Map[String, Double] = {
+    val caps = toks.map { case (l, t) => l -> t * maxEpochs.toLong }
+    var remaining = budget.toDouble
+    var pool = caps.toSeq.sortBy { case (l, c) => (c, l) }
+    var n = pool.size
+    val out = scala.collection.mutable.Map.empty[String, Double]
+    pool.foreach { case (l, c) =>
+      val fair = remaining / n
+      val a = math.min(c.toDouble, fair)
+      out(l) = a; remaining -= a; n -= 1
+    }
+    out.toMap
+  }
+
+  private def runUnimax(toks: Map[String, Long], budget: Long,
+                        maxEpochs: Int): Map[String, (Boolean, Double)] = {
+    val df = toks.toSeq.flatMap { case (l, t) =>
+      // split each lang's mass over a few rows to exercise the agg
+      val a = t / 2; Seq((l, a), (l, t - a))
+    }.toDF("lang", "toks")
+    Sampling.unimaxMix(df, "lang", col("toks"), budget, maxEpochs)
+      .collect().map(r => r.getString(0) -> (r.getBoolean(3), r.getDouble(4)))
+      .toMap
+  }
+
+  test("C102 matches the sequential water-fill on a mixed capped/uncapped case") {
+    val toks = Map("en" -> 1000L, "de" -> 300L, "fr" -> 100L, "zh" -> 250L)
+    val budget = 1600L
+    val want = refUnimax(toks, budget, maxEpochs = 2)
+    val got = runUnimax(toks, budget, maxEpochs = 2)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (l, a) =>
+      assert(math.abs(got(l)._2 - a) < 1e-6, s"lang $l: ${got(l)._2} vs $a")
+    }
+    // fr caps (200 < fair), en does not
+    assert(got("fr")._1 && !got("en")._1)
+    // allocations exhaust the budget when caps don't bind overall
+    assert(math.abs(got.values.map(_._2).sum - budget) < 1e-6)
+  }
+
+  test("C102 budget >= total capacity: everything caps, weight sums < 1") {
+    val toks = Map("a" -> 10L, "b" -> 20L)
+    val got = runUnimax(toks, budget = 1000L, maxEpochs = 2)
+    assert(got("a") == ((true, 20.0)) && got("b") == ((true, 40.0)))
+  }
+
+  test("C102 tiny budget: nobody caps, uniform split") {
+    val got = runUnimax(Map("a" -> 1000L, "b" -> 2000L), budget = 10L,
+      maxEpochs = 1)
+    assert(got("a")._2 == 5.0 && got("b")._2 == 5.0)
+    assert(!got("a")._1 && !got("b")._1)
+  }
+
+  test("C102 randomized: closed form == sequential fill over 200 draws") {
+    val rnd = new scala.util.Random(13)
+    (1 to 200).foreach { i =>
+      val langs = (1 to 2 + rnd.nextInt(6)).map(j => s"l$j")
+      val toks = langs.map(_ -> (1L + rnd.nextInt(500).toLong)).toMap
+      val budget = 1L + rnd.nextInt(3000).toLong
+      val e = 1 + rnd.nextInt(3)
+      val want = refUnimax(toks, budget, e)
+      val got = runUnimax(toks, budget, e)
+      want.foreach { case (l, a) =>
+        assert(math.abs(got(l)._2 - a) < 1e-5,
+          s"draw $i lang $l: ${got(l)._2} vs $a (toks=$toks b=$budget e=$e)")
+      }
+    }
+  }
+
+  // ---- C104 stratified_split -----------------------------------------
+
+  test("C104 exact per-stratum test counts at floor(n*frac)") {
+    val df = (1L to 100L).map(i => (i, if (i <= 37) "x" else "y"))
+      .toDF("id", "s")
+    val out = Sampling.stratifiedSplit(df, Seq("s"), "id",
+      testFrac = 0.2, seed = 3)
+    val counts = out.filter(col("split") === "test")
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("x" -> 7L, "y" -> 12L)) // floor(37*.2), floor(63*.2)
+    assert(out.count() == 100)
+  }
+
+  test("C104 membership is seed-keyed and partitioning-independent") {
+    val df = (1L to 200L).map(i => (i, (i % 3).toString)).toDF("id", "s")
+    def ids(parts: Int, seed: Long) =
+      Sampling.stratifiedSplit(df.repartition(parts), Seq("s"), "id", 0.25, seed)
+        .filter(col("split") === "test").select("id")
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(1, 7) == ids(13, 7))   // partitioning-independent
+    assert(ids(1, 7) != ids(1, 8))    // a new seed redraws
+  }
+
+  test("C104 frac edges: 0 holds out nothing, 1 holds out everything") {
+    val df = (1L to 50L).map(i => (i, "s")).toDF("id", "s")
+    assert(Sampling.stratifiedSplit(df, Seq("s"), "id", 0.0, 1)
+      .filter(col("split") === "test").count() == 0)
+    assert(Sampling.stratifiedSplit(df, Seq("s"), "id", 1.0, 1)
+      .filter(col("split") === "train").count() == 0)
+  }
+
+  // ---- C108 curriculum_order ------------------------------------------
+
+  test("C108 stages are exact NTILE slices of the (difficulty, id) order") {
+    // 10 docs, difficulties 10..1 -> 3 stages sized 4,3,3
+    val df = (1L to 10L).map(i => (i, 11L - i)).toDF("id", "d")
+    val out = Sampling.curriculumOrder(df, "id", col("d"), nStages = 3,
+        seed = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byStage = out.groupBy(_._3).view.mapValues(_.map(_._2).toSet).toMap
+    assert(out.groupBy(_._3).view.mapValues(_.size).toMap ==
+      Map(1L -> 4, 2L -> 3, 3L -> 3))
+    // easiest 4 difficulties (1,2,3,4) land in stage 1, hardest 3 in stage 3
+    assert(byStage(1L) == Set(1L, 2L, 3L, 4L))
+    assert(byStage(3L) == Set(8L, 9L, 10L))
+    // stage_order is a 1..size permutation within each stage
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.size).toSeq)
+    }
+  }
+
+  test("C108 within-stage order is the seeded hash race, partitioning-independent") {
+    val df = (1L to 60L).map(i => (i, i % 7)).toDF("id", "d")
+    def run(parts: Int) =
+      Sampling.curriculumOrder(df.repartition(parts), "id", col("d"), 4, seed = 2)
+        .orderBy("stage", "stage_order").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(run(1) == run(11))
+  }
+}
