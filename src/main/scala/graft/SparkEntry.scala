@@ -90,6 +90,8 @@ object SparkEntry {
     "mojibake_repair"      -> (TextDemos.mojibakeRepairDemo(_, _)),
     "packing_sweep"        -> (TextDemos.packingSweepDemo(_, _)),
     "vocab_coverage"       -> (TextDemos.vocabCoverageDemo(_, _)),
+    "mink_score"           -> (TextDemos.minkScoreDemo(_, _)),
+    "sft_pack"             -> (TextDemos.sftPackDemo(_, _)),
     "dedup_clusters"       -> (TextDemos.dedupClusters(_, _)),
     "cluster_representative" -> (TextDemos.clusterRepresentative(_, _)),
     "topk_ngrams"          -> (TextDemos.topkNgrams(_, _)),
@@ -944,6 +946,9 @@ object SparkEntry {
     "mojibake_repair"    -> graft.oracle.OracleGen.mojibakeRepairSql(),
     "packing_sweep"      -> graft.oracle.OracleGen.packingSweepSql(),
     "vocab_coverage"     -> graft.oracle.OracleGen.vocabCoverageSql(),
+    "mink_score"         -> graft.oracle.OracleGen.minkSql(
+      passage = graft.operators.TextDemos.MinkPassage),
+    "sft_pack"           -> graft.oracle.OracleGen.sftPackSql(),
     "dup_span_detect"   -> graft.oracle.OracleGen.dupSpansSql(),
     "dup_span_scrub"    -> graft.oracle.OracleGen.dupSpanScrubSql(),
     "dedup_canonicalize" -> graft.oracle.OracleGen.dedupCanonicalizeSql(),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -68,5 +68,54 @@ object Sft {
       .withColumn("valid",
         col("first_role_ok") && col("alternation_ok") &&
           col("no_empty_ok") && col("ends_assistant_ok"))
+  }
+
+  /** C113 — SFT packing with loss masks: lay validated conversations
+    * out in fixed-capacity context windows and give every TURN its
+    * global token offset plus the loss-mask flag (assistant turns
+    * train, user turns are context only) — the exact artifact a chat
+    * trainer's data loader consumes after C94's gate passes. Packing
+    * is C22's concat-and-chunk at CONVERSATION granularity (a
+    * conversation never reorders internally; chunks may split a
+    * conversation at a turn's interior, which the trainer's attention
+    * reset handles — same trade C22 documents), so offsets are two
+    * nested window cumsums: conversation starts within the shard, turn
+    * starts within the conversation.
+    *
+    * Scale shape: turn token counts are map-only; the conversation
+    * totals aggregate on the conv key; [[Packing.sequencePack]] adds
+    * one shard-keyed window; the join back to turns and the
+    * within-conversation window share the conv partitioning. State
+    * never exceeds a shard's conversation list or a conversation's
+    * turns. Callers pass PRE-VALIDATED turns (compose with
+    * [[validateConversations]] — packing malformed dialogue is the bug
+    * the C94 gate exists to stop).
+    *
+    * Output per turn: (shard, conv, turn, role, n_tokens, start_off,
+    * first_chunk, last_chunk, loss_mask), ordered by the caller. */
+  def packConversations(turns: DataFrame, convCol: String, turnCol: String,
+                        roleCol: String, contentCol: String,
+                        shardOf: Column => Column, capacity: Int): DataFrame = {
+    require(capacity > 0, s"packConversations: capacity > 0, got $capacity")
+    val tc = turns.select(col(convCol), col(turnCol), col(roleCol),
+      graft.functions.Text.tokenCount(col(contentCol)).as("n_tokens"))
+    val conv = tc.groupBy(col(convCol))
+      .agg(sum("n_tokens").as("conv_tokens"))
+      .withColumn("shard", shardOf(col(convCol)))
+    val packed = Packing.sequencePack(conv, "shard", convCol,
+        "conv_tokens", capacity)
+      .select(col(convCol), col("shard"), col("start_off").as("_conv_start"))
+    val w = Window.partitionBy(col(convCol)).orderBy(col(turnCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tc.join(packed, Seq(convCol))
+      .withColumn("start_off",
+        col("_conv_start") + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("shard"), col(convCol), col(turnCol), col(roleCol),
+        col("n_tokens"), col("start_off"),
+        expr(s"start_off div ${capacity}L").as("first_chunk"),
+        when(col("n_tokens") > 0,
+          expr(s"(start_off + n_tokens - 1) div ${capacity}L"))
+          .otherwise(expr(s"start_off div ${capacity}L")).as("last_chunk"),
+        (col(roleCol) === "assistant").as("loss_mask"))
   }
 }

@@ -1022,7 +1022,19 @@ object TextDemos {
 
   /** [[bigramLmScore]]'s computation over any (doc_id, text) frame —
     * separate so specs score literal corpora through the same code. */
-  def bigramLmScoreOn(docs: DataFrame): DataFrame = {
+  def bigramLmScoreOn(docs: DataFrame): DataFrame =
+    bigramLp(docs)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (sum(col("_lp") * col("tf")).cast("double") / sum(col("tf")))
+          .as("avg_logprob"))
+      .withColumn("flagged", col("avg_logprob") < -7.0)
+      .orderBy("doc_id")
+
+  /** the shared C39/C112 core: per (doc, bigram) the occurrence count
+    * and the add-0.5-smoothed corpus-LM log-probability, quantized to
+    * decimal(27,6) (the lm_score determinism discipline). */
+  private def bigramLp(docs: DataFrame): DataFrame = {
     val ws = docs
       .select(col("doc_id"), Text.wsTokens(col("text")).as("ws"))
     val bg = ws.filter(size(col("ws")) >= 2)
@@ -1037,15 +1049,85 @@ object TextDemos {
     val v = ws.select(explode(col("ws")).as("tok"))
       .agg(count_distinct(col("tok")).as("v"))
     tf2.join(cb, Seq("a", "b")).join(cu, Seq("a")).crossJoin(broadcast(v))
-      .select(col("doc_id"), col("tf"),
+      .select(col("doc_id"), col("a"), col("b"), col("tf"),
         round(log((col("cb") + lit(0.5)) / (col("cu") + lit(0.5) * col("v"))), 6)
           .cast("decimal(27,6)").as("_lp"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_bigrams"),
-        (sum(col("_lp") * col("tf")).cast("double") / sum(col("tf")))
-          .as("avg_logprob"))
-      .withColumn("flagged", col("avg_logprob") < -7.0)
+  }
+
+  /** C112 — Min-K% probability (Shi et al. 2024, "Detecting
+    * Pretraining Data from Large Language Models"): per document, the
+    * mean log-probability of its LOWEST k% token transitions under the
+    * corpus LM. The membership/memorization signal behind benchmark
+    * decontamination sweeps: a document whose RAREST transitions are
+    * still high-probability is one the model (here: the corpus
+    * statistics) has effectively seen — averaging over all tokens
+    * (C39) washes that out, because even memorized text is mostly
+    * ordinary transitions. High mink = suspicious; C39's low-avg flags
+    * junk instead.
+    *
+    * Exact relational form of "lowest k% occurrences": bigram rows
+    * carry (tf, lp); sorting by (lp, a, b) per doc and cumsumming tf
+    * picks whole bigram groups while they fit and a PARTIAL weight for
+    * the group that straddles the cut — weight algebra is all integer
+    * (m = max(1, ⌊n·k+ε⌋)), the lp sum decimal-exact, one IEEE
+    * division at the end. One shuffle keyed by doc beyond the shared
+    * LM build: the rank window and the join of the per-doc totals
+    * share the doc partitioning. */
+  def minkScoreOn(docs: DataFrame, kFrac: Double = 0.2,
+                  flagAbove: Double = -3.4): DataFrame = {
+    require(kFrac > 0 && kFrac <= 1, s"minkScoreOn: kFrac in (0,1], got $kFrac")
+    val lp = bigramLp(docs)
+    val n = lp.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_bigrams"))
+      .withColumn("m", greatest(lit(1L),
+        floor(col("n_bigrams").cast("double") * kFrac + 1e-9).cast("long")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("_lp"), col("a"), col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lp.withColumn("cum", sum(col("tf")).over(w))
+      .join(n, Seq("doc_id"))
+      .filter(col("cum") - col("tf") < col("m"))
+      .withColumn("wt", least(col("tf"), col("m") - (col("cum") - col("tf"))))
+      .groupBy(col("doc_id"), col("n_bigrams"), col("m"))
+      .agg(sum(col("_lp") * col("wt")).as("_s"))
+      .select(col("doc_id"), col("n_bigrams"), col("m"),
+        (col("_s").cast("double") / col("m").cast("double")).as("mink_logprob"))
+      .withColumn("flagged", col("mink_logprob") > flagAbove)
       .orderBy("doc_id")
+  }
+
+  /** C112 demo — min-20% transition probability over the corpus, with
+    * PLANTED memorization: every doc with id % 31 == 0 is replaced by
+    * one shared high-frequency passage (the same 24 words), so its
+    * rare-transition tail is the corpus's most common bigrams and the
+    * mink flag fires exactly on the plants. */
+  def minkScoreDemo(spark: SparkSession, dir: String): DataFrame =
+    minkScoreOn(minkPlanted(spark, dir))
+
+  /** the C112 plant text — SHARED with OracleGen.minkSql so the two
+    * sides cannot drift. */
+  private[graft] val MinkPassage: String =
+    "the quick brown fox jumps over the lazy dog " +
+      "and the quick brown fox jumps over the lazy dog again and again"
+
+  /** the C112 fixture: docs with id % 31 == 0 replaced by a shared
+    * repeated passage (memorization stand-in; 17 copies at sf0.01). */
+  private def minkPlanted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(31)) === 0, lit(MinkPassage))
+        .otherwise(col("text")).as("text"))
+
+  /** C113 — SFT packing with loss masks over the C94-validated
+    * conversations (capacity 512, shard = conv % 2): per turn, the
+    * global token offset, chunk span, and whether the turn trains. */
+  def sftPackDemo(spark: SparkSession, dir: String): DataFrame = {
+    val turns = sftSynthTurns(Tables.documents(spark, dir))
+    val valid = Sft.validateConversations(turns,
+        "conv_id", "turn_idx", "role", "content")
+      .filter(col("valid")).select("conv_id")
+    Sft.packConversations(turns.join(valid, Seq("conv_id"), "left_semi"),
+        "conv_id", "turn_idx", "role", "content",
+        shardOf = c => pmod(c, lit(2L)), capacity = 512)
+      .orderBy("shard", "conv_id", "turn_idx")
   }
 
   /** C27 — mixture rebalancing: documents sampled to a 3:1:1

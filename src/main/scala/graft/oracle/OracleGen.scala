@@ -820,8 +820,10 @@ object OracleGen {
     * (row_number by doc_id within doc_id % 40, %17 forced-user and %23
     * blanked-content plants), same four per-conversation checks via a
     * lag window. */
-  def sftValidateSql(): String =
-    s"""WITH turns AS (
+  /** the shared C94/C113 CTE chain: the synthesized turn table (the
+    * sftSynthTurns plants) and the four per-conversation checks. */
+  private def sftChecksCtes: String =
+    s"""turns AS (
        |  SELECT doc_id % 40 AS conv_id,
        |         (ROW_NUMBER() OVER (PARTITION BY doc_id % 40 ORDER BY doc_id) - 1) AS turn_idx,
        |         CASE WHEN doc_id % 17 = 0 THEN 'user'
@@ -840,11 +842,48 @@ object OracleGen {
        |         CAST(SUM(CASE WHEN content IS NULL OR content = '' THEN 1 ELSE 0 END) AS BIGINT) = 0 AS no_empty_ok,
        |         max_by(role, turn_idx) = 'assistant' AS ends_assistant_ok
        |  FROM lagged GROUP BY conv_id
-       |)
+       |)""".stripMargin
+
+  def sftValidateSql(): String =
+    s"""WITH $sftChecksCtes
        |SELECT conv_id, n_turns, first_role_ok, alternation_ok, no_empty_ok,
        |       ends_assistant_ok,
        |       first_role_ok AND alternation_ok AND no_empty_ok AND ends_assistant_ok AS valid
        |FROM checks ORDER BY conv_id""".stripMargin
+
+  /** mirror of TextDemos.sftPackDemo (Sft.packConversations): valid
+    * conversations packed concat-and-chunk at conversation granularity
+    * (shard = conv % 2), per-turn offsets from the two nested cumsums,
+    * loss mask on the assistant role. */
+  def sftPackSql(capacity: Int = 512): String =
+    s"""WITH $sftChecksCtes, valid AS (
+       |  SELECT conv_id FROM checks
+       |  WHERE first_role_ok AND alternation_ok AND no_empty_ok AND ends_assistant_ok
+       |), tc AS (
+       |  SELECT t.conv_id, t.turn_idx, t.role,
+       |         CAST(len(list_filter(string_split(t.content, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM turns t JOIN valid USING (conv_id)
+       |), conv AS (
+       |  SELECT conv_id, conv_id % 2 AS shard, SUM(n_tokens) AS conv_tokens
+       |  FROM tc GROUP BY conv_id
+       |), pk AS (
+       |  SELECT conv_id, shard,
+       |         SUM(conv_tokens) OVER (PARTITION BY shard ORDER BY conv_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - conv_tokens AS conv_start
+       |  FROM conv
+       |), off AS (
+       |  SELECT pk.shard, tc.conv_id, tc.turn_idx, tc.role, tc.n_tokens,
+       |         pk.conv_start + SUM(tc.n_tokens) OVER (PARTITION BY tc.conv_id ORDER BY tc.turn_idx
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tc.n_tokens AS start_off
+       |  FROM tc JOIN pk USING (conv_id)
+       |)
+       |SELECT shard, conv_id, turn_idx, role, n_tokens,
+       |       CAST(start_off AS BIGINT) AS start_off,
+       |       CAST(start_off // $capacity AS BIGINT) AS first_chunk,
+       |       CAST(CASE WHEN n_tokens > 0 THEN (start_off + n_tokens - 1) // $capacity
+       |                 ELSE start_off // $capacity END AS BIGINT) AS last_chunk,
+       |       role = 'assistant' AS loss_mask
+       |FROM off ORDER BY shard, conv_id, turn_idx""".stripMargin
 
   /** mirror of TextDemos.shardBalanceDemo (Sampling.shardBalance):
     * global cumsum in doc_id order (the oracle may use the one-task
@@ -1842,34 +1881,74 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
   /** mirror of TextDemos.bigramLmScore: same add-0.5 bigram model,
     * same 6-place-round-into-decimal per-bigram scores, identical
     * arithmetic shape so the final doubles are bit-equal. */
+  /** the shared C39/C112 bigram-LM CTE chain over a given docs
+    * relation: ws → bigrams → per-doc tf → corpus counts → smoothed
+    * lp, KEEPING (a, b) so C112's rank tie-break can mirror exactly.
+    * No line may start with `||` (caller-stripMargin embedding). */
+  private def bigramLpCtes(docsRel: String): String =
+    s"""ws AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |  FROM $docsRel
+       |), bg AS (
+       |  SELECT doc_id, u.a AS a, u.b AS b FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws)), i ->
+       |      struct_pack(a := ws[i], b := ws[i+1]))) AS u
+       |    FROM ws WHERE len(ws) >= 2)
+       |), tf2 AS MATERIALIZED (
+       |  SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS tf FROM bg GROUP BY doc_id, a, b
+       |), cb AS MATERIALIZED (
+       |  SELECT a, b, CAST(SUM(tf) AS BIGINT) AS cb FROM tf2 GROUP BY a, b
+       |), cu AS (
+       |  SELECT a, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY a
+       |), v AS (
+       |  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+       |  FROM (SELECT unnest(ws) AS tok FROM ws)
+       |), lp AS (
+       |  SELECT t.doc_id, t.a, t.b, t.tf,
+       |         CAST(round(ln((c.cb + 0.5) / (u.cu + 0.5 * v.v)), 6)
+       |              AS DECIMAL(27,6)) AS lp
+       |  FROM tf2 t JOIN cb c ON t.a = c.a AND t.b = c.b
+       |  JOIN cu u ON t.a = u.a CROSS JOIN v)""".stripMargin
+
   def bigramLmScoreSql(): String =
-    """WITH ws AS MATERIALIZED (
-      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-      |  FROM documents
-      |), bg AS (
-      |  SELECT doc_id, u.a AS a, u.b AS b FROM (
-      |    SELECT doc_id, unnest(list_transform(range(1, len(ws)), i ->
-      |      struct_pack(a := ws[i], b := ws[i+1]))) AS u
-      |    FROM ws WHERE len(ws) >= 2)
-      |), tf2 AS MATERIALIZED (
-      |  SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS tf FROM bg GROUP BY doc_id, a, b
-      |), cb AS MATERIALIZED (
-      |  SELECT a, b, CAST(SUM(tf) AS BIGINT) AS cb FROM tf2 GROUP BY a, b
-      |), cu AS (
-      |  SELECT a, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY a
-      |), v AS (
-      |  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
-      |  FROM (SELECT unnest(ws) AS tok FROM ws)
-      |), lp AS (
-      |  SELECT t.doc_id, t.tf,
-      |         CAST(round(ln((c.cb + 0.5) / (u.cu + 0.5 * v.v)), 6)
-      |              AS DECIMAL(27,6)) AS lp
-      |  FROM tf2 t JOIN cb c ON t.a = c.a AND t.b = c.b
-      |  JOIN cu u ON t.a = u.a CROSS JOIN v)
-      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
-      |       CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf) AS avg_logprob,
-      |       (CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf)) < -7.0 AS flagged
-      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH ${bigramLpCtes("documents")}
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       |       CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf) AS avg_logprob,
+       |       (CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf)) < -7.0 AS flagged
+       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** mirror of TextDemos.minkScoreDemo: same %31 memorization plant,
+    * same lowest-m-occurrences selection (rank by (lp, a, b), whole
+    * groups while they fit, partial integer weight at the cut), same
+    * decimal sum / one IEEE division. */
+  def minkSql(kFrac: Double = 0.2, flagAbove: Double = -3.4,
+              passage: String): String = {
+    def q(s: String) = s.replace("'", "''")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 31 = 0 THEN '${q(passage)}' ELSE text END AS text
+       |  FROM documents
+       |), ${bigramLpCtes("p")}, n AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams FROM lp GROUP BY doc_id
+       |), m AS (
+       |  SELECT doc_id, n_bigrams,
+       |         GREATEST(1, CAST(FLOOR(n_bigrams * $kFrac + 1e-9) AS BIGINT)) AS m
+       |  FROM n
+       |), c AS (
+       |  SELECT doc_id, a, b, tf, lp,
+       |         SUM(tf) OVER (PARTITION BY doc_id ORDER BY lp, a, b
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM lp
+       |), sel AS (
+       |  SELECT c.doc_id, m.n_bigrams, m.m, c.lp,
+       |         LEAST(c.tf, m.m - (c.cum - c.tf)) AS wt
+       |  FROM c JOIN m USING (doc_id) WHERE c.cum - c.tf < m.m
+       |)
+       |SELECT doc_id, n_bigrams, m,
+       |       CAST(SUM(lp * wt) AS DOUBLE) / CAST(m AS DOUBLE) AS mink_logprob,
+       |       (CAST(SUM(lp * wt) AS DOUBLE) / CAST(m AS DOUBLE)) > $flagAbove AS flagged
+       |FROM sel GROUP BY doc_id, n_bigrams, m ORDER BY doc_id""".stripMargin
+  }
 
   /** mirror of Similarity.semanticDedup: label-bootstrap centroids
     * (the centroidsCore decimal discipline), per-member centroid
