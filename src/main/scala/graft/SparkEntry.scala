@@ -116,6 +116,7 @@ object SparkEntry {
     "bpe_encode"           -> (TextDemos.bpeEncode(_, _)),
     "bm25_index"           -> (TextDemos.bm25Index(_, _)),
     "bm25_index_append"    -> (TextDemos.bm25IndexAppend(_, _)),
+    "bm25_index_compact"   -> (TextDemos.bm25IndexCompact(_, _)),
     "bm25_topk"            -> (TextDemos.bm25Topk(_, _)),
     "rrf_fusion"           -> (TextDemos.rrfFusion(_, _)),
     "hard_negatives"       -> (TextDemos.hardNegatives(_, _)),
@@ -191,6 +192,7 @@ object SparkEntry {
     "stream_contamination_parity" -> (graft.streaming.StreamParity.streamContaminationParity(_, _)),
     "stream_quality_gate_parity" -> (graft.streaming.StreamParity.streamQualityGateParity(_, _)),
     "stream_sft_gate_parity" -> (graft.streaming.StreamParity.streamSftGateParity(_, _)),
+    "stream_mojibake_parity" -> (graft.streaming.StreamParity.streamMojibakeParity(_, _)),
     "stream_drift_parity"  -> (graft.streaming.StreamParity.streamDriftParity(_, _)),
     "stream_calibration_parity" -> (graft.streaming.StreamParity.streamCalibrationParity(_, _)),
     "stream_kmv_sketch_parity" -> (graft.streaming.StreamParity.streamKmvSketchParity(_, _)),
@@ -259,6 +261,8 @@ object SparkEntry {
       // D13: the collected turn state finalizes to the batch
       // validator's answer — C94's oracle verbatim
       "stream_sft_gate_parity" -> m("sft_validate"),
+      // D14: the streamed mojibake counters land on C105's batch agg
+      "stream_mojibake_parity" -> graft.oracle.OracleGen.streamMojibakeSql(),
       // D11: the streamed histogram + batch reference lands on C80's
       // batch PSI answer
       "stream_drift_parity" -> graft.oracle.OracleGen.corpusDriftSql(),
@@ -992,6 +996,8 @@ object SparkEntry {
     "bm25_index"        -> graft.oracle.OracleGen.bm25IndexSql(),
     // append ≡ from-scratch: the incremental row answers to the SAME
     // full-corpus index SQL, so DuckDB itself checks the equivalence
+    // (and compact ≡ append ≡ from-scratch: same SQL again)
+    "bm25_index_compact" -> graft.oracle.OracleGen.bm25IndexSql(),
     "bm25_index_append" -> graft.oracle.OracleGen.bm25IndexSql(),
     "bm25_topk"         -> graft.oracle.OracleGen.bm25TopkSql(),
     "rrf_fusion"        -> graft.oracle.OracleGen.rrfFusionSql(),

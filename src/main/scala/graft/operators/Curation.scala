@@ -359,7 +359,8 @@ object Curation {
     * engines. Output: (id, n_chars, hits, mojibake_score, flagged).
     */
   def mojibakeScore(df: DataFrame, idCol: String, textCol: String,
-                    patterns: Seq[String] = MojibakePatterns): DataFrame = {
+                    patterns: Seq[String] = MojibakePatterns,
+                    keepCols: Seq[String] = Nil): DataFrame = {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
       "mojibakeScore: patterns must be non-empty strings")
     val t = col(textCol)
@@ -369,8 +370,8 @@ object Curation {
       ((length(t) - length(call_function("replace", t, lit(p), lit(""))))
         / lit(p.length)).cast("long")
     }.reduce(_ + _)
-    df.select(col(idCol), length(t).cast("long").as("n_chars"),
-        hits.as("hits"))
+    df.select(col(idCol) +: keepCols.map(col) :+
+        length(t).cast("long").as("n_chars") :+ hits.as("hits"): _*)
       .withColumn("mojibake_score",
         round(col("hits").cast("double") /
           greatest(col("n_chars"), lit(1L)).cast("double"), 6))

@@ -158,8 +158,8 @@ object Bm25 {
     val obs = org.apache.spark.sql.Observation(
       "bm25_n_" + java.util.UUID.randomUUID().toString.take(8))
     postingTable(docs.observe(obs, count(lit(1)).as("n")), idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/tf/b00000")
-    writeMeta(spark, path, obs.get("n").asInstanceOf[Long], batches = 1L)
+      .write.mode("overwrite").parquet(batchDir(path, gen = 0L, b = 0L))
+    writeMeta(spark, path, obs.get("n").asInstanceOf[Long], batches = 1L, gen = 0L)
     refreshImpacts(spark, path)
   }
 
@@ -188,7 +188,7 @@ object Bm25 {
   def appendIndex(newDocs: DataFrame, idCol: String, textCol: String,
                   path: String, batchId: Long = 1L): Unit = {
     val spark = newDocs.sparkSession
-    val (n0, batches) = readMeta(spark, path)
+    val (n0, batches, gen) = readMeta(spark, path)
     require(batchId >= 1 && batchId <= batches,
       s"Bm25.appendIndex: batch $batchId skips ahead of the next slot $batches " +
         s"(batches commit in order; pass batchId = $batches)")
@@ -201,20 +201,72 @@ object Bm25 {
     val obs = org.apache.spark.sql.Observation(
       "bm25_n_" + java.util.UUID.randomUUID().toString.take(8))
     postingTable(newDocs.observe(obs, count(lit(1)).as("n")), idCol, textCol)
-      .write.mode("overwrite").parquet(f"$path%s/tf/b$batchId%05d")
-    writeMeta(spark, path, n0 + obs.get("n").asInstanceOf[Long], batches + 1L)
+      .write.mode("overwrite").parquet(batchDir(path, gen, batchId))
+    writeMeta(spark, path, n0 + obs.get("n").asInstanceOf[Long], batches + 1L, gen)
     refreshImpacts(spark, path)
   }
 
+  /** batch dirs live under a GENERATION: gen 0 is the original flat
+    * layout (`tf/bNNNNN` — existing indexes read unchanged), every
+    * [[compactIndex]] bumps to `tf/gG/bNNNNN`. The meta overwrite is
+    * the single commit point for both appends and compactions. */
+  private def batchDir(path: String, gen: Long, b: Long): String =
+    if (gen == 0L) f"$path%s/tf/b$b%05d" else f"$path%s/tf/g$gen%d/b$b%05d"
+
   private def writeMeta(spark: org.apache.spark.sql.SparkSession,
-                        path: String, n: Long, batches: Long): Unit =
-    spark.range(1).select(lit(n).as("n"), lit(batches).as("batches"))
+                        path: String, n: Long, batches: Long,
+                        gen: Long): Unit =
+    spark.range(1).select(lit(n).as("n"), lit(batches).as("batches"),
+        lit(gen).as("gen"))
       .write.mode("overwrite").parquet(s"$path/meta")
 
   private def readMeta(spark: org.apache.spark.sql.SparkSession,
-                       path: String): (Long, Long) = {
-    val r = spark.read.parquet(s"$path/meta").collect()(0)
-    (r.getAs[Long]("n"), r.getAs[Long]("batches"))
+                       path: String): (Long, Long, Long) = {
+    val df = spark.read.parquet(s"$path/meta")
+    val r = df.collect()(0)
+    // pre-compaction indexes carry no gen column: read as generation 0
+    val gen = if (df.columns.contains("gen")) r.getAs[Long]("gen") else 0L
+    (r.getAs[Long]("n"), r.getAs[Long]("batches"), gen)
+  }
+
+  /** C114 — index compaction: merge the committed posting batches into
+    * ONE batch under a fresh generation — after months of
+    * [[appendIndex]] growth a query pays a directory-fanout scan and
+    * the per-batch file sizes drift small, so periodic compaction is
+    * the standard index-maintenance step (the LSM/Lucene merge, here
+    * as a single relational rewrite). Search results are BIT-IDENTICAL
+    * before and after: postings are merely re-landed, impacts rederive
+    * from the same rows (the oracle row answers to the same
+    * full-corpus SQL as bm25_index, so the driver's gate itself proves
+    * compact ≡ from-scratch).
+    *
+    * Crash discipline (the [[appendIndex]] epoch shape): the merged
+    * postings land FIRST under the next generation's b00000; the meta
+    * overwrite (n unchanged, batches = 1, gen+1) is the single commit
+    * point — a crash before it leaves the old generation fully live, a
+    * crash after it leaves the new generation fully landed. Replaying
+    * a completed compaction is a no-op rewrite of the same content
+    * (idempotent). Old-generation dirs are garbage after the commit;
+    * best-effort cleanup happens last and its failure is harmless.
+    * Already-compact indexes (one batch) return without writing. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val (n0, batches, gen) = readMeta(spark, path)
+    if (batches <= 1L) return
+    val dirs = (0L until batches).map(b => batchDir(path, gen, b))
+    spark.read.parquet(dirs: _*)
+      .repartition(col("doc_id"))
+      .write.mode("overwrite").parquet(batchDir(path, gen + 1L, 0L))
+    writeMeta(spark, path, n0, batches = 1L, gen = gen + 1L) // commit
+    refreshImpacts(spark, path)
+    // garbage: the superseded generation's dirs (harmless if it fails
+    // or a concurrent reader still holds them — they are unreferenced)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    dirs.foreach { d =>
+      try fs.delete(new org.apache.hadoop.fs.Path(d), true)
+      catch { case _: Exception => () }
+    }
   }
 
   /** (re)derive the impact table from the landed committed tf batches
@@ -224,8 +276,8 @@ object Bm25 {
     * append's partial dir is invisible until its retry commits it. */
   private def refreshImpacts(spark: org.apache.spark.sql.SparkSession,
                              path: String): Unit = {
-    val (n0, batches) = readMeta(spark, path)
-    val dirs = (0L until batches).map(b => f"$path%s/tf/b$b%05d")
+    val (n0, batches, gen) = readMeta(spark, path)
+    val dirs = (0L until batches).map(b => batchDir(path, gen, b))
     val tf = spark.read.parquet(dirs: _*)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     try {

@@ -659,6 +659,25 @@ object TextDemos {
       .orderBy("term")
   }
 
+  /** C114 — index COMPACTION, driver-gated like the append row: build
+    * from the even-id half, append the odd half (two committed
+    * batches), compact to a single fresh-generation batch, and emit
+    * the same per-term summary as [[bm25Index]]. The oracle is the
+    * FULL-corpus index SQL, so the driver's DuckDB gate itself proves
+    * compact ≡ append ≡ from-scratch. */
+  def bm25IndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.util.Fixtures
+      .dir(s"bm25_compact_${new java.io.File(dir).getName}").toString
+    val docs = Tables.documents(spark, dir)
+    Bm25.buildIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", out)
+    Bm25.appendIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", out)
+    Bm25.compactIndex(spark, out)
+    spark.read.parquet(s"$out/impacts")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("w_e6")).as("sum_w_e6"))
+      .orderBy("term")
+  }
+
   /** C55 — URL canonicalization: messy source URLs synthesized onto
     * the docs (the C23 convention — the table has no URL column, so
     * both engines see identical inputs) covering every rule: mixed
@@ -2353,7 +2372,7 @@ object TextDemos {
   /** the C105/C109 shared fixture: the clean synthetic corpus with
     * deterministic mojibake planted (id % 13 → a Latin-1 round-trip
     * suffix, id % 29 → a U+FFFD). */
-  private def mojibakePlanted(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def mojibakePlanted(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).withColumn("text",
       concat(col("text"),
         when(pmod(col("doc_id"), lit(13)) === 0,

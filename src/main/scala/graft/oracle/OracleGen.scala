@@ -3291,6 +3291,24 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** mirror of StreamParity.streamMojibakeParity (D14 ↔ C105): the
+    * batch aggregate the streamed (lang, flagged) counters must land
+    * on — same plant, same literal-replace hit algebra. */
+  def streamMojibakeSql(): String = {
+    def q(s: String) = s.replace("'", "''")
+    val hits = graft.operators.Curation.MojibakePatterns.map { p =>
+      s"(length(txt) - length(replace(txt, '${q(p)}', ''))) // ${p.length}"
+    }.mkString("\n    + ")
+    s"""WITH $mojibakePlantCte, h AS (
+       |  SELECT doc_id, lang,
+       |    $hits AS hits
+       |  FROM t
+       |)
+       |SELECT lang, hits >= 1 AS flagged, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(hits) AS BIGINT) AS total_hits
+       |FROM h GROUP BY lang, hits >= 1 ORDER BY lang, flagged""".stripMargin
+  }
+
   /** mirror of TextDemos.kanonGeneralizeDemo (k-anonymity ladder) */
   def kanonSql(k: Long = 8): String =
     s"""WITH l0 AS (SELECT lang, source, COUNT(*) AS n0 FROM documents GROUP BY 1, 2),
@@ -3322,7 +3340,7 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
   private def mojibakePlantCte: String = {
     def q(s: String) = s.replace("'", "''")
     s"""t AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, lang,
        |    text ||
        |    CASE WHEN doc_id % 13 = 0
        |         THEN '${q(graft.operators.Curation.MojibakePlant13)}' ELSE '' END ||

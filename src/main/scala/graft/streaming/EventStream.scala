@@ -119,6 +119,22 @@ object EventStream {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_lines_kept").cast("long")).as("kept_lines"))
 
+  /** D14: streaming encoding-damage gate — C105's streaming twin (the
+    * production direction: score crawl pages for mojibake as they
+    * ARRIVE, before they land): the per-doc hit count is map-only
+    * codegen IN-ROW (literal replace deltas, no state), and ONE
+    * streaming aggregation keyed by (group, flagged) folds the
+    * doc/hit counters — state bounded by group cardinality × 2.
+    * Verdicts complete per row, so micro-batch splits cannot shift
+    * any counter; the parity row answers a batch aggregate oracle
+    * verbatim. */
+  def mojibakeGateCounts(docs: DataFrame, idCol: String, textCol: String,
+                         groupCol: String): DataFrame =
+    graft.operators.Curation.mojibakeScore(docs, idCol, textCol,
+        keepCols = Seq(groupCol))
+      .groupBy(col(groupCol), col("flagged"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("hits")).as("total_hits"))
+
   /** D10: incremental corpus KMV sketch — C67's streaming twin:
     * maintain the k-minimum-values distinct-shingle sketch AS DATA
     * ARRIVES, so corpus-overlap triage (est. cardinality / Jaccard vs

@@ -198,6 +198,24 @@ object StreamParity {
       .orderBy("conv_id")
   }
 
+  /** D14 ↔ C105: the planted corpus streamed through
+    * [[EventStream.mojibakeGateCounts]], final (lang, flagged)
+    * counters read via a complete-mode memory sink — must land on the
+    * batch aggregate of the same scorer over the same docs. */
+  def streamMojibakeParity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.operators.TextDemos.mojibakePlanted(spark, dir)
+    val src = fileStream(docs, s"smoji_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
+    val view = s"graft_smoji_${Fixtures.runId}"
+    spark.catalog.dropTempView(view) // re-invocation reuses the name
+    withStateParallelism(spark, 8) {
+      val q = EventStream.mojibakeGateCounts(src, "doc_id", "text", "lang")
+        .writeStream.format("memory").queryName(view)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(view).orderBy("lang", "flagged")
+  }
+
   /** D9 ↔ C70: the synthesized C4 pages streamed through
     * [[EventStream.qualityGateCounts]], final (source, kept) counter
     * state read via a complete-mode memory sink — must land on the
