@@ -81,6 +81,7 @@ object SparkEntry {
     "shard_balance"        -> (TextDemos.shardBalanceDemo(_, _)),
     "weighted_sample"      -> (TextDemos.weightedSampleDemo(_, _)),
     "unimax_mix"           -> (TextDemos.unimaxMixDemo(_, _)),
+    "unimax_apply"         -> (TextDemos.unimaxApplyDemo(_, _)),
     "takedown_propagate"   -> (TextDemos.takedownPropagateDemo(_, _)),
     "stratified_split"     -> (TextDemos.stratifiedSplitDemo(_, _)),
     "mojibake_score"       -> (TextDemos.mojibakeScoreDemo(_, _)),
@@ -941,6 +942,7 @@ object SparkEntry {
     "shard_balance"     -> graft.oracle.OracleGen.shardBalanceSql(),
     "weighted_sample"   -> graft.oracle.OracleGen.weightedSampleSql(),
     "unimax_mix"         -> graft.oracle.OracleGen.unimaxSql(),
+    "unimax_apply"       -> graft.oracle.OracleGen.unimaxApplySql(),
     "takedown_propagate" -> graft.oracle.OracleGen.takedownSql(),
     "stratified_split"   -> graft.oracle.OracleGen.stratifiedSplitSql(),
     "mojibake_score"     -> graft.oracle.OracleGen.mojibakeSql(),

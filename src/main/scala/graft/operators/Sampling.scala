@@ -511,6 +511,40 @@ object Sampling {
         col("capped"), col("alloc"), col("epochs"), col("weight"))
   }
 
+  /** C115 — apply a [[unimaxMix]] allocation: per language, select
+    * documents by a seeded deterministic hash race until the
+    * language's allocated token budget is spent — the step that turns
+    * the C102 POLICY (tokens per language) into the concrete document
+    * SET a data loader reads. Selection is take-while-fits (a doc is
+    * kept iff it fits wholly under the budget, the [[budgetSelect]]
+    * rule — under-fill is at most one document per language); capped
+    * languages (alloc = full capacity) keep every document, and the
+    * >1-epoch repetition the cap implies is the loader's job, not a
+    * row-duplication here. Membership is seed-keyed and
+    * partitioning-independent (the [[groupSample]] hash-race
+    * discipline).
+    *
+    * Scale shape: ONE exchange keyed by language (the cumsum window);
+    * the allocation table is language-cardinality and broadcasts. The
+    * double `alloc` converts to an integer budget with the house
+    * epsilon-guarded floor, so the cut is exact integer algebra. A
+    * single language at 100 TB outgrows one window task — range-split
+    * the language on the hash prefix first (the C104 stratum note). */
+  def unimaxApply(df: DataFrame, langCol: String, idCol: String,
+                  tokCol: Column, alloc: DataFrame, seed: Long): DataFrame = {
+    val pri = Vec.md5Hash60(concat(col(idCol).cast("string"), lit("#" + seed)))
+    val w = Window.partitionBy(col(langCol)).orderBy(pri, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = broadcast(alloc.select(col("lang").as(langCol),
+      floor(col("alloc") + 1e-9).cast("long").as("_budget")))
+    df.select(col(langCol), col(idCol),
+        coalesce(tokCol.cast("long"), lit(0L)).as("toks"))
+      .withColumn("cum_tokens", sum(col("toks")).over(w))
+      .join(budget, Seq(langCol))
+      .filter(col("cum_tokens") <= col("_budget"))
+      .select(col(langCol), col(idCol), col("toks"), col("cum_tokens"))
+  }
+
   /** C104 — EXACT-count stratified split: within every stratum, order
     * rows by a seeded engine-portable hash of the id and send the first
     * ⌊n·testFrac⌋ to `test`, the rest to `train` — the eval-set

@@ -2310,6 +2310,21 @@ object TextDemos {
       .orderBy("lang")
   }
 
+  /** C115 — the C102 allocation applied: per language, the seed-5
+    * hash race selects documents until the UniMax budget (1.5× corpus
+    * tokens, maxEpochs 2) is spent — capped languages keep everything,
+    * the dominant ones are subsampled to the fair share. */
+  def unimaxApplyDemo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val total = docs.agg(coalesce(sum(Text.tokenCount(col("text"))), lit(0L)))
+      .first().getLong(0)
+    val alloc = Sampling.unimaxMix(docs, "lang", Text.tokenCount(col("text")),
+      budget = 3L * total / 2L, maxEpochs = 2)
+    Sampling.unimaxApply(docs, "lang", "doc_id",
+        Text.tokenCount(col("text")), alloc, seed = 5)
+      .orderBy("lang", "cum_tokens")
+  }
+
   /** C103 — takedown propagation: the delete list is every doc with
     * id % 29 == 0 (request-scale, and it hits four real near-dup
     * clusters at sf0.01 so the sweep half actually fires); clusters are

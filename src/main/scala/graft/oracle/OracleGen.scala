@@ -3228,6 +3228,30 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |       ROUND(alloc / CAST((SELECT budget FROM b) AS DOUBLE), 6) AS weight
        |FROM a ORDER BY lang""".stripMargin
 
+  /** mirror of TextDemos.unimaxApplyDemo: the C102 closed form as a
+    * nested CTE, then the per-language hash-race cumsum cut at the
+    * epsilon-guarded integer budget. */
+  def unimaxApplySql(seed: Long = 5, maxEpochs: Int = 2): String = {
+    val allocCore = unimaxSql(maxEpochs)
+      .replaceAll("(?s)\\s*ORDER BY lang\\s*$", "")
+    s"""WITH alloc AS (
+       |$allocCore
+       |), d AS (
+       |  SELECT lang, doc_id, CAST($wsToks AS BIGINT) AS toks,
+       |         ${md560(s"(CAST(doc_id AS VARCHAR) || '#$seed')")} AS pri
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, doc_id, toks,
+       |         SUM(toks) OVER (PARTITION BY lang ORDER BY pri, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d
+       |)
+       |SELECT c.lang, c.doc_id, c.toks, CAST(c.cum AS BIGINT) AS cum_tokens
+       |FROM c JOIN alloc a USING (lang)
+       |WHERE c.cum <= FLOOR(a.alloc + 1e-9)
+       |ORDER BY lang, cum_tokens""".stripMargin
+  }
+
   /** mirror of TextDemos.takedownPropagateDemo: the C13 recursive-CTE
     * cluster fixpoint, then listed ∪ tainted-cluster membership. */
   def takedownSql(mod: Int = 29): String = {

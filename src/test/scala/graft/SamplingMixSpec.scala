@@ -83,6 +83,41 @@ class SamplingMixSpec extends SparkSpec {
     }
   }
 
+  // ---- C115 unimax_apply ----------------------------------------------
+
+  test("C115 take-while-fits per language at the integer budget; capped lang keeps all") {
+    val docs = (1L to 20L).map(i => (i, if (i <= 15) "big" else "small", 10L))
+      .toDF("id", "lang", "toks")
+    // big: 150 tokens, budget 95 -> exactly 9 docs (90 tokens) by hash
+    // order; small: 50 tokens, budget 50.0 (capped) -> all 5 docs
+    val alloc = Seq(("big", 95.0), ("small", 50.0)).toDF("lang", "alloc")
+    val got = Sampling.unimaxApply(docs, "lang", "id", col("toks"), alloc,
+        seed = 9)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val (big, small) = got.partition(_._1 == "big")
+    assert(big.length == 9 && big.map(_._3).max == 90L)
+    assert(small.length == 5 && small.map(_._3).max == 50L)
+    // the kept big-set is the hash-race prefix: re-deriving it from
+    // the reference race agrees exactly
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val wantBig = (1L to 15L)
+      .sortBy(i => (java.lang.Long.parseLong(md5hex(s"$i#9").take(15), 16), i))
+      .take(9).toSet
+    assert(big.map(_._2).toSet == wantBig)
+  }
+
+  test("C115 membership is partitioning-independent and seed-keyed") {
+    val docs = (1L to 100L).map(i => (i, (i % 3).toString, 1L + i % 7))
+      .toDF("id", "lang", "toks")
+    val alloc = Seq(("0", 50.0), ("1", 60.0), ("2", 40.0)).toDF("lang", "alloc")
+    def ids(parts: Int, seed: Long) =
+      Sampling.unimaxApply(docs.repartition(parts), "lang", "id",
+        col("toks"), alloc, seed).collect().map(_.getLong(1)).toSet
+    assert(ids(1, 3) == ids(13, 3))
+    assert(ids(1, 3) != ids(1, 4))
+  }
+
   // ---- C104 stratified_split -----------------------------------------
 
   test("C104 exact per-stratum test counts at floor(n*frac)") {
