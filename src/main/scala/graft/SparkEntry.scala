@@ -83,6 +83,7 @@ object SparkEntry {
     "unimax_mix"           -> (TextDemos.unimaxMixDemo(_, _)),
     "unimax_apply"         -> (TextDemos.unimaxApplyDemo(_, _)),
     "takedown_propagate"   -> (TextDemos.takedownPropagateDemo(_, _)),
+    "split_leakage"        -> (TextDemos.splitLeakageDemo(_, _)),
     "stratified_split"     -> (TextDemos.stratifiedSplitDemo(_, _)),
     "mojibake_score"       -> (TextDemos.mojibakeScoreDemo(_, _)),
     "kanon_generalize"     -> (TextDemos.kanonGeneralizeDemo(_, _)),
@@ -944,6 +945,7 @@ object SparkEntry {
     "unimax_mix"         -> graft.oracle.OracleGen.unimaxSql(),
     "unimax_apply"       -> graft.oracle.OracleGen.unimaxApplySql(),
     "takedown_propagate" -> graft.oracle.OracleGen.takedownSql(),
+    "split_leakage"      -> graft.oracle.OracleGen.splitLeakageSql(),
     "stratified_split"   -> graft.oracle.OracleGen.stratifiedSplitSql(),
     "mojibake_score"     -> graft.oracle.OracleGen.mojibakeSql(),
     "kanon_generalize"   -> graft.oracle.OracleGen.kanonSql(),

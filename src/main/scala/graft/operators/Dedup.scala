@@ -626,6 +626,41 @@ object Dedup {
     spanIslands(win, dup, idCol, k)
   }
 
+  /** C116 — train/test split leakage: which TEST documents share a
+    * verbatim k-gram window with any TRAIN document — the audit a
+    * held-out split must pass before an eval number is trusted (C21
+    * checks the corpus against an EXTERNAL benchmark; this checks a
+    * split against ITSELF — near-dup pairs that straddle the split
+    * boundary leak eval content into training even when both copies
+    * are legitimate corpus members). Same window algebra as [[C30's
+    * duplicateSpans]]: positional k-gram hashes; a window hash leaks
+    * iff it occurs in ≥1 train doc AND ≥1 test doc.
+    *
+    * Scale shape: the window table shuffles hashes (8-byte), never
+    * text; the leaked-hash set is duplication-scale; output is one
+    * row per leaking test doc (window + distinct-hash counts). The
+    * remedy it feeds: move the whole near-dup CLUSTER (C13/C103
+    * machinery) to one side of the split. */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   splitCol: String, trainVal: String = "train",
+                   testVal: String = "test", k: Int = 8,
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 1, s"splitLeakage: k must be >= 1, got $k")
+    val win = df.select(col(idCol), col(splitCol).as("_split"),
+        posexplode(Text.shinglesWithDuplicates(col(textCol), k))
+          .as(Seq("pos", "w")))
+      .select(col(idCol), col("_split"), tokenHash(col("w")).as("h"))
+    val leak = win.groupBy(col("h")).agg(
+        countDistinct(when(col("_split") === trainVal, col(idCol))).as("_ntr"),
+        countDistinct(when(col("_split") === testVal, col(idCol))).as("_nte"))
+      .filter(col("_ntr") >= 1 && col("_nte") >= 1)
+      .select(col("h"))
+    win.filter(col("_split") === testVal).join(leak, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_leaked_windows"),
+        countDistinct(col("h")).as("n_leaked_hashes"))
+  }
+
   /** the island half of span detection: windows whose hash is in
     * `dirtyHashes` coalesce per document into maximal token intervals
     * (the running max-end window trick). Shared by [[duplicateSpans]]

@@ -2325,6 +2325,17 @@ object TextDemos {
       .orderBy("lang", "cum_tokens")
   }
 
+  /** C116 — split-leakage audit of the C20 hash split: test docs
+    * sharing a verbatim 8-gram window with any train doc (the near-dup
+    * clusters that straddle the 80/10/10 boundary). */
+  def splitLeakageDemo(spark: SparkSession, dir: String): DataFrame =
+    Dedup.splitLeakage(
+        Sampling.hashSplit(Tables.documents(spark, dir), "doc_id",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)),
+        "doc_id", "text", "split", k = 8,
+        tokenHash = graft.functions.Vec.md5Hash60)
+      .orderBy("doc_id")
+
   /** C103 — takedown propagation: the delete list is every doc with
     * id % 29 == 0 (request-scale, and it hits four real near-dup
     * clusters at sf0.01 so the sweep half actually fires); clusters are

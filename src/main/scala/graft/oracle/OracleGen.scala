@@ -3252,6 +3252,35 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |ORDER BY lang, cum_tokens""".stripMargin
   }
 
+  /** mirror of TextDemos.splitLeakageDemo: the C20 bucket assignment,
+    * positional k-gram hashes, and the straddles-the-boundary leak
+    * predicate. */
+  def splitLeakageSql(k: Int = 8): String = {
+    val gram = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+       |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, split,
+       |    unnest(list_transform(range(1, len(toks) - $k + 2),
+       |      i -> ${md560(s"($gram)")})) AS h
+       |  FROM t WHERE len(toks) >= $k
+       |), leak AS (
+       |  SELECT h FROM w GROUP BY h
+       |  HAVING COUNT(DISTINCT CASE WHEN split = 'train' THEN doc_id END) >= 1
+       |     AND COUNT(DISTINCT CASE WHEN split = 'test' THEN doc_id END) >= 1
+       |)
+       |SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_leaked_windows,
+       |       CAST(COUNT(DISTINCT w.h) AS BIGINT) AS n_leaked_hashes
+       |FROM w JOIN leak USING (h)
+       |WHERE w.split = 'test'
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+  }
+
   /** mirror of TextDemos.takedownPropagateDemo: the C13 recursive-CTE
     * cluster fixpoint, then listed ∪ tainted-cluster membership. */
   def takedownSql(mod: Int = 29): String = {
