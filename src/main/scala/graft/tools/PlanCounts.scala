@@ -26,7 +26,10 @@ object PlanCounts {
     // r13 additions (r12 verdict task 8): the remaining shuffle-heavy
     // r12 plans — the two-sided prefix join, the LSH-candidate bitext
     // path, and the two-phase cumsum shard layout
-    "setsim_join_rs", "bitext_mine_ann", "shard_balance")
+    "setsim_join_rs", "bitext_mine_ann", "shard_balance",
+    // r13 additions: the two heaviest new batch rows (takedown rides
+    // the full minhash+CC chain; mink rides the bigram LM + rank cut)
+    "takedown_propagate", "mink_score")
 
   /** gated rows resolve from the full registry: oracle-gated demos,
     * bench extras, and the smoke-only variants (bitext_mine_ann lives

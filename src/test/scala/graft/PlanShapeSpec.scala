@@ -291,7 +291,9 @@ class PlanShapeSpec extends SparkSpec {
       "lsh_recall_curve"       -> ((44, 32, 36)), // 4-width sweep over the persisted bucket index; smaller because probes are map-side XORs, not assignment joins
       "setsim_join_rs"         -> ((5, 5, 5)),   // two-sided prefix join: same family as setsim_join minus the self-join's extra persist exchange
       "bitext_mine_ann"        -> ((15, 6, 11)), // LSH candidates + margin: bucket join both directions + bounded top-k windows over candidates only
-      "shard_balance"          -> ((5, 1, 1)))   // two-phase cumsum: range partition + per-partition window + broadcast offsets + summary agg
+      "shard_balance"          -> ((5, 1, 1)),   // two-phase cumsum: range partition + per-partition window + broadcast offsets + summary agg
+      "takedown_propagate"     -> ((8, 3, 5)),   // minhash pairs + CC label join; cluster table touched only by broadcast joins
+      "mink_score"             -> ((15, 7, 7)))  // bigramLp corpus joins + the doc-keyed rank window + totals join
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     graft.tools.PlanCounts.Gated.foreach { name =>
