@@ -75,7 +75,12 @@ object ScaleSmoke {
     "setsim_join", "budget_select", "bitext_mine_ann",
     // the asymmetric containment join stresses the full-token B side
     // (the one prefix-filtered join whose posting lists are unpruned)
-    "contain_join")
+    "contain_join",
+    // r13 additions: the three corpus-scale new rows — takedown rides
+    // the full minhash+CC chain (replicated docs multiply near-dup
+    // clusters), mink rides the bigram LM + per-doc rank cut, and the
+    // split-leakage audit scans every k-gram window across the split
+    "takedown_propagate", "mink_score", "split_leakage")
 
   /** smoke-only variants that exist to stress a knob the registry
     * demos fix (SparkEntry rows must stay oracle-stable): PageRank at
