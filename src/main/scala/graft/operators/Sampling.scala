@@ -588,16 +588,18 @@ object Sampling {
     * curriculum-learning trainer consumes (easy→hard across stages,
     * unbiased within each stage; Bengio et al., ICML 2009).
     *
-    * Stage boundaries are exact NTILE semantics — the first
-    * (n mod k) stages take ⌈n/k⌉ rows — computed WITHOUT a global
-    * window: the global difficulty rank comes from the two-phase
-    * range-partitioned cumsum ([[budgetSelect]]'s machinery with
-    * toks = 1), so stage assignment is
-    * ⌊(rank−1)·k / n⌋ + 1 in pure integer algebra. The within-stage
-    * position reuses the same machinery ordered by
-    * (stage, shuffle-hash, id) and subtracts the stage's known start
-    * offset — again integer algebra on driver-known stage sizes. Two
-    * range shuffles total; no task ever sees more than its range
+    * Stage boundaries are exact even-spread quantile slices — stage
+    * assignment is ⌊(rank−1)·k / n⌋ + 1, so stage s covers global
+    * ranks [⌈(s−1)·n/k⌉+1, ⌈s·n/k⌉] and remainder rows spread EVENLY
+    * across stages (unlike SQL NTILE's front-loading; sizes differ by
+    * at most one either way, and the oracle mirrors this exact
+    * formula) — computed WITHOUT a global window: the global
+    * difficulty rank comes from the two-phase range-partitioned
+    * cumsum ([[budgetSelect]]'s machinery with toks = 1). The
+    * within-stage position reuses the same machinery ordered by
+    * (stage, shuffle-hash, id) and subtracts the stage's start offset
+    * ⌈(s−1)·n/k⌉ — again pure integer algebra on driver-known n, k.
+    * Two range shuffles total; no task ever sees more than its range
     * slice, at any corpus size.
     *
     * PRECONDITION: `idCol` unique (shared with [[shardBalance]] — the
@@ -622,17 +624,18 @@ object Sampling {
             Vec.md5Hash60(concat(col(idCol).cast("string"),
               lit("#" + seed))).as("_shuf"),
             lit(1L).as("toks"))
-        // stage s (1-based) starts after (s-1)·⌊n/k⌋ + min(s-1, n mod k)
-        // rows — exact NTILE prefix sizes, driver-known integer algebra
-        val base = n / k; val extra = n % k
+        // stage s (1-based) starts after ⌈(s-1)·n/k⌉ rows — the exact
+        // prefix of the even-spread slices ⌊(rank−1)·k/n⌋ produces
+        // (NOT NTILE's (s-1)·⌊n/k⌋ + min(s-1, n mod k): that
+        // front-loads remainders and drifts from these slices whenever
+        // n mod k ≥ 2 — the r13 property test caught exactly this)
         cumsumByRange(staged,
           Seq(col("stage"), col("_shuf"), col(idCol)), partitions) match {
           case None => staged.select(col(idCol), col("difficulty"),
             col("stage")).withColumn("stage_order", lit(0L)).limit(0)
           case Some((pos, _)) =>
             pos.withColumn("stage_order",
-                col("cum") - ((col("stage") - 1L) * base +
-                  least(col("stage") - 1L, lit(extra))))
+                col("cum") - expr(s"((stage - 1L) * ${n}L + ${k - 1}L) div ${k}L"))
               .select(col(idCol), col("difficulty"), col("stage"),
                 col("stage_order"))
         }

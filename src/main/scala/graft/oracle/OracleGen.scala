@@ -3500,8 +3500,10 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |             CAST(GREATEST(n_types, 1) AS DOUBLE), 6) AS type_coverage
        |FROM agg ORDER BY lang""".stripMargin
 
-  /** mirror of TextDemos.curriculumOrderDemo: same exact-NTILE integer
-    * algebra (⌊(rank−1)·k/n⌋ + 1), same md5-60 within-stage shuffle. */
+  /** mirror of TextDemos.curriculumOrderDemo: same even-spread-slice
+    * integer algebra (⌊(rank−1)·k/n⌋ + 1 — remainder rows spread
+    * evenly, NOT SQL NTILE's front-loading), same md5-60 within-stage
+    * shuffle. */
   def curriculumSql(nStages: Int = 4, seed: Long = 11): String =
     s"""WITH t AS (
        |  SELECT doc_id, CAST($wsToks AS BIGINT) AS difficulty FROM documents

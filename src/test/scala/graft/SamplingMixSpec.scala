@@ -152,7 +152,7 @@ class SamplingMixSpec extends SparkSpec {
 
   // ---- C108 curriculum_order ------------------------------------------
 
-  test("C108 stages are exact NTILE slices of the (difficulty, id) order") {
+  test("C108 stages are exact even-spread slices of the (difficulty, id) order") {
     // 10 docs, difficulties 10..1 -> 3 stages sized 4,3,3
     val df = (1L to 10L).map(i => (i, 11L - i)).toDF("id", "d")
     val out = Sampling.curriculumOrder(df, "id", col("d"), nStages = 3,
@@ -167,6 +167,63 @@ class SamplingMixSpec extends SparkSpec {
     // stage_order is a 1..size permutation within each stage
     out.groupBy(_._3).foreach { case (_, rows) =>
       assert(rows.map(_._4).sorted.toSeq == (1L to rows.size).toSeq)
+    }
+  }
+
+  test("C108 property: stage sizes are the even-spread slices ⌈s·n/k⌉−⌈(s−1)·n/k⌉") {
+    // the integer form ((rank-1)·k) div n + 1 spreads remainder rows
+    // EVENLY across stages (4,3,4,3,… at n=28,k=8 — NOT SQL NTILE's
+    // front-loaded 4,4,4,4,3,3,3,3); the start-offset algebra must
+    // match these slices exactly or stage_order corrupts whenever
+    // n mod k >= 2 (the bug this test caught in its first run)
+    def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
+    val rnd = new scala.util.Random(29)
+    (1 to 200).foreach { i =>
+      val n = 1 + rnd.nextInt(40); val k = 1 + rnd.nextInt(8)
+      val sizes = (1 to n).groupBy(r => ((r - 1).toLong * k) / n + 1)
+        .view.mapValues(_.size).toMap
+      (1L to k.toLong).foreach { s =>
+        val want = (ceilDiv(s * n, k) - ceilDiv((s - 1) * n, k)).toInt
+        assert(sizes.getOrElse(s, 0) == want, s"draw $i: n=$n k=$k stage $s")
+      }
+      assert(sizes.values.sum == n, s"draw $i: rows lost")
+    }
+  }
+
+  test("C108 stage_order is a clean 1..size permutation when n mod k >= 2") {
+    // n=28, k=8: even-spread sizes alternate 4,3,4,3,… — the case
+    // where NTILE-style start offsets would shift every later stage's
+    // order by up to (n mod k − 1)
+    val df = (1L to 28L).map(i => (i, i)).toDF("id", "d")
+    val out = Sampling.curriculumOrder(df, "id", col("d"), nStages = 8,
+        seed = 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val byStage = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byStage.keySet == (1L to 8L).toSet)
+    byStage.foreach { case (s, orders) =>
+      assert(orders == (1L to orders.size).toSeq,
+        s"stage $s orders $orders not a 1..n permutation")
+    }
+    assert(byStage.values.map(_.size).toSeq.sorted == Seq(3,3,3,3,4,4,4,4).map(_.toInt),
+      "sizes must be the even-spread slices")
+  }
+
+  test("C104 property: exact ⌊n·frac⌋ test count for every stratum over random draws") {
+    val rnd = new scala.util.Random(31)
+    (1 to 10).foreach { i =>
+      val nStrata = 1 + rnd.nextInt(5)
+      val rows = (1L to (20 + rnd.nextInt(180)).toLong)
+        .map(id => (id, (id % nStrata).toString))
+      val frac = Seq(0.1, 0.25, 0.33, 0.5)(rnd.nextInt(4))
+      val out = Sampling.stratifiedSplit(rows.toDF("id", "s"), Seq("s"),
+        "id", frac, seed = i)
+      val got = out.filter(col("split") === "test").groupBy("s").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._2).view
+        .mapValues(g => math.floor(g.size * frac + 1e-9).toLong).toMap
+      want.foreach { case (s, w) =>
+        assert(got.getOrElse(s, 0L) == w, s"draw $i frac $frac stratum $s")
+      }
     }
   }
 
