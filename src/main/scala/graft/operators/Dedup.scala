@@ -646,10 +646,15 @@ object Dedup {
                    testVal: String = "test", k: Int = 8,
                    tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(k >= 1, s"splitLeakage: k must be >= 1, got $k")
+    // the window table is consumed twice (leak-set build + test-side
+    // join); persist it so the full-corpus shingle explode — the most
+    // expensive projection in the audit — runs once (the DISK_ONLY
+    // discipline refreshImpacts applies)
     val win = df.select(col(idCol), col(splitCol).as("_split"),
         posexplode(Text.shinglesWithDuplicates(col(textCol), k))
           .as(Seq("pos", "w")))
       .select(col(idCol), col("_split"), tokenHash(col("w")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val leak = win.groupBy(col("h")).agg(
         countDistinct(when(col("_split") === trainVal, col(idCol))).as("_ntr"),
         countDistinct(when(col("_split") === testVal, col(idCol))).as("_nte"))

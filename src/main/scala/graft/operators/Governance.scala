@@ -47,40 +47,59 @@ object Governance {
   }
 
   /** C106 — k-anonymity generalization ladder: re-key every row to the
-    * FINEST quasi-identifier level whose group still holds at least `k`
-    * rows — the gate a dataset card or stats release runs so no
-    * published cell isolates fewer than k documents (a (lang, source)
-    * cell of size 2 identifies its members; the same rows reported
-    * under (lang, *) may not). Ladder: level 0 = (lang, source),
-    * level 1 = (lang, *), level 2 = (*, *) — level 2 always admits
-    * (the whole corpus), so every row gets a key and nothing is
-    * silently suppressed.
+    * FINEST quasi-identifier level whose PUBLISHED cell still holds at
+    * least `k` rows — the gate a dataset card or stats release runs so
+    * no published cell isolates fewer than k documents (a (lang,
+    * source) cell of size 2 identifies its members). Ladder: level 0 =
+    * (lang, source), level 1 = (lang, *), level 2 = (*, *), level 3 =
+    * suppressed (null keys — the row may not appear in any release).
     *
-    * Scale shape: the level-0 and level-1 group-count tables are
-    * quasi-identifier-cardinality (thousands of cells, not rows) — both
-    * broadcast; the fact side takes two broadcast hash joins and NEVER
-    * shuffles. Group counts are one pass with map-side partials.
-    * Output: (id, anon_lang, anon_source, level) — aggregate on
-    * (anon_lang, anon_source) downstream and every published cell is
-    * ≥ k by construction.
+    * Admission tests the RESIDUAL, not the raw group count: the
+    * published (lang, *) cell contains only the rows whose level-0 cell
+    * was thin, so level 1 admits a row iff its language's residual mass
+    * (Σ _n0 over that language's cells with _n0 < k) is ≥ k — a
+    * language with 1000 rows but a single thin 1-row cell must NOT
+    * publish that row alone under (lang, *). Likewise level 2's (*, *)
+    * cell holds exactly the rows that failed both finer levels, so it
+    * admits iff that global residual is ≥ k; otherwise the stragglers
+    * are suppressed outright (level 3). Every published cell is ≥ k by
+    * construction, including the coarsest one.
+    *
+    * Scale shape: the level-0 cell-count table is quasi-identifier-
+    * cardinality (thousands of cells, not rows); the residual tables
+    * derive from IT, not from the corpus — all three broadcast, and the
+    * fact side takes two broadcast hash joins plus a 1-row cross join
+    * and NEVER shuffles. Output: (id, anon_lang, anon_source, level) —
+    * drop level-3 rows, then aggregate on (anon_lang, anon_source)
+    * downstream.
     */
   def kanonGeneralize(df: DataFrame, idCol: String, langCol: String,
                       sourceCol: String, k: Long): DataFrame = {
     require(k >= 1, s"kanonGeneralize: k must be >= 1, got $k")
     val l0 = df.groupBy(col(langCol), col(sourceCol))
       .agg(count(lit(1)).as("_n0"))
-    val l1 = df.groupBy(col(langCol)).agg(count(lit(1)).as("_n1"))
+    // per-language residual: the rows that will actually land in the
+    // (lang, *) cell — only level-0 failures
+    val r1 = l0.filter(col("_n0") < k)
+      .groupBy(col(langCol)).agg(sum(col("_n0")).as("_r1"))
+    // global residual: the rows that fail both finer levels
+    val r2 = r1.filter(col("_r1") < k)
+      .agg(coalesce(sum(col("_r1")), lit(0L)).cast("long").as("_r2"))
     df.join(broadcast(l0), Seq(langCol, sourceCol))
-      .join(broadcast(l1), Seq(langCol))
+      .join(broadcast(r1), Seq(langCol), "left")
+      .crossJoin(broadcast(r2))
       .withColumn("level",
         when(col("_n0") >= k, lit(0))
-          .when(col("_n1") >= k, lit(1))
-          .otherwise(lit(2)))
+          .when(coalesce(col("_r1"), lit(0L)) >= k, lit(1))
+          .when(col("_r2") >= k, lit(2))
+          .otherwise(lit(3)))
       .select(col(idCol),
-        when(col("level") <= 1, col(langCol)).otherwise(lit("*"))
-          .as("anon_lang"),
-        when(col("level") === 0, col(sourceCol)).otherwise(lit("*"))
-          .as("anon_source"),
+        when(col("level") <= 1, col(langCol))
+          .when(col("level") === 2, lit("*"))
+          .otherwise(lit(null).cast("string")).as("anon_lang"),
+        when(col("level") === 0, col(sourceCol))
+          .when(col("level") <= 2, lit("*"))
+          .otherwise(lit(null).cast("string")).as("anon_source"),
         col("level"))
   }
 
@@ -98,7 +117,10 @@ object Governance {
     * aggregate is distinct-key-scale), a three-number global summary
     * broadcast back, and a TakeOrdered(n) for the hitters — the table
     * itself is scanned once. The salt decision is exact integer
-    * algebra (no fp thresholds). Output ordered by (cnt desc, key).
+    * algebra (no fp thresholds); the skew RATIO multiplies in double —
+    * cnt · distinct_keys overflows Long at exactly the hot-key ×
+    * billion-key scale this report exists for. Output ordered by
+    * (cnt desc, key).
     */
   def skewDiagnose(df: DataFrame, keyCol: String, topN: Int = 10,
                    partitions: Int = 32, saltFactor: Int = 4): DataFrame = {
@@ -112,7 +134,8 @@ object Governance {
       .withColumn("share",
         round(col("cnt").cast("double") / col("_total"), 6))
       .withColumn("skew_ratio",
-        round((col("cnt") * col("_nkeys")).cast("double") / col("_total"), 6))
+        round(col("cnt").cast("double") * col("_nkeys").cast("double") /
+          col("_total").cast("double"), 6))
       .withColumn("salt_recommended",
         col("cnt") * partitions > col("_total") * saltFactor)
       .select(col("key"), col("cnt"), col("share"), col("skew_ratio"),

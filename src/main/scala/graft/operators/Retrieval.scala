@@ -260,11 +260,15 @@ object Bm25 {
     writeMeta(spark, path, n0, batches = 1L, gen = gen + 1L) // commit
     refreshImpacts(spark, path)
     // garbage: the superseded generation's dirs (harmless if it fails
-    // or a concurrent reader still holds them — they are unreferenced)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // or a concurrent reader still holds them — they are unreferenced).
+    // The FS must resolve from the PATH, not the default filesystem —
+    // an s3a:// or hdfs:// index with a different fs.defaultFS would
+    // otherwise never reclaim old generations (the delete fails
+    // silently into the catch).
+    val conf = spark.sparkContext.hadoopConfiguration
     dirs.foreach { d =>
-      try fs.delete(new org.apache.hadoop.fs.Path(d), true)
+      val p = new org.apache.hadoop.fs.Path(d)
+      try p.getFileSystem(conf).delete(p, true)
       catch { case _: Exception => () }
     }
   }

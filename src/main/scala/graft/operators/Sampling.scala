@@ -464,10 +464,12 @@ object Sampling {
     * windows over a coalesce(1) single partition of that TINY table;
     * the corpus itself is scanned once and never shuffles beyond the
     * lang-keyed partial agg. Output per language: token count, cap,
-    * capped flag, allocated tokens, epochs = alloc/tokens, and the
-    * sampling weight alloc/B a data loader consumes. If B ≥ Σcap every
-    * language caps and Σweight < 1 — the honest "corpus exhausted at
-    * maxEpochs" signal, not an error. */
+    * capped flag, allocated tokens (display double `alloc` + exact
+    * Long `alloc_exact` — downstream cuts join on the exact one),
+    * epochs = alloc/tokens, and the sampling weight alloc/B a data
+    * loader consumes. If B ≥ Σcap every language caps and Σweight <
+    * 1 — the honest "corpus exhausted at maxEpochs" signal, not an
+    * error. */
   def unimaxMix(df: DataFrame, langCol: String, tokCol: Column,
                 budget: Long, maxEpochs: Int): DataFrame = {
     require(budget >= 0, s"unimaxMix: budget must be >= 0, got $budget")
@@ -502,13 +504,24 @@ object Sampling {
       .withColumn("alloc",
         round(when(col("capped"), col("cap").cast("double"))
           .otherwise(theta), 6))
+      // exact integer allocation alongside the display double: the
+      // residual B − Σ_capped cap is ≤ B (a Long) by the water-fill
+      // invariant, so Long `div` is exact at any corpus size — the
+      // double `alloc` loses exactness above 2^53 tokens and must
+      // never drive a budget cut (C115 joins on THIS column)
+      .withColumn("_resid", (b - col("_cum_capped")).cast("long"))
+      .withColumn("_nuncap", (col("_n") - col("_k")).cast("long"))
+      .withColumn("alloc_exact",
+        when(col("capped"), col("cap").cast("long"))
+          .otherwise(expr("_resid div _nuncap")))
       .withColumn("epochs",
         round(col("alloc") / col("lang_tokens").cast("double"), 6))
       .withColumn("weight",
         when(lit(budget) === 0L, lit(0.0))
           .otherwise(round(col("alloc") / lit(budget).cast("double"), 6)))
       .select(col("lang"), col("lang_tokens"), col("cap").cast("long").as("cap"),
-        col("capped"), col("alloc"), col("epochs"), col("weight"))
+        col("capped"), col("alloc"), col("alloc_exact"), col("epochs"),
+        col("weight"))
   }
 
   /** C115 — apply a [[unimaxMix]] allocation: per language, select
@@ -526,17 +539,18 @@ object Sampling {
     *
     * Scale shape: ONE exchange keyed by language (the cumsum window);
     * the allocation table is language-cardinality and broadcasts. The
-    * double `alloc` converts to an integer budget with the house
-    * epsilon-guarded floor, so the cut is exact integer algebra. A
-    * single language at 100 TB outgrows one window task — range-split
-    * the language on the hash prefix first (the C104 stratum note). */
+    * budget cut joins on [[unimaxMix]]'s exact Long `alloc_exact` (the
+    * rounded display double loses exactness above 2^53 tokens), so the
+    * cut is exact integer algebra at any corpus size. A single
+    * language at 100 TB outgrows one window task — range-split the
+    * language on the hash prefix first (the C104 stratum note). */
   def unimaxApply(df: DataFrame, langCol: String, idCol: String,
                   tokCol: Column, alloc: DataFrame, seed: Long): DataFrame = {
     val pri = Vec.md5Hash60(concat(col(idCol).cast("string"), lit("#" + seed)))
     val w = Window.partitionBy(col(langCol)).orderBy(pri, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val budget = broadcast(alloc.select(col("lang").as(langCol),
-      floor(col("alloc") + 1e-9).cast("long").as("_budget")))
+      col("alloc_exact").cast("long").as("_budget")))
     df.select(col(langCol), col(idCol),
         coalesce(tokCol.cast("long"), lit(0L)).as("toks"))
       .withColumn("cum_tokens", sum(col("toks")).over(w))

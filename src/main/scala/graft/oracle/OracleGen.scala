@@ -3220,17 +3220,21 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |  SELECT lang, lang_tokens, cap, capped,
        |         ROUND(CASE WHEN capped THEN CAST(cap AS DOUBLE)
        |               ELSE CAST((SELECT budget FROM b) - cumcap AS DOUBLE)
-       |                    / CAST(n - kk AS DOUBLE) END, 6) AS alloc
+       |                    / CAST(n - kk AS DOUBLE) END, 6) AS alloc,
+       |         CAST(CASE WHEN capped THEN cap
+       |              ELSE ((SELECT budget FROM b) - cumcap) // (n - kk)
+       |              END AS BIGINT) AS alloc_exact
        |  FROM g
        |)
        |SELECT lang, lang_tokens, CAST(cap AS BIGINT) AS cap, capped, alloc,
+       |       alloc_exact,
        |       ROUND(alloc / CAST(lang_tokens AS DOUBLE), 6) AS epochs,
        |       ROUND(alloc / CAST((SELECT budget FROM b) AS DOUBLE), 6) AS weight
        |FROM a ORDER BY lang""".stripMargin
 
   /** mirror of TextDemos.unimaxApplyDemo: the C102 closed form as a
     * nested CTE, then the per-language hash-race cumsum cut at the
-    * epsilon-guarded integer budget. */
+    * exact integer `alloc_exact` budget. */
   def unimaxApplySql(seed: Long = 5, maxEpochs: Int = 2): String = {
     val allocCore = unimaxSql(maxEpochs)
       .replaceAll("(?s)\\s*ORDER BY lang\\s*$", "")
@@ -3248,7 +3252,7 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |)
        |SELECT c.lang, c.doc_id, c.toks, CAST(c.cum AS BIGINT) AS cum_tokens
        |FROM c JOIN alloc a USING (lang)
-       |WHERE c.cum <= FLOOR(a.alloc + 1e-9)
+       |WHERE c.cum <= a.alloc_exact
        |ORDER BY lang, cum_tokens""".stripMargin
   }
 
@@ -3365,12 +3369,17 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
   /** mirror of TextDemos.kanonGeneralizeDemo (k-anonymity ladder) */
   def kanonSql(k: Long = 8): String =
     s"""WITH l0 AS (SELECT lang, source, COUNT(*) AS n0 FROM documents GROUP BY 1, 2),
-       |     l1 AS (SELECT lang, COUNT(*) AS n1 FROM documents GROUP BY 1)
+       |     r1 AS (SELECT lang, SUM(n0) AS r1 FROM l0 WHERE n0 < $k GROUP BY 1),
+       |     r2 AS (SELECT COALESCE(SUM(r1), 0) AS r2 FROM r1 WHERE r1 < $k)
        |SELECT d.doc_id,
-       |  CASE WHEN n0 >= $k OR n1 >= $k THEN d.lang ELSE '*' END AS anon_lang,
-       |  CASE WHEN n0 >= $k THEN d.source ELSE '*' END AS anon_source,
-       |  CAST(CASE WHEN n0 >= $k THEN 0 WHEN n1 >= $k THEN 1 ELSE 2 END AS INT) AS level
-       |FROM documents d JOIN l0 USING (lang, source) JOIN l1 USING (lang)
+       |  CASE WHEN n0 >= $k OR COALESCE(r1, 0) >= $k THEN d.lang
+       |       WHEN r2 >= $k THEN '*' ELSE NULL END AS anon_lang,
+       |  CASE WHEN n0 >= $k THEN d.source
+       |       WHEN COALESCE(r1, 0) >= $k OR r2 >= $k THEN '*' ELSE NULL END AS anon_source,
+       |  CAST(CASE WHEN n0 >= $k THEN 0 WHEN COALESCE(r1, 0) >= $k THEN 1
+       |            WHEN r2 >= $k THEN 2 ELSE 3 END AS INT) AS level
+       |FROM documents d JOIN l0 USING (lang, source)
+       |LEFT JOIN r1 USING (lang) CROSS JOIN r2
        |ORDER BY doc_id""".stripMargin
 
   /** mirror of TextDemos.skewDiagnoseDemo: exact-integer salt test,
@@ -3383,7 +3392,7 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |), t AS (SELECT SUM(cnt) AS total, COUNT(*) AS nkeys FROM c)
        |SELECT key, cnt,
        |       ROUND(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
-       |       ROUND(CAST(cnt * nkeys AS DOUBLE) / CAST(total AS DOUBLE), 6) AS skew_ratio,
+       |       ROUND(CAST(cnt AS DOUBLE) * CAST(nkeys AS DOUBLE) / CAST(total AS DOUBLE), 6) AS skew_ratio,
        |       cnt * $partitions > total * $saltFactor AS salt_recommended
        |FROM c, t ORDER BY cnt DESC, key LIMIT $topN""".stripMargin
 

@@ -71,33 +71,55 @@ class GovernanceSpec extends SparkSpec {
 
   // ---- C106 kanon_generalize ---------------------------------------
 
-  test("C106 ladder picks the finest admitting level per row") {
-    // (en, a): 3 rows -> level 0 at k=3; (en, b): 1 row but lang en has
-    // 4 >= 3 -> level 1; (xx, c): 1 row, lang xx has 1 -> level 2
+  test("C106 ladder admits on residual mass, not raw group counts") {
+    // k=3. (en, a): 3 rows -> level 0. (en, b): 1 row — lang en has 4
+    // rows total, but the PUBLISHED (en, *) cell would hold only this
+    // one residual row, so level 1 must NOT admit. (fr, d/e/f):
+    // three 1-row cells -> fr residual = 3 >= k -> level 1 admits all
+    // three. The global residual is {en:1, xx:1} = 2 < 3 -> rows 4 and
+    // 8 are suppressed (level 3, null keys), not hidden in a 2-row
+    // (*, *) cell.
     val df = Seq(
       (1L, "en", "a"), (2L, "en", "a"), (3L, "en", "a"),
       (4L, "en", "b"),
-      (5L, "xx", "c")).toDF("doc_id", "lang", "source")
+      (5L, "fr", "d"), (6L, "fr", "e"), (7L, "fr", "f"),
+      (8L, "xx", "c")).toDF("doc_id", "lang", "source")
     val got = Governance.kanonGeneralize(df, "doc_id", "lang", "source", k = 3)
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
     assert(got.toSeq == Seq(
       (1L, "en", "a", 0), (2L, "en", "a", 0), (3L, "en", "a", 0),
-      (4L, "en", "*", 1),
-      (5L, "*", "*", 2)))
+      (4L, null, null, 3),
+      (5L, "fr", "*", 1), (6L, "fr", "*", 1), (7L, "fr", "*", 1),
+      (8L, null, null, 3)))
   }
 
-  test("C106 every published (anon_lang, anon_source) cell holds >= k rows or is level 2") {
+  test("C106 a thick global residual lands in (*, *) at level 2") {
+    // k=3: three languages with one thin 1-row cell each; every lang
+    // residual is 1 < k, but the global residual is 3 >= k, so the
+    // (*, *) cell publishes all three.
+    val df = Seq(
+      (1L, "en", "a"), (2L, "fr", "b"), (3L, "xx", "c"))
+      .toDF("doc_id", "lang", "source")
+    val got = Governance.kanonGeneralize(df, "doc_id", "lang", "source", k = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (1L, "*", "*", 2), (2L, "*", "*", 2), (3L, "*", "*", 2)))
+  }
+
+  test("C106 EVERY published (anon_lang, anon_source) cell holds >= k rows") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val k = 5L
     val out = Governance.kanonGeneralize(docs, "doc_id", "lang", "source", k)
-    val cells = out.groupBy("anon_lang", "anon_source", "level")
+    val cells = out.filter(col("level") <= 2)
+      .groupBy("anon_lang", "anon_source", "level")
       .count().collect()
+    assert(cells.nonEmpty)
     cells.foreach { r =>
-      val level = r.getInt(2)
-      if (level < 2)
-        assert(r.getLong(3) >= k,
-          s"cell ${r.getString(0)}/${r.getString(1)} level $level has ${r.getLong(3)} < $k")
+      assert(r.getLong(3) >= k,
+        s"cell ${r.getString(0)}/${r.getString(1)} level ${r.getInt(2)} " +
+          s"has ${r.getLong(3)} < $k")
     }
   }
 

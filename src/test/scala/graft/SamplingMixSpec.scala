@@ -83,14 +83,59 @@ class SamplingMixSpec extends SparkSpec {
     }
   }
 
+  /** exact Long mirror of the closed form: capped prefix by
+    * cap·(n−i+1) ≤ B − cum_{i−1}, uncapped get ⌊residual/(n−k)⌋ */
+  private def refUnimaxExact(toks: Map[String, Long], budget: Long,
+                             maxEpochs: Int): Map[String, Long] = {
+    val sorted = toks.map { case (l, t) => l -> t * maxEpochs }
+      .toSeq.sortBy { case (l, c) => (c, l) }
+    val n = sorted.size
+    val cums = sorted.scanLeft(0L)(_ + _._2)
+    val flags = sorted.zipWithIndex.map { case ((_, c), i) =>
+      c * (n - i) <= budget - cums(i)
+    }
+    val kk = flags.count(identity)
+    val capSum = sorted.zip(flags).collect { case ((_, c), true) => c }.sum
+    val theta = if (kk == n) 0L else (budget - capSum) / (n - kk)
+    sorted.zip(flags).map { case ((l, c), f) => l -> (if (f) c else theta) }
+      .toMap
+  }
+
+  test("C102 alloc_exact matches the exact Long fill; exact above 2^53") {
+    val rnd = new scala.util.Random(29)
+    (1 to 100).foreach { i =>
+      val langs = (1 to 2 + rnd.nextInt(6)).map(j => s"l$j")
+      val toks = langs.map(_ -> (1L + rnd.nextInt(500).toLong)).toMap
+      val budget = 1L + rnd.nextInt(3000).toLong
+      val e = 1 + rnd.nextInt(3)
+      val want = refUnimaxExact(toks, budget, e)
+      val df = toks.toSeq.toDF("lang", "toks")
+      val got = Sampling.unimaxMix(df, "lang", col("toks"), budget, e)
+        .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+      assert(got == want, s"draw $i toks=$toks b=$budget e=$e")
+    }
+    // the case the display double CANNOT represent: residual 2^54 − 6
+    // (doubles at 2^54 are multiples of 4). alloc_exact must be exact.
+    val big = Map("a" -> (1L << 54), "b" -> 3L)
+    val budget = 1L << 54
+    val got = Sampling.unimaxMix(big.toSeq.toDF("lang", "toks"), "lang",
+        col("toks"), budget, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> (r.getBoolean(3), r.getLong(5)))
+      .toMap
+    assert(got("b") == ((true, 6L)))
+    assert(got("a") == ((false, (1L << 54) - 6L)))
+    assert(got == refUnimaxExact(big, budget, 2).map { case (l, a) =>
+      l -> ((l == "b", a)) })
+  }
+
   // ---- C115 unimax_apply ----------------------------------------------
 
   test("C115 take-while-fits per language at the integer budget; capped lang keeps all") {
     val docs = (1L to 20L).map(i => (i, if (i <= 15) "big" else "small", 10L))
       .toDF("id", "lang", "toks")
     // big: 150 tokens, budget 95 -> exactly 9 docs (90 tokens) by hash
-    // order; small: 50 tokens, budget 50.0 (capped) -> all 5 docs
-    val alloc = Seq(("big", 95.0), ("small", 50.0)).toDF("lang", "alloc")
+    // order; small: 50 tokens, budget 50 (capped) -> all 5 docs
+    val alloc = Seq(("big", 95L), ("small", 50L)).toDF("lang", "alloc_exact")
     val got = Sampling.unimaxApply(docs, "lang", "id", col("toks"), alloc,
         seed = 9)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
@@ -110,7 +155,7 @@ class SamplingMixSpec extends SparkSpec {
   test("C115 membership is partitioning-independent and seed-keyed") {
     val docs = (1L to 100L).map(i => (i, (i % 3).toString, 1L + i % 7))
       .toDF("id", "lang", "toks")
-    val alloc = Seq(("0", 50.0), ("1", 60.0), ("2", 40.0)).toDF("lang", "alloc")
+    val alloc = Seq(("0", 50L), ("1", 60L), ("2", 40L)).toDF("lang", "alloc_exact")
     def ids(parts: Int, seed: Long) =
       Sampling.unimaxApply(docs.repartition(parts), "lang", "id",
         col("toks"), alloc, seed).collect().map(_.getLong(1)).toSet
