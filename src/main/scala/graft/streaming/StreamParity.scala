@@ -75,7 +75,17 @@ object StreamParity {
     * tracks KEY cardinality, not batch corpus cores (at 100 TB the two
     * are sized independently; this harness makes the same choice).
     * The conf only affects queries planned inside `body`; batch plans
-    * already compiled are untouched, and it is restored after. */
+    * already compiled are untouched, and it is restored after.
+    *
+    * Sized 2, not 8, since r14: each state partition costs a
+    * delta-file write + fsync + commit-validation RPC PER TRIGGER, and
+    * on a host with ~4.5 ms small-file fsync (this round's, measured)
+    * that fixed cost dominated every parity row — the r13→r14
+    * StreamSplit attribution read noop-machinery 3.2 s, +state@8
+    * = 8.1 s, +state@2 = 3.0 s on identical code. The parity key
+    * cardinalities (5 priorities … ~10⁵ counters) all fit 2
+    * partitions with room; production streams size this to their own
+    * key volume. */
   private def withStateParallelism[T](spark: SparkSession, n: Int)(body: => T): T =
     withConfs(spark, "spark.sql.shuffle.partitions" -> n.toString)(body)
 
@@ -102,7 +112,7 @@ object StreamParity {
     val src = fileStream(events, s"swin_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val view = s"graft_swin_${Fixtures.runId}"
     spark.catalog.dropTempView(view) // re-invocation reuses the name
-    withStateParallelism(spark, 8) {
+    withStateParallelism(spark, 2) {
       val q = EventStream.windowAgg(src, watermark = "3650 days")
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -129,7 +139,7 @@ object StreamParity {
     val src = fileStream(docs, s"stkn_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val view = s"graft_stkn_${Fixtures.runId}"
     spark.catalog.dropTempView(view) // re-invocation reuses the name
-    withStateParallelism(spark, 8) {
+    withStateParallelism(spark, 2) {
       val q = EventStream.ngramDocCounts(src, "doc_id", "text", n = 3)
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -166,7 +176,7 @@ object StreamParity {
     val src = fileStream(docs, s"scontam_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val view = s"graft_scontam_${Fixtures.runId}"
     spark.catalog.dropTempView(view) // re-invocation reuses the name
-    withStateParallelism(spark, 8) {
+    withStateParallelism(spark, 2) {
       val q = EventStream.contaminationGate(src, bench, "doc_id", "text",
           shingleN = 3, flagThreshold = 0.2,
           tokenHash = graft.functions.Vec.md5Hash60)
@@ -188,7 +198,7 @@ object StreamParity {
     val src = fileStream(turns, s"ssft_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val view = s"graft_ssft_${Fixtures.runId}"
     spark.catalog.dropTempView(view) // re-invocation reuses the name
-    withStateParallelism(spark, 8) {
+    withStateParallelism(spark, 2) {
       val q = EventStream.sftTurnState(src, "conv_id", "turn_idx", "role", "content")
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -207,7 +217,7 @@ object StreamParity {
     val src = fileStream(docs, s"smoji_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val view = s"graft_smoji_${Fixtures.runId}"
     spark.catalog.dropTempView(view) // re-invocation reuses the name
-    withStateParallelism(spark, 8) {
+    withStateParallelism(spark, 2) {
       val q = EventStream.mojibakeGateCounts(src, "doc_id", "text", "lang")
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -227,7 +237,7 @@ object StreamParity {
     val src = fileStream(pages, s"squal_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val view = s"graft_squal_${Fixtures.runId}"
     spark.catalog.dropTempView(view) // re-invocation reuses the name
-    withStateParallelism(spark, 8) {
+    withStateParallelism(spark, 2) {
       val q = EventStream.qualityGateCounts(src, "doc_id", "page", "source")
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -254,7 +264,7 @@ object StreamParity {
     val src = fileStream(v2, s"sdrift_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val view = s"graft_sdrift_${Fixtures.runId}"
     spark.catalog.dropTempView(view) // re-invocation reuses the name
-    withStateParallelism(spark, 8) {
+    withStateParallelism(spark, 2) {
       val q = EventStream.driftHistogram(
           src.select(graft.functions.Text.qualityScore(col("text")).as("q")),
           "q", edges)
@@ -286,7 +296,7 @@ object StreamParity {
       s"scalib_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val view = s"graft_scalib_${Fixtures.runId}"
     spark.catalog.dropTempView(view) // re-invocation reuses the name
-    withStateParallelism(spark, 8) {
+    withStateParallelism(spark, 2) {
       val q = EventStream.calibrationMonitor(
           Classifier.scoreWith(src, "doc_id", "text", label, w),
           "score", "is_target", nBins = 10)
@@ -309,7 +319,7 @@ object StreamParity {
     val src = fileStream(docs, s"skmv_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val view = s"graft_skmv_${Fixtures.runId}"
     spark.catalog.dropTempView(view) // re-invocation reuses the name
-    withStateParallelism(spark, 8) {
+    withStateParallelism(spark, 2) {
       val q = EventStream.corpusSketch(src, "text", k = 1024,
           tokenHash = graft.functions.Vec.md5Hash60)
         .writeStream.format("memory").queryName(view)
@@ -341,7 +351,7 @@ object StreamParity {
       .select(col("o_orderpriority"), col("o_orderkey"))
     val src = fileStream(orders, s"sups_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val target = freshTarget(s"sups_tgt_${sfName(dir)}")
-    withStateParallelism(spark, 8) {
+    withStateParallelism(spark, 2) {
       val q = src.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("total"),
           collect_list(struct(col("o_orderkey"))).as("rows"))
@@ -407,7 +417,7 @@ object StreamParity {
     val doubled = events.unionAll(events)
     val src = fileStream(doubled, s"sdws_${sfName(dir)}", nFiles = 4, filesPerTrigger = 2)
     val target = freshTarget(s"sdws_tgt_${sfName(dir)}")
-    withStateParallelism(spark, 8) {
+    withStateParallelism(spark, 2) {
       val q = EventStream.dedupWithinWatermark(src, "event_id", watermark = "3650 days")
         .writeStream.format("parquet").option("path", s"$target/out")
         .option("checkpointLocation", s"$target/ckpt")
@@ -433,7 +443,7 @@ object StreamParity {
     val purSrc = fileStream(events.filter(col("event_type") === "purchase"),
       s"sij_pur_${sfName(dir)}", nFiles = 2, filesPerTrigger = 1)
     val target = freshTarget(s"sij_tgt_${sfName(dir)}")
-    withStateParallelism(spark, 8) {
+    withStateParallelism(spark, 2) {
       val q = EventStream.intervalJoin(errSrc, purSrc, watermark = "3650 days")
         .writeStream.format("parquet").option("path", s"$target/out")
         .option("checkpointLocation", s"$target/ckpt")
@@ -463,7 +473,7 @@ object StreamParity {
     val src = fileStreamOrdered(events, s"ssess_${sfName(dir)}", nFiles = 4, orderCol = "ts")
       .as[EventStream.SessionInput]
     val target = freshTarget(s"ssess_tgt_${sfName(dir)}")
-    withStateParallelism(spark, 8) {
+    withStateParallelism(spark, 2) {
       val q = EventStream.sessionizeStateful(src)
         .writeStream.format("parquet").option("path", s"$target/out")
         .option("checkpointLocation", s"$target/ckpt")
