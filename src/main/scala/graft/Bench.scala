@@ -5,13 +5,26 @@ import org.apache.spark.sql.SparkSession
   *
   * One untimed warmup pass runs first (JIT + codegen compilation are
   * one-time JVM costs, not per-query plan costs — a 1000-executor run
-  * amortizes them to nothing), then `SPARK_GRAFT_PASSES` (default 3)
-  * timed passes per query, reported as the MEDIAN with min/max spread —
-  * a single pass cannot tell a plan regression from a GC pause, and
-  * round-3's "regressions" (time_window_agg 0.30→0.88s) turned out to
-  * be exactly that. Passes run back-to-back per query (not pass-major)
-  * so each query's samples share the same JVM/GC context.
+  * amortizes them to nothing; the warmup must be SUITE-wide, not
+  * per-row: an r14 fold-in experiment left the window's first rows
+  * JIT-cold at 3× their warm cost), then `SPARK_GRAFT_PASSES`
+  * (default 3) timed passes per query, reported as the MEDIAN with
+  * min/max spread — a single pass cannot tell a plan regression from
+  * a GC pause, and round-3's "regressions" (time_window_agg
+  * 0.30→0.88s) turned out to be exactly that. Passes run back-to-back
+  * per query (not pass-major) so each query's samples share the same
+  * JVM/GC context.
   * Set SPARK_GRAFT_WARMUP=0 to skip the warmup for cold numbers.
+  *
+  * WALL-CLOCK BUDGET (r13 verdict task 2: the driver's window killed
+  * the r13 run at rc=124 with NO payload): SPARK_GRAFT_TIME_BUDGET
+  * seconds (default 900, 0 = unlimited). The suite always finishes
+  * inside it by degrading gracefully — retry loops stop growing past
+  * 70 % of budget, rows started past 85 % take one timed sample, and a
+  * drift re-window only runs when a whole extra window fits. The
+  * artifact's `budget` object records elapsed time, any degraded rows,
+  * and whether a re-window was skipped, so a thin run is visibly thin
+  * rather than silently absent.
   *
   * CONTENTION ROBUSTNESS (the r9 fix for r8's committed-artifact
   * problem): timing noise on a shared host is strictly ADDITIVE — a
@@ -209,6 +222,19 @@ object Bench {
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // WALL-CLOCK BUDGET (r13 verdict task 2: the driver's bench run hit
+    // its window timeout — rc=124, no payload — and an artifact that
+    // never prints is worse than one with thinner sampling). The suite
+    // must ALWAYS finish near the budget: sampling degrades (fewer
+    // passes, no retry loops, no drift re-window) as the deadline
+    // approaches, and the artifact records what was degraded. 0 = off.
+    // Default 780 s: the driver window that killed r13 also carries
+    // sbt + Spark startup, and rows already started may overshoot the
+    // line by their own cost — the default leaves that margin.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "780").toDouble
+    val tStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - tStart) / 1e9
+    def budgetFrac: Double = if (budget <= 0) 0.0 else elapsed / budget
     val spark = GraftSession.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -218,11 +244,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val all = (SparkEntry.queries ++ SparkEntry.benchExtras)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // suite-wide warmup: one untimed execution of every row warms the
+    // JVM GLOBALLY (Spark's scan/shuffle/streaming machinery JIT), not
+    // just per-plan codegen — an r14 fold-in experiment showed the
+    // window's first rows reading 3× their warm cost without it. Under
+    // budget pressure the warmup truncates (cold rows self-correct via
+    // the contention/suspect resample loops when budget allows).
+    var warmupTruncated = 0
+    val warmed = scala.collection.mutable.Set.empty[String]
     if (warmup) {
-      all.foreach { case (_, fn) =>
+      val rows = all.toSeq
+      val it = rows.iterator
+      while (it.hasNext && (budget <= 0 || elapsed < budget * 0.3)) {
+        val (name, fn) = it.next()
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         graft.util.CacheRegistry.releaseAll()
+        warmed += name
       }
+      warmupTruncated = it.size
+      if (warmupTruncated > 0)
+        Console.err.println(s"[bench] warmup truncated at 30% of budget: " +
+          s"$warmupTruncated rows fall back to a per-row warm sample")
       spark.sharedState.cacheManager.clearCache() // no data-cache carryover
     }
     // cross-window guard input: what this suite historically costs at
@@ -237,6 +279,13 @@ object Bench {
     } catch { case _: Exception => Map.empty }
     // Right(pass times) on success, Left(exception class) on failure — a
     // broken query must surface as "error", never bench as a fast success.
+    // Degradation ladder as the deadline nears: past 60 % of budget
+    // rows take passes−1 samples, past 80 % ONE sample; past 70 % the
+    // retry loops stop growing the sample set. A row the truncated
+    // warmup missed takes one dropped warm sample first (cold codegen
+    // would otherwise pollute its record) unless even that no longer
+    // fits. `degraded` records which rows ran thin.
+    val degraded = scala.collection.mutable.LinkedHashSet.empty[String]
     def measureWindow(): Map[String, Either[String, Seq[Double]]] = all.map { case (name, fn) =>
       val r = try {
         def sample(): Double = {
@@ -246,10 +295,19 @@ object Bench {
           graft.util.CacheRegistry.releaseAll()
           sec
         }
-        val samples = scala.collection.mutable.ArrayBuffer.fill(passes)(sample())
+        if (warmup && !warmed.contains(name) && budgetFrac < 0.8) {
+          sample() // dropped: per-row fallback warm
+          warmed += name
+        }
+        val rowPasses =
+          if (budgetFrac > 0.8) { degraded += name; 1 }
+          else if (budgetFrac > 0.6) { degraded += name; math.max(1, passes - 1) }
+          else passes
+        val samples = scala.collection.mutable.ArrayBuffer.fill(rowPasses)(sample())
         // contention retry: identical plan, additive noise ⇒ resample
         // until the spread settles or the extra budget (2×passes) runs out
-        while (samples.max / samples.min > 2.0 && samples.size < passes * 3)
+        while (samples.max / samples.min > 2.0 && samples.size < passes * 3 &&
+            budgetFrac < 0.7)
           samples += sample()
         // cross-window contamination retry: a CONSISTENTLY slow window
         // (all samples slow together) passes the spread check — compare
@@ -258,7 +316,7 @@ object Bench {
         // as measured, flagged loudly in `suspect`
         trailing.get(name).foreach { hist =>
           while (crossWindowSuspect(robustMedian(samples.toSeq, passes), hist) &&
-              samples.size < passes * 5)
+              samples.size < passes * 5 && budgetFrac < 0.7)
             samples += sample()
         }
         Right(samples.toSeq): Either[String, Seq[Double]]
@@ -289,12 +347,23 @@ object Bench {
     }
     val maxWindows = 1 + sys.env.getOrElse("SPARK_GRAFT_DRIFT_RETRIES", "1").toInt.max(0)
     var windows = List(measureWindow())
-    while (windowRatio(windows.head).exists(_ > 1.15) && windows.size < maxWindows) {
+    // a re-window only runs when it FITS the remaining budget (the first
+    // window's wall-clock, warmup included, is the conservative estimate)
+    val window1Time = elapsed
+    def rewindowFits: Boolean =
+      budget <= 0 || elapsed + window1Time <= budget * 0.95
+    var rewindowSkipped = false
+    while (windowRatio(windows.head).exists(_ > 1.15) && windows.size < maxWindows &&
+        { rewindowSkipped = !rewindowFits; !rewindowSkipped }) {
       Console.err.println(f"[bench] window ${windows.size}%d drifted " +
         f"(ratio ${windowRatio(windows.head).get}%.3f > 1.15) - re-running the " +
         "whole window (noise is additive: the faster window is the honest one)")
       windows ::= measureWindow()
     }
+    if (rewindowSkipped)
+      Console.err.println(f"[bench] drift re-window SKIPPED: ${elapsed}%.0f s elapsed + " +
+        f"~${window1Time}%.0f s window would overrun the ${budget}%.0f s budget - " +
+        "finishing inside the window beats a dead rc=124 run")
     // keep the least-contended window: noise is strictly additive, so
     // minimum shared-total ratio = closest to the machine's true cost
     val results = windows.minBy(w => windowRatio(w).getOrElse(0.0))
@@ -352,7 +421,11 @@ object Bench {
           f"""{"fresh_shared":$f%.2f,"trailing_shared":$t%.2f,"ratio":$ratio%.3f,"rows_over_1p25":$over,"reruns":$rerunCount,"verdict":"$verdict"}""")
       case None => ("ok", s"""{"reruns":$rerunCount,"verdict":"insufficient-history"}""")
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","totals":$totalsJson,"queries":$qs,"spread":$spread,"passes":$passes,"errors":$errs,"suspect":$suspectJson,"drift":$driftJson,"sf":"$sfDir"}"""
+    val budgetJson = {
+      val deg = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
+      f"""{"limit":${budget}%.0f,"elapsed":${elapsed}%.1f,"rewindow_skipped":$rewindowSkipped,"warmup_truncated":$warmupTruncated,"degraded":$deg}"""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","totals":$totalsJson,"queries":$qs,"spread":$spread,"passes":$passes,"errors":$errs,"suspect":$suspectJson,"drift":$driftJson,"budget":$budgetJson,"sf":"$sfDir"}"""
     println(json)
     // a SPARK_GRAFT_ONLY run is a local probe: never let it overwrite
     // the committed full-suite artifact or pollute the history record

@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_simhash"        -> (TextDemos.dedupSimhash(_, _)),
     "image_phash_dedup"    -> (graft.multimodal.ImageHash.imagePhashDedup(_, _)),
     "image_dims"           -> (graft.multimodal.Multimodal.imageDimsDemo(_, _)),
+    "video_meta"           -> (graft.multimodal.Multimodal.videoMetaDemo(_, _)),
     "embed_near_dup"       -> (TextDemos.embedNearDup(_, _)),
     "ivf_centroids"        -> (TextDemos.ivfCentroids(_, _)),
     "ivf_assign"           -> (TextDemos.ivfAssign(_, _)),
@@ -974,6 +975,21 @@ object SparkEntry {
         |            WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS detected,
         |       CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE 1 + doc_id % 29 END AS INT) AS width,
         |       CAST(CASE WHEN doc_id % 97 = 0 THEN -1 ELSE 1 + doc_id % 17 END AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // C12: same discipline for the MP4 box walk — duration/tracks/codecs
+    // derive from the id relationally; the byte-level moov walk is the
+    // Spark side's real work
+    "video_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 97 = 0 THEN 'unknown' ELSE 'mp4' END AS container,
+        |       CASE WHEN doc_id % 97 = 0 THEN '' ELSE 'isom' END AS major_brand,
+        |       CASE WHEN doc_id % 97 = 0 THEN -1.0
+        |            ELSE CAST(1 + doc_id % 7 AS DOUBLE) END AS duration_sec,
+        |       CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE 1 + doc_id % 3 END AS INT) AS n_tracks,
+        |       CASE WHEN doc_id % 97 = 0 THEN ''
+        |            ELSE array_to_string(list_transform(range(CAST(1 + doc_id % 3 AS BIGINT)),
+        |                 t -> CASE (doc_id + t) % 3 WHEN 0 THEN 'avc1'
+        |                      WHEN 1 THEN 'hvc1' ELSE 'mp4v' END), ',') END AS codecs
         |FROM documents ORDER BY media_id""".stripMargin,
     "ann_lsh_topk"      -> graft.oracle.OracleGen.annLshSql(),
     "retrieval_eval"    -> graft.oracle.OracleGen.retrievalEvalSql(),

@@ -239,6 +239,59 @@ object Multimodal {
   case class VideoMeta(media_id: Long, container: String, major_brand: String,
                        duration_sec: Double, n_tracks: Int, codecs: Seq[String])
 
+  /** C12 demo, oracle-gated (r14 — the tier's second driver-checked
+    * row, after r13's image_dims): one REAL ISO-BMFF byte stream per
+    * document — ftyp(isom) + moov(mvhd + traks) — with every metadatum
+    * derived from the id: duration 1 + id % 7 seconds at timescale
+    * 1000 (mvhd v0 for even ids, v1 for odd — both header layouts),
+    * 1 + id % 3 trak boxes whose stsd sample-entry fourccs cycle
+    * (avc1, hvc1, mp4v) by (id + t) % 3, plus a truncated plant every
+    * 97th id. [[videoMetadata]]'s box walker must recover all of it
+    * from the actual byte layout; the oracle recomputes the
+    * deterministic expectations relationally (the image_dims
+    * discipline — fixture derivation is SQL-expressible, the box walk
+    * is not). Build + parse are map-only: no shuffle, corpus-parallel. */
+  def videoMetaDemo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map(id => MediaRow(id, synthMp4(id), "mp4"))
+    videoMetadata(media).toDF()
+      .select(col("media_id"), col("container"), col("major_brand"),
+        col("duration_sec"), col("n_tracks"),
+        concat_ws(",", col("codecs")).as("codecs"))
+      .orderBy("media_id")
+  }
+
+  /** the deterministic MP4 fixture for [[videoMetaDemo]]: a standards-
+    * shaped (not merely parser-shaped) minimal box tree. */
+  private[graft] def synthMp4(id: Long): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("ISO-8859-1") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0))
+    val timescale = 1000L
+    val durUnits = timescale * (1 + id % 7)
+    val mvhd =
+      if (id % 2 == 0) // v0: 32-bit creation/modification/duration
+        box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+          be32(timescale) ++ be32(durUnits))
+      else             // v1: 64-bit creation/modification/duration
+        box("mvhd", Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+          be32(timescale) ++ be32(0) ++ be32(durUnits))
+    val codecNames = Array("avc1", "hvc1", "mp4v")
+    val traks = (0 until (1 + id % 3).toInt).flatMap { t =>
+      val fmt = codecNames(((id + t) % 3).toInt)
+      val entry = be32(16) ++ fmt.getBytes("ISO-8859-1") ++ new Array[Byte](8)
+      val stsd = box("stsd", Array[Byte](0, 0, 0, 0) ++ be32(1) ++ entry)
+      box("trak", box("mdia", box("minf", box("stbl", stsd))))
+    }
+    val full = ftyp ++ box("moov", mvhd ++ traks)
+    if (id % 97 == 0) full.take(8) else full
+  }
+
   /** REAL (no-codec) video container metadata: an MP4/ISO-BMFF box
     * walker. The box grammar is a plain byte layout —
     * `[size:u32][type:4cc][payload]`, size 1 → a u64 largesize follows,
@@ -254,7 +307,7 @@ object Multimodal {
     ds.map(r => parseMp4Meta(r.media_id, r.media))
   }
 
-  private[multimodal] def parseMp4Meta(id: Long, b: Array[Byte]): VideoMeta = {
+  private[graft] def parseMp4Meta(id: Long, b: Array[Byte]): VideoMeta = {
     def u8(i: Int) = b(i) & 0xff
     def be32(i: Int): Long =
       ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xFFFFFFFFL

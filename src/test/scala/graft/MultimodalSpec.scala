@@ -329,4 +329,19 @@ class MultimodalSpec extends SparkSpec {
     le32(Int.MaxValue).copyToArray(broken, lastSizeOff)
     assert(Multimodal.videoFrameStats(Seq(MediaRow(8L, broken, "avi")).toDS()).collect().isEmpty)
   }
+
+  test("C12 synthMp4 fixture round-trips through the box walker (both mvhd layouts)") {
+    // id=2: v0 mvhd, duration 3 s, 3 traks with codecs (2,3,4)%3
+    val m2 = Multimodal.parseMp4Meta(2L, Multimodal.synthMp4(2L))
+    assert(m2.container == "mp4" && m2.major_brand == "isom")
+    assert(m2.duration_sec == 3.0 && m2.n_tracks == 3)
+    assert(m2.codecs == Seq("mp4v", "avc1", "hvc1"))
+    // id=3: v1 mvhd (64-bit duration), 1 trak, codec (3+0)%3 = avc1
+    val m3 = Multimodal.parseMp4Meta(3L, Multimodal.synthMp4(3L))
+    assert(m3.duration_sec == 4.0 && m3.n_tracks == 1)
+    assert(m3.codecs == Seq("avc1"))
+    // id=0: the corrupt plant (0 % 97 == 0) truncates to 8 bytes
+    val m0 = Multimodal.parseMp4Meta(0L, Multimodal.synthMp4(0L))
+    assert(m0.container == "unknown" && m0.n_tracks == 0 && m0.duration_sec == -1.0)
+  }
 }
