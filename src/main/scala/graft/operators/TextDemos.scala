@@ -1614,6 +1614,13 @@ object TextDemos {
     * enter the shuffle. One summary row; exact-int IEEE divisions. */
   def minhashLshEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // NOT persisted, deliberately (r14 measured both): the shingle
+    // explode feeds four consumers, but it is a cheap codegen map —
+    // re-running it costs less than materializing millions of exploded
+    // shingle strings to disk (persist read 7.9 s vs 4.8 s recompute
+    // on the same host). splitLeakage persists because its window
+    // table is consumed by a WIDE agg twice; here the heavy cost is
+    // the self-join shuffle either way.
     val sh = docs.select(col("doc_id"), explode(call_function("graft_shingles",
       col("text"), lit(3), lit(true))).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))

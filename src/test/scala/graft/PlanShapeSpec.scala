@@ -293,7 +293,12 @@ class PlanShapeSpec extends SparkSpec {
       "bitext_mine_ann"        -> ((15, 6, 11)), // LSH candidates + margin: bucket join both directions + bounded top-k windows over candidates only
       "shard_balance"          -> ((5, 1, 1)),   // two-phase cumsum: range partition + per-partition window + broadcast offsets + summary agg
       "takedown_propagate"     -> ((8, 3, 5)),   // minhash pairs + CC label join; cluster table touched only by broadcast joins
-      "mink_score"             -> ((15, 7, 7)))  // bigramLp corpus joins + the doc-keyed rank window + totals join
+      "mink_score"             -> ((15, 7, 7)),  // bigramLp corpus joins + the doc-keyed rank window + totals join
+      // r14 pins (r13 verdict task 5): the remaining multi-second rows
+      "curriculum_order"       -> ((10, 3, 3)),  // two range-partitioned cumsums (2 range + window shuffles each) + broadcast offsets
+      "sft_pack"               -> ((6, 3, 3)),   // turn window + verdict join + shard cumsum; validator tables broadcast
+      "unimax_apply"           -> ((3, 1, 1)),   // ONE lang-keyed cumsum exchange + the broadcast allocation join
+      "bm25_index_compact"     -> ((2, 0, 0)))   // read-back path only; compaction I/O is side-effecting at build time (priced by the C114 family ladder)
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
     graft.tools.PlanCounts.Gated.foreach { name =>
