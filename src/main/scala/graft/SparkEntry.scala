@@ -87,6 +87,8 @@ object SparkEntry {
     "stratified_split"     -> (TextDemos.stratifiedSplitDemo(_, _)),
     "mojibake_score"       -> (TextDemos.mojibakeScoreDemo(_, _)),
     "kanon_generalize"     -> (TextDemos.kanonGeneralizeDemo(_, _)),
+    "dp_release"           -> (TextDemos.dpReleaseDemo(_, _)),
+    "span_corrupt"         -> (TextDemos.spanCorruptDemo(_, _)),
     "skew_diagnose"        -> (TextDemos.skewDiagnoseDemo(_, _)),
     "curriculum_order"     -> (TextDemos.curriculumOrderDemo(_, _)),
     "mojibake_repair"      -> (TextDemos.mojibakeRepairDemo(_, _)),
@@ -950,6 +952,8 @@ object SparkEntry {
     "stratified_split"   -> graft.oracle.OracleGen.stratifiedSplitSql(),
     "mojibake_score"     -> graft.oracle.OracleGen.mojibakeSql(),
     "kanon_generalize"   -> graft.oracle.OracleGen.kanonSql(),
+    "dp_release"         -> graft.oracle.OracleGen.dpReleaseSql(),
+    "span_corrupt"       -> graft.oracle.OracleGen.spanCorruptSql(),
     "skew_diagnose"      -> graft.oracle.OracleGen.skewDiagnoseSql(),
     "curriculum_order"   -> graft.oracle.OracleGen.curriculumSql(),
     "mojibake_repair"    -> graft.oracle.OracleGen.mojibakeRepairSql(),

@@ -103,6 +103,69 @@ object Governance {
         col("level"))
   }
 
+  /** C117 — ε-differentially-private count release: the per-cell doc
+    * counts a dataset card may publish about SENSITIVE groupings where
+    * k-anonymity (C106) is not enough — DP bounds what any one
+    * document's presence can change about the release, generalization
+    * does not. Mechanism: the two-sided geometric (discrete Laplace,
+    * Ghosh–Roughgarden–Sundararajan SIAM'12 — the canonical mechanism
+    * for integer counts at sensitivity 1), truncated at ±`bound`
+    * (documented caveat: truncation costs δ = α^bound/(1+α) ≈ e^{-ε·B}
+    * per tail — 4·10⁻¹⁸ at the demo's ε=1, B=40), with max(0, ·)
+    * post-processing (free under DP).
+    *
+    * DETERMINISM: DP theory wants fresh randomness; a REPRODUCIBLE
+    * release (re-runs must publish identical numbers, or the variance
+    * between runs itself leaks) derives the noise from a seeded hash
+    * of the CELL KEY — one draw per cell, fixed per (key, seed), the
+    * standard reproducible-release compromise. The geometric inverse
+    * CDF needs exp/log, which is a cross-engine libm seam — so the
+    * CDF is computed ONCE driver-side and embedded as EXACT Long
+    * thresholds scaled to 2^60 ([[geometricThresholds]], shared
+    * verbatim with the DuckDB oracle): noise = (# thresholds ≤ u) −
+    * bound − 1 where u is the cell's md5-60 uniform. Pure integer
+    * compares per row; bit-identical on any engine.
+    *
+    * Scale shape: one map-side-combined count per cell
+    * (quasi-identifier-cardinality output), then map-only literal-array
+    * arithmetic over that TINY table. Output: (lang, source,
+    * n_released). The TRUE count never leaves the plan. */
+  def dpRelease(df: DataFrame, langCol: String, sourceCol: String,
+                epsilon: Double, bound: Int, seed: Long): DataFrame = {
+    val thresholds = geometricThresholds(epsilon, bound)
+    val u = graft.functions.Vec.md5Hash60(concat(
+      col(langCol), lit("#"), col(sourceCol), lit("#" + seed)))
+    val tArr = array(thresholds.map(lit): _*)
+    df.groupBy(col(langCol), col(sourceCol))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_u", u)
+      .withColumn("_noise",
+        size(filter(tArr, t => t <= col("_u"))).cast("long") - bound.toLong)
+      .select(col(langCol), col(sourceCol),
+        greatest(lit(0L), col("_n") + col("_noise")).as("n_released"))
+  }
+
+  /** cumulative CDF of the ±`bound`-truncated two-sided geometric with
+    * α = e^{-ε}, as exact Long thresholds scaled to 2^60 for
+    * k = −B … B−1 (the final cumulative is omitted so the top
+    * interval [t_{B−1}, 2^60) is open-ended): noise = (# thresholds
+    * ≤ u) − B maps every u ∈ [0, 2^60) to exactly one k ∈ [−B, B].
+    * Computed once driver-side (the libm calls live HERE, in
+    * constants both engines share verbatim — never per-row). */
+  private[graft] def geometricThresholds(epsilon: Double, bound: Int): Seq[Long] = {
+    require(epsilon > 0 && bound >= 1,
+      s"dpRelease: epsilon > 0 and bound >= 1 required, got ($epsilon, $bound)")
+    val a = math.exp(-epsilon)
+    // unnormalized mass of k is a^|k|; total over [-B, B] is
+    // 1 + 2·(a + … + a^B)
+    val weights = (-bound to bound).map(k => math.pow(a, math.abs(k)))
+    val total = weights.sum
+    val scale = math.pow(2.0, 60)
+    weights.scanLeft(0.0)(_ + _).tail.init.map { cum =>
+      math.floor(cum / total * scale).toLong
+    }
+  }
+
   /** C107 — join-key skew diagnosis: the pre-flight report an engineer
     * reads before keying a 100 TB shuffle on a column. For the top-N
     * heaviest keys: row count, share of the table, skew ratio vs the

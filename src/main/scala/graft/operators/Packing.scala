@@ -128,6 +128,63 @@ object Packing {
     * one pass would trade k cheap column scans for a k-wide row
     * explosion. All counts are exact integer algebra; `fill_rate` is
     * one IEEE division, rounded 6. */
+  /** C118 — T5-style span corruption (Raffel et al. 2020 §3.1.4): mask
+    * token spans and emit the (input with sentinels, target with the
+    * masked spans) pair a denoising trainer consumes — the step that
+    * turns curated text into seq2seq pretraining examples. Masking is
+    * BLOCK-GRIDDED: tokens partition into fixed `grid`-token blocks and
+    * a seeded hash of (id, block, seed) masks the block's first
+    * 0..`maxMask` tokens — the relational formulation of span
+    * corruption (T5's sequential greedy draw needs a per-token running
+    * fold; the grid keeps spans non-overlapping BY CONSTRUCTION with
+    * the same expected mask rate, E[min(L, rem)]/grid ≈ 21 % at the
+    * demo's grid=7, maxMask=3). Masked span k reads `<extra_id_k>` in
+    * the input; the target is the T5 convention `<extra_id_0> span
+    * <extra_id_1> span …`. Deterministic, seed-keyed,
+    * partitioning-invariant (the hash-race discipline).
+    *
+    * Scale shape: pure higher-order Column algebra over the token
+    * array — map-only whole-stage codegen, no explode, no shuffle, no
+    * UDF; corpus-parallel at any scale. Output: (id, n_tokens,
+    * n_masked, input_text, target_text). */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  grid: Int, maxMask: Int, seed: Long): DataFrame = {
+    require(grid >= 1 && maxMask >= 0 && maxMask <= grid,
+      s"spanCorrupt: need grid >= 1 and 0 <= maxMask <= grid, got ($grid, $maxMask)")
+    def maskLen(b: Column, n: Column): Column = least(
+      pmod(graft.functions.Vec.md5Hash60(concat(
+        col(idCol).cast("string"), lit("#"), b.cast("string"), lit("#" + seed))),
+        lit(maxMask + 1L)),
+      n - b * grid)
+    def sentinel(i: Column): Column =
+      concat(lit("<extra_id_"), i.cast("string"), lit(">"))
+    val toks = graft.functions.Text.wsTokens(col(textCol))
+    val out = docs
+      .select(col(idCol), toks.as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      // sequence(0, -1) would infer step -1; guard the tokenless case.
+      // `div`, not `/`: Long / Int promotes to double division
+      .withColumn("_blocks", when(col("_n") > 0,
+        sequence(lit(0L), expr(s"(_n + ${grid - 1}) div $grid") - 1))
+        .otherwise(array().cast("array<bigint>")))
+      .withColumn("_masked",
+        filter(col("_blocks"), b => maskLen(b, col("_n")) >= 1))
+    out.select(col(idCol), col("_n").as("n_tokens"),
+      coalesce(aggregate(col("_masked"), lit(0L),
+        (acc, b) => acc + maskLen(b, col("_n"))), lit(0L)).as("n_masked"),
+      concat_ws(" ", flatten(transform(col("_blocks"), b => {
+        val l = maskLen(b, col("_n"))
+        val rest = slice(col("_toks"), b * grid + l + 1, lit(grid) - l)
+        when(l >= 1, concat(
+          array(sentinel(array_position(col("_masked"), b) - 1)), rest))
+          .otherwise(rest)
+      }))).as("input_text"),
+      concat_ws(" ", flatten(transform(col("_masked"), (b, i) =>
+        concat(array(sentinel(i)),
+          slice(col("_toks"), b * grid + 1, maskLen(b, col("_n")))))))
+        .as("target_text"))
+  }
+
   def packingSweep(df: DataFrame, shardCol: String, orderCol: String,
                    tokensCol: String, capacities: Seq[Int]): DataFrame = {
     require(capacities.nonEmpty && capacities.forall(_ > 0),

@@ -2436,4 +2436,18 @@ object TextDemos {
     Curation.vocabCoverage(Tables.documents(spark, dir), "lang", "text",
         v = 500)
       .orderBy("lang")
+
+  /** C117 — ε-DP released (lang, source) counts at ε=1, ±40
+    * truncation, seed 23: the reproducible noisy dataset-card cells. */
+  def dpReleaseDemo(spark: SparkSession, dir: String): DataFrame =
+    Governance.dpRelease(Tables.documents(spark, dir), "lang", "source",
+        epsilon = 1.0, bound = 40, seed = 23)
+      .orderBy("lang", "source")
+
+  /** C118 — T5 span corruption at grid 7, maxMask 3, seed 17: every
+    * document becomes a (sentinel input, span target) denoising pair. */
+  def spanCorruptDemo(spark: SparkSession, dir: String): DataFrame =
+    Packing.spanCorrupt(Tables.documents(spark, dir), "doc_id", "text",
+        grid = 7, maxMask = 3, seed = 17)
+      .orderBy("doc_id")
 }

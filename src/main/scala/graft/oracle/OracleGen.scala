@@ -3382,6 +3382,57 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |LEFT JOIN r1 USING (lang) CROSS JOIN r2
        |ORDER BY doc_id""".stripMargin
 
+  /** mirror of TextDemos.dpReleaseDemo: per-cell counts + the SAME
+    * exact-Long geometric thresholds (generated by the one driver-side
+    * CDF computation both engines share — the libm seam lives in the
+    * constants, never per row) + the same count-of-thresholds noise
+    * mapping. */
+  def dpReleaseSql(epsilon: Double = 1.0, bound: Int = 40,
+                   seed: Long = 23): String = {
+    val arr = graft.operators.Governance.geometricThresholds(epsilon, bound)
+      .mkString("[", ", ", "]")
+    s"""WITH c AS (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2),
+       |     u AS (SELECT lang, source, n,
+       |             ${md560(s"(lang || '#' || source || '#$seed')")} AS u FROM c)
+       |SELECT lang, source,
+       |       CAST(GREATEST(0, n + len(list_filter($arr, t -> t <= u)) - $bound) AS BIGINT) AS n_released
+       |FROM u ORDER BY lang, source""".stripMargin
+  }
+
+  /** mirror of TextDemos.spanCorruptDemo: the same block grid, the
+    * same seeded per-(id, block) mask length, the same sentinel
+    * interleave — as list algebra over the whitespace tokens. */
+  def spanCorruptSql(grid: Int = 7, maxMask: Int = 3,
+                     seed: Long = 17): String = {
+    def len(bb: String) = s"least(${md560(
+      s"(CAST(doc_id AS VARCHAR) || '#' || CAST($bb AS VARCHAR) || '#$seed')")} % ${maxMask + 1}, n - $bb*$grid)"
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+       |    CASE WHEN len(toks) > 0
+       |         THEN range(CAST((len(toks) + ${grid - 1}) // $grid AS BIGINT))
+       |         ELSE CAST([] AS BIGINT[]) END AS blocks
+       |  FROM t
+       |), m AS (
+       |  SELECT doc_id, toks, n, blocks,
+       |         list_filter(blocks, bb -> ${len("bb")} >= 1) AS masked
+       |  FROM b
+       |)
+       |SELECT doc_id, n AS n_tokens,
+       |  CAST(COALESCE(list_sum(list_transform(masked, bb -> ${len("bb")})), 0) AS BIGINT) AS n_masked,
+       |  array_to_string(flatten(list_transform(blocks, bb ->
+       |    CASE WHEN ${len("bb")} >= 1
+       |      THEN ['<extra_id_' || CAST(list_position(masked, bb) - 1 AS VARCHAR) || '>']
+       |             || toks[(bb*$grid + ${len("bb")} + 1):(bb*$grid + $grid)]
+       |      ELSE toks[(bb*$grid + 1):(bb*$grid + $grid)] END)), ' ') AS input_text,
+       |  COALESCE(array_to_string(flatten(list_transform(range(len(masked)), i ->
+       |    ['<extra_id_' || CAST(i AS VARCHAR) || '>']
+       |      || toks[(masked[i+1]*$grid + 1):(masked[i+1]*$grid + ${len("masked[i+1]")})])), ' '), '') AS target_text
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** mirror of TextDemos.skewDiagnoseDemo: exact-integer salt test,
     * identical double divisions for share/skew_ratio. */
   def skewDiagnoseSql(topN: Int = 10, partitions: Int = 32,

@@ -123,6 +123,51 @@ class GovernanceSpec extends SparkSpec {
     }
   }
 
+  // ---- C117 dp_release ---------------------------------------------
+
+  test("C117 thresholds partition [0, 2^60) and widths decay by e^-eps both ways") {
+    val eps = 1.0; val b = 40
+    val th = Governance.geometricThresholds(eps, b)
+    assert(th.size == 2 * b)
+    // the extreme-k cumulative saturates to exactly 2^60 in double
+    // (mass ~e^-37) — a truncation artifact, not a mapping hole: a
+    // saturated threshold never counts for any u < 2^60
+    assert(th == th.sorted && th.head > 0L && th.last <= (1L << 60))
+    // interval widths are the pmf: w_k/w_0 must track e^{-eps*|k|};
+    // check the DP ratio on adjacent intervals around the center
+    val widths = (0L +: th :+ (1L << 60)).sliding(2).map(p => p(1) - p(0)).toSeq
+    val center = widths(b) // noise 0
+    assert(math.abs(widths(b + 1).toDouble / center - math.exp(-eps)) < 1e-6)
+    assert(math.abs(widths(b - 1).toDouble / center - math.exp(-eps)) < 1e-6)
+  }
+
+  test("C117 released counts are deterministic, nonnegative, within the bound") {
+    val df = (1L to 300L).map(i => (i, s"l${i % 5}", s"s${i % 7}"))
+      .toDF("doc_id", "lang", "source")
+    val truth = df.groupBy("lang", "source").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def run() = Governance.dpRelease(df, "lang", "source",
+        epsilon = 1.0, bound = 40, seed = 23)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val a = run(); val b = run()
+    assert(a == b) // reproducible release
+    a.foreach { case (k, released) =>
+      assert(released >= 0L)
+      assert(math.abs(released - truth(k)) <= 40L, s"$k: $released vs ${truth(k)}")
+    }
+  }
+
+  test("C117 empirical noise distribution matches the geometric pmf") {
+    // many synthetic 1-row cells -> the released-minus-true values ARE
+    // noise draws; P(noise = 0) = (1-a)/(1+a) ~ 0.462 at eps = 1
+    val df = (1L to 4000L).map(i => (i, s"k$i", "x")).toDF("doc_id", "lang", "source")
+    val noise = Governance.dpRelease(df.withColumn("pad", lit(1)),
+        "lang", "source", epsilon = 1.0, bound = 40, seed = 7)
+      .collect().map(_.getLong(2) - 1L) // true count is 1 per cell; floor at -1 ok
+    val p0 = noise.count(_ == 0L).toDouble / noise.length
+    assert(p0 > 0.40 && p0 < 0.52, s"P(noise=0) = $p0")
+  }
+
   // ---- C107 skew_diagnose ------------------------------------------
 
   test("C107 flags a key that overflows saltFactor fair partitions, exact shares") {

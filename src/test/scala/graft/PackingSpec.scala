@@ -83,4 +83,79 @@ class PackingSpec extends SparkSpec {
     assert(out(3L) == ((0.0, false)))
     assert(out(4L)._1 > 0.0 && out(4L)._1 < 1.0) // only 'alpha beta gamma' shared
   }
+
+  // ---- C118 span_corrupt ---------------------------------------------
+
+  private def md560(x: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** plain-Scala mirror of the block-gridded span-corruption algebra */
+  private def refSpanCorrupt(id: Long, text: String, grid: Int, maxMask: Int,
+                             seed: Long): (Long, Long, String, String) = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val n = toks.length
+    val nb = (n + grid - 1) / grid
+    def len(b: Int): Int =
+      math.min(md560(s"$id#$b#$seed") % (maxMask + 1), (n - b * grid).toLong).toInt
+    val masked = (0 until nb).filter(len(_) >= 1)
+    val input = (0 until nb).flatMap { b =>
+      val rest = toks.slice(b * grid + len(b), math.min(n, b * grid + grid))
+      if (len(b) >= 1) s"<extra_id_${masked.indexOf(b)}>" +: rest else rest
+    }.mkString(" ")
+    val target = masked.zipWithIndex.flatMap { case (b, i) =>
+      s"<extra_id_$i>" +: toks.slice(b * grid, b * grid + len(b))
+    }.mkString(" ")
+    (n.toLong, masked.map(len(_).toLong).sum, input, target)
+  }
+
+  test("C118 span corruption == plain-Scala reference on 120 random docs") {
+    val rnd = new scala.util.Random(19)
+    val docs = (1L to 120L).map { id =>
+      // lengths 1..40 hit every partial-last-block shape at grid 7
+      (id, IndexedSeq.tabulate(1 + rnd.nextInt(40))(i => s"w${id}_$i").mkString(" "))
+    }
+    val got = Packing.spanCorrupt(docs.toDF("doc_id", "text"),
+        "doc_id", "text", grid = 7, maxMask = 3, seed = 17)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == refSpanCorrupt(id, text, 7, 3, 17), s"doc $id: '$text'")
+    }
+  }
+
+  test("C118 sentinel interleave round-trips to the original text") {
+    val docs = (1L to 40L).map(id =>
+      (id, (0 until 23).map(i => s"t$i").mkString(" ")))
+    Packing.spanCorrupt(docs.toDF("doc_id", "text"), "doc_id", "text",
+        grid = 5, maxMask = 2, seed = 3)
+      .collect().foreach { r =>
+      val (input, target) = (r.getString(3), r.getString(4))
+      // parse the target into span k -> tokens, then substitute
+      val spans = target.split("<extra_id_").filter(_.nonEmpty).map { part =>
+        val Array(k, rest) = part.split(">", 2)
+        k.toInt -> rest.trim
+      }.toMap
+      val rebuilt = "<extra_id_(\\d+)>".r.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(spans(m.group(1).toInt)))
+        .replaceAll("  +", " ").trim
+      assert(rebuilt == (0 until 23).map(i => s"t$i").mkString(" "),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("C118 mask rate sits near the analytic expectation") {
+    // full blocks mask E[L] = mean(0..maxMask) of grid tokens
+    val docs = (1L to 200L).map(id =>
+      (id, (0 until 70).map(i => s"x$i").mkString(" "))) // 10 full blocks
+    val out = Packing.spanCorrupt(docs.toDF("doc_id", "text"),
+        "doc_id", "text", grid = 7, maxMask = 3, seed = 11)
+      .agg(sum("n_masked"), sum("n_tokens")).collect()(0)
+    val rate = out.getLong(0).toDouble / out.getLong(1)
+    assert(math.abs(rate - 1.5 / 7) < 0.02, s"mask rate $rate")
+  }
 }
