@@ -131,6 +131,7 @@ object SparkEntry {
     "url_canonicalize"     -> (TextDemos.urlCanonicalize(_, _)),
     "group_sample"         -> (TextDemos.groupSampleDemo(_, _)),
     "bigram_lm_score"      -> (TextDemos.bigramLmScore(_, _)),
+    "kn_lm_score"          -> (TextDemos.knLmScoreDemo(_, _)),
     "doc_freq_filter"      -> (TextDemos.docFreqFilter(_, _)),
     "tfidf_top_terms"      -> (TextDemos.tfidfTopTerms(_, _)),
     "repetition_score"     -> (TextDemos.repetitionScore(_, _)),
@@ -1139,6 +1140,7 @@ object SparkEntry {
     "url_canonicalize"  -> graft.oracle.OracleGen.urlCanonicalizeSql(),
     "group_sample"      -> graft.oracle.OracleGen.groupSampleSql(),
     "bigram_lm_score"   -> graft.oracle.OracleGen.bigramLmScoreSql(),
+    "kn_lm_score"       -> graft.oracle.OracleGen.knLmScoreSql(),
     "semantic_dedup"    -> graft.oracle.OracleGen.semanticDedupSql(),
     "dsir_score"        -> graft.oracle.OracleGen.dsirScoreSql(),
     "winnow_fingerprint" -> graft.oracle.OracleGen.winnowFingerprintSql(),

@@ -1073,6 +1073,64 @@ object TextDemos {
           .cast("decimal(27,6)").as("_lp"))
   }
 
+  /** C119 — interpolated Kneser-Ney bigram scoring (Kneser & Ney,
+    * ICASSP 1995; the smoothing KenLM implements — i.e. the actual
+    * model behind CCNet's perplexity filter, where C39's add-k is the
+    * textbook stand-in): P(b|a) = (max(c(a,b) − d, 0) + d · N1+(a·) ·
+    * P_cont(b)) / c(a·) with P_cont(b) = N1+(·b) / N1+(··) — the
+    * continuation distribution asks "how many CONTEXTS does b follow?"
+    * rather than "how often does b occur?", which is what stops
+    * high-frequency-but-one-context tokens (the "Francisco" problem)
+    * from soaking up backoff mass. Discount d = 0.75, the standard
+    * fixed choice.
+    *
+    * Scale shape = exactly C39's: the per-doc bigram tf table is the
+    * only corpus-scale shuffle; corpus bigram counts reduce from it;
+    * prefix totals, prefix continuation fan-out N1+(a·), continuation
+    * counts N1+(·b), and the bigram-type total all reduce from THOSE
+    * (vocabulary²-scale, one hop each, no extra corpus pass). Same
+    * 6-place-round + decimal-agg determinism (the ln rides round(·,6),
+    * the house libm posture). Self-scored corpus ⇒ every scored bigram
+    * has c(a,b) ≥ 1, so the max() never clips here; the backoff term
+    * still differentiates KN from MLE on every row. */
+  def knLmScoreOn(docs: DataFrame, discount: Double = 0.75,
+                  flagBelow: Double = -6.0): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"knLmScoreOn: discount in (0,1), got $discount")
+    val ws = docs.select(col("doc_id"), Text.wsTokens(col("text")).as("ws"))
+    val bg = ws.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("a"),
+            element_at(col("ws"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val tf2 = bg.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val cb = tf2.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cb"))
+    val cu = cb.groupBy(col("a"))
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1p_pre"))
+    val cont = cb.groupBy(col("b")).agg(count(lit(1)).as("n1p_cont"))
+    val tt = cb.agg(count(lit(1)).as("tt"))
+    tf2.join(cb, Seq("a", "b")).join(cu, Seq("a")).join(cont, Seq("b"))
+      .crossJoin(broadcast(tt))
+      .select(col("doc_id"), col("tf"),
+        round(log(
+          (greatest(col("cb") - discount, lit(0.0)) +
+            lit(discount) * col("n1p_pre") * col("n1p_cont") / col("tt")) /
+            col("cu")), 6)
+          .cast("decimal(27,6)").as("_lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (sum(col("_lp") * col("tf")).cast("double") / sum(col("tf")))
+          .as("kn_logprob"))
+      .withColumn("flagged", col("kn_logprob") < flagBelow)
+      .orderBy("doc_id")
+  }
+
+  /** C119 demo — KN-smoothed self-scoring of the document corpus. */
+  def knLmScoreDemo(spark: SparkSession, dir: String): DataFrame =
+    knLmScoreOn(Tables.documents(spark, dir))
+
   /** C112 — Min-K% probability (Shi et al. 2024, "Detecting
     * Pretraining Data from Large Language Models"): per document, the
     * mean log-probability of its LOWEST k% token transitions under the

@@ -1910,6 +1910,30 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |  FROM tf2 t JOIN cb c ON t.a = c.a AND t.b = c.b
        |  JOIN cu u ON t.a = u.a CROSS JOIN v)""".stripMargin
 
+  /** mirror of TextDemos.knLmScoreDemo: the same KN algebra — prefix
+    * totals + distinct-continuation fan-outs over the shared bigram
+    * CTEs, the same left-associated double arithmetic inside
+    * round(ln(·), 6). */
+  def knLmScoreSql(d: Double = 0.75, flagBelow: Double = -6.0): String =
+    s"""WITH ${bigramLpCtes("documents")}, cup AS (
+       |  SELECT a, CAST(SUM(cb) AS BIGINT) AS cu,
+       |         CAST(COUNT(*) AS BIGINT) AS n1p_pre
+       |  FROM cb GROUP BY a
+       |), cont AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n1p_cont FROM cb GROUP BY b
+       |), tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM cb),
+       |knlp AS (
+       |  SELECT t.doc_id, t.tf,
+       |         CAST(round(ln((GREATEST(c.cb - $d, 0.0) +
+       |               $d * u.n1p_pre * o.n1p_cont / tt.tt) / u.cu), 6)
+       |              AS DECIMAL(27,6)) AS lp
+       |  FROM tf2 t JOIN cb c ON t.a = c.a AND t.b = c.b
+       |  JOIN cup u ON t.a = u.a JOIN cont o ON t.b = o.b CROSS JOIN tt)
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       |       CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf) AS kn_logprob,
+       |       (CAST(SUM(lp * tf) AS DOUBLE) / SUM(tf)) < $flagBelow AS flagged
+       |FROM knlp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def bigramLmScoreSql(): String =
     s"""WITH ${bigramLpCtes("documents")}
        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
