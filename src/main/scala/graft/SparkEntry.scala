@@ -82,6 +82,7 @@ object SparkEntry {
     "weighted_sample"      -> (TextDemos.weightedSampleDemo(_, _)),
     "unimax_mix"           -> (TextDemos.unimaxMixDemo(_, _)),
     "unimax_apply"         -> (TextDemos.unimaxApplyDemo(_, _)),
+    "epoch_plan"           -> (TextDemos.epochPlanDemo(_, _)),
     "takedown_propagate"   -> (TextDemos.takedownPropagateDemo(_, _)),
     "split_leakage"        -> (TextDemos.splitLeakageDemo(_, _)),
     "stratified_split"     -> (TextDemos.stratifiedSplitDemo(_, _)),
@@ -948,6 +949,7 @@ object SparkEntry {
     "weighted_sample"   -> graft.oracle.OracleGen.weightedSampleSql(),
     "unimax_mix"         -> graft.oracle.OracleGen.unimaxSql(),
     "unimax_apply"       -> graft.oracle.OracleGen.unimaxApplySql(),
+    "epoch_plan"         -> graft.oracle.OracleGen.epochPlanSql(),
     "takedown_propagate" -> graft.oracle.OracleGen.takedownSql(),
     "split_leakage"      -> graft.oracle.OracleGen.splitLeakageSql(),
     "stratified_split"   -> graft.oracle.OracleGen.stratifiedSplitSql(),

@@ -559,6 +559,46 @@ object Sampling {
       .select(col(langCol), col(idCol), col("toks"), col("cum_tokens"))
   }
 
+  /** C120 — epoch repetition plan: turn a [[unimaxMix]] allocation into
+    * the EXACT per-document repetition counts a data loader executes —
+    * C115 selects the one-epoch document SET; this is the multi-epoch
+    * generalization a capped language actually trains under (alloc >
+    * corpus ⇒ some documents repeat). Each language's exact budget
+    * splits as alloc_exact = full·lang_tokens + rem (Long div/mod):
+    * every document repeats `full` times, and the documents in the
+    * seeded hash-race prefix whose cumulative tokens fit `rem` (the
+    * C85/C115 take-while-fits rule) repeat once more — so
+    * Σ n_reps·toks ≤ alloc_exact with under-fill < one document per
+    * language, all exact integer algebra. Membership is seed-keyed and
+    * partitioning-independent; re-runs produce the identical plan
+    * (loaders shard by it, so plan drift = silent data skew).
+    *
+    * Scale shape: ONE exchange keyed by language (the same cumsum
+    * window as C115); the allocation table broadcasts at language
+    * cardinality. Output: (lang, id, toks, cum_tokens, n_reps),
+    * n_reps ≥ 0 (a language allocated less than one full pass keeps
+    * only its fractional-prefix docs — n_reps 1 — and drops the rest
+    * at 0, the honest subsample). */
+  def epochPlan(df: DataFrame, langCol: String, idCol: String,
+                tokCol: Column, alloc: DataFrame, seed: Long): DataFrame = {
+    val pri = Vec.md5Hash60(concat(col(idCol).cast("string"), lit("#" + seed)))
+    val w = Window.partitionBy(col(langCol)).orderBy(pri, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = broadcast(alloc.select(col("lang").as(langCol),
+      col("alloc_exact").cast("long").as("_alloc"),
+      col("lang_tokens").cast("long").as("_lt")))
+    df.select(col(langCol), col(idCol),
+        coalesce(tokCol.cast("long"), lit(0L)).as("toks"))
+      .withColumn("cum_tokens", sum(col("toks")).over(w))
+      .join(budget, Seq(langCol))
+      // greatest(,1): a zero-token language has alloc_exact = 0 anyway
+      .withColumn("_full", expr("_alloc div greatest(_lt, 1L)"))
+      .withColumn("_rem", col("_alloc") - col("_full") * col("_lt"))
+      .select(col(langCol), col(idCol), col("toks"), col("cum_tokens"),
+        (col("_full") +
+          when(col("cum_tokens") <= col("_rem"), 1L).otherwise(0L)).as("n_reps"))
+  }
+
   /** C104 — EXACT-count stratified split: within every stratum, order
     * rows by a seeded engine-portable hash of the id and send the first
     * ⌊n·testFrac⌋ to `test`, the rest to `train` — the eval-set

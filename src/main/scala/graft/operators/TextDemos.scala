@@ -2390,6 +2390,21 @@ object TextDemos {
       .orderBy("lang", "cum_tokens")
   }
 
+  /** C120 — the C102 allocation as an exact per-document repetition
+    * plan (budget 1.5× corpus tokens, maxEpochs 2, seed 5): capped
+    * languages read full 2-epoch repetition, the dominant ones a
+    * 1-epoch pass plus a fractional hash-race prefix. */
+  def epochPlanDemo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val total = docs.agg(coalesce(sum(Text.tokenCount(col("text"))), lit(0L)))
+      .first().getLong(0)
+    val alloc = Sampling.unimaxMix(docs, "lang", Text.tokenCount(col("text")),
+      budget = 3L * total / 2L, maxEpochs = 2)
+    Sampling.epochPlan(docs, "lang", "doc_id",
+        Text.tokenCount(col("text")), alloc, seed = 5)
+      .orderBy("lang", "cum_tokens")
+  }
+
   /** C116 — split-leakage audit of the C20 hash split: test docs
     * sharing a verbatim 8-gram window with any train doc (the near-dup
     * clusters that straddle the 80/10/10 boundary). */

@@ -3280,6 +3280,33 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |ORDER BY lang, cum_tokens""".stripMargin
   }
 
+  /** mirror of TextDemos.epochPlanDemo: the C102 closed form nested as
+    * a CTE, the same per-language hash-race cumsum, and the exact
+    * Long div/mod split of alloc_exact into full passes + fractional
+    * prefix. */
+  def epochPlanSql(seed: Long = 5, maxEpochs: Int = 2): String = {
+    val allocCore = unimaxSql(maxEpochs)
+      .replaceAll("(?s)\\s*ORDER BY lang\\s*$", "")
+    s"""WITH alloc AS (
+       |$allocCore
+       |), d AS (
+       |  SELECT lang, doc_id, CAST($wsToks AS BIGINT) AS toks,
+       |         ${md560(s"(CAST(doc_id AS VARCHAR) || '#$seed')")} AS pri
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, doc_id, toks,
+       |         SUM(toks) OVER (PARTITION BY lang ORDER BY pri, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d
+       |)
+       |SELECT c.lang, c.doc_id, c.toks, CAST(c.cum AS BIGINT) AS cum_tokens,
+       |       CAST(a.alloc_exact // GREATEST(a.lang_tokens, 1)
+       |            + CASE WHEN c.cum <= a.alloc_exact % GREATEST(a.lang_tokens, 1)
+       |                   THEN 1 ELSE 0 END AS BIGINT) AS n_reps
+       |FROM c JOIN alloc a USING (lang)
+       |ORDER BY lang, cum_tokens""".stripMargin
+  }
+
   /** mirror of TextDemos.splitLeakageDemo: the C20 bucket assignment,
     * positional k-gram hashes, and the straddles-the-boundary leak
     * predicate. */

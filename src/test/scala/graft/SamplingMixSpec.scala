@@ -163,6 +163,52 @@ class SamplingMixSpec extends SparkSpec {
     assert(ids(1, 3) != ids(1, 4))
   }
 
+  // ---- C120 epoch_plan -------------------------------------------------
+
+  test("C120 repetition plan: capped langs repeat fully; budget conserved; sub-pass == C115 set") {
+    val docs = (1L to 30L).map { i =>
+      val lang = if (i <= 20) "big" else "small"
+      (i, lang, 10L)
+    }.toDF("id", "lang", "toks")
+    // big: 200 tokens; small: 100 tokens. budget 360, maxEpochs 2:
+    // caps are 400/200; sorted by cap: small 200·2=... small cap 200,
+    // big cap 400. small capped iff 200·2 <= 360 -> false; so nobody
+    // caps: theta = 180 each. big: 180 = 1·200? no — 180 < 200 ->
+    // full 0, rem 180 -> 18 docs once. small: 180 > 100 -> full 1,
+    // rem 80 -> 8 docs twice, rest once.
+    val alloc = Sampling.unimaxMix(docs, "lang", col("toks"),
+      budget = 360L, maxEpochs = 2)
+    val plan = Sampling.epochPlan(docs, "lang", "id", col("toks"), alloc,
+      seed = 9).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val byLang = plan.groupBy(_._1)
+    // conservation: sum(n_reps * toks) <= alloc_exact, gap < one doc
+    val exact = alloc.collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    byLang.foreach { case (l, rows) =>
+      val used = rows.map(r => r._4 * r._3).sum
+      assert(used <= exact(l), s"$l used $used > ${exact(l)}")
+      assert(exact(l) - used < 10L, s"$l under-fill ${exact(l) - used}")
+    }
+    // big is sub-one-pass: its n_reps=1 set must equal unimaxApply's
+    // selected set at the same seed
+    val planBig = plan.filter(r => r._1 == "big" && r._4 == 1L).map(_._2).toSet
+    val applied = Sampling.unimaxApply(docs, "lang", "id", col("toks"),
+        alloc, seed = 9)
+      .filter(col("lang") === "big").collect().map(_.getLong(1)).toSet
+    assert(planBig == applied)
+    assert(plan.filter(r => r._1 == "big" && r._4 == 0L).length == 2)
+    // small: full pass + fractional prefix -> reps in {1, 2}, eight 2s
+    val smallReps = plan.filter(_._1 == "small").map(_._4)
+    assert(smallReps.count(_ == 2L) == 8 && smallReps.count(_ == 1L) == 2)
+    // a genuinely capped language repeats exactly maxEpochs everywhere
+    val capAlloc = Sampling.unimaxMix(docs, "lang", col("toks"),
+      budget = 1000L, maxEpochs = 2) // 600 = total caps <= 1000: all cap
+    val capPlan = Sampling.epochPlan(docs, "lang", "id", col("toks"),
+        capAlloc, seed = 9)
+      .collect().map(_.getLong(4))
+    assert(capPlan.forall(_ == 2L))
+  }
+
   // ---- C104 stratified_split -----------------------------------------
 
   test("C104 exact per-stratum test counts at floor(n*frac)") {
