@@ -54,6 +54,7 @@ object SparkEntry {
     "quality_score"        -> (TextDemos.qualityScore(_, _)),
     "lang_id"              -> (TextDemos.langId(_, _)),
     "token_stats_by_lang"  -> (TextDemos.tokenStatsByLang(_, _)),
+    "lang_confusion"       -> (TextDemos.langConfusionDemo(_, _)),
     "doc_fingerprint"      -> (TextDemos.docFingerprint(_, _)),
     "ngram_jaccard"        -> (TextDemos.ngramJaccard(_, _)),
     "embed_cosine_topk"    -> (TextDemos.embedCosineTopk(_, _)),
@@ -200,6 +201,7 @@ object SparkEntry {
     "stream_quality_gate_parity" -> (graft.streaming.StreamParity.streamQualityGateParity(_, _)),
     "stream_sft_gate_parity" -> (graft.streaming.StreamParity.streamSftGateParity(_, _)),
     "stream_mojibake_parity" -> (graft.streaming.StreamParity.streamMojibakeParity(_, _)),
+    "stream_takedown_parity" -> (graft.streaming.StreamParity.streamTakedownParity(_, _)),
     "stream_drift_parity"  -> (graft.streaming.StreamParity.streamDriftParity(_, _)),
     "stream_calibration_parity" -> (graft.streaming.StreamParity.streamCalibrationParity(_, _)),
     "stream_kmv_sketch_parity" -> (graft.streaming.StreamParity.streamKmvSketchParity(_, _)),
@@ -270,6 +272,12 @@ object SparkEntry {
       "stream_sft_gate_parity" -> m("sft_validate"),
       // D14: the streamed mojibake counters land on C105's batch agg
       "stream_mojibake_parity" -> graft.oracle.OracleGen.streamMojibakeSql(),
+      // D15: the C103 chain projected to the removal SET (the reason
+      // column is the batch row's decoration, gated there)
+      "stream_takedown_parity" ->
+        s"""SELECT doc_id, cluster FROM (
+           |${graft.oracle.OracleGen.takedownSql()}
+           |) ORDER BY doc_id""".stripMargin,
       // D11: the streamed histogram + batch reference lands on C80's
       // batch PSI answer
       "stream_drift_parity" -> graft.oracle.OracleGen.corpusDriftSql(),
@@ -768,6 +776,7 @@ object SparkEntry {
          |FROM g ORDER BY doc_id""".stripMargin
     },
 
+    "lang_confusion"    -> graft.oracle.OracleGen.langConfusionSql(),
     "token_stats_by_lang" -> {
       // the lang_id CTE chain, rolled up per (pred_lang, source)
       val profiles = graft.functions.Text.LangProfiles

@@ -96,6 +96,29 @@ object TextDemos {
       .orderBy("doc_id")
   }
 
+  /** C121 — language-ID confusion matrix: detected language vs the
+    * metadata lang column, one row per (actual, predicted) cell with
+    * the cell's share of its actual-language row — the audit that
+    * says WHERE the detector and the crawl metadata disagree before
+    * anyone keys a mixture policy (C27/C102) on either. Diagonal
+    * share = per-language recall of the detector against metadata;
+    * off-diagonal mass names the confusion pairs. Scale shape: one
+    * map-side-combined count to (actual, predicted) cells
+    * (language²-cardinality), actual totals reduce from the CELLS and
+    * broadcast back — the corpus is scanned once. */
+  def langConfusionDemo(spark: SparkSession, dir: String): DataFrame = {
+    val (pred, _) = Text.langId(col("text"))
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang").as("actual"), pred.as("predicted"))
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(col("actual")).agg(sum(col("n_docs")).as("_t"))
+    cells.join(broadcast(totals), Seq("actual"))
+      .select(col("actual"), col("predicted"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("_t"), 6).as("actual_frac"))
+      .orderBy("actual", "predicted")
+  }
+
   /** C72 — the dataset-card mixture table keyed by DETECTED language
     * (C62 keys on the metadata lang column; this is the honest
     * version — crawl metadata lies, detection doesn't): per

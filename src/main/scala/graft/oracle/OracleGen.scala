@@ -1812,6 +1812,23 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
     (ctes, s"CASE WHEN mx = 0 THEN 'und' $cases END")
   }
 
+  /** mirror of TextDemos.langConfusionDemo: the shared C8 language
+    * chain with the metadata lang carried through, cells + actual
+    * totals, identical double division. */
+  def langConfusionSql(): String = {
+    val (langCtes, langCase) = langIdCtes("documents", carry = Seq("lang"))
+    s"""WITH $langCtes,
+       |p AS (SELECT lang AS actual, $langCase AS predicted FROM g),
+       |cells AS (
+       |  SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM p GROUP BY 1, 2
+       |), t AS (SELECT actual, CAST(SUM(n_docs) AS BIGINT) AS tt FROM cells GROUP BY 1)
+       |SELECT actual, predicted, n_docs,
+       |       round(CAST(n_docs AS DOUBLE) / tt, 6) AS actual_frac
+       |FROM cells JOIN t USING (actual)
+       |ORDER BY actual, predicted""".stripMargin
+  }
+
   /** mirror of TextDemos.mixtureReweightDemo: the shared LM chain
     * joined to documents for `source`, per-source and global
     * cross-entropy means through rounded-decimal sums, then the

@@ -370,6 +370,50 @@ object StreamParity {
       .orderBy("o_orderpriority")
   }
 
+  /** D15 ↔ C103: takedown REQUESTS replayed as a stream against the
+    * static near-dup cluster table — the direction a takedown pipeline
+    * actually runs (requests ARRIVE; the cluster labels already landed
+    * with the dedup pass, so they are computed once batch-side and
+    * persisted — the D8 static-side discipline). Per micro-batch the
+    * newly-listed ids taint their clusters; streaming dropDuplicates
+    * state guarantees each cluster sweeps EXACTLY ONCE across batches
+    * no matter how requests arrive, repeat, or split; the member
+    * fan-out lands in an append file sink. The accumulated
+    * (doc_id, cluster) removal set must equal the batch C103 audit
+    * over the union of all requests — the SET is what a takedown
+    * response certifies (the listed-vs-cluster reason column is the
+    * batch row's decoration, already gated there). State is bounded by
+    * TAINTED-CLUSTER cardinality (request-scale), not corpus size;
+    * production adds a retention watermark. */
+  def streamTakedownParity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val pairs = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text",
+      shingleN = 3, k = 32, bands = 8, minEstSim = 0.25,
+      tokenHash = graft.functions.Vec.md5Hash60, hashBandKeys = false)
+    // persisted: the static side of a stream-static join re-evaluates
+    // per micro-batch, and the CC labels are an ITERATIVE computation
+    val clusters = graft.util.CacheRegistry.register(
+      graft.operators.Dedup.connectedComponents(docs, pairs, "doc_id")
+        .select(col("doc_id"), col("cluster")).persist())
+    val listed = docs.filter(pmod(col("doc_id"), lit(29)) === 0)
+      .select(col("doc_id"))
+    val src = fileStream(listed, s"stkd_${sfName(dir)}", nFiles = 4, filesPerTrigger = 1)
+    val target = freshTarget(s"stkd_tgt_${sfName(dir)}")
+    withStateParallelism(spark, 2) {
+      val q = src.join(clusters, Seq("doc_id"))
+        .select(col("cluster"))
+        .dropDuplicates("cluster")
+        .join(clusters, Seq("cluster"))
+        .writeStream.format("parquet").option("path", s"$target/out")
+        .option("checkpointLocation", s"$target/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(s"$target/out")
+      .select(col("doc_id"), col("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** [[fileStream]] staged in EVENT-TIME order: range-partitioned on
     * `orderCol`, one file per range, file modification times stamped
     * strictly increasing in range order so the file source replays

@@ -47,6 +47,14 @@ class StreamParitySpec extends SparkSpec {
       s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
   }
 
+  test("D15 parity: streamed takedown requests sweep the exact batch removal set") {
+    val streamed = rows(StreamParity.streamTakedownParity(spark, sfDir))
+    val batch = rows(TextDemos.takedownPropagateDemo(spark, sfDir)
+      .select(col("doc_id"), col("cluster")).orderBy("doc_id"))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream=${streamed.take(3)}... batch=${batch.take(3)}...")
+  }
+
   test("D11 parity: streamed drift histogram lands on the batch PSI verbatim") {
     val streamed = rows(StreamParity.streamDriftParity(spark, sfDir))
     val batch = rows(TextDemos.corpusDrift(spark, sfDir))
