@@ -18,9 +18,10 @@ import org.apache.spark.sql.SparkSession
   *
   * WALL-CLOCK BUDGET (r13 verdict task 2: the driver's window killed
   * the r13 run at rc=124 with NO payload): SPARK_GRAFT_TIME_BUDGET
-  * seconds (default 900, 0 = unlimited). The suite always finishes
-  * inside it by degrading gracefully — retry loops stop growing past
-  * 70 % of budget, rows started past 85 % take one timed sample, and a
+  * seconds (default 780, 0 = unlimited). The suite always finishes
+  * inside it by degrading gracefully — warmup truncates at 30 %, rows
+  * started past 60 % drop one pass, retry/resample loops stop growing
+  * past 70 %, rows started past 80 % take one timed sample, and a
   * drift re-window only runs when a whole extra window fits. The
   * artifact's `budget` object records elapsed time, any degraded rows,
   * and whether a re-window was skipped, so a thin run is visibly thin

@@ -650,11 +650,12 @@ object Dedup {
     // join); persist it so the full-corpus shingle explode — the most
     // expensive projection in the audit — runs once (the DISK_ONLY
     // discipline refreshImpacts applies)
-    val win = df.select(col(idCol), col(splitCol).as("_split"),
-        posexplode(Text.shinglesWithDuplicates(col(textCol), k))
-          .as(Seq("pos", "w")))
-      .select(col(idCol), col("_split"), tokenHash(col("w")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val win = graft.util.CacheRegistry.register(
+      df.select(col(idCol), col(splitCol).as("_split"),
+          posexplode(Text.shinglesWithDuplicates(col(textCol), k))
+            .as(Seq("pos", "w")))
+        .select(col(idCol), col("_split"), tokenHash(col("w")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY))
     val leak = win.groupBy(col("h")).agg(
         countDistinct(when(col("_split") === trainVal, col(idCol))).as("_ntr"),
         countDistinct(when(col("_split") === testVal, col(idCol))).as("_nte"))

@@ -123,7 +123,7 @@ object Governance {
     * CDF is computed ONCE driver-side and embedded as EXACT Long
     * thresholds scaled to 2^60 ([[geometricThresholds]], shared
     * verbatim with the DuckDB oracle): noise = (# thresholds ≤ u) −
-    * bound − 1 where u is the cell's md5-60 uniform. Pure integer
+    * bound where u is the cell's md5-60 uniform. Pure integer
     * compares per row; bit-identical on any engine.
     *
     * Scale shape: one map-side-combined count per cell

@@ -89,6 +89,15 @@ object StreamParity {
   private def withStateParallelism[T](spark: SparkSession, n: Int)(body: => T): T =
     withConfs(spark, "spark.sql.shuffle.partitions" -> n.toString)(body)
 
+  /** awaitTermination plus a synchronous state-telemetry capture from
+    * the terminated query itself ([[StreamTelemetry]]) — the listener
+    * bus delivers progress asynchronously, so recording at the await
+    * site is the only read that can never race a straggling event. */
+  private def awaitRecorded(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    StreamTelemetry.record(q)
+  }
+
   /** Run `body` with session confs temporarily overridden (restored
     * after, even on failure). Only queries PLANNED inside `body` see
     * the overrides. */
@@ -116,7 +125,7 @@ object StreamParity {
       val q = EventStream.windowAgg(src, watermark = "3650 days")
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     spark.table(view).select(
         col("window_start").as("hour_start"), col("event_type"),
@@ -143,7 +152,7 @@ object StreamParity {
       val q = EventStream.ngramDocCounts(src, "doc_id", "text", n = 3)
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     spark.table(view)
       .groupBy(col("ngram"))
@@ -182,7 +191,7 @@ object StreamParity {
           tokenHash = graft.functions.Vec.md5Hash60)
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     spark.table(view).orderBy("doc_id")
   }
@@ -202,7 +211,7 @@ object StreamParity {
       val q = EventStream.sftTurnState(src, "conv_id", "turn_idx", "role", "content")
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     graft.operators.Sft.verdictsFromTurnState(spark.table(view), "conv_id")
       .orderBy("conv_id")
@@ -221,7 +230,7 @@ object StreamParity {
       val q = EventStream.mojibakeGateCounts(src, "doc_id", "text", "lang")
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     spark.table(view).orderBy("lang", "flagged")
   }
@@ -241,7 +250,7 @@ object StreamParity {
       val q = EventStream.qualityGateCounts(src, "doc_id", "page", "source")
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     spark.table(view).orderBy("source", "kept")
   }
@@ -270,7 +279,7 @@ object StreamParity {
           "q", edges)
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     Curation.driftFromHistograms(
         Curation.driftHistogram(v1, "q", edges),
@@ -302,7 +311,7 @@ object StreamParity {
           "score", "is_target", nBins = 10)
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     spark.table(view).orderBy("bin")
   }
@@ -324,7 +333,7 @@ object StreamParity {
           tokenHash = graft.functions.Vec.md5Hash60)
         .writeStream.format("memory").queryName(view)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     spark.table(view)
       .select(posexplode(col("kmv")).as(Seq("pos", "h")))
@@ -362,7 +371,7 @@ object StreamParity {
         // StreamingSpec
         .option("checkpointLocation", s"$target/ckpt")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     EventStream.readLatestState(spark, target)
       .select(col("o_orderpriority"), col("total"),
@@ -407,7 +416,7 @@ object StreamParity {
         .writeStream.format("parquet").option("path", s"$target/out")
         .option("checkpointLocation", s"$target/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     spark.read.parquet(s"$target/out")
       .select(col("doc_id"), col("cluster"))
@@ -466,7 +475,7 @@ object StreamParity {
         .writeStream.format("parquet").option("path", s"$target/out")
         .option("checkpointLocation", s"$target/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     spark.read.parquet(s"$target/out").orderBy("event_id")
   }
@@ -492,7 +501,7 @@ object StreamParity {
         .writeStream.format("parquet").option("path", s"$target/out")
         .option("checkpointLocation", s"$target/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     spark.read.parquet(s"$target/out").orderBy("event_id", "p_ts")
   }
@@ -522,7 +531,7 @@ object StreamParity {
         .writeStream.format("parquet").option("path", s"$target/out")
         .option("checkpointLocation", s"$target/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
     }
     spark.read.parquet(s"$target/out")
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
@@ -571,7 +580,7 @@ object StreamParity {
           tokenHash = graft.functions.Vec.md5Hash60, hashBandKeys = false) _)
         .option("checkpointLocation", s"$target/ckpt")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      awaitRecorded(q)
       // 8 segment files, not the production 32: the parity archive is
       // fixture-sized, and the fold's cost here is task-commit overhead
       EventStream.compactSignatures(spark, target, nFiles = 8)

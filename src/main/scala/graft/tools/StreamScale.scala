@@ -1,8 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.StreamingQueryListener
-import scala.jdk.CollectionConverters._
+import graft.streaming.StreamTelemetry
 
 /** Streaming-tier scale smoke (r13 verdict task 6): the D rows had
   * never been measured above sf0.1. Replays the heavy parity rows at
@@ -34,22 +33,11 @@ object StreamScale {
 
     graft.ScaleSmoke.synthesize(spark, srcDir, outDir, factor)
 
-    // per-run state-store telemetry from the engine's progress events:
-    // max across triggers of (Σ operator numRowsTotal, Σ memoryUsedBytes)
-    val maxRows = new java.util.concurrent.atomic.AtomicLong()
-    val maxBytes = new java.util.concurrent.atomic.AtomicLong()
-    spark.streams.addListener(new StreamingQueryListener {
-      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
-      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        val ops = e.progress.stateOperators
-        if (ops.nonEmpty) {
-          maxRows.accumulateAndGet(ops.map(_.numRowsTotal).sum, Math.max(_, _))
-          maxBytes.accumulateAndGet(ops.map(_.memoryUsedBytes).sum, Math.max(_, _))
-        }
-      }
-    })
-
+    // State telemetry comes synchronously from each terminated query
+    // via StreamTelemetry (recorded at the parity harness's
+    // awaitTermination sites) — the r14 listener-bus read could miss
+    // the final trigger and leak a previous sample's straggler into
+    // the next sample's max.
     val rows = Seq("stream_dedup_state_parity", "stream_interval_join_parity",
       "stream_dedup_parity", "stream_topk_ngrams_parity")
     val registry = graft.SparkEntry.queries ++ graft.SparkEntry.benchExtras
@@ -59,12 +47,12 @@ object StreamScale {
       fn(spark, dir).count() // warmup (stages the fixture)
       graft.util.CacheRegistry.releaseAll()
       val samples = Seq.fill(passes) {
-        maxRows.set(0); maxBytes.set(0)
+        StreamTelemetry.reset()
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         val sec = (System.nanoTime() - t0) / 1e9
         graft.util.CacheRegistry.releaseAll()
-        (sec, maxRows.get, maxBytes.get)
+        (sec, StreamTelemetry.maxStateRows, StreamTelemetry.maxStateBytes)
       }
       (graft.Bench.median(samples.map(_._1)),
         samples.map(_._2).max, samples.map(_._3).max)
