@@ -53,6 +53,153 @@ object EventStream {
       .groupBy(col("ngram"), col(idCol))
       .agg(count(lit(1)).as("n_in_doc"))
 
+  // ---- D7 production tier: bounded heavy-hitter n-gram state ----
+
+  /** one exploded n-gram occurrence (bucket = pmod(hash(ngram), nBuckets)) */
+  case class NgramOcc(bucket: Int, ngram: String, doc_id: Long)
+  /** a tracked summary entry: occ/docs are space-saving OVER-estimates,
+    * the *Err fields the inherited error (0 ⇒ the value is exact) */
+  case class HHItem(ngram: String, occ: Long, occErr: Long,
+                    docs: Long, docsErr: Long)
+  case class HHState(seq: Long, items: Array[HHItem])
+  /** one update-mode emission: the entry's value as of trigger `seq`
+    * (deleted = evicted this trigger). Final value per (bucket, ngram)
+    * = the max-seq row — see [[StreamParity.streamTopkNgramsParity]]. */
+  case class HHUpdate(bucket: Int, seq: Long, ngram: String, occ: Long,
+                      occ_err: Long, docs: Long, docs_err: Long,
+                      deleted: Boolean)
+
+  /** D7 (production tier): the corpus n-gram profile with HARD-CAPPED
+    * state — the r14 3× smoke showed [[ngramDocCounts]]'s (ngram, doc)
+    * keyed state growing linearly with the corpus (260k→791k rows,
+    * 87→199 MB), unbounded at 100 TB. This operator keeps at most
+    * `nBuckets × capacityPerBucket` counters, period, via the
+    * space-saving stream summary (Metwally, Agrawal, El Abbadi,
+    * ICDT'05): a full summary evicts its minimum-count entry and the
+    * newcomer inherits that count as its error bound, guaranteeing
+    * (a) every item with true count > N/capacity is tracked and
+    * (b) tracked counts over-estimate by at most the recorded `occErr`
+    * (`occErr = 0` ⇒ exact).
+    *
+    * Two exactness levers the naive pair-keyed form lacks:
+    *  - state keys on the NGRAM, not the (ngram, doc) pair: document
+    *    frequency folds EXACTLY without distinct-state because a
+    *    document row explodes atomically into one micro-batch — the
+    *    batch-local distinct-doc count per ngram (computed in the
+    *    group iterator, bounded by batch size) sums across batches
+    *    with no overlap. Vocabulary saturates where pairs don't
+    *    (measured: 10× corpus = 1.7× vocab, 10× pairs).
+    *  - within a batch, ngrams apply in sorted order and eviction
+    *    ties break deterministically (min occ, then lexicographically
+    *    largest ngram), so a replay reproduces the summary bit-for-bit.
+    *
+    * Scale shape: ngrams hash-partition across `nBuckets` independent
+    * summaries (each ngram lives in exactly one bucket, so cross-bucket
+    * union preserves per-ngram exactness); state per bucket is capped
+    * at `capacityPerBucket` entries regardless of corpus size. At
+    * 100 TB: size nBuckets to the stateful parallelism and capacity to
+    * the tolerated error N_bucket/capacity; the profile consumer reads
+    * top-k ≪ capacity, so the cap is error margin, not truncation.
+    * Emission is update-mode delta (touched + evicted entries only),
+    * never the full summary. */
+  def ngramHeavyHitters(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, nBuckets: Int = 2,
+                        capacityPerBucket: Int = 1 << 15): Dataset[HHUpdate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(call_function("graft_shingles",
+          col(textCol), lit(n), lit(false))).as("ngram"))
+      .select(pmod(xxhash64(col("ngram")), lit(nBuckets)).cast("int").as("bucket"),
+        col("ngram"), col("doc_id"))
+      .as[NgramOcc]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[HHState, HHUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout)(
+        updateHHBucket(capacityPerBucket))
+  }
+
+  /** per-bucket space-saving fold of one micro-batch (see
+    * [[ngramHeavyHitters]]). O(batch + evictions·log capacity) via a
+    * lazy-deletion min-heap; the heap seeds only when the summary is
+    * full (steady gate-scale batches never build it). */
+  private def updateHHBucket(capacity: Int)(
+      bucket: Int, rows: Iterator[NgramOcc],
+      state: GroupState[HHState]): Iterator[HHUpdate] = {
+    import scala.collection.mutable
+    // batch-local EXACT fold: occurrences + distinct docs per ngram
+    // (a doc's rows never span batches, so these sum exactly)
+    final class Acc { var occ = 0L; val docs = new mutable.HashSet[Long] }
+    val local = new mutable.HashMap[String, Acc]
+    rows.foreach { r =>
+      val a = local.getOrElseUpdate(r.ngram, new Acc)
+      a.occ += 1; a.docs += r.doc_id
+    }
+    val prev = state.getOption.getOrElse(HHState(0L, Array.empty))
+    val summary = new mutable.HashMap[String, HHItem]
+    prev.items.foreach(it => summary(it.ngram) = it)
+    val touched = new mutable.HashSet[String]
+    val sawTombstone = new mutable.HashSet[String]
+    // deterministic application order; untracked ngrams defer to the
+    // eviction phase so phase-1 updates precede every eviction decision
+    val untracked = new mutable.ArrayBuffer[(String, Acc)]
+    local.toSeq.sortBy(_._1).foreach { case (g, a) =>
+      summary.get(g) match {
+        case Some(it) =>
+          summary(g) = it.copy(occ = it.occ + a.occ, docs = it.docs + a.docs.size)
+          touched += g
+        case None if summary.size < capacity =>
+          summary(g) = HHItem(g, a.occ, 0L, a.docs.size.toLong, 0L)
+          touched += g
+        case None => untracked += ((g, a))
+      }
+    }
+    if (untracked.nonEmpty) {
+      // lazy-deletion min-heap over (occ, ngram): pop order = smallest
+      // occ, ties to the lexicographically largest ngram (deterministic)
+      implicit val evictFirst: Ordering[(Long, String)] =
+        new Ordering[(Long, String)] {
+          def compare(a: (Long, String), b: (Long, String)): Int = {
+            val c = java.lang.Long.compare(b._1, a._1)
+            if (c != 0) c else a._2.compareTo(b._2)
+          }
+        }
+      val pq = mutable.PriorityQueue.empty[(Long, String)]
+      summary.foreach { case (g, it) => pq.enqueue((it.occ, g)) }
+      untracked.foreach { case (g, a) =>
+        var victim: Option[HHItem] = None
+        while (victim.isEmpty) {
+          val (o, vg) = pq.dequeue()
+          summary.get(vg) match {
+            case Some(it) if it.occ == o => victim = Some(it) // current
+            case _ => () // stale heap entry (evicted or re-counted)
+          }
+        }
+        val v = victim.get
+        summary.remove(v.ngram)
+        sawTombstone += v.ngram
+        val item = HHItem(g, v.occ + a.occ, v.occ,
+          v.docs + a.docs.size, v.docs)
+        summary(g) = item
+        touched += g
+        pq.enqueue((item.occ, g))
+      }
+    }
+    val seq = prev.seq + 1
+    state.update(HHState(seq, summary.values.toArray.sortBy(_.ngram)))
+    // one row per affected ngram: its END-of-batch status (an entry
+    // evicted then re-inserted this batch emits its live value)
+    (touched ++ sawTombstone).toSeq.sorted.iterator.map { g =>
+      summary.get(g) match {
+        case Some(it) =>
+          HHUpdate(bucket, seq, g, it.occ, it.occErr, it.docs, it.docsErr,
+            deleted = false)
+        case None => HHUpdate(bucket, seq, g, 0L, 0L, 0L, 0L, deleted = true)
+      }
+    }
+  }
+
   /** D8: streaming decontamination gate — C21's streaming twin, the
     * production direction of the train-test-overlap scan: benchmark
     * shingle hashes are a STATIC dimension table (eval sets are

@@ -134,30 +134,36 @@ object StreamParity {
   }
 
   /** D7 ↔ C60: the documents table streamed through
-    * [[EventStream.ngramDocCounts]] (the incremental heavy-hitter
-    * profile), final (ngram, doc) counter state read via a
-    * complete-mode memory sink, then the C60 top-25 derived from
-    * state by a BATCH finishing aggregation — Σ n_in_doc is the
-    * occurrence count, the key count is the document frequency. The
-    * incremental counts must land on the exact batch answer no matter
-    * how the replay splits documents into micro-batches (counting is
-    * order-free), so the row answers to the topk_ngrams oracle
-    * VERBATIM. */
+    * [[EventStream.ngramHeavyHitters]] (the BOUNDED-state production
+    * profile — r14's pair-keyed exact tier grew state linearly with
+    * the corpus; this one is hard-capped at nBuckets×capacity
+    * entries), update-mode deltas landing in a memory sink, the final
+    * summary recovered as the max-seq row per (bucket, ngram), then
+    * the C60 top-25 derived by a BATCH finishing aggregation. The
+    * parity scales see no eviction (capacity 32k/bucket vs a 27k
+    * total vocabulary at sf0.1 — vocabulary saturates, Heaps' law),
+    * so every reported count is exact and order-free and the row
+    * answers the topk_ngrams oracle VERBATIM; the eviction path is
+    * property-tested against exact batch counts in EventStreamSpec. */
   def streamTopkNgramsParity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val src = fileStream(docs, s"stkn_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
     val view = s"graft_stkn_${Fixtures.runId}"
     spark.catalog.dropTempView(view) // re-invocation reuses the name
     withStateParallelism(spark, 2) {
-      val q = EventStream.ngramDocCounts(src, "doc_id", "text", n = 3)
+      val q = EventStream.ngramHeavyHitters(src, "doc_id", "text", n = 3,
+          nBuckets = 2, capacityPerBucket = 1 << 15)
         .writeStream.format("memory").queryName(view)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
       awaitRecorded(q)
     }
     spark.table(view)
-      .groupBy(col("ngram"))
-      .agg(sum(col("n_in_doc")).as("n_occurrences"),
-        count(lit(1)).as("n_docs"))
+      .groupBy(col("bucket"), col("ngram"))
+      .agg(max_by(struct(col("occ"), col("docs"), col("deleted")),
+        col("seq")).as("f"))
+      .filter(!col("f.deleted"))
+      .select(col("ngram"), col("f.occ").as("n_occurrences"),
+        col("f.docs").as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(25)
   }

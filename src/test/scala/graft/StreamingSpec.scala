@@ -191,4 +191,75 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  /** final summary from an update-mode heavy-hitter sink: max-seq row
+    * per (bucket, ngram), tombstones dropped — the same recovery the
+    * parity row performs. */
+  private def hhFinal(view: String): Map[String, (Long, Long, Long, Long)] =
+    spark.table(view)
+      .groupBy($"bucket", $"ngram")
+      .agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct(
+          $"occ", $"occ_err", $"docs", $"docs_err", $"deleted"), $"seq").as("f"))
+      .filter(!$"f.deleted")
+      .select($"ngram", $"f.occ", $"f.occ_err", $"f.docs", $"f.docs_err")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+  test("D7 heavy-hitter profile: exact occ + doc frequency across batches when under capacity") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val q = EventStream.ngramHeavyHitters(ms.toDF(), "doc_id", "text",
+        n = 1, nBuckets = 2, capacityPerBucket = 64)
+      .writeStream.format("memory").queryName("d7_hh_exact")
+      .outputMode("update").start()
+    try {
+      ms.addData(Doc(1, "x y"), Doc(2, "x z"))
+      q.processAllAvailable()
+      ms.addData(Doc(3, "x y y"))
+      q.processAllAvailable()
+      // truth: x occ=3 docs=3, y occ=3 docs=2, z occ=1 docs=1 — the
+      // cross-batch doc-frequency fold must be exact (docs never span
+      // batches), every error field 0 (no eviction under capacity)
+      assert(hhFinal("d7_hh_exact") == Map(
+        "x" -> (3L, 0L, 3L, 0L), "y" -> (3L, 0L, 2L, 0L), "z" -> (1L, 0L, 1L, 0L)))
+    } finally q.stop()
+  }
+
+  test("D7 heavy-hitter profile: space-saving guarantees under eviction pressure") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Doc]
+    val q = EventStream.ngramHeavyHitters(ms.toDF(), "doc_id", "text",
+        n = 1, nBuckets = 1, capacityPerBucket = 2)
+      .writeStream.format("memory").queryName("d7_hh_evict")
+      .outputMode("update").start()
+    try {
+      // true counts: a=10, b=5, then five singletons; N=20, capacity=2
+      ms.addData(Doc(1, Seq.fill(10)("a").mkString(" ") + " " + Seq.fill(5)("b").mkString(" ")))
+      q.processAllAvailable()
+      ms.addData(Doc(2, "c"), Doc(3, "d"), Doc(4, "e"), Doc(5, "f"), Doc(6, "g"))
+      q.processAllAvailable()
+      val fin = hhFinal("d7_hh_evict")
+      val truth = Map("a" -> 10L, "b" -> 5L, "c" -> 1L, "d" -> 1L,
+        "e" -> 1L, "f" -> 1L, "g" -> 1L)
+      // hard cap holds
+      assert(fin.size <= 2, s"capacity exceeded: $fin")
+      // any item with true count > N/capacity = 10 is guaranteed
+      // tracked; a sits exactly at N/m here but survives because every
+      // challenger inherits from the smaller counter — and its count
+      // is exact (never evicted: err = 0)
+      assert(fin.contains("a") && fin("a") == (10L, 0L, 1L, 0L), s"got $fin")
+      // every tracked count over-estimates by at most its recorded
+      // error: true <= occ, occ - occ_err <= true
+      fin.foreach { case (g, (occ, err, docs, docsErr)) =>
+        assert(occ >= truth(g), s"$g under-counted: $fin")
+        assert(occ - err <= truth(g), s"$g error bound violated: $fin")
+        assert(docs - docsErr <= 1L, s"$g doc-frequency bound violated: $fin")
+      }
+      // deterministic eviction order: the sorted singleton parade ends
+      // with g holding the inherited chain (occ 10 = 1+9 inherited)
+      assert(fin.contains("g") && fin("g")._1 == 10L && fin("g")._2 == 9L, s"got $fin")
+    } finally q.stop()
+  }
 }
