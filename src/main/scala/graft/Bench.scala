@@ -3,12 +3,23 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
   *
-  * One untimed warmup pass runs first (JIT + codegen compilation are
-  * one-time JVM costs, not per-query plan costs — a 1000-executor run
-  * amortizes them to nothing; the warmup must be SUITE-wide, not
-  * per-row: an r14 fold-in experiment left the window's first rows
-  * JIT-cold at 3× their warm cost), then `SPARK_GRAFT_PASSES`
-  * (default 3) timed passes per query, reported as the MEDIAN with
+  * TIERED SAMPLING (r15): rows with a stable trailing history take one
+  * warm probe sample; the top-SPARK_GRAFT_TOPK_FULL rows by trailing
+  * cost, rows with no history, rows named in SPARK_GRAFT_FULL_ROWS,
+  * and any probe reading >1.25× its trailing median run the full
+  * protocol below (a probe that disagrees with history escalates
+  * in-window — the per-row drift auto-rerun). SPARK_GRAFT_TIER=0
+  * restores full passes everywhere. The artifact's `tiers` object
+  * records the split and every escalation.
+  *
+  * One untimed warmup pass over the full-tier rows runs first (JIT +
+  * codegen compilation are one-time JVM costs, not per-query plan
+  * costs — a 1000-executor run amortizes them to nothing; the warmup
+  * must cover the heavy rows up front: an r14 fold-in experiment left
+  * the window's first rows JIT-cold at 3× their warm cost; stable-tier
+  * rows warm their own plan with a dropped sample), then
+  * `SPARK_GRAFT_PASSES` (default 3) timed passes per full-tier query,
+  * reported as the MEDIAN with
   * min/max spread — a single pass cannot tell a plan regression from
   * a GC pause, and round-3's "regressions" (time_window_agg
   * 0.30→0.88s) turned out to be exactly that. Passes run back-to-back
@@ -245,16 +256,56 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val all = (SparkEntry.queries ++ SparkEntry.benchExtras)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // suite-wide warmup: one untimed execution of every row warms the
-    // JVM GLOBALLY (Spark's scan/shuffle/streaming machinery JIT), not
-    // just per-plan codegen — an r14 fold-in experiment showed the
-    // window's first rows reading 3× their warm cost without it. Under
-    // budget pressure the warmup truncates (cold rows self-correct via
-    // the contention/suspect resample loops when budget allows).
+    // cross-window guard input: what this suite historically costs at
+    // this sf dir (empty on a fresh repo or unreadable history)
+    val trailing: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(s"$repoRoot/BENCH_HISTORY.jsonl")
+      if (java.nio.file.Files.exists(p))
+        trailingMedians(
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(p)).asScala.toSeq, sfDir)
+      else Map.empty
+    } catch { case _: Exception => Map.empty }
+    // TIERED SAMPLING (r14 verdict tasks 1+3: the r14 window spent
+    // 1390 s of wall — 1.8× its own budget — giving passes=3 plus
+    // retry loops to 121 sub-second rows whose trailing medians have
+    // been stable for rounds, while committing ZERO reruns for the
+    // rows that actually moved). Rows run in one of two tiers:
+    //  - FULL (warm + `passes` samples + retry loops): rows with no
+    //    trailing history (new this round), the top
+    //    SPARK_GRAFT_TOPK_FULL (default 20) by trailing cost, rows
+    //    named in SPARK_GRAFT_FULL_ROWS (csv — rows changed this
+    //    round), and every SPARK_GRAFT_ONLY probe.
+    //  - STABLE (warm + ONE probe sample): everything else. A probe
+    //    reading >1.25× its trailing median ESCALATES the row to the
+    //    full tier on the spot — the per-row drift auto-rerun the r14
+    //    verdict demanded, in place of an after-the-fact orphan file.
+    // The drift gate still sees a fresh sample for EVERY row; the
+    // wall saved comes only from rows whose fresh probe agrees with
+    // their history. SPARK_GRAFT_TIER=0 restores passes-everywhere.
+    val tierOff = sys.env.getOrElse("SPARK_GRAFT_TIER", "1") == "0"
+    val fullForced = sys.env.get("SPARK_GRAFT_FULL_ROWS")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val topKFull = sys.env.getOrElse("SPARK_GRAFT_TOPK_FULL", "20").toInt
+    val topCost: Set[String] =
+      trailing.toSeq.sortBy(-_._2).take(topKFull).map(_._1).toSet
+    def isFullTier(name: String): Boolean =
+      tierOff || only.nonEmpty || trailing.get(name).isEmpty ||
+        topCost(name) || fullForced(name)
+    val escalated = scala.collection.mutable.LinkedHashSet.empty[String]
+    // suite-wide warmup over the FULL-tier rows: one untimed execution
+    // warms the JVM GLOBALLY (Spark's scan/shuffle/streaming machinery
+    // JIT), not just per-plan codegen — an r14 fold-in experiment
+    // showed the window's first rows reading 3× their warm cost
+    // without it. The heavy top-K rows cover the global machinery;
+    // stable-tier rows warm their own plan with a dropped per-row
+    // sample right before their probe. Under budget pressure the
+    // warmup truncates (cold rows self-correct via the per-row warm
+    // fallback + resample loops when budget allows).
     var warmupTruncated = 0
     val warmed = scala.collection.mutable.Set.empty[String]
     if (warmup) {
-      val rows = all.toSeq
+      val rows = all.toSeq.filter { case (name, _) => isFullTier(name) }
       val it = rows.iterator
       while (it.hasNext && (budget <= 0 || elapsed < budget * 0.3)) {
         val (name, fn) = it.next()
@@ -268,16 +319,6 @@ object Bench {
           s"$warmupTruncated rows fall back to a per-row warm sample")
       spark.sharedState.cacheManager.clearCache() // no data-cache carryover
     }
-    // cross-window guard input: what this suite historically costs at
-    // this sf dir (empty on a fresh repo or unreadable history)
-    val trailing: Map[String, Double] = try {
-      val p = java.nio.file.Paths.get(s"$repoRoot/BENCH_HISTORY.jsonl")
-      if (java.nio.file.Files.exists(p))
-        trailingMedians(
-          scala.jdk.CollectionConverters.ListHasAsScala(
-            java.nio.file.Files.readAllLines(p)).asScala.toSeq, sfDir)
-      else Map.empty
-    } catch { case _: Exception => Map.empty }
     // Right(pass times) on success, Left(exception class) on failure — a
     // broken query must surface as "error", never bench as a fast success.
     // Degradation ladder as the deadline nears: past 60 % of budget
@@ -297,18 +338,30 @@ object Bench {
           sec
         }
         if (warmup && !warmed.contains(name) && budgetFrac < 0.8) {
-          sample() // dropped: per-row fallback warm
+          sample() // dropped: per-row fallback warm (stable tier + truncated)
           warmed += name
         }
+        val fullTier = isFullTier(name)
         val rowPasses =
           if (budgetFrac > 0.8) { degraded += name; 1 }
+          else if (!fullTier) 1 // stable tier: one probe, escalation below
           else if (budgetFrac > 0.6) { degraded += name; math.max(1, passes - 1) }
           else passes
         val samples = scala.collection.mutable.ArrayBuffer.fill(rowPasses)(sample())
+        // stable-tier escalation: a probe disagreeing with its trailing
+        // median by >1.25× re-runs at full passes IMMEDIATELY (fresh-JVM
+        // attribution is the round-close tool's job; same-window rerun
+        // is the honest first responder) — the retry loops below then
+        // apply to the escalated sample set like any full-tier row
+        if (!fullTier && budgetFrac < 0.8 &&
+            trailing.get(name).exists(h => samples.head > h * 1.25)) {
+          escalated += name
+          while (samples.size < passes) samples += sample()
+        }
         // contention retry: identical plan, additive noise ⇒ resample
         // until the spread settles or the extra budget (2×passes) runs out
         while (samples.max / samples.min > 2.0 && samples.size < passes * 3 &&
-            budgetFrac < 0.7)
+            budgetFrac < 0.7 && (fullTier || escalated.contains(name)))
           samples += sample()
         // cross-window contamination retry: a CONSISTENTLY slow window
         // (all samples slow together) passes the spread check — compare
@@ -426,7 +479,12 @@ object Bench {
       val deg = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
       f"""{"limit":${budget}%.0f,"elapsed":${elapsed}%.1f,"rewindow_skipped":$rewindowSkipped,"warmup_truncated":$warmupTruncated,"degraded":$deg}"""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","totals":$totalsJson,"queries":$qs,"spread":$spread,"passes":$passes,"errors":$errs,"suspect":$suspectJson,"drift":$driftJson,"budget":$budgetJson,"sf":"$sfDir"}"""
+    val tiersJson = {
+      val fullN = all.keys.count(isFullTier)
+      val esc = escalated.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"full":$fullN,"stable":${all.size - fullN},"escalated":$esc}"""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","totals":$totalsJson,"queries":$qs,"spread":$spread,"passes":$passes,"errors":$errs,"suspect":$suspectJson,"drift":$driftJson,"tiers":$tiersJson,"budget":$budgetJson,"sf":"$sfDir"}"""
     println(json)
     // a SPARK_GRAFT_ONLY run is a local probe: never let it overwrite
     // the committed full-suite artifact or pollute the history record

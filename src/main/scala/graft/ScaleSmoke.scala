@@ -80,7 +80,10 @@ object ScaleSmoke {
     // the full minhash+CC chain (replicated docs multiply near-dup
     // clusters), mink rides the bigram LM + per-doc rank cut, and the
     // split-leakage audit scans every k-gram window across the split
-    "takedown_propagate", "mink_score", "split_leakage")
+    "takedown_propagate", "mink_score", "split_leakage",
+    // r15: A3's decision-only form — the payload-independence claim
+    // needs a measured point (cost must track ROWS, never row width)
+    "dedup_first_key_hash")
 
   /** smoke-only variants that exist to stress a knob the registry
     * demos fix (SparkEntry rows must stay oracle-stable): PageRank at

@@ -65,6 +65,15 @@ object SparkEntry {
     "setsim_join_rs"       -> (TextDemos.setsimJoinRs(_, _)),
     "budget_select"        -> (TextDemos.budgetSelectDemo(_, _)),
     "bitext_mine"          -> (TextDemos.bitextMineDemo(_, _)),
+    // the scale form gated at full probe width (≡ exhaustive — the
+    // r12 provider-chain equivalence trick); probeBits=2 stays the
+    // smoke surface
+    "bitext_mine_ann"      -> (TextDemos.bitextMineAnnFull(_, _)),
+    // production structure (hashed band keys) at the oracle-portable
+    // token hash; the xxhash64 point stays in benchExtras
+    "dedup_minhash_prod"   -> (TextDemos.dedupMinhashProd(_, _)),
+    // A3's decision-only form: arg-min tuple per key, payload pruned
+    "dedup_first_key_hash" -> (RefDemos.dedupFirstKeyHash(_, _)),
     "anchor_text_agg"      -> (TextDemos.anchorAggDemo(_, _)),
     "matryoshka_eval"      -> (TextDemos.matryoshkaEvalDemo(_, _)),
     "robots_gate"          -> (TextDemos.robotsGateDemo(_, _)),
@@ -211,7 +220,7 @@ object SparkEntry {
     * have no DuckDB counterpart (so no oracle row), benchmarked
     * alongside their oracle-portable twins. */
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_minhash_prod" -> (TextDemos.dedupMinhashProd(_, _)),
+    "dedup_minhash_prod_xxhash" -> (TextDemos.dedupMinhashProdXxhash(_, _)),
     // C63 PCA fit+project e2e: the eigendecomposition is not
     // SQL-expressible (PcaSpec gates it: moments vs hand math, known
     // eigenpairs); the PROJECTION half is oracle-gated via the
@@ -542,6 +551,15 @@ object SparkEntry {
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
         |FROM (
         |  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
+        |  FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "dedup_first_key_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
         |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
         |             ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) AS rn
         |  FROM lineitem)
@@ -937,10 +955,17 @@ object SparkEntry {
         |FROM carried GROUP BY has_quota, matched_by
         |ORDER BY has_quota DESC, matched_by""".stripMargin,
     "dedup_minhash_lsh" -> graft.oracle.OracleGen.minhashLshSql(),
+    // band-key hashing can only change the pair set via a 2^-64
+    // collision, so the production-structure row answers the same
+    // mirror as the raw-band demo
+    "dedup_minhash_prod" -> graft.oracle.OracleGen.minhashLshSql(),
     "setsim_join"       -> graft.oracle.OracleGen.setSimJoinSql(),
     "setsim_join_rs"    -> graft.oracle.OracleGen.setSimJoinRsSql(),
     "budget_select"     -> graft.oracle.OracleGen.budgetSelectSql(),
     "bitext_mine"       -> graft.oracle.OracleGen.bitextMineSql(),
+    // at full probe width the LSH candidate set is src x tgt exactly,
+    // so the scale form answers the exhaustive mirror verbatim
+    "bitext_mine_ann"   -> graft.oracle.OracleGen.bitextMineSql(),
     "anchor_text_agg"   -> graft.oracle.OracleGen.anchorAggSql(),
     "matryoshka_eval"   -> graft.oracle.OracleGen.matryoshkaEvalSql(),
     "robots_gate"       -> graft.oracle.OracleGen.robotsGateSql(),

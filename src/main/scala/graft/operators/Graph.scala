@@ -72,10 +72,7 @@ object Graph {
       nodes0.select(col(idCol).as("id")).persist())
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty node set")
-    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val odeg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // edges with out-degree attached, persisted once, reused per round
-    val eo = graft.util.CacheRegistry.register(ed.join(odeg, "src").persist())
+    val eo = edgesWithOutdeg(edges, srcCol, dstCol)
     val odegOnly = eo.select(col("src")).distinct()
     var r = nodes.withColumn("r", lit(scale / n))
     for (_ <- 1 to iters) {
@@ -105,5 +102,24 @@ object Graph {
     }
     r.select(col("id"), col("r").as("rank_e15"),
       (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
+  }
+
+  /** Edges with out-degree attached, persisted once and reused every
+    * round — PRE-PARTITIONED by src (r14 verdict task 6): the
+    * rank×edge join is the per-round heavy exchange, and an explicit
+    * repartition(src) pinned INTO the cache survives
+    * InMemoryTableScan's outputPartitioning, so every round's join
+    * reuses the cached layout instead of re-shuffling the edge table
+    * (AQE may otherwise broadcast odeg and leave the cache partitioned
+    * by whatever the scan produced). The recurring shuffles left are
+    * node-scale: the contrib aggregation on dst, and the rank side of
+    * the join — this makes the "at 100 TB pre-partition edges by src"
+    * note above the implemented default, pinned by PlanShapeSpec. */
+  private[graft] def edgesWithOutdeg(edges: DataFrame, srcCol: String,
+                                     dstCol: String): DataFrame = {
+    val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val odeg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    graft.util.CacheRegistry.register(
+      ed.join(odeg, "src").repartition(col("src")).persist())
   }
 }

@@ -57,6 +57,30 @@ object RefDemos {
         col("l_linenumber"), col("l_quantity"))
       .orderBy("l_orderkey")
 
+  /** A3's 100 TB form, measured (r14 verdict task 5): when the
+    * pipeline needs only the first-wins DECISION (which row survives
+    * per key — dedup gating, not record retrieval), the window above
+    * is overkill: one `min(struct(ordering…))` aggregation computes
+    * the same winner map-side-combinably, and the plan scans and
+    * shuffles ONLY the key + ordering tuple (~40 bytes/row) — Parquet
+    * column pruning drops every payload column at the scan, so the
+    * cost is independent of payload width, exactly the property the
+    * SURVEY A3 note claims for the fixed-width-decision swap (the
+    * content-hash analogue is [[Dedup.exactByHash]]'s 16-byte md5).
+    * Payload retrieval, when needed, is a later join ON the decision
+    * tuple — delta-scale, not corpus-scale. */
+  def dedupFirstKeyHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(min(struct(col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))).as("_w"))
+      .select(col("l_orderkey"),
+        col("_w.l_linenumber").as("l_linenumber"),
+        col("_w.l_partkey").as("l_partkey"),
+        col("_w.l_suppkey").as("l_suppkey"),
+        col("_w.l_quantity").as("l_quantity"))
+      .orderBy("l_orderkey")
+
   /** A4 — mergeYesNo (index.js:65-86): union + group + max/or + flag. */
   def mergeMaxGroups(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)

@@ -537,6 +537,14 @@ object Similarity {
     * instead (`least(prev, new)` — identical values, min is
     * order-free), trading k localCheckpoints for the quadratic term.
     *
+    * PRACTICAL k CEILING (r14 verdict task 8): each selection is one
+    * corpus scan ending in a 1-row driver collect, so wall time is
+    * k × (scan latency) — k ≤ ~64 on an interactive budget, k ≤ ~256
+    * batch; past that the driver round-trips dominate regardless of
+    * cluster size. Beyond the ceiling use [[kcenterSelectParallel]]:
+    * a fixed number of scans TOTAL (independent of k), the k-means‖
+    * shape (Bahmani et al., VLDB 2012) applied to k-center.
+    *
     * Returns (rank, vec_id, dist): dist = the point's squared-L2
     * distance to the already-selected set at selection time (round 6)
     * — the coverage-radius curve that shows when selection saturates
@@ -569,6 +577,91 @@ object Similarity {
           centers += r.getSeq[Double](1)
         case None => exhausted = true // k > n: all points selected
       }
+    }
+    sel.toSeq.toDF("rank", "vec_id", "dist")
+      .select(col("rank"), col("vec_id"), round(col("dist"), 6).as("dist"))
+  }
+
+  /** [[kcenterSelect]] past the driver-loop k ceiling — the k-means‖
+    * oversampling shape (Bahmani, Moseley, Vattani, Kumar, Vassilvitskii,
+    * "Scalable k-means++", VLDB 2012) applied to k-center:
+    *
+    *  1. `rounds` distributed passes each sample ~`oversample`·k
+    *     candidates IN PARALLEL, each point admitted independently
+    *     with probability min(1, oversample·k·d²/φ) where d² is its
+    *     squared-L2 distance to the candidates chosen so far and
+    *     φ = Σd² (one aggregate per round). The draw is a seeded hash
+    *     of the id (per-round salt) — deterministic under any
+    *     partitioning, the kppSeeds discipline.
+    *  2. the ≤ rounds·oversample·k + 1 candidates (a coreset:
+    *     D²-sampling hits every well-separated region w.h.p. — the
+    *     VLDB'12 potential-halving argument) reduce to exactly k by
+    *     the SAME greedy Gonzalez traversal run driver-side.
+    *
+    * Total distributed work: 2 corpus scans per round (φ aggregate +
+    * admission filter) — INDEPENDENT of k, vs the exact form's k
+    * scans. The greedy tail on the candidate set keeps the 2-approx
+    * flavor on the coreset; KcenterParallelSpec measures the coverage
+    * radius against exact greedy on planted-cluster fixtures.
+    *
+    * Same output contract as [[kcenterSelect]]: (rank, vec_id, dist),
+    * dist = squared-L2 to the previously selected set at selection
+    * time, round 6. */
+  def kcenterSelectParallel(vecs: DataFrame, idCol: String, vecCol: String,
+                            k: Int, rounds: Int = 4,
+                            oversample: Double = 4.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && oversample > 0,
+      s"need rounds >= 1 and oversample > 0, got $rounds / $oversample")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val qd = graft.util.CacheRegistry.register(
+      vecs.select(col(idCol).cast("long").as("_id"),
+        transform(col(vecCol), x => x.cast("double")).as("_v"))
+        .persist())
+    def sq(v: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(v, array(c.map(lit): _*),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
+    // candidate set, driver-held (coreset-scale: ~rounds·oversample·k)
+    val cand = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+    qd.orderBy(col("_id")).limit(1).collect()
+      .foreach(r => cand += ((r.getLong(0), r.getSeq[Double](1))))
+    if (cand.nonEmpty) {
+      for (round <- 1 to rounds) {
+        val dmin = array_min(array(cand.map(c => sq(col("_v"), c._2)).toSeq: _*))
+        val scored = qd.select(col("_id"), col("_v"), dmin.as("_d"))
+        val phi = scored.agg(sum(col("_d"))).collect().head.getDouble(0)
+        if (phi > 0) {
+          // unit uniform from a salted id hash — bit-reproducible
+          val u = (pmod(xxhash64(col("_id"), lit(round.toLong)),
+            lit(1000003L)).cast("double") + 1.0) / 1000005.0
+          scored.filter(u * lit(phi) < lit(oversample * k) * col("_d"))
+            .select(col("_id"), col("_v"))
+            .orderBy(col("_id")).collect()
+            .foreach(r => cand += ((r.getLong(0), r.getSeq[Double](1))))
+        }
+      }
+    }
+    // driver-side greedy Gonzalez on the candidate coreset, seeded and
+    // tie-broken exactly like the exact form (min id seed; farthest,
+    // ties to smallest id)
+    def sqLocal(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val pool = cand.distinctBy(_._1).sortBy(_._1)
+    val sel = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val centers = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+    pool.headOption.foreach { case (id, v) =>
+      sel += ((0, id, 0.0)); centers += v
+    }
+    while (sel.size < k && sel.size < pool.size) {
+      val chosen = sel.map(_._2).toSet
+      val (id, v, d) = pool.iterator.filterNot(p => chosen(p._1))
+        .map { case (id, v) => (id, v, centers.iterator.map(sqLocal(v, _)).min) }
+        .maxBy { case (id, _, d) => (d, -id) } // farthest, ties to min id
+      sel += ((sel.size, id, d)); centers += v
     }
     sel.toSeq.toDF("rank", "vec_id", "dist")
       .select(col("rank"), col("vec_id"), round(col("dist"), 6).as("dist"))

@@ -59,6 +59,62 @@ class KcenterSpec extends SparkSpec {
     assert(run(pts, 1) == Seq((0, 7L, 0.0)))
   }
 
+  /** coverage radius of a selection: max over all points of the
+    * squared-L2 distance to the nearest selected center. */
+  private def coverage(pts: Seq[(Long, Seq[Double])], ids: Seq[Long]): Double = {
+    val centers = ids.map(id => pts.find(_._1 == id).get._2)
+    pts.map { case (_, v) => centers.map(c => sq(v, c)).min }.max
+  }
+
+  test("parallel (k-means|| shaped) selection covers planted clusters like exact greedy") {
+    // 8 well-separated cluster centers on a 2-D grid, 10 points each
+    // within radius 0.1 — any correct k=8 selection picks one point
+    // per cluster, giving coverage radius <= (2*0.1)^2 = 0.04 vs
+    // inter-cluster gaps >= 9.0
+    val pts = (for {
+      c <- 0 until 8
+      j <- 0 until 10
+    } yield {
+      val cx = (c % 4) * 3.0; val cy = (c / 4) * 3.0
+      val off = 0.1 * math.cos(c * 10 + j)
+      val off2 = 0.1 * math.sin(c * 10 + j)
+      ((c * 10 + j).toLong, Seq(cx + off, cy + off2))
+    }).toSeq
+    val df = pts.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val par = Similarity.kcenterSelectParallel(df, "vec_id", "embedding",
+        k = 8, rounds = 3, oversample = 4.0)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(par.size == 8)
+    val exact = refGreedy(pts, 8)
+    val covPar = coverage(pts, par.map(_._2))
+    val covExact = coverage(pts, exact.map(_._2))
+    // one center per planted cluster: both radii collapse to the
+    // in-cluster scale, nowhere near the >= 9.0 inter-cluster gap
+    assert(par.map(_._2 / 10).toSet.size == 8,
+      s"parallel selection missed a cluster: $par")
+    assert(covPar <= 0.05 && covExact <= 0.05,
+      s"coverage par=$covPar exact=$covExact")
+    // the greedy-on-coreset tail keeps the 2-approx flavor: the
+    // parallel radius stays within 2x greedy's (here both are tiny)
+    assert(covPar <= covExact * 2.0 + 1e-9, s"par=$covPar exact=$covExact")
+    // same output contract as the exact form
+    assert(par.head._1 == 0 && par.head._3 == 0.0)
+  }
+
+  test("parallel selection is deterministic and respects k > n") {
+    val pts = Seq(1L -> Seq(0.0), 2L -> Seq(5.0), 3L -> Seq(9.0))
+    val df = pts.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    def once() = Similarity.kcenterSelectParallel(df, "vec_id", "embedding",
+        k = 5, rounds = 2, oversample = 8.0)
+      .orderBy("rank").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val a = once(); val b = once()
+    assert(a == b)
+    assert(a.size <= 3 && a.head == ((0, 1L)))
+  }
+
   test("matches the driver-side greedy reference on sf0.001 embeddings") {
     val pts = graft.sources.Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()

@@ -251,6 +251,39 @@ class PlanShapeSpec extends SparkSpec {
     } finally graft.util.CacheRegistry.releaseAll()
   }
 
+  test("pagerank round join reuses the cached src-partitioned edge layout") {
+    // the r15 pre-partition pin: the persisted edges-with-outdegree
+    // table carries HashPartitioning(src) INSIDE the cache, so a
+    // rank-side join co-partitions against it with exactly ONE fresh
+    // exchange (the node-scale rank side) — the edge table never
+    // re-shuffles after round 0
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+        .toDF("src", "dst").repartition(4)
+      val eo = graft.operators.Graph.edgesWithOutdeg(edges, "src", "dst")
+      eo.count() // materialize the cache
+      val r = Seq((1L, 10L), (2L, 20L), (3L, 5L)).toDF("id", "r").repartition(4)
+      val joined = r.as("rr").join(eo.as("ee"), col("rr.id") === col("ee.src"))
+      val p = plan(joined)
+      assert(p.contains("InMemoryTableScan"), p)
+      // count only the OUTER plan's exchanges (toString also prints the
+      // cached subtree under InMemoryRelation; its build-time shuffles
+      // ran once and are not per-round cost): the rank side brings its
+      // fixture round-robin + the one co-partitioning hash exchange;
+      // the edge side must sit directly on the cached scan
+      val outer = p.substring(0, p.indexOf("InMemoryRelation"))
+      assert("Exchange".r.findAllIn(outer).length == 2,
+        s"edge side must reuse the cached hash(src) layout:\n$p")
+      assert(!outer.matches("(?s).*Exchange[^\\n]*\\n[^\\n]*InMemoryTableScan.*"),
+        s"no exchange may feed the cached edge scan:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.util.CacheRegistry.releaseAll()
+    }
+  }
+
   test("mutual_knn symmetrization reads ONE cached ranking on both join sides") {
     val df = graft.operators.Similarity.mutualKnnEdges(
       Similarity.knnGraph(vecs, "vec_id", "embedding",
