@@ -343,6 +343,42 @@ object Geocode {
     rows.join(cacheHits.unionByName(freshBest), Seq(idCol), "left")
   }
 
+  /** [[dailyGeocode]] with the reference's FINER durability granularity
+    * (geocode.js:540-549 rewrites the cache JSON after EVERY resolved
+    * row, so a mid-run crash loses zero provider calls; the plain
+    * daily loop above commits once per day — a crash re-buys the whole
+    * day's calls). The delta splits into `chunks` deterministic slices
+    * (hash of the id), each slice runs the FULL daily loop under its
+    * own monotone snapshot id (batchId·chunks + i), and every slice's
+    * fresh hits are durably committed before the next slice calls the
+    * resolver. Crash-replay math: a committed slice re-resolves
+    * entirely from cache (its hits are already in the latest snapshot)
+    * so its resolver sees ZERO candidates and its upsert re-merges
+    * idempotently — the loss window is exactly the in-flight slice.
+    * `chunks = 1` is the old stage granularity; `chunks → delta size`
+    * is the reference's per-row flush (at one fsynced snapshot per
+    * row — the same cost the reference pays). Slices also see earlier
+    * slices' hits, so duplicate candidates across slices are resolved
+    * once. Returns the same roster contract as [[dailyGeocode]].
+    * Delta-scale work × chunks driver loops — the external-call stage
+    * is the bottleneck by orders of magnitude at any chunking. */
+  def dailyGeocodeChunked(rows: DataFrame, idCol: String, addrCol: String,
+                          cacheDir: String, batchId: Long, chunks: Int = 8)(
+                          resolver: DataFrame => DataFrame): DataFrame = {
+    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+    val slices = (0 until chunks).map { i =>
+      val slice = rows.filter(
+        pmod(xxhash64(col(idCol)), lit(chunks.toLong)) === i.toLong)
+      dailyGeocode(slice, idCol, addrCol, cacheDir,
+        batchId * chunks + i)(resolver)
+        // materialize THIS slice's roster (and therefore its cache
+        // write-back) before the next slice's resolver runs — the
+        // durability ordering is the whole point
+        .localCheckpoint(true)
+    }
+    slices.reduce(_ unionByName _)
+  }
+
   /** One external geocode provider in an ordered fallback chain — the
     * reference's two-provider arm (geocode.js:431,492: OpenCage
     * primary, `--nominatim` backup consulted only when the primary

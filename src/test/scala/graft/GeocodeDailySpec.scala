@@ -115,4 +115,70 @@ class GeocodeDailySpec extends SparkSpec {
     assert(EventStream.readLatestState(spark, dir).count() == snapshotCount)
     graft.util.CacheRegistry.releaseAll()
   }
+
+  test("chunked daily loop: per-chunk commits bound a crash's lost provider calls to one slice") {
+    val dir = tempDir("graft_daily_chunked")
+    val dirRef = tempDir("graft_daily_chunkref")
+    val rows = Seq(
+      (1L, "台北市大安區和平東路12巷34號"),
+      (2L, "高雄市左營區中山路5號"),
+      (3L, "臺南市安平區育平路77號"),
+      (4L, "新北市板橋區文化路100號"),
+      (5L, "桃園市中壢區中正路8號"),
+      (6L, "台中市西屯區台灣大道999號"),
+      (7L, "基隆市仁愛區愛一路21號"),
+      (8L, "新竹市東區光復路50號")).toDF("id", "addr")
+    // precondition for the crash-at-invocation-2 injection below: the
+    // deterministic hash split must populate at least two slices
+    val sliceSizes = rows
+      .groupBy(pmod(xxhash64(col("id")), lit(3L))).count()
+      .collect().map(_.getLong(1))
+    assert(sliceSizes.count(_ > 0) >= 2, s"fixture split degenerate: ${sliceSizes.toSeq}")
+
+    // reference: the plain single-commit daily loop on the same day
+    val ref = Geocode.dailyGeocode(rows, "id", "addr", dirRef, 7L)(
+        fakeResolver(scala.collection.mutable.Set.empty))
+      .select(col("id"), col("lat"), col("lng")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+
+    // crash injection: the provider dies on its SECOND delta-bearing
+    // chunk — chunk 1's hits are already durably committed
+    var deltaCalls = 0
+    def crashingResolver(cands: DataFrame): DataFrame = {
+      if (cands.limit(1).count() > 0) {
+        deltaCalls += 1
+        if (deltaCalls == 2) throw new RuntimeException("provider down")
+      }
+      fakeResolver(scala.collection.mutable.Set.empty)(cands)
+    }
+    intercept[RuntimeException] {
+      Geocode.dailyGeocodeChunked(rows, "id", "addr", dir, 7L,
+        chunks = 3)(crashingResolver)
+    }
+    val committedAfterCrash = EventStream.readLatestState(spark, dir).count()
+    assert(committedAfterCrash > 0,
+      "the first chunk's hits must be durable before the crash")
+
+    // replay the same day: every committed row resolves from cache and
+    // re-buys ZERO provider calls; only the lost slice (and the ones
+    // never started) reach the resolver
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val out = Geocode.dailyGeocodeChunked(rows, "id", "addr", dir, 7L,
+        chunks = 3)(fakeResolver(seen))
+      .select(col("id"), col("lat"), col("lng"), col("source")).collect()
+    assert(seen.size < rows.count(),
+      s"committed-slice rows must not re-reach the resolver: $seen")
+    assert(out.exists(_.getString(3) == "cache"),
+      "the durable slice's rows replay from cache")
+    // end state identical to the never-crashed single-commit run
+    assert(out.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet == ref)
+    val refCache = EventStream.readLatestState(spark, dirRef)
+      .select("query", "lat", "lng").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val chunkCache = EventStream.readLatestState(spark, dir)
+      .select("query", "lat", "lng").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(chunkCache == refCache)
+    graft.util.CacheRegistry.releaseAll()
+  }
 }
