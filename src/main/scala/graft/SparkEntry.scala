@@ -181,6 +181,7 @@ object SparkEntry {
     "quality_classifier"   -> (TextDemos.qualityClassifier(_, _)),
     "knn_graph"            -> (TextDemos.knnGraphDemo(_, _)),
     "pagerank_centrality"  -> (TextDemos.pagerankCentrality(_, _)),
+    "label_propagation"    -> (TextDemos.labelPropagationDemo(_, _)),
     "centrality_gate"      -> (TextDemos.centralityGate(_, _)),
     "chunk_overlap"        -> (TextDemos.chunkOverlapDemo(_, _)),
     "cdc_chunk_dedup"      -> (TextDemos.cdcChunkDedup(_, _)),
@@ -1183,6 +1184,7 @@ object SparkEntry {
     "quality_classifier" -> graft.oracle.OracleGen.logregScoreSql(),
     "knn_graph"          -> graft.oracle.OracleGen.knnGraphSql(),
     "pagerank_centrality" -> graft.oracle.OracleGen.pagerankCentralitySql(),
+    "label_propagation"   -> graft.oracle.OracleGen.labelPropagationSql(),
     "centrality_gate" -> graft.oracle.OracleGen.centralityGateSql(),
 
     // sliding-window chunking: starts = range(0, n, stride); chunk_idx

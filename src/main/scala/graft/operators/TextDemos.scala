@@ -1351,6 +1351,27 @@ object TextDemos {
       directed, "vec_id", iters = iters)
   }
 
+  /** C121 — label-propagation communities over the C46 mutual-kNN
+    * graph ([[Graph.labelPropagation]], 4 synchronous rounds): the
+    * finer-grained companion to C13's connected components — CC merges
+    * any touching chain into one blob, LPA keeps densely-linked
+    * pockets apart, which is the grouping a topic-pocket sampler or a
+    * near-dup REVIEW queue actually wants. Same edge chain as C68 so
+    * the oracle reuses the proven kNN CTEs. */
+  def labelPropagationDemo(spark: SparkSession, dir: String): DataFrame = {
+    val mut = graft.util.CacheRegistry.register(
+      Similarity.mutualKnnEdges(
+        Similarity.knnGraph(Tables.embeddings(spark, dir),
+          "vec_id", "embedding", k = 5, nPlanes = 8, dim = 64))
+        .select(col("id_a"), col("id_b")).persist())
+    val directed = mut.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(mut.select(col("id_b").as("src"), col("id_a").as("dst")))
+    Graph.labelPropagation(Tables.embeddings(spark, dir).select(col("vec_id")),
+        directed, "vec_id", iters = 4)
+      .select(col("id").as("vec_id"), col("community"))
+      .orderBy("vec_id")
+  }
+
   /** C45 — in-engine quality classifier: logistic regression on 1024
     * hashed binary unigram buckets, trained by 12 relational
     * full-batch GD rounds at lr 20, then every doc scored by the

@@ -1591,6 +1591,38 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |t AS (SELECT query_id, cand_id, sim FROM r WHERE rank <= $k)""".stripMargin
   }
 
+  /** mirror of TextDemos.labelPropagationDemo: the same mutual-kNN
+    * edge chain as the PageRank mirror, then `iters` unrolled
+    * synchronous LPA rounds — per round, the plurality neighbor label
+    * per node (COUNT per (dst, label), rank 1 by count DESC then
+    * label ASC — exactly Spark's min(struct(-count, label))), nodes
+    * with no neighbors carrying their previous label. All integer
+    * arithmetic: the match is bit-for-bit. */
+  def labelPropagationSql(iters: Int = 4, nPlanes: Int = 8, dim: Int = 64,
+                          k: Int = 5, probeBits: Int = 1): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""w$i AS (SELECT id, lab FROM (
+         |      SELECT e.dst AS id, l.lab, COUNT(*) AS c,
+         |             ROW_NUMBER() OVER (PARTITION BY e.dst
+         |                 ORDER BY COUNT(*) DESC, l.lab) AS rn
+         |      FROM l${i - 1} l JOIN ed e ON l.id = e.src
+         |      GROUP BY e.dst, l.lab) WHERE rn = 1),
+         |l$i AS (SELECT p.id, COALESCE(w.lab, p.lab) AS lab
+         |      FROM l${i - 1} p LEFT JOIN w$i w ON p.id = w.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnTopCtes(nPlanes, dim, k, probeBits)},
+       |mut AS (SELECT a.query_id AS id_a, a.cand_id AS id_b
+       |        FROM t a JOIN t b ON a.query_id = b.cand_id AND a.cand_id = b.query_id
+       |        WHERE a.query_id < a.cand_id),
+       |ed AS (SELECT id_a AS src, id_b AS dst FROM mut
+       |       UNION ALL SELECT id_b AS src, id_a AS dst FROM mut),
+       |nodes AS (SELECT vec_id AS id FROM embeddings),
+       |l0 AS (SELECT id, id AS lab FROM nodes),
+       |$rounds
+       |SELECT id AS vec_id, lab AS community
+       |FROM l$iters ORDER BY vec_id""".stripMargin
+  }
+
   /** mirror of TextDemos.pagerankCentrality: the C46 mutual-kNN edge
     * chain, both directions, then `iters` unrolled PageRank rounds in
     * the SAME scaled-integer arithmetic as Graph.pageRank — BIGINT
