@@ -343,7 +343,7 @@ object Bench {
         }
         val fullTier = isFullTier(name)
         val rowPasses =
-          if (budgetFrac > 0.8) { degraded += name; 1 }
+          if (budgetFrac > 0.8) { if (fullTier) degraded += name; 1 }
           else if (!fullTier) 1 // stable tier: one probe, escalation below
           else if (budgetFrac > 0.6) { degraded += name; math.max(1, passes - 1) }
           else passes
@@ -352,11 +352,15 @@ object Bench {
         // median by >1.25× re-runs at full passes IMMEDIATELY (fresh-JVM
         // attribution is the round-close tool's job; same-window rerun
         // is the honest first responder) — the retry loops below then
-        // apply to the escalated sample set like any full-tier row
-        if (!fullTier && budgetFrac < 0.8 &&
-            trailing.get(name).exists(h => samples.head > h * 1.25)) {
-          escalated += name
-          while (samples.size < passes) samples += sample()
+        // apply to the escalated sample set like any full-tier row.
+        // Past 80 % of budget the escalation is SUPPRESSED; a probe
+        // that would have escalated is recorded as degraded (thin by
+        // budget, not by agreement with history).
+        if (!fullTier && trailing.get(name).exists(h => samples.head > h * 1.25)) {
+          if (budgetFrac < 0.8) {
+            escalated += name
+            while (samples.size < passes) samples += sample()
+          } else degraded += name
         }
         // contention retry: identical plan, additive noise ⇒ resample
         // until the spread settles or the extra budget (2×passes) runs out

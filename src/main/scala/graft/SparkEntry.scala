@@ -231,6 +231,14 @@ object SparkEntry {
     // without salting — BENCH records both so the delta is on file
     "skew_join_plain"  -> (Analytics.skewJoinPlain(_, _)),
     "skew_join_salted" -> (Analytics.skewJoinSalted(_, _)),
+    // the C91 past-the-ceiling selector (k-means|| shape): the seeded
+    // hash sampling has no DuckDB mirror, so this path is benchmarked
+    // (cost independent of k — the claim the row exists to measure)
+    // and spec-gated against exact greedy (KcenterSpec)
+    "kcenter_select_par" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Similarity.kcenterSelectParallel(
+        graft.sources.Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 32, rounds = 3, oversample = 4.0)),
   )
 
   // Shared SQL fragments for the oracle (DuckDB) side. The cast discipline

@@ -615,30 +615,45 @@ object Similarity {
       s"need rounds >= 1 and oversample > 0, got $rounds / $oversample")
     val spark = vecs.sparkSession
     import spark.implicits._
+    // norms precompute once so each round's distance to a candidate is
+    // ONE native codegen dot product via the expansion
+    // ‖v−c‖² = ‖v‖² + ‖c‖² − 2·v·c (clamped at 0 against FP residue) —
+    // the literal-lambda Σ(x−y)² form runs interpreted and made the
+    // scan cost grow with the candidate count × dim
     val qd = graft.util.CacheRegistry.register(
-      vecs.select(col(idCol).cast("long").as("_id"),
-        transform(col(vecCol), x => x.cast("double")).as("_v"))
+      vecs.select(col(idCol).cast("long").as("_id"), col(vecCol).as("_vf"))
+        .withColumn("_n2", Vec.dotFast(col("_vf"), col("_vf")))
         .persist())
-    def sq(v: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(v, array(c.map(lit): _*),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, t) => acc + t)
     // candidate set, driver-held (coreset-scale: ~rounds·oversample·k)
     val cand = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
     qd.orderBy(col("_id")).limit(1).collect()
-      .foreach(r => cand += ((r.getLong(0), r.getSeq[Double](1))))
+      .foreach(r => cand += ((r.getLong(0), r.getSeq[Float](1).map(_.toDouble))))
     if (cand.nonEmpty) {
       for (round <- 1 to rounds) {
-        val dmin = array_min(array(cand.map(c => sq(col("_v"), c._2)).toSeq: _*))
-        val scored = qd.select(col("_id"), col("_v"), dmin.as("_d"))
-        val phi = scored.agg(sum(col("_d"))).collect().head.getDouble(0)
+        // per-point min distance via a BROADCAST candidate join (one
+        // native dot per (point, candidate) pair) — candidates as
+        // in-plan literals would either nest a least() fold hundreds
+        // deep (codegen blow-up) or run interpreted lambdas; the tiny
+        // broadcast table keeps the scan one flat codegen'd pass
+        val candDf = broadcast(cand.toSeq.map { case (_, v) =>
+          val cf = v.map(_.toFloat).toArray
+          (cf, cf.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        }.toDF("_cvf", "_c2"))
+        val scored = qd.crossJoin(candDf)
+          .select(col("_id"), greatest(lit(0.0),
+            col("_n2") + col("_c2") -
+              lit(2.0) * Vec.dotFast(col("_vf"), col("_cvf"))).as("_dc"))
+          .groupBy(col("_id")).agg(min(col("_dc")).as("_d"))
+        val withD = qd.join(scored, Seq("_id"))
+        val phi = withD.agg(sum(col("_d"))).collect().head.getDouble(0)
         if (phi > 0) {
           // unit uniform from a salted id hash — bit-reproducible
           val u = (pmod(xxhash64(col("_id"), lit(round.toLong)),
             lit(1000003L)).cast("double") + 1.0) / 1000005.0
-          scored.filter(u * lit(phi) < lit(oversample * k) * col("_d"))
-            .select(col("_id"), col("_v"))
+          withD.filter(u * lit(phi) < lit(oversample * k) * col("_d"))
+            .select(col("_id"), col("_vf"))
             .orderBy(col("_id")).collect()
-            .foreach(r => cand += ((r.getLong(0), r.getSeq[Double](1))))
+            .foreach(r => cand += ((r.getLong(0), r.getSeq[Float](1).map(_.toDouble))))
         }
       }
     }
