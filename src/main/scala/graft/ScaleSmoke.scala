@@ -83,7 +83,10 @@ object ScaleSmoke {
     "takedown_propagate", "mink_score", "split_leakage",
     // r15: A3's decision-only form — the payload-independence claim
     // needs a measured point (cost must track ROWS, never row width)
-    "dedup_first_key_hash")
+    "dedup_first_key_hash",
+    // r15: the graph family's second iterative member (same per-round
+    // node-scale-shuffle claim as pagerank — measured, not inherited)
+    "label_propagation")
 
   /** smoke-only variants that exist to stress a knob the registry
     * demos fix (SparkEntry rows must stay oracle-stable): PageRank at
