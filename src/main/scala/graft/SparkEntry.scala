@@ -95,6 +95,7 @@ object SparkEntry {
     "epoch_plan"           -> (TextDemos.epochPlanDemo(_, _)),
     "takedown_propagate"   -> (TextDemos.takedownPropagateDemo(_, _)),
     "split_leakage"        -> (TextDemos.splitLeakageDemo(_, _)),
+    "ngram_novelty"        -> (TextDemos.ngramNoveltyDemo(_, _)),
     "stratified_split"     -> (TextDemos.stratifiedSplitDemo(_, _)),
     "mojibake_score"       -> (TextDemos.mojibakeScoreDemo(_, _)),
     "kanon_generalize"     -> (TextDemos.kanonGeneralizeDemo(_, _)),
@@ -995,6 +996,7 @@ object SparkEntry {
     "epoch_plan"         -> graft.oracle.OracleGen.epochPlanSql(),
     "takedown_propagate" -> graft.oracle.OracleGen.takedownSql(),
     "split_leakage"      -> graft.oracle.OracleGen.splitLeakageSql(),
+    "ngram_novelty"      -> graft.oracle.OracleGen.ngramNoveltySql(),
     "stratified_split"   -> graft.oracle.OracleGen.stratifiedSplitSql(),
     "mojibake_score"     -> graft.oracle.OracleGen.mojibakeSql(),
     "kanon_generalize"   -> graft.oracle.OracleGen.kanonSql(),

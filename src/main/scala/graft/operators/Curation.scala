@@ -457,4 +457,43 @@ object Curation {
         round(col("types_covered").cast("double") /
           greatest(col("n_types"), lit(1L)).cast("double"), 6))
   }
+
+  /** C122 — n-gram novelty of candidate documents against an existing
+    * corpus: the fraction of a candidate's k-token windows never seen
+    * in the reference — the "does this batch add anything" gate a
+    * continual-pretraining pipeline runs before paying to train on a
+    * new crawl (novelty ≈ 0 ⇒ the batch is re-crawl/memorized
+    * material; the complement of the C21 contamination direction,
+    * which asks the same question about EVAL sets). Same window
+    * algebra as [[Dedup.splitLeakage]] (k-gram windows WITH duplicates,
+    * pluggable token hash).
+    *
+    * Shape: the reference reduces to its DISTINCT window-hash set
+    * (8-byte hashes, content-scale but hash-only — at 100 TB this is
+    * the landed dimension a daily delta joins against, persisted/
+    * bucketed by hash once, not rebuilt per batch); candidate windows
+    * left-join it on the hash and ONE map-side-combinable count pair
+    * per doc folds the verdict. Docs with fewer than k tokens have no
+    * windows and are absent (novelty is undefined, not zero — a
+    * pipeline gates them on length first).
+    *
+    * Output: (id, n_windows, n_novel, novelty round-6). */
+  def ngramNovelty(candidates: DataFrame, reference: DataFrame,
+                   idCol: String, textCol: String, k: Int = 8,
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 1, s"ngramNovelty: k must be >= 1, got $k")
+    val cw = candidates.select(col(idCol),
+        explode(Text.shinglesWithDuplicates(col(textCol), k)).as("w"))
+      .select(col(idCol), tokenHash(col("w")).as("h"))
+    val seen = reference
+      .select(explode(Text.shinglesWithDuplicates(col(textCol), k)).as("w"))
+      .select(tokenHash(col("w")).as("h")).distinct()
+      .withColumn("_seen", lit(1L))
+    cw.join(seen, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_windows"), 6))
+  }
 }

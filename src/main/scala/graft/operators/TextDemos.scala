@@ -2493,6 +2493,20 @@ object TextDemos {
         tokenHash = graft.functions.Vec.md5Hash60)
       .orderBy("doc_id")
 
+  /** C122 — n-gram novelty gate ([[Curation.ngramNovelty]]): odd-id
+    * docs are the arriving candidate batch, even-id docs the existing
+    * corpus; the planted near-dup families make real low-novelty rows
+    * (a re-crawl reads ≈ 0 here before anyone pays to train on it). */
+  def ngramNoveltyDemo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Curation.ngramNovelty(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 8,
+        tokenHash = graft.functions.Vec.md5Hash60)
+      .orderBy("doc_id")
+  }
+
   /** C103 — takedown propagation: the delete list is every doc with
     * id % 29 == 0 (request-scale, and it hits four real near-dup
     * clusters at sf0.01 so the sweep half actually fires); clusters are

@@ -3385,6 +3385,34 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
   }
 
+  /** mirror of TextDemos.ngramNoveltyDemo: the splitLeakage window
+    * CTE reshaped — odd ids are candidates, the even-id corpus reduces
+    * to its distinct window-hash set, candidates LEFT JOIN it and the
+    * per-doc novel-window fraction rounds to 6. */
+  def ngramNoveltySql(k: Int = 8): String = {
+    val gram = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % 2 = 1 AS is_cand,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, is_cand,
+       |    unnest(list_transform(range(1, len(toks) - $k + 2),
+       |      i -> ${md560(s"($gram)")})) AS h
+       |  FROM t WHERE len(toks) >= $k
+       |), seen AS (
+       |  SELECT DISTINCT h FROM w WHERE NOT is_cand
+       |)
+       |SELECT w.doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |       CAST(SUM(CASE WHEN s.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       round(CAST(SUM(CASE WHEN s.h IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / COUNT(*), 6) AS novelty
+       |FROM w LEFT JOIN seen s ON w.h = s.h
+       |WHERE w.is_cand
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+  }
+
   /** mirror of TextDemos.takedownPropagateDemo: the C13 recursive-CTE
     * cluster fixpoint, then listed ∪ tainted-cluster membership. */
   def takedownSql(mod: Int = 29): String = {
