@@ -86,7 +86,13 @@ object ScaleSmoke {
     "dedup_first_key_hash",
     // r15: the graph family's second iterative member (same per-round
     // node-scale-shuffle claim as pagerank — measured, not inherited)
-    "label_propagation")
+    "label_propagation",
+    // r15 late additions: the novelty gate scans every k-gram window
+    // of both corpus halves (the C122 claim is hash-dimension-join
+    // linearity); its D15 sequential-admission form adds the archive
+    // join per micro-batch; pref-pair prep is two quality scans + the
+    // prompt-dedup window
+    "ngram_novelty", "stream_novelty_admit_parity", "pref_pair_prep")
 
   /** smoke-only variants that exist to stress a knob the registry
     * demos fix (SparkEntry rows must stay oracle-stable): PageRank at

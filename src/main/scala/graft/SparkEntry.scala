@@ -18,6 +18,7 @@ object SparkEntry {
     "q5_local_supplier"    -> (Analytics.q5LocalSupplier(_, _)),
     "window_rank"          -> (Analytics.windowRank(_, _)),
     "rollup_agg"           -> (Analytics.rollupAgg(_, _)),
+    "cube_agg"             -> (Analytics.cubeAgg(_, _)),
     "json_extract"         -> (Analytics.jsonExtract(_, _)),
     "time_window_agg"      -> (Analytics.timeWindowAgg(_, _)),
     "sessionize"           -> (Analytics.sessionize(_, _)),
@@ -96,6 +97,7 @@ object SparkEntry {
     "takedown_propagate"   -> (TextDemos.takedownPropagateDemo(_, _)),
     "split_leakage"        -> (TextDemos.splitLeakageDemo(_, _)),
     "ngram_novelty"        -> (TextDemos.ngramNoveltyDemo(_, _)),
+    "pref_pair_prep"       -> (TextDemos.prefPairPrepDemo(_, _)),
     "stratified_split"     -> (TextDemos.stratifiedSplitDemo(_, _)),
     "mojibake_score"       -> (TextDemos.mojibakeScoreDemo(_, _)),
     "kanon_generalize"     -> (TextDemos.kanonGeneralizeDemo(_, _)),
@@ -216,6 +218,7 @@ object SparkEntry {
     "stream_drift_parity"  -> (graft.streaming.StreamParity.streamDriftParity(_, _)),
     "stream_calibration_parity" -> (graft.streaming.StreamParity.streamCalibrationParity(_, _)),
     "stream_kmv_sketch_parity" -> (graft.streaming.StreamParity.streamKmvSketchParity(_, _)),
+    "stream_novelty_admit_parity" -> (graft.streaming.StreamParity.streamNoveltyAdmitParity(_, _)),
   )
 
   /** Bench-only paths: production configurations whose hash functions
@@ -306,6 +309,7 @@ object SparkEntry {
       // D10: the streamed KMV sketch is an order statistic — it must
       // equal the batch distinct-sort-limit of the same corpus
       "stream_kmv_sketch_parity" -> graft.oracle.OracleGen.streamKmvSketchSql(),
+      "stream_novelty_admit_parity" -> graft.oracle.OracleGen.streamNoveltyAdmitSql(),
       // D2: the doubled stream dedups back to the table itself
       "stream_dedup_state_parity" ->
         """SELECT event_id, ts, user_id, event_type, value
@@ -411,6 +415,21 @@ object SparkEntry {
          |FROM orders
          |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          |ORDER BY status, priority""".stripMargin,
+    "cube_agg" ->
+      s"""WITH t AS (
+         |  SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |         o_totalprice
+         |  FROM orders
+         |)
+         |SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |       COALESCE(o_year, -1) AS o_year,
+         |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+         |       CAST(GROUPING(o_year) AS BIGINT) AS g_year,
+         |       COUNT(*) AS n_orders,
+         |       ${dsum("o_totalprice")} AS sum_price
+         |FROM t
+         |GROUP BY CUBE (o_orderstatus, o_year)
+         |ORDER BY g_status, g_year, status, o_year""".stripMargin,
 
     "json_extract" ->
       """SELECT event_type,
@@ -997,6 +1016,7 @@ object SparkEntry {
     "takedown_propagate" -> graft.oracle.OracleGen.takedownSql(),
     "split_leakage"      -> graft.oracle.OracleGen.splitLeakageSql(),
     "ngram_novelty"      -> graft.oracle.OracleGen.ngramNoveltySql(),
+    "pref_pair_prep"     -> graft.oracle.OracleGen.prefPairPrepSql(),
     "stratified_split"   -> graft.oracle.OracleGen.stratifiedSplitSql(),
     "mojibake_score"     -> graft.oracle.OracleGen.mojibakeSql(),
     "kanon_generalize"   -> graft.oracle.OracleGen.kanonSql(),

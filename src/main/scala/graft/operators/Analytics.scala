@@ -91,6 +91,38 @@ object Analytics {
         col("n_orders"), col("sum_price"))
       .orderBy(col("status"), col("priority"))
 
+  /** B21: CUBE aggregate — all four grouping sets of
+    * (status, order-year) computed in ONE scan (Catalyst expands the
+    * cube into a single Expand + hash-aggregate; four separate
+    * groupBys would read the table four times and shuffle four
+    * times). Unlike B5's NULL-coalesce sentinel, subtotal provenance
+    * is carried by GROUPING() flags, so a genuine NULL group value
+    * and a subtotal row stay distinguishable — the contract that
+    * matters once a grouping column is nullable. Exact-decimal money
+    * sums (Agg.dsum); flags cast to long for oracle portability.
+    *
+    * 100 TB: Expand multiplies scan rows ×4 BEFORE the shuffle, but
+    * partial aggregation collapses them map-side to (statuses ×
+    * years) cardinality per task — the shuffle carries group-scale
+    * rows, not 4× corpus. That partial-agg collapse is the whole
+    * scale story for cube/rollup; verified by the B5/B21 plan shape
+    * (Expand under partial HashAggregate). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      .cube(col("o_orderstatus"), col("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_year")).cast("long").as("g_year"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_year"), lit(-1L)).as("o_year"),
+        col("g_status"), col("g_year"), col("n_orders"), col("sum_price"))
+      .orderBy(col("g_status"), col("g_year"), col("status"), col("o_year"))
+
   /** B6: JSON column parsing + agg. A `$.k` value that isn't an
     * in-range integer yields NULL (and drops out of the aggregates) —
     * under ANSI mode a bare cast of a garbage or overflowing string

@@ -482,18 +482,104 @@ object Curation {
                    idCol: String, textCol: String, k: Int = 8,
                    tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(k >= 1, s"ngramNovelty: k must be >= 1, got $k")
+    ngramNoveltyAgainstSeen(candidates,
+      seenWindowHashes(reference, textCol, k, tokenHash),
+      idCol, textCol, k, tokenHash)
+  }
+
+  /** a corpus reduced to its DISTINCT k-token-window hash set — the
+    * landed dimension [[ngramNovelty]] joins against (column `h`). At
+    * 100 TB this is written bucketed by `h` ONCE and extended
+    * incrementally (streaming/NoveltyAdmit), never rebuilt per batch. */
+  def seenWindowHashes(corpus: DataFrame, textCol: String, k: Int,
+                       tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    corpus.select(explode(Text.shinglesWithDuplicates(col(textCol), k)).as("w"))
+      .select(tokenHash(col("w")).as("h")).distinct()
+
+  /** [[ngramNovelty]] with the reference pre-reduced to its window-hash
+    * dimension (`h`) — the form every incremental caller uses, since
+    * landing the hash set once is the whole point of the shape. */
+  def ngramNoveltyAgainstSeen(candidates: DataFrame, seenHashes: DataFrame,
+                              idCol: String, textCol: String, k: Int = 8,
+                              tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(k >= 1, s"ngramNovelty: k must be >= 1, got $k")
     val cw = candidates.select(col(idCol),
         explode(Text.shinglesWithDuplicates(col(textCol), k)).as("w"))
       .select(col(idCol), tokenHash(col("w")).as("h"))
-    val seen = reference
-      .select(explode(Text.shinglesWithDuplicates(col(textCol), k)).as("w"))
-      .select(tokenHash(col("w")).as("h")).distinct()
-      .withColumn("_seen", lit(1L))
+    val seen = seenHashes.select(col("h")).withColumn("_seen", lit(1L))
     cw.join(seen, Seq("h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_windows"), 6))
+  }
+
+  /** C123 — preference-pair curation (DPO/reward-model data prep):
+    * the validation-and-dedup pass a pairwise-preference dataset goes
+    * through before training, applied to rows of
+    * (id, prompt, response A, response B, score A, score B).
+    *
+    * Per pair, in order:
+    *  1. ORIENTATION repair — chosen = the higher-scored response
+    *     (`swapped` records when that was B). A flipped pair is label
+    *     noise only if left unrepaired, so it is fixed, not dropped.
+    *     Score ties keep A (deterministic, no coin-flip).
+    *  2. `ok_distinct` — chosen ≠ rejected byte-wise: an identical
+    *     pair carries zero preference signal.
+    *  3. `ok_margin` — margin = chosen − rejected score ≥ minMargin:
+    *     near-tie pairs are annotator noise amplified by the DPO loss.
+    *  4. `ok_len_ratio` — longer/shorter whitespace-token ratio ≤
+    *     maxLenRatio (short side floored at 1 token): reward models
+    *     latch onto length when one side is structurally longer, the
+    *     documented RLHF length-bias failure.
+    *  5. PROMPT DEDUP — among pairs passing 2–4, exactly one pair
+    *     per distinct prompt survives (lowest id wins): repeated
+    *     prompts over-weight their gradient and leak between train/
+    *     eval splits. Failing pairs never block a passing duplicate.
+    *
+    * Output: one row per input pair with the repaired orientation
+    * flag, each check's verdict, round-6 margin and length ratio,
+    * and `kept` = passes 2–4 AND wins the dedup — row-per-input
+    * (like C94's SFT validation) so the audit trail shows WHY each
+    * pair dropped (all checks true + kept false ⇒ a dedup loser).
+    *
+    * Scale shape: stages 1–4 are map-only (whole-stage codegen, no
+    * UDFs); stage 5 is one hash-partitioned window over the prompt —
+    * the only shuffle, carrying (prompt-hash, id, flags) rows, never
+    * response text. No all-pairs anywhere. */
+  def prefPairPrep(pairs: DataFrame, idCol: String, promptCol: String,
+                   respACol: String, respBCol: String,
+                   scoreACol: String, scoreBCol: String,
+                   minMargin: Double = 0.05,
+                   maxLenRatio: Double = 3.0): DataFrame = {
+    val swapped = col(scoreBCol) > col(scoreACol)
+    val scored = pairs.select(col(idCol), col(promptCol),
+        swapped.as("swapped"),
+        when(swapped, col(respBCol)).otherwise(col(respACol)).as("_chosen"),
+        when(swapped, col(respACol)).otherwise(col(respBCol)).as("_rejected"),
+        when(swapped, col(scoreBCol)).otherwise(col(scoreACol)).as("_cs"),
+        when(swapped, col(scoreACol)).otherwise(col(scoreBCol)).as("_rs"))
+      .withColumn("_clen",
+        greatest(size(Text.wsTokens(col("_chosen"))).cast("double"), lit(1.0)))
+      .withColumn("_rlen",
+        greatest(size(Text.wsTokens(col("_rejected"))).cast("double"), lit(1.0)))
+      .withColumn("margin", col("_cs") - col("_rs"))
+      .withColumn("len_ratio",
+        greatest(col("_clen"), col("_rlen")) / least(col("_clen"), col("_rlen")))
+      .withColumn("ok_distinct", col("_chosen") =!= col("_rejected"))
+      .withColumn("ok_margin", col("margin") >= minMargin)
+      .withColumn("ok_len_ratio", col("len_ratio") <= maxLenRatio)
+      .withColumn("_row_ok",
+        col("ok_distinct") && col("ok_margin") && col("ok_len_ratio"))
+    scored
+      .withColumn("_rk",
+        row_number().over(Window.partitionBy(col(promptCol))
+          .orderBy(when(col("_row_ok"), 0).otherwise(1), col(idCol))))
+      .withColumn("kept", col("_row_ok") && col("_rk") === 1)
+      .select(col(idCol), col("swapped"), col("ok_distinct"),
+        col("ok_margin"), col("ok_len_ratio"), col("kept"),
+        round(col("margin"), 6).as("margin"),
+        round(col("len_ratio"), 6).as("len_ratio"))
   }
 }

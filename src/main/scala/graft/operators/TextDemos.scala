@@ -2507,6 +2507,35 @@ object TextDemos {
       .orderBy("doc_id")
   }
 
+  /** C123 — preference-pair curation ([[Curation.prefPairPrep]]):
+    * consecutive docs pair up (even doc_id = response A, odd = B,
+    * pair_id = doc_id div 2), the prompt is A's first-12-token prefix
+    * (the corpus's planted near-dup families make ORGANIC duplicate
+    * prompts), scores are C9's quality score, and two violations are
+    * planted so every check demonstrably fires: every %41 pair's B is
+    * overwritten with A (identical pair, zero margin) and every %37
+    * pair's prompt is forced to one shared string (guaranteed dedup
+    * group). Real margins/length ratios from the real corpus exercise
+    * the other two gates. */
+  def prefPairPrepDemo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+      .select(expr("doc_id div 2").as("pair_id"), col("text").as("resp_a"))
+    val b = docs.filter(col("doc_id") % 2 === 1)
+      .select(expr("(doc_id - 1) div 2").as("pair_id"), col("text").as("resp_b"))
+    val pairs = a.join(b, "pair_id")
+      .withColumn("resp_b",
+        when(col("pair_id") % 41 === 0, col("resp_a")).otherwise(col("resp_b")))
+      .withColumn("prompt",
+        when(col("pair_id") % 37 === 0, lit("PLANTED duplicate prompt"))
+          .otherwise(array_join(slice(Text.wsTokens(col("resp_a")), 1, 12), " ")))
+      .withColumn("score_a", Text.qualityScore(col("resp_a")))
+      .withColumn("score_b", Text.qualityScore(col("resp_b")))
+    Curation.prefPairPrep(pairs, "pair_id", "prompt",
+        "resp_a", "resp_b", "score_a", "score_b")
+      .orderBy("pair_id")
+  }
+
   /** C103 — takedown propagation: the delete list is every doc with
     * id % 29 == 0 (request-scale, and it hits four real near-dup
     * clusters at sf0.01 so the sweep half actually fires); clusters are

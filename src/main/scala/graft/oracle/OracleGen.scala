@@ -3413,6 +3413,128 @@ s$i AS MATERIALIZED (SELECT vec_id, v, d, $i AS rank FROM m$i ORDER BY d DESC, v
        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
   }
 
+  /** mirror of StreamParity.streamNoveltyAdmitParity: the C122 window
+    * CTE with an explicit batch column ((doc_id // 2) % nBatches for
+    * odd ids), then the admission fold UNROLLED — round b's per-doc
+    * novelty joins seen-set s_b, docs at novelty ≥ tau contribute
+    * their window hashes to s_{b+1} (UNION = set semantics, matching
+    * the sink's disjoint-union archive). Any divergence in the
+    * incremental bookkeeping shows up as a changed later-round
+    * novelty. */
+  def streamNoveltyAdmitSql(k: Int = 8, nBatches: Int = 3,
+                            tau: Double = 0.5): String = {
+    val gram = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    val rounds = (0 until nBatches).map { b =>
+      val seen = if (b == 0) "ref" else s"s$b"
+      val verdict =
+        s"""v$b AS (
+           |  SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           |    CAST(SUM(CASE WHEN s.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           |    round(CAST(SUM(CASE WHEN s.h IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |          / COUNT(*), 6) AS novelty
+           |  FROM w LEFT JOIN $seen s ON w.h = s.h
+           |  WHERE w.is_cand AND w.b = $b
+           |  GROUP BY w.doc_id
+           |)""".stripMargin
+      val nextSeen =
+        if (b == nBatches - 1) ""
+        else s""", s${b + 1} AS (
+                |  SELECT h FROM $seen
+                |  UNION
+                |  SELECT w.h FROM w JOIN v$b USING (doc_id)
+                |  WHERE v$b.novelty >= $tau
+                |)""".stripMargin
+      verdict + nextSeen
+    }.mkString(", ")
+    val out = (0 until nBatches).map { b =>
+      s"""SELECT doc_id, CAST($b AS BIGINT) AS batch_id, n_windows, n_novel,
+         |       novelty, novelty >= $tau AS admitted FROM v$b""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % 2 = 1 AS is_cand,
+       |    CAST((doc_id // 2) % $nBatches AS BIGINT) AS b,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, is_cand, b,
+       |    unnest(list_transform(range(1, len(toks) - $k + 2),
+       |      i -> ${md560(s"($gram)")})) AS h
+       |  FROM t WHERE len(toks) >= $k
+       |), ref AS (
+       |  SELECT DISTINCT h FROM w WHERE NOT is_cand
+       |), $rounds
+       |$out
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** mirror of TextDemos.prefPairPrepDemo: consecutive-doc pairing,
+    * the C9 quality-score formula inline per side, orientation repair
+    * via CASE on the score comparison, the three row checks, then the
+    * prompt-dedup window (row-ok pairs rank first, lowest pair_id
+    * wins). Same planted violations (%41 identical B, %37 shared
+    * prompt). */
+  def prefPairPrepSql(minMargin: Double = 0.05,
+                      maxLenRatio: Double = 3.0): String = {
+    def qscore(tok: String, txt: String) =
+      s"""0.4 * least(CAST(len($tok) AS DOUBLE) / 100.0, 1.0)
+         |      + 0.3 * (CASE WHEN len($tok) > 0 THEN CAST(len(list_filter($tok, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS DOUBLE) / CAST(len($tok) AS DOUBLE) ELSE 0.0 END)
+         |      + 0.3 * (CASE WHEN length($txt) > 0 THEN CAST(len(regexp_extract_all($txt, '[A-Za-z]')) AS DOUBLE) / CAST(length($txt) AS DOUBLE) ELSE 0.0 END)""".stripMargin
+    s"""WITH a AS (
+       |  SELECT CAST(doc_id // 2 AS BIGINT) AS pair_id, text AS resp_a
+       |  FROM documents WHERE doc_id % 2 = 0
+       |), b AS (
+       |  SELECT CAST((doc_id - 1) // 2 AS BIGINT) AS pair_id, text AS resp_b
+       |  FROM documents WHERE doc_id % 2 = 1
+       |), p0 AS (
+       |  SELECT a.pair_id, resp_a,
+       |    CASE WHEN a.pair_id % 41 = 0 THEN resp_a ELSE resp_b END AS resp_b
+       |  FROM a JOIN b USING (pair_id)
+       |), p1 AS (
+       |  SELECT pair_id, resp_a, resp_b,
+       |    CASE WHEN pair_id % 37 = 0 THEN 'PLANTED duplicate prompt'
+       |         ELSE array_to_string(list_slice(list_filter(string_split(resp_a, ' '), x -> x <> ''), 1, 12), ' ') END AS prompt,
+       |    list_filter(string_split(resp_a, ' '), x -> x <> '') AS atoks,
+       |    list_filter(string_split(resp_b, ' '), x -> x <> '') AS btoks
+       |  FROM p0
+       |), p2 AS (
+       |  SELECT pair_id, prompt, resp_a, resp_b,
+       |    ${qscore("atoks", "resp_a")} AS score_a,
+       |    ${qscore("btoks", "resp_b")} AS score_b
+       |  FROM p1
+       |), s AS (
+       |  SELECT pair_id, prompt,
+       |    score_b > score_a AS swapped,
+       |    CASE WHEN score_b > score_a THEN resp_b ELSE resp_a END AS chosen,
+       |    CASE WHEN score_b > score_a THEN resp_a ELSE resp_b END AS rejected,
+       |    CASE WHEN score_b > score_a THEN score_b - score_a
+       |         ELSE score_a - score_b END AS margin
+       |  FROM p2
+       |), m AS (
+       |  SELECT pair_id, prompt, swapped, margin,
+       |    greatest(CAST(len(list_filter(string_split(chosen, ' '), x -> x <> '')) AS DOUBLE), 1.0) AS clen,
+       |    greatest(CAST(len(list_filter(string_split(rejected, ' '), x -> x <> '')) AS DOUBLE), 1.0) AS rlen,
+       |    chosen <> rejected AS ok_distinct
+       |  FROM s
+       |), f AS (
+       |  SELECT pair_id, prompt, swapped, margin, ok_distinct,
+       |    margin >= $minMargin AS ok_margin,
+       |    greatest(clen, rlen) / least(clen, rlen) AS len_ratio,
+       |    greatest(clen, rlen) / least(clen, rlen) <= $maxLenRatio AS ok_len_ratio
+       |  FROM m
+       |), r AS (
+       |  SELECT *,
+       |    ok_distinct AND ok_margin AND ok_len_ratio AS row_ok,
+       |    row_number() OVER (PARTITION BY prompt
+       |      ORDER BY CASE WHEN ok_distinct AND ok_margin AND ok_len_ratio THEN 0 ELSE 1 END, pair_id) AS rk
+       |  FROM f
+       |)
+       |SELECT pair_id, swapped, ok_distinct, ok_margin, ok_len_ratio,
+       |       row_ok AND rk = 1 AS kept,
+       |       round(margin, 6) AS margin,
+       |       round(len_ratio, 6) AS len_ratio
+       |FROM r ORDER BY pair_id""".stripMargin
+  }
+
   /** mirror of TextDemos.takedownPropagateDemo: the C13 recursive-CTE
     * cluster fixpoint, then listed ∪ tainted-cluster membership. */
   def takedownSql(mod: Int = 29): String = {

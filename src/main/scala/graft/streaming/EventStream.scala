@@ -608,6 +608,136 @@ object EventStream {
     } finally banded.unpersist()
   }
 
+  /** D15: streaming n-gram-novelty admission — C122's gate run the way
+    * a continual-pretraining pipeline actually runs it: candidate
+    * batches arrive as a stream, each batch's per-document novelty is
+    * measured against the corpus-SO-FAR (the landed reference window-
+    * hash dimension PLUS every previously ADMITTED batch), documents
+    * with novelty ≥ tau are admitted, and the admitted documents' new
+    * window hashes extend the seen archive for every later batch — so
+    * a re-crawl that copies an earlier ADMITTED batch is rejected even
+    * though the original reference never contained it (the signal the
+    * batch form structurally cannot see).
+    *
+    * Layout under `targetDir`: `verdicts/<batchId>` (one row per doc:
+    * n_windows, n_novel, novelty, admitted, batch_id) and
+    * `seen/<batchId>` (the admitted docs' window hashes NOT already in
+    * the seen set — the archive stays a disjoint union, so its size is
+    * the corpus's distinct-window growth, not Σ batch windows).
+    *
+    * Replay discipline (= [[minhashDedupBatch]]): the seen segment is
+    * the COMMIT POINT and writes last; a committed batch id returns
+    * immediately; a crash between the verdict write and the seen write
+    * replays against the same committed-prior archive and overwrites
+    * byte-identical verdicts. Batches against one target are
+    * sequential, so nothing can commit in between.
+    *
+    * 100 TB: per batch, work is the DELTA's windows (explode + hash)
+    * joined against the archive — the archive side is hash-only
+    * 8-byte rows, bucketable by `h`, and is exactly the dimension
+    * [[graft.operators.Curation.seenWindowHashes]] lands for the
+    * batch gate; admission adds only genuinely-new hashes, so archive
+    * growth is bounded by distinct-window growth of the ADMITTED
+    * corpus. `referenceHashes` is that landed dimension (column `h`),
+    * read once outside the stream.
+    *
+    * Use with `docs.writeStream.foreachBatch(
+    *   EventStream.noveltyAdmitBatch(dir, refHashes, "doc_id", "text") _)`. */
+  def noveltyAdmitBatch(targetDir: String, referenceHashes: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 8, tau: Double = 0.5,
+                        tokenHash: Column => Column = xxhash64(_))(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val seenRoot = new org.apache.hadoop.fs.Path(s"$targetDir/seen")
+    val fs = seenRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    if (isCommitted(fs, seenRoot, batchId))
+      return // committed replay: verdicts + seen segment already durable
+    val prior = archivePaths(fs, seenRoot, batchId)
+    val seen = prior match {
+      case Seq() => referenceHashes.select(col("h"))
+      case paths => referenceHashes.select(col("h")).unionByName(
+        spark.read.schema(referenceHashes.select(col("h")).schema)
+          .parquet(paths: _*))
+    }
+    // windows computed ONCE per batch, reused by the verdict agg and
+    // the archive append (batch-delta-scale; released before return)
+    val cw = batch.select(col(idCol),
+        explode(graft.functions.Text.shinglesWithDuplicates(col(textCol), k)).as("w"))
+      .select(col(idCol), tokenHash(col("w")).as("h"))
+      .persist()
+    try {
+      // the seen union is DISTINCT by construction (referenceHashes is
+      // the distinct landed dimension; every segment anti-joined before
+      // landing), so no per-batch dedup of the archive is ever paid —
+      // a duplicate `h` would double-count joined candidate windows,
+      // which is why the disjoint-union invariant is load-bearing
+      val verdicts = cw
+        .join(seen.withColumn("_seen", lit(1L)), Seq("h"), "left")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          round(col("n_novel").cast("double") / col("n_windows"), 6))
+        .withColumn("admitted", col("novelty") >= tau)
+        .withColumn("batch_id", lit(batchId))
+        .persist()
+      try {
+        verdicts.write.mode("overwrite")
+          .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+          .parquet(s"$targetDir/verdicts/$batchId")
+        // admitted docs' hashes not already seen — the disjoint delta
+        val newHashes = cw
+          .join(verdicts.filter(col("admitted")).select(col(idCol)), Seq(idCol), "left_semi")
+          .select(col("h")).distinct()
+          .join(seen, Seq("h"), "left_anti")
+        newHashes.write.mode("overwrite")
+          .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
+          .parquet(s"$targetDir/seen/$batchId")
+      } finally verdicts.unpersist()
+    } finally cw.unpersist()
+  }
+
+  /** Compact the [[noveltyAdmitBatch]] target: committed `seen`
+    * segments strictly below the newest batch coalesce into one
+    * hash-sorted segment (the archive side of every later batch's
+    * join reads few, tight, stats-prunable files instead of one dir
+    * per batch forever), and the verdict output dirs fold the same
+    * way keyed by doc id. Same crash discipline as
+    * [[compactSignatures]]: segment + `_MEMBERS` manifest commit
+    * BEFORE covered dirs delete; the read paths prefer the widest
+    * committed segment either way; disjointness of the seen union is
+    * preserved (a union of disjoint inputs). Returns true when a
+    * segment was written. */
+  def compactSeen(spark: org.apache.spark.sql.SparkSession,
+                  targetDir: String, nFiles: Int = 32,
+                  idCol: String = "doc_id"): Boolean = {
+    val seenRoot = new org.apache.hadoop.fs.Path(s"$targetDir/seen")
+    val verdictRoot = new org.apache.hadoop.fs.Path(s"$targetDir/verdicts")
+    val fs = seenRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    sweepCovered(fs, seenRoot)
+    sweepCovered(fs, verdictRoot)
+    val plain = committedIds(fs, seenRoot)
+    if (plain.isEmpty) return false
+    val newest = plain.max
+    val seenDone = compactRoot(spark, fs, seenRoot, newest, Seq("h"), nFiles)
+    val verdictDone = compactRoot(spark, fs, verdictRoot, newest,
+      Seq(idCol), nFiles)
+    seenDone || verdictDone
+  }
+
+  /** every per-document admission verdict the [[noveltyAdmitBatch]]
+    * sink has recorded so far (committed batches only). */
+  def readAllVerdicts(spark: org.apache.spark.sql.SparkSession,
+                      targetDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(s"$targetDir/verdicts")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"novelty target $targetDir has no verdicts")
+    val paths = archivePaths(fs, root, excludeId = -1L)
+    require(paths.nonEmpty, s"novelty target $targetDir has no committed verdicts")
+    spark.read.parquet(paths: _*)
+  }
+
   /** all near-dup pairs the [[minhashDedupBatch]] sink has recorded so
     * far (committed batches only). */
   def readAllPairs(spark: org.apache.spark.sql.SparkSession,

@@ -594,4 +594,82 @@ object StreamParity {
     EventStream.readAllPairs(spark, target)
       .orderBy("id_a", "id_b")
   }
+
+  /** Stage a table as one parquet file PER EXPLICIT BATCH (batchExpr ∈
+    * [0, nBatches)), mtimes ordered by batch index, and open it at one
+    * file per trigger — a finite replay whose micro-batch MEMBERSHIP is
+    * a deterministic function of the data, which is what lets a
+    * sequential-admission oracle unroll the exact same batches. (The
+    * range-staged [[fileStreamOrdered]] can't promise that: its file
+    * boundaries are sampled quantiles.) */
+  private def fileStreamByBatch(df: DataFrame, key: String,
+                                batchExpr: org.apache.spark.sql.Column,
+                                nBatches: Int): DataFrame = {
+    val dir = Fixtures.dir(key)
+    val input = s"$dir/input"
+    Fixtures.buildOnce(dir) {
+      val p = new org.apache.hadoop.fs.Path(input)
+      val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      var assigned = Set.empty[String]
+      (0 until nBatches).foreach { b =>
+        df.filter(batchExpr === b).coalesce(1)
+          .write.mode("append").parquet(input)
+        val fresh = fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).map(_.getName).toSet -- assigned
+        require(fresh.size == 1,
+          s"batch $b staged ${fresh.size} files (want exactly 1): empty batch?")
+        fresh.foreach(n => fs.setTimes(
+          new org.apache.hadoop.fs.Path(p, n), 1000000000L + b * 1000L, -1))
+        assigned ++= fresh
+      }
+    }
+    df.sparkSession.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(input)
+  }
+
+  /** D15 ↔ C122's sequential form: odd-id docs are the arriving
+    * candidate stream in three explicit batches ((doc_id div 2) % 3 —
+    * oracle-reconstructible membership), even-id docs land once as the
+    * reference window-hash dimension, and each batch's per-doc novelty
+    * is gated at tau = 0.5 against reference ∪ previously-ADMITTED
+    * batches via [[EventStream.noveltyAdmitBatch]]. The oracle unrolls
+    * the same three admission rounds in SQL; any disagreement in the
+    * incremental archive bookkeeping (a hash double-landed, a batch
+    * read out of order, an admitted doc's windows dropped) breaks the
+    * hash gate. Shuffle partitions drop to 8 for the replay (fixture-
+    * sized batches; the r14 state-parallelism lesson applies to
+    * foreachBatch plans too). */
+  def streamNoveltyAdmitParity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val refDir = Fixtures.dir(s"snov_ref_${sfName(dir)}")
+    val refPath = s"$refDir/h"
+    Fixtures.buildOnce(refDir)(
+      graft.operators.Curation.seenWindowHashes(
+          docs.filter(col("doc_id") % 2 === 0), "text", k = 8,
+          tokenHash = graft.functions.Vec.md5Hash60)
+        .write.mode("overwrite").parquet(refPath))
+    val refHashes = spark.read.parquet(refPath)
+    val src = fileStreamByBatch(docs.filter(col("doc_id") % 2 === 1),
+      s"snov_${sfName(dir)}", expr("(doc_id div 2) % 3"), nBatches = 3)
+    val target = freshTarget(s"snov_tgt_${sfName(dir)}")
+    withConfs(spark,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val q = src.writeStream.outputMode("append")
+        .foreachBatch(EventStream.noveltyAdmitBatch(target, refHashes,
+          "doc_id", "text", k = 8, tau = 0.5,
+          tokenHash = graft.functions.Vec.md5Hash60) _)
+        .option("checkpointLocation", s"$target/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      awaitRecorded(q)
+      // fold the archive before reading back: the oracle-gated answer
+      // must survive compaction (8 segment files — fixture-sized)
+      EventStream.compactSeen(spark, target, nFiles = 8)
+    }
+    EventStream.readAllVerdicts(spark, target)
+      .select(col("doc_id"), col("batch_id"), col("n_windows"),
+        col("n_novel"), col("novelty"), col("admitted"))
+      .orderBy("doc_id")
+  }
 }

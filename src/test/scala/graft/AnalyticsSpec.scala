@@ -35,6 +35,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(total == graft.sources.Tables.orders(spark, sfDir).count())
   }
 
+  test("cube emits all four grouping sets, flags distinguish subtotals, slices sum to the total") {
+    val df = Analytics.cubeAgg(spark, sfDir)
+    val rows = df.collect()
+    val total = graft.sources.Tables.orders(spark, sfDir).count()
+    // all four grouping sets present
+    val sets = rows.map(r => (r.getAs[Long]("g_status"), r.getAs[Long]("g_year"))).toSet
+    assert(sets == Set((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)), s"got $sets")
+    // grand total row
+    val grand = rows.filter(r => r.getAs[Long]("g_status") == 1 && r.getAs[Long]("g_year") == 1)
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_orders") == total)
+    // every marginal slice re-sums to the full count
+    for ((gs, gy) <- Seq((0L, 0L), (0L, 1L), (1L, 0L))) {
+      val n = rows.filter(r => r.getAs[Long]("g_status") == gs && r.getAs[Long]("g_year") == gy)
+        .map(_.getAs[Long]("n_orders")).sum
+      assert(n == total, s"slice ($gs,$gy) sums to $n, want $total")
+    }
+    // one scan, one Expand — not four separate aggregates
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "cube must plan through a single Expand")
+  }
+
   test("json extract sums k per event type") {
     val rows = Analytics.jsonExtract(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.forall(_.getAs[Long]("sum_k") >= 0))
