@@ -21,6 +21,7 @@ object SparkEntry {
     "cube_agg"             -> (Analytics.cubeAgg(_, _)),
     "json_extract"         -> (Analytics.jsonExtract(_, _)),
     "time_window_agg"      -> (Analytics.timeWindowAgg(_, _)),
+    "moving_window_agg"    -> (Analytics.movingWindowAgg(_, _)),
     "sessionize"           -> (Analytics.sessionize(_, _)),
     "topk_per_group"       -> (Analytics.topkPerGroup(_, _)),
     "semi_join_exists"     -> (Analytics.semiJoinExists(_, _)),
@@ -415,6 +416,14 @@ object SparkEntry {
          |FROM orders
          |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          |ORDER BY status, priority""".stripMargin,
+    "moving_window_agg" ->
+      """SELECT event_id, user_id,
+        |       CAST(COUNT(*) OVER w AS BIGINT) AS n_hour,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_value_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "cube_agg" ->
       s"""WITH t AS (
          |  SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year,

@@ -136,6 +136,41 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** B22: time-RANGE moving window — per user, each event carries the
+    * count and exact-decimal value sum of that user's events in the
+    * PRECEDING HOUR (frame inclusive of the current row and its
+    * same-microsecond peers). RANGE frames are the one sliding-window
+    * form that is ORDER-DETERMINISTIC under ties: a ROWS frame over
+    * tied timestamps depends on which peer sorts first, a RANGE frame
+    * includes all peers in every peer's frame, so the answer is a pure
+    * function of the data — which is why this surface gets its own row
+    * rather than riding B4/B8's row-frame windows. Ordering key is
+    * integer unix MICROS (the ns→µs truncating read both engines
+    * share), never a double epoch.
+    *
+    * 100 TB: one hash exchange on user_id, then per-partition sort +
+    * a single sliding two-pointer pass inside Spark's window exec —
+    * no self-join, no explode-per-frame (the naive time-range
+    * self-join shuffles |events| × avg-frame rows; this shuffles
+    * |events| exactly once). Skewed users are real at scale (bots):
+    * the B13 salting pattern applies if one user dominates a
+    * partition. */
+  def movingWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    movingWindow(Tables.events(spark, dir)).orderBy("event_id")
+
+  /** B22 core on any (event_id, user_id, ts, value) frame — split out
+    * so the one-exchange plan claim is pinned directly (PlanShapeSpec). */
+  def movingWindow(events: DataFrame, windowUs: Long = 3600L * 1000 * 1000): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_us"))
+      .rangeBetween(-windowUs, 0)
+    events
+      .withColumn("_us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_hour"),
+        sum(col("value").cast(graft.functions.Agg.Money)).over(w)
+          .cast("double").as("sum_value_hour"))
+  }
+
   /** B7: event-time tumbling-window aggregation (batch twin of the
     * Structured Streaming D1 operator). */
   def timeWindowAgg(spark: SparkSession, dir: String): DataFrame =

@@ -56,6 +56,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("Expand"), "cube must plan through a single Expand")
   }
 
+  test("moving hour window matches a brute-force per-user frame") {
+    import org.apache.spark.sql.functions._
+    val got = Analytics.movingWindowAgg(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_hour"), r.getAs[Double]("sum_value_hour")))).toMap
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.size == ev.length, "one output row per event")
+    val byUser = ev.groupBy(_._2)
+    val hourUs = 3600L * 1000 * 1000
+    ev.foreach { case (id, u, us, _) =>
+      val frame = byUser(u).filter(e => e._3 <= us && e._3 >= us - hourUs)
+      val (n, s) = got(id)
+      assert(n == frame.length.toLong, s"event $id count: got $n want ${frame.length}")
+      val want = frame.map(e => BigDecimal(e._4).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(math.abs(s - want) < 1e-6, s"event $id sum: got $s want $want")
+    }
+  }
+
   test("json extract sums k per event type") {
     val rows = Analytics.jsonExtract(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.forall(_.getAs[Long]("sum_k") >= 0))

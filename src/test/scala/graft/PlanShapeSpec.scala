@@ -40,6 +40,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(df) == exchanges(vecs), plan(df))
   }
 
+  test("moving time-range window shuffles once on user, no self-join") {
+    val events = Seq(
+      (1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.5),
+      (2L, 10L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 2.5),
+      (3L, 11L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 3.0)
+    ).toDF("event_id", "user_id", "ts", "value").repartition(4)
+    val df = graft.operators.Analytics.movingWindow(events)
+    assert(exchanges(df) == exchanges(events) + 1, plan(df))
+    assert(!plan(df).contains("Join"), "time-range frame must not plan as a self-join")
+  }
+
   test("winnow fingerprints shuffle once: the window's hash(doc) serves the distinct") {
     // HashPartitioning(doc) from the window satisfies the distinct's
     // ClusteredDistribution((doc, pos, hash)) — a second exchange
