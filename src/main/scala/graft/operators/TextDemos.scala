@@ -194,7 +194,11 @@ object TextDemos {
     * rank_e15 ≤ 10^15 < 2^53 casts to double exactly, so the
     * interpolated quantile is engine-bit-exact. */
   def centralityGate(spark: SparkSession, dir: String): DataFrame = {
-    val pr = pagerankCentrality(spark, dir)
+    // the UNsorted rank recurrence: pagerankCentrality's orderBy("id")
+    // is presentation for its own row — inside the gate it would be a
+    // full extra sort exchange feeding a quantile agg + join that are
+    // both order-indifferent
+    val pr = pagerankOverKnn(spark, dir, iters = 6)
       .select(col("id").as("doc_id"), col("rank_e15").cast("double").as("centrality"))
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
     Sampling.sourceQuantileFilter(
@@ -1732,15 +1736,23 @@ object TextDemos {
     * enter the shuffle. One summary row; exact-int IEEE divisions. */
   def minhashLshEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // NOT persisted, deliberately (r14 measured both): the shingle
-    // explode feeds four consumers, but it is a cheap codegen map —
-    // re-running it costs less than materializing millions of exploded
-    // shingle strings to disk (persist read 7.9 s vs 4.8 s recompute
-    // on the same host). splitLeakage persists because its window
-    // table is consumed by a WIDE agg twice; here the heavy cost is
-    // the self-join shuffle either way.
+    // The truth side works over 64-bit HASHES of the shingles, not the
+    // shingle strings (r15): per-doc shingle sets are distinct, so an
+    // injective map leaves sizes, intersections, df and every count
+    // identical — and xxhash64 at 2⁻⁶⁴ collision odds is injective on
+    // any real corpus (the gate re-proves it: the DuckDB oracle
+    // computes the same row FROM THE STRINGS and the hashes must still
+    // match). This is also the standard at-scale representation: the
+    // self-join is THE shuffle of this row, and 8-byte fixed-width
+    // keys exchange, hash-partition, compare and aggregate for a
+    // fraction of a UTF8 string's cost (measured 8.1 → 3.5 s warm on
+    // this row). Still NOT persisted (the r14 measurement stands): the
+    // explode+hash is a cheap codegen map, and a persisted table's
+    // four consumers are independent AQE stages that race to fill the
+    // cold cache — recompute is both cheaper and race-free.
     val sh = docs.select(col("doc_id"), explode(call_function("graft_shingles",
-      col("text"), lit(3), lit(true))).as("sh"))
+        col("text"), lit(3), lit(true))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val nD = docs.agg(count(lit(1)).as("n_docs"))
       .select(greatest(lit(5L), expr("n_docs div 100")).as("df_cap"))

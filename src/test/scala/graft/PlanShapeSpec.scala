@@ -334,7 +334,7 @@ class PlanShapeSpec extends SparkSpec {
       "ivf_recall_curve"       -> ((12, 9, 9)),  // r13 fused form: ONE probe pass (truth ⋈ cluster rank), 5.6× fewer exchanges than the old 4-width re-plan
       "lsh_recall_curve"       -> ((44, 32, 36)), // 4-width sweep over the persisted bucket index; smaller because probes are map-side XORs, not assignment joins
       "setsim_join_rs"         -> ((5, 5, 5)),   // two-sided prefix join: same family as setsim_join minus the self-join's extra persist exchange
-      "bitext_mine_ann"        -> ((15, 6, 11)), // LSH candidates + margin: bucket join both directions + bounded top-k windows over candidates only
+      "bitext_mine_ann"        -> ((24, 12, 23)), // r15 §8 reshape: the bucket join fans out 16-byte (id, bucket) keys, vectors re-attach by two id joins AFTER the pair set is fixed — more (tiny) plan nodes, but the probe explode no longer replicates payloads (311→18 MB measured shuffle) and the provably-no-op pair dedup exchange is gone
       "shard_balance"          -> ((5, 1, 1)),   // two-phase cumsum: range partition + per-partition window + broadcast offsets + summary agg
       "takedown_propagate"     -> ((8, 3, 5)),   // minhash pairs + CC label join; cluster table touched only by broadcast joins
       "mink_score"             -> ((15, 7, 7)),  // bigramLp corpus joins + the doc-keyed rank window + totals join
