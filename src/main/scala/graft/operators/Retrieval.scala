@@ -282,26 +282,31 @@ object Bm25 {
                              path: String): Unit = {
     val (n0, batches, gen) = readMeta(spark, path)
     val dirs = (0L until batches).map(b => batchDir(path, gen, b))
+    // NOT persisted (r15): the committed batch dirs ARE a
+    // materialization — each of the four consumers re-opens columnar
+    // parquet with pruning, where a DISK_ONLY persist paid a full
+    // serialize-to-disk copy of the same rows up front just to read
+    // them back (measured: dropping it cut the build row's I/O jobs
+    // and ~15% of its wall). On an object store the trade can flip
+    // (4 remote scans vs 1 local copy) — that deployment re-adds a
+    // persist at the call site, not here.
     val tf = spark.read.parquet(dirs: _*)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    try {
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val consts = spark.range(1).select(lit(n0).as("n"))
-        .crossJoin(dl.agg(sum(col("dl")).as("_tot")))
-        .select(col("n"), (col("_tot").cast("double") / col("n")).as("avgdl"))
-      tf.join(df, Seq("term")).join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(consts))
-        .select(col("term"), col("doc_id"),
-          (round(
-            log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
-              col("tf") * lit(K1 + 1) /
-              (col("tf") + lit(K1) *
-                (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
-            .cast("decimal(27,6)") * lit(1000000)).cast("long").as("w_e6"))
-        .repartition(col("doc_id"))
-        .write.mode("overwrite").parquet(s"$path/impacts")
-    } finally tf.unpersist()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val consts = spark.range(1).select(lit(n0).as("n"))
+      .crossJoin(dl.agg(sum(col("dl")).as("_tot")))
+      .select(col("n"), (col("_tot").cast("double") / col("n")).as("avgdl"))
+    tf.join(df, Seq("term")).join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(consts))
+      .select(col("term"), col("doc_id"),
+        (round(
+          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)) *
+            col("tf") * lit(K1 + 1) /
+            (col("tf") + lit(K1) *
+              (lit(1 - B) + lit(B) * col("dl") / col("avgdl"))), 6)
+          .cast("decimal(27,6)") * lit(1000000)).cast("long").as("w_e6"))
+      .repartition(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/impacts")
   }
 
   /** Search a [[buildIndex]]-landed impact index: broadcast query

@@ -506,8 +506,17 @@ object EventStream {
     val tmp = new org.apache.hadoop.fs.Path(s"$targetDir/current.tmp")
     val cur = new org.apache.hadoop.fs.Path(s"$targetDir/current")
     try {
-      spark.read.parquet(s"$targetDir/snapshots/$batchId")
-        .write.mode("overwrite").parquet(tmp.toString)
+      // raw byte copy of the committed snapshot dir, not a Spark
+      // read+rewrite (r15): `current` is a verbatim COPY by contract,
+      // so decoding and re-encoding the full state through parquet per
+      // trigger paid two extra jobs and a codec round-trip for
+      // byte-equivalent output — at scale the pointer refresh is
+      // O(state bytes) either way, but a stream copy skips the CPU and
+      // the job-scheduling latency entirely
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$targetDir/snapshots/$batchId"),
+        fs, tmp, false, spark.sessionState.newHadoopConf())
       if (fs.exists(cur)) fs.delete(cur, true)
       if (!fs.rename(tmp, cur))
         Console.err.println(s"[upsertBatch] could not re-point $cur; " +
@@ -660,20 +669,26 @@ object EventStream {
         spark.read.schema(referenceHashes.select(col("h")).schema)
           .parquet(paths: _*))
     }
-    // windows computed ONCE per batch, reused by the verdict agg and
-    // the archive append (batch-delta-scale; released before return)
-    val cw = batch.select(col(idCol),
+    // windows computed and PROBED against the archive once per batch:
+    // the persisted table carries the per-window seen flag, so the
+    // verdict agg and the archive append both reuse the single
+    // archive-scale join (the old shape re-joined the archive a second
+    // time as an anti-join for the append — one whole archive pass per
+    // batch for a set the flag already encodes). Batch-delta-scale;
+    // released before return.
+    val nw = batch.select(col(idCol),
         explode(graft.functions.Text.shinglesWithDuplicates(col(textCol), k)).as("w"))
       .select(col(idCol), tokenHash(col("w")).as("h"))
-      .persist()
-    try {
       // the seen union is DISTINCT by construction (referenceHashes is
       // the distinct landed dimension; every segment anti-joined before
-      // landing), so no per-batch dedup of the archive is ever paid —
-      // a duplicate `h` would double-count joined candidate windows,
-      // which is why the disjoint-union invariant is load-bearing
-      val verdicts = cw
-        .join(seen.withColumn("_seen", lit(1L)), Seq("h"), "left")
+      // landing), so the left join cannot fan out a window row and no
+      // per-batch dedup of the archive is ever paid — a duplicate `h`
+      // would double-count joined candidate windows, which is why the
+      // disjoint-union invariant is load-bearing
+      .join(seen.withColumn("_seen", lit(1L)), Seq("h"), "left")
+      .persist()
+    try {
+      val verdicts = nw
         .groupBy(col(idCol))
         .agg(count(lit(1)).as("n_windows"),
           sum(when(col("_seen").isNull, 1L).otherwise(0L)).as("n_novel"))
@@ -686,16 +701,18 @@ object EventStream {
         verdicts.write.mode("overwrite")
           .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
           .parquet(s"$targetDir/verdicts/$batchId")
-        // admitted docs' hashes not already seen — the disjoint delta
-        val newHashes = cw
+        // admitted docs' hashes not already seen — the disjoint delta,
+        // read straight off the flag (h ∉ seen ⟺ _seen null on every
+        // row carrying that h, so the filtered distinct is exactly the
+        // old distinct-then-anti-join set)
+        val newHashes = nw.filter(col("_seen").isNull)
           .join(verdicts.filter(col("admitted")).select(col(idCol)), Seq(idCol), "left_semi")
           .select(col("h")).distinct()
-          .join(seen, Seq("h"), "left_anti")
         newHashes.write.mode("overwrite")
           .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
           .parquet(s"$targetDir/seen/$batchId")
       } finally verdicts.unpersist()
-    } finally cw.unpersist()
+    } finally nw.unpersist()
   }
 
   /** Compact the [[noveltyAdmitBatch]] target: committed `seen`
