@@ -2091,7 +2091,24 @@ object TextDemos {
     * distinct by construction and the scan cost is the plain sum of
     * probed bucket sizes; the bucket index builds ONCE (persisted,
     * the lshBucketTable serve discipline) and every probe width
-    * reuses it. One row per width; exact-int IEEE divisions. */
+    * reuses it. One row per width; exact-int IEEE divisions.
+    *
+    * ONE probe pass, not four (r15 — the same fusion the r13 ivf
+    * twin got, here in Hamming space): width pb's probe set is
+    * EXACTLY the buckets within Hamming distance pb of the query's
+    * bucket, the probe sets nest across widths, and truth is the
+    * global top-5 under the SAME (sim, id) total order the probed
+    * top-5 uses — so a truth pair is retrieved at width pb iff
+    * hamming(query bucket, candidate bucket) <= pb (probed ⊆ corpus
+    * can only IMPROVE a truth pair's rank). Every width's hit count
+    * is then one conditional sum over truth rows tagged with that
+    * Hamming distance, and every width's scan cost one conditional
+    * sum over the (query × occupied-bucket) distance table — the
+    * per-width lshTopKWithIndex re-plans (4 probe joins + 4 bounded
+    * top-k passes + 4 truth joins, 78 jobs measured) collapse into
+    * two tiny aggregates. Gated: LshRecallCurveSpec's full-width
+    * sanity, monotonicity, and independent pb=1 agreement pins, plus
+    * the unchanged DuckDB mirror of the literal per-width sweep. */
   def lshRecallCurve(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = graft.util.CacheRegistry.register(emb.filter(col("vec_id") < 5)
@@ -2103,32 +2120,46 @@ object TextDemos {
     val truth = graft.util.CacheRegistry.register(
       Similarity.bruteTopK(queries, corpus, k = 5)
         .select(col("query_id"), col("cand_id")).persist())
+    val widths = Seq(0, 1, 2, 8)
     val bSizes = index.groupBy(col("bucket")).agg(count(lit(1)).as("n_cand"))
-    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val nQ = queries.agg(count(lit(1)).as("n_q"))
     val nC = corpus.agg(count(lit(1)).as("n_c"))
     val planes = graft.functions.Vec.hyperplanes(8, 64)
-    Seq(0, 1, 2, 8).map { pb =>
-      val lsh = Similarity.lshTopKWithIndex(queries, index, k = 5,
-          nPlanes = 8, dim = 64, probeBits = pb)
-        .select(col("query_id"), col("cand_id"))
-      val nHits = lsh.join(truth, Seq("query_id", "cand_id"))
-        .agg(count(lit(1)).as("n_hits"))
-      val flips = Similarity.hammingBallMasks(8, pb)
-      val probed = queries.select(col("query_id"),
-          graft.functions.Vec.lshBucket(col("qv"), planes).as("bucket0"))
-        .select(col("query_id"), explode(array(flips.map(m =>
-          col("bucket0").bitwiseXOR(lit(m))): _*)).as("bucket"))
-      val scanned = probed.join(bSizes, "bucket")
-        .agg(coalesce(sum(col("n_cand")), lit(0L)).as("scanned"))
-      nTruth.crossJoin(nHits).crossJoin(scanned).crossJoin(nQ).crossJoin(nC)
-        .select(lit(pb).as("probe_bits"), col("n_truth"), col("n_hits"),
+    val qb = queries.select(col("query_id"),
+      graft.functions.Vec.lshBucket(col("qv"), planes).as("qb"))
+    // each truth pair tagged with its retrieval width = the Hamming
+    // distance between its query's and its candidate's bucket
+    val truthHd = truth
+      .join(index.select(col("cand_id"), col("bucket")), Seq("cand_id"))
+      .join(qb, Seq("query_id"))
+      .select(bit_count(col("qb").bitwiseXOR(col("bucket"))).as("hd"))
+    val hits = truthHd.agg(
+      count(lit(1)).as("n_truth"),
+      widths.map(pb => coalesce(sum(when(col("hd") <= pb, 1L).otherwise(0L)),
+        lit(0L)).as(s"_h$pb")): _*)
+    // scan cost per width: occupied buckets within pb of each query
+    val scans = qb.crossJoin(bSizes)
+      .select(bit_count(col("qb").bitwiseXOR(col("bucket"))).as("hd"), col("n_cand"))
+      .agg(
+        coalesce(sum(when(col("hd") <= widths.head, col("n_cand"))
+          .otherwise(0L)), lit(0L)).as(s"_s${widths.head}"),
+        widths.tail.map(pb => coalesce(sum(when(col("hd") <= pb, col("n_cand"))
+          .otherwise(0L)), lit(0L)).as(s"_s$pb")): _*)
+    // all four width rows explode out of the ONE joined summary row —
+    // a per-width union would re-evaluate the join chain per branch
+    hits.crossJoin(scans).crossJoin(nQ).crossJoin(nC)
+      .select(explode(array(widths.map { pb =>
+        struct(lit(pb).as("probe_bits"), col("n_truth"),
+          col(s"_h$pb").as("n_hits"),
           when(col("n_truth") > 0,
-            col("n_hits").cast("double") / col("n_truth").cast("double"))
+            col(s"_h$pb").cast("double") / col("n_truth").cast("double"))
             .otherwise(0.0).as("recall"),
-          (col("scanned").cast("double") /
+          (col(s"_s$pb").cast("double") /
             (col("n_q") * col("n_c")).cast("double")).as("scan_frac"))
-    }.reduce(_ unionByName _).orderBy("probe_bits")
+      }: _*)).as("r"))
+      .select(col("r.probe_bits"), col("r.n_truth"), col("r.n_hits"),
+        col("r.recall"), col("r.scan_frac"))
+      .orderBy("probe_bits")
   }
 
   /** C97 — the IVF recall/cost curve: recall@5 against the brute

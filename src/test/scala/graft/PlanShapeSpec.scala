@@ -332,7 +332,7 @@ class PlanShapeSpec extends SparkSpec {
       "setsim_join"            -> ((6, 5, 5)), // df count + order + prefix self-join + verify rejoins; +1 from the r12 sets/prefix persist
       "contain_join"           -> ((5, 5, 5)), // same family, one fewer exchange: the full B side reuses the ordering shuffle the prefix slice repartitions
       "ivf_recall_curve"       -> ((12, 9, 9)),  // r13 fused form: ONE probe pass (truth ⋈ cluster rank), 5.6× fewer exchanges than the old 4-width re-plan
-      "lsh_recall_curve"       -> ((44, 32, 36)), // 4-width sweep over the persisted bucket index; smaller because probes are map-side XORs, not assignment joins
+      "lsh_recall_curve"       -> ((6, 7, 7)), // r15 fused form (the ivf_recall_curve trick in Hamming space): ONE truth-distance tag + two conditional aggregates replace the 4-width re-planned sweep (78→20 jobs measured)
       "setsim_join_rs"         -> ((5, 5, 5)),   // two-sided prefix join: same family as setsim_join minus the self-join's extra persist exchange
       "bitext_mine_ann"        -> ((24, 12, 23)), // r15 §8 reshape: the bucket join fans out 16-byte (id, bucket) keys, vectors re-attach by two id joins AFTER the pair set is fixed — more (tiny) plan nodes, but the probe explode no longer replicates payloads (311→18 MB measured shuffle) and the provably-no-op pair dedup exchange is gone
       "shard_balance"          -> ((5, 1, 1)),   // two-phase cumsum: range partition + per-partition window + broadcast offsets + summary agg
