@@ -1191,20 +1191,25 @@ object TextDemos {
     * the group that straddles the cut — weight algebra is all integer
     * (m = max(1, ⌊n·k+ε⌋)), the lp sum decimal-exact, one IEEE
     * division at the end. One shuffle keyed by doc beyond the shared
-    * LM build: the rank window and the join of the per-doc totals
-    * share the doc partitioning. */
+    * LM build: the rank window, the per-doc totals window, and the
+    * final aggregation all share the one doc-keyed exchange. */
   def minkScoreOn(docs: DataFrame, kFrac: Double = 0.2,
                   flagAbove: Double = -3.4): DataFrame = {
     require(kFrac > 0 && kFrac <= 1, s"minkScoreOn: kFrac in (0,1], got $kFrac")
     val lp = bigramLp(docs)
-    val n = lp.groupBy(col("doc_id")).agg(sum(col("tf")).as("n_bigrams"))
-      .withColumn("m", greatest(lit(1L),
-        floor(col("n_bigrams").cast("double") * kFrac + 1e-9).cast("long")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("_lp"), col("a"), col("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-doc totals ride a second window over the SAME doc partition
+    // spec (r15): the old shape aggregated a separate `n` table and
+    // joined it back by doc — which re-ran the whole bigramLp chain
+    // (corpus explode + two aggregation levels) a second time and paid
+    // a doc-keyed join, for numbers the window partition already holds
     lp.withColumn("cum", sum(col("tf")).over(w))
-      .join(n, Seq("doc_id"))
+      .withColumn("n_bigrams",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("m", greatest(lit(1L),
+        floor(col("n_bigrams").cast("double") * kFrac + 1e-9).cast("long")))
       .filter(col("cum") - col("tf") < col("m"))
       .withColumn("wt", least(col("tf"), col("m") - (col("cum") - col("tf"))))
       .groupBy(col("doc_id"), col("n_bigrams"), col("m"))

@@ -337,7 +337,7 @@ class PlanShapeSpec extends SparkSpec {
       "bitext_mine_ann"        -> ((24, 12, 23)), // r15 §8 reshape: the bucket join fans out 16-byte (id, bucket) keys, vectors re-attach by two id joins AFTER the pair set is fixed — more (tiny) plan nodes, but the probe explode no longer replicates payloads (311→18 MB measured shuffle) and the provably-no-op pair dedup exchange is gone
       "shard_balance"          -> ((5, 1, 1)),   // two-phase cumsum: range partition + per-partition window + broadcast offsets + summary agg
       "takedown_propagate"     -> ((8, 3, 5)),   // minhash pairs + CC label join; cluster table touched only by broadcast joins
-      "mink_score"             -> ((15, 7, 7)),  // bigramLp corpus joins + the doc-keyed rank window + totals join
+      "mink_score"             -> ((10, 3, 3)),  // r15: per-doc totals ride a second window over the rank window's doc partition — the separate totals agg re-ran the whole bigramLp chain and joined it back (15,7,7 → 10,3,3)
       // r14 pins (r13 verdict task 5): the remaining multi-second rows
       "curriculum_order"       -> ((10, 3, 3)),  // two range-partitioned cumsums (2 range + window shuffles each) + broadcast offsets
       "sft_pack"               -> ((6, 3, 3)),   // turn window + verdict join + shard cumsum; validator tables broadcast
