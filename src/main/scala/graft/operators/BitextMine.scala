@@ -118,13 +118,21 @@ object BitextMine {
     require(k >= 1, s"BitextMine: k must be >= 1, got $k")
     val sims = graft.util.CacheRegistry.register(candidateSims.persist())
 
-    def topkSum(keyCol: String, tieCol: String, outCol: String): DataFrame = {
-      val w = Window.partitionBy(keyCol).orderBy(col("sim").desc, col(tieCol))
-      sims.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= k)
+    // BoundedTopK (graft_topk) instead of a row_number window (r15):
+    // the window moved EVERY candidate row of a key to one task before
+    // discarding all but k — two full candidate-table exchanges per
+    // margin pass. The bounded aggregate keeps <= k entries per
+    // partition map-side, so the exchange carries k-entry buffers, and
+    // its (sim desc, id asc) order is exactly the window's, so the
+    // kept set — hence the decimal sum — is bit-identical. The explode
+    // + sum re-aggregates on the same key, reusing the partitioning.
+    def topkSum(keyCol: String, tieCol: String, outCol: String): DataFrame =
+      sims.groupBy(keyCol)
+        .agg(call_function("graft_topk",
+          struct(col("sim"), col(tieCol)), lit(k)).as("_top"))
+        .select(col(keyCol), explode(col("_top")).as("_t"))
         .groupBy(keyCol)
-        .agg(sum(col("sim").cast("decimal(18,6)")).as(outCol))
-    }
+        .agg(sum(col("_t.sim").cast("decimal(18,6)")).as(outCol))
     val fwd = topkSum("src_id", "tgt_id", "sum_f")
     val bwd = topkSum("tgt_id", "src_id", "sum_b")
 
