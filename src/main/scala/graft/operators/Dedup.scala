@@ -306,9 +306,15 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           idCol: String, aCol: String = "id_a", bCol: String = "id_b",
                           maxIter: Int = 20): DataFrame = {
+    // PRE-PARTITIONED by dst, pinned into the cache (the pageRank
+    // edgesWithOutdeg discipline, r15): the per-round message join
+    // probes edges on dst, so an explicit repartition(dst) inside the
+    // persist lets every round co-partition against the cached layout —
+    // only the (node-scale) frontier side exchanges per round, and the
+    // edge table never re-shuffles after materialization.
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist()
+      .repartition(col("dst")).persist()
     // every node's initial label counts as "changed": round 1 messages
     // flow from everyone
     var labels = edges.select(col("src").as("id")).distinct()

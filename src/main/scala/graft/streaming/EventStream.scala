@@ -61,7 +61,35 @@ object EventStream {
     * the *Err fields the inherited error (0 ⇒ the value is exact) */
   case class HHItem(ngram: String, occ: Long, occErr: Long,
                     docs: Long, docsErr: Long)
-  case class HHState(seq: Long, items: Array[HHItem])
+  /** the summary state, carried as ONE manually-packed byte blob
+    * (r15): Catalyst's product encoder mapped every HHItem through
+    * reflection serializers per trigger — at 2¹⁵ entries × 2 buckets
+    * that encode/decode was the single largest CPU term of the D7
+    * parity row (18.6 s task CPU measured). A length-prefixed
+    * DataOutputStream pack of the same fields round-trips bit-exactly
+    * (StreamingSpec's D7 tests + a dedicated roundtrip pin) for a flat
+    * byte-array copy at the state store boundary. Layout: n, then per
+    * item UTF(ngram) + 4 longs,
+    * items in ngram order (the old sorted-array order, so state bytes
+    * stay replay-deterministic). */
+  case class HHState(seq: Long, blob: Array[Byte])
+  private[graft] def packHH(items: Array[HHItem]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(items.length * 48 + 4)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(items.length)
+    items.foreach { it =>
+      out.writeUTF(it.ngram)
+      out.writeLong(it.occ); out.writeLong(it.occErr)
+      out.writeLong(it.docs); out.writeLong(it.docsErr)
+    }
+    out.flush(); bos.toByteArray
+  }
+  private[graft] def unpackHH(blob: Array[Byte]): Array[HHItem] = {
+    if (blob.isEmpty) return Array.empty
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(blob))
+    Array.fill(in.readInt())(
+      HHItem(in.readUTF(), in.readLong(), in.readLong(), in.readLong(), in.readLong()))
+  }
   /** one update-mode emission: the entry's value as of trigger `seq`
     * (deleted = evicted this trigger). Final value per (bucket, ngram)
     * = the max-seq row — see [[StreamParity.streamTopkNgramsParity]]. */
@@ -136,9 +164,9 @@ object EventStream {
       val a = local.getOrElseUpdate(r.ngram, new Acc)
       a.occ += 1; a.docs += r.doc_id
     }
-    val prev = state.getOption.getOrElse(HHState(0L, Array.empty))
+    val prev = state.getOption.getOrElse(HHState(0L, Array.empty[Byte]))
     val summary = new mutable.HashMap[String, HHItem]
-    prev.items.foreach(it => summary(it.ngram) = it)
+    unpackHH(prev.blob).foreach(it => summary(it.ngram) = it)
     val touched = new mutable.HashSet[String]
     val sawTombstone = new mutable.HashSet[String]
     // deterministic application order; untracked ngrams defer to the
@@ -187,7 +215,7 @@ object EventStream {
       }
     }
     val seq = prev.seq + 1
-    state.update(HHState(seq, summary.values.toArray.sortBy(_.ngram)))
+    state.update(HHState(seq, packHH(summary.values.toArray.sortBy(_.ngram))))
     // one row per affected ngram: its END-of-batch status (an entry
     // evicted then re-inserted this batch emits its live value)
     (touched ++ sawTombstone).toSeq.sorted.iterator.map { g =>

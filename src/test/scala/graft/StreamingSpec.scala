@@ -207,6 +207,22 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
 
+  test("D7 heavy-hitter state blob: pack/unpack round-trips every field bit-exactly") {
+    // the r15 state representation: one manually-packed byte blob in
+    // place of the Catalyst-encoded Array[HHItem] (the encoder was the
+    // row's largest CPU term) — the summary must survive the byte
+    // round-trip exactly, including empty, unicode ngrams, and extreme
+    // counts, or replayed triggers would fold against a corrupt summary
+    import graft.streaming.EventStream.{packHH, unpackHH, HHItem}
+    assert(unpackHH(packHH(Array.empty)).isEmpty)
+    assert(unpackHH(Array.emptyByteArray).isEmpty) // fresh-state shape
+    val items = Array(
+      HHItem("the quick fox", 3L, 0L, 2L, 0L),
+      HHItem("中文 трёх ☃", Long.MaxValue, 1L, Long.MaxValue - 1, 7L),
+      HHItem("", 0L, 0L, 0L, 0L))
+    assert(unpackHH(packHH(items)).toSeq == items.toSeq)
+  }
+
   test("D7 heavy-hitter profile: exact occ + doc frequency across batches when under capacity") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Doc]
