@@ -256,7 +256,7 @@ object Classifier {
     // produced — and rekey from the gradient each round (r10: this
     // replaces a distinct+collect job over the cache).
     var weights: Map[Long, Double] = Map.empty
-    withIterConf(spark, packed.rdd.getNumPartitions) {
+    graft.util.Iterative.withLoopConf(spark, packed.rdd.getNumPartitions) {
       for (_ <- 1 to rounds) {
         val grads = gradientRound(packed, weights, buckets, nDocs)
           .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -269,33 +269,9 @@ object Classifier {
     weights
   }
 
-  /** run `body` with AQE off (one action = one scheduled job, not one
-    * job per materialized stage) and the shuffle-partition count
-    * matched to the right-sized iteration cache (the gradient
-    * exchange's reducers track the same rows-per-task target as the
-    * cache layout; at scale `npart` equals the session setting and
-    * this is a no-op). Both confs restore on exit.
-    *
-    * SESSION-SCOPED, by construction: for the duration of the loop
-    * these overrides are visible to any OTHER query planned on the
-    * same SparkSession — fine for the single-query drivers here
-    * (Verify/Bench), but a multi-tenant service embedding training
-    * should isolate it on `spark.newSession()` (own SQLConf, shared
-    * cache/catalog) rather than share its serving session. */
-  private def withIterConf[A](spark: org.apache.spark.sql.SparkSession,
-                              npart: Int)(body: => A): A = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val shufKey = "spark.sql.shuffle.partitions"
-    val aqeWas = spark.conf.getOption(aqeKey)
-    val shufWas = spark.conf.getOption(shufKey)
-    spark.conf.set(aqeKey, "false")
-    spark.conf.set(shufKey, npart.toString)
-    try body
-    finally {
-      aqeWas.fold(spark.conf.unset(aqeKey))(spark.conf.set(aqeKey, _))
-      shufWas.fold(spark.conf.unset(shufKey))(spark.conf.set(shufKey, _))
-    }
-  }
+  // the AQE-off / pinned-partition loop conf moved to
+  // graft.util.Iterative.withLoopConf (r16): PageRank, LPA and the CC
+  // fixpoint now share the same discipline this loop proved in r10.
 
   def logregTrain(docs: DataFrame, idCol: String, textCol: String,
                   label: Column, buckets: Int = 1024, rounds: Int = 12,

@@ -21,20 +21,25 @@ object Graph {
     *
     * Two design decisions carry this to 100 TB:
     *
-    *  1. **One lazy DAG, zero per-iteration job barriers.** The
-    *     iteration count is fixed up front (the standard production
-    *     form — convergence checks cost a driver action per round),
-    *     so the whole unrolled recurrence is ONE declarative plan:
-    *     rank_i joins edges, aggregates, and feeds rank_{i+1} with no
-    *     driver decision between rounds — Spark schedules the full
-    *     pipeline as one job (contrast the classifier/BPE round loops,
-    *     whose argmax IS a per-round driver decision). Each round's
-    *     rank table takes a LAZY localCheckpoint: it feeds two
-    *     consumers in round i+1 (contributions and dangling mass), so
-    *     a plain plan would double per round — 2^iters copies of the
-    *     upstream lineage at analysis time — while the checkpoint
-    *     truncates the logical plan and the underlying RDD DAG shares
-    *     rounds by reference.
+    *  1. **One scheduled job per round, AQE off, loop-sized
+    *     partitions.** The iteration count is fixed up front (the
+    *     standard production form), and each round costs exactly one
+    *     driver round-trip: the dangling-mass scalar — one row that a
+    *     broadcast formulation would collect to the driver anyway,
+    *     as a BroadcastExchange build job plus a join per round
+    *     (r16: measured 58 jobs / 835 tasks for 6 rounds under AQE
+    *     vs 12 / 284 after). The rest of the recurrence stays lazy:
+    *     rank_i joins edges, aggregates, and feeds rank_{i+1}, with
+    *     AQE disabled for the loop (a fixed per-round plan gains
+    *     nothing from adaptive stage re-planning — it only multiplies
+    *     the job count) and shuffle partitions derived from the node
+    *     count ([[graft.util.Iterative]]). Each round's rank table
+    *     takes a LAZY localCheckpoint: it feeds two consumers in
+    *     round i+1 (contributions and dangling mass), so a plain plan
+    *     would double per round — 2^iters copies of the upstream
+    *     lineage at analysis time — while the checkpoint truncates
+    *     the logical plan and the underlying RDD DAG shares rounds by
+    *     reference.
     *
     *  2. **Scaled-integer ranks (`scale` = 10^15), not doubles.**
     *     Float PageRank ties the result to an unguaranteed summation
@@ -68,37 +73,60 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen out of [0, 1]")
+    val spark = nodes0.sparkSession
     val nodes = graft.util.CacheRegistry.register(
       nodes0.select(col(idCol).as("id")).persist())
     val n = nodes.count()
     require(n > 0, "pageRank needs a non-empty node set")
-    val eo = edgesWithOutdeg(edges, srcCol, dstCol)
+    // loop exchanges carry node-scale (id, long) rows: size them from
+    // the node count, not the session's corpus-sized shuffle setting,
+    // and plan every round with AQE OFF — the round's plan is fixed,
+    // so adaptive re-planning only multiplies the job count (measured
+    // on the C68 row: 58 jobs / 835 tasks under AQE for 6 rounds).
+    val npart = graft.util.Iterative.partitionsFor(spark, n)
+    val eo = edgesWithOutdeg(edges, srcCol, dstCol, npart)
     val odegOnly = eo.select(col("src")).distinct()
     var r = nodes.withColumn("r", lit(scale / n))
-    for (_ <- 1 to iters) {
-      // rank lineage contains the edge table after round 1 — alias
-      // both sides so the re-join's attributes stay unambiguous
-      val contrib = r.as("rr").join(eo.as("ee"), col("rr.id") === col("ee.src"))
-        .select(col("ee.dst").as("id"), expr("rr.r DIV ee.outdeg").as("c"))
-        .groupBy("id").agg(sum(col("c")).as("contrib"))
-      val dang = r.as("rr")
-        .join(odegOnly.as("oo"), col("rr.id") === col("oo.src"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
-      // LAZY localCheckpoint, not persist: rank_{i-1} appears twice in
-      // rank_i's plan, so a pure-persist formulation doubles the
-      // LOGICAL plan per round (2^iters copies of the upstream
-      // lineage — analysis and plan rendering blow up long before
-      // execution). localCheckpoint truncates the logical plan to the
-      // round's RDD; the RDD DAG underneath is shared by reference
-      // (a DAG, not a tree) and eager=false keeps the whole
-      // recurrence a single job.
-      r = nodes.crossJoin(dang) // one-row broadcast
-        .join(contrib, Seq("id"), "left")
-        .select(col("id"), expr(
-          s"(${(dampDen - dampNum) * scale} DIV $n + $dampNum * " +
-            s"(coalesce(contrib, CAST(0 AS BIGINT)) + dang DIV $n)) DIV $dampDen")
-          .as("r"))
-        .localCheckpoint(false)
+    graft.util.Iterative.withLoopConf(spark, npart) {
+      for (_ <- 1 to iters) {
+        // rank lineage contains the edge table after round 1 — alias
+        // both sides so the re-join's attributes stay unambiguous
+        val contrib = r.as("rr").join(eo.as("ee"), col("rr.id") === col("ee.src"))
+          .select(col("ee.dst").as("id"), expr("rr.r DIV ee.outdeg").as("c"))
+          .groupBy("id").agg(sum(col("c")).as("contrib"))
+        // dangling mass as a DRIVER SCALAR (r16): the old one-row
+        // crossJoin paid a BroadcastExchange build job per round — a
+        // job that collects the very same single row to the driver
+        // before re-shipping it. Collecting it directly removes one
+        // join and one broadcast build from every round (measured:
+        // ~5 → ≤2 jobs/round); the value is a sum of longs, so it is
+        // bit-identical however it arrives. This per-round action also
+        // materializes r_{i-1}'s lazy checkpoint, exactly as the
+        // broadcast build did.
+        val dang = r.as("rr")
+          .join(odegOnly.as("oo"), col("rr.id") === col("oo.src"), "left_anti")
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+          .first().getLong(0)
+        val dangDivN = dang / n // longs ≥ 0: same floor as SQL DIV
+        // LAZY localCheckpoint, not persist: rank_{i-1} appears twice in
+        // rank_i's plan, so a pure-persist formulation doubles the
+        // LOGICAL plan per round (2^iters copies of the upstream
+        // lineage — analysis and plan rendering blow up long before
+        // execution). localCheckpoint truncates the logical plan to the
+        // round's RDD; the RDD DAG underneath is shared by reference
+        // (a DAG, not a tree) and eager=false keeps the rest of the
+        // recurrence lazy. The physical plan of each round is fixed
+        // HERE (toRdd inside the loop scope), so the AQE-off / npart
+        // overrides bind to every round even though the non-scalar
+        // work executes at the caller's action.
+        r = nodes
+          .join(contrib, Seq("id"), "left")
+          .select(col("id"), expr(
+            s"(${(dampDen - dampNum) * scale} DIV $n + $dampNum * " +
+              s"(coalesce(contrib, CAST(0 AS BIGINT)) + $dangDivN)) DIV $dampDen")
+            .as("r"))
+          .localCheckpoint(false)
+      }
     }
     r.select(col("id"), col("r").as("rank_e15"),
       (col("r").cast("double") / lit(scale.toDouble)).as("rank"))
@@ -133,22 +161,29 @@ object Graph {
                        srcCol: String = "src", dstCol: String = "dst",
                        iters: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = nodes0.sparkSession
     val nodes = graft.util.CacheRegistry.register(
       nodes0.select(col(idCol).as("id")).persist())
+    // node-count-derived loop parallelism + AQE off per round — the
+    // [[pageRank]] discipline (see there for the measured rationale)
+    val n = nodes.count()
+    val npart = graft.util.Iterative.partitionsFor(spark, n)
     val ed = graft.util.CacheRegistry.register(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .repartition(col("src")).persist())
+        .repartition(npart, col("src")).persist())
     var lab = nodes.select(col("id"), col("id").as("lab"))
-    for (_ <- 1 to iters) {
-      val winner = lab.as("ll").join(ed.as("ee"), col("ll.id") === col("ee.src"))
-        .groupBy(col("ee.dst").as("id"), col("ll.lab").as("lab"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("id"))
-        .agg(min(struct((-col("c")).as("nc"), col("lab").as("lab"))).as("best"))
-        .select(col("id"), col("best.lab").as("w"))
-      lab = lab.join(winner, Seq("id"), "left")
-        .select(col("id"), coalesce(col("w"), col("lab")).as("lab"))
-        .localCheckpoint(false)
+    graft.util.Iterative.withLoopConf(spark, npart) {
+      for (_ <- 1 to iters) {
+        val winner = lab.as("ll").join(ed.as("ee"), col("ll.id") === col("ee.src"))
+          .groupBy(col("ee.dst").as("id"), col("ll.lab").as("lab"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("id"))
+          .agg(min(struct((-col("c")).as("nc"), col("lab").as("lab"))).as("best"))
+          .select(col("id"), col("best.lab").as("w"))
+        lab = lab.join(winner, Seq("id"), "left")
+          .select(col("id"), coalesce(col("w"), col("lab")).as("lab"))
+          .localCheckpoint(false)
+      }
     }
     lab.select(col("id"), col("lab").as("community"))
   }
@@ -165,10 +200,11 @@ object Graph {
     * the join — this makes the "at 100 TB pre-partition edges by src"
     * note above the implemented default, pinned by PlanShapeSpec. */
   private[graft] def edgesWithOutdeg(edges: DataFrame, srcCol: String,
-                                     dstCol: String): DataFrame = {
+                                     dstCol: String, npart: Int = 0): DataFrame = {
     val ed = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val odeg = ed.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    graft.util.CacheRegistry.register(
-      ed.join(odeg, "src").repartition(col("src")).persist())
+    val re = if (npart > 0) ed.join(odeg, "src").repartition(npart, col("src"))
+             else ed.join(odeg, "src").repartition(col("src"))
+    graft.util.CacheRegistry.register(re.persist())
   }
 }

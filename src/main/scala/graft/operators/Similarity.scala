@@ -553,6 +553,17 @@ object Similarity {
                     k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = vecs.sparkSession
+    // above the documented greedy ceiling the driver round-trips
+    // dominate regardless of cluster size — route to the k-means‖
+    // oversampling form (r16, VERDICT item 8): fixed scan count
+    // independent of k, same output contract, coverage-radius quality
+    // bounds measured by KcenterParallelSpec. The ceiling is the
+    // batch-budget default from the doc above; production tunes it via
+    // spark.graft.kcenter.greedyMaxK.
+    val greedyMaxK = spark.conf.getOption("spark.graft.kcenter.greedyMaxK")
+      .map(_.toInt).getOrElse(256)
+    if (k > greedyMaxK)
+      return kcenterSelectParallel(vecs, idCol, vecCol, k)
     import spark.implicits._
     val qd = vecs.select(col(idCol).cast("long").as("_id"),
       transform(col(vecCol), x => x.cast("double")).as("_v"))

@@ -148,16 +148,28 @@ object StreamParity {
   def streamTopkNgramsParity(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val src = fileStream(docs, s"stkn_${sfName(dir)}", nFiles = 8, filesPerTrigger = 2)
-    val view = s"graft_stkn_${Fixtures.runId}"
-    spark.catalog.dropTempView(view) // re-invocation reuses the name
+    // update log lands in a parquet append sink via foreachBatch, NOT a
+    // memory sink (r16, guide §5: the memory sink collects every
+    // trigger's full delta — ~2·2¹⁵ string-keyed rows per trigger — to
+    // the DRIVER, and the final aggregation then re-parallelizes that
+    // LocalRelation with per-row/per-field InternalRow conversion:
+    // measured as the row's single largest CPU term, 8–14 s of 32-task
+    // ParallelCollectionRDD work vs 0.3–0.6 s per StateStore stage. An
+    // executor-side columnar sink keeps the log distributed end to end;
+    // at 100 TB a driver-collecting sink is not survivable at all.)
+    val target = freshTarget(s"stkn_tgt_${sfName(dir)}")
     withStateParallelism(spark, 2) {
       val q = EventStream.ngramHeavyHitters(src, "doc_id", "text", n = 3,
           nBuckets = 2, capacityPerBucket = 1 << 15)
-        .writeStream.format("memory").queryName(view)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStream.HHUpdate], _: Long) =>
+          batch.write.mode("append").parquet(s"$target/out"): Unit
+        }
+        .option("checkpointLocation", s"$target/ckpt")
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
       awaitRecorded(q)
     }
-    spark.table(view)
+    spark.read.parquet(s"$target/out")
       .groupBy(col("bucket"), col("ngram"))
       .agg(max_by(struct(col("occ"), col("docs"), col("deleted")),
         col("seq")).as("f"))

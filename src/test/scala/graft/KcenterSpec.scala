@@ -115,6 +115,35 @@ class KcenterSpec extends SparkSpec {
     assert(a.size <= 3 && a.head == ((0, 1L)))
   }
 
+  test("k above the greedy ceiling routes to the k-means|| parallel path (r16)") {
+    // the greedy loop costs k driver round-trips — above
+    // spark.graft.kcenter.greedyMaxK (default 256) the same API must
+    // dispatch to kcenterSelectParallel (fixed scan count, independent
+    // of k). Pin the dispatch by lowering the ceiling and comparing
+    // bit-for-bit against a direct parallel call.
+    val pts = Seq(1L -> Seq(0.0, 0.0), 2L -> Seq(8.0, 0.0), 3L -> Seq(0.0, 8.0),
+      4L -> Seq(8.0, 8.0), 5L -> Seq(4.0, 4.0), 6L -> Seq(1.0, 1.0))
+    val df = pts.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val key = "spark.graft.kcenter.greedyMaxK"
+    spark.conf.set(key, "2")
+    try {
+      val viaDispatch = Similarity.kcenterSelect(df, "vec_id", "embedding", 3)
+        .orderBy("rank").collect().toSeq
+      val direct = Similarity.kcenterSelectParallel(df, "vec_id", "embedding", 3)
+        .orderBy("rank").collect().toSeq
+      assert(viaDispatch == direct,
+        s"k=3 > ceiling=2 must take the parallel path: $viaDispatch vs $direct")
+      // at/below the ceiling the exact greedy answer is unchanged
+      val greedy = Similarity.kcenterSelect(df, "vec_id", "embedding", 2)
+        .orderBy("rank").collect().toSeq
+      assert(greedy.map(_.getLong(1)) == Seq(1L, 4L), greedy.toString)
+    } finally {
+      spark.conf.unset(key)
+      graft.util.CacheRegistry.releaseAll()
+    }
+  }
+
   test("matches the driver-side greedy reference on sf0.001 embeddings") {
     val pts = graft.sources.Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()

@@ -295,6 +295,46 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("cc message join reuses the cached dst-partitioned edge layout under the loop conf") {
+    // the r16 pin for the connectedComponents round shape: the phase-2
+    // edge cache carries HashPartitioning(dst, npart) INSIDE the
+    // persist, and the loop plans with AQE off at exactly npart
+    // shuffle partitions (Iterative.withLoopConf) — so the per-round
+    // message join co-partitions against the cached layout with ONE
+    // fresh exchange (the node-scale frontier side); the edge table
+    // never re-shuffles after materialization.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+        .toDF("src", "dst").repartition(2, col("dst")).persist()
+      edges.count() // materialize the cache (phase 2 of the CC loop)
+      graft.util.Iterative.withLoopConf(spark, 2) {
+        val frontier = Seq((1L, 1L), (2L, 2L)).toDF("_fid", "_flabel").repartition(4)
+        val joined = edges.join(frontier, edges("dst") === col("_fid"))
+          .select(edges("src").as("id"), col("_flabel").as("_m"))
+        val p = plan(joined)
+        assert(p.contains("InMemoryTableScan"), p)
+        // the cached subtree (below InMemoryRelation) materialized once
+        // under AQE at cache-build time; only the OUTER per-round plan
+        // must be non-adaptive
+        val outer = p.substring(0, p.indexOf("InMemoryRelation"))
+        assert(!outer.contains("AdaptiveSparkPlan"),
+          s"loop plans must be non-adaptive (withLoopConf):\n$p")
+        // the frontier side exchanges exactly once (its co-partitioning
+        // hash); the edge side — printed before the InMemoryRelation
+        // block — must sit directly on the cached scan, no fresh
+        // exchange (toString prints the SMJ's left/edge child first, so
+        // `outer` covers exactly that side)
+        assert("Exchange hashpartitioning\\(_fid".r.findAllIn(p).length == 1,
+          s"the frontier side must exchange exactly once:\n$p")
+        assert(!outer.contains("Exchange"),
+          s"no exchange may feed the cached edge scan:\n$p")
+      } : Unit
+      edges.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("mutual_knn symmetrization reads ONE cached ranking on both join sides") {
     val df = graft.operators.Similarity.mutualKnnEdges(
       Similarity.knnGraph(vecs, "vec_id", "embedding",
@@ -323,8 +363,8 @@ class PlanShapeSpec extends SparkSpec {
       "bm25_index"             -> ((2, 0, 0)),
       "bm25_index_append"      -> ((2, 0, 0)),
       "bm25_topk"              -> ((4, 1, 1)),  // the ONE join is the broadcast term join
-      "dedup_canonicalize"     -> ((4, 1, 2)),
-      "cluster_representative" -> ((4, 1, 2)),
+      "dedup_canonicalize"     -> ((3, 1, 2)),  // r16: CC's phase-2 edge repartition moved behind its own eager cache, off the consumer's tail plan
+      "cluster_representative" -> ((3, 1, 2)),  // r16: same — one fewer tail exchange per CC consumer
       "dup_span_detect"        -> ((4, 1, 1)),
       "minhash_lsh_eval"       -> ((38, 30, 32)), // dual-truth composite; big but bounded
       "winnow_fingerprint"     -> ((2, 0, 0)),  // doc window + orderBy; distinct reuses
@@ -336,7 +376,7 @@ class PlanShapeSpec extends SparkSpec {
       "setsim_join_rs"         -> ((5, 5, 5)),   // two-sided prefix join: same family as setsim_join minus the self-join's extra persist exchange
       "bitext_mine_ann"        -> ((24, 12, 23)), // r15 §8 reshape: the bucket join fans out 16-byte (id, bucket) keys, vectors re-attach by two id joins AFTER the pair set is fixed — more (tiny) plan nodes, but the probe explode no longer replicates payloads (311→18 MB measured shuffle) and the provably-no-op pair dedup exchange is gone
       "shard_balance"          -> ((5, 1, 1)),   // two-phase cumsum: range partition + per-partition window + broadcast offsets + summary agg
-      "takedown_propagate"     -> ((8, 3, 5)),   // minhash pairs + CC label join; cluster table touched only by broadcast joins
+      "takedown_propagate"     -> ((6, 3, 5)),   // minhash pairs + CC label join; cluster table touched only by broadcast joins (r16: −2 tail exchanges from the CC two-phase edge cache)
       "mink_score"             -> ((10, 3, 3)),  // r15: per-doc totals ride a second window over the rank window's doc partition — the separate totals agg re-ran the whole bigramLp chain and joined it back (15,7,7 → 10,3,3)
       // r14 pins (r13 verdict task 5): the remaining multi-second rows
       "curriculum_order"       -> ((10, 3, 3)),  // two range-partitioned cumsums (2 range + window shuffles each) + broadcast offsets
