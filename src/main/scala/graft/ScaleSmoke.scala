@@ -92,7 +92,14 @@ object ScaleSmoke {
     // linearity); its D15 sequential-admission form adds the archive
     // join per micro-batch; pref-pair prep is two quality scans + the
     // prompt-dedup window
-    "ngram_novelty", "stream_novelty_admit_parity", "pref_pair_prep")
+    "ngram_novelty", "stream_novelty_admit_parity", "pref_pair_prep",
+    // r16 (VERDICT item 2): scale-prove the r15 structural wins — the
+    // fused Hamming recall sweep and the xxhash64-keyed truth self-join
+    "lsh_recall_curve", "minhash_lsh_eval",
+    // r16 (VERDICT item 5): the LM family rides corpus-bigram-scale
+    // exchanges; the fixed-width-key change is gated on THIS smoke
+    // (mink_score, the third member, is already in the set)
+    "bigram_lm_score", "kn_lm_score")
 
   /** smoke-only variants that exist to stress a knob the registry
     * demos fix (SparkEntry rows must stay oracle-stable): PageRank at

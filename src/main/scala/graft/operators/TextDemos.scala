@@ -1085,7 +1085,7 @@ object TextDemos {
   /** [[bigramLmScore]]'s computation over any (doc_id, text) frame —
     * separate so specs score literal corpora through the same code. */
   def bigramLmScoreOn(docs: DataFrame): DataFrame =
-    bigramLp(docs)
+    bigramLp(docs, carryTokens = false)
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_bigrams"),
         (sum(col("_lp") * col("tf")).cast("double") / sum(col("tf")))
@@ -1095,8 +1095,25 @@ object TextDemos {
 
   /** the shared C39/C112 core: per (doc, bigram) the occurrence count
     * and the add-0.5-smoothed corpus-LM log-probability, quantized to
-    * decimal(27,6) (the lm_score determinism discipline). */
-  private def bigramLp(docs: DataFrame): DataFrame = {
+    * decimal(27,6) (the lm_score determinism discipline).
+    *
+    * FIXED-WIDTH JOIN KEYS (r16, guide §2.3 — the minhash_lsh_eval
+    * xxhash64 discipline): the corpus-bigram-scale aggregations and
+    * joins key on `ab = xxhash64(a, b)` / `ah = xxhash64(a)` — 8-byte
+    * fixed-width keys instead of UTF8 string pairs, so the
+    * corpus-scale exchanges hash/compare/sort machine words.
+    * Injective at 2⁻⁶⁴ collision odds on any real vocabulary; the
+    * DuckDB oracle recomputes every consumer row FROM the strings and
+    * still hash-matches (197/197), which is the equivalence proof.
+    *
+    * `carryTokens=false` (the per-doc score consumers, which never
+    * look at the tokens again): the strings are hashed in the explode
+    * projection and NEVER cross an exchange — the (doc, bigram) tf
+    * aggregation keys on (doc_id, ab, ah), 24-byte rows.
+    * `carryTokens=true` (mink's rank window orders by (lp, a, b)):
+    * the tf aggregation keeps its string keys, but every join above
+    * it runs on the hashes. */
+  private def bigramLp(docs: DataFrame, carryTokens: Boolean = true): DataFrame = {
     val ws = docs
       .select(col("doc_id"), Text.wsTokens(col("text")).as("ws"))
     val bg = ws.filter(size(col("ws")) >= 2)
@@ -1105,15 +1122,28 @@ object TextDemos {
           struct(element_at(col("ws"), i).as("a"),
             element_at(col("ws"), i + 1).as("b")))).as("p"))
       .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-    val tf2 = bg.groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
-    val cb = tf2.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cb"))
-    val cu = cb.groupBy(col("a")).agg(sum(col("cb")).as("cu"))
+    val tf2 =
+      if (carryTokens)
+        bg.groupBy(col("doc_id"), col("a"), col("b")).agg(count(lit(1)).as("tf"))
+          .withColumn("ab", xxhash64(col("a"), col("b")))
+          .withColumn("ah", xxhash64(col("a")))
+      else
+        bg.select(col("doc_id"), xxhash64(col("a"), col("b")).as("ab"),
+            xxhash64(col("a")).as("ah"))
+          .groupBy(col("doc_id"), col("ab"), col("ah"))
+          .agg(count(lit(1)).as("tf"))
+    val cb = tf2.groupBy(col("ab"))
+      .agg(sum(col("tf")).as("cb"), min(col("ah")).as("_ah"))
+    val cu = cb.groupBy(col("_ah").as("ah")).agg(sum(col("cb")).as("cu"))
     val v = ws.select(explode(col("ws")).as("tok"))
       .agg(count_distinct(col("tok")).as("v"))
-    tf2.join(cb, Seq("a", "b")).join(cu, Seq("a")).crossJoin(broadcast(v))
-      .select(col("doc_id"), col("a"), col("b"), col("tf"),
-        round(log((col("cb") + lit(0.5)) / (col("cu") + lit(0.5) * col("v"))), 6)
-          .cast("decimal(27,6)").as("_lp"))
+    val keep = (if (carryTokens) Seq(col("doc_id"), col("a"), col("b"))
+                else Seq(col("doc_id"))) ++ Seq(col("tf"),
+      round(log((col("cb") + lit(0.5)) / (col("cu") + lit(0.5) * col("v"))), 6)
+        .cast("decimal(27,6)").as("_lp"))
+    tf2.join(cb.select(col("ab"), col("cb")), Seq("ab"))
+      .join(cu, Seq("ah")).crossJoin(broadcast(v))
+      .select(keep: _*)
   }
 
   /** C119 — interpolated Kneser-Ney bigram scoring (Kneser & Ney,
@@ -1140,21 +1170,28 @@ object TextDemos {
                   flagBelow: Double = -6.0): DataFrame = {
     require(discount > 0 && discount < 1,
       s"knLmScoreOn: discount in (0,1), got $discount")
+    // fixed-width join keys throughout (r16): the KN chain never looks
+    // at the token strings after the explode, so they are hashed in the
+    // explode projection and never cross an exchange — see [[bigramLp]]
+    // for the injectivity/oracle-equivalence argument
     val ws = docs.select(col("doc_id"), Text.wsTokens(col("text")).as("ws"))
     val bg = ws.filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
           struct(element_at(col("ws"), i).as("a"),
             element_at(col("ws"), i + 1).as("b")))).as("p"))
-      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
-    val tf2 = bg.groupBy(col("doc_id"), col("a"), col("b"))
+      .select(col("doc_id"), xxhash64(col("p.a"), col("p.b")).as("ab"),
+        xxhash64(col("p.a")).as("ah"), xxhash64(col("p.b")).as("bh"))
+    val tf2 = bg.groupBy(col("doc_id"), col("ab"), col("ah"), col("bh"))
       .agg(count(lit(1)).as("tf"))
-    val cb = tf2.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("cb"))
-    val cu = cb.groupBy(col("a"))
+    val cb = tf2.groupBy(col("ab")).agg(sum(col("tf")).as("cb"),
+      min(col("ah")).as("_ah"), min(col("bh")).as("_bh"))
+    val cu = cb.groupBy(col("_ah").as("ah"))
       .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1p_pre"))
-    val cont = cb.groupBy(col("b")).agg(count(lit(1)).as("n1p_cont"))
+    val cont = cb.groupBy(col("_bh").as("bh")).agg(count(lit(1)).as("n1p_cont"))
     val tt = cb.agg(count(lit(1)).as("tt"))
-    tf2.join(cb, Seq("a", "b")).join(cu, Seq("a")).join(cont, Seq("b"))
+    tf2.join(cb.select(col("ab"), col("cb")), Seq("ab"))
+      .join(cu, Seq("ah")).join(cont, Seq("bh"))
       .crossJoin(broadcast(tt))
       .select(col("doc_id"), col("tf"),
         round(log(
