@@ -1139,16 +1139,31 @@ object Similarity {
         s"probeBits=$probeBits); keep sum of C(nPlanes, s<=probeBits) <= 65536")
     val planes = Vec.hyperplanes(nPlanes, dim)
     val flips = hammingBallMasks(nPlanes, probeBits)
-    val index = vecs.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", Vec.lshBucket(col("cv"), planes))
+    // decide with small rows, move payloads once (guide §8 — the r15
+    // bitext_mine_ann reshape applied to the corpus self-kNN): the
+    // probe fan-out and the bucket equi-join carry 16-byte
+    // (id, bucket) keys ONLY — the old shape replicated every query
+    // row's VECTOR across all C(nPlanes, ≤probeBits) probes and
+    // shuffled it through the join. Vectors re-attach by id after the
+    // pair set is fixed. No pair dedup is needed, before or after: a
+    // candidate carries exactly one bucket and a query's probe masks
+    // are distinct, so a (query, cand) pair matches at most once.
     val probes = array(flips.map(lit): _*)
-    val qB = vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket0", Vec.lshBucket(col("qv"), planes))
+    val index = vecs.select(col(idCol).as("cand_id"),
+      Vec.lshBucket(col(vecCol), planes).as("bucket"))
+    val qB = vecs.select(col(idCol).as("query_id"),
+        Vec.lshBucket(col(vecCol), planes).as("bucket0"))
       .withColumn("bucket",
         explode(transform(probes, f => col("bucket0").bitwiseXOR(f))))
-      .drop("bucket0")
-    val scored = qB.join(index, "bucket")
+      .select(col("query_id"), col("bucket"))
+    val pairs = qB.join(index, "bucket")
       .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+    val scored = pairs
+      .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        Seq("query_id"))
+      .join(vecs.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+        Seq("cand_id"))
       .withColumn("sim", Vec.cosineFast(col("qv"), col("cv")))
     topK(scored, k, "query_id", "cand_id")
   }

@@ -1799,9 +1799,20 @@ object TextDemos {
     val nD = docs.agg(count(lit(1)).as("n_docs"))
       .select(greatest(lit(5L), expr("n_docs div 100")).as("df_cap"))
     val dfTab = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // the self-join sides, the df attach and the size attaches are all
+    // CORPUS-scale — they must NEVER broadcast, at any scale. Spark's
+    // size estimate is blind after the explode+hash (guide §3.1:
+    // "estimates are often badly wrong after filters or UDFs"), and at
+    // the 10× smoke it estimated the exploded shingle table under the
+    // broadcast threshold and shipped GIGABYTES as a hashed relation —
+    // SparkOutOfMemoryError (r16, caught by adding this row to
+    // ScaleSmoke). `shuffle_hash` hints pin the shuffled hash strategy (guide §3.1:
+    // per-partition builds, no corpus sort, no driver-side relation), and AQE's skew-join can split a hot shingle's
+    // partition, which a broadcast join never could. The one-row
+    // aggregates keep their broadcasts.
     val inter = sh.select(col("doc_id").as("id_a"), col("sh"))
-      .join(dfTab, Seq("sh"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+      .join(dfTab.hint("shuffle_hash"), Seq("sh"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh")).hint("shuffle_hash"), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .crossJoin(broadcast(nD))
       .groupBy(col("id_a"), col("id_b"))

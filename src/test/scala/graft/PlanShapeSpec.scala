@@ -366,7 +366,7 @@ class PlanShapeSpec extends SparkSpec {
       "dedup_canonicalize"     -> ((3, 1, 2)),  // r16: CC's phase-2 edge repartition moved behind its own eager cache, off the consumer's tail plan
       "cluster_representative" -> ((3, 1, 2)),  // r16: same — one fewer tail exchange per CC consumer
       "dup_span_detect"        -> ((4, 1, 1)),
-      "minhash_lsh_eval"       -> ((38, 30, 32)), // dual-truth composite; big but bounded
+      "minhash_lsh_eval"       -> ((46, 22, 32)), // dual-truth composite; r16: the corpus-scale truth-join sides carry shuffle_hash hints (a blind post-explode size estimate broadcast the exploded shingle table and OOM'd the 10x smoke) — 8 broadcasts became shuffles
       "winnow_fingerprint"     -> ((2, 0, 0)),  // doc window + orderBy; distinct reuses
       "bitext_mine"            -> ((6, 6, 11)), // docs⋈emb prep ×2 sides + the pair scan's three consumers
       "setsim_join"            -> ((6, 5, 5)), // df count + order + prefix self-join + verify rejoins; +1 from the r12 sets/prefix persist
